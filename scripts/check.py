@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-side correctness harness (mimics the driver's DuckDB-oracle gate).
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+Reads outDir/<name>/ parquet (written by `sbt "runMain graft.Verify sfDir outDir"`)
+and outDir/oracle_sql.json, runs each oracle in DuckDB over sfDir tables,
+and diffs values column-by-column (columns sorted by name).
+NOT part of the shipped Scala library — local tooling only.
+"""
+import sys, json, glob, os
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+names = sorted(os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d))
+fails = 0
+for name in names:
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"EMPTY   {name} (no parquet written)"); fails += 1; continue
+    got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+    nrows = len(got)
+    if name not in oracles:
+        print(f"ROWSONLY {name}: rows={nrows}")
+        continue
+    try:
+        exp = con.sql(oracles[name]).df()
+    except Exception as e:
+        print(f"ORACLE-ERR {name}: {str(e)[:200]}"); fails += 1; continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"SCHEMA  {name}: spark={gcols} oracle={ecols}"); fails += 1; continue
+    g, e = got[gcols].reset_index(drop=True), exp[gcols].reset_index(drop=True)
+    if len(g) != len(e):
+        print(f"ROWS    {name}: spark={len(g)} oracle={len(e)}"); fails += 1; continue
+    try:
+        ok = g.equals(e)
+        if not ok:
+            # allow dtype-compat compare
+            diff_cols = [c for c in gcols if not g[c].equals(e[c])]
+            real = []
+            for c in diff_cols:
+                import pandas as pd
+                a, b = g[c], e[c]
+                try:
+                    if ((a.isna() == b.isna()).all()
+                            and (a.dropna().values == b.dropna().values).all()):
+                        continue
+                except Exception:
+                    pass
+                real.append(c)
+            if real:
+                print(f"VALUES  {name}: diff cols {real}")
+                for c in real[:2]:
+                    m = (g[c].fillna('\x00') != e[c].fillna('\x00'))
+                    print("   spark:", g[c][m].head(3).tolist())
+                    print("   duck :", e[c][m].head(3).tolist())
+                fails += 1
+                continue
+        print(f"OK      {name}: rows={nrows}")
+    except Exception as ex:
+        print(f"CMP-ERR {name}: {str(ex)[:200]}"); fails += 1
+missing = set(oracles) - set(names)
+if missing:
+    print("MISSING query dirs for oracles:", sorted(missing)); fails += 1
+print(f"\n{len(names)} queries, {fails} failures")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermark-driven incremental sync semantics (SURVEY §2.10, §3.1):
+  * max-timestamp watermark, strict-`>` delta extraction, join-based
+  * upsert/merge, anti-join deletion reconciliation, semi-join archival.
+  *
+  * Scale notes (100 TB stance):
+  *  - the watermark is a single-row aggregate (map-side partial max →
+  *    one tiny shuffle) — safe at any scale;
+  *  - merge shuffles both sides by pk exactly once (sort-merge join);
+  *    with the target bucketed by pk the shuffle disappears entirely;
+  *  - reconciliation key-sets are (pk) projections — Parquet column
+  *    pruning keeps them narrow; the id-set join broadcasts when small.
+  */
+object Incremental {
+
+  /** A1/A2 (sync-db2.py:57-60, sync-db2-viewer.py:52-55): max watermark
+    * with an epoch default when the target is empty. */
+  def watermarkExpr(wmCol: String): Column =
+    coalesce(max(col(wmCol)), to_timestamp(lit("1970-01-01 00:00:00")))
+
+  /** F2 (sync-db2.py:163-167): strictly-newer delta. The strict `>` plus
+    * idempotent merge makes re-runs safe — re-modified rows simply
+    * re-arrive and overwrite. */
+  def delta(source: DataFrame, wmCol: String, watermark: Column): DataFrame =
+    source.where(col(wmCol) > watermark)
+
+  /** J3/J4/W3 (sync-db2-viewer.py:17-80, sync-db2.py:78-88): join-based
+    * upsert. Full-outer join on pk; delta columns win via coalesce.
+    * Equivalent to SQL MERGE (no Delta/Iceberg in this offline env) and
+    * idempotent: merging the same delta twice is a no-op.
+    */
+  def merge(target: DataFrame, deltaDf: DataFrame, pk: String): DataFrame = {
+    val cols = target.columns
+    // Qualified-by-alias references survive self-joins (target and delta
+    // are often derived from the same base relation).
+    target.alias("t")
+      .join(deltaDf.alias("d"), col(s"t.$pk") === col(s"d.$pk"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"d.$c"), col(s"t.$c")).as(c)).toIndexedSeq: _*)
+  }
+
+  /** J2 (delete-removed-tickets.py:136-142): ids the warehouse has that
+    * the source no longer returns. The reference does this with Python
+    * sets over 1000-id chunks; one distributed anti-join replaces the
+    * whole chunk loop. */
+  def deletedIds(warehouseIds: DataFrame, sourceIds: DataFrame, pk: String): DataFrame =
+    warehouseIds.select(pk).join(sourceIds.select(pk), Seq(pk), "left_anti")
+
+  /** J5 first half (delete-removed-tickets.py:150-159): full rows to
+    * archive before deletion — semi join against the deleted id set. */
+  def archiveRows(warehouse: DataFrame, deleted: DataFrame, pk: String): DataFrame =
+    warehouse.join(deleted.select(pk), Seq(pk), "left_semi")
+
+  /** J5 second half / W5 (config.py:57-61, delete-removed-tickets.py:
+    * 160-185): the warehouse minus the deleted ids. */
+  def purge(warehouse: DataFrame, deleted: DataFrame, pk: String): DataFrame =
+    warehouse.join(deleted.select(pk), Seq(pk), "left_anti")
+
+  /** §3.1 complete cycle as one dataflow: watermark → delta → merge. */
+  def incrementalSync(target: DataFrame, source: DataFrame,
+      pk: String, wmCol: String): DataFrame = {
+    val wm = target.agg(watermarkExpr(wmCol)).head().getTimestamp(0)
+    merge(target, delta(source, wmCol, lit(wm)), pk)
+  }
+}

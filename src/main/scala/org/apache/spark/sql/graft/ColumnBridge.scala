@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported conversion lives in `org.apache.spark.sql.classic.
+  * ExpressionUtils`, which is private[sql]. This bridge re-exports the two
+  * conversions for graft's native Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Incremental
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val target = Seq(
+    (1L, "a", ts("2024-01-01 00:00:00")),
+    (2L, "b", ts("2024-01-02 00:00:00")),
+    (3L, "c", ts("2024-01-03 00:00:00"))
+  ).toDF("id", "v", "updated")
+
+  private lazy val source = Seq(
+    (2L, "b2", ts("2024-01-05 00:00:00")), // updated row
+    (3L, "c", ts("2024-01-03 00:00:00")),  // unchanged (not after wm)
+    (4L, "d", ts("2024-01-06 00:00:00"))   // new row
+  ).toDF("id", "v", "updated")
+
+  test("watermark is max(updated); empty target → epoch default") {
+    val wm = target.agg(Incremental.watermarkExpr("updated")).head().getTimestamp(0)
+    assert(wm == ts("2024-01-03 00:00:00"))
+    val empty = target.where(lit(false))
+    val wm0 = empty.agg(Incremental.watermarkExpr("updated")).head().getTimestamp(0)
+    assert(wm0 == ts("1970-01-01 00:00:00"))
+  }
+
+  test("delta is strictly newer than watermark") {
+    val wm = lit(ts("2024-01-03 00:00:00"))
+    val d = Incremental.delta(source, "updated", wm).select("id")
+      .as[Long].collect().sorted
+    assert(d.toSeq == Seq(2L, 4L)) // id=3 at exactly wm excluded
+  }
+
+  test("merge: delta wins on conflict, unmatched survive, new appear") {
+    val delta = Incremental.delta(source, "updated", lit(ts("2024-01-03 00:00:00")))
+    val merged = Incremental.merge(target, delta, "id")
+      .orderBy("id").as[(Long, String, Timestamp)].collect().toSeq
+    assert(merged == Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b2", ts("2024-01-05 00:00:00")),
+      (3L, "c", ts("2024-01-03 00:00:00")),
+      (4L, "d", ts("2024-01-06 00:00:00"))))
+  }
+
+  test("merge is idempotent (re-applying the same delta is a no-op)") {
+    val delta = Incremental.delta(source, "updated", lit(ts("2024-01-03 00:00:00")))
+    val once = Incremental.merge(target, delta, "id")
+    val twice = Incremental.merge(once, delta, "id")
+    assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
+  }
+
+  test("reconcile: deleted = warehouse - source; archive + purge partition warehouse") {
+    val sourceIds = Seq(1L, 3L).toDF("id")
+    val deleted = Incremental.deletedIds(target, sourceIds, "id")
+    assert(deleted.as[Long].collect().toSeq == Seq(2L))
+    val archived = Incremental.archiveRows(target, deleted, "id")
+    val kept = Incremental.purge(target, deleted, "id")
+    assert(archived.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(archived.count() + kept.count() == target.count())
+  }
+
+  test("incrementalSync end-to-end on dataframes") {
+    val out = Incremental.incrementalSync(target, source, "id", "updated")
+    assert(out.count() == 4)
+    assert(out.where($"id" === 2L).select("v").as[String].head() == "b2")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
