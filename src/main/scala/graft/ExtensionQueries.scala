@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Capability registry, batch 3: the LLM-training-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing) —
+  * beyond the reference's surface, designed shuffle-partitioned for the
+  * 100 TB stance (LSH/blocked joins, never all-pairs; no driver loops).
+  *
+  * Near-dup queries plant deterministic duplicates (id+100000 with a
+  * small perturbation) so correctness is observable: the planted pairs
+  * MUST surface.
+  */
+object ExtensionQueries {
+  import Tables.load
+
+  /** documents ∪ perturbed copies of every 5th doc (exact-dup after
+    * whitespace normalization). */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit(" "), col("text"), lit("  ")).as("text")))
+  }
+
+  /** documents ∪ near-dup copies of every 5th doc (two appended tokens). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graft tail")).as("text")))
+  }
+
+  /** embeddings (as double vectors) ∪ scaled copies of every 20th vector
+    * (cosine 1.0 with its source). */
+  private def vecsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+    e.unionAll(load(s, dir, "embeddings").where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(Similarity.toDoubleArray(col("embedding")), x => x * 1.001)
+          .as("vec")))
+  }
+
+  /** DuckDB mirror of the sequential-fold dot product (see Similarity). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  private val duckVecsCte =
+    """corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |blocked AS (
+      |  SELECT vec_id, vec,
+      |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
+      |    AS block
+      |  FROM corpus)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Deduplication ────────────────────────────────────────────────
+
+    // Exact dedup: hash-groupBy on the canonical fingerprint. Planted
+    // whitespace-variant copies collapse onto their source docs.
+    QueryDef("d1_exact_dedup",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0)
+             |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+             |       min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM corpus
+             |GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY keeper_id""".stripMargin),
+      (s, dir) => Dedup.exactDuplicateGroups(
+          docsWithExactDups(s, dir), "doc_id",
+          TextAnalysis.fingerprintMd5(col("text")))
+        .where(col("n_copies") > 1)
+        .orderBy("keeper_id")),
+
+    // MinHash+LSH near-dup pairs with exact-Jaccard verification. The
+    // LSH banding is not SQL-expressible → rows-only check; planted-pair
+    // recovery is asserted in DedupSpec.
+    QueryDef("d2_minhash_lsh_neardup", None,
+      (s, dir) => Dedup.minhashNearDupPairs(
+          docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (native codegen'd SimHash64 expression,
+    // 4×16-bit chunk LSH). Rows-only; asserted in DedupSpec.
+    QueryDef("d3_simhash_neardup", None,
+      (s, dir) => Dedup.simhashNearDupPairs(
+          docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Exact n-gram Jaccard over a bounded id range — the verification
+    // kernel of d2 in oracle-checkable form.
+    QueryDef("d4_ngram_jaccard",
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM documents WHERE doc_id < 50))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             |             CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6)
+             |         AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val sh = load(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"),
+            array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
+        sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(Dedup.jaccard(col("a.shingles"), col("b.shingles")), 6)
+              .as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Embedding-cosine near-dup, sign-blocked. Oracle mirrors the exact
+    // sequential fold, blocking, and threshold.
+    QueryDef("d5_cosine_neardup_blocked",
+      Some(s"""WITH $duckVecsCte
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       round(${duckCosine("a.vec", "b.vec")}, 6) AS cos_sim
+              |FROM blocked a JOIN blocked b
+              |  ON a.block = b.block AND a.vec_id < b.vec_id
+              |WHERE round(${duckCosine("a.vec", "b.vec")}, 6) >= 0.999
+              |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Similarity.blockedNearDupPairs(
+          vecsWithNearDups(s, dir), threshold = 0.999)
+        .orderBy("id_a", "id_b")),
+
+    // ── Similarity search ────────────────────────────────────────────
+
+    // Brute-force exact top-k cosine (ground truth path).
+    QueryDef("ss1_cosine_topk",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${duckCosine("q.vec", "c.vec")} AS cos_raw
+              |  FROM corpus q JOIN corpus c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos_raw,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cos_sim
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+        Similarity.cosineTopK(corpus, corpus.where(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Blocked approximate top-k — the scale path, oracle-mirrored.
+    QueryDef("ss2_cosine_topk_blocked",
+      Some(s"""WITH $duckVecsCte,
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |         ${duckCosine("q.vec", "c.vec")} AS cos_raw
+              |  FROM blocked q JOIN blocked c
+              |    ON q.vec_id < 10 AND c.block = q.block AND c.vec_id <> q.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos_raw,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cos_sim
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val corpus = vecsWithNearDups(s, dir)
+        Similarity.cosineTopKBlocked(corpus, corpus.where(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ── Text analysis ────────────────────────────────────────────────
+
+    QueryDef("t1_lang_id", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+              |  FROM documents),
+              |s AS (SELECT doc_id, $hits FROM t)
+              |SELECT doc_id,
+              |       CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+              |FROM s ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    QueryDef("t2_quality_score",
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |      AS n_stop
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(least(1.0, n_toks / 100.0) * 0.5
+             |        + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+             |        + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2,
+             |        4) AS quality
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    QueryDef("t3_token_counts",
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    QueryDef("t4_fingerprint",
+      Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ── Multimodal columns ───────────────────────────────────────────
+
+    QueryDef("mm1_media_metadata",
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+             |       ELSE 'mp4' END AS format,
+             |  octet_length(encode(text)) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.mediaMetadata(
+          Multimodal.mediaTable(load(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    QueryDef("mm2_frame_sample",
+      Some("""SELECT t.doc_id, f.frame_idx, f.frame_idx * 40 AS offset_ms
+             |FROM (SELECT doc_id, doc_id % 5 + 1 AS n_frames FROM documents
+             |      WHERE doc_id % 3 = 2) t,
+             |     LATERAL unnest(range(0, t.n_frames)) AS f(frame_idx)
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.mediaTable(load(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Decode stub: deterministic fake features through the real
+    // mapPartitions plumbing; rows-only (byte-level math not worth
+    // mirroring in SQL), asserted in MultimodalSpec.
+    QueryDef("mm3_decode_features", None,
+      (s, dir) => Multimodal.decodeFeatures(s,
+          Multimodal.mediaTable(load(s, dir, "documents")))
+        .toDF().orderBy("doc_id")))
+}

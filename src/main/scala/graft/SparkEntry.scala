@@ -7,7 +7,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ InventoryQueries.defs
+    CoreQueries.defs ++ InventoryQueries.defs ++ ExtensionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

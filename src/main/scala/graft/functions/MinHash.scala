@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Imperative MinHash core. Signature slot j is the minimum seeded
+  * xxhash64 (seed = j) over the shingle set.
+  *
+  * Built as a native expression because the equivalent higher-order
+  * expression tree (transform(sequence(k), s -> array_min(transform(
+  * shingles, sh -> xxhash64(s, sh))))) is interpreted per row and costs
+  * minutes at sf0.1 where this loop costs seconds — measured 357s → <2s
+  * for the d2 pipeline. Same preference order as SURVEY §7.3: compose
+  * built-ins first, drop to a custom Expression when they can't express
+  * the semantics *efficiently*.
+  */
+object MinHashUtil {
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XxHash64Function.hash(s, StringType, j.toLong)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** minhash_signature(array<string>, k) → array<long>, with codegen. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinHashUtil.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashUtil.signature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHash {
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting. All pure
+  * Column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over 100 TB without serialization walls.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — a cheap proxy for subword token pressure. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeishPattern))
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny: the operator's shape (per-language token-hit
+    * scoring + deterministic argmax) is the point. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "en"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"))
+
+  /** Hits of one language's stopword set in the token stream
+    * (occurrence count, not distinct). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Language ID: argmax of stopword hits with a fixed preference order
+    * on ties (en > es > de > fr), 'und' (undetermined) when no hits. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation, alphabetic density, and
+    * stopword (English) density — the classic cheap pre-filters, rounded
+    * for cross-engine determinism. */
+  def qualityScore(text: Column): Column = {
+    val nToks = tokenCount(text).cast("double")
+    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val nChars = length(text).cast("double")
+    val lengthSat = least(lit(1.0), nToks / 100.0)
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
+    val stopRatio = when(nToks > 0,
+      stopwordHits(text, stopwords.head._2).cast("double") / nToks).otherwise(0.0)
+    round(lengthSat * 0.5 + alphaRatio * 0.3 + least(lit(1.0), stopRatio * 4.0) * 0.2, 4)
+  }
+
+  /** Canonical document fingerprint: md5 of the whitespace-collapsed,
+    * lowercased text — exact-dedup key that survives trivial
+    * reformatting. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

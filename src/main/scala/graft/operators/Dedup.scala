@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+
+/** Deduplication operators for training-data pipelines, all designed to
+  * avoid the O(n²) all-pairs trap: exact dedup is a hash groupBy; MinHash
+  * and SimHash restrict comparisons to LSH-bucket collisions, so the only
+  * shuffles are by bucket key and work scales with collision counts, not
+  * corpus².
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the lowercased text; documents shorter than
+    * `n` tokens collapse to a single whole-text shingle. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the shingle set. Delegates to the native
+    * codegen'd MinHashSignature expression (see functions.MinHash for
+    * why the higher-order-function formulation was replaced). */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    graft.functions.MinHash.minhashSignature(shingles, numHashes)
+
+  /** LSH banding: hash `rowsPerBand`-sized slices of the signature; docs
+    * sharing any band hash become candidate pairs. Returns (id_a, id_b)
+    * with id_a < id_b, distinct. The join key is (band index, band hash),
+    * so the shuffle is by bucket — never all-pairs. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
+          lit(rowsPerBand))))))
+      .toDF(idCol, "band_id", "band_hash")
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash estimate of Jaccard: fraction of agreeing signature slots. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA).cast("double")
+
+  /** Full MinHash+LSH near-dup pipeline over (id, text): candidate pairs
+    * via banding, then exact n-gram Jaccard verification ≥ threshold. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    // Materialize shingles and signatures once: they feed the 16 band
+    // projections plus both sides of the verification join, and Catalyst
+    // would otherwise inline (= recompute) the hashing into every
+    // consumer. At warehouse scale this materialization is a signature
+    // table; in a single job, a persisted intermediate.
+    val shingled = docs.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = shingled.select(col(idCol),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+    val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands)
+    pairs
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: 64-bit SimHash banded into 4×16-bit
+    * chunks — any pair within Hamming distance ≤ 3 shares at least one
+    * chunk (pigeonhole), so bucketing by (chunk index, chunk value) finds
+    * all of them without all-pairs. Returns pairs with exact Hamming
+    * distance ≤ maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      SimHash.simhash64(split(trim(lower(col(textCol))), "\\s+")).as("sim"))
+    val chunked = sigs.select(col(idCol), col("sim"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(idCol, "sim", "chunk_id", "chunk")
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact duplicate groups by canonical fingerprint: returns one row per
+    * duplicated content value with the keeper (min id) and count. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    docs.groupBy(keyCol.as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+}

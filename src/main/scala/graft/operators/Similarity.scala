@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity over an embedding column (array<float>).
+  *
+  * The arithmetic is a strict left-to-right double fold
+  * (aggregate ∘ zip_with) so results are bit-deterministic and
+  * reproducible across engines — the DuckDB oracle mirrors the same fold.
+  * All operators are expression-only (no UDF): they run inside
+  * whole-stage codegen and scale by partitioning, not driver loops.
+  */
+object Similarity {
+
+  /** array<float> → array<double>, the canonical compute type. */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity dot/(|a|·|b|), same fold shape as the oracle. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Coarse partitioning key: sign bits of the first `dims` components
+    * packed into an int. Scale-invariant vectors (and so near-identical
+    * embeddings) map to the same block. */
+  def signBlock(vec: Column, dims: Int = 8): Column =
+    (0 until dims)
+      .map(i => when(element_at(vec, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Brute-force exact top-k cosine neighbors of each query vector.
+    * The query set broadcasts (it is small by construction); the corpus
+    * streams through one scan, then a per-query window picks top-k. This
+    * is the baseline/ground-truth path. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")),
+        col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign block —
+    * the 100 TB scale path (bucketed join instead of full cross product).
+    * Recall depends on block size: near-duplicates always collide (sign
+    * pattern is scale-invariant); genuinely novel neighbors may not. Use
+    * more/fewer `dims` to trade recall vs candidate count. */
+  def cosineTopKBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      blockDims: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("block", signBlock(col(vecCol), blockDims))
+    val qb = queries.withColumn("block", signBlock(col(vecCol), blockDims))
+    val scored = cb.alias("c")
+      .join(broadcast(qb.alias("q")),
+        col("c.block") === col("q.block") && col(s"c.$idCol") =!= col(s"q.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs, blocked by sign signature: pairs in
+    * the same block with cosine ≥ threshold. The block join keeps the
+    * pair count ~n²/2^dims instead of n². */
+  def blockedNearDupPairs(vecs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      blockDims: Int = 8): DataFrame = {
+    val blocked = vecs.withColumn("block", signBlock(col(vecCol), blockDims))
+    blocked.alias("a")
+      .join(blocked.alias("b"),
+        col("a.block") === col("b.block") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

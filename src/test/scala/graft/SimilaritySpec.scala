@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.load(spark, sf0001, "embeddings")
+    .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+
+  test("cosine of a vector with itself is 1.0 (up to fp)") {
+    val r = corpus.limit(10)
+      .select(Similarity.cosine($"vec", $"vec").as("c")).as[Double].collect()
+    r.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("cosine is scale-invariant: v vs 1.001*v ≈ 1.0") {
+    val r = corpus.limit(10)
+      .select(Similarity.cosine($"vec",
+        transform($"vec", x => x * 1.001)).as("c")).as[Double].collect()
+    r.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("brute-force topK returns exactly k ranked neighbors per query") {
+    val topk = Similarity.cosineTopK(corpus, corpus.where($"vec_id" < 5), k = 3)
+    val byQuery = topk.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr")).as[(Long, Long, Int)].collect()
+    assert(byQuery.length == 5)
+    byQuery.foreach { case (_, n, maxr) => assert(n == 3 && maxr == 3) }
+    // ranks ordered by descending similarity within each query
+    val rows = topk.orderBy("query_id", "rank")
+      .select("query_id", "rank", "cos_sim").as[(Long, Int, Double)].collect()
+    rows.grouped(3).foreach { g =>
+      assert(g.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    }
+  }
+
+  test("blocked topK finds a planted scaled copy as top-1") {
+    val plantedCorpus = corpus.unionAll(
+      corpus.where($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"vec", x => x * 1.001).as("vec")))
+    val topk = Similarity.cosineTopKBlocked(
+      plantedCorpus, plantedCorpus.where($"vec_id" === 0), k = 3)
+    val top1 = topk.where($"rank" === 1)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].head()
+    assert(top1._1 == 100000L && top1._2 >= 0.999999)
+  }
+
+  test("sign-block is identical for a vector and its positive scaling") {
+    val r = corpus.limit(20).select(
+      Similarity.signBlock($"vec").as("b1"),
+      Similarity.signBlock(transform($"vec", x => x * 1.001)).as("b2"))
+      .as[(Int, Int)].collect()
+    r.foreach { case (b1, b2) => assert(b1 == b2) }
+  }
+
+  test("blocked near-dup pairs carry cosine ≥ threshold only") {
+    val plantedCorpus = corpus.unionAll(
+      corpus.where($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"vec", x => x * 1.001).as("vec")))
+    val pairs = Similarity.blockedNearDupPairs(plantedCorpus, threshold = 0.999)
+    val collected = pairs.as[(Long, Long, Double)].collect()
+    assert(collected.nonEmpty)
+    collected.foreach { case (a, b, c) => assert(a < b && c >= 0.999) }
+    // all 25 planted source→copy pairs recovered (blocking preserves sign)
+    val expected = (0L until 500L by 20).map(id => (id, id + 100000)).toSet
+    val found = collected.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(found))
+  }
+}

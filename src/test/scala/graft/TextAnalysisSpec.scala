@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, s: String): Any =
+    Seq(s).toDF("t").select(c.as("r")).head().get(0)
+
+  test("langId picks the language with most stopword hits") {
+    assert(one(langId(col("t")), "the cat and the dog is in it") == "en")
+    assert(one(langId(col("t")), "el perro y la casa de que los") == "es")
+    assert(one(langId(col("t")), "der hund und die katze ist das") == "de")
+    assert(one(langId(col("t")), "le chat et les maisons des une") == "fr")
+    assert(one(langId(col("t")), "xyzzy plugh quux") == "und")
+  }
+
+  test("langId tie-break is deterministic preference order") {
+    // 'la' is both es and fr; single hit each → es wins (preference order)
+    assert(one(langId(col("t")), "la xyzzy") == "es")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    assert(one(tokenCount(col("t")), "a  b\tc") == 3)
+    assert(one(bpeishTokenCount(col("t")), "ab3 cd-4") == 5) // ab,3,cd,-,4
+  }
+
+  test("qualityScore stays in [0,1] over real documents") {
+    val r = Tables.load(spark, sf0001, "documents")
+      .select(qualityScore($"text").as("q")).as[Double].collect()
+    r.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("qualityScore rewards long alpha-rich stopword-bearing text") {
+    val good = ("the quick brown fox jumps over the lazy dog and runs " * 10)
+    val bad = "@#$% 123 !!"
+    val qg = one(qualityScore(col("t")), good).asInstanceOf[Double]
+    val qb = one(qualityScore(col("t")), bad).asInstanceOf[Double]
+    assert(qg > qb)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val a = one(fingerprintMd5(col("t")), "Hello   World")
+    val b = one(fingerprintMd5(col("t")), "  hello world ")
+    val c = one(fingerprintMd5(col("t")), "hello there")
+    assert(a == b && a != c)
+  }
+}
