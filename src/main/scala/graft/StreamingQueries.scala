@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSync
+
+/** Capability registry, batch 4: Structured Streaming formulations of the
+  * incremental-sync semantics (SURVEY §2.10). The streams run
+  * synchronously (processAllAvailable) over the same parquet, so their
+  * results are oracle-checkable against batch SQL.
+  */
+object StreamingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Streaming windowed aggregation == batch time_bucket aggregation.
+    QueryDef("sr1_streaming_window",
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+             |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+      (s, dir) => StreamingSync.runWindowedToMemory(s, dir)),
+
+    // foreachBatch micro-batch merge reconstructs the full table
+    // (pk-unique source ⇒ merge of all batches == source).
+    QueryDef("sr2_streaming_merge",
+      Some("""SELECT event_id, user_id, event_type, value, ts FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => StreamingSync.runForeachBatchMerge(s, dir,
+          "/tmp/graft_stream/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        .orderBy("event_id")))
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** The reference's cron-driven micro-batch sync (SURVEY §2.10) expressed
+  * as Structured Streaming: readStream → event-time watermark → windowed
+  * aggregation, and readStream → foreachBatch merge for the upsert path.
+  * The batch-incremental and streaming formulations share the same merge
+  * (Incremental.merge) — exactly the foreachBatch pattern a production
+  * deployment of the reference would use.
+  */
+object StreamingSync {
+
+  /** Streaming scan of the events table. The streaming file source needs
+    * a directory, so the single-file test table is staged once into
+    * `stageDir` (which also normalizes the TIMESTAMP(NANOS) column to
+    * micros — see Tables); a production deployment would stream the
+    * landing directory directly. */
+  def eventsStream(spark: SparkSession, sfDir: String, stageDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    graft.Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(stageDir)
+  }
+
+  /** Hourly tumbling-window aggregation with a 1-hour event-time
+    * watermark (bounds state at scale; in complete-mode demos the
+    * watermark is inert but the state-eviction contract is what a
+    * production append/update sink relies on). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the windowed aggregation over the events table as a stream into
+    * an in-memory sink, synchronously, and return the final result. */
+  def runWindowedToMemory(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_${System.nanoTime()}"
+    val stage = "/tmp/graft_stream_stage/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val q = windowedCounts(eventsStream(spark, sfDir, stage))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
+  /** Streaming upsert: micro-batches merged into a parquet target by pk
+    * via foreachBatch — the streaming form of the reference's staged
+    * upsert (sync-db2.py:78-88). Each batch writes a new target version
+    * (never overwriting the version it read), then the final version is
+    * returned. */
+  def runForeachBatchMerge(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val srcDir = s"$workDir/src"
+    val tgtBase = s"$workDir/tgt"
+    // split the source into several files so the stream sees >1 micro-batch
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    val stream = {
+      val rawSchema = spark.read.parquet(srcDir).schema
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    }
+    var version = 0
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = version + 1
+        val merged =
+          if (version == 0) batch
+          else Incremental.merge(
+            spark.read.parquet(s"$tgtBase/v$version"), batch, "event_id")
+        merged.write.mode("overwrite").parquet(s"$tgtBase/v$next")
+        version = next
+        (): Unit
+      }
+      .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(version > 0, "stream produced no batches")
+    // clean superseded versions would happen here in production
+    val _ = Files.exists(Paths.get(s"$tgtBase/v$version"))
+    spark.read.parquet(s"$tgtBase/v$version")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingSync
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed counts equal the batch formulation") {
+    val streamed = StreamingSync.runWindowedToMemory(spark, sf0001)
+      .collect().toSeq
+    val batch = Tables.load(spark, sf0001, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy("w_start", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch merge over micro-batches reconstructs the source") {
+    val out = StreamingSync.runForeachBatchMerge(spark, sf0001,
+      "/tmp/graft_stream_test")
+    val src = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    assert(out.count() == src.count())
+    assert(out.join(src, Seq("event_id", "user_id", "event_type", "value", "ts"))
+      .count() == src.count())
+  }
+
+  test("watermark: late-but-within-watermark updates; too-late is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"k", $"n")
+    val name = s"wm_test_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: events at 20:00 → watermark advances to 19:00
+      input.addData((ts("2024-01-01 20:00:00"), "a"),
+        (ts("2024-01-01 20:10:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: late row at 19:30 (window [19:00,20:00) ≥ watermark → kept),
+      //          too-late row at 05:00 (window end 06:00 < watermark → dropped)
+      input.addData((ts("2024-01-01 19:30:00"), "a"),
+        (ts("2024-01-01 05:00:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .groupBy("w_start", "k").agg(max("n").as("n")) // update mode re-emits
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 20:00:00"), "a", 2L)))
+      assert(rows.contains((ts("2024-01-01 19:00:00"), "a", 1L)))
+      assert(!rows.exists(_._1 == ts("2024-01-01 05:00:00")))
+    } finally q.stop()
+  }
+}
