@@ -69,9 +69,14 @@ object Dedup {
     // projections plus both sides of the verification join, and Catalyst
     // would otherwise inline (= recompute) the hashing into every
     // consumer. At warehouse scale this materialization is a signature
-    // table; in a single job, a persisted intermediate.
-    val shingled = docs.select(col(idCol),
-      array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
+    // table; in a single job, a persisted intermediate. The repartition
+    // spreads the hash-heavy compute across all cores even when the
+    // input is a single small file (one split); at real scale the scan
+    // already yields enough splits and the exchange cost is noise.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs.repartition(par)
+      .select(col(idCol),
+        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
@@ -91,7 +96,8 @@ object Dedup {
     * distance ≤ maxHamming. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol),
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sigs = docs.repartition(par).select(col(idCol),
       SimHash.simhash64(split(trim(lower(col(textCol))), "\\s+")).as("sim"))
     val chunked = sigs.select(col(idCol), col("sim"),
       posexplode(array((0 until 4).map(j =>

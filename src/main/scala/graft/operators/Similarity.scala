@@ -39,7 +39,9 @@ object Similarity {
     * is the baseline/ground-truth path. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
-    val scored = corpus.alias("c")
+    // single-file test inputs arrive as one split; spread the fold math
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val scored = corpus.repartition(par).alias("c")
       .join(broadcast(queries.alias("q")),
         col(s"c.$idCol") =!= col(s"q.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
