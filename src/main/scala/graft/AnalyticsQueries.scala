@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Similarity, VectorAgg}
+import graft.plans.InListToSemiJoin
+
+/** Capability registry, batch 6: analytic operators beyond the
+  * reference's surface — sessionization, rollup, a typed Aggregator
+  * (vector centroid), and the IN-list→semi-join optimizer rule running
+  * in anger.
+  */
+object AnalyticsQueries {
+  import Tables.load
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sessionization: 30-minute-gap sessions per user via lag + running
+    // sum — the standard event-log → session-table transform of a
+    // training-data pipeline.
+    QueryDef("ext_sessionize",
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_id, ts,
+             |         sum(CASE WHEN prev_ts IS NULL
+             |                       OR date_diff('second', prev_ts, ts) > 1800
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    // Rollup aggregation (subtotals + grand total) — Spark built-in the
+    // reference never had; NULLS FIRST pinned for cross-engine ordering.
+    QueryDef("ext_rollup",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      (s, dir) => load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Typed Aggregator showpiece: per-label embedding centroid (the
+    // coarse-quantizer building block for IVF-style ANN), exploded to
+    // (label, dim, mean) for oracle comparison.
+    QueryDef("ext_label_centroids",
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
+             |       round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS mean_val
+             |FROM embeddings e, LATERAL unnest(range(1, 65)) AS r(i)
+             |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin),
+      (s, dir) => load(s, dir, "embeddings")
+        .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+        .groupBy("label")
+        .agg(VectorAgg.centroid(col("vec"), 64).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")))
+        .toDF("label", "dim_idx", "mean_raw")
+        .select(col("label"), col("dim_idx"),
+          round(col("mean_raw"), 6).as("mean_val"))
+        .orderBy("label", "dim_idx")),
+
+    // The IN-list→semi-join rule applied to a 500-id membership filter;
+    // results must be identical to the plain IN-list oracle.
+    QueryDef("ext_inlist_semijoin_rule", {
+      val inList = (0 until 500).map(_ * 7L).mkString(", ")
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_orderkey IN ($inList)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+      (s, dir) => {
+        s.experimental.extraOptimizations = Seq(InListToSemiJoin)
+        val ids = (0 until 500).map(i => java.lang.Long.valueOf(i * 7L))
+        load(s, dir, "orders")
+          .where(col("o_orderkey").isin(ids: _*))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      }))
+}

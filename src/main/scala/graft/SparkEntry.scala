@@ -8,7 +8,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ InventoryQueries.defs ++ ExtensionQueries.defs ++
-      StreamingQueries.defs ++ Case311Queries.defs
+      StreamingQueries.defs ++ Case311Queries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import graft.plans.InListToSemiJoin
+import graft.operators.{Similarity, VectorAgg}
+
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("InListToSemiJoin rewrites big IN-lists into a LeftSemi join") {
+    val orders = Tables.load(spark, sf0001, "orders")
+    val ids = (0 until 200).map(i => java.lang.Long.valueOf(i * 3L))
+    val q = orders.where(col("o_orderkey").isin(ids: _*)).select("o_orderkey")
+
+    val before = q.queryExecution.optimizedPlan
+    assert(!before.exists(_.isInstanceOf[Join]), "baseline should be a filter")
+
+    spark.experimental.extraOptimizations = Seq(InListToSemiJoin)
+    try {
+      val rewritten = orders.where(col("o_orderkey").isin(ids: _*))
+        .select("o_orderkey")
+      val plan = rewritten.queryExecution.optimizedPlan
+      assert(plan.exists {
+        case j: Join => j.joinType.sql == "LEFT SEMI"
+        case _ => false
+      }, s"expected LeftSemi join in:\n$plan")
+      // results identical to the un-rewritten filter
+      val a = rewritten.as[Long].collect().sorted.toSeq
+      spark.experimental.extraOptimizations = Nil
+      val b = orders.where(col("o_orderkey").isin(ids: _*))
+        .select("o_orderkey").as[Long].collect().sorted.toSeq
+      assert(a == b)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("small IN-lists are left untouched") {
+    spark.experimental.extraOptimizations = Seq(InListToSemiJoin)
+    try {
+      val q = Tables.load(spark, sf0001, "orders")
+        .where(col("o_orderkey").isin(1L, 2L, 3L)).select("o_orderkey")
+      assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("centroid Aggregator equals the expression-only mean per dimension") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+    val agg = vecs.groupBy("label")
+      .agg(VectorAgg.centroid(col("vec"), 64).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .toDF("label", "dim", "mean_agg")
+    val expr = vecs.select(col("label"), posexplode(col("vec")))
+      .toDF("label", "dim", "v")
+      .groupBy("label", "dim").agg(avg(col("v")).as("mean_expr"))
+    val joined = agg.join(expr, Seq("label", "dim"))
+      .select(abs(col("mean_agg") - col("mean_expr")).as("d"))
+      .agg(max(col("d"))).as[Double].head()
+    assert(joined < 1e-9, s"max deviation $joined")
+  }
+}
