@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Similarity, VectorAgg}
+import graft.operators.{IvfIndex, Ops, Similarity, VectorAgg}
 import graft.plans.InListToSemiJoin
 
 /** Capability registry, batch 6: analytic operators beyond the
@@ -98,5 +98,32 @@ object AnalyticsQueries {
           .where(col("o_orderkey").isin(ids: _*))
           .select("o_orderkey", "o_totalprice")
           .orderBy("o_orderkey")
-      }))
+      }),
+
+    // IVF ANN: train coarse centroids, probe 4 of 16 inverted lists per
+    // query. Rows-only (k-means centroids are fp-order-sensitive, so no
+    // SQL oracle); exactness at nprobe==k and recall bounds are asserted
+    // in IvfOpsSpec.
+    QueryDef("ext_ivf_topk", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
+        IvfIndex.topK(corpus, corpus.where(col("vec_id") < 10), centroids,
+            k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Skew-mitigated salted join: results must equal the plain join.
+    QueryDef("ext_salted_join",
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Ops.saltedJoin(
+          load(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+          load(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_orderkey", nSalts = 8)
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+          col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")))
 }
