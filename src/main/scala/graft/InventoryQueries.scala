@@ -38,6 +38,28 @@ object InventoryQueries {
           .orderBy("event_id")
       }),
 
+    // S1 (production shape) — DataSource V2 connector with source-side
+    // watermark + record-type pushdown and column pruning; rows are
+    // deterministic so DuckDB can generate the same relation.
+    QueryDef("s1b_dsv2_connector",
+      Some("""SELECT CAST(i AS VARCHAR) AS CaseNumber,
+             |       ['New','Open','Closed'][CAST(i % 3 AS INTEGER) + 1] AS Status,
+             |       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) MINUTE AS LastModifiedDate
+             |FROM range(0, 2000) t(i)
+             |WHERE TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) MINUTE
+             |        > TIMESTAMP '2024-01-01 12:00:00'
+             |  AND (CASE WHEN i % 5 = 0 THEN 'OTHER'
+             |            WHEN i % 5 = 1 THEN '012G00000014BhVIAU'
+             |            ELSE '' END) = 'OTHER'
+             |ORDER BY CAST(CaseNumber AS BIGINT)""".stripMargin),
+      (s, dir) => s.read.format("graft.sources.CaseSource")
+        .option("rows", "2000").option("partitions", "8").load()
+        .where(col("LastModifiedDate") >
+          to_timestamp(lit("2024-01-01 12:00:00")) &&
+          col("RecordTypeId") === "OTHER")
+        .select("CaseNumber", "Status", "LastModifiedDate")
+        .orderBy(col("CaseNumber").cast("long"))),
+
     // S7/O1 — ordered (pk, watermark) key scan (sync-db2-ago.py:543-566).
     QueryDef("s7_ordered_key_scan",
       Some("""SELECT o_orderkey, o_orderdate FROM orders
