@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{IvfIndex, Ops, Similarity, VectorAgg}
+import graft.operators.{IvfIndex, Ops, Similarity, SrpLsh, VectorAgg}
 import graft.plans.InListToSemiJoin
 
 /** Capability registry, batch 6: analytic operators beyond the
@@ -111,6 +111,18 @@ object AnalyticsQueries {
         val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
         IvfIndex.topK(corpus, corpus.where(col("vec_id") < 10), centroids,
             k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Hyperplane (SRP) LSH ANN — data-independent projection directions,
+    // banded signature buckets. Rows-only (1024 plane coefficients in a
+    // SQL oracle would be absurd); recall and planted-pair recovery are
+    // asserted in SrpLshSpec.
+    QueryDef("ext_srp_topk", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+        SrpLsh.topK(corpus, corpus.where(col("vec_id") < 10), k = 5)
           .orderBy("query_id", "rank")
       }),
 
