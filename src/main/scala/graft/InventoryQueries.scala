@@ -381,6 +381,41 @@ object InventoryQueries {
           AgoFormat.esriPointJson(col("lon"), col("lat")).as("geometry"))
         .orderBy("c_custkey")),
 
+    // X15 (general) — full WKT → ESRI JSON via the native
+    // EsriGeometryJson expression: points, polygons (exterior ring),
+    // multipolygons, linestrings, empties, and the MULTIPOINT
+    // NotImplementedError path as null. Rows-only: the parser semantics
+    // are pinned exactly in GeoJsonSpec; a SQL mirror of WKT parsing
+    // would re-implement the operator.
+    QueryDef("x15b_esri_geometry_general", None,
+      (s, dir) => {
+        val shapes = load(s, dir, "customer")
+          .select(col("c_custkey"),
+            (col("c_custkey") % 10).cast("int").as("x"),
+            (col("c_nationkey") % 10).cast("int").as("y"))
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 5 === 0, lit("POINT EMPTY"))
+              .when(col("c_custkey") % 5 === 1,
+                concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+              .when(col("c_custkey") % 5 === 2,
+                concat(lit("POLYGON (("), col("x"), lit(" "), col("y"),
+                  lit(", "), col("x") + 1, lit(" "), col("y"),
+                  lit(", "), col("x"), lit(" "), col("y") + 1,
+                  lit(", "), col("x"), lit(" "), col("y"), lit("))")))
+              .when(col("c_custkey") % 5 === 3,
+                concat(lit("LINESTRING ("), col("x"), lit(" "), col("y"),
+                  lit(", "), col("x") + 2, lit(" "), col("y") + 2, lit(")")))
+              .otherwise(
+                concat(lit("MULTIPOLYGON ((("), col("x"), lit(" "), col("y"),
+                  lit(", "), col("x") + 1, lit(" "), col("y"),
+                  lit(", "), col("x"), lit(" "), col("y") + 1,
+                  lit(", "), col("x"), lit(" "), col("y"), lit(")))")))
+              .as("wkt"))
+        shapes.select(col("c_custkey"), col("wkt"),
+          graft.functions.GeoJson.esriGeometryJson(col("wkt")).as("geometry"))
+          .orderBy("c_custkey")
+      }),
+
     // W4/B2 — deterministic batch assignment for the ordered sink:
     // 50-row batches in updated-ASC order (sync-db2-ago.py:548,645-687).
     QueryDef("w4_batched_sink",
