@@ -383,7 +383,8 @@ object InventoryQueries {
 
     // X15 (general) — full WKT → ESRI JSON via the native
     // EsriGeometryJson expression: points, polygons (exterior ring),
-    // multipolygons, linestrings, empties, and the MULTIPOINT
+    // multipolygons, linestrings, empties (POINT EMPTY + MULTIPOINT
+    // EMPTY null-coordinate point), and the non-empty-MULTIPOINT
     // NotImplementedError path as null. Rows-only: the parser semantics
     // are pinned exactly in GeoJsonSpec; a SQL mirror of WKT parsing
     // would re-implement the operator.
@@ -394,17 +395,19 @@ object InventoryQueries {
             (col("c_custkey") % 10).cast("int").as("x"),
             (col("c_nationkey") % 10).cast("int").as("y"))
           .select(col("c_custkey"),
-            when(col("c_custkey") % 5 === 0, lit("POINT EMPTY"))
-              .when(col("c_custkey") % 5 === 1,
+            when(col("c_custkey") % 6 === 0, lit("POINT EMPTY"))
+              .when(col("c_custkey") % 6 === 1,
                 concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
-              .when(col("c_custkey") % 5 === 2,
+              .when(col("c_custkey") % 6 === 2,
                 concat(lit("POLYGON (("), col("x"), lit(" "), col("y"),
                   lit(", "), col("x") + 1, lit(" "), col("y"),
                   lit(", "), col("x"), lit(" "), col("y") + 1,
                   lit(", "), col("x"), lit(" "), col("y"), lit("))")))
-              .when(col("c_custkey") % 5 === 3,
+              .when(col("c_custkey") % 6 === 3,
                 concat(lit("LINESTRING ("), col("x"), lit(" "), col("y"),
                   lit(", "), col("x") + 2, lit(" "), col("y") + 2, lit(")")))
+              .when(col("c_custkey") % 6 === 4,
+                concat(lit("MULTIPOINT ("), col("x"), lit(" "), col("y"), lit(")")))
               .otherwise(
                 concat(lit("MULTIPOLYGON ((("), col("x"), lit(" "), col("y"),
                   lit(", "), col("x") + 1, lit(" "), col("y"),

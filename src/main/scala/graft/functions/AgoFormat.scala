@@ -36,7 +36,7 @@ object AgoFormat {
     * emits NaN coordinates (sync-db2-ago.py:171-177). Built entirely
     * from to_json(struct(...)) — no UDF. */
   def esriPointJson(lon: Column, lat: Column): Column = {
-    val empty = lit("""{"x":"NaN","y":"NaN","spatial_reference":{"wkid":4326}}""")
+    val empty = lit(GeoJsonUtil.NanPointJson) // one spelling across X15 variants
     when(lon.isNotNull && lat.isNotNull && lon =!= 0 && lat =!= 0,
       to_json(struct(
         lon.as("x"), lat.as("y"),

@@ -16,9 +16,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - MULTIPOLYGON (((r1)),((r2)))     → {"rings":[[r1],[r2]],…} (one exterior
   *    ring per member polygon)
   *  - LINESTRING (x y, x y, …)         → {"paths":[[[x,y],…]],…}
-  *  - ''/POINT EMPTY                   → NaN point (sync-db2-ago.py:171-186)
-  *  - MULTIPOINT/unrecognized          → null (reference raises
+  *  - ''/POINT EMPTY                   → empty geometry of the LAYER's
+  *    type, like sync-db2-ago.py:181-205: NaN point for point layers,
+  *    {"paths":[]} for polyline, {"rings":[]} for polygon
+  *  - MULTIPOINT EMPTY                 → null-coordinate point (the
+  *    reference's substring dispatch sends it down the POINT branch and
+  *    project_and_format_shape returns (None, None),
+  *    sync-db2-ago.py:103-105,209)
+  *  - non-empty MULTIPOINT/unrecognized → null (reference raises
   *    NotImplementedError; the engine's swallow-to-null convention applies)
+  *  - typed EMPTY ('POLYGON EMPTY', 'LINESTRING EMPTY') → one empty
+  *    ring/path ({"rings":[[]]} / {"paths":[[]]}), matching the
+  *    reference's format_ring on an empty shapely geometry wrapped by
+  *    the {"rings":[ring]} construction (sync-db2-ago.py:230-242)
   *
   * An optional 'SRID=n;' EWKT prefix (the engine's internal shape format,
   * common.py:124) is stripped. Re-projection is the identity (IN_SRID ==
@@ -26,16 +36,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GeoJsonUtil {
   private val Sr = """"spatial_reference":{"wkid":4326}"""
-  private val NanPoint = s"""{"x":"NaN","y":"NaN",$Sr}"""
+  /** Shared with AgoFormat.esriPointJson — one spelling of the empty
+    * point geometry across both X15 variants. */
+  val NanPointJson: String = s"""{"x":"NaN","y":"NaN",$Sr}"""
+  val NullPointJson: String = s"""{"x":null,"y":null,$Sr}"""
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  def esriJson(wkt: UTF8String): UTF8String = {
+  /** Layer geometry types, reference GEOMETRIC values
+    * (sync-db2-ago.py:181-205). */
+  val PointLayer = "esriGeometryPoint"
+  val PolylineLayer = "esriGeometryPolyline"
+  val PolygonLayer = "esriGeometryPolygon"
+
+  def esriJson(wkt: UTF8String, layerType: String): UTF8String = {
     val s0 = wkt.toString.trim
     val s = if (s0.startsWith("SRID=")) s0.substring(s0.indexOf(';') + 1).trim else s0
     val out: String =
-      if (s.isEmpty || s == "POINT EMPTY") NanPoint
+      if (s.isEmpty || s == "POINT EMPTY") layerType match {
+        case PolylineLayer => s"""{"paths":[],$Sr}"""
+        case PolygonLayer => s"""{"rings":[],$Sr}"""
+        case _ => NanPointJson
+      }
       else if (s.startsWith("MULTIPOLYGON")) multiPolygon(body(s, "MULTIPOLYGON"))
       else if (s.startsWith("POLYGON")) polygon(body(s, "POLYGON"))
       else if (s.startsWith("LINESTRING")) lineString(body(s, "LINESTRING"))
+      else if (s == "MULTIPOINT EMPTY") NullPointJson
       else if (s.startsWith("MULTIPOINT")) null
       else if (s.startsWith("POINT")) point(body(s, "POINT"))
       else null
@@ -49,9 +74,9 @@ object GeoJsonUtil {
   }
 
   private def point(b: String): String = {
-    if (b.isEmpty) return NanPoint
+    if (b.isEmpty) return NanPointJson
     val inner = stripParens(b)
-    val parts = inner.trim.split("\\s+")
+    val parts = Ws.split(inner.trim)
     if (parts.length < 2) return null
     try {
       val x = java.lang.Double.parseDouble(parts(0))
@@ -61,21 +86,22 @@ object GeoJsonUtil {
   }
 
   private def lineString(b: String): String = {
-    if (b.isEmpty) return s"""{"paths":[],$Sr}"""
+    if (b.isEmpty) return s"""{"paths":[[]],$Sr}""" // empty path, ref:240
     val path = coordList(stripParens(b))
     if (path == null) null else s"""{"paths":[$path],$Sr}"""
   }
 
   private def polygon(b: String): String = {
-    if (b.isEmpty) return s"""{"rings":[],$Sr}"""
+    if (b.isEmpty) return s"""{"rings":[[]],$Sr}""" // empty ring, ref:233
     // exterior ring = first parenthesized group inside the outer parens
     val rings = splitGroups(stripParens(b))
-    if (rings.isEmpty) return s"""{"rings":[],$Sr}"""
+    if (rings.isEmpty) return s"""{"rings":[[]],$Sr}"""
     val ext = coordList(stripParens(rings.head))
     if (ext == null) null else s"""{"rings":[$ext],$Sr}"""
   }
 
   private def multiPolygon(b: String): String = {
+    // MULTIPOLYGON EMPTY iterates zero member polygons → no rings (ref:226-230)
     if (b.isEmpty) return s"""{"rings":[],$Sr}"""
     val polys = splitGroups(stripParens(b))
     val ringJsons = polys.map { p =>
@@ -117,7 +143,7 @@ object GeoJsonUtil {
     val sb = new java.lang.StringBuilder("[")
     var first = true
     for (p <- pts) {
-      val parts = p.trim.split("\\s+")
+      val parts = Ws.split(p.trim)
       if (parts.length < 2) return null
       try {
         val x = java.lang.Double.parseDouble(parts(0))
@@ -131,18 +157,25 @@ object GeoJsonUtil {
   }
 }
 
-/** esri_geometry_json(string) → string, with codegen. */
-case class EsriGeometryJson(child: Expression) extends UnaryExpression {
+/** esri_geometry_json(string) → string, with codegen. `layerType` is the
+  * target layer's geometry type (controls the empty-shape output, like
+  * the reference's GEOMETRIC branches). */
+case class EsriGeometryJson(child: Expression,
+    layerType: String = GeoJsonUtil.PointLayer) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
+  override def nullIntolerant: Boolean = true // null input → null output
+  // the function can return null (unrecognized shape) even for a
+  // non-null input: the expression is nullable regardless of the child,
+  // and generated code must re-check after the call (defineCodeGen would
+  // mark the result non-null and NPE downstream; with a non-nullable
+  // child, nullable=false would even elide the isNull variable the
+  // re-check writes to).
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    GeoJsonUtil.esriJson(v.asInstanceOf[UTF8String])
-  // the function itself can return null (unrecognized shape) even for a
-  // non-null input, so the generated code must re-check — defineCodeGen
-  // would mark the result non-null and NPE downstream.
+    GeoJsonUtil.esriJson(v.asInstanceOf[UTF8String], layerType)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.GeoJsonUtil.esriJson($c);
+      ${ev.value} = graft.functions.GeoJsonUtil.esriJson($c, "$layerType");
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(newChild: Expression): EsriGeometryJson =
@@ -151,6 +184,8 @@ case class EsriGeometryJson(child: Expression) extends UnaryExpression {
 }
 
 object GeoJson {
-  def esriGeometryJson(wkt: Column): Column =
-    ColumnBridge.column(EsriGeometryJson(ColumnBridge.expression(wkt)))
+  def esriGeometryJson(wkt: Column,
+      layerType: String = GeoJsonUtil.PointLayer): Column =
+    ColumnBridge.column(
+      EsriGeometryJson(ColumnBridge.expression(wkt), layerType))
 }

@@ -46,6 +46,37 @@ class GeoJsonSpec extends SparkSpec {
     assert(one("POINT (abc def)") == null)
   }
 
+  test("MULTIPOINT EMPTY rides the reference's POINT branch → null coords") {
+    assert(one("MULTIPOINT EMPTY") == s"""{"x":null,"y":null,$sr}""")
+  }
+
+  test("typed EMPTY → one empty ring/path (format_ring on empty geometry)") {
+    assert(one("POLYGON EMPTY") == s"""{"rings":[[]],$sr}""")
+    assert(one("LINESTRING EMPTY") == s"""{"paths":[[]],$sr}""")
+    assert(one("MULTIPOLYGON EMPTY") == s"""{"rings":[],$sr}""")
+  }
+
+  test("blank shape honors the layer geometry type (GEOMETRIC branches)") {
+    import graft.functions.GeoJsonUtil
+    def oneTyped(wkt: String, t: String): String =
+      Seq(wkt).toDF("w").select(esriGeometryJson($"w", t).as("j"))
+        .as[String].head()
+    assert(oneTyped("", GeoJsonUtil.PolylineLayer) == s"""{"paths":[],$sr}""")
+    assert(oneTyped("", GeoJsonUtil.PolygonLayer) == s"""{"rings":[],$sr}""")
+    assert(oneTyped("", GeoJsonUtil.PointLayer) == s"""{"x":"NaN","y":"NaN",$sr}""")
+  }
+
+  test("non-nullable child + null-producing shape survives codegen") {
+    // child is non-nullable (concat of literals over range's id): the
+    // expression must still declare itself nullable and produce nulls.
+    val df = spark.range(0, 10)
+      .select(esriGeometryJson(
+        concat(lit("MULTIPOINT ("), $"id".cast("string"), lit(" 0)")))
+        .as("j"))
+    assert(df.schema.head.nullable)
+    assert(df.where($"j".isNull).count() == 10)
+  }
+
   test("works over a column of mixed shapes without codegen failure") {
     val df = Seq(
       "POINT (1 2)", "POLYGON ((0 0, 0 1, 1 1, 0 0))",
