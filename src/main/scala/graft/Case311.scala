@@ -105,10 +105,9 @@ object Case311 {
       // parent id: 0/'0'/garbage → null (common.py:177-181)
       .withColumn("parent_service_request_id",
         Normalize.longZeroAsNull(col("parent_service_request_id")))
-      // private flag truthiness (common.py:184-186): only False/'false' → 0
-      .withColumn("private_case",
-        when(lower(col("private_case").cast("string")) === "false", 0)
-          .otherwise(1))
+      // private flag truthiness (common.py:184-186): only False/'false'
+      // → 0, case-SENSITIVE — 'False'/'FALSE'/null/'0' are all truthy
+      .withColumn("private_case", Normalize.boolTo01(col("private_case")))
       // status_notes pick + clean + truncate (common.py:204-216)
       .withColumn("status_notes",
         substring(Normalize.nfkdAscii(Normalize.stripEdges(rawStatusNotes)), 1, 2000))

@@ -149,11 +149,11 @@ object CoreQueries {
              |                 o_orderdate, 'RUSH-RESYNC' AS o_orderpriority
              |          FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
              |SELECT coalesce(d.o_orderkey, t.o_orderkey) AS o_orderkey,
-             |       coalesce(d.o_custkey, t.o_custkey) AS o_custkey,
-             |       coalesce(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-             |       coalesce(d.o_totalprice, t.o_totalprice) AS o_totalprice,
-             |       coalesce(d.o_orderdate, t.o_orderdate) AS o_orderdate,
-             |       coalesce(d.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+             |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE t.o_custkey END AS o_custkey,
+             |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+             |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+             |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+             |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
              |FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
              |ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {
@@ -249,19 +249,21 @@ object CoreQueries {
           Normalize.longZeroAsNull(col("o_custkey") % 5).as("parent_id"))
         .orderBy("o_orderkey")),
 
-    // X8 — truthiness → 0/1 (common.py:184-186).
+    // X8 — truthiness → 0/1 (common.py:184-186): ONLY 'false' → 0;
+    // 'False', null and '0' are truthy (the reference quirk).
     QueryDef("x8_bool_to_01",
       Some("""SELECT o_orderkey,
-             |  CASE WHEN flag IS NULL OR lower(flag) IN ('false', '0', '') THEN 0
-             |       ELSE 1 END AS private_case
+             |  CASE WHEN flag = 'false' THEN 0 ELSE 1 END AS private_case
              |FROM (SELECT o_orderkey,
-             |        CASE WHEN o_orderkey % 3 = 0 THEN 'false'
-             |             WHEN o_orderkey % 3 = 1 THEN 'true' END AS flag
+             |        CASE WHEN o_orderkey % 4 = 0 THEN 'false'
+             |             WHEN o_orderkey % 4 = 1 THEN 'true'
+             |             WHEN o_orderkey % 4 = 2 THEN 'False' END AS flag
              |      FROM orders) ORDER BY o_orderkey""".stripMargin),
       (s, dir) => load(s, dir, "orders")
         .select(col("o_orderkey"),
-          when(col("o_orderkey") % 3 === 0, lit("false"))
-            .when(col("o_orderkey") % 3 === 1, lit("true")).as("flag"))
+          when(col("o_orderkey") % 4 === 0, lit("false"))
+            .when(col("o_orderkey") % 4 === 1, lit("true"))
+            .when(col("o_orderkey") % 4 === 2, lit("False")).as("flag"))
         .select(col("o_orderkey"),
           Normalize.boolTo01(col("flag")).as("private_case"))
         .orderBy("o_orderkey")),

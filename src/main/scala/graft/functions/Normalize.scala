@@ -92,14 +92,18 @@ object Normalize {
     when(l =!= 0, l)
   }
 
-  /** X8 — boolean-ish → 0/1; False/'false'/'0'/null → 0 else 1
-    * (common.py:184-186 truthiness included). */
+  /** X8 — boolean-ish → 0/1, exactly common.py:184-186
+    * (`0 if private in [False, 'false'] else 1`): ONLY a boolean false
+    * (which stringifies to "false") or the exact lowercase string
+    * 'false' maps to 0; everything else — including null, '0', '' and
+    * case variants like 'False' — is truthy and maps to 1. */
   def boolTo01(c: Column): Column =
-    when(c.isNull || lower(c.cast("string")).isin("false", "0", ""), 0)
-      .otherwise(1)
+    when(c.cast("string") === "false", 0).otherwise(1)
 
-  /** X9 — UTC timestamp → US Eastern wall-clock (common.py:189-201;
-    * unparseable → null via try_to_timestamp semantics of cast). */
+  /** X9 — UTC timestamp → US Eastern wall-clock (common.py:189-201).
+    * Takes a TIMESTAMP column; string callers must parse first with
+    * try_to_timestamp (a raw string here would go through an implicit
+    * ANSI cast and THROW on garbage instead of degrading to null). */
   def toEastern(c: Column): Column =
     from_utc_timestamp(c, "America/New_York")
 

@@ -69,7 +69,9 @@ object Dedup {
     // projections plus both sides of the verification join, and Catalyst
     // would otherwise inline (= recompute) the hashing into every
     // consumer. At warehouse scale this materialization is a signature
-    // table; in a single job, a persisted intermediate. The repartition
+    // table; in a single job, a persisted intermediate (cached for the
+    // session lifetime — callers running many corpora through one
+    // session should write signatures to a table instead). The repartition
     // spreads the hash-heavy compute across all cores even when the
     // input is a single small file (one split); at real scale the scan
     // already yields enough splits and the exchange cost is noise.

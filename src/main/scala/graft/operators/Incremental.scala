@@ -29,17 +29,24 @@ object Incremental {
     source.where(col(wmCol) > watermark)
 
   /** J3/J4/W3 (sync-db2-viewer.py:17-80, sync-db2.py:78-88): join-based
-    * upsert. Full-outer join on pk; delta columns win via coalesce.
-    * Equivalent to SQL MERGE (no Delta/Iceberg in this offline env) and
-    * idempotent: merging the same delta twice is a no-op.
+    * upsert with whole-row-replace semantics, like the reference's
+    * `ON CONFLICT DO UPDATE SET col = excluded.col` (sync-db2-viewer.py:
+    * 56-79): when the delta has the pk, EVERY delta column wins —
+    * including nulls, so a re-modified row can legitimately clear a
+    * field (per-column coalesce would resurrect the stale value).
+    * Idempotent: merging the same delta twice is a no-op.
     */
   def merge(target: DataFrame, deltaDf: DataFrame, pk: String): DataFrame = {
     val cols = target.columns
     // Qualified-by-alias references survive self-joins (target and delta
     // are often derived from the same base relation).
+    val deltaExists = col(s"d.$pk").isNotNull
     target.alias("t")
       .join(deltaDf.alias("d"), col(s"t.$pk") === col(s"d.$pk"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"d.$c"), col(s"t.$c")).as(c)).toIndexedSeq: _*)
+      .select(cols.map { c =>
+        if (c == pk) coalesce(col(s"d.$c"), col(s"t.$c")).as(c)
+        else when(deltaExists, col(s"d.$c")).otherwise(col(s"t.$c")).as(c)
+      }.toIndexedSeq: _*)
   }
 
   /** J2 (delete-removed-tickets.py:136-142): ids the warehouse has that

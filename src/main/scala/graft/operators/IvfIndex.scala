@@ -22,9 +22,11 @@ object IvfIndex {
   import Similarity.cosine
 
   /** Deterministic k-means init: the k lowest-id vectors seed the
-    * clusters. */
+    * clusters. `dim` must match the vector dimensionality — a mismatch
+    * would zero-pad centroids and null out every cosine downstream. */
   def trainCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "vec",
+      dim: Int = 64): DataFrame = {
     val init = vecs.orderBy(col(idCol)).limit(k)
       .withColumn("cluster_id",
         row_number().over(Window.orderBy(col(idCol))) - 1)
@@ -33,7 +35,7 @@ object IvfIndex {
       assign(vecs, cent, idCol, vecCol)
         .join(vecs, idCol)
         .groupBy("cluster_id")
-        .agg(VectorAgg.centroid(col(vecCol), 64).as("centroid"))
+        .agg(VectorAgg.centroid(col(vecCol), dim).as("centroid"))
     }
   }
 

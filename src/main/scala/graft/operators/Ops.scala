@@ -19,6 +19,12 @@ object Ops {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    // right/full outer would surface each unmatched (replicated) right
+    // row nSalts times — parity with the unsalted join breaks.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!jt.contains("right") && !jt.contains("full") && jt != "outer",
+      s"saltedJoin does not support $joinType (replicated right side " +
+        "would duplicate unmatched rows); salt the other side instead")
     // Salt derives from the whole left row hash — deterministic, and
     // uniform within a hot key (unlike hashing the key itself, which
     // would put the entire hot key in one salt bucket again).

@@ -52,8 +52,12 @@ object SrpLsh {
     * sharing ≥1 signature band with the query, then exact cosine. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 16, bands: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
-    val planeSet = planes(nPlanes, 64)
+      idCol: String = "vec_id", vecCol: String = "vec",
+      dim: Int = 64): DataFrame = {
+    // dim must match the vectors: shorter planes null-pad the projection
+    // via zip_with, collapsing every signature to 0 (a silent full
+    // cross-join instead of LSH pruning).
+    val planeSet = planes(nPlanes, dim)
     def banded(df: DataFrame, prefix: String): DataFrame =
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
         explode(bandKeys(signature(col(vecCol), planeSet), nPlanes, bands))

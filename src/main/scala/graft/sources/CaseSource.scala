@@ -126,16 +126,21 @@ class CaseReaderFactory(pushed: Array[Filter], required: StructType)
 class CaseReader(p: CasePartition, pushed: Array[Filter], required: StructType)
     extends PartitionReader[InternalRow] {
   private var i = p.start - 1
-  private val wmMicros: Long = pushed.collectFirst {
-    case GreaterThan("LastModifiedDate", t: java.sql.Timestamp) => t.getTime * 1000L
-  }.getOrElse(Long.MinValue)
-  private val recordType: Option[String] = pushed.collectFirst {
+  // Every accepted filter must be enforced (Spark drops accepted filters
+  // from its own post-scan evaluation): multiple watermark bounds take
+  // the tightest, multiple equalities must ALL hold. Timestamp → micros
+  // keeps sub-millisecond precision so the strict `>` is not widened.
+  private val wmMicros: Long = pushed.collect {
+    case GreaterThan("LastModifiedDate", t: java.sql.Timestamp) =>
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+  }.foldLeft(Long.MinValue)(math.max)
+  private val recordTypes: Seq[String] = pushed.collect {
     case EqualTo("RecordTypeId", s: String) => s
-  }
+  }.toSeq
 
   private def passes(idx: Long): Boolean =
     CaseSource.modifiedMicrosOf(idx) > wmMicros &&
-      recordType.forall(_ == CaseSource.recordTypeOf(idx))
+      recordTypes.forall(_ == CaseSource.recordTypeOf(idx))
 
   override def next(): Boolean = {
     i += 1

@@ -35,6 +35,10 @@ class Case311Spec extends SparkSpec {
       Case311.syntheticRaw(spark, sf0001)
         .withColumn("Private_Case__c", lit(null).cast("string")))
     assert(withNull.head().getAs[Int]("private_case") == 1) // None → 1 (quirk)
+    val withUpper = Case311.normalize(
+      Case311.syntheticRaw(spark, sf0001)
+        .withColumn("Private_Case__c", lit("False")))
+    assert(withUpper.head().getAs[Int]("private_case") == 1) // case-sensitive
   }
 
   test("district >100 discarded; 0 survives (falsy-guard quirk)") {

@@ -44,6 +44,11 @@ class CaseSourceSpec extends SparkSpec {
     assert(df.count() == expected)
     assert(scanOf(df).scan.description().contains("RecordTypeId"))
 
+    // two accepted equalities on the same column must BOTH be enforced
+    val conflicting = read(1000, 4)
+      .where($"RecordTypeId" === "OTHER" && $"RecordTypeId" === "012G00000014BhVIAU")
+    assert(conflicting.count() == 0)
+
     val residual = read(1000, 4).where($"Description".contains("case-99"))
     assert(residual.count() == 1 + 10) // case-99 and case-990..999
     assert(!scanOf(residual).scan.description().contains("Description ="))

@@ -47,6 +47,17 @@ class IncrementalSpec extends SparkSpec {
       (4L, "d", ts("2024-01-06 00:00:00"))))
   }
 
+  test("merge replaces the whole row: a delta null clears the target value") {
+    val t = Seq((1L, Option("keep"), ts("2024-01-01 00:00:00")))
+      .toDF("id", "v", "updated")
+    val d = Seq((1L, Option.empty[String], ts("2024-01-02 00:00:00")))
+      .toDF("id", "v", "updated")
+    val out = Incremental.merge(t, d, "id").head()
+    assert(out.isNullAt(out.fieldIndex("v")),
+      "delta row must win wholesale, ON CONFLICT DO UPDATE style")
+    assert(out.getTimestamp(out.fieldIndex("updated")) == ts("2024-01-02 00:00:00"))
+  }
+
   test("merge is idempotent (re-applying the same delta is a no-op)") {
     val delta = Incremental.delta(source, "updated", lit(ts("2024-01-03 00:00:00")))
     val once = Incremental.merge(target, delta, "id")

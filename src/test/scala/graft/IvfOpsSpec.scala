@@ -65,5 +65,9 @@ class IvfOpsSpec extends SparkSpec {
     val s2 = Ops.saltedJoin(left, rightSparse, "k", 8, "left_outer")
       .select("k", "payload", "rv").collect().map(_.toSeq).toSet
     assert(s2 == p2)
+    // right/full outer would duplicate unmatched replicated rows → rejected
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(left, right, "k", 8, "full_outer")
+    }
   }
 }

@@ -54,11 +54,13 @@ class NormalizeSpec extends SparkSpec {
     assert(one(longZeroAsNull(lit("garbage"))) == null)
   }
 
-  test("boolTo01 truthiness: false/'0'/''/null → 0 else 1") {
+  test("boolTo01: ONLY false/'false' → 0; null/'0'/''/'False' are truthy → 1") {
     assert(one(boolTo01(lit("false"))) == 0)
-    assert(one(boolTo01(lit("False").cast("string"))) == 0)
-    assert(one(boolTo01(lit("0"))) == 0)
-    assert(one(boolTo01(lit(null).cast("string"))) == 0)
+    assert(one(boolTo01(lit(false))) == 0)      // boolean false → "false"
+    assert(one(boolTo01(lit("False"))) == 1)    // case-sensitive (quirk)
+    assert(one(boolTo01(lit("0"))) == 1)        // truthiness (quirk)
+    assert(one(boolTo01(lit(""))) == 1)
+    assert(one(boolTo01(lit(null).cast("string"))) == 1)
     assert(one(boolTo01(lit("true"))) == 1)
     assert(one(boolTo01(lit("anything"))) == 1)
   }
