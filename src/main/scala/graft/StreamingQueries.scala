@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingSync
+import graft.streaming.{StreamingDedup, StreamingSync}
 
 /** Capability registry, batch 4: Structured Streaming formulations of the
   * incremental-sync semantics (SURVEY §2.10). The streams run
@@ -27,5 +27,15 @@ object StreamingQueries {
              |ORDER BY event_id""".stripMargin),
       (s, dir) => StreamingSync.runForeachBatchMerge(s, dir,
           "/tmp/graft_stream/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // Stateful streaming dedup (flatMapGroupsWithState): first event per
+    // (user, type) across micro-batches == min event_id per group in
+    // batch SQL, thanks to range-ordered staging.
+    QueryDef("sr3_streaming_dedup_state",
+      Some("""SELECT min(event_id) AS event_id, user_id, event_type
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin),
+      (s, dir) => StreamingDedup.run(s, dir,
+          "/tmp/graft_dedup/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))))
 }

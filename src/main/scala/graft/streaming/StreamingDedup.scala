@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact-dedup with custom state: one canonical representative
+  * (the min event_id) per (user_id, event_type) key —
+  * `flatMapGroupsWithState` holding the running minimum per key and
+  * emitting only improvements. This is the streaming form of
+  * training-data dedup: the state store (not a giant broadcast set)
+  * carries the per-key champion across micro-batches, and in production
+  * gets an event-time timeout (`GroupStateTimeout.EventTimeTimeout`) to
+  * bound it.
+  *
+  * Emitting improvements (rather than "first seen wins") makes the final
+  * result independent of micro-batch arrival order — the file source
+  * orders batches by task-completion mtimes, which is NOT deterministic —
+  * so a batch SQL oracle (min per group) can verify the streaming result.
+  */
+object StreamingDedup {
+
+  final case class Ev(event_id: Long, user_id: Long, event_type: String)
+
+  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = s"$workDir/src"
+    graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .as[Ev]
+
+    val deduped = stream
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[Ev], state: GroupState[Long]) =>
+          // champion = running min id; emit only when the batch improves it
+          val batchBest = rows.minBy(_.event_id)
+          if (!state.exists || batchBest.event_id < state.get) {
+            state.update(batchBest.event_id)
+            Iterator.single(batchBest)
+          } else Iterator.empty
+      }
+
+    val name = s"graft_dedup_${System.nanoTime()}"
+    val q = deduped.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the sink holds every improvement; the champion is the final min
+    spark.table(name)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("event_id"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("user_id", "event_type")
+  }
+}

@@ -32,6 +32,19 @@ class StreamingSpec extends SparkSpec {
       .count() == src.count())
   }
 
+  test("stateful streaming dedup equals batch min-per-group, repeatably") {
+    def runOnce() = graft.streaming.StreamingDedup
+      .run(spark, sf0001, "/tmp/graft_dedup_test")
+      .as[(Long, Long, String)].collect().toSeq
+    val batch = Tables.load(spark, sf0001, "events")
+      .groupBy($"user_id", $"event_type").agg(min($"event_id").as("event_id"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("user_id", "event_type")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(runOnce() == batch)
+    assert(runOnce() == batch) // batch-arrival-order independent
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
