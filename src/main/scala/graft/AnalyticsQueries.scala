@@ -114,6 +114,56 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Cube: all grouping combinations incl. cross-subtotals.
+    QueryDef("ext_cube",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      (s, dir) => load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Grouping sets through the SQL surface (Tables registered as views).
+    QueryDef("ext_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      }),
+
+    // Exact interpolated percentiles (both engines: linear interpolation).
+    QueryDef("ext_percentiles",
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // HLL-sketch distinct counts — the at-scale replacement for exact
+    // countDistinct. Approximations differ across engines by design →
+    // rows-only; the ±5% bound vs exact is asserted in PlansSpec.
+    QueryDef("ext_approx_distinct", None,
+      (s, dir) => load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // Hyperplane (SRP) LSH ANN — data-independent projection directions,
     // banded signature buckets. Rows-only (1024 plane coefficients in a
     // SQL oracle would be absurd); recall and planted-pair recovery are

@@ -43,6 +43,18 @@ class PlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("approx_count_distinct error shrinks with the rsd knob") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    def maxErr(rsd: Double): Double = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), rsd).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(abs(col("approx") - col("exact")).cast("double") /
+        col("exact").cast("double"))
+      .as[Double].collect().max
+    assert(maxErr(0.01) <= 0.03, s"tight-rsd HLL error ${maxErr(0.01)}")
+    assert(maxErr(0.05) <= 0.15, s"default-ish-rsd HLL error ${maxErr(0.05)}")
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
