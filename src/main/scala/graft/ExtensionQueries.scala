@@ -229,10 +229,10 @@ object ExtensionQueries {
              |      AS n_stop
              |  FROM documents)
              |SELECT doc_id,
-             |  round(least(1.0, n_toks / 100.0) * 0.5
+             |  floor((least(1.0, n_toks / 100.0) * 0.5
              |        + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
-             |        + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2,
-             |        4) AS quality
+             |        + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+             |        * 10000.0 + 0.5) / 10000.0 AS quality
              |FROM m ORDER BY doc_id""".stripMargin),
       (s, dir) => load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))

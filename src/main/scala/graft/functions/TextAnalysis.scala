@@ -50,8 +50,11 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1]: length saturation, alphabetic density, and
-    * stopword (English) density — the classic cheap pre-filters, rounded
-    * for cross-engine determinism. */
+    * stopword (English) density — the classic cheap pre-filters.
+    * Quantized to 4 decimals with floor(x·10⁴+0.5)/10⁴ rather than
+    * round(): decimal rounding of a double at an exact .xxxx5 boundary
+    * is engine-dependent (observed Spark 0.4237 vs DuckDB 0.4238 on the
+    * same bit-identical double), while floor on the same double is not. */
   def qualityScore(text: Column): Column = {
     val nToks = tokenCount(text).cast("double")
     val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
@@ -60,7 +63,9 @@ object TextAnalysis {
     val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(0.0)
     val stopRatio = when(nToks > 0,
       stopwordHits(text, stopwords.head._2).cast("double") / nToks).otherwise(0.0)
-    round(lengthSat * 0.5 + alphaRatio * 0.3 + least(lit(1.0), stopRatio * 4.0) * 0.2, 4)
+    val raw = lengthSat * 0.5 + alphaRatio * 0.3 +
+      least(lit(1.0), stopRatio * 4.0) * 0.2
+    floor(raw * 10000.0 + 0.5) / 10000.0
   }
 
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
