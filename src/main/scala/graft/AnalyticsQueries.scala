@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{IvfIndex, Ops, Similarity, SrpLsh, VectorAgg}
+import graft.operators.{IvfIndex, Ops, Similarity, SrpLsh, TemporalJoins, VectorAgg}
 import graft.plans.InListToSemiJoin
 
 /** Capability registry, batch 6: analytic operators beyond the
@@ -112,6 +112,48 @@ object AnalyticsQueries {
         IvfIndex.topK(corpus, corpus.where(col("vec_id") < 10), centroids,
             k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
+      }),
+
+    // As-of join (composed: union-tag + running last-ignoring-nulls):
+    // each purchase gets the most recent error at-or-before it per user.
+    // Verified against DuckDB's native ASOF LEFT JOIN.
+    QueryDef("ext_asof_join",
+      Some("""SELECT l.event_id AS purchase_id, l.user_id, l.ts,
+             |       r.event_id AS last_error_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |ORDER BY purchase_id""".stripMargin),
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        val purchases = events.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = events.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        TemporalJoins.asofJoin(purchases, errors, "user_id", "ts",
+            "event_id", "last_error_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts"), col("last_error_id"))
+          .orderBy("purchase_id")
+      }),
+
+    // Banded range join: same-user purchase/error pairs within 5 minutes,
+    // bucketed equi-join + residual filter (no nested-loop cross product).
+    QueryDef("ext_range_join",
+      Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+             |       date_diff('second', r.ts, l.ts) AS delta_sec
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |JOIN (SELECT * FROM events WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id
+             | AND abs(date_diff('second', r.ts, l.ts)) <= 300
+             |ORDER BY l.user_id, l_id, r_id""".stripMargin),
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        TemporalJoins.bandedRangeJoin(
+            events.where(col("event_type") === "purchase"),
+            events.where(col("event_type") === "error"),
+            "user_id", "ts", "ts", toleranceSec = 300)
+          .orderBy("user_id", "l_id", "r_id")
       }),
 
     // Cube: all grouping combinations incl. cross-subtotals.

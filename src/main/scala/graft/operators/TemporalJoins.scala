@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks as built-ins, composed from
+  * existing operators per the preference order (compose > custom plan):
+  *
+  *  - as-of join: union-tag + running `last(ignoreNulls)` over a
+  *    (key, time) window — one shuffle by key, no per-row lookups, the
+  *    classic composition that scales as a single sort-merge pass;
+  *  - banded range join: |l.ts − r.ts| ≤ tolerance via time-bucket
+  *    equi-join on {b−1, b, b+1} then exact residual filter — the
+  *    equi-join keys keep the shuffle bounded where a raw inequality
+  *    join would degenerate to a broadcast-nested-loop cross product.
+  */
+object TemporalJoins {
+
+  /** For each left row, attach `valueCol` of the most recent right row
+    * with rightTs ≤ leftTs within the same `key` (inclusive, like
+    * DuckDB/kdb ASOF). Left rows with no prior right row keep null. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, valueCol: String,
+      outValue: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__is_left", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      col(key), col(tsCol),
+      lit(0).as("__is_left"), col(valueCol).as("__rv"))
+    // align schemas: right side carries nulls for the other left columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
+      .unionByName(rAligned)
+    // right rows sort before left rows at equal ts ⇒ inclusive (≤) asof
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(outValue, last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__is_left") === 1)
+      .drop("__is_left", "__rv")
+  }
+
+  /** Pairs (l, r) with the same `key` and |l.ts − r.ts| ≤ tolerance
+    * seconds. Both sides are bucketed to `tolerance`-sized epochs and
+    * joined on (key, adjacent bucket) before the exact filter. */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+    def bucketed(df: DataFrame, ts: String, prefix: String, explodeBands: Boolean) = {
+      val b = (col(ts).cast("long") / toleranceSec).cast("long")
+      val withB =
+        if (explodeBands)
+          df.withColumn("__bucket", explode(array(b - 1, b, b + 1)))
+        else df.withColumn("__bucket", b)
+      withB.select(col(key), col(ts).as(s"${prefix}_ts"),
+        col("__bucket"),
+        col("event_id").as(s"${prefix}_id"))
+    }
+    val l = bucketed(left, leftTs, "l", explodeBands = false)
+    val r = bucketed(right, rightTs, "r", explodeBands = true)
+    l.join(r, Seq(key, "__bucket"))
+      .where(abs(col("l_ts").cast("long") - col("r_ts").cast("long")) <= toleranceSec)
+      .select(col(key), col("l_id"), col("r_id"),
+        (col("l_ts").cast("long") - col("r_ts").cast("long")).as("delta_sec"))
+      .distinct()
+  }
+}
