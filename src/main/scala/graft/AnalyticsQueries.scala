@@ -53,6 +53,34 @@ object AnalyticsQueries {
           .orderBy("user_id", "session_id")
       }),
 
+    // Native session_window operator (the built-in form of
+    // ext_sessionize): an event at or past the previous event + 30min
+    // opens a new session (window is [start, last+gap)). The oracle
+    // reconstructs identical sessions with lag + running sum at
+    // microsecond precision.
+    QueryDef("ext_session_window",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         sum(CASE WHEN prev_ts IS NULL
+             |                       OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts
+             |                 ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, dir) => load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     // Rollup aggregation (subtotals + grand total) — Spark built-in the
     // reference never had; NULLS FIRST pinned for cross-engine ordering.
     QueryDef("ext_rollup",
@@ -92,12 +120,20 @@ object AnalyticsQueries {
               |ORDER BY o_orderkey""".stripMargin)
     },
       (s, dir) => {
-        s.experimental.extraOptimizations = Seq(InListToSemiJoin)
+        // inject the rule only for this query's own optimization: force
+        // the plan while the rule is active, then restore the session so
+        // later queries' plans are untouched (the optimized plan is
+        // cached on this Dataset's QueryExecution)
         val ids = (0 until 500).map(i => java.lang.Long.valueOf(i * 7L))
-        load(s, dir, "orders")
-          .where(col("o_orderkey").isin(ids: _*))
-          .select("o_orderkey", "o_totalprice")
-          .orderBy("o_orderkey")
+        s.experimental.extraOptimizations = Seq(InListToSemiJoin)
+        try {
+          val df = load(s, dir, "orders")
+            .where(col("o_orderkey").isin(ids: _*))
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+          df.queryExecution.optimizedPlan // materialize under the rule
+          df
+        } finally s.experimental.extraOptimizations = Nil
       }),
 
     // IVF ANN: train coarse centroids, probe 4 of 16 inverted lists per

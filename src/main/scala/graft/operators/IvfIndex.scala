@@ -69,15 +69,10 @@ object IvfIndex {
       .where(col("__rk") <= nprobe)
       .select(col(s"q_$idCol"), col("q_vec"), col("cluster_id"))
 
-    val scoreW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_raw").desc, col("neighbor_id").asc)
-    probes.join(lists, Seq("cluster_id"))
+    val scored = probes.join(lists, Seq("cluster_id"))
       .where(col(s"q_$idCol") =!= col(idCol))
       .select(col(s"q_$idCol").as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("q_vec"), col(vecCol)).as("cos_sim_raw"))
-      .withColumn("rank", row_number().over(scoreW))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim_raw"), 6).as("cos_sim"))
+        cosine(col("q_vec"), col(vecCol)).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
   }
 }

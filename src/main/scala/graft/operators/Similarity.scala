@@ -33,6 +33,19 @@ object Similarity {
       .map(i => when(element_at(vec, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Shared top-k tail: rank scored (query_id, neighbor_id, cos_raw)
+    * rows per query by descending similarity (neighbor id breaks ties),
+    * keep k, round the reported score. One definition so every ANN
+    * variant (brute, blocked, SRP, IVF) ranks identically. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Brute-force exact top-k cosine neighbors of each query vector.
     * The query set broadcasts (it is small by construction); the corpus
     * streams through one scan, then a per-query window picks top-k. This
@@ -45,13 +58,8 @@ object Similarity {
       .join(broadcast(queries.alias("q")),
         col(s"c.$idCol") =!= col(s"q.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_raw"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates restricted to the query's sign block —
@@ -68,13 +76,8 @@ object Similarity {
       .join(broadcast(qb.alias("q")),
         col("c.block") === col("q.block") && col(s"c.$idCol") =!= col(s"q.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cos_raw"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs, blocked by sign signature: pairs in

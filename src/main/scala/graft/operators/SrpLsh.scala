@@ -33,11 +33,18 @@ object SrpLsh {
     (0 until nPlanes).map(p =>
       Array.tabulate(dim)(d => mix(p.toLong * 7919L + d.toLong)))
 
-  /** Packed nPlanes-bit signature of a double-array column. */
-  def signature(vec: Column, planeSet: Seq[Array[Double]]): Column =
-    planeSet.zipWithIndex.map { case (plane, i) =>
+  /** Packed nPlanes-bit signature of a double-array column. Fails fast
+    * (raise_error) on a dimension mismatch — zip_with would otherwise
+    * null-pad, every bit would go 0, and the LSH would silently become a
+    * full cross product. */
+  def signature(vec: Column, planeSet: Seq[Array[Double]]): Column = {
+    val dim = planeSet.head.length
+    val sig = planeSet.zipWithIndex.map { case (plane, i) =>
       when(Similarity.dot(vec, lit(plane)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    when(size(vec) === dim, sig).otherwise(raise_error(concat(
+      lit(s"srp signature: expected $dim-dim vector, got "), size(vec))))
+  }
 
   /** Extract `bands` band keys from a packed signature. */
   private def bandKeys(sig: Column, nPlanes: Int, bands: Int): Column = {
@@ -54,9 +61,9 @@ object SrpLsh {
       nPlanes: Int = 16, bands: Int = 4,
       idCol: String = "vec_id", vecCol: String = "vec",
       dim: Int = 64): DataFrame = {
-    // dim must match the vectors: shorter planes null-pad the projection
-    // via zip_with, collapsing every signature to 0 (a silent full
-    // cross-join instead of LSH pruning).
+    require(nPlanes > 0 && nPlanes <= 31, s"nPlanes must be 1..31 (int signature), got $nPlanes")
+    require(bands > 0 && bands <= nPlanes && nPlanes % bands == 0,
+      s"bands ($bands) must divide nPlanes ($nPlanes)")
     val planeSet = planes(nPlanes, dim)
     def banded(df: DataFrame, prefix: String): DataFrame =
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
@@ -68,19 +75,15 @@ object SrpLsh {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = banded(corpus.repartition(par), "c")
     val q = banded(queries, "q")
-    val candidates = c.join(broadcast(q), Seq("band", "key"))
+    // score in the banded join, THEN dedup multi-band collisions on the
+    // narrow (ids, score) rows — shuffling the 64-double vectors through
+    // a distinct would move ~1KB/candidate for nothing
+    val scored = c.join(broadcast(q), Seq("band", "key"))
       .where(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("c_id"), col("c_vec"))
-      .distinct()
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    candidates
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         Similarity.cosine(col("q_vec"), col("c_vec")).as("cos_raw"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos_raw")).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
   }
 }

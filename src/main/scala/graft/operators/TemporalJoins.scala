@@ -19,16 +19,27 @@ object TemporalJoins {
 
   /** For each left row, attach `valueCol` of the most recent right row
     * with rightTs ≤ leftTs within the same `key` (inclusive, like
-    * DuckDB/kdb ASOF). Left rows with no prior right row keep null. */
+    * DuckDB/kdb ASOF). Left rows with no prior right row keep null.
+    *
+    * The right value rides inside a struct so that a matched-but-null
+    * value is distinguishable from "no prior row" (a bare
+    * last(ignoreNulls) would skip the null and fall back to an older
+    * row, diverging from ASOF semantics). Ties among right rows at the
+    * same ts resolve deterministically to the greatest value (engines
+    * with native ASOF pick arbitrarily there — avoid tie-ful data when
+    * comparing). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, valueCol: String,
       outValue: String = "asof_value"): DataFrame = {
     val leftCols = left.columns
-    val l = left.withColumn("__is_left", lit(1))
-      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val rvType = right.schema(valueCol).dataType
+    val nullRv = lit(null)
+      .cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", rvType))))
+    val l = left.withColumn("__is_left", lit(1)).withColumn("__rv", nullRv)
     val r = right.select(
       col(key), col(tsCol),
-      lit(0).as("__is_left"), col(valueCol).as("__rv"))
+      lit(0).as("__is_left"), struct(col(valueCol).as("v")).as("__rv"))
     // align schemas: right side carries nulls for the other left columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -36,21 +47,24 @@ object TemporalJoins {
     }.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
       .unionByName(rAligned)
-    // right rows sort before left rows at equal ts ⇒ inclusive (≤) asof
+    // right rows sort before left rows at equal ts ⇒ inclusive (≤) asof;
+    // __rv as final key makes equal-ts right rows deterministic
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).asc, col("__is_left").asc)
+      .orderBy(col(tsCol).asc, col("__is_left").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn(outValue, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__is_left") === 1)
-      .drop("__is_left", "__rv")
+      .withColumn(outValue, col("__m.v"))
+      .drop("__is_left", "__rv", "__m")
   }
 
   /** Pairs (l, r) with the same `key` and |l.ts − r.ts| ≤ tolerance
     * seconds. Both sides are bucketed to `tolerance`-sized epochs and
     * joined on (key, adjacent bucket) before the exact filter. */
   def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+      leftTs: String, rightTs: String, toleranceSec: Long,
+      idCol: String = "event_id"): DataFrame = {
     def bucketed(df: DataFrame, ts: String, prefix: String, explodeBands: Boolean) = {
       val b = (col(ts).cast("long") / toleranceSec).cast("long")
       val withB =
@@ -59,14 +73,16 @@ object TemporalJoins {
         else df.withColumn("__bucket", b)
       withB.select(col(key), col(ts).as(s"${prefix}_ts"),
         col("__bucket"),
-        col("event_id").as(s"${prefix}_id"))
+        col(idCol).as(s"${prefix}_id"))
     }
     val l = bucketed(left, leftTs, "l", explodeBands = false)
     val r = bucketed(right, rightTs, "r", explodeBands = true)
+    // no distinct needed: the left side keeps one bucket per row and the
+    // right side's three exploded buckets are distinct values, so each
+    // (l, r) pair joins at most once
     l.join(r, Seq(key, "__bucket"))
       .where(abs(col("l_ts").cast("long") - col("r_ts").cast("long")) <= toleranceSec)
       .select(col(key), col("l_id"), col("r_id"),
         (col("l_ts").cast("long") - col("r_ts").cast("long")).as("delta_sec"))
-      .distinct()
   }
 }
