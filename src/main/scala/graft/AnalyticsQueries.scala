@@ -19,6 +19,9 @@ object AnalyticsQueries {
     // Sessionization: 30-minute-gap sessions per user via lag + running
     // sum — the standard event-log → session-table transform of a
     // training-data pipeline.
+    // Oracle CAST: DuckDB's windowed sum() yields HUGEINT, which the
+    // compare path materializes as float64; Spark emits BIGINT (same
+    // values, different hash). Same pattern as the w4/b1 oracles.
     QueryDef("ext_sessionize",
       Some("""WITH g AS (
              |  SELECT user_id, event_id, ts,
@@ -26,11 +29,11 @@ object AnalyticsQueries {
              |  FROM events),
              |s AS (
              |  SELECT user_id, event_id, ts,
-             |         sum(CASE WHEN prev_ts IS NULL
+             |         CAST(sum(CASE WHEN prev_ts IS NULL
              |                       OR date_diff('second', prev_ts, ts) > 1800
              |                  THEN 1 ELSE 0 END)
              |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                 ROWS UNBOUNDED PRECEDING) AS session_id
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |       min(ts) AS session_start, max(ts) AS session_end

@@ -421,6 +421,8 @@ object InventoryQueries {
 
     // W4/B2 — deterministic batch assignment for the ordered sink:
     // 50-row batches in updated-ASC order (sync-db2-ago.py:548,645-687).
+    // Enumeration is range-bucketed (Ops.withGlobalRowNumber) — no
+    // single-task global Window.orderBy.
     QueryDef("w4_batched_sink",
       Some("""WITH numbered AS (
              |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
@@ -429,10 +431,8 @@ object InventoryQueries {
              |       count(*) AS n_rows, min(event_id) AS first_id, max(event_id) AS last_id
              |FROM numbered GROUP BY 1 ORDER BY batch_id""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("ts"), col("event_id"))
-        load(s, dir, "events")
-          .withColumn("rn", row_number().over(w))
+        graft.operators.Ops.withGlobalRowNumber(load(s, dir, "events"),
+            Seq(col("ts"), col("event_id")), col("ts"))
           .withColumn("batch_id", expr("(rn - 1) div 50"))
           .groupBy("batch_id")
           .agg(count(lit(1)).as("n_rows"),
@@ -451,10 +451,8 @@ object InventoryQueries {
              |       count(*) AS n, min(o_orderkey) AS lo, max(o_orderkey) AS hi
              |FROM numbered GROUP BY 1 ORDER BY chunk_id""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("o_orderkey"))
-        load(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
+        graft.operators.Ops.withGlobalRowNumber(load(s, dir, "orders"),
+            Seq(col("o_orderkey")), col("o_orderkey"))
           .withColumn("chunk_id", expr("(rn - 1) div 1000"))
           .groupBy("chunk_id")
           .agg(count(lit(1)).as("n"),

@@ -27,16 +27,26 @@ object IvfIndex {
   def trainCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "vec",
       dim: Int = 64): DataFrame = {
-    val init = vecs.orderBy(col(idCol)).limit(k)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cent = vecs.orderBy(col(idCol)).limit(k)
       .withColumn("cluster_id",
         row_number().over(Window.orderBy(col(idCol))) - 1)
       .select(col("cluster_id"), col(vecCol).as("centroid"))
-    (0 until iters).foldLeft(init) { (cent, _) =>
-      assign(vecs, cent, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      // Materialize the k×dim centroids on the driver each step (they
+      // are tiny by construction) so every assign job reads a broadcast
+      // literal instead of the previous iterations' full lineage —
+      // plan depth stays constant across iters, nothing re-executes.
+      // Same shape as MLlib's own k-means driver loop.
+      val local = assign(vecs, cent, idCol, vecCol)
         .join(vecs, idCol)
         .groupBy("cluster_id")
         .agg(VectorAgg.centroid(col(vecCol), dim).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toIndexedSeq
+      cent = local.toDF("cluster_id", "centroid")
     }
+    cent
   }
 
   /** Nearest-centroid assignment: (idCol, cluster_id). Ties break on the

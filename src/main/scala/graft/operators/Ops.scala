@@ -34,4 +34,52 @@ object Ops {
       explode(array((0 until nSalts).map(lit): _*)))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Exact global row enumeration without the single-task global window.
+    *
+    * `Window.orderBy(...)` with no partitionBy is correct but funnels
+    * the whole table through one task — the straggler that kills a
+    * 100 TB run. Same result in three fully-parallel passes:
+    *
+    *   1. bucket rows by approximate quantiles of the leading order key
+    *      (every tie of that key lands in ONE bucket, so bucket
+    *      boundaries are consistent with the lexicographic total order
+    *      over `orderCols`);
+    *   2. `row_number()` inside each bucket — parallel window partitions;
+    *   3. add each bucket's exclusive cumulative count (≤ nBuckets rows
+    *      collected to the driver, broadcast-joined back).
+    *
+    * Output is value-identical to `row_number().over(Window.orderBy(...))`
+    * (as LONG); quantile error only shifts load balance, never values.
+    * Rows with a null leading key fall into bucket 0, matching Spark's
+    * NULLS FIRST ascending default.
+    *
+    * @param leadingNumeric a numeric/castable expression that is
+    *        non-strictly monotone in `orderCols.head` (usually the
+    *        column itself, or `ts.cast("double")`).
+    */
+  def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
+      leadingNumeric: Column, outCol: String = "rn",
+      nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__gk", leadingNumeric.cast("double"))
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = keyed.stat.approxQuantile("__gk", probes, 0.001)
+      .distinct.sorted
+    val bucketOf = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__gk") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = keyed.withColumn("__bkt", bucketOf)
+    // Tiny by construction: one row per bucket.
+    val counts = bucketed.groupBy("__bkt").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+    bucketed.join(broadcast(offDf), "__bkt")
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__bkt", "__gk", "__off")
+  }
 }

@@ -55,6 +55,31 @@ class PlansSpec extends SparkSpec {
     assert(maxErr(0.05) <= 0.15, s"default-ish-rsd HLL error ${maxErr(0.05)}")
   }
 
+  test("withGlobalRowNumber matches the single-partition global window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = Tables.load(spark, sf0001, "events")
+    val fast = graft.operators.Ops.withGlobalRowNumber(ev,
+        Seq(col("ts"), col("event_id")), col("ts"), nBuckets = 7)
+      .select(col("event_id"), col("rn"))
+    val slow = ev.withColumn("rn",
+        row_number().over(W.orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select(col("event_id"), col("rn"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("w4/b1 plans contain no empty-partition (single-task) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("w4_batched_sink", "b1_chunked_ids")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.nonEmpty, s"$name should still enumerate via a window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has a global Window.orderBy (single-task straggler):\n$w"))
+    }
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
