@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{IvfIndex, Ops, Similarity, SrpLsh, TemporalJoins, VectorAgg}
+import graft.operators.{IndexStore, IvfIndex, Ops, Similarity, SrpLsh, TemporalJoins, VectorAgg}
 import graft.plans.InListToSemiJoin
 
 /** Capability registry, batch 6: analytic operators beyond the
@@ -151,6 +151,46 @@ object AnalyticsQueries {
         IvfIndex.topK(corpus, corpus.where(col("vec_id") < 10), centroids,
             k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
+      }),
+
+    // Persisted IVF index: the 100 TB shape ext_ivf_topk only gestures
+    // at — inverted lists live in a bucketed external table built once;
+    // the probe has zero index-build cost and no index-side shuffle.
+    // Rows-only (k-means centroids are fp-order-sensitive); parity with
+    // the fresh pipeline and the shuffle proof are in IndexStoreSpec.
+    QueryDef("ext_ivf_persisted", None,
+      (s, dir) => {
+        val tbl = "graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_lists")) {
+          val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
+          IndexStore.buildIvfIndex(corpus, centroids, tbl,
+            s"/tmp/graft_index/$tbl")
+        }
+        IndexStore.probeIvf(s, corpus.where(col("vec_id") < 10), tbl,
+            k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Persisted MinHash index probed with NEW documents (planted
+    // perturbed copies): build once over the corpus, then near-dup-check
+    // incoming docs against it — the incremental-ingest dedup shape.
+    // Rows-only (LSH banding not SQL-expressible); IndexStoreSpec proves
+    // probe parity with Dedup.minhashNearDupPairs.
+    QueryDef("ext_minhash_persisted", None,
+      (s, dir) => {
+        val tbl = "graft_mh_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildMinhashIndex(docs, "doc_id", "text", tbl,
+            s"/tmp/graft_index/$tbl")
+        val probes = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft tail")).as("text"))
+        IndexStore.probeMinhash(s, probes, "doc_id", "text", tbl)
+          .orderBy("query_id", "match_id")
       }),
 
     // As-of join (composed: union-tag + running last-ignoring-nulls):

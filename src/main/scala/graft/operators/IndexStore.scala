@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted LSH / IVF index tables — the 100 TB shape of near-dup and
+  * ANN search.
+  *
+  * The per-query pipelines in [[Dedup]] and [[IvfIndex]] rebuild their
+  * signature / inverted-list structures on every run; at warehouse scale
+  * those are tables you build once and probe many times. This store
+  * writes them as BUCKETED external tables, bucketed on the probe key
+  * (`band_key` for MinHash, `cluster_id` for IVF), so a probe join needs
+  * no index-side shuffle: only the probe side moves — or nothing at all
+  * when the probe side is small enough to broadcast. IndexStoreSpec
+  * proves both the parity with the fresh pipelines and the shuffle
+  * count.
+  */
+object IndexStore {
+
+  /** One 64-bit key per LSH band: the band index is hashed in, so a
+    * single column replaces the (band_id, band_hash) pair and the
+    * bucketed join has a single equi-key. Hash collisions across bands
+    * are filtered by the exact-Jaccard verification step. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1),
+        lit(rowsPerBand))))
+
+  /** Builds the MinHash index for `docs`: a band table (id, band_key)
+    * bucketed by band_key, plus a shingle table (id, shingles) bucketed
+    * by id for the verification join. External tables at `path` (the
+    * session catalog holds the bucketing metadata). */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, nBuckets: Int = 8): Unit = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs.repartition(par)
+      .select(col(idCol),
+        array_distinct(Dedup.wordShingles(col(textCol), shingleN))
+          .as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled.select(col(idCol),
+      explode(bandKeys(Dedup.minhashSignature(col("shingles"), numHashes),
+        bands, numHashes / bands)).as("band_key"))
+    banded.write.bucketBy(nBuckets, "band_key")
+      .option("path", s"$path/${table}_bands").mode("overwrite")
+      .saveAsTable(s"${table}_bands")
+    shingled.write.bucketBy(nBuckets, idCol)
+      .option("path", s"$path/${table}_shingles").mode("overwrite")
+      .saveAsTable(s"${table}_shingles")
+    shingled.unpersist()
+  }
+
+  /** Probes a persisted MinHash index: near-dup matches for each query
+    * doc at exact-Jaccard ≥ threshold. Returns (query_id, match_id,
+    * jaccard); self-matches (same id) are excluded. The band-table join
+    * moves only the probe side — the index is pre-bucketed on band_key. */
+  def probeMinhash(spark: SparkSession, queries: DataFrame, idCol: String,
+      textCol: String, table: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val qsh = queries
+      .select(col(idCol).as("query_id"),
+        array_distinct(Dedup.wordShingles(col(textCol), shingleN))
+          .as("q_shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qBands = qsh.select(col("query_id"),
+      explode(bandKeys(Dedup.minhashSignature(col("q_shingles"), numHashes),
+        bands, numHashes / bands)).as("band_key"))
+    val candidates = spark.table(s"${table}_bands")
+      .join(qBands, "band_key")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("match_id"))
+      .distinct()
+    candidates
+      .join(spark.table(s"${table}_shingles")
+        .select(col(idCol).as("match_id"), col("shingles").as("m_shingles")),
+        "match_id")
+      .join(qsh, "query_id")
+      .withColumn("jaccard",
+        round(Dedup.jaccard(col("q_shingles"), col("m_shingles")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("query_id", "match_id", "jaccard")
+  }
+
+  /** Builds the IVF index: inverted lists (corpus rows + cluster_id)
+    * bucketed by cluster_id, plus the small centroid table. */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, table: String,
+      path: String, idCol: String = "vec_id", vecCol: String = "vec",
+      nBuckets: Int = 8): Unit = {
+    val lists = corpus
+      .join(IvfIndex.assign(corpus, centroids, idCol, vecCol), idCol)
+    lists.write.bucketBy(nBuckets, "cluster_id")
+      .option("path", s"$path/${table}_lists").mode("overwrite")
+      .saveAsTable(s"${table}_lists")
+    centroids.write
+      .option("path", s"$path/${table}_centroids").mode("overwrite")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** IVF top-k against a persisted index: zero index-build cost, and the
+    * probed-list join needs no index-side shuffle (lists are bucketed on
+    * cluster_id). */
+  def probeIvf(spark: SparkSession, queries: DataFrame, table: String,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame =
+    IvfIndex.topKFromLists(spark.table(s"${table}_lists"), queries,
+      spark.table(s"${table}_centroids"), k, nprobe, idCol, vecCol)
+}

@@ -63,12 +63,20 @@ object IvfIndex {
   }
 
   /** IVF top-k search: probe the nprobe nearest inverted lists per
-    * query, exact cosine inside the probed lists. */
+    * query, exact cosine inside the probed lists. Assigns the corpus to
+    * lists inline — use [[IndexStore]] to persist the lists and probe
+    * them without the per-query assignment cost. */
   def topK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
-    val lists = corpus.join(assign(corpus, centroids, idCol, vecCol), idCol)
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame =
+    topKFromLists(corpus.join(assign(corpus, centroids, idCol, vecCol), idCol),
+      queries, centroids, k, nprobe, idCol, vecCol)
 
+  /** Probe path over pre-assigned inverted lists (rows carry idCol,
+    * vecCol, cluster_id). */
+  def topKFromLists(lists: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
     val probeW = Window.partitionBy(col(s"q_$idCol"))
       .orderBy(col("__sim").desc, col("cluster_id").asc)
     val probes = queries

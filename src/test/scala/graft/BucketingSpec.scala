@@ -9,26 +9,6 @@ import org.apache.spark.sql.functions._
   * with zero ShuffleExchange on the bucketed sides. */
 class BucketingSpec extends SparkSpec {
 
-  /** Counts shuffles in the final (post-AQE) physical plan. Query-stage
-    * nodes are leaves, so traversal must descend into their `plan`. */
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{QueryStageExec, ShuffleQueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    df.collect() // finalize AQE plan
-    def count(p: SparkPlan): Int = p match {
-      case q: ShuffleQueryStageExec => 1 + count(q.plan)
-      case q: QueryStageExec => count(q.plan)
-      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
-      case r: ReusedExchangeExec => count(r.child)
-      case other => other.children.map(count).sum
-    }
-    count(df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    })
-  }
-
   test("bucketed-by-pk tables join without a shuffle; unbucketed need two") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

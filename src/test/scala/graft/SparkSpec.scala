@@ -24,4 +24,24 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Counts shuffles in the final (post-AQE) physical plan. Query-stage
+    * nodes are leaves, so traversal must descend into their `plan`. */
+  protected def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    df.collect() // finalize AQE plan
+    def count(p: SparkPlan): Int = p match {
+      case q: ShuffleQueryStageExec => 1 + count(q.plan)
+      case q: QueryStageExec => count(q.plan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case r: ReusedExchangeExec => count(r.child)
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+  }
 }
