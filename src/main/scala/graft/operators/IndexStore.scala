@@ -61,11 +61,15 @@ object IndexStore {
       textCol: String, table: String, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // The probe side is an incremental-ingest batch — small by contract —
+    // so its shingles are recomputed per consumer instead of cached:
+    // repeated probes in a long-lived session accumulate no persisted
+    // RDDs (asserted in IndexStoreSpec). Callers probing with a
+    // corpus-sized query set should persist upstream themselves.
     val qsh = queries
       .select(col(idCol).as("query_id"),
         array_distinct(Dedup.wordShingles(col(textCol), shingleN))
           .as("q_shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val qBands = qsh.select(col("query_id"),
       explode(bandKeys(Dedup.minhashSignature(col("q_shingles"), numHashes),
         bands, numHashes / bands)).as("band_key"))

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity}
+
+/** Proves the two claims [[graft.operators.IndexStore]] makes about the
+  * persisted-index layer:
+  *
+  *  1. PARITY — probing a persisted index returns exactly what the
+  *     fresh (rebuild-every-run) pipelines in [[Dedup]] / [[IvfIndex]]
+  *     return on the same inputs;
+  *  2. NO INDEX-SIDE MOVEMENT — the probe joins read the bucketed index
+  *     tables in place: between each index-table scan and its join there
+  *     is no exchange of any kind (the bucketed scan's HashPartitioning
+  *     satisfies the join's distribution requirement), so only the probe
+  *     side shuffles.
+  *
+  * Plus the caching contract: repeated probes leave no persisted RDDs
+  * behind.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private val mhTbl = "graft_spec_mh"
+  private val ivfTbl = "graft_spec_ivf"
+  private val idxPath = "/tmp/graft_index_spec"
+
+  private def docs: DataFrame =
+    Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+
+  /** Planted near-dups: every 5th doc, re-idd out of the corpus id range
+    * and perturbed by a two-token tail — the incremental-ingest shape. */
+  private def probes: DataFrame = docs.where(col("doc_id") % 5 === 0)
+    .select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" graft tail")).as("text"))
+
+  private def corpusVecs: DataFrame =
+    Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$idxPath/$t"))
+  }
+
+  private def ensureMinhashIndex(): Unit =
+    if (!spark.catalog.tableExists(s"${mhTbl}_bands")) {
+      Seq(s"${mhTbl}_bands", s"${mhTbl}_shingles").foreach(dropTable)
+      IndexStore.buildMinhashIndex(docs, "doc_id", "text", mhTbl,
+        s"$idxPath/$mhTbl")
+    }
+
+  private lazy val ivfCentroids =
+    IvfIndex.trainCentroids(corpusVecs, k = 8, iters = 2)
+
+  private def ensureIvfIndex(): Unit =
+    if (!spark.catalog.tableExists(s"${ivfTbl}_lists")) {
+      Seq(s"${ivfTbl}_lists", s"${ivfTbl}_centroids").foreach(dropTable)
+      IndexStore.buildIvfIndex(corpusVecs, ivfCentroids, ivfTbl,
+        s"$idxPath/$ivfTbl")
+    }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, clue: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, clue)
+    assert(a.count() == b.count(), clue)
+  }
+
+  // ---- 1. parity ----------------------------------------------------
+
+  test("probeMinhash equals the fresh MinHash pipeline on planted near-dups") {
+    ensureMinhashIndex()
+    val probed = IndexStore.probeMinhash(spark, probes, "doc_id", "text", mhTbl)
+      .select("query_id", "match_id", "jaccard")
+    // Fresh pipeline over corpus ∪ probes; probe ids sit above 100000 so
+    // the (id_a < id_b) pairs with exactly one side ≥ 100000 are the
+    // query↔corpus matches the probe must reproduce.
+    val fresh = Dedup.minhashNearDupPairs(docs.unionByName(probes), "doc_id", "text")
+      .where(col("id_b") >= 100000 && col("id_a") < 100000)
+      .select(col("id_b").as("query_id"), col("id_a").as("match_id"),
+        col("jaccard"))
+    assert(probed.count() > 0, "planted perturbed docs must match their originals")
+    assertSameRows(probed, fresh, "persisted-index probe must equal the fresh pipeline")
+  }
+
+  test("probeIvf over persisted lists equals the inline IVF pipeline") {
+    ensureIvfIndex()
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val fromIndex = IndexStore.probeIvf(spark, queries, ivfTbl, k = 5, nprobe = 3)
+    val fresh = IvfIndex.topK(corpusVecs, queries, ivfCentroids, k = 5, nprobe = 3)
+    assert(fromIndex.count() > 0)
+    assertSameRows(fromIndex, fresh, "persisted IVF probe must equal the inline pipeline")
+  }
+
+  // ---- 2. no index-side movement ------------------------------------
+
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case _ => p.children
+  }
+
+  /** Every root→scan path for scans of `tableDir` (an index table). */
+  private def pathsToScan(p: SparkPlan, tableDir: String): Seq[List[SparkPlan]] =
+    p match {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains(tableDir) =>
+        Seq(List(f))
+      case _ => kids(p).flatMap(c => pathsToScan(c, tableDir)).map(p :: _)
+    }
+
+  private def isMovement(p: SparkPlan): Boolean = p match {
+    case _: Exchange => true
+    case q: QueryStageExec => q.plan.isInstanceOf[Exchange]
+    case _ => false
+  }
+
+  /** Asserts that `df`'s executed plan (a) reads `tableDir` via a
+    * bucketed scan (HashPartitioning output) and (b) has no exchange
+    * between that scan and the join that consumes it. */
+  private def assertIndexSideInPlace(df: DataFrame, tableDir: String): Unit = {
+    df.collect() // finalize AQE
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val paths = pathsToScan(root, tableDir)
+    assert(paths.nonEmpty, s"no scan of $tableDir in:\n$root")
+    paths.foreach { path =>
+      val scan = path.last.asInstanceOf[FileSourceScanExec]
+      assert(scan.outputPartitioning.isInstanceOf[HashPartitioning],
+        s"index scan of $tableDir is not bucketed:\n$scan")
+      val belowJoin = path.drop(path.lastIndexWhere(_.isInstanceOf[BaseJoinExec]) + 1)
+      val moved = belowJoin.filter(isMovement)
+      assert(moved.isEmpty,
+        s"index side of $tableDir moved through ${moved.map(_.nodeName).mkString(", ")}:\n$root")
+    }
+  }
+
+  test("persisted-index probe joins move only the probe side") {
+    ensureMinhashIndex(); ensureIvfIndex()
+    // force shuffle joins so the assertion exercises the bucketed path
+    // (broadcast would hide index-side movement as a BroadcastExchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mh = IndexStore.probeMinhash(spark, probes, "doc_id", "text", mhTbl)
+      assertIndexSideInPlace(mh, s"$idxPath/$mhTbl/${mhTbl}_bands")
+      assertIndexSideInPlace(mh, s"$idxPath/$mhTbl/${mhTbl}_shingles")
+
+      val ivf = IndexStore.probeIvf(spark,
+        corpusVecs.where(col("vec_id") < 10), ivfTbl, k = 5, nprobe = 3)
+      assertIndexSideInPlace(ivf, s"$idxPath/$ivfTbl/${ivfTbl}_lists")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  // ---- 3. caching contract ------------------------------------------
+
+  test("repeated probes accumulate no persisted RDDs") {
+    ensureMinhashIndex()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      IndexStore.probeMinhash(spark, probes, "doc_id", "text", mhTbl).collect()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"probe leaked ${after - before} cached RDDs")
+  }
+}
