@@ -261,6 +261,9 @@ object AnalyticsQueries {
       }),
 
     // Exact interpolated percentiles (both engines: linear interpolation).
+    // This is the ORACLE KERNEL, not the at-scale path: Spark's exact
+    // `percentile` buffers every value of a group in executor memory.
+    // ext_approx_percentiles below is the declared scale path.
     QueryDef("ext_percentiles",
       Some("""SELECT l_returnflag,
              |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -273,6 +276,23 @@ object AnalyticsQueries {
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // Sketch percentiles — the at-scale percentile path: approx_percentile
+    // aggregates mergeable partials (bounded memory per group, map-side
+    // combine) where exact `percentile` buffers whole groups. Approximate
+    // by design → rows-only; the ±0.5% bound vs the exact kernel is
+    // asserted in PlansSpec.
+    QueryDef("ext_approx_percentiles", None,
+      (s, dir) => load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          round(col("pcts")(0), 4).as("p25"),
+          round(col("pcts")(1), 4).as("p50"),
+          round(col("pcts")(2), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // HLL-sketch distinct counts — the at-scale replacement for exact

@@ -55,6 +55,21 @@ class PlansSpec extends SparkSpec {
     assert(maxErr(0.05) <= 0.15, s"default-ish-rsd HLL error ${maxErr(0.05)}")
   }
 
+  test("approx_percentile stays within 0.5% of the exact kernel") {
+    // ext_approx_percentiles is the declared at-scale percentile path
+    // (mergeable t-digest-style partials); ext_percentiles is the exact
+    // oracle kernel. Their relative deviation bounds the approximation.
+    val approx = SparkEntry.queries("ext_approx_percentiles")(spark, sf0001)
+    val exact = SparkEntry.queries("ext_percentiles")(spark, sf0001)
+    val err = approx.alias("a")
+      .join(exact.alias("e"), col("a.l_returnflag") === col("e.l_returnflag"))
+      .select(Seq("p25", "p50", "p75").map(p =>
+        (abs(col(s"a.$p") - col(s"e.$p")) / col(s"e.$p")).as(p)): _*)
+      .select(greatest(col("p25"), col("p50"), col("p75")))
+      .as[Double].collect().max
+    assert(err <= 0.005, s"approx percentile relative error $err")
+  }
+
   test("withGlobalRowNumber matches the single-partition global window") {
     import org.apache.spark.sql.expressions.{Window => W}
     val ev = Tables.load(spark, sf0001, "events")
