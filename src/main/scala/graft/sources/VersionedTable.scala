@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic commit protocol for a versioned parquet table — the merge
+  * target's transactional guarantee.
+  *
+  * The reference's upsert is transactional: `INSERT … ON CONFLICT DO
+  * UPDATE` commits or rolls back as a unit
+  * (/root/reference/sync-db2-viewer.py:17-80), so a crashed sync never
+  * leaves readers a half-applied table. A bare versioned-directory
+  * overwrite loses that: a crash between writing v(N+1) and whatever
+  * resolves "latest" strands readers on a torn choice. This protocol
+  * restores the guarantee with the classic pointer swap:
+  *
+  *   1. write the new version's data to `base/v(N+1)` (never touching
+  *      the version readers are on);
+  *   2. write the version number to a temp pointer file and fsync it;
+  *   3. atomically rename the temp file over `base/_COMMIT`.
+  *
+  * Readers resolve `_COMMIT` → `base/vN`. A crash anywhere before step 3
+  * leaves the pointer — and every reader — on the previous consistent
+  * version; the orphaned data directory is overwritten by the next
+  * attempt. Step 3 is a single-file rename: atomic on POSIX and HDFS;
+  * on S3-style stores the equivalent is a conditional PUT of the
+  * pointer object. IncrementalSpec drives the crash window.
+  */
+object VersionedTable {
+
+  private def pointer(base: String) = Paths.get(base, "_COMMIT")
+
+  /** The committed version, if any commit has ever succeeded. */
+  def currentVersion(base: String): Option[Int] = {
+    val p = pointer(base)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  /** Stage `df` as version `version` WITHOUT committing it — readers
+    * stay on the current committed version until [[commit]] runs. */
+  def stage(df: DataFrame, base: String, version: Int): Unit =
+    df.write.mode("overwrite").parquet(s"$base/v$version")
+
+  /** Atomically publish `version`: temp pointer + fsync + rename. */
+  def commit(base: String, version: Int): Unit = {
+    new File(base).mkdirs()
+    val tmp = Paths.get(base, s"_COMMIT.tmp.$version")
+    val ch = Files.newByteChannel(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.SYNC)
+    try ch.write(java.nio.ByteBuffer.wrap(
+      version.toString.getBytes(StandardCharsets.UTF_8)))
+    finally ch.close()
+    Files.move(tmp, pointer(base), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage + commit in order — the happy path of one sync cycle. */
+  def write(df: DataFrame, base: String, version: Int): Unit = {
+    stage(df, base, version)
+    commit(base, version)
+  }
+
+  /** Read the committed version. Throws if nothing was ever committed. */
+  def read(spark: SparkSession, base: String): DataFrame = {
+    val v = currentVersion(base).getOrElse(
+      throw new IllegalStateException(s"no committed version under $base"))
+    spark.read.parquet(s"$base/v$v")
+  }
+}

@@ -56,14 +56,18 @@ object StreamingSync {
 
   /** Streaming upsert: micro-batches merged into a parquet target by pk
     * via foreachBatch — the streaming form of the reference's staged
-    * upsert (sync-db2.py:78-88). Each batch writes a new target version
-    * (never overwriting the version it read), then the final version is
-    * returned. */
+    * upsert (sync-db2.py:78-88). Each batch stages a new target version
+    * (never overwriting the version it read), then atomically publishes
+    * it via [[graft.sources.VersionedTable]]'s commit-pointer swap — the
+    * reference's transactional `ON CONFLICT` guarantee
+    * (sync-db2-viewer.py:17-80): a crash mid-batch leaves readers on the
+    * previous consistent version. */
   def runForeachBatchMerge(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import graft.sources.VersionedTable
     val srcDir = s"$workDir/src"
     val tgtBase = s"$workDir/tgt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tgtBase))
     // split the source into several files so the stream sees >1 micro-batch
     val events = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -74,24 +78,25 @@ object StreamingSync {
       spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
     }
-    var version = 0
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = version + 1
-        val merged =
-          if (version == 0) batch
-          else Incremental.merge(
-            spark.read.parquet(s"$tgtBase/v$version"), batch, "event_id")
-        merged.write.mode("overwrite").parquet(s"$tgtBase/v$next")
-        version = next
+        // resolve the committed version (not "the last directory"): an
+        // earlier crashed attempt may have staged-but-not-committed
+        val committed = VersionedTable.currentVersion(tgtBase)
+        val merged = committed match {
+          case None => batch
+          case Some(v) => Incremental.merge(
+            spark.read.parquet(s"$tgtBase/v$v"), batch, "event_id")
+        }
+        VersionedTable.write(merged, tgtBase, committed.getOrElse(0) + 1)
         (): Unit
       }
       .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
       .start()
     try q.processAllAvailable() finally q.stop()
-    require(version > 0, "stream produced no batches")
-    // clean superseded versions would happen here in production
-    val _ = Files.exists(Paths.get(s"$tgtBase/v$version"))
-    spark.read.parquet(s"$tgtBase/v$version")
+    require(VersionedTable.currentVersion(tgtBase).nonEmpty,
+      "stream produced no batches")
+    // superseded version directories would be vacuumed here in production
+    VersionedTable.read(spark, tgtBase)
   }
 }

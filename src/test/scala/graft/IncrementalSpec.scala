@@ -85,4 +85,31 @@ class IncrementalSpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("versioned commit: a crash between stage and commit leaves readers consistent") {
+    import graft.sources.VersionedTable
+    val base = "/tmp/graft_commit_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+
+    // cycle 1 lands normally
+    VersionedTable.write(target, base, 1)
+    assert(VersionedTable.currentVersion(base).contains(1))
+    assert(VersionedTable.read(spark, base).count() == 3)
+
+    // cycle 2 CRASHES in the commit window: v2 is staged, never committed
+    val merged = Incremental.merge(target,
+      Incremental.delta(source, "updated", lit(ts("2024-01-03 00:00:00"))), "id")
+    VersionedTable.stage(merged, base, 2)
+    // readers resolve the pointer, not the newest directory → still v1
+    assert(VersionedTable.currentVersion(base).contains(1))
+    assert(VersionedTable.read(spark, base).orderBy("id").collect().toSeq ==
+      target.orderBy("id").collect().toSeq,
+      "crash window must leave readers on the old consistent version")
+
+    // the retried cycle re-stages (overwriting the orphan) and commits
+    VersionedTable.stage(merged, base, 2)
+    VersionedTable.commit(base, 2)
+    assert(VersionedTable.currentVersion(base).contains(2))
+    assert(VersionedTable.read(spark, base).count() == 4)
+  }
 }
