@@ -441,6 +441,32 @@ object InventoryQueries {
           .orderBy("batch_id")
       }),
 
+    // W4's operational half — the bounded-retry batched flush
+    // (sync-db2-ago.py:249-336): ordered 50-row batches pushed through
+    // BatchedSink's retry ladder against a flaky in-JVM sink (every
+    // batch's first attempt rolls back — the reference's code-1003
+    // shape; no remote sink exists in this container). The result is the
+    // driver-visible report: all batches landed, one retry each, nothing
+    // poisoned. Rows-only by nature (a retry ladder is not a SQL
+    // expression); exactly-once/poison-isolation proofs are in
+    // BatchedSinkSpec.
+    QueryDef("w4b_retry_sink", None,
+      (s, dir) => {
+        import s.implicits._
+        val batches = graft.operators.Ops.withGlobalRowNumber(
+            load(s, dir, "events"), Seq(col("ts"), col("event_id")), col("ts"))
+          .withColumn("batch_id", expr("(rn - 1) div 50"))
+          .where(col("batch_id") < 4)
+          .repartitionByRange(4, col("batch_id"))
+          .select("event_id", "batch_id")
+        FlakyDemoSink.reset()
+        val report = graft.operators.BatchedSink.writeBatched(batches,
+          batchSize = 50, maxTries = 5, backoffMs = 1)(FlakyDemoSink.flush)
+        Seq((report.batches, report.rows, report.retries,
+            report.poisoned.size.toLong))
+          .toDF("n_batches", "n_rows", "n_retries", "n_poisoned")
+      }),
+
     // B1 — 1000-id chunked iteration (delete-removed-tickets.py:81-84,
     // 114-115) as deterministic chunk bucketing.
     QueryDef("b1_chunked_ids",
@@ -476,4 +502,25 @@ object InventoryQueries {
           .select(col("yr").cast("int").as("yr"), col("n"))
           .orderBy("yr")
       }))
+}
+
+/** Stand-in for the reference's remote feature layer in w4b_retry_sink:
+  * records landed batches in-JVM and rolls back every batch's FIRST
+  * attempt (the code-1003 shape, sync-db2-ago.py:296-304). No remote
+  * sink exists in this container; the retry ladder, accumulators, and
+  * batch plumbing it exercises are the real operator. */
+object FlakyDemoSink {
+  private val attempts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val landedRows = new java.util.concurrent.atomic.AtomicLong()
+
+  def reset(): Unit = { attempts.clear(); landedRows.set(0L) }
+
+  def flush(key: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val n = attempts.merge(key, 1, (a, b) => a + b)
+    if (n <= 1)
+      throw new graft.operators.BatchedSink.RetryableFailure(
+        s"demo rollback of $key")
+    landedRows.addAndGet(rows.size.toLong)
+  }
 }
