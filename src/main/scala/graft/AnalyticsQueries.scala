@@ -193,6 +193,44 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // Runtime Bloom-filter join pruning — the optimizer showpiece beside
+    // ext_inlist_semijoin_rule: a Bloom filter built from the selective
+    // (delta-shaped) orders side is injected into the lineitem scan, so
+    // the big side prunes rows BEFORE the join shuffle — at 100 TB this
+    // is the difference between shuffling the full fact table and
+    // shuffling the ~matching fraction. Catalyst's InjectRuntimeFilter
+    // does the rewrite; the scan-size threshold is lowered only while
+    // this plan is built (test-scale inputs are far below the 10 GB
+    // production default). Results must equal the plain join — the
+    // filter is semantics-free pruning. Plan shape asserted in PlansSpec.
+    QueryDef("ext_bloom_join_prune",
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => {
+        val threshKey =
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val saved = (threshKey +: bcastKeys).map(k => k -> s.conf.getOption(k))
+        s.conf.set(threshKey, "0")
+        bcastKeys.foreach(s.conf.set(_, "-1")) // bloom targets shuffle joins
+        try {
+          val df = load(s, dir, "lineitem")
+            .join(load(s, dir, "orders")
+              .where(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select("l_orderkey", "l_linenumber", "o_totalprice")
+            .orderBy("l_orderkey", "l_linenumber")
+          df.queryExecution.optimizedPlan // pin the plan under these confs
+          df
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }),
+
     // As-of join (composed: union-tag + running last-ignoring-nulls):
     // each purchase gets the most recent error at-or-before it per user.
     // Verified against DuckDB's native ASOF LEFT JOIN.

@@ -55,6 +55,21 @@ class PlansSpec extends SparkSpec {
     assert(maxErr(0.05) <= 0.15, s"default-ish-rsd HLL error ${maxErr(0.05)}")
   }
 
+  test("ext_bloom_join_prune injects a runtime Bloom filter into the big-side scan") {
+    val df = SparkEntry.queries("ext_bloom_join_prune")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("might_contain") && planStr.contains("bloom_filter_agg"),
+      s"expected an injected Bloom runtime filter in:\n$planStr")
+    // pruning is semantics-free: equals the plain join under default confs
+    val plain = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "orders")
+        .where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+  }
+
   test("approx_percentile stays within 0.5% of the exact kernel") {
     // ext_approx_percentiles is the declared at-scale percentile path
     // (mergeable t-digest-style partials); ext_percentiles is the exact
