@@ -193,6 +193,28 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // Incrementally-maintained MinHash index: build over the existing
+    // corpus, APPEND a later batch (no rebuild — new band/shingle rows
+    // land in the same stable buckets), then near-dup-probe against the
+    // combined index. Rows-only (LSH banding not SQL-expressible);
+    // IndexStoreSpec proves append ≡ one-shot build over the union.
+    QueryDef("ext_minhash_incremental", None,
+      (s, dir) => {
+        val tbl = "graft_mhi_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        if (!s.catalog.tableExists(s"${tbl}_bands")) {
+          IndexStore.buildMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+            "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+          IndexStore.appendMinhashIndex(docs.where(col("doc_id") % 2 === 1),
+            "doc_id", "text", tbl)
+        }
+        val probes = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft tail")).as("text"))
+        IndexStore.probeMinhash(s, probes, "doc_id", "text", tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Runtime Bloom-filter join pruning — the optimizer showpiece beside
     // ext_inlist_semijoin_rule: a Bloom filter built from the selective
     // (delta-shaped) orders side is injected into the lineitem scan, so

@@ -28,6 +28,18 @@ object IndexStore {
       b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1),
         lit(rowsPerBand))))
 
+  private def shingleOf(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(Dedup.wordShingles(col(textCol), shingleN))
+        .as("shingles"))
+
+  private def bandsOf(shingled: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame =
+    shingled.select(col(idCol),
+      explode(bandKeys(Dedup.minhashSignature(col("shingles"), numHashes),
+        bands, numHashes / bands)).as("band_key"))
+
   /** Builds the MinHash index for `docs`: a band table (id, band_key)
     * bucketed by band_key, plus a shingle table (id, shingles) bucketed
     * by id for the verification join. External tables at `path` (the
@@ -36,21 +48,36 @@ object IndexStore {
       table: String, path: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nBuckets: Int = 8): Unit = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val shingled = docs.repartition(par)
-      .select(col(idCol),
-        array_distinct(Dedup.wordShingles(col(textCol), shingleN))
-          .as("shingles"))
+    val shingled = shingleOf(docs.repartition(par), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = shingled.select(col(idCol),
-      explode(bandKeys(Dedup.minhashSignature(col("shingles"), numHashes),
-        bands, numHashes / bands)).as("band_key"))
-    banded.write.bucketBy(nBuckets, "band_key")
+    bandsOf(shingled, idCol, numHashes, bands)
+      .write.bucketBy(nBuckets, "band_key")
       .option("path", s"$path/${table}_bands").mode("overwrite")
       .saveAsTable(s"${table}_bands")
     shingled.write.bucketBy(nBuckets, idCol)
       .option("path", s"$path/${table}_shingles").mode("overwrite")
       .saveAsTable(s"${table}_shingles")
     shingled.unpersist()
+  }
+
+  /** Incremental maintenance: appends `delta` docs' band and shingle
+    * rows to an existing index — NO rebuild. Each append writes one new
+    * file set per bucket (the bucket function is stable, so old and new
+    * rows of a band key stay co-located); probes immediately see both
+    * old and new documents. This completes the incremental-ingest dedup
+    * shape: accept a batch, near-dup-check it against the index, append
+    * the accepted rows. Delta batches are small by contract — no
+    * persist, no repartition (mirrors probeMinhash). Compact the table
+    * periodically if tiny appended files accumulate. */
+  def appendMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, nBuckets: Int = 8): Unit = {
+    val shingled = shingleOf(delta, idCol, textCol, shingleN)
+    bandsOf(shingled, idCol, numHashes, bands)
+      .write.bucketBy(nBuckets, "band_key").mode("append")
+      .saveAsTable(s"${table}_bands")
+    shingled.write.bucketBy(nBuckets, idCol).mode("append")
+      .saveAsTable(s"${table}_shingles")
   }
 
   /** Probes a persisted MinHash index: near-dup matches for each query

@@ -163,7 +163,32 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  // ---- 3. caching contract ------------------------------------------
+  // ---- 3. incremental maintenance -----------------------------------
+
+  test("appendMinhashIndex: probes see old and new docs, equal to a one-shot build") {
+    val inc = "graft_spec_mh_inc"
+    Seq(s"${inc}_bands", s"${inc}_shingles").foreach(dropTable)
+    val oldHalf = docs.where(col("doc_id") % 2 === 0)
+    val newHalf = docs.where(col("doc_id") % 2 === 1)
+    IndexStore.buildMinhashIndex(oldHalf, "doc_id", "text", inc,
+      s"$idxPath/$inc")
+    IndexStore.appendMinhashIndex(newHalf, "doc_id", "text", inc)
+
+    val incremental = IndexStore.probeMinhash(spark, probes, "doc_id", "text", inc)
+    // the full one-shot index over the same corpus (built by the parity
+    // tests above) must agree: append is build, delivered in pieces
+    ensureMinhashIndex()
+    val oneShot = IndexStore.probeMinhash(spark, probes, "doc_id", "text", mhTbl)
+    assertSameRows(incremental, oneShot,
+      "incrementally-maintained index must equal the one-shot build")
+    // and the probe genuinely matched docs from BOTH halves
+    val matchedPar = incremental.select(col("match_id") % 2).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(matchedPar == Set(0L, 1L),
+      s"expected matches in both the built and appended halves, got $matchedPar")
+  }
+
+  // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {
     ensureMinhashIndex()
