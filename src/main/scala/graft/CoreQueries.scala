@@ -304,6 +304,38 @@ object CoreQueries {
           Normalize.wktPoint(col("lon"), col("lat")).as("shape"))
         .orderBy("c_custkey")),
 
+    // X16 — general re-projection (sync-db2-ago.py:40-42,70-126): the
+    // identity path (equal SRIDs — the reference's deployed config,
+    // config.py:5-6) passes lon/lat through untouched, and the general
+    // path applies the closed-form 4326→3857 spherical-Mercator
+    // equations, which DuckDB reproduces exactly; both engines quantize
+    // to 0.1 mm with the floor(x·10⁴+0.5)/10⁴ pattern (round() ties
+    // disagree across engines). Inverse/roundtrip and unsupported-SRID
+    // failure are pinned in NormalizeSpec.
+    QueryDef("x16_reproject",
+      Some("""SELECT c_custkey, lon AS lon_id, lat AS lat_id,
+             |  floor(radians(lon) * 6378137 * 10000 + 0.5) / 10000 AS merc_x,
+             |  floor(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137 * 10000 + 0.5) / 10000 AS merc_y
+             |FROM (SELECT c_custkey,
+             |        -75.0 - c_acctbal / 10000.0 AS lon,
+             |        39.0 + (c_custkey % 100) / 100.0 AS lat
+             |      FROM customer) ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val src = load(s, dir, "customer")
+          .select(col("c_custkey"),
+            (lit(-75.0) - col("c_acctbal") / 10000.0).as("lon"),
+            (lit(39.0) + (col("c_custkey") % 100) / 100.0).as("lat"))
+        val (lonId, latId) = graft.functions.Reproject
+          .project(col("lon"), col("lat"), 4326, 4326) // identity path
+        val (mx, my) = graft.functions.Reproject
+          .project(col("lon"), col("lat"), 4326, 3857)
+        def q4(c: org.apache.spark.sql.Column) =
+          floor(c * 10000 + 0.5) / 10000
+        src.select(col("c_custkey"), lonId.as("lon_id"), latId.as("lat_id"),
+            q4(mx).as("merc_x"), q4(my).as("merc_y"))
+          .orderBy("c_custkey")
+      }),
+
     // X3 — NFKD→ASCII via the native codegen'd expression; no DuckDB
     // equivalent, so rows-only check (allowed per SparkEntry contract).
     QueryDef("x3_nfkd_ascii", None,

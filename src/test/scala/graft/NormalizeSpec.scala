@@ -80,4 +80,26 @@ class NormalizeSpec extends SparkSpec {
     val r = one(cleanText(lit("<'" + "é" * 300 + "'>"), 250)).asInstanceOf[String]
     assert(r.length == 250 && r.forall(_ == 'e'))
   }
+
+  test("X16 reproject: 4326->3857 roundtrips through the inverse; identity is exact") {
+    import graft.functions.Reproject
+    val pts = Seq((-75.1234, 39.9876), (0.0, 0.0), (150.5, -33.86))
+      .toDF("lon", "lat")
+    val (mx, my) = Reproject.project(col("lon"), col("lat"), 4326, 3857)
+    val (rlon, rlat) = Reproject.project(mx, my, 3857, 4326)
+    val maxErr = pts
+      .select(greatest(abs(rlon - col("lon")), abs(rlat - col("lat"))).as("e"))
+      .as[Double].collect().max
+    assert(maxErr < 1e-9, s"roundtrip error $maxErr deg")
+
+    val (ilon, ilat) = Reproject.project(col("lon"), col("lat"), 4326, 4326)
+    assert(pts.where(ilon =!= col("lon") || ilat =!= col("lat")).isEmpty,
+      "identity path must pass coordinates through untouched")
+  }
+
+  test("X16 reproject: unsupported SRID pairs fail fast, like NotImplementedError") {
+    intercept[IllegalArgumentException] {
+      graft.functions.Reproject.project(lit(0.0), lit(0.0), 4326, 2272)
+    }
+  }
 }
