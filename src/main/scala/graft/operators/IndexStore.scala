@@ -66,18 +66,22 @@ object IndexStore {
     * rows of a band key stay co-located); probes immediately see both
     * old and new documents. This completes the incremental-ingest dedup
     * shape: accept a batch, near-dup-check it against the index, append
-    * the accepted rows. Delta batches are small by contract — no
-    * persist, no repartition (mirrors probeMinhash). Compact the table
-    * periodically if tiny appended files accumulate. */
+    * the accepted rows. The repartition spreads the hash-heavy signature
+    * work across all cores even when the delta arrives as one split (at
+    * real scale the scan yields enough splits and it is noise). Compact
+    * the table periodically if tiny appended files accumulate. */
   def appendMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       table: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nBuckets: Int = 8): Unit = {
-    val shingled = shingleOf(delta, idCol, textCol, shingleN)
+    val par = delta.sparkSession.sparkContext.defaultParallelism
+    val shingled = shingleOf(delta.repartition(par), idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both writes; freed below
     bandsOf(shingled, idCol, numHashes, bands)
       .write.bucketBy(nBuckets, "band_key").mode("append")
       .saveAsTable(s"${table}_bands")
     shingled.write.bucketBy(nBuckets, idCol).mode("append")
       .saveAsTable(s"${table}_shingles")
+    shingled.unpersist()
   }
 
   /** Probes a persisted MinHash index: near-dup matches for each query
@@ -92,8 +96,11 @@ object IndexStore {
     // so its shingles are recomputed per consumer instead of cached:
     // repeated probes in a long-lived session accumulate no persisted
     // RDDs (asserted in IndexStoreSpec). Callers probing with a
-    // corpus-sized query set should persist upstream themselves.
-    val qsh = queries
+    // corpus-sized query set should persist upstream themselves. The
+    // repartition spreads signature hashing across cores when the batch
+    // arrives as a single split.
+    val par = queries.sparkSession.sparkContext.defaultParallelism
+    val qsh = queries.repartition(par)
       .select(col(idCol).as("query_id"),
         array_distinct(Dedup.wordShingles(col(textCol), shingleN))
           .as("q_shingles"))
