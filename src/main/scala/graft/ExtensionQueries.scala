@@ -257,6 +257,107 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // ── Sampling & splits ────────────────────────────────────────────
+
+    // Deterministic hash sampling (~5%: first md5 byte ≤ 0x0c). The
+    // scale-correct sampler: embarrassingly parallel, no per-stratum
+    // window (a row_number-per-stratum sampler collapses each stratum
+    // to one task at warehouse scale), reproducible across runs and
+    // engines — md5 renders identically in Spark and DuckDB.
+    QueryDef("ext_hash_sample",
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem
+             |WHERE substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 2) <= '0c'
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => load(s, dir, "lineitem")
+        .where(substring(md5(
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("string")
+              .cast("binary")), 1, 2) <= "0c")
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")),
+
+    // Deterministic train/test split (~80/20 on the md5 of the id),
+    // grouped per label to show the split is stratification-preserving —
+    // the reproducible-split primitive of a training-data pipeline.
+    QueryDef("ext_train_test_split",
+      Some("""SELECT label,
+             |  CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cd'
+             |       THEN 'train' ELSE 'test' END AS split,
+             |  count(*) AS n
+             |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => load(s, dir, "embeddings")
+        .select(col("label"),
+          when(substring(md5(col("vec_id").cast("string").cast("binary")),
+            1, 2) < "cd", "train").otherwise("test").as("split"))
+        .groupBy("label", "split").agg(count(lit(1)).as("n"))
+        .orderBy("label", "split")),
+
+    // ── Curation pipeline (composed flagship) ────────────────────────
+
+    // The end-to-end training-data curation shape: language-ID +
+    // quality score + token gate, then exact-dedup (min-id keeper per
+    // fingerprint) over a corpus with planted duplicates — t1/t2/t3/d1
+    // composed into ONE dataflow, which is how a real pipeline runs
+    // them (one scan, all features in a single projection, one dedup
+    // shuffle). The oracle composes the same published formulas.
+    QueryDef("ext_curation_pipeline", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+              |t AS (
+              |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+              |  FROM corpus),
+              |s AS (
+              |  SELECT doc_id, text, toks,
+              |    CAST(len(toks) AS DOUBLE) AS n_toks,
+              |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(len(list_filter(toks,
+              |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+              |      AS n_stop,
+              |    $hits
+              |  FROM t),
+              |feat AS (
+              |  SELECT doc_id,
+              |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
+              |    floor((least(1.0, n_toks / 100.0) * 0.5
+              |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+              |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+              |          * 10000.0 + 0.5) / 10000.0 AS quality,
+              |    len(toks) AS n_ws_tokens,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+              |  FROM s),
+              |kept AS (
+              |  SELECT * FROM feat
+              |  WHERE lang_pred = 'en' AND quality >= 0.45
+              |    AND n_ws_tokens BETWEEN 5 AND 1000),
+              |keepers AS (
+              |  SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+              |SELECT k.doc_id, k.lang_pred, k.quality, k.n_ws_tokens
+              |FROM kept k JOIN keepers d
+              |  ON k.doc_id = d.doc_id AND k.fingerprint = d.fingerprint
+              |ORDER BY k.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val feat = docsWithExactDups(s, dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        val kept = feat.where(col("lang_pred") === "en" &&
+          col("quality") >= 0.45 && col("n_ws_tokens").between(5, 1000))
+        val keepers = kept.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+        kept.join(keepers, Seq("fingerprint", "doc_id"), "left_semi")
+          .select("doc_id", "lang_pred", "quality", "n_ws_tokens")
+          .orderBy("doc_id")
+      }),
+
     // ── Multimodal columns ───────────────────────────────────────────
 
     QueryDef("mm1_media_metadata",
