@@ -123,6 +123,35 @@ object IndexStore {
       .select("query_id", "match_id", "jaccard")
   }
 
+  /** Compacts a bucketed index table: every append leaves one file set
+    * per bucket, so a long-lived index accumulates small files (slower
+    * scans, more tasks). This rewrites the table's rows into exactly one
+    * file per bucket at `newPath` with ZERO shuffle: the bucketed scan
+    * reads each bucket's file set as one task and the writer re-emits it
+    * under the same bucket spec. Auto-bucketed-scan disabling is
+    * switched off for the rewrite — a write alone doesn't count as an
+    * "interesting" operator, and losing the bucketed scan would both add
+    * a shuffle and break task/bucket alignment. Then the catalog entry
+    * swaps (write new → drop old → rename) and probes resume on the
+    * compacted files with the bucketed-scan property intact (re-asserted
+    * in IndexStoreSpec). The superseded directory is left for the caller
+    * to vacuum, mirroring VersionedTable's stance. */
+  def compactTable(spark: SparkSession, table: String, bucketCol: String,
+      newPath: String, nBuckets: Int = 8): Unit = {
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(autoKey)
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.conf.set(autoKey, "false")
+    try
+      spark.table(table)
+        .write.bucketBy(nBuckets, bucketCol)
+        .option("path", newPath).mode("overwrite").saveAsTable(tmp)
+    finally spark.conf.set(autoKey, saved)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Builds the IVF index: inverted lists (corpus rows + cluster_id)
     * bucketed by cluster_id, plus the small centroid table. */
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, table: String,

@@ -188,6 +188,42 @@ class IndexStoreSpec extends SparkSpec {
       s"expected matches in both the built and appended halves, got $matchedPar")
   }
 
+  test("compactTable: one file per bucket, probe parity, bucketed scan survives") {
+    val cmp = "graft_spec_mh_cmp"
+    Seq(s"${cmp}_bands", s"${cmp}_shingles").foreach(dropTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${cmp}_bands__compacting")
+    // three appends after the build → four file sets in the band table
+    IndexStore.buildMinhashIndex(docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", cmp, s"$idxPath/$cmp")
+    (1 to 3).foreach(r => IndexStore.appendMinhashIndex(
+      docs.where(col("doc_id") % 4 === r), "doc_id", "text", cmp))
+    val before = IndexStore.probeMinhash(spark, probes, "doc_id", "text", cmp)
+      .collect().toSeq
+
+    def bandFiles() = new java.io.File(s"$idxPath/$cmp/c_bands")
+      .listFiles((_, n) => n.startsWith("part-"))
+    val preCount = new java.io.File(s"$idxPath/$cmp/${cmp}_bands")
+      .listFiles((_, n) => n.startsWith("part-")).length
+    IndexStore.compactTable(spark, s"${cmp}_bands", "band_key",
+      s"$idxPath/$cmp/c_bands")
+    assert(preCount > 8, s"appends should have accumulated files, saw $preCount")
+    assert(bandFiles().length == 8, "compaction must leave one file per bucket")
+
+    val after = IndexStore.probeMinhash(spark, probes, "doc_id", "text", cmp)
+    assert(after.collect().toSeq.sortBy(_.toString) ==
+      before.sortBy(_.toString), "compaction must not change probe results")
+    // the compacted table still joins in place (bucketed scan retained)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try assertIndexSideInPlace(
+      IndexStore.probeMinhash(spark, probes, "doc_id", "text", cmp),
+      s"$idxPath/$cmp/c_bands")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {
