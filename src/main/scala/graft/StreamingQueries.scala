@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingDedup, StreamingSync}
+import graft.streaming.{StreamingDedup, StreamingIndexIngest, StreamingSync}
 
 /** Capability registry, batch 4: Structured Streaming formulations of the
   * incremental-sync semantics (SURVEY §2.10). The streams run
@@ -37,5 +37,17 @@ object StreamingQueries {
              |FROM events GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin),
       (s, dir) => StreamingDedup.run(s, dir,
-          "/tmp/graft_dedup/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))))
+          "/tmp/graft_dedup/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))),
+
+    // Continuous dedup-ingest: micro-batches of documents appended to
+    // the persisted MinHash index as they arrive, then the finished
+    // index probed with planted near-dups. Final index content is batch-
+    // order independent, so the probe is deterministic. Rows-only (LSH
+    // banding not SQL-expressible); one-shot parity in StreamingSpec.
+    QueryDef("sr4_streaming_index_ingest", None,
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.run(s, dir, s"/tmp/graft_ingest/$tag",
+          s"graft_smh_$tag", s"/tmp/graft_ingest/$tag/idx")
+      }))
 }

@@ -45,6 +45,22 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() == batch) // batch-arrival-order independent
   }
 
+  test("streaming index ingest probes equal the fresh one-shot pipeline") {
+    val streamed = graft.streaming.StreamingIndexIngest.run(spark, sf0001,
+      "/tmp/graft_ingest_test", "graft_test_smh", "/tmp/graft_ingest_test/idx")
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val probes = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" graft tail")).as("text"))
+    val fresh = graft.operators.Dedup
+      .minhashNearDupPairs(docs.unionByName(probes), "doc_id", "text")
+      .where($"id_b" >= 100000 && $"id_a" < 100000)
+      .select($"id_b".as("query_id"), $"id_a".as("match_id"), $"jaccard")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(fresh).isEmpty && fresh.exceptAll(streamed).isEmpty,
+      "index built from streamed micro-batches must probe like a one-shot build")
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
