@@ -193,6 +193,29 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // Incrementally-maintained IVF index: build inverted lists over the
+    // existing corpus, append a later batch assigned against the SAME
+    // persisted centroids (IVF practice: the coarse quantizer is trained
+    // once, retrained only on drift), then probe. Rows-only (k-means
+    // centroids fp-order-sensitive); append ≡ inline parity is in
+    // IndexStoreSpec.
+    QueryDef("ext_ivf_incremental", None,
+      (s, dir) => {
+        val tbl = "graft_ivfi_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_lists")) {
+          val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
+          IndexStore.buildIvfIndex(corpus.where(col("vec_id") % 2 === 0),
+            centroids, tbl, s"/tmp/graft_index/$tbl")
+          IndexStore.appendIvfIndex(s, corpus.where(col("vec_id") % 2 === 1), tbl)
+        }
+        IndexStore.probeIvf(s, corpus.where(col("vec_id") < 10), tbl,
+            k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // Incrementally-maintained MinHash index: build over the existing
     // corpus, APPEND a later batch (no rebuild — new band/shingle rows
     // land in the same stable buckets), then near-dup-probe against the

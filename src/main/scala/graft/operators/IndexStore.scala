@@ -167,6 +167,20 @@ object IndexStore {
       .saveAsTable(s"${table}_centroids")
   }
 
+  /** Incremental IVF maintenance: assigns `delta` vectors against the
+    * PERSISTED centroids (standard IVF practice — the coarse quantizer
+    * is trained once and reused; retrain only on drift) and appends the
+    * new inverted-list rows in place, mirroring [[appendMinhashIndex]].
+    * Probes immediately see old and new vectors. */
+  def appendIvfIndex(spark: SparkSession, delta: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nBuckets: Int = 8): Unit = {
+    val centroids = spark.table(s"${table}_centroids")
+    delta.join(IvfIndex.assign(delta, centroids, idCol, vecCol), idCol)
+      .write.bucketBy(nBuckets, "cluster_id").mode("append")
+      .saveAsTable(s"${table}_lists")
+  }
+
   /** IVF top-k against a persisted index: zero index-build cost, and the
     * probed-list join needs no index-side shuffle (lists are bucketed on
     * cluster_id). */

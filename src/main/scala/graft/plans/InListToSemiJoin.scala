@@ -47,10 +47,15 @@ object InListToSemiJoin extends Rule[LogicalPlan] {
   }
 }
 
-/** Session-extension entry point:
-  * SparkSession.builder().withExtensions(new GraftExtensions).
-  * (Tests inject via spark.experimental.extraOptimizations, which works
-  * on an already-built session.) */
+/** Deployment entry point: launch with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (a static
+  * conf — read when the SparkContext is created) or build with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`; either
+  * way every session picks the rules up at session-state construction —
+  * the builder form is verified end-to-end in ExtensionsSpec.
+  * `spark.experimental.extraOptimizations` remains the right tool for
+  * scoping a rule to a single query (ext_inlist_semijoin_rule); this
+  * installs it fleet-wide. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     e.injectOptimizerRule(_ => InListToSemiJoin)

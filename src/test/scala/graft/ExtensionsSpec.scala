@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+/** Proves the GraftExtensions entry point installs the optimizer rules
+  * for sessions built through Spark's public extension mechanism.
+  * Extensions apply at session construction, so this builds a NEW
+  * session on the shared context via `withExtensions`. (The
+  * `spark.sql.extensions` conf form is equivalent but static — it only
+  * takes effect when the SparkContext itself is created with it, which
+  * a shared-context test can't exercise.) */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions installs InListToSemiJoin for extension-built sessions") {
+    val base = spark // force the shared context into existence first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 =
+      try SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    assert(s2 ne base, "extensions need a freshly-constructed session")
+
+    val ids = (0 until 200).map(i => java.lang.Long.valueOf(i * 3L))
+    val q = Tables.load(s2, sf0001, "orders")
+      .where(col("o_orderkey").isin(ids: _*)).select("o_orderkey")
+    assert(q.queryExecution.optimizedPlan.exists {
+      case j: Join => j.joinType.sql == "LEFT SEMI"
+      case _ => false
+    }, "the injected rule must rewrite big IN-lists in extension sessions")
+
+    // identical results to the same filter on the un-extended session
+    val a = q.collect().map(_.getLong(0)).sorted.toSeq
+    val b = Tables.load(base, sf0001, "orders")
+      .where(col("o_orderkey").isin(ids: _*)).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}

@@ -188,6 +188,19 @@ class IndexStoreSpec extends SparkSpec {
       s"expected matches in both the built and appended halves, got $matchedPar")
   }
 
+  test("appendIvfIndex: probes see appended vectors, equal to the inline pipeline") {
+    val inc = "graft_spec_ivf_inc"
+    Seq(s"${inc}_lists", s"${inc}_centroids").foreach(dropTable)
+    IndexStore.buildIvfIndex(corpusVecs.where(col("vec_id") % 2 === 0),
+      ivfCentroids, inc, s"$idxPath/$inc")
+    IndexStore.appendIvfIndex(spark, corpusVecs.where(col("vec_id") % 2 === 1), inc)
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val incremental = IndexStore.probeIvf(spark, queries, inc, k = 5, nprobe = 3)
+    val fresh = IvfIndex.topK(corpusVecs, queries, ivfCentroids, k = 5, nprobe = 3)
+    assertSameRows(incremental, fresh,
+      "incrementally-appended IVF lists must probe like the inline pipeline")
+  }
+
   test("compactTable: one file per bucket, probe parity, bucketed scan survives") {
     val cmp = "graft_spec_mh_cmp"
     Seq(s"${cmp}_bands", s"${cmp}_shingles").foreach(dropTable)
