@@ -25,8 +25,10 @@ object StreamingIndexIngest {
     val srcDir = s"$workDir/docs_src"
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    // several files so the stream sees >1 micro-batch; fresh index per run
-    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // two files so the stream sees >1 micro-batch (each batch pays two
+    // bucketed table writes — more batches add cost, not coverage);
+    // fresh index per run
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
     Seq(s"${table}_bands", s"${table}_shingles").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
