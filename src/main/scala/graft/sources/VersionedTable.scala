@@ -72,4 +72,20 @@ object VersionedTable {
       throw new IllegalStateException(s"no committed version under $base"))
     spark.read.parquet(s"$base/v$v")
   }
+
+  /** Deletes version directories strictly older than committed − `keep`
+    * and returns the deleted version numbers. Never touches the
+    * committed version, the `keep` retained predecessors (in-flight
+    * readers may still hold them), or anything NEWER than the pointer
+    * (a staged, not-yet-committed attempt). Safe to run any time after
+    * a commit; a no-op when nothing was ever committed. */
+  def vacuum(base: String, keep: Int = 1): Seq[Int] = currentVersion(base)
+    .map { committed =>
+      val dirs = Option(new File(base).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      val stale = dirs.filter(_.getName.drop(1).toInt < committed - keep)
+      stale.foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d))
+      stale.map(_.getName.drop(1).toInt).toSeq.sorted
+    }.getOrElse(Seq.empty)
 }

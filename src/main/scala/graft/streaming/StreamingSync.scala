@@ -96,7 +96,9 @@ object StreamingSync {
     try q.processAllAvailable() finally q.stop()
     require(VersionedTable.currentVersion(tgtBase).nonEmpty,
       "stream produced no batches")
-    // superseded version directories would be vacuumed here in production
+    // retention: drop superseded versions, keeping one predecessor for
+    // in-flight readers
+    VersionedTable.vacuum(tgtBase, keep = 1)
     VersionedTable.read(spark, tgtBase)
   }
 }

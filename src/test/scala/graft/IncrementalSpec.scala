@@ -112,4 +112,21 @@ class IncrementalSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(base).contains(2))
     assert(VersionedTable.read(spark, base).count() == 4)
   }
+
+  test("vacuum keeps the committed version, retained predecessors, and staged attempts") {
+    import graft.sources.VersionedTable
+    val base = "/tmp/graft_vacuum_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    (1 to 3).foreach(v => VersionedTable.write(target, base, v)) // committed = 3
+    VersionedTable.stage(target, base, 4) // in-flight attempt, NOT committed
+
+    assert(VersionedTable.vacuum(base, keep = 1) == Seq(1),
+      "only versions older than committed - keep are deleted")
+    assert(new java.io.File(s"$base/v2").exists(), "retained predecessor survives")
+    assert(new java.io.File(s"$base/v4").exists(), "staged attempt survives")
+    assert(VersionedTable.read(spark, base).count() == 3, "reads stay on committed")
+
+    assert(VersionedTable.vacuum(base, keep = 0) == Seq(2))
+    assert(VersionedTable.vacuum(base, keep = 0).isEmpty, "idempotent")
+  }
 }
