@@ -110,6 +110,41 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the SMJ)") {
+    // the automatic complement to ext_salted_join's manual salting: one
+    // hot key dominates the left side; with skew thresholds sized to the
+    // fixture, AQE's OptimizeSkewedJoin splits the hot partition instead
+    // of letting one task straggle
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.shuffle.partitions" -> "4")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(220000).select(
+        when(col("id") < 200000, 0L).otherwise(col("id") % 20000).as("k"),
+        concat(lit("padpadpadpadpadpad-"), col("id")).as("pad"))
+      val right = spark.range(20000).toDF("k")
+      // keep the wide pad column through the join so the hot partition's
+      // shuffle bytes actually exceed the skew threshold
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 220000) // also finalizes the AQE plan
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition in:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
