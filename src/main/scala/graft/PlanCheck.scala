@@ -11,7 +11,9 @@ object PlanCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("s1_scan_pruned_filtered", "j1_semi_join_count",
-        "s8_point_lookup_batch", "e2e_incremental_agg", "j4_merge_upsert")
+        "s8_point_lookup_batch", "e2e_incremental_agg", "j4_merge_upsert",
+        "ext_bloom_join_prune", "ext_minhash_persisted", "ext_hash_sample",
+        "ext_curation_pipeline")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
