@@ -36,8 +36,27 @@ object Similarity {
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos_raw)
     * rows per query by descending similarity (neighbor id breaks ties),
     * keep k, round the reported score. One definition so every ANN
-    * variant (brute, blocked, SRP, IVF) ranks identically. */
-  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * variant (brute, blocked, SRP, IVF) ranks identically.
+    *
+    * Implemented with the mergeable bounded-heap aggregator
+    * ([[VectorAgg.TopK]]): map-side partials keep k rows per query per
+    * partition, so the ranking shuffle carries ~k·partitions rows per
+    * query instead of every scored candidate — the windowed form
+    * ([[rankTopKWindow]]) shuffles and sorts the full candidate set.
+    * Both produce identical rows (asserted in SimilaritySpec); every
+    * ANN oracle hash-matches through this path. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(VectorAgg.topK(col("neighbor_id"), col("cos_raw"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cos_raw"), 6).as("cos_sim"))
+
+  /** The windowed formulation of [[rankTopK]] — the oracle-shaped
+    * kernel (row_number over a per-query sort). Kept as the parity
+    * reference; the aggregator path is the scale path. */
+  def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -41,4 +41,45 @@ object VectorAgg {
     udaf(new Centroid(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
       .apply(vec)
+
+  /** One scored ANN candidate. */
+  final case class Scored(neighbor_id: Long, cos_raw: Double)
+
+  /** Bounded top-k by (cos_raw desc, neighbor_id asc) — the mergeable
+    * form of per-group ranking. A `Window.orderBy + row_number` top-k
+    * sorts and shuffles EVERY scored candidate of a group to one place;
+    * this aggregator keeps only k rows per group in each partition
+    * (map-side partial), so the shuffle carries ≤ k·partitions rows per
+    * group instead of the full candidate set — at ANN scale (candidates
+    * = probes × probed-list sizes) that is the difference between
+    * shuffling k rows and shuffling the corpus. The buffer stays sorted;
+    * most candidates fail the cheap beats-the-worst check and never
+    * touch it. */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def best(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.cos_raw, s.neighbor_id)).take(k)
+    override def zero: Seq[Scored] = Seq.empty
+    override def reduce(b: Seq[Scored], v: Scored): Seq[Scored] =
+      if (b.length < k) best(v +: b)
+      else {
+        val w = b.last // buffer invariant: sorted best-first
+        if (v.cos_raw > w.cos_raw ||
+          (v.cos_raw == w.cos_raw && v.neighbor_id < w.neighbor_id))
+          best(v +: b.init)
+        else b
+      }
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      best(a ++ b)
+    override def finish(b: Seq[Scored]): Seq[Scored] = best(b)
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form: top-k (neighbor_id, cos_raw) pairs of a group. */
+  def topK(neighborId: Column, cosRaw: Column, k: Int): Column =
+    udaf(new TopK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+      .apply(neighborId, cosRaw)
 }

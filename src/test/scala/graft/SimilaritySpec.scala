@@ -70,4 +70,26 @@ class SimilaritySpec extends SparkSpec {
     val found = collected.map(p => (p._1, p._2)).toSet
     assert(expected.subsetOf(found))
   }
+
+  test("bounded-heap topK aggregator ranks identically to the window kernel") {
+    val queries = corpus.where($"vec_id" < 8)
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")), col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        Similarity.cosine(col("q.vec"), col("c.vec")).as("cos_raw"))
+    val agg = Similarity.rankTopK(scored, k = 7)
+    val win = Similarity.rankTopKWindow(scored, k = 7)
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "aggregator and window top-k must agree row-for-row, ranks included")
+    assert(agg.count() == win.count())
+  }
+
+  test("topK aggregator tiebreak: equal scores keep the lower neighbor id") {
+    val scored = Seq(
+      (1L, 10L, 0.5), (1L, 3L, 0.5), (1L, 7L, 0.5), (1L, 5L, 0.9))
+      .toDF("query_id", "neighbor_id", "cos_raw")
+    val top = Similarity.rankTopK(scored, k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(top == Seq((1L, 1, 5L, 0.9), (1L, 2, 3L, 0.5), (1L, 3, 7L, 0.5)))
+  }
 }
