@@ -59,6 +59,53 @@ class PropertySpec extends SparkSpec {
     assert(vals.subsetOf(Set(0, 1)))
   }
 
+  test("reproject: forward/inverse roundtrip within 1e-9 deg over random coordinates") {
+    import graft.functions.Reproject
+    val coordGen = for {
+      lon <- Gen.choose(-179.9, 179.9)
+      lat <- Gen.choose(-85.0, 85.0) // Web-Mercator domain
+    } yield (lon, lat)
+    val pts = (0 until 300).flatMap(i =>
+      coordGen.apply(Gen.Parameters.default, Seed(1000L + i))).toDF("lon", "lat")
+    val (mx, my) = Reproject.project(col("lon"), col("lat"), 4326, 3857)
+    val (rlon, rlat) = Reproject.project(mx, my, 3857, 4326)
+    val bad = pts.where(
+      abs(rlon - col("lon")) > 1e-9 || abs(rlat - col("lat")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("topK aggregator equals the window kernel over random scored rows") {
+    import graft.operators.Similarity
+    val rowGen = for {
+      q <- Gen.choose(0L, 5L)
+      n <- Gen.choose(0L, 400L)
+      c <- Gen.choose(-1.0, 1.0)
+    } yield (q, n, c)
+    val scored = (0 until 600)
+      .flatMap(i => rowGen.apply(Gen.Parameters.default, Seed(2000L + i)))
+      .distinct // duplicate (q, n) pairs would make ranking ill-defined
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("query_id", "neighbor_id", "cos_raw")
+      .repartition(5)
+    val agg = Similarity.rankTopK(scored, k = 4)
+    val win = Similarity.rankTopKWindow(scored, k = 4)
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
+  test("hash sample: deterministic membership, no stratum left unsampled badly") {
+    // md5-prefix membership is a pure function of the key: repeated runs
+    // select the identical subset
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey" * 8 + $"l_linenumber" as "key")
+    def sample() = li.where(
+      substring(md5($"key".cast("string").cast("binary")), 1, 2) <= "0c")
+      .as[Long].collect().toSet
+    val s1 = sample(); val s2 = sample()
+    assert(s1 == s2 && s1.nonEmpty)
+    val rate = s1.size.toDouble / li.count()
+    assert(rate > 0.02 && rate < 0.09, s"~5% expected, got $rate")
+  }
+
   test("watermark monotonicity: delta of a merge never lowers the watermark") {
     import graft.operators.Incremental
     val base = Tables.load(spark, sf0001, "orders")
