@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Imperative cosine-similarity core, bit-identical to the
+  * aggregate∘zip_with formulation in [[graft.operators.Similarity]]:
+  * each of the three accumulators (a·b, a·a, b·b) is its own strict
+  * left-to-right double sum — the same addition order as three separate
+  * folds — and the final `dot / (sqrt·sqrt)` is the same expression, so
+  * results (including the DuckDB-oracle-matched ones) do not move by a
+  * single ulp. Mirrors zip_with's null semantics: unequal lengths or a
+  * null element yield null.
+  *
+  * Built as a native expression because Spark's higher-order functions
+  * (ArrayAggregate/ZipWith) are CodegenFallback — interpreted per row,
+  * with per-element closure dispatch — which puts an interpreter in the
+  * innermost loop of every ANN operator. This loop stays inside
+  * whole-stage codegen. Same preference order as MinHashSignature.
+  */
+object CosineUtil {
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dab = 0.0
+    var daa = 0.0
+    var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dab += x * y
+      daa += x * x
+      dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+}
+
+/** cosine_sim(array<double>, array<double>) → double, with codegen. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // null for non-null inputs is possible (length mismatch, null element)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs two array<double>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.CosineUtil.cosine($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object Cosine {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -21,8 +21,18 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity dot/(|a|·|b|), same fold shape as the oracle. */
+  /** Cosine similarity dot/(|a|·|b|), same fold shape as the oracle.
+    * Delegates to the native codegen'd [[graft.functions.CosineSim]]
+    * expression — Spark's higher-order functions are CodegenFallback
+    * (interpreted per row), which would put an interpreter in the
+    * innermost ANN loop. Bit-identical to [[cosineFold]] (asserted in
+    * SimilaritySpec); every ANN oracle hash-matches through it. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.Cosine.cosineSim(a, b)
+
+  /** The expression-tree formulation of [[cosine]] — the oracle-shaped
+    * parity reference (three explicit sequential folds). */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Coarse partitioning key: sign bits of the first `dims` components

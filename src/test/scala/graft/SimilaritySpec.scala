@@ -71,6 +71,28 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(found))
   }
 
+  test("native cosine_sim is bit-identical to the fold formulation") {
+    val pairs = corpus.alias("a").join(corpus.alias("b"),
+        col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 40)
+      .select(col("a.vec").as("va"), col("b.vec").as("vb"))
+    // EqualTo treats NaN = NaN as true in Spark, so a plain inequality
+    // filter catches any ulp-level divergence including NaN mismatches
+    val diverged = pairs.where(
+      Similarity.cosine($"va", $"vb") =!=
+        Similarity.cosineFold($"va", $"vb"))
+    assert(diverged.count() == 0, "native expression must not move a single ulp")
+  }
+
+  test("cosine_sim null semantics mirror zip_with: length mismatch → null") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out(0).isEmpty, "unequal lengths must yield null, like zip_with+aggregate")
+    assert(out(1).nonEmpty)
+  }
+
   test("bounded-heap topK aggregator ranks identically to the window kernel") {
     val queries = corpus.where($"vec_id" < 8)
     val scored = corpus.alias("c")
