@@ -14,8 +14,18 @@ import graft.functions.SimHash
 object Dedup {
 
   /** Word n-gram shingles of the lowercased text; documents shorter than
-    * `n` tokens collapse to a single whole-text shingle. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+    * `n` tokens collapse to a single whole-text shingle. Tokenization is
+    * the codegen'd built-in split; the window construction is the native
+    * [[graft.functions.NgramShingles]] expression (the transform/slice/
+    * concat_ws tree it replaces is CodegenFallback — interpreted per
+    * row; parity pinned in DedupSpec). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.Shingles.ngramShingles(
+      split(trim(lower(text)), "\\s+"), n)
+
+  /** The expression-tree formulation of [[wordShingles]] — parity
+    * reference. */
+  def wordShinglesFold(text: Column, n: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

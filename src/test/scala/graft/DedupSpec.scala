@@ -80,4 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(p1 == p2)
     p1.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("native ngram shingles equal the expression-tree formulation") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+      .unionByName(Seq((90001L, ""), (90002L, "   "), (90003L, "one"),
+        (90004L, "one two"), (90005L, "a  b\tc   d"), (90006L, "Tab\there END"))
+        .toDF("doc_id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val bad = docs.select(
+          Dedup.wordShingles($"text", n).as("fast"),
+          Dedup.wordShinglesFold($"text", n).as("ref"))
+        .where($"fast" =!= $"ref")
+      assert(bad.count() == 0, s"n=$n shingle divergence")
+    }
+  }
 }
