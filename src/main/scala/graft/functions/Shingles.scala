@@ -72,3 +72,53 @@ object Shingles {
   def ngramShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramShingles(ColumnBridge.expression(toks), n))
 }
+
+/** Token-membership occurrence counter — the native form of
+  * `size(filter(toks, t -> array_contains(set, t)))`, whose ArrayFilter
+  * is CodegenFallback. langId evaluates one of these per language per
+  * row; this keeps the 4-way scoring inside whole-stage codegen with a
+  * hash-set probe per token. */
+object TokenSetUtil {
+  def countHits(toks: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** token_set_hits(array<string>) → int, with codegen. */
+case class TokenSetHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_set_hits needs array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenSetUtil.countHits(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenSetUtil.countHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+  override def prettyName: String = "token_set_hits"
+}
+
+object TokenSet {
+  def tokenSetHits(toks: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetHits(ColumnBridge.expression(toks), words))
+}

@@ -33,8 +33,16 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"))
 
   /** Hits of one language's stopword set in the token stream
-    * (occurrence count, not distinct). */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    * (occurrence count, not distinct). Native codegen'd membership
+    * counter — the `size(filter(...))` tree it replaces is
+    * CodegenFallback, and langId evaluates one per language per row
+    * (parity pinned in TextAnalysisSpec). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    TokenSet.tokenSetHits(tokens(text), words)
+
+  /** The expression-tree formulation of [[stopwordHits]] — parity
+    * reference. */
+  def stopwordHitsFold(text: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
     size(filter(tokens(text), t => array_contains(set, t)))
   }

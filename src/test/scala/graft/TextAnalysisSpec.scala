@@ -47,4 +47,17 @@ class TextAnalysisSpec extends SparkSpec {
     val c = one(fingerprintMd5(col("t")), "hello there")
     assert(a == b && a != c)
   }
+
+  test("native stopword hits equal the filter-tree formulation") {
+    val docs = Tables.load(spark, sf0001, "documents").select("text")
+      .unionByName(Seq("", "the the THE the", "el que de y", "   ", "xyzzy")
+        .toDF("text"))
+    for ((lang, ws) <- stopwords) {
+      val bad = docs.select(
+          stopwordHits($"text", ws).as("fast"),
+          stopwordHitsFold($"text", ws).as("ref"))
+        .where($"fast" =!= $"ref")
+      assert(bad.count() == 0, s"$lang stopword-hit divergence")
+    }
+  }
 }
