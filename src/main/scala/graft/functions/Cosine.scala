@@ -78,3 +78,56 @@ object Cosine {
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** array<float> → array<double> widening — the native form of
+  * `transform(c, _.cast("double"))`, whose ArrayTransform is
+  * CodegenFallback and runs once per scanned embedding row. Bit-exact:
+  * float→double widening is value-preserving in both forms. */
+object FloatsToDoublesUtil {
+  def widen(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = a.getFloat(i).toDouble
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** to_double_array(array<float>|array<double>) → array<double>. */
+case class FloatsToDoubles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def inputElem: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(DoubleType, n)
+    case other => other
+  }
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"to_double_array needs array<float|double>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any = inputElem match {
+    case DoubleType => v
+    case _ => FloatsToDoublesUtil.widen(v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    inputElem match {
+      case DoubleType => defineCodeGen(ctx, ev, c => c)
+      case _ => defineCodeGen(ctx, ev,
+        c => s"graft.functions.FloatsToDoublesUtil.widen($c)")
+    }
+  override protected def withNewChildInternal(newChild: Expression): FloatsToDoubles =
+    copy(child = newChild)
+  override def prettyName: String = "to_double_array"
+}
+
+object VectorCast {
+  def toDoubleArray(c: Column): Column =
+    ColumnBridge.column(FloatsToDoubles(ColumnBridge.expression(c)))
+}

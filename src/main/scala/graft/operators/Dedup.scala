@@ -43,13 +43,14 @@ object Dedup {
   /** LSH banding: hash `rowsPerBand`-sized slices of the signature; docs
     * sharing any band hash become candidate pairs. Returns (id_a, id_b)
     * with id_a < id_b, distinct. The join key is (band index, band hash),
-    * so the shuffle is by bucket — never all-pairs. */
+    * so the shuffle is by bucket — never all-pairs. Band hashes come
+    * from the native codegen'd BandKeys expression (band index folded
+    * into the hash; posexplode recovers the band_id). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val banded = sigs.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col(sigCol), b * lit(rowsPerBand) + lit(1),
-          lit(rowsPerBand))))))
+      posexplode(graft.functions.MinHash.bandKeys(col(sigCol), bands,
+        rowsPerBand)))
       .toDF(idCol, "band_id", "band_hash")
     banded.alias("a")
       .join(banded.alias("b"),

@@ -22,8 +22,14 @@ object IndexStore {
   /** One 64-bit key per LSH band: the band index is hashed in, so a
     * single column replaces the (band_id, band_hash) pair and the
     * bucketed join has a single equi-key. Hash collisions across bands
-    * are filtered by the exact-Jaccard verification step. */
+    * are filtered by the exact-Jaccard verification step. Native
+    * codegen'd expression; the transform/slice tree it replaces is the
+    * parity reference below (bit-identical, pinned in DedupSpec). */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.MinHash.bandKeys(sig, bands, rowsPerBand)
+
+  /** Expression-tree formulation of [[bandKeys]] — parity reference. */
+  def bandKeysFold(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1),
         lit(rowsPerBand))))

@@ -14,8 +14,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** array<float> → array<double>, the canonical compute type. */
-  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+  /** array<float> → array<double>, the canonical compute type. Native
+    * codegen'd widening (the ArrayTransform form is CodegenFallback and
+    * runs once per scanned embedding row). */
+  def toDoubleArray(c: Column): Column =
+    graft.functions.VectorCast.toDoubleArray(c)
 
   /** Sequential-fold dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =

@@ -94,4 +94,16 @@ class DedupSpec extends SparkSpec {
       assert(bad.count() == 0, s"n=$n shingle divergence")
     }
   }
+
+  test("native band keys are bit-identical to the xxhash64 expression tree") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(
+        array_distinct(Dedup.wordShingles($"text", 3)), 64).as("sig"))
+    val bad = sigs.select(
+        graft.operators.IndexStore.bandKeys($"sig", 16, 4).as("fast"),
+        graft.operators.IndexStore.bandKeysFold($"sig", 16, 4).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(bad.count() == 0, "band keys must not move a single bit")
+  }
 }

@@ -114,4 +114,13 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
     assert(top == Seq((1L, 1, 5L, 0.9), (1L, 2, 3L, 0.5), (1L, 3, 7L, 0.5)))
   }
+
+  test("native toDoubleArray equals the transform-cast over raw embeddings") {
+    val raw = Tables.load(spark, sf0001, "embeddings")
+    val bad = raw.select(
+        Similarity.toDoubleArray($"embedding").as("fast"),
+        transform($"embedding", _.cast("double")).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(bad.count() == 0)
+  }
 }
