@@ -249,6 +249,49 @@ object ExtensionQueries {
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
         .orderBy("doc_id")),
 
+    // Within-doc repetition ratio (boilerplate signal): duplicate n-gram
+    // occurrence fraction. Planted doubled-text rows must score high.
+    QueryDef("t5_repetition_ratio",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus))
+             |SELECT doc_id,
+             |  floor((CASE WHEN len(shingles) > 1
+             |         THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
+             |         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+             |FROM sh ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        d.unionAll(d.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              concat(col("text"), lit(" "), col("text")).as("text")))
+          .select(col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+          .orderBy("doc_id")
+      }),
+
+    // PII surface counts — emails and long digit runs flagged for the
+    // redaction router; counting only, values never leave the row.
+    QueryDef("t6_pii_flags",
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_digits
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.piiEmailCount(col("text")).as("n_emails"),
+          TextAnalysis.piiLongDigitCount(col("text")).as("n_long_digits"))
+        .orderBy("doc_id")),
+
     QueryDef("t4_fingerprint",
       Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),

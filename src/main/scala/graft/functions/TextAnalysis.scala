@@ -81,4 +81,26 @@ object TextAnalysis {
     * reformatting. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Within-document repetition: fraction of n-gram occurrences that are
+    * duplicates of an earlier occurrence — the boilerplate/looped-text
+    * signal of quality-filter stacks. 0 for docs shorter than one
+    * shingle window (nothing can repeat). Quantized like qualityScore. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = graft.operators.Dedup.wordShingles(text, n)
+    val total = size(sh).cast("double")
+    val distinctN = size(array_distinct(sh)).cast("double")
+    floor(when(total > 1.0, (total - distinctN) / total).otherwise(0.0)
+      * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Cheap PII surface counts (emails, long digit runs) — the flags a
+    * curation pipeline uses to route documents to redaction. Counting,
+    * not extraction: the values never leave the row. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitPattern = "[0-9]{7,}"
+  def piiEmailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern))
+  def piiLongDigitCount(text: Column): Column =
+    regexp_count(text, lit(longDigitPattern))
 }
