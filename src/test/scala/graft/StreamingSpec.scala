@@ -61,6 +61,57 @@ class StreamingSpec extends SparkSpec {
       "index built from streamed micro-batches must probe like a one-shot build")
   }
 
+  test("streaming merge resumes from its checkpoint without reprocessing old batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.sources.VersionedTable
+    import graft.operators.Incremental
+    val work = "/tmp/graft_resume_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    val stageDir = s"$work/stage"; val srcDir = s"$work/src"
+    val tgt = s"$work/tgt"; val ckpt = s"$work/ckpt" // FIXED across restarts
+    val events = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    events.repartition(4).write.parquet(stageDir)
+    val parts = new java.io.File(stageDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4)
+    Files.createDirectories(Paths.get(srcDir))
+    def feed(fs: Array[java.io.File]): Unit = fs.foreach(f =>
+      Files.copy(f.toPath, Paths.get(srcDir, f.getName),
+        StandardCopyOption.REPLACE_EXISTING))
+
+    val schema = spark.read.parquet(stageDir).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val committed = VersionedTable.currentVersion(tgt)
+          val merged = committed match {
+            case None => batch
+            case Some(v) => Incremental.merge(
+              spark.read.parquet(s"$tgt/v$v"), batch, "event_id")
+          }
+          VersionedTable.write(merged, tgt, committed.getOrElse(0) + 1)
+          (): Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    feed(parts.take(2)); runOnce()
+    val afterFirst = VersionedTable.currentVersion(tgt)
+    assert(afterFirst.contains(2), s"two micro-batches → two commits, got $afterFirst")
+
+    feed(parts.drop(2)); runOnce() // restart on the SAME checkpoint
+    assert(VersionedTable.currentVersion(tgt).contains(4),
+      "a restarted query must process only the two new files, not re-merge old ones")
+    val out = VersionedTable.read(spark, tgt)
+    assert(out.count() == events.count())
+    assert(out.join(events,
+      Seq("event_id", "user_id", "event_type", "value", "ts")).count() == events.count())
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
