@@ -334,6 +334,35 @@ object ExtensionQueries {
         .groupBy("label", "split").agg(count(lit(1)).as("n"))
         .orderBy("label", "split")),
 
+    // Balanced class cap: at most N examples per label, picked by
+    // deterministic hash order — the dataset-balancing primitive. Built
+    // on the mergeable bounded-heap TopK aggregator (score = negated
+    // md5-prefix value), so each partition forwards at most N rows per
+    // label and NO per-label window exists — a row_number-per-label cap
+    // collapses each class onto one task at warehouse scale. The oracle
+    // is exactly that window form; both pick identical rows.
+    QueryDef("ext_balanced_class_cap",
+      Some("""WITH r AS (
+             |  SELECT label, vec_id,
+             |         row_number() OVER (PARTITION BY label
+             |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+             |  FROM embeddings)
+             |SELECT label, vec_id FROM r WHERE rk <= 40
+             |ORDER BY label, vec_id""".stripMargin),
+      (s, dir) => {
+        import graft.operators.VectorAgg
+        val scoreExpr = // monotone numeric of the md5 prefix, negated:
+          // TopK keeps the LARGEST scores, we want the SMALLEST hashes
+          -expr("conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10)")
+            .cast("double")
+        load(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), scoreExpr.as("score"))
+          .groupBy("label")
+          .agg(VectorAgg.topK(col("vec_id"), col("score"), 40).as("top"))
+          .select(col("label"), explode(col("top.neighbor_id")).as("vec_id"))
+          .orderBy("label", "vec_id")
+      }),
+
     // ── Curation pipeline (composed flagship) ────────────────────────
 
     // The end-to-end training-data curation shape: language-ID +

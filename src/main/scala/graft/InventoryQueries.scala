@@ -462,9 +462,12 @@ object InventoryQueries {
         FlakyDemoSink.reset()
         val report = graft.operators.BatchedSink.writeBatched(batches,
           batchSize = 50, maxTries = 5, backoffMs = 1)(FlakyDemoSink.flush)
+        // n_sink_rows comes from the sink's own counter — accumulator
+        // totals and what actually landed must agree
         Seq((report.batches, report.rows, report.retries,
-            report.poisoned.size.toLong))
-          .toDF("n_batches", "n_rows", "n_retries", "n_poisoned")
+            report.poisoned.size.toLong, FlakyDemoSink.landedTotal))
+          .toDF("n_batches", "n_rows", "n_retries", "n_poisoned",
+            "n_sink_rows")
       }),
 
     // B1 — 1000-id chunked iteration (delete-removed-tickets.py:81-84,
@@ -515,6 +518,10 @@ object FlakyDemoSink {
   private val landedRows = new java.util.concurrent.atomic.AtomicLong()
 
   def reset(): Unit = { attempts.clear(); landedRows.set(0L) }
+
+  /** Rows the sink itself saw land — cross-checked against the
+    * accumulator totals in w4b_retry_sink's report row. */
+  def landedTotal: Long = landedRows.get()
 
   def flush(key: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
     val n = attempts.merge(key, 1, (a, b) => a + b)
