@@ -44,8 +44,8 @@ object TemporalJoins {
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
-    val unioned = l.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))): _*)
+    }.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__is_left"), col("__rv"))).toIndexedSeq: _*)
       .unionByName(rAligned)
     // right rows sort before left rows at equal ts ⇒ inclusive (≤) asof;
     // __rv as final key makes equal-ts right rows deterministic
