@@ -424,8 +424,14 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         val kept = feat.where(col("lang_pred") === "en" &&
           col("quality") >= 0.45 && col("n_ws_tokens").between(5, 1000))
-        val keepers = kept.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
-        kept.join(keepers, Seq("fingerprint", "doc_id"), "left_semi")
+        // keeper selection via a partition-only window (min per
+        // fingerprint, NO ordering — stays parallel): one shuffle and
+        // the expensive feature projection runs once, where the
+        // groupBy + self-semi-join form scans and scores twice
+        kept
+          .withColumn("keeper_id", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+          .where(col("doc_id") === col("keeper_id"))
           .select("doc_id", "lang_pred", "quality", "n_ws_tokens")
           .orderBy("doc_id")
       }),
