@@ -158,6 +158,41 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** Deletion: rewrites an index table WITHOUT the rows whose `idCol`
+    * appears in `ids` — the take-down/right-to-erasure path that
+    * completes the index lifecycle (build / append / compact / delete /
+    * probe). The id set broadcasts (deletion batches are small), the
+    * anti join preserves the bucketed scan's partitioning, and the
+    * rewrite reuses [[compactTable]]'s zero-shuffle catalog swap — so a
+    * delete is also a compaction. */
+  def deleteFromTable(spark: SparkSession, table: String, bucketCol: String,
+      idCol: String, ids: DataFrame, newPath: String,
+      nBuckets: Int = 8): Unit = {
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(autoKey)
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.conf.set(autoKey, "false")
+    try
+      spark.table(table)
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+        .write.bucketBy(nBuckets, bucketCol)
+        .option("path", newPath).mode("overwrite").saveAsTable(tmp)
+    finally spark.conf.set(autoKey, saved)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Deletes documents from a MinHash index (band + shingle tables). */
+  def deleteFromMinhashIndex(spark: SparkSession, table: String,
+      idCol: String, ids: DataFrame, newPathBase: String,
+      nBuckets: Int = 8): Unit = {
+    deleteFromTable(spark, s"${table}_bands", "band_key", idCol, ids,
+      s"$newPathBase/${table}_bands_d", nBuckets)
+    deleteFromTable(spark, s"${table}_shingles", idCol, idCol, ids,
+      s"$newPathBase/${table}_shingles_d", nBuckets)
+  }
+
   /** Builds the IVF index: inverted lists (corpus rows + cluster_id)
     * bucketed by cluster_id, plus the small centroid table. */
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, table: String,

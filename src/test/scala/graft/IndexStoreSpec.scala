@@ -237,6 +237,29 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromMinhashIndex: erased docs stop matching; the rest are untouched") {
+    import spark.implicits._
+    val del = "graft_spec_mh_del"
+    Seq(s"${del}_bands", s"${del}_shingles").foreach(dropTable)
+    Seq(s"${del}_bands__compacting", s"${del}_shingles__compacting")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", del, s"$idxPath/$del")
+    val before = IndexStore.probeMinhash(spark, probes, "doc_id", "text", del)
+      .collect().toSeq
+    assert(before.nonEmpty)
+    // erase half the matched corpus docs
+    val erased = before.map(_.getLong(1)).distinct.sorted.take(before.size / 2)
+    IndexStore.deleteFromMinhashIndex(spark, del, "doc_id",
+      erased.toDF("doc_id"), s"$idxPath/$del")
+    val after = IndexStore.probeMinhash(spark, probes, "doc_id", "text", del)
+      .collect().toSeq
+    val erasedSet = erased.toSet
+    assert(after.forall(r => !erasedSet.contains(r.getLong(1))),
+      "erased docs must never surface from a probe again")
+    assert(after.toSet == before.filterNot(r => erasedSet.contains(r.getLong(1))).toSet,
+      "unerased matches must be untouched")
+  }
+
   // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {
