@@ -400,6 +400,49 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Six-table star join (TPC-H Q5 shape) — the canonical OLAP pattern:
+    // fact table joined through a broadcast-dim chain (region → nation →
+    // supplier/customer) with the local-supplier correlation
+    // (c_nationkey = s_nationkey), selective filters pushed to the
+    // scans, and an exact integer-cents revenue sum (per-row floor
+    // quantization makes the aggregate order-independent, so it is
+    // reproducible across engines AND across partition schedules —
+    // summing raw doubles is neither). Catalyst plans the dims as
+    // broadcast joins; only fact-side joins shuffle.
+    QueryDef("ext_star_join",
+      Some("""SELECT n_name,
+             |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => load(s, dir, "lineitem")
+        .join(load(s, dir, "orders")
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, dir, "region"))
+          .where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
     // Skew-mitigated salted join: results must equal the plain join.
     QueryDef("ext_salted_join",
       Some("""SELECT l_orderkey, l_linenumber, o_totalprice
