@@ -110,6 +110,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("star join: dims broadcast, the fact side never shuffles before the agg") {
+    val df = SparkEntry.queries("ext_star_join")(spark, sf0001)
+    // 5 dim joins as broadcasts leave exactly the aggregation and the
+    // final sort as shuffles
+    assert(shuffleCount(df) <= 2,
+      s"fact-side join shuffle crept into:\n${df.queryExecution.executedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "all five dim joins should be broadcast at this scale")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the SMJ)") {
     // the automatic complement to ext_salted_join's manual salting: one
     // hot key dominates the left side; with skew thresholds sized to the
