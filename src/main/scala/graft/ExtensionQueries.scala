@@ -352,8 +352,11 @@ object ExtensionQueries {
       (s, dir) => {
         import graft.operators.VectorAgg
         val scoreExpr = // monotone numeric of the md5 prefix, negated:
-          // TopK keeps the LARGEST scores, we want the SMALLEST hashes
-          -expr("conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10)")
+          // TopK keeps the LARGEST scores, we want the SMALLEST hashes.
+          // 13 hex digits = 52 bits — exactly representable in a double;
+          // 15 digits (60 bits) would round in the 53-bit mantissa and
+          // collapse distinct hashes into boundary-breaking ties
+          -expr("conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10)")
             .cast("double")
         load(s, dir, "embeddings")
           .select(col("label"), col("vec_id"), scoreExpr.as("score"))

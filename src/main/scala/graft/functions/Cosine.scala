@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * folds — and the final `dot / (sqrt·sqrt)` is the same expression, so
   * results (including the DuckDB-oracle-matched ones) do not move by a
   * single ulp. Mirrors zip_with's null semantics: unequal lengths or a
-  * null element yield null.
+  * null element yield null. A zero-norm (or empty) vector also yields
+  * null — the fold form's divisor is 0.0 there, which Spark's Divide
+  * maps to null (non-ANSI) or a DIVIDE_BY_ZERO error (ANSI); null is
+  * the one behavior that is safe and consistent under both modes, and
+  * "no similarity defined" is the honest answer for a zero vector.
   *
   * Built as a native expression because Spark's higher-order functions
   * (ArrayAggregate/ZipWith) are CodegenFallback — interpreted per row,
@@ -40,7 +44,8 @@ object CosineUtil {
       dbb += y * y
       i += 1
     }
-    dab / (math.sqrt(daa) * math.sqrt(dbb))
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    if (denom == 0.0) null else dab / denom
   }
 }
 

@@ -90,7 +90,10 @@ object BandKeysUtil {
       var j = b * rowsPerBand
       val end = math.min(j + rowsPerBand, sig.numElements())
       while (j < end) {
-        h = XxHash64Function.hash(sig.getLong(j), LongType, h)
+        // Spark's XxHash64 skips null array slots (hash unchanged) —
+        // mirror that so nullable signature arrays stay bit-identical
+        if (!sig.isNullAt(j))
+          h = XxHash64Function.hash(sig.getLong(j), LongType, h)
         j += 1
       }
       out(b) = h

@@ -70,8 +70,13 @@ object BatchedSink {
           } catch {
             case _: RetryableFailure if tries < maxTries =>
               nRetries.add(1)
+              // clamp the doubling exponent BEFORE shifting: an
+              // unclamped `backoffMs << tries` overflows Long past ~60
+              // tries and Thread.sleep(negative) throws from inside the
+              // retry handler
               if (backoffMs > 0)
-                Thread.sleep(math.min(backoffMs << (tries - 1), 60000L))
+                Thread.sleep(math.min(
+                  backoffMs * (1L << math.min(tries - 1, 16)), 60000L))
             case _: RetryableFailure => givenUp = true // ladder exhausted
             case NonFatal(_) => givenUp = true // unhandled → no retry
           }

@@ -143,14 +143,30 @@ object IndexStore {
     * in IndexStoreSpec). The superseded directory is left for the caller
     * to vacuum, mirroring VersionedTable's stance. */
   def compactTable(spark: SparkSession, table: String, bucketCol: String,
-      newPath: String, nBuckets: Int = 8): Unit = {
+      newPath: String, nBuckets: Int = 8): Unit =
+    rewriteInPlace(spark, table, bucketCol, newPath, nBuckets)(identity)
+
+  /** Shared rewrite choreography for [[compactTable]] and
+    * [[deleteFromTable]]: self-heal an interrupted prior swap, rewrite
+    * through `transform` with the bucketed scan forced on (zero
+    * shuffle), then swap the catalog entry. The drop→rename swap is two
+    * catalog statements, not one atomic one — a crash exactly between
+    * them leaves only the `__compacting` table, which the self-heal
+    * rename repairs on the next maintenance call; data files are never
+    * at risk (both directories persist). A production metastore would
+    * take a table lock or swap a view here. */
+  private def rewriteInPlace(spark: SparkSession, table: String,
+      bucketCol: String, newPath: String, nBuckets: Int)
+      (transform: DataFrame => DataFrame): Unit = {
+    val tmp = s"${table}__compacting"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // heal a torn swap
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = spark.conf.get(autoKey)
-    val tmp = s"${table}__compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.conf.set(autoKey, "false")
     try
-      spark.table(table)
+      transform(spark.table(table))
         .write.bucketBy(nBuckets, bucketCol)
         .option("path", newPath).mode("overwrite").saveAsTable(tmp)
     finally spark.conf.set(autoKey, saved)
@@ -167,21 +183,9 @@ object IndexStore {
     * delete is also a compaction. */
   def deleteFromTable(spark: SparkSession, table: String, bucketCol: String,
       idCol: String, ids: DataFrame, newPath: String,
-      nBuckets: Int = 8): Unit = {
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val saved = spark.conf.get(autoKey)
-    val tmp = s"${table}__compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.conf.set(autoKey, "false")
-    try
-      spark.table(table)
-        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
-        .write.bucketBy(nBuckets, bucketCol)
-        .option("path", newPath).mode("overwrite").saveAsTable(tmp)
-    finally spark.conf.set(autoKey, saved)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-  }
+      nBuckets: Int = 8): Unit =
+    rewriteInPlace(spark, table, bucketCol, newPath, nBuckets)(
+      _.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
 
   /** Deletes documents from a MinHash index (band + shingle tables). */
   def deleteFromMinhashIndex(spark: SparkSession, table: String,

@@ -57,9 +57,16 @@ object Similarity {
     * query instead of every scored candidate — the windowed form
     * ([[rankTopKWindow]]) shuffles and sorts the full candidate set.
     * Both produce identical rows (asserted in SimilaritySpec); every
-    * ANN oracle hash-matches through this path. */
+    * ANN oracle hash-matches through this path.
+    *
+    * Null-scored candidates (cosine of a zero-norm or malformed vector
+    * is null by design) are dropped before ranking — they carry no
+    * similarity information; the window form would only ever surface
+    * them when a query has fewer than k real candidates. */
   def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    scored
+      .where(col("cos_raw").isNotNull && col("neighbor_id").isNotNull)
+      .groupBy("query_id")
       .agg(VectorAgg.topK(col("neighbor_id"), col("cos_raw"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),

@@ -56,18 +56,22 @@ object VectorAgg {
     * most candidates fail the cheap beats-the-worst check and never
     * touch it. */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def best(xs: Seq[Scored]): Seq[Scored] =
-      xs.sortBy(s => (-s.cos_raw, s.neighbor_id)).take(k)
+    // Explicit comparator so NaN ordering matches Spark SQL's window
+    // ordering exactly: java.lang.Double.compare treats NaN as the
+    // largest double, i.e. NaN ranks FIRST under desc — Scala's default
+    // tuple sortBy on a negated key would put it last instead.
+    private val ord: Ordering[Scored] = (x: Scored, y: Scored) => {
+      val c = java.lang.Double.compare(y.cos_raw, x.cos_raw) // desc
+      if (c != 0) c else java.lang.Long.compare(x.neighbor_id, y.neighbor_id)
+    }
+    private def best(xs: Seq[Scored]): Seq[Scored] = xs.sorted(ord).take(k)
     override def zero: Seq[Scored] = Seq.empty
     override def reduce(b: Seq[Scored], v: Scored): Seq[Scored] =
       if (b.length < k) best(v +: b)
-      else {
-        val w = b.last // buffer invariant: sorted best-first
-        if (v.cos_raw > w.cos_raw ||
-          (v.cos_raw == w.cos_raw && v.neighbor_id < w.neighbor_id))
-          best(v +: b.init)
-        else b
-      }
+      // buffer invariant: sorted best-first; ord (not IEEE >) so a NaN
+      // worst element cannot block better candidates
+      else if (ord.compare(v, b.last) < 0) best(v +: b.init)
+      else b
     override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
       best(a ++ b)
     override def finish(b: Seq[Scored]): Seq[Scored] = best(b)

@@ -75,12 +75,44 @@ class SimilaritySpec extends SparkSpec {
     val pairs = corpus.alias("a").join(corpus.alias("b"),
         col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 40)
       .select(col("a.vec").as("va"), col("b.vec").as("vb"))
-    // EqualTo treats NaN = NaN as true in Spark, so a plain inequality
-    // filter catches any ulp-level divergence including NaN mismatches
+    // null-safe inequality: a plain =!= returns NULL (row dropped) when
+    // either side is null, which would hide a null-vs-value divergence
     val diverged = pairs.where(
-      Similarity.cosine($"va", $"vb") =!=
-        Similarity.cosineFold($"va", $"vb"))
+      !(Similarity.cosine($"va", $"vb") <=>
+        Similarity.cosineFold($"va", $"vb")))
     assert(diverged.count() == 0, "native expression must not move a single ulp")
+  }
+
+  test("cosine_sim of a zero-norm vector is null, not NaN") {
+    // the fold's divisor is 0.0 there — null in non-ANSI Spark, an error
+    // in ANSI; null is the only mode-independent answer
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)), (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("rankTopK drops null-scored candidates instead of crashing") {
+    val scored = Seq((1L, Option(10L), Option(0.9)), (1L, Option(11L), None),
+        (1L, Option(12L), Option(0.5)))
+      .toDF("query_id", "neighbor_id", "cos_raw")
+    val out = Similarity.rankTopK(scored, k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1, 10L, 0.9), (1L, 2, 12L, 0.5)))
+  }
+
+  test("topK aggregator ranks NaN first, like Spark's desc window ordering") {
+    val scored = Seq((1L, 7L, Double.NaN), (1L, 3L, 0.9), (1L, 5L, 0.8),
+        (1L, 9L, 0.7))
+      .toDF("query_id", "neighbor_id", "cos_raw")
+    val agg = Similarity.rankTopK(scored, k = 3)
+      .orderBy("rank").select("rank", "neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    val win = Similarity.rankTopKWindow(scored, k = 3)
+      .orderBy("rank").select("rank", "neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(agg == win, s"agg=$agg win=$win")
+    assert(agg.head == ((1, 7L)), "NaN is the largest double in SQL ordering")
   }
 
   test("cosine_sim null semantics mirror zip_with: length mismatch → null") {
