@@ -237,6 +237,26 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a swap interrupted between drop and rename self-heals on the next call") {
+    val heal = "graft_spec_mh_heal"
+    Seq(s"${heal}_bands", s"${heal}_shingles").foreach(dropTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${heal}_bands__compacting")
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", heal, s"$idxPath/$heal")
+    val before = IndexStore.probeMinhash(spark, probes, "doc_id", "text", heal)
+      .collect().toSet
+    // simulate the crash window: the compacted table exists under the
+    // temp name, the real name was dropped, the rename never ran
+    spark.sql(s"ALTER TABLE ${heal}_bands RENAME TO ${heal}_bands__compacting")
+    assert(!spark.catalog.tableExists(s"${heal}_bands"))
+    // the next maintenance call heals the torn swap before rewriting
+    IndexStore.compactTable(spark, s"${heal}_bands", "band_key",
+      s"$idxPath/$heal/heal_bands")
+    assert(spark.catalog.tableExists(s"${heal}_bands"))
+    val after = IndexStore.probeMinhash(spark, probes, "doc_id", "text", heal)
+      .collect().toSet
+    assert(after == before, "healed index must probe identically")
+  }
+
   test("deleteFromMinhashIndex: erased docs stop matching; the rest are untouched") {
     import spark.implicits._
     val del = "graft_spec_mh_del"
