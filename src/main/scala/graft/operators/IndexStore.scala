@@ -146,21 +146,49 @@ object IndexStore {
       newPath: String, nBuckets: Int = 8): Unit =
     rewriteInPlace(spark, table, bucketCol, newPath, nBuckets)(identity)
 
+  /** Recovers a swap that crashed between DROP and RENAME: the
+    * completed rewrite exists only under the `__compacting` name (a
+    * catalog entry for the tmp table implies its CTAS finished — a
+    * crash mid-write leaves no entry). Returns true if a rename was
+    * performed. EXPLICIT by design: an orphaned tmp next to a missing
+    * table can also mean the table was deliberately dropped later, and
+    * silently resurrecting old data — e.g. rows removed via the erasure
+    * path — is worse than asking the operator to decide. */
+  def recoverTornSwap(spark: SparkSession, table: String): Boolean = {
+    val tmp = s"${table}__compacting"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      true
+    } else false
+  }
+
+  private def canonical(p: String): String =
+    new java.io.File(p).getCanonicalPath
+
   /** Shared rewrite choreography for [[compactTable]] and
-    * [[deleteFromTable]]: self-heal an interrupted prior swap, rewrite
-    * through `transform` with the bucketed scan forced on (zero
-    * shuffle), then swap the catalog entry. The drop→rename swap is two
-    * catalog statements, not one atomic one — a crash exactly between
-    * them leaves only the `__compacting` table, which the self-heal
-    * rename repairs on the next maintenance call; data files are never
-    * at risk (both directories persist). A production metastore would
-    * take a table lock or swap a view here. */
+    * [[deleteFromTable]]: rewrite through `transform` with the bucketed
+    * scan forced on (zero shuffle), then swap the catalog entry. The
+    * drop→rename swap is two catalog statements, not one atomic one — a
+    * crash exactly between them leaves only the `__compacting` table;
+    * [[recoverTornSwap]] repairs that (this method refuses to guess and
+    * fails with instructions instead). If `newPath` is the table's
+    * CURRENT location — e.g. a retry after recovery reusing the same
+    * arguments — the rewrite lands at `${newPath}_alt` so the job never
+    * overwrites the directory it is reading. A production metastore
+    * would take a table lock or swap a view here. */
   private def rewriteInPlace(spark: SparkSession, table: String,
       bucketCol: String, newPath: String, nBuckets: Int)
       (transform: DataFrame => DataFrame): Unit = {
     val tmp = s"${table}__compacting"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // heal a torn swap
+      throw new IllegalStateException(
+        s"interrupted swap detected for $table: the completed rewrite is " +
+          s"catalogued as $tmp; run IndexStore.recoverTornSwap and retry")
+    val currentLoc = canonical(new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location).getPath)
+    val target = if (canonical(newPath) == currentLoc) s"${newPath}_alt"
+      else newPath
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = spark.conf.get(autoKey)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -168,7 +196,7 @@ object IndexStore {
     try
       transform(spark.table(table))
         .write.bucketBy(nBuckets, bucketCol)
-        .option("path", newPath).mode("overwrite").saveAsTable(tmp)
+        .option("path", target).mode("overwrite").saveAsTable(tmp)
     finally spark.conf.set(autoKey, saved)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

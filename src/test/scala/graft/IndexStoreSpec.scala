@@ -237,7 +237,7 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("a swap interrupted between drop and rename self-heals on the next call") {
+  test("a torn swap fails loud, recovers explicitly, and a same-path retry is safe") {
     val heal = "graft_spec_mh_heal"
     Seq(s"${heal}_bands", s"${heal}_shingles").foreach(dropTable)
     spark.sql(s"DROP TABLE IF EXISTS ${heal}_bands__compacting")
@@ -248,13 +248,24 @@ class IndexStoreSpec extends SparkSpec {
     // temp name, the real name was dropped, the rename never ran
     spark.sql(s"ALTER TABLE ${heal}_bands RENAME TO ${heal}_bands__compacting")
     assert(!spark.catalog.tableExists(s"${heal}_bands"))
-    // the next maintenance call heals the torn swap before rewriting
-    IndexStore.compactTable(spark, s"${heal}_bands", "band_key",
-      s"$idxPath/$heal/heal_bands")
+    // maintenance refuses to guess (an orphaned tmp could also be stale
+    // leftovers next to a deliberately-dropped table)…
+    val e = intercept[IllegalStateException] {
+      IndexStore.compactTable(spark, s"${heal}_bands", "band_key",
+        s"$idxPath/$heal/heal_bands")
+    }
+    assert(e.getMessage.contains("recoverTornSwap"))
+    // …the operator recovers explicitly, and the retry may even reuse
+    // the CURRENT location — the rewrite must land elsewhere rather
+    // than overwrite the directory it reads
+    assert(IndexStore.recoverTornSwap(spark, s"${heal}_bands"))
+    assert(!IndexStore.recoverTornSwap(spark, s"${heal}_bands"), "idempotent")
+    val currentLoc = s"$idxPath/$heal/${heal}_bands"
+    IndexStore.compactTable(spark, s"${heal}_bands", "band_key", currentLoc)
     assert(spark.catalog.tableExists(s"${heal}_bands"))
     val after = IndexStore.probeMinhash(spark, probes, "doc_id", "text", heal)
       .collect().toSet
-    assert(after == before, "healed index must probe identically")
+    assert(after == before, "recovered + compacted index must probe identically")
   }
 
   test("deleteFromMinhashIndex: erased docs stop matching; the rest are untouched") {
