@@ -300,6 +300,66 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Near-dup CLUSTERING: pairs → connected components → one keeper
+    // per cluster. Pairwise dedup alone double- or under-drops through
+    // chains (a~b, b~c); the component step is what real dedup ships.
+    // The pair kernel here is the SQL-expressible exact-Jaccard one
+    // (planted near-dups over a bounded id range) so DuckDB can verify
+    // the clustering itself via a recursive min-label CTE.
+    QueryDef("ext_dedup_clusters",
+      Some("""WITH RECURSIVE
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
+             |  WHERE doc_id < 50 AND doc_id % 5 = 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |        >= 0.6),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT src AS id, src AS label FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+             |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+             |SELECT component AS keeper_id, count(*) AS cluster_size
+             |FROM comp GROUP BY 1 ORDER BY keeper_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").where(col("doc_id") < 50)
+          .select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft tail")).as("text")))
+        val sh = corpus.select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
+        val pairs = sh.alias("a")
+          .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+          .where(Dedup.jaccard(col("a.shingles"), col("b.shingles")) >= 0.6)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        graft.operators.Components.dedupClusters(pairs)
+          .orderBy("keeper_id")
+      }),
+
+    // The production composition of the same step: MinHash+LSH pairs
+    // (not SQL-expressible → rows-only) clustered into keeper groups.
+    QueryDef("ext_neardup_dedup_e2e", None,
+      (s, dir) => graft.operators.Components.dedupClusters(
+          Dedup.minhashNearDupPairs(docsWithNearDups(s, dir),
+            "doc_id", "text", threshold = 0.8))
+        .orderBy("keeper_id")),
+
     // ── Sampling & splits ────────────────────────────────────────────
 
     // Deterministic hash sampling (~5%: first md5 byte ≤ 0x0c). The

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, cliques, and isolated pairs resolve to min-id components") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("a long chain converges (diameter > a couple of hops)") {
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(0L), "every vertex joins component 0")
+    assert(got.keySet == (0L to 12L).toSet)
+  }
+
+  test("edge direction does not matter") {
+    assert(cc(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("dedupClusters: one keeper per cluster with the right size") {
+    val clusters = Components.dedupClusters(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 3L, 10L -> 2L))
+  }
+}
