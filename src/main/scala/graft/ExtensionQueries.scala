@@ -27,9 +27,12 @@ object ExtensionQueries {
         concat(lit(" "), col("text"), lit("  ")).as("text")))
   }
 
-  /** documents ∪ near-dup copies of every 5th doc (two appended tokens). */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents").select("doc_id", "text")
+  /** documents ∪ near-dup copies of every 5th doc (two appended
+    * tokens); `maxId` bounds the base corpus for all-pairs kernels. */
+  private def docsWithNearDups(s: SparkSession, dir: String,
+      maxId: Option[Long] = None): DataFrame = {
+    val base = load(s, dir, "documents").select("doc_id", "text")
+    val d = maxId.fold(base)(m => base.where(col("doc_id") < m))
     d.unionAll(d.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graft tail")).as("text")))
@@ -337,11 +340,7 @@ object ExtensionQueries {
              |SELECT component AS keeper_id, count(*) AS cluster_size
              |FROM comp GROUP BY 1 ORDER BY keeper_id""".stripMargin),
       (s, dir) => {
-        val d = load(s, dir, "documents").where(col("doc_id") < 50)
-          .select("doc_id", "text")
-        val corpus = d.unionAll(d.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" graft tail")).as("text")))
+        val corpus = docsWithNearDups(s, dir, maxId = Some(50L))
         val sh = corpus.select(col("doc_id"),
           array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
         val pairs = sh.alias("a")

@@ -162,8 +162,20 @@ object IndexStore {
     } else false
   }
 
-  private def canonical(p: String): String =
-    new java.io.File(p).getCanonicalPath
+  /** Canonical form for location comparison, scheme-aware: local paths
+    * canonicalize through the filesystem (resolving `.`/`..`/links);
+    * remote URIs (hdfs://, s3a://, …) compare as normalized strings —
+    * java.io.File would throw on any non-file scheme. */
+  private def canonicalLoc(p: String): String =
+    try {
+      val uri = java.net.URI.create(p)
+      if (uri.getScheme == null || uri.getScheme == "file")
+        new java.io.File(Option(uri.getPath).getOrElse(p)).getCanonicalPath
+      else uri.normalize.toString.stripSuffix("/")
+    } catch { // not URI-parseable (spaces, …) → treat as a local path
+      case _: IllegalArgumentException =>
+        new java.io.File(p).getCanonicalPath
+    }
 
   /** Shared rewrite choreography for [[compactTable]] and
     * [[deleteFromTable]]: rewrite through `transform` with the bucketed
@@ -184,11 +196,13 @@ object IndexStore {
       throw new IllegalStateException(
         s"interrupted swap detected for $table: the completed rewrite is " +
           s"catalogued as $tmp; run IndexStore.recoverTornSwap and retry")
-    val currentLoc = canonical(new java.io.File(
+    val currentLoc = canonicalLoc(
       spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location).getPath)
-    val target = if (canonical(newPath) == currentLoc) s"${newPath}_alt"
-      else newPath
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+    // strip trailing slashes BEFORE appending: "/p/_alt" would nest the
+    // new data inside the directory being read (and vacuumed)
+    val base = newPath.replaceAll("/+$", "")
+    val target = if (canonicalLoc(base) == currentLoc) s"${base}_alt" else base
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = spark.conf.get(autoKey)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")

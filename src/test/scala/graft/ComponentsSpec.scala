@@ -23,6 +23,17 @@ class ComponentsSpec extends SparkSpec {
     assert(got.keySet == (0L to 12L).toSet)
   }
 
+  test("non-convergence within maxIters fails loud instead of splitting clusters") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIters"))
+    // and a sufficient bound succeeds on the same graph
+    assert(Components.connectedComponents(chain, maxIters = 35)
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+  }
+
   test("edge direction does not matter") {
     assert(cc(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
