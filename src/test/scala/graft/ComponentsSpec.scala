@@ -38,6 +38,11 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
 
+  test("self-loops and duplicate pairs are harmless") {
+    val got = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("dedupClusters: one keeper per cluster with the right size") {
     val clusters = Components.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
