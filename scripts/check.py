@@ -40,6 +40,20 @@ for name in names:
     g, e = got[gcols].reset_index(drop=True), exp[gcols].reset_index(drop=True)
     if len(g) != len(e):
         print(f"ROWS    {name}: spark={len(g)} oracle={len(e)}"); fails += 1; continue
+    # Dtype guard: the driver's hash tolerates width differences
+    # (int32 vs int64) but NOT an oracle aggregate DuckDB widens past
+    # 64 bits — sum(BIGINT) -> HUGEINT arrives as pandas object dtype
+    # and hash-mismatches even when values are equal. That bit twice
+    # (r1 ext_sessionize, r3 ext_star_join) — fail loudly on exactly
+    # that shape: one side object, the other numeric.
+    dt_bad = [c for c in gcols
+              if (str(e[c].dtype) == "object") != (str(g[c].dtype) == "object")]
+    if dt_bad:
+        print(f"DTYPE   {name}: cols {dt_bad} spark={[str(g[c].dtype) for c in dt_bad]} "
+              f"oracle={[str(e[c].dtype) for c in dt_bad]}"
+              f" (HUGEINT? wrap the oracle aggregate in CAST(... AS BIGINT))")
+        fails += 1
+        continue
     try:
         ok = g.equals(e)
         if not ok:

@@ -268,7 +268,20 @@ object AnalyticsQueries {
               col("l_orderkey") === col("o_orderkey"))
             .select("l_orderkey", "l_linenumber", "o_totalprice")
             .orderBy("l_orderkey", "l_linenumber")
-          df.queryExecution.optimizedPlan // pin the plan under these confs
+          // Pin BOTH planning phases under these confs: optimizedPlan
+          // fixes the injected bloom subquery, and forcing executedPlan
+          // here keeps initial physical planning (join strategy choice)
+          // under the lowered thresholds too — otherwise the harness
+          // triggers physical planning after the finally restores them
+          // and the join can plan as broadcast, leaving the bloom filter
+          // as dead-weight subquery work. Residual caveat: AQE re-
+          // optimization at execution time reads the live session conf,
+          // so a runtime re-plan can still pick broadcast; results are
+          // unaffected (the filter is semantics-free) and the shuffle-
+          // join + bloom shape is asserted under pinned confs in
+          // PlansSpec.
+          df.queryExecution.optimizedPlan
+          df.queryExecution.executedPlan
           df
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
@@ -411,7 +424,7 @@ object AnalyticsQueries {
     // broadcast joins; only fact-side joins shuffle.
     QueryDef("ext_star_join",
       Some("""SELECT n_name,
-             |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey

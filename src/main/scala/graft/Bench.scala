@@ -16,20 +16,36 @@ object Bench {
     // Materialize via a full-row hash aggregate, not count(): under a
     // bare count Catalyst prunes computed projections and eliminates
     // sorts, so expression-heavy queries would be timed as bare scans.
+    // bit_xor, not sum: summing full-range 64-bit hashes overflows Long
+    // within a couple of rows and ANSI mode (Spark 4 default) throws —
+    // xor consumes every row and column and cannot overflow.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
-      df.selectExpr("sum(xxhash64(struct(*)))").collect()
+      df.selectExpr("bit_xor(xxhash64(struct(*)))").collect()
     SparkEntry.queries.keys.toSeq.sorted.headOption
       .foreach(n => try run(SparkEntry.queries(n)(spark, sfDir))
         catch { case _: Throwable => () })
+    // A failed query must be VISIBLE: a swallowed exception times as ~0s
+    // and makes the bench read *faster* the more queries break. Record
+    // the error per query and exit non-zero if any failed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { run(fn(spark, sfDir)); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(s"$k: $e") }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

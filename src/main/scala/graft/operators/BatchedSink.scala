@@ -37,10 +37,16 @@ object BatchedSink {
   final class RetryableFailure(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+  /** A batch that never landed, with the final exception that killed it —
+    * "p1-b0 failed" with no cause is untriageable in production; the
+    * class+message of the last attempt is the minimum viable forensics. */
+  final case class PoisonedBatch(key: String, error: String)
+
   /** Driver-side totals of one batched write. `poisoned` holds the batch
-    * keys that never landed; everything else landed exactly once. */
+    * keys that never landed (with their terminal error); everything else
+    * landed exactly once. */
   final case class SinkReport(batches: Long, rows: Long, retries: Long,
-      poisoned: Seq[String])
+      poisoned: Seq[PoisonedBatch])
 
   /** Flushes `df` in `batchSize`-row batches per partition through
     * `flush(batchKey, rows)`, retrying transient failures up to
@@ -53,7 +59,8 @@ object BatchedSink {
     val nBatches = sc.longAccumulator("graft.sink.batches")
     val nRows = sc.longAccumulator("graft.sink.rows")
     val nRetries = sc.longAccumulator("graft.sink.retries")
-    val poisoned = sc.collectionAccumulator[String]("graft.sink.poisoned")
+    val poisoned =
+      sc.collectionAccumulator[(String, String)]("graft.sink.poisoned")
 
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
@@ -61,6 +68,7 @@ object BatchedSink {
         val key = s"p$pid-b$i"
         var tries = 0
         var landed = false
+        var lastError: Throwable = null
         var givenUp = false
         while (!landed && !givenUp) {
           tries += 1
@@ -68,7 +76,8 @@ object BatchedSink {
             flush(key, batch)
             landed = true
           } catch {
-            case _: RetryableFailure if tries < maxTries =>
+            case e: RetryableFailure if tries < maxTries =>
+              lastError = e
               nRetries.add(1)
               // clamp the doubling exponent BEFORE shifting: an
               // unclamped `backoffMs << tries` overflows Long past ~60
@@ -77,15 +86,19 @@ object BatchedSink {
               if (backoffMs > 0)
                 Thread.sleep(math.min(
                   backoffMs * (1L << math.min(tries - 1, 16)), 60000L))
-            case _: RetryableFailure => givenUp = true // ladder exhausted
-            case NonFatal(_) => givenUp = true // unhandled → no retry
+            case e: RetryableFailure => // ladder exhausted
+              lastError = e; givenUp = true
+            case NonFatal(e) => // unhandled → no retry
+              lastError = e; givenUp = true
           }
         }
         if (landed) { nBatches.add(1); nRows.add(batch.size.toLong) }
-        else poisoned.add(key)
+        else poisoned.add(key -> (s"${lastError.getClass.getSimpleName}: " +
+          s"${Option(lastError.getMessage).getOrElse("").take(500)}"))
       }
     }
     SinkReport(nBatches.value, nRows.value, nRetries.value,
-      poisoned.value.asScala.toList.sorted)
+      poisoned.value.asScala.toList.sortBy(_._1)
+        .map { case (k, e) => PoisonedBatch(k, e) })
   }
 }

@@ -72,19 +72,27 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // candidate label per vertex: min over its own and its neighbors'
+      // candidate label per vertex: min over its own and its neighbors'.
+      // Change-detection is folded into the SAME aggregation: own rows
+      // are tagged so the agg also sees the previous label, and since
+      // labels only ever decrease, moved == new < previous. The old
+      // join-the-last-iteration+count convergence test was a second
+      // shuffling job per iteration.
       val next = truncated(labels
+        .withColumn("own", lit(true))
         .unionAll(edges
           .join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("label")))
-        .groupBy("id").agg(min(col("label")).as("label")), reliable)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
+          .select(col("dst").as("id"), col("label"), lit(false).as("own")))
+        .groupBy("id")
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
+        .select(col("id"), col("label"),
+          (col("label") < col("prev")).as("moved")), reliable)
+      // convergence probe: early-exit scan over the blocks the checkpoint
+      // just materialized — no join, no shuffle, no recomputation.
+      converged = next.where(col("moved")).isEmpty
       freeBlocks(labels) // previous iteration's blocks are dead now
-      labels = next
-      converged = changed == 0
+      labels = next.drop("moved")
       iter += 1
     }
     edges.unpersist()
@@ -93,6 +101,22 @@ object Components {
         "graph diameter exceeds the bound; raise maxIters")
     // the final labels' materialization backs the returned plan
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Terminal form for long-lived sessions: the plan returned by
+    * `connectedComponents` is backed by the final iteration's checkpoint
+    * blocks, which stay pinned in executor storage for as long as the
+    * caller holds the DataFrame. This variant materializes the labels to
+    * `path` (parquet), frees those blocks, and returns a plan that scans
+    * the written files — nothing left resident, so repeated clustering
+    * runs in one session don't accumulate storage. */
+  def writeComponents(pairs: DataFrame, path: String, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB, maxIters, reliable)
+    cc.write.mode("overwrite").parquet(path)
+    freeBlocks(cc)
+    cc.sparkSession.read.parquet(path)
   }
 
   /** Dedup keeper table: one row per cluster with the representative

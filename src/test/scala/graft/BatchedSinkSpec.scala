@@ -60,7 +60,10 @@ class BatchedSinkSpec extends SparkSpec {
     TestSink.poisonKeys = Set("p1-b0")
     val report = BatchedSink.writeBatched(data, batchSize = 50,
       maxTries = 5, backoffMs = 1)(TestSink.flush)
-    assert(report.poisoned == Seq("p1-b0"))
+    assert(report.poisoned.map(_.key) == Seq("p1-b0"))
+    assert(report.poisoned.head.error.startsWith("RetryableFailure:") &&
+      report.poisoned.head.error.contains("always rolls back"),
+      "the terminal exception's class+message ride along for triage")
     assert(TestSink.attempts.get("p1-b0") == 5, "ladder ran to maxTries")
     assert(report.batches == 3 && report.rows == 150,
       "the other batches land despite the poison batch")
@@ -72,7 +75,9 @@ class BatchedSinkSpec extends SparkSpec {
     TestSink.fatalKeys = Set("p2-b0")
     val report = BatchedSink.writeBatched(data, batchSize = 50,
       maxTries = 5, backoffMs = 1)(TestSink.flush)
-    assert(report.poisoned == Seq("p2-b0"))
+    assert(report.poisoned.map(_.key) == Seq("p2-b0"))
+    assert(report.poisoned.head.error.startsWith("IllegalStateException:"),
+      "unhandled errors are identified by class in the report")
     assert(TestSink.attempts.get("p2-b0") == 1,
       "the reference raises unhandled sink errors without retrying")
     assert(report.batches == 3 && report.retries == 0)

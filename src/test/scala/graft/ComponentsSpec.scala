@@ -43,6 +43,19 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("writeComponents: same labels, and nothing left pinned in storage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Components.writeComponents(pairs, s"$dir/cc")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the terminal form frees the final iteration's checkpoint blocks —
+    // a long-lived session running clustering repeatedly must not
+    // accumulate executor storage
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "no RDD blocks remain cached after the terminal write")
+  }
+
   test("dedupClusters: one keeper per cluster with the right size") {
     val clusters = Components.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
