@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *  - the watermark is a single-row aggregate (map-side partial max →
   *    one tiny shuffle) — safe at any scale;
   *  - merge shuffles both sides by pk exactly once (sort-merge join);
-  *    with the target bucketed by pk the shuffle disappears entirely;
+  *    with the target bucketed by pk the shuffle disappears entirely —
+  *    proven by plan-walk in MergeBucketedSpec (zero exchanges when both
+  *    sides share the bucketing; delta-only movement otherwise);
   *  - reconciliation key-sets are (pk) projections — Parquet column
   *    pruning keeps them narrow; the id-set join broadcasts when small.
   */

@@ -29,11 +29,12 @@ abstract class SparkSpec extends AnyFunSuite {
     * nodes are leaves, so traversal must descend into their `plan`. */
   protected def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
     df.collect() // finalize AQE plan
     def count(p: SparkPlan): Int = p match {
-      case q: ShuffleQueryStageExec => 1 + count(q.plan)
+      // a ShuffleQueryStageExec WRAPS its ShuffleExchangeExec — counting
+      // the stage and then descending would count one shuffle twice
       case q: QueryStageExec => count(q.plan)
       case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
       case r: ReusedExchangeExec => count(r.child)
