@@ -34,6 +34,54 @@ object IndexStore {
       b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1),
         lit(rowsPerBand))))
 
+  // ---- build-parameter metadata -------------------------------------
+  // An append or probe whose shingleN/numHashes/bands (or vector column
+  // contract) silently differs from the build writes inconsistent band
+  // keys / signatures: probes then MISS near-dups with no error at all.
+  // The build parameters are persisted as table properties and every
+  // append/probe validates its arguments against them. Indexes created
+  // before this metadata existed have no properties — those skip the
+  // check (documented legacy hole) rather than refuse to operate.
+
+  private val ParamPrefix = "graft.param."
+
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  private def setParams(spark: SparkSession, table: String,
+      params: Map[String, String]): Unit = {
+    val kv = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$ParamPrefix$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
+  private def getParams(spark: SparkSession, table: String): Map[String, String] =
+    tableMeta(spark, table).properties.collect {
+      case (k, v) if k.startsWith(ParamPrefix) =>
+        k.stripPrefix(ParamPrefix) -> v
+    }
+
+  /** Fails loudly when `args` contradict the index's persisted build
+    * parameters. Absent metadata (pre-metadata index) validates nothing. */
+  private def requireParams(spark: SparkSession, table: String,
+      args: Map[String, String], op: String): Unit = {
+    val stored = getParams(spark, table)
+    if (stored.nonEmpty) args.foreach { case (k, v) =>
+      stored.get(k).filter(_ != v).foreach { sv =>
+        throw new IllegalArgumentException(
+          s"$op on $table: $k=$v does not match the index's build-time " +
+            s"$k=$sv — operating with mismatched parameters would " +
+            "silently corrupt the index (probes miss matches with no error)")
+      }
+    }
+  }
+
+  private def minhashParams(shingleN: Int, numHashes: Int,
+      bands: Int): Map[String, String] =
+    Map("shingleN" -> shingleN.toString, "numHashes" -> numHashes.toString,
+      "bands" -> bands.toString)
+
   private def shingleOf(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     docs.select(col(idCol),
@@ -64,6 +112,10 @@ object IndexStore {
       .option("path", s"$path/${table}_shingles").mode("overwrite")
       .saveAsTable(s"${table}_shingles")
     shingled.unpersist()
+    val params = minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol)
+    val spark = docs.sparkSession
+    setParams(spark, s"${table}_bands", params)
+    setParams(spark, s"${table}_shingles", params)
   }
 
   /** Incremental maintenance: appends `delta` docs' band and shingle
@@ -79,6 +131,8 @@ object IndexStore {
   def appendMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       table: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nBuckets: Int = 8): Unit = {
+    requireParams(delta.sparkSession, s"${table}_bands",
+      minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol), "append")
     val par = delta.sparkSession.sparkContext.defaultParallelism
     val shingled = shingleOf(delta.repartition(par), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both writes; freed below
@@ -98,6 +152,8 @@ object IndexStore {
       textCol: String, table: String, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    requireParams(spark, s"${table}_bands",
+      minhashParams(shingleN, numHashes, bands), "probe")
     // The probe side is an incremental-ingest batch — small by contract —
     // so its shingles are recomputed per consumer instead of cached:
     // repeated probes in a long-lived session accumulate no persisted
@@ -212,6 +268,11 @@ object IndexStore {
         .write.bucketBy(nBuckets, bucketCol)
         .option("path", target).mode("overwrite").saveAsTable(tmp)
     finally spark.conf.set(autoKey, saved)
+    // the CTAS starts from a blank property map — carry the build
+    // parameters over BEFORE the swap so a torn-swap recovery (rename of
+    // tmp) also restores them
+    val params = getParams(spark, table)
+    if (params.nonEmpty) setParams(spark, tmp, params)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
@@ -229,14 +290,16 @@ object IndexStore {
     rewriteInPlace(spark, table, bucketCol, newPath, nBuckets)(
       _.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
 
-  /** Deletes documents from a MinHash index (band + shingle tables). */
+  /** Deletes documents from a MinHash index (band + shingle tables).
+    * Bucket counts come from the catalog so the rewrite preserves the
+    * existing layout. */
   def deleteFromMinhashIndex(spark: SparkSession, table: String,
-      idCol: String, ids: DataFrame, newPathBase: String,
-      nBuckets: Int = 8): Unit = {
+      idCol: String, ids: DataFrame, newPathBase: String): Unit = {
     deleteFromTable(spark, s"${table}_bands", "band_key", idCol, ids,
-      s"$newPathBase/${table}_bands_d", nBuckets)
+      s"$newPathBase/${table}_bands_d", numBucketsOf(spark, s"${table}_bands"))
     deleteFromTable(spark, s"${table}_shingles", idCol, idCol, ids,
-      s"$newPathBase/${table}_shingles_d", nBuckets)
+      s"$newPathBase/${table}_shingles_d",
+      numBucketsOf(spark, s"${table}_shingles"))
   }
 
   /** Builds the IVF index: inverted lists (corpus rows + cluster_id)
@@ -252,6 +315,12 @@ object IndexStore {
     centroids.write
       .option("path", s"$path/${table}_centroids").mode("overwrite")
       .saveAsTable(s"${table}_centroids")
+    // the coarse quantizer's dimensionality is part of the index
+    // contract: an append with different-dimension vectors would cosine
+    // against zero-padded/truncated centroids and mis-assign silently
+    val dim = centroids.select(size(col("centroid"))).head().getInt(0)
+    setParams(corpus.sparkSession, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString))
   }
 
   /** Incremental IVF maintenance: assigns `delta` vectors against the
@@ -262,8 +331,19 @@ object IndexStore {
   def appendIvfIndex(spark: SparkSession, delta: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "vec",
       nBuckets: Int = 8): Unit = {
+    requireParams(spark, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol), "append")
+    // dimension is a per-ROW property of the delta, not an argument —
+    // guard it inline (codegen'd size comparison, negligible per row):
+    // assert_true raises on the first wrong-dimension vector instead of
+    // letting it mis-assign silently
+    val guarded = getParams(spark, s"${table}_lists").get("dim")
+      .map(_.toInt).fold(delta)(d => delta.where(coalesce(
+        assert_true(size(col(vecCol)) === d,
+          lit(s"append to ${table}_lists: vectors must have dimension $d")),
+        lit(true))))
     val centroids = spark.table(s"${table}_centroids")
-    delta.join(IvfIndex.assign(delta, centroids, idCol, vecCol), idCol)
+    guarded.join(IvfIndex.assign(guarded, centroids, idCol, vecCol), idCol)
       .write.bucketBy(nBuckets, "cluster_id").mode("append")
       .saveAsTable(s"${table}_lists")
   }
@@ -273,7 +353,54 @@ object IndexStore {
     * cluster_id). */
   def probeIvf(spark: SparkSession, queries: DataFrame, table: String,
       k: Int, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "vec"): DataFrame =
+      vecCol: String = "vec"): DataFrame = {
+    requireParams(spark, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol), "probe")
     IvfIndex.topKFromLists(spark.table(s"${table}_lists"), queries,
       spark.table(s"${table}_centroids"), k, nprobe, idCol, vecCol)
+  }
+
+  /** Number of buckets straight from the catalog — compaction and
+    * erasure must preserve the EXISTING layout, not trust a caller-
+    * supplied count that might silently re-bucket the table. */
+  private def numBucketsOf(spark: SparkSession, table: String): Int =
+    tableMeta(spark, table).bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$table is not bucketed — not an index table")).numBuckets
+
+  /** Compacts both MinHash index tables (one file per bucket, zero
+    * shuffle, catalog swap); bucket columns and counts come from the
+    * catalog, build parameters ride along. */
+  def compactMinhashIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val bands = s"${table}_bands"
+    val shingles = s"${table}_shingles"
+    val idCol = getParams(spark, shingles).getOrElse("idCol", "doc_id")
+    compactTable(spark, bands, "band_key", s"$newPathBase/${bands}_c",
+      numBucketsOf(spark, bands))
+    compactTable(spark, shingles, idCol, s"$newPathBase/${shingles}_c",
+      numBucketsOf(spark, shingles))
+  }
+
+  /** Compacts the IVF inverted-list table (the centroid table is k rows —
+    * nothing to compact). */
+  def compactIvfIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val lists = s"${table}_lists"
+    compactTable(spark, lists, "cluster_id", s"$newPathBase/${lists}_c",
+      numBucketsOf(spark, lists))
+  }
+
+  /** Deletes vectors from an IVF index — the take-down path for the ANN
+    * surface, mirroring [[deleteFromMinhashIndex]]: the inverted-list
+    * table is rewritten without the ids (broadcast anti join over the
+    * bucketed scan, zero shuffle, catalog swap). Centroids are untouched:
+    * they are k aggregate positions, not per-document data — standard
+    * IVF practice is to retrain only on drift. */
+  def deleteFromIvfIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String): Unit = {
+    val lists = s"${table}_lists"
+    val idCol = getParams(spark, lists).getOrElse("idCol", "vec_id")
+    deleteFromTable(spark, lists, "cluster_id", idCol, ids,
+      s"$newPathBase/${lists}_d", numBucketsOf(spark, lists))
+  }
 }

@@ -291,6 +291,112 @@ class IndexStoreSpec extends SparkSpec {
       "unerased matches must be untouched")
   }
 
+  test("deleteFromIvfIndex: erased vectors never surface; parity with a fresh build") {
+    import spark.implicits._
+    val del = "graft_spec_ivf_del"
+    Seq(s"${del}_lists", s"${del}_centroids").foreach(dropTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${del}_lists__compacting")
+    IndexStore.buildIvfIndex(corpusVecs, ivfCentroids, del, s"$idxPath/$del")
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val erased = (10L until 40L).toDF("vec_id")
+    IndexStore.deleteFromIvfIndex(spark, del, erased, s"$idxPath/$del")
+
+    val after = IndexStore.probeIvf(spark, queries, del, k = 5, nprobe = 3)
+    val erasedSet = (10L until 40L).toSet
+    assert(after.collect().forall(r => !erasedSet.contains(
+      r.getAs[Long]("neighbor_id"))),
+      "a taken-down vector must never come back as a neighbor")
+    // parity: the erased index must answer exactly like an index that
+    // never contained those vectors (same persisted centroids — IVF
+    // erasure does not retrain the coarse quantizer)
+    val fresh = IvfIndex.topK(
+      corpusVecs.where(!col("vec_id").isInCollection(erasedSet)),
+      queries, ivfCentroids, k = 5, nprobe = 3)
+    assertSameRows(after, fresh,
+      "post-erasure probe must equal a fresh pipeline on the remaining corpus")
+  }
+
+  test("compactIvfIndex: one file per bucket, probe parity") {
+    val cmp = "graft_spec_ivf_cmp"
+    Seq(s"${cmp}_lists", s"${cmp}_centroids").foreach(dropTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${cmp}_lists__compacting")
+    IndexStore.buildIvfIndex(corpusVecs.where(col("vec_id") % 3 === 0),
+      ivfCentroids, cmp, s"$idxPath/$cmp")
+    (1 to 2).foreach(r => IndexStore.appendIvfIndex(spark,
+      corpusVecs.where(col("vec_id") % 3 === r), cmp))
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val before = IndexStore.probeIvf(spark, queries, cmp, k = 5, nprobe = 3)
+      .collect().toSeq
+    val preCount = new java.io.File(s"$idxPath/$cmp/${cmp}_lists")
+      .listFiles((_, n) => n.startsWith("part-")).length
+    IndexStore.compactIvfIndex(spark, cmp, s"$idxPath/$cmp")
+    assert(preCount > 8, s"appends should have accumulated files, saw $preCount")
+    // k=8 cluster ids hash into ≤8 buckets (several share a bucket, some
+    // buckets are empty and write no file) — so: at most one file per
+    // bucket, and strictly fewer files than the appends left behind
+    val postCount = new java.io.File(s"$idxPath/$cmp/${cmp}_lists_c")
+      .listFiles((_, n) => n.startsWith("part-")).length
+    assert(postCount <= 8 && postCount < preCount,
+      s"compaction must leave at most one file per bucket, saw $postCount")
+    val after = IndexStore.probeIvf(spark, queries, cmp, k = 5, nprobe = 3)
+      .collect().toSeq
+    assert(after.sortBy(_.toString) == before.sortBy(_.toString),
+      "compaction must not change probe results")
+  }
+
+  test("mismatched build parameters are rejected on append and probe") {
+    import spark.implicits._
+    ensureMinhashIndex(); ensureIvfIndex()
+    val delta = docs.where(col("doc_id") % 7 === 0)
+    val wrongHashes = intercept[IllegalArgumentException] {
+      IndexStore.appendMinhashIndex(delta, "doc_id", "text", mhTbl,
+        numHashes = 128)
+    }
+    assert(wrongHashes.getMessage.contains("numHashes=128"))
+    val wrongBands = intercept[IllegalArgumentException] {
+      IndexStore.probeMinhash(spark, probes, "doc_id", "text", mhTbl,
+        bands = 32)
+    }
+    assert(wrongBands.getMessage.contains("bands=32"))
+    val wrongCol = intercept[IllegalArgumentException] {
+      IndexStore.probeIvf(spark, corpusVecs.where(col("vec_id") < 5),
+        ivfTbl, k = 5, nprobe = 3, vecCol = "embedding")
+    }
+    assert(wrongCol.getMessage.contains("vecCol=embedding"))
+    // a wrong-DIMENSION append is a per-row property — the inline guard
+    // raises instead of mis-assigning silently
+    val badDim = spark.range(900000, 900002)
+      .select(col("id").as("vec_id"), array(lit(1.0), lit(2.0)).as("vec"))
+    val e = intercept[Exception] {
+      IndexStore.appendIvfIndex(spark, badDim, ivfTbl)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dimension"),
+      s"expected the dimension guard to fire, got: ${e.getMessage}")
+  }
+
+  test("build parameters survive compaction and erasure swaps") {
+    import spark.implicits._
+    val prm = "graft_spec_mh_prm"
+    Seq(s"${prm}_bands", s"${prm}_shingles").foreach(dropTable)
+    Seq(s"${prm}_bands__compacting", s"${prm}_shingles__compacting")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", prm, s"$idxPath/$prm")
+    IndexStore.compactMinhashIndex(spark, prm, s"$idxPath/$prm")
+    // metadata still present → mismatches still rejected after the swap
+    intercept[IllegalArgumentException] {
+      IndexStore.probeMinhash(spark, probes, "doc_id", "text", prm, bands = 32)
+    }
+    IndexStore.deleteFromMinhashIndex(spark, prm, "doc_id",
+      Seq(0L).toDF("doc_id"), s"$idxPath/${prm}_postdel")
+    intercept[IllegalArgumentException] {
+      IndexStore.probeMinhash(spark, probes, "doc_id", "text", prm,
+        shingleN = 5)
+    }
+    // and matched parameters keep working
+    assert(IndexStore.probeMinhash(spark, probes, "doc_id", "text", prm)
+      .count() > 0)
+  }
+
   // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {
