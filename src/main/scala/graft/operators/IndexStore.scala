@@ -270,11 +270,44 @@ object IndexStore {
     finally spark.conf.set(autoKey, saved)
     // the CTAS starts from a blank property map — carry the build
     // parameters over BEFORE the swap so a torn-swap recovery (rename of
-    // tmp) also restores them
+    // tmp) also restores them; the retired location is recorded so
+    // vacuumIndexTable can reclaim it later (the rewrite itself never
+    // deletes — the old files are the rollback story until the swap is
+    // known-good)
     val params = getParams(spark, table)
     if (params.nonEmpty) setParams(spark, tmp, params)
+    val superseded = (supersededOf(spark, table) :+ currentLoc).distinct
+    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+      s"('$SupersededKey'='${superseded.mkString(",")}')")
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  private val SupersededKey = "graft.vacuum.superseded"
+
+  private def supersededOf(spark: SparkSession, table: String): Seq[String] =
+    tableMeta(spark, table).properties.get(SupersededKey)
+      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Reclaims the directories that compaction/erasure swaps retired for
+    * `table` (each [[rewriteInPlace]] records the location it replaced).
+    * Deliberately a SEPARATE, explicit step: immediately after a swap the
+    * old files are the only rollback, and at warehouse scale in-flight
+    * queries may still hold the old file listing — vacuum once the
+    * retention window has passed, exactly like VersionedTable. Refuses to
+    * touch the table's current location. Returns the paths deleted. */
+  def vacuumIndexTable(spark: SparkSession, table: String): Seq[String] = {
+    val current = canonicalLoc(tableMeta(spark, table).location.toString)
+    val (stale, kept) = supersededOf(spark, table)
+      .partition(p => canonicalLoc(p) != current)
+    stale.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$SupersededKey'='${kept.mkString(",")}')")
+    stale
   }
 
   /** Deletion: rewrites an index table WITHOUT the rows whose `idCol`

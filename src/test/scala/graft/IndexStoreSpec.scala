@@ -397,6 +397,32 @@ class IndexStoreSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("vacuumIndexTable reclaims retired directories, never the live one") {
+    val vac = "graft_spec_mh_vac"
+    Seq(s"${vac}_bands", s"${vac}_shingles").foreach(dropTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${vac}_bands__compacting")
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", vac, s"$idxPath/$vac")
+    val gen0 = s"$idxPath/$vac/${vac}_bands"
+    // two swaps retire two generations of the band table
+    IndexStore.compactTable(spark, s"${vac}_bands", "band_key",
+      s"$idxPath/$vac/vac_gen1")
+    IndexStore.compactTable(spark, s"${vac}_bands", "band_key",
+      s"$idxPath/$vac/vac_gen2")
+    assert(new java.io.File(gen0).exists,
+      "a swap must not delete the directory it replaced (rollback story)")
+    val deleted = IndexStore.vacuumIndexTable(spark, s"${vac}_bands")
+    assert(deleted.size == 2, s"two retired generations, got $deleted")
+    assert(!new java.io.File(gen0).exists &&
+      !new java.io.File(s"$idxPath/$vac/vac_gen1").exists,
+      "vacuum reclaims every retired directory")
+    assert(new java.io.File(s"$idxPath/$vac/vac_gen2").exists,
+      "the live directory survives")
+    assert(IndexStore.probeMinhash(spark, probes, "doc_id", "text", vac)
+      .count() > 0, "probes keep working after vacuum")
+    assert(IndexStore.vacuumIndexTable(spark, s"${vac}_bands").isEmpty,
+      "vacuum is idempotent")
+  }
+
   // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {
