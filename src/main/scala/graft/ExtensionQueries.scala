@@ -526,5 +526,104 @@ object ExtensionQueries {
     QueryDef("mm3_decode_features", None,
       (s, dir) => Multimodal.decodeFeatures(s,
           Multimodal.mediaTable(load(s, dir, "documents")))
-        .toDF().orderBy("doc_id")))
+        .toDF().orderBy("doc_id")),
+
+    // ── Training-batch assembly ──────────────────────────────────────
+
+    // Sequence packing: greedy in-order assignment of docs to fixed
+    // token-budget packs (the batch-assembly step between curation and
+    // the trainer). pack_id = exclusive-prefix-tokens div budget — a
+    // deterministic streaming rule, and the prefix sum runs through the
+    // same 3-pass scale-safe machinery as w4/b1 (range-bucketed windows
+    // + broadcast offsets), NOT a single-task global window. The oracle
+    // uses DuckDB's global window — value-identical by construction.
+    QueryDef("ext_token_packing",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t)
+             |SELECT CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+             |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin),
+      (s, dir) => {
+        val toks = load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Ops.withGlobalRunningSum(toks, Seq(col("doc_id")),
+            col("doc_id"), col("n_tokens"), "cum")
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(512.0)))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+          .orderBy("pack_id")
+      }),
+
+    // Benchmark-contamination check: corpus docs sharing any word
+    // 3-gram with the held-out eval set (every 97th doc). One explode +
+    // semi-ish join on the shingle — the eval side is distinct-deduped
+    // and orders of magnitude smaller, so Catalyst broadcasts it and
+    // the corpus never shuffles; at 100 TB the join key would be
+    // xxhash64(shingle) to move 8 bytes instead of strings.
+    QueryDef("ext_contamination_check",
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM documents)),
+             |b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+             |c AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT c.doc_id, count(*) AS n_shared
+             |FROM c JOIN b ON c.s = b.s
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+      (s, dir) => {
+        val sh = load(s, dir, "documents").select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
+        val bench = sh.where(col("doc_id") % 97 === 0)
+          .select(explode(col("shingles")).as("s")).distinct()
+        sh.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+          .join(bench, "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // PII redaction — t6 counts what the router flags; this is the
+    // redaction itself: emails then long digit runs replaced in one
+    // projection pass (both regexes codegen'd, no UDF, no shuffle).
+    QueryDef("ext_pii_redact",
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '[0-9]{7,}', '[NUMBER]', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+            "[0-9]{7,}", "[NUMBER]").as("redacted"))
+        .orderBy("doc_id")),
+
+    // Corpus vocabulary, top 100 by frequency: alpha tokens, map-side
+    // partial counts into the token groupBy, then TakeOrderedAndProject
+    // for the bounded top-k — no global sort of the full vocabulary.
+    QueryDef("ext_vocab_topn",
+      Some("""SELECT t AS token, count(*) AS freq
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+             |      FROM documents)
+             |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)))
 }

@@ -20,9 +20,12 @@ import org.apache.spark.storage.StorageLevel
   * doubles per iteration — exponential by iteration ~12. checkpoint()
   * rewrites the plan to a scan of the materialized rows, keeping plan
   * depth constant. Iterations needed = graph diameter; near-dup
-  * clusters are shallow, and `maxIters` bounds pathological chains. At
-  * warehouse scale each iteration shuffles by vertex id — labels and
-  * edges can share a bucketed layout to make that shuffle-free.
+  * clusters are shallow, and `maxIters` bounds pathological chains.
+  *
+  * Shuffle budget at warehouse scale: the edge list is partitioned by
+  * src ONCE (cached), checkpointed labels keep their id-partitioning,
+  * and each iteration moves only the propagated neighbor-minima — one
+  * exchange per step, proven by plan-walk in ComponentsSpec.
   */
 object Components {
 
@@ -48,6 +51,25 @@ object Components {
       case _ =>
     }
 
+  /** One min-label-propagation step: (id, label, moved). Exactly ONE
+    * exchange — the propagated-label aggregation by dst. The edges scan
+    * reads its persisted src-partitioning in place, the propagated mins
+    * land hash-distributed on id, and the previous labels arrive already
+    * id-partitioned from their checkpoint, so the final join moves
+    * nothing. Change-detection rides the same plan (labels only ever
+    * decrease, so moved == neighbor-min < own), costing the old
+    * join+count a second shuffling job per iteration. Every vertex has
+    * a neighbor row (edges are symmetrized), so the join is inner. */
+  private[graft] def step(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val propagated = edges
+      .join(labels.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"), col("label"))
+      .groupBy("id").agg(min(col("label")).as("nmin"))
+    labels.join(propagated, "id")
+      .select(col("id"), least(col("label"), col("nmin")).as("label"),
+        (col("nmin") < col("label")).as("moved"))
+  }
+
   /** (id, component) for every vertex that appears in `pairs`; the
     * component id is the minimum vertex id of the cluster. Vertices
     * with no pairs are their own singleton cluster by definition —
@@ -61,10 +83,15 @@ object Components {
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
         "reliable = true needs sparkContext.setCheckpointDir on shared storage")
-    // symmetrize once: propagation must flow both directions
+    // symmetrize once: propagation must flow both directions. The
+    // repartition by src is the layout investment the scaladoc promises:
+    // paid ONCE, then every iteration's edges⨝labels co-locates for free
+    // (the persisted cache keeps the partitioning; checkpointed labels
+    // keep theirs through LogicalRDD).
     val a = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = truncated(edges.select(col("src").as("id"))
       .distinct()
@@ -72,22 +99,7 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // candidate label per vertex: min over its own and its neighbors'.
-      // Change-detection is folded into the SAME aggregation: own rows
-      // are tagged so the agg also sees the previous label, and since
-      // labels only ever decrease, moved == new < previous. The old
-      // join-the-last-iteration+count convergence test was a second
-      // shuffling job per iteration.
-      val next = truncated(labels
-        .withColumn("own", lit(true))
-        .unionAll(edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("label"), lit(false).as("own")))
-        .groupBy("id")
-        .agg(min(col("label")).as("label"),
-          min(when(col("own"), col("label"))).as("prev"))
-        .select(col("id"), col("label"),
-          (col("label") < col("prev")).as("moved")), reliable)
+      val next = truncated(step(edges, labels), reliable)
       // convergence probe: early-exit scan over the blocks the checkpoint
       // just materialized — no join, no shuffle, no recomputation.
       converged = next.where(col("moved")).isEmpty

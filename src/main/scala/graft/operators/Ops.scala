@@ -60,10 +60,33 @@ object Ops {
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
       leadingNumeric: Column, outCol: String = "rn",
-      nBuckets: Int = 32): DataFrame = {
+      nBuckets: Int = 32): DataFrame =
+    bucketedPrefix(df, orderCols, leadingNumeric, nBuckets,
+      perRow = lit(1L), outCol = outCol)
+
+  /** Exact global running (inclusive prefix) sum of `valueCol` in
+    * `orderCols` order — the same three-pass shape as
+    * [[withGlobalRowNumber]], because `sum(...).over(Window.orderBy(...))`
+    * has the identical single-task straggler. Value-identical to the
+    * global window; the per-bucket offset is the exclusive sum of all
+    * earlier buckets. */
+  def withGlobalRunningSum(df: DataFrame, orderCols: Seq[Column],
+      leadingNumeric: Column, valueCol: Column, outCol: String = "cumsum",
+      nBuckets: Int = 32): DataFrame =
+    bucketedPrefix(df, orderCols, leadingNumeric, nBuckets,
+      perRow = valueCol.cast("long"), outCol = outCol)
+
+  /** Shared three-pass prefix machinery: quantile-bucket on the leading
+    * key, windowed prefix inside each bucket (parallel partitions),
+    * broadcast each bucket's exclusive offset back. `perRow` is the
+    * per-row contribution (1 for enumeration, a value for running sum). */
+  private def bucketedPrefix(df: DataFrame, orderCols: Seq[Column],
+      leadingNumeric: Column, nBuckets: Int, perRow: Column,
+      outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val keyed = df.withColumn("__gk", leadingNumeric.cast("double"))
+      .withColumn("__v", perRow)
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = keyed.stat.approxQuantile("__gk", probes, 0.001)
       .distinct.sorted
@@ -72,14 +95,15 @@ object Ops {
     }
     val bucketed = keyed.withColumn("__bkt", bucketOf)
     // Tiny by construction: one row per bucket.
-    val counts = bucketed.groupBy("__bkt").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val totals = bucketed.groupBy("__bkt").agg(sum(col("__v")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
     val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__bkt", "__off")
     val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offDf), "__bkt")
-      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
-      .drop("__bkt", "__gk", "__off")
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .drop("__bkt", "__gk", "__off", "__v")
   }
 }

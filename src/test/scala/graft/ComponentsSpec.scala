@@ -43,6 +43,30 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("one iteration moves only the propagated labels: a single exchange") {
+    import org.apache.spark.sql.functions.col
+    // same construction as the real loop: edges partitioned by src and
+    // cached, labels checkpointed (id-partitioned from the distinct)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val a = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).cache()
+    edges.count()
+    val labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    try {
+      val next = Components.step(edges, labels)
+      assert(shuffleCount(next) == 1,
+        "the cached src-partitioning and the checkpointed id-partitioning " +
+          "must both be reused — only the dst-aggregation may exchange")
+      val got = next.select("id", "label").as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
+        10L -> 10L, 11L -> 10L, 12L -> 11L),
+        "after one step every vertex holds the min over itself and its neighbors")
+    } finally edges.unpersist()
+  }
+
   test("writeComponents: same labels, and nothing left pinned in storage") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
