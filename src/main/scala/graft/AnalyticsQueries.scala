@@ -268,20 +268,18 @@ object AnalyticsQueries {
               col("l_orderkey") === col("o_orderkey"))
             .select("l_orderkey", "l_linenumber", "o_totalprice")
             .orderBy("l_orderkey", "l_linenumber")
-          // Pin BOTH planning phases under these confs: optimizedPlan
-          // fixes the injected bloom subquery, and forcing executedPlan
-          // here keeps initial physical planning (join strategy choice)
-          // under the lowered thresholds too — otherwise the harness
-          // triggers physical planning after the finally restores them
-          // and the join can plan as broadcast, leaving the bloom filter
-          // as dead-weight subquery work. Residual caveat: AQE re-
-          // optimization at execution time reads the live session conf,
-          // so a runtime re-plan can still pick broadcast; results are
-          // unaffected (the filter is semantics-free) and the shuffle-
-          // join + bloom shape is asserted under pinned confs in
-          // PlansSpec.
+          // Pin the optimized plan (the injected bloom subquery) while
+          // the confs are lowered. The physical shuffle-join + bloom
+          // shape is GUARANTEED only under these build-time confs — and
+          // that is where PlansSpec asserts it. Harness consumers wrap
+          // this df in their own Dataset (selectExpr / write), which
+          // re-runs planning under the restored session confs, so the
+          // executed form may broadcast the dim side and skip the bloom
+          // rewrite; results are identical either way (the filter is
+          // semantics-free pruning) — touching executedPlan here could
+          // not change that and would only pay a planning pass nothing
+          // reuses.
           df.queryExecution.optimizedPlan
-          df.queryExecution.executedPlan
           df
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)

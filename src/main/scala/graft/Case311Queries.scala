@@ -158,13 +158,11 @@ object Case311Queries {
           .withColumn("LastModifiedDate", date_format(
             to_timestamp(col("LastModifiedDate"), fmt)
               + expr("INTERVAL 7300 DAYS"), fmt))
-        // A1 watermark → F2 strict-> delta → J3/J4 whole-row merge
-        val wm = warehouse.agg(max(col("updated_datetime"))).head()
-          .getTimestamp(0)
-        val delta = Case311.normalize(modified)
-          .where(col("updated_datetime") > lit(wm))
-        val merged = graft.operators.Incremental.merge(
-          warehouse, delta, "service_request_id")
+        // A1 watermark (epoch default on an empty target) → F2 strict->
+        // delta → J3/J4 whole-row merge, all via the library's own cycle
+        val merged = graft.operators.Incremental.incrementalSync(
+          warehouse, Case311.normalize(modified),
+          "service_request_id", "updated_datetime")
         // J2 deletion reconciliation + J5/W5 purge
         val sourceIds = raw.where(idL % 37 =!= 0)
           .select(col("CaseNumber").as("service_request_id"))

@@ -49,10 +49,15 @@ object IndexStore {
     spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** SQL string-literal escaping for property values (quotes doubled,
+    * backslashes doubled — the parser treats backslash as an escape). */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
   private def setParams(spark: SparkSession, table: String,
       params: Map[String, String]): Unit = {
     val kv = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"'$ParamPrefix$k'='$v'" }.mkString(", ")
+      .map { case (k, v) => s"'$ParamPrefix$k'='${sqlLit(v)}'" }.mkString(", ")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
   }
 
@@ -130,17 +135,21 @@ object IndexStore {
     * the table periodically if tiny appended files accumulate. */
   def appendMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       table: String, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, nBuckets: Int = 8): Unit = {
-    requireParams(delta.sparkSession, s"${table}_bands",
+      bands: Int = 16): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_bands",
       minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol), "append")
-    val par = delta.sparkSession.sparkContext.defaultParallelism
+    val par = spark.sparkContext.defaultParallelism
     val shingled = shingleOf(delta.repartition(par), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both writes; freed below
+    // bucket counts come from the catalog — an append can never silently
+    // (or loudly, via Spark's raw bucketing-mismatch error) re-bucket
     bandsOf(shingled, idCol, numHashes, bands)
-      .write.bucketBy(nBuckets, "band_key").mode("append")
-      .saveAsTable(s"${table}_bands")
-    shingled.write.bucketBy(nBuckets, idCol).mode("append")
-      .saveAsTable(s"${table}_shingles")
+      .write.bucketBy(numBucketsOf(spark, s"${table}_bands"), "band_key")
+      .mode("append").saveAsTable(s"${table}_bands")
+    shingled.write
+      .bucketBy(numBucketsOf(spark, s"${table}_shingles"), idCol)
+      .mode("append").saveAsTable(s"${table}_shingles")
     shingled.unpersist()
   }
 
@@ -278,16 +287,21 @@ object IndexStore {
     if (params.nonEmpty) setParams(spark, tmp, params)
     val superseded = (supersededOf(spark, table) :+ currentLoc).distinct
     spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
-      s"('$SupersededKey'='${superseded.mkString(",")}')")
+      s"('$SupersededKey'='${sqlLit(superseded.mkString(SupersededSep))}')")
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   private val SupersededKey = "graft.vacuum.superseded"
 
+  /** , not ',': commas are legal in S3/HDFS paths, and a comma
+    * split would hand vacuum bogus prefix fragments to recursively
+    * delete. */
+  private val SupersededSep = "\u0001"
+
   private def supersededOf(spark: SparkSession, table: String): Seq[String] =
     tableMeta(spark, table).properties.get(SupersededKey)
-      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      .toSeq.flatMap(_.split(SupersededSep)).filter(_.nonEmpty)
 
   /** Reclaims the directories that compaction/erasure swaps retired for
     * `table` (each [[rewriteInPlace]] records the location it replaced).
@@ -306,7 +320,7 @@ object IndexStore {
         .delete(hp, true)
     }
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$SupersededKey'='${kept.mkString(",")}')")
+      s"('$SupersededKey'='${sqlLit(kept.mkString(SupersededSep))}')")
     stale
   }
 
@@ -328,9 +342,11 @@ object IndexStore {
     * existing layout. */
   def deleteFromMinhashIndex(spark: SparkSession, table: String,
       idCol: String, ids: DataFrame, newPathBase: String): Unit = {
-    deleteFromTable(spark, s"${table}_bands", "band_key", idCol, ids,
+    deleteFromTable(spark, s"${table}_bands",
+      bucketColOf(spark, s"${table}_bands"), idCol, ids,
       s"$newPathBase/${table}_bands_d", numBucketsOf(spark, s"${table}_bands"))
-    deleteFromTable(spark, s"${table}_shingles", idCol, idCol, ids,
+    deleteFromTable(spark, s"${table}_shingles",
+      bucketColOf(spark, s"${table}_shingles"), idCol, ids,
       s"$newPathBase/${table}_shingles_d",
       numBucketsOf(spark, s"${table}_shingles"))
   }
@@ -362,8 +378,7 @@ object IndexStore {
     * new inverted-list rows in place, mirroring [[appendMinhashIndex]].
     * Probes immediately see old and new vectors. */
   def appendIvfIndex(spark: SparkSession, delta: DataFrame, table: String,
-      idCol: String = "vec_id", vecCol: String = "vec",
-      nBuckets: Int = 8): Unit = {
+      idCol: String = "vec_id", vecCol: String = "vec"): Unit = {
     requireParams(spark, s"${table}_lists",
       Map("idCol" -> idCol, "vecCol" -> vecCol), "append")
     // dimension is a per-ROW property of the delta, not an argument —
@@ -377,8 +392,8 @@ object IndexStore {
         lit(true))))
     val centroids = spark.table(s"${table}_centroids")
     guarded.join(IvfIndex.assign(guarded, centroids, idCol, vecCol), idCol)
-      .write.bucketBy(nBuckets, "cluster_id").mode("append")
-      .saveAsTable(s"${table}_lists")
+      .write.bucketBy(numBucketsOf(spark, s"${table}_lists"), "cluster_id")
+      .mode("append").saveAsTable(s"${table}_lists")
   }
 
   /** IVF top-k against a persisted index: zero index-build cost, and the
@@ -400,6 +415,13 @@ object IndexStore {
     tableMeta(spark, table).bucketSpec.getOrElse(throw new IllegalStateException(
       s"$table is not bucketed — not an index table")).numBuckets
 
+  /** Bucket column straight from the catalog too — always present and
+    * authoritative even for a pre-metadata index, unlike a params lookup
+    * with a guessed default. */
+  private def bucketColOf(spark: SparkSession, table: String): String =
+    tableMeta(spark, table).bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$table is not bucketed — not an index table")).bucketColumnNames.head
+
   /** Compacts both MinHash index tables (one file per bucket, zero
     * shuffle, catalog swap); bucket columns and counts come from the
     * catalog, build parameters ride along. */
@@ -407,11 +429,10 @@ object IndexStore {
       newPathBase: String): Unit = {
     val bands = s"${table}_bands"
     val shingles = s"${table}_shingles"
-    val idCol = getParams(spark, shingles).getOrElse("idCol", "doc_id")
-    compactTable(spark, bands, "band_key", s"$newPathBase/${bands}_c",
-      numBucketsOf(spark, bands))
-    compactTable(spark, shingles, idCol, s"$newPathBase/${shingles}_c",
-      numBucketsOf(spark, shingles))
+    compactTable(spark, bands, bucketColOf(spark, bands),
+      s"$newPathBase/${bands}_c", numBucketsOf(spark, bands))
+    compactTable(spark, shingles, bucketColOf(spark, shingles),
+      s"$newPathBase/${shingles}_c", numBucketsOf(spark, shingles))
   }
 
   /** Compacts the IVF inverted-list table (the centroid table is k rows —
@@ -419,8 +440,8 @@ object IndexStore {
   def compactIvfIndex(spark: SparkSession, table: String,
       newPathBase: String): Unit = {
     val lists = s"${table}_lists"
-    compactTable(spark, lists, "cluster_id", s"$newPathBase/${lists}_c",
-      numBucketsOf(spark, lists))
+    compactTable(spark, lists, bucketColOf(spark, lists),
+      s"$newPathBase/${lists}_c", numBucketsOf(spark, lists))
   }
 
   /** Deletes vectors from an IVF index — the take-down path for the ANN
@@ -433,7 +454,7 @@ object IndexStore {
       ids: DataFrame, newPathBase: String): Unit = {
     val lists = s"${table}_lists"
     val idCol = getParams(spark, lists).getOrElse("idCol", "vec_id")
-    deleteFromTable(spark, lists, "cluster_id", idCol, ids,
+    deleteFromTable(spark, lists, bucketColOf(spark, lists), idCol, ids,
       s"$newPathBase/${lists}_d", numBucketsOf(spark, lists))
   }
 }

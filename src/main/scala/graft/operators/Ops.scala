@@ -68,13 +68,24 @@ object Ops {
     * `orderCols` order — the same three-pass shape as
     * [[withGlobalRowNumber]], because `sum(...).over(Window.orderBy(...))`
     * has the identical single-task straggler. Value-identical to the
-    * global window; the per-bucket offset is the exclusive sum of all
-    * earlier buckets. */
+    * global window for non-null values; null values contribute 0 (the
+    * windowed form instead yields NULL until the first non-null —
+    * coalesce upstream if that distinction matters). The per-bucket
+    * offset is the exclusive sum of all earlier buckets. */
   def withGlobalRunningSum(df: DataFrame, orderCols: Seq[Column],
       leadingNumeric: Column, valueCol: Column, outCol: String = "cumsum",
-      nBuckets: Int = 32): DataFrame =
+      nBuckets: Int = 32): DataFrame = {
+    // "exact" is a 64-bit-integer promise: a fractional value column
+    // would be silently truncated by the long cast, so refuse it loudly
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.select(valueCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"withGlobalRunningSum needs an integral value column, got $dt — " +
+        "cast explicitly and accept the rounding, or sum doubles in a " +
+        "plain aggregation where exactness isn't order-defined anyway")
     bucketedPrefix(df, orderCols, leadingNumeric, nBuckets,
-      perRow = valueCol.cast("long"), outCol = outCol)
+      perRow = coalesce(valueCol.cast("long"), lit(0L)), outCol = outCol)
+  }
 
   /** Shared three-pass prefix machinery: quantile-bucket on the leading
     * key, windowed prefix inside each bucket (parallel partitions),
@@ -94,8 +105,10 @@ object Ops {
       acc + when(col("__gk") > lit(b), 1).otherwise(0)
     }
     val bucketed = keyed.withColumn("__bkt", bucketOf)
-    // Tiny by construction: one row per bucket.
-    val totals = bucketed.groupBy("__bkt").agg(sum(col("__v")).as("__t"))
+    // Tiny by construction: one row per bucket. coalesce: sum over an
+    // all-null bucket is null and getLong would NPE.
+    val totals = bucketed.groupBy("__bkt")
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }

@@ -64,7 +64,14 @@ class ComponentsSpec extends SparkSpec {
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
         10L -> 10L, 11L -> 10L, 12L -> 11L),
         "after one step every vertex holds the min over itself and its neighbors")
-    } finally edges.unpersist()
+    } finally {
+      edges.unpersist()
+      labels.queryExecution.optimizedPlan.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
   }
 
   test("writeComponents: same labels, and nothing left pinned in storage") {
