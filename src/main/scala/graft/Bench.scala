@@ -36,9 +36,16 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // escape EVERY control character — exception messages can embed
+    // arbitrary bytes, and one raw control char makes the single JSON
+    // result line unparseable exactly when its diagnostics matter
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(s"$k: $e") }

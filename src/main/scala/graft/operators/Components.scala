@@ -126,8 +126,10 @@ object Components {
       idB: String = "id_b", maxIters: Int = 20,
       reliable: Boolean = false): DataFrame = {
     val cc = connectedComponents(pairs, idA, idB, maxIters, reliable)
-    cc.write.mode("overwrite").parquet(path)
-    freeBlocks(cc)
+    // free the blocks even when the write throws — the caller never
+    // receives the handle on failure, so a leak here would be permanent
+    try cc.write.mode("overwrite").parquet(path)
+    finally freeBlocks(cc)
     cc.sparkSession.read.parquet(path)
   }
 

@@ -106,21 +106,25 @@ object IndexStore {
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, path: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nBuckets: Int = 8): Unit = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    val params = minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol)
+    val par = spark.sparkContext.defaultParallelism
     val shingled = shingleOf(docs.repartition(par), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // params land immediately after each table materializes: the
+    // CTAS→ALTER pair is still not atomic, but the crash window is one
+    // statement, and a build is an idempotent overwrite — rebuild any
+    // index whose creation crashed rather than appending to it
     bandsOf(shingled, idCol, numHashes, bands)
       .write.bucketBy(nBuckets, "band_key")
       .option("path", s"$path/${table}_bands").mode("overwrite")
       .saveAsTable(s"${table}_bands")
+    setParams(spark, s"${table}_bands", params)
     shingled.write.bucketBy(nBuckets, idCol)
       .option("path", s"$path/${table}_shingles").mode("overwrite")
       .saveAsTable(s"${table}_shingles")
-    shingled.unpersist()
-    val params = minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol)
-    val spark = docs.sparkSession
-    setParams(spark, s"${table}_bands", params)
     setParams(spark, s"${table}_shingles", params)
+    shingled.unpersist()
   }
 
   /** Incremental maintenance: appends `delta` docs' band and shingle
@@ -261,9 +265,11 @@ object IndexStore {
       throw new IllegalStateException(
         s"interrupted swap detected for $table: the completed rewrite is " +
           s"catalogued as $tmp; run IndexStore.recoverTornSwap and retry")
-    val currentLoc = canonicalLoc(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+    // the RAW location (scheme intact) is what gets recorded for vacuum —
+    // canonicalLoc is for comparison only; a scheme-stripped record would
+    // later resolve against fs.defaultFS and vacuum the wrong filesystem
+    val rawLoc = tableMeta(spark, table).location.toString
+    val currentLoc = canonicalLoc(rawLoc)
     // strip trailing slashes BEFORE appending: "/p/_alt" would nest the
     // new data inside the directory being read (and vacuumed)
     val base = newPath.replaceAll("/+$", "")
@@ -285,7 +291,7 @@ object IndexStore {
     // known-good)
     val params = getParams(spark, table)
     if (params.nonEmpty) setParams(spark, tmp, params)
-    val superseded = (supersededOf(spark, table) :+ currentLoc).distinct
+    val superseded = (supersededOf(spark, table) :+ rawLoc).distinct
     spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
       s"('$SupersededKey'='${sqlLit(superseded.mkString(SupersededSep))}')")
     spark.sql(s"DROP TABLE $table")
@@ -309,20 +315,35 @@ object IndexStore {
     * old files are the only rollback, and at warehouse scale in-flight
     * queries may still hold the old file listing — vacuum once the
     * retention window has passed, exactly like VersionedTable. Refuses to
-    * touch the table's current location. Returns the paths deleted. */
+    * touch the table's current location. Returns the paths reclaimed; a
+    * path whose delete FAILS (FileSystem.delete returning false, e.g.
+    * permissions) stays on the retired list so a later retry can still
+    * reclaim it, instead of being forgotten as leaked files. */
   def vacuumIndexTable(spark: SparkSession, table: String): Seq[String] = {
     val current = canonicalLoc(tableMeta(spark, table).location.toString)
-    val (stale, kept) = supersededOf(spark, table)
+    val (stale, live) = supersededOf(spark, table)
       .partition(p => canonicalLoc(p) != current)
-    stale.foreach { p =>
+    val (reclaimed, failed) = stale.partition { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(hp) || fs.delete(hp, true) // already gone counts as done
     }
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$SupersededKey'='${sqlLit(kept.mkString(SupersededSep))}')")
-    stale
+      s"('$SupersededKey'='${sqlLit((live ++ failed).mkString(SupersededSep))}')")
+    reclaimed
   }
+
+  /** Vacuums every table of a MinHash index — callers should not need
+    * to know the two-table (_bands/_shingles) layout to avoid leaking
+    * one of them. */
+  def vacuumMinhashIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_bands") ++
+      vacuumIndexTable(spark, s"${table}_shingles")
+
+  /** Vacuums the IVF index's inverted-list table (centroids are never
+    * rewritten in place, so they retire nothing). */
+  def vacuumIvfIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_lists")
 
   /** Deletion: rewrites an index table WITHOUT the rows whose `idCol`
     * appears in `ids` — the take-down/right-to-erasure path that
@@ -356,20 +377,23 @@ object IndexStore {
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, table: String,
       path: String, idCol: String = "vec_id", vecCol: String = "vec",
       nBuckets: Int = 8): Unit = {
+    // the coarse quantizer's dimensionality is part of the index
+    // contract: an append with different-dimension vectors would cosine
+    // against zero-padded/truncated centroids and mis-assign silently.
+    // Read it BEFORE any write (empty centroids fail here, not after
+    // data landed), and attach the params right after the lists table
+    // materializes — same narrow-window stance as buildMinhashIndex.
+    val dim = centroids.select(size(col("centroid"))).head().getInt(0)
     val lists = corpus
       .join(IvfIndex.assign(corpus, centroids, idCol, vecCol), idCol)
     lists.write.bucketBy(nBuckets, "cluster_id")
       .option("path", s"$path/${table}_lists").mode("overwrite")
       .saveAsTable(s"${table}_lists")
+    setParams(corpus.sparkSession, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString))
     centroids.write
       .option("path", s"$path/${table}_centroids").mode("overwrite")
       .saveAsTable(s"${table}_centroids")
-    // the coarse quantizer's dimensionality is part of the index
-    // contract: an append with different-dimension vectors would cosine
-    // against zero-padded/truncated centroids and mis-assign silently
-    val dim = centroids.select(size(col("centroid"))).head().getInt(0)
-    setParams(corpus.sparkSession, s"${table}_lists",
-      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString))
   }
 
   /** Incremental IVF maintenance: assigns `delta` vectors against the

@@ -421,6 +421,9 @@ class IndexStoreSpec extends SparkSpec {
       .count() > 0, "probes keep working after vacuum")
     assert(IndexStore.vacuumIndexTable(spark, s"${vac}_bands").isEmpty,
       "vacuum is idempotent")
+    // the whole-index wrapper covers both tables; nothing further to
+    // reclaim here (bands just vacuumed, shingles never rewritten)
+    assert(IndexStore.vacuumMinhashIndex(spark, vac).isEmpty)
   }
 
   // ---- 4. caching contract ------------------------------------------
