@@ -625,5 +625,49 @@ object ExtensionQueries {
           .as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token").asc)
-        .limit(100)))
+        .limit(100)),
+
+    // Symmetric int8 embedding quantization — the ANN storage-scale
+    // lever (4× smaller than float32). Per vector: scale = 127/max|x|,
+    // codes = floor(x·s + 0.5), reconstruction q/s. The oracle mirrors
+    // the identical arithmetic; the integer code sum is the exact
+    // cross-engine checksum and the max reconstruction error (quantized
+    // to 1e-9) proves the bounded-error contract row by row. All one
+    // projection pass — no shuffle, no UDF.
+    QueryDef("ext_embedding_quantize",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, vec,
+             |    CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
+             |         THEN 127.0 / list_max(list_transform(vec, x -> abs(x))) END AS scale
+             |  FROM v),
+             |q AS (
+             |  SELECT vec_id, vec, scale,
+             |    list_transform(vec, x -> CASE WHEN scale IS NULL THEN 0.0
+             |                                  ELSE floor(x * scale + 0.5) END) AS qs
+             |  FROM s)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(qs, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+             |  floor(list_max(list_transform(range(1, len(vec) + 1),
+             |    i -> abs(vec[i] - CASE WHEN scale IS NULL THEN 0.0
+             |                           ELSE qs[i] / scale END))) * 1000000000 + 0.5)
+             |    / 1000000000.0 AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val withVec = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+          .withColumn("scale", Similarity.int8Scale(col("vec")))
+          .withColumn("qs", Similarity.int8Codes(col("vec"), col("scale")))
+        withVec.select(col("vec_id"),
+            aggregate(col("qs"), lit(0L), (acc, x) => acc + x.cast("long"))
+              .as("q_sum"),
+            (floor(array_max(zip_with(col("vec"),
+              Similarity.int8Dequantize(col("qs"), col("scale")),
+              (x, d) => abs(x - d))) * lit(1000000000L) + lit(0.5))
+              / lit(1000000000.0)).as("max_err"))
+          .orderBy("vec_id")
+      }))
 }

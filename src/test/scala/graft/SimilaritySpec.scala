@@ -147,6 +147,52 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq((1L, 1, 5L, 0.9), (1L, 2, 3L, 0.5), (1L, 3, 7L, 0.5)))
   }
 
+  test("int8 quantization: codes in [-127,127], bounded error, zero-vector safe") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+      .unionByName(Seq((-1L, Seq.fill(8)(0.0)))
+        .toDF("vec_id", "vec")) // the degenerate vector must not divide by 0
+      .withColumn("scale", Similarity.int8Scale($"vec"))
+      .withColumn("qs", Similarity.int8Codes($"vec", $"scale"))
+    // every code is an integer within int8's symmetric range
+    val badCode = vecs.where(exists($"qs",
+      q => q =!= floor(q) || abs(q) > 127)).count()
+    assert(badCode == 0, "codes must be integers in [-127, 127]")
+    // reconstruction error is bounded by half a quantization step:
+    // |x - q/s| <= 0.5/s = maxAbs/254 per component
+    val maxAbs = array_max(transform($"vec", x => abs(x)))
+    val bound = when($"scale".isNull, lit(0.0)).otherwise(maxAbs / 254.0)
+    val badErr = vecs.where(array_max(zip_with($"vec",
+        Similarity.int8Dequantize($"qs", $"scale"),
+        (x, d) => abs(x - d))) > bound + lit(1e-12)).count()
+    assert(badErr == 0, "reconstruction error must stay within half a step")
+    // the zero vector quantizes to zeros, reconstructs to zeros
+    val z = vecs.where($"vec_id" === -1L)
+      .select(Similarity.int8Dequantize($"qs", $"scale"))
+      .as[Seq[Double]].head()
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("int8-quantized corpus preserves brute-force top-k recall") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+    val deq = vecs
+      .withColumn("scale", Similarity.int8Scale($"vec"))
+      .select($"vec_id", Similarity.int8Dequantize(
+        Similarity.int8Codes($"vec", $"scale"), $"scale").as("vec"))
+    val queries = vecs.where($"vec_id" < 10)
+    val k = 10
+    val exact = Similarity.cosineTopK(vecs, queries, k)
+      .select($"query_id", $"neighbor_id")
+    val quantized = Similarity.cosineTopK(deq, queries, k)
+      .select($"query_id", $"neighbor_id")
+    val hit = exact.intersect(quantized).count().toDouble
+    val recall = hit / exact.count()
+    assert(recall >= 0.9,
+      f"int8 search recall@$k dropped to $recall%.2f — quantization " +
+        "error is distorting the ranking beyond the storage trade")
+  }
+
   test("native toDoubleArray equals the transform-cast over raw embeddings") {
     val raw = Tables.load(spark, sf0001, "embeddings")
     val bad = raw.select(
