@@ -193,6 +193,25 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // Persisted SimHash index — the third index kind, same
+    // build/append/probe lifecycle: one chunk table (signature rides
+    // with each of its 4 pigeonhole chunks, so the Hamming verify is a
+    // column op, no second join). Rows-only (bit-level LSH not
+    // SQL-expressible); parity/append/erasure proven in IndexStoreSpec.
+    QueryDef("ext_simhash_persisted", None,
+      (s, dir) => {
+        val tbl = "graft_shp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        if (!s.catalog.tableExists(s"${tbl}_chunks"))
+          IndexStore.buildSimhashIndex(docs, "doc_id", "text", tbl,
+            s"/tmp/graft_index/$tbl")
+        val probes = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft tail")).as("text"))
+        IndexStore.probeSimhash(s, probes, "doc_id", "text", tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Incrementally-maintained IVF index: build inverted lists over the
     // existing corpus, append a later batch assigned against the SAME
     // persisted centroids (IVF practice: the coarse quantizer is trained

@@ -198,6 +198,92 @@ object IndexStore {
       .select("query_id", "match_id", "jaccard")
   }
 
+  // ---- SimHash index ------------------------------------------------
+  // One table is enough: the 64-bit signature rides along with each of
+  // its 4 chunk rows, so the exact-Hamming verification is a column
+  // comparison inside the candidate join — no second verification join
+  // like MinHash's shingle table.
+
+  /** (chunk_id, 16-bit chunk value) packed into one equi-join key:
+    * reversible, and a single bucketed column like MinHash's band_key. */
+  private def chunkKeys(sim: Column): Column =
+    array((0 until 4).map(j => lit(j.toLong << 16)
+      .bitwiseOR(shiftrightunsigned(sim, j * 16).bitwiseAND(lit(0xFFFFL)))): _*)
+
+  private def simhashChunks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par).select(col(idCol),
+        graft.functions.SimHash.simhash64(
+          split(trim(lower(col(textCol))), "\\s+")).as("sim"))
+      .select(col(idCol), col("sim"),
+        explode(chunkKeys(col("sim"))).as("chunk_key"))
+  }
+
+  /** Builds the SimHash index: (id, sim, chunk_key) bucketed by
+    * chunk_key — pigeonhole over 4×16-bit chunks, so any pair within
+    * Hamming ≤ 3 of a probe collides on at least one chunk. */
+  def buildSimhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    simhashChunks(docs, idCol, textCol)
+      .write.bucketBy(nBuckets, "chunk_key")
+      .option("path", s"$path/${table}_chunks").mode("overwrite")
+      .saveAsTable(s"${table}_chunks")
+    setParams(spark, s"${table}_chunks", Map("idCol" -> idCol))
+  }
+
+  /** Appends delta docs' chunk rows in place, mirroring
+    * [[appendMinhashIndex]]. */
+  def appendSimhashIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_chunks", Map("idCol" -> idCol), "append")
+    simhashChunks(delta, idCol, textCol)
+      .write.bucketBy(numBucketsOf(spark, s"${table}_chunks"), "chunk_key")
+      .mode("append").saveAsTable(s"${table}_chunks")
+  }
+
+  /** Near-dup matches for each query doc at exact Hamming ≤ maxHamming.
+    * Returns (query_id, match_id, hamming); the candidate join moves
+    * only the probe side (index bucketed on chunk_key), and the verify
+    * is a bit_count on columns already in hand. */
+  def probeSimhash(spark: SparkSession, queries: DataFrame, idCol: String,
+      textCol: String, table: String, maxHamming: Int = 3): DataFrame = {
+    requireParams(spark, s"${table}_chunks", Map("idCol" -> idCol), "probe")
+    val qChunks = simhashChunks(queries, idCol, textCol)
+      .select(col(idCol).as("query_id"), col("sim").as("q_sim"),
+        col("chunk_key"))
+    spark.table(s"${table}_chunks")
+      .join(qChunks, "chunk_key")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("match_id"),
+        bit_count(col("q_sim").bitwiseXOR(col("sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Deletes documents from a SimHash index. */
+  def deleteFromSimhashIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String): Unit = {
+    val chunks = s"${table}_chunks"
+    val idCol = getParams(spark, chunks).getOrElse("idCol", "doc_id")
+    deleteFromTable(spark, chunks, bucketColOf(spark, chunks), idCol, ids,
+      s"$newPathBase/${chunks}_d", numBucketsOf(spark, chunks))
+  }
+
+  /** Compacts the SimHash chunk table. */
+  def compactSimhashIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val chunks = s"${table}_chunks"
+    compactTable(spark, chunks, bucketColOf(spark, chunks),
+      s"$newPathBase/${chunks}_c", numBucketsOf(spark, chunks))
+  }
+
+  /** Vacuums the SimHash index's retired directories. */
+  def vacuumSimhashIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_chunks")
+
   /** Compacts a bucketed index table: every append leaves one file set
     * per bucket, so a long-lived index accumulates small files (slower
     * scans, more tasks). This rewrites the table's rows into exactly one

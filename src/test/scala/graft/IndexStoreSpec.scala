@@ -291,6 +291,39 @@ class IndexStoreSpec extends SparkSpec {
       "unerased matches must be untouched")
   }
 
+  test("SimHash index: probe parity, incremental append, erasure") {
+    import spark.implicits._
+    val sh = "graft_spec_sh"
+    dropTable(s"${sh}_chunks")
+    spark.sql(s"DROP TABLE IF EXISTS ${sh}_chunks__compacting")
+    // build half, append half — the maintained index must equal the
+    // fresh inline pipeline over the whole corpus
+    IndexStore.buildSimhashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", sh, s"$idxPath/$sh")
+    IndexStore.appendSimhashIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", sh)
+    val probed = IndexStore.probeSimhash(spark, probes, "doc_id", "text", sh)
+    val fresh = Dedup.simhashNearDupPairs(docs.unionByName(probes),
+        "doc_id", "text")
+      .where(col("id_b") >= 100000 && col("id_a") < 100000)
+      .select(col("id_b").as("query_id"), col("id_a").as("match_id"),
+        col("hamming"))
+    assert(probed.count() > 0, "planted perturbed docs must match")
+    assertSameRows(probed, fresh,
+      "persisted SimHash probe must equal the fresh pipeline")
+    // erasure: matched docs stop matching, everything else untouched
+    val before = probed.collect().toSeq
+    val erased = before.map(_.getLong(1)).distinct.sorted.take(before.size / 2)
+    IndexStore.deleteFromSimhashIndex(spark, sh, erased.toDF("doc_id"),
+      s"$idxPath/$sh")
+    val after = IndexStore.probeSimhash(spark, probes, "doc_id", "text", sh)
+      .collect().toSeq
+    val erasedSet = erased.toSet
+    assert(after.forall(r => !erasedSet.contains(r.getLong(1))))
+    assert(after.toSet ==
+      before.filterNot(r => erasedSet.contains(r.getLong(1))).toSet)
+  }
+
   test("deleteFromIvfIndex: erased vectors never surface; parity with a fresh build") {
     import spark.implicits._
     val del = "graft_spec_ivf_del"
