@@ -107,14 +107,34 @@ object Dedup {
     * chunk (pigeonhole), so bucketing by (chunk index, chunk value) finds
     * all of them without all-pairs. Returns pairs with exact Hamming
     * distance ≤ maxHamming. */
+  /** The canonical SimHash signature of a text column — the ONE
+    * tokenization both the inline pipeline and the persisted index
+    * ([[IndexStore]]) must share: two hand-copied expression trees would
+    * be a silent-divergence channel for persisted probes. */
+  def simhashSignature(textCol: Column): Column =
+    SimHash.simhash64(split(trim(lower(textCol)), "\\s+"))
+
+  /** The j-th 16-bit pigeonhole chunk of a 64-bit signature — shared
+    * chunk kernel for the same reason. */
+  def simhashChunk(sim: Column, j: Int): Column =
+    shiftrightunsigned(sim, j * 16).bitwiseAND(lit(0xFFFFL))
+
+  /** Number of pigeonhole chunks; guarantees candidate recall only for
+    * Hamming ≤ SimhashChunks - 1. */
+  val SimhashChunks = 4
+
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= SimhashChunks - 1,
+      s"the ${SimhashChunks}x16-bit pigeonhole only guarantees candidate " +
+        s"recall for Hamming <= ${SimhashChunks - 1}; maxHamming=$maxHamming " +
+        "would silently miss pairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.repartition(par).select(col(idCol),
-      SimHash.simhash64(split(trim(lower(col(textCol))), "\\s+")).as("sim"))
+      simhashSignature(col(textCol)).as("sim"))
     val chunked = sigs.select(col(idCol), col("sim"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until SimhashChunks)
+        .map(j => simhashChunk(col("sim"), j)): _*)))
       .toDF(idCol, "sim", "chunk_id", "chunk")
     chunked.alias("a")
       .join(chunked.alias("b"),

@@ -205,17 +205,19 @@ object IndexStore {
   // like MinHash's shingle table.
 
   /** (chunk_id, 16-bit chunk value) packed into one equi-join key:
-    * reversible, and a single bucketed column like MinHash's band_key. */
+    * reversible, and a single bucketed column like MinHash's band_key.
+    * Signature and chunk extraction come from [[Dedup]]'s shared
+    * kernels — the persisted index and the inline pipeline MUST
+    * tokenize identically or probes silently diverge. */
   private def chunkKeys(sim: Column): Column =
-    array((0 until 4).map(j => lit(j.toLong << 16)
-      .bitwiseOR(shiftrightunsigned(sim, j * 16).bitwiseAND(lit(0xFFFFL)))): _*)
+    array((0 until Dedup.SimhashChunks).map(j =>
+      lit(j.toLong << 16).bitwiseOR(Dedup.simhashChunk(sim, j))): _*)
 
   private def simhashChunks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par).select(col(idCol),
-        graft.functions.SimHash.simhash64(
-          split(trim(lower(col(textCol))), "\\s+")).as("sim"))
+    docs.repartition(par)
+      .select(col(idCol), Dedup.simhashSignature(col(textCol)).as("sim"))
       .select(col(idCol), col("sim"),
         explode(chunkKeys(col("sim"))).as("chunk_key"))
   }
@@ -250,6 +252,10 @@ object IndexStore {
     * is a bit_count on columns already in hand. */
   def probeSimhash(spark: SparkSession, queries: DataFrame, idCol: String,
       textCol: String, table: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= Dedup.SimhashChunks - 1,
+      s"the ${Dedup.SimhashChunks}x16-bit pigeonhole only guarantees " +
+        s"candidate recall for Hamming <= ${Dedup.SimhashChunks - 1}; " +
+        s"maxHamming=$maxHamming would silently miss matches")
     requireParams(spark, s"${table}_chunks", Map("idCol" -> idCol), "probe")
     val qChunks = simhashChunks(queries, idCol, textCol)
       .select(col(idCol).as("query_id"), col("sim").as("q_sim"),

@@ -322,6 +322,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(after.forall(r => !erasedSet.contains(r.getLong(1))))
     assert(after.toSet ==
       before.filterNot(r => erasedSet.contains(r.getLong(1))).toSet)
+    // compaction: results unchanged, then vacuum reclaims the two
+    // retired generations (the erasure's and the compaction's)
+    IndexStore.compactSimhashIndex(spark, sh, s"$idxPath/$sh")
+    val compacted = IndexStore.probeSimhash(spark, probes, "doc_id", "text", sh)
+      .collect().toSeq
+    assert(compacted.toSet == after.toSet,
+      "compaction must not change probe results")
+    assert(IndexStore.vacuumSimhashIndex(spark, sh).size == 2)
+    assert(IndexStore.probeSimhash(spark, probes, "doc_id", "text", sh)
+      .count() == after.size, "probes keep working after vacuum")
+  }
+
+  test("SimHash probe joins move only the probe side") {
+    val sh = "graft_spec_sh_inplace"
+    dropTable(s"${sh}_chunks")
+    IndexStore.buildSimhashIndex(docs, "doc_id", "text", sh, s"$idxPath/$sh")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try assertIndexSideInPlace(
+      IndexStore.probeSimhash(spark, probes, "doc_id", "text", sh),
+      s"$idxPath/$sh/${sh}_chunks")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("deleteFromIvfIndex: erased vectors never surface; parity with a fresh build") {
