@@ -74,6 +74,27 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("reliable mode: durable checkpoints, same labels") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    // without a checkpoint dir the reliable path must refuse up front
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), reliable = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val got = Components.connectedComponents(
+          Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"),
+          reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "durable checkpoints must actually land in the checkpoint dir")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("writeComponents: same labels, and nothing left pinned in storage") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
