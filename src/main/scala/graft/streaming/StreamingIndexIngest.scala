@@ -5,33 +5,32 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.IndexStore
 
-/** Continuous dedup-ingest — the streaming form of the persisted MinHash
-  * index's incremental-maintenance path: document micro-batches stream
+/** Continuous dedup-ingest — the streaming form of the persisted
+  * indexes' incremental-maintenance path: document micro-batches stream
   * in and each one is APPENDED to the index (built on the first batch),
   * so at every point the index covers exactly the documents ingested so
   * far and new arrivals can be near-dup-probed against it before
   * acceptance. Batch arrival order doesn't matter for the final index
-  * content (appends are unioned band/shingle rows), which keeps this
-  * deterministic despite the file-source's nondeterministic batch order.
+  * content (appends are unioned rows in stable buckets), which keeps
+  * this deterministic despite the file-source's nondeterministic batch
+  * order. The choreography is index-kind agnostic; MinHash and SimHash
+  * instances are provided.
   */
 object StreamingIndexIngest {
 
-  /** Streams the documents table through foreachBatch index appends,
-    * then probes the finished index with planted perturbed docs.
-    * Returns the probe result — identical to probing a one-shot index
-    * over the same corpus (asserted in StreamingSpec). */
-  def run(spark: SparkSession, sfDir: String, workDir: String,
-      table: String, idxPath: String): DataFrame = {
+  /** Shared choreography: stage the documents as a 2-file stream source
+    * (>1 micro-batch; more batches add cost, not coverage), drop any
+    * previous index, stream batches through build-then-append, probe
+    * the finished index with planted perturbed docs. */
+  private def ingest(spark: SparkSession, sfDir: String, workDir: String,
+      idxTables: Seq[String], idxPath: String,
+      buildOrAppend: (DataFrame, Boolean) => Unit,
+      probe: DataFrame => DataFrame): DataFrame = {
     val srcDir = s"$workDir/docs_src"
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    // two files so the stream sees >1 micro-batch (each batch pays two
-    // bucketed table writes — more batches add cost, not coverage);
-    // fresh index per run
     docs.repartition(2).write.mode("overwrite").parquet(srcDir)
-    Seq(s"${table}_bands", s"${table}_shingles").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-    }
+    idxTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
 
     val schema = spark.read.parquet(srcDir).schema
@@ -39,20 +38,39 @@ object StreamingIndexIngest {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!spark.catalog.tableExists(s"${table}_bands"))
-          IndexStore.buildMinhashIndex(batch, "doc_id", "text", table, idxPath)
-        else
-          IndexStore.appendMinhashIndex(batch, "doc_id", "text", table)
+        buildOrAppend(batch, !spark.catalog.tableExists(idxTables.head))
         (): Unit
       }
       .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val probes = docs.where(col("doc_id") % 5 === 0)
+    probe(docs.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" graft tail")).as("text"))
-    IndexStore.probeMinhash(spark, probes, "doc_id", "text", table)
-      .orderBy("query_id", "match_id")
+        concat(col("text"), lit(" graft tail")).as("text")))
   }
+
+  /** MinHash instance — identical to probing a one-shot index over the
+    * same corpus (asserted in StreamingSpec). */
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String): DataFrame =
+    ingest(spark, sfDir, workDir,
+      Seq(s"${table}_bands", s"${table}_shingles"), idxPath,
+      (batch, first) =>
+        if (first) IndexStore.buildMinhashIndex(batch, "doc_id", "text",
+          table, idxPath)
+        else IndexStore.appendMinhashIndex(batch, "doc_id", "text", table),
+      probes => IndexStore.probeMinhash(spark, probes, "doc_id", "text", table)
+        .orderBy("query_id", "match_id"))
+
+  /** SimHash instance — same contract over the chunk table. */
+  def runSimhash(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String): DataFrame =
+    ingest(spark, sfDir, workDir, Seq(s"${table}_chunks"), idxPath,
+      (batch, first) =>
+        if (first) IndexStore.buildSimhashIndex(batch, "doc_id", "text",
+          table, idxPath)
+        else IndexStore.appendSimhashIndex(batch, "doc_id", "text", table),
+      probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
+        .orderBy("query_id", "match_id"))
 }

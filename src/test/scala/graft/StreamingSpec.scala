@@ -61,6 +61,23 @@ class StreamingSpec extends SparkSpec {
       "index built from streamed micro-batches must probe like a one-shot build")
   }
 
+  test("streaming SimHash ingest equals a one-shot build") {
+    val streamed = graft.streaming.StreamingIndexIngest.runSimhash(spark,
+      sf0001, "/tmp/graft_ingest_sh", "graft_test_ssh",
+      "/tmp/graft_ingest_sh/idx")
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val probes = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" graft tail")).as("text"))
+    val fresh = graft.operators.Dedup
+      .simhashNearDupPairs(docs.unionByName(probes), "doc_id", "text")
+      .where($"id_b" >= 100000 && $"id_a" < 100000)
+      .select($"id_b".as("query_id"), $"id_a".as("match_id"), $"hamming")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(fresh).isEmpty && fresh.exceptAll(streamed).isEmpty,
+      "SimHash index from streamed micro-batches must probe like a one-shot build")
+  }
+
   test("streaming merge resumes from its checkpoint without reprocessing old batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.sources.VersionedTable
