@@ -42,8 +42,14 @@ object Similarity {
     * for the all-zero vector. Quantized storage is the 100 TB ANN
     * memory lever — 4× smaller than float32, 8× smaller than the
     * compute-side double, at a bounded cosine error (≤ 1/254 of the
-    * max component per dimension). */
-  def int8Scale(vec: Column): Column = {
+    * max component per dimension). Native codegen'd expression (the
+    * HOF tree is CodegenFallback and this pass touches every corpus
+    * embedding); [[int8ScaleFold]] is the bit-identical parity twin. */
+  def int8Scale(vec: Column): Column =
+    graft.functions.Quantize.int8Scale(vec)
+
+  /** Expression-tree twin of [[int8Scale]] — parity reference. */
+  def int8ScaleFold(vec: Column): Column = {
     val maxAbs = array_max(transform(vec, x => abs(x)))
     when(maxAbs > lit(0.0), lit(127.0) / maxAbs)
   }
@@ -52,14 +58,25 @@ object Similarity {
     * + 0.5), not round(): identical halfway behavior across engines.
     * Values are exact small integers carried as doubles for arithmetic;
     * cast to `array<tinyint>` at the storage boundary. The zero vector
-    * (null scale) maps to zeros. */
+    * (null scale) maps to zeros. Native; [[int8CodesFold]] is the
+    * parity twin (the 0.0 coalesce encodes the twin's null-scale
+    * branch — a real scale is > 0 by construction). */
   def int8Codes(vec: Column, scale: Column): Column =
+    graft.functions.Quantize.int8Codes(vec, coalesce(scale, lit(0.0)))
+
+  /** Expression-tree twin of [[int8Codes]] — parity reference. */
+  def int8CodesFold(vec: Column, scale: Column): Column =
     transform(vec, x =>
       when(scale.isNull, lit(0.0)).otherwise(floor(x * scale + lit(0.5))))
 
   /** Dequantized reconstruction q/s (zeros for the zero vector) — the
-    * probe-side form that ANN search runs cosine against. */
+    * probe-side form that ANN search runs cosine against. Native;
+    * [[int8DequantizeFold]] is the parity twin. */
   def int8Dequantize(codes: Column, scale: Column): Column =
+    graft.functions.Quantize.int8Dequantize(codes, coalesce(scale, lit(0.0)))
+
+  /** Expression-tree twin of [[int8Dequantize]] — parity reference. */
+  def int8DequantizeFold(codes: Column, scale: Column): Column =
     transform(codes, q => when(scale.isNull, lit(0.0)).otherwise(q / scale))
 
   /** Coarse partitioning key: sign bits of the first `dims` components

@@ -147,6 +147,32 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq((1L, 1, 5L, 0.9), (1L, 2, 3L, 0.5), (1L, 3, 7L, 0.5)))
   }
 
+  test("native int8 expressions are bit-identical to their HOF twins") {
+    // fixture embeddings plus the degenerate shapes: zero vector, empty,
+    // null-element, negative-dominant
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+      .unionByName(Seq(
+        (-1L, Seq(0.0, 0.0, 0.0)),
+        (-2L, Seq.empty[Double]),
+        (-3L, Seq(-5.0, 2.5, -0.25))).toDF("vec_id", "vec"))
+      .unionByName(Seq(-4L).toDF("vec_id")
+        .select($"vec_id", array(lit(1.0), lit(null).cast("double")).as("vec")))
+    val both = vecs
+      .withColumn("s_n", Similarity.int8Scale($"vec"))
+      .withColumn("s_f", Similarity.int8ScaleFold($"vec"))
+      .withColumn("q_n", Similarity.int8Codes($"vec", $"s_n"))
+      .withColumn("q_f", Similarity.int8CodesFold($"vec", $"s_f"))
+      .withColumn("d_n", Similarity.int8Dequantize($"q_n", $"s_n"))
+      .withColumn("d_f", Similarity.int8DequantizeFold($"q_f", $"s_f"))
+    // null-safe <=> everywhere: a null-vs-value divergence must FAIL,
+    // not vanish inside a three-valued =!=
+    val diverged = both.where(
+      !($"s_n" <=> $"s_f") || !($"q_n" <=> $"q_f") || !($"d_n" <=> $"d_f"))
+    assert(diverged.isEmpty,
+      s"native/fold divergence:\n${diverged.take(3).mkString("\n")}")
+  }
+
   test("int8 quantization: codes in [-127,127], bounded error, zero-vector safe") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
