@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity}
 
 /** Capability registry, batch 3: the LLM-training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) —
@@ -56,6 +57,21 @@ object ExtensionQueries {
 
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** Per-source keep-fraction thresholds for the mixture sampler: keep a
+    * doc iff the first md5 byte of its id is below the threshold
+    * (e.g. "cc" ≈ 80%). One shared table drives BOTH the Spark query
+    * and the DuckDB oracle, so the two can never drift. */
+  private val sourceMixThresholds: Seq[(String, String)] =
+    (0 until 20).map { i =>
+      val thr = i % 4 match {
+        case 0 => "cc" // ≈ 80 %
+        case 1 => "80" // ≈ 50 %
+        case 2 => "40" // ≈ 25 %
+        case _ => "1a" // ≈ 10 %
+      }
+      s"src$i" -> thr
+    }
 
   private val duckVecsCte =
     """corpus AS (
@@ -669,5 +685,119 @@ object ExtensionQueries {
               (x, d) => abs(x - d))) * lit(1000000000L) + lit(0.5))
               / lit(1000000000.0)).as("max_err"))
           .orderBy("vec_id")
+      }),
+
+    // Source-mixture sampling: re-weight a multi-source corpus toward a
+    // target mix (the Pile-style domain-weighting step). Each source
+    // carries its own deterministic md5-threshold keep-fraction; the
+    // weights ride in as a broadcast dim table, so the sampler is a
+    // broadcast join + filter — embarrassingly parallel, no per-source
+    // window, the corpus never shuffles. The oracle joins the identical
+    // VALUES list (both sides render from `sourceMixThresholds`).
+    QueryDef("ext_source_mix_sample", {
+      val values = sourceMixThresholds
+        .map { case (src, thr) => s"('$src', '$thr')" }.mkString(", ")
+      Some(s"""WITH w(source, thr) AS (VALUES $values)
+              |SELECT d.doc_id, d.source
+              |FROM documents d JOIN w ON d.source = w.source
+              |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < w.thr
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val weights = sourceMixThresholds.toDF("source", "thr")
+        load(s, dir, "documents")
+          .join(broadcast(weights), "source")
+          .where(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            < col("thr"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      }),
+
+    // TF-IDF top terms per document (keyword extraction / doc
+    // representation). Scoring uses a LINEAR idf scaled to integers —
+    // tf · ((1e6 · N) div df) — so ranking and output are exact integer
+    // arithmetic in both engines (a float ln() idf risks cross-engine
+    // ulp drift at rank boundaries; the monotone-in-df linear form
+    // keeps the demonstration engine-portable). Term frequencies
+    // aggregate with map-side partials; the doc-frequency join
+    // shuffles only the (doc, term) pairs; the top-3 window partitions
+    // by doc_id — an unbounded-cardinality key, so unlike a per-label
+    // window it spreads across the cluster at any scale.
+    QueryDef("ext_tfidf_topterms",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, t AS term
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         tf.tf * ((1000000 * n.n_docs) // dfreq.df) AS score_m
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score_m,
+             |             row_number() OVER (PARTITION BY doc_id
+             |               ORDER BY score_m DESC, term ASC) AS rk
+             |      FROM scored)
+             |SELECT doc_id, term, CAST(score_m AS BIGINT) AS score_m
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .where(length(col("term")) >= 3)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_m").desc, col("term").asc)
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score_m",
+            expr("tf * ((1000000L * n_docs) div df)"))
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+          .select("doc_id", "term", "score_m")
+          .orderBy("doc_id", "term")
+      }),
+
+    // k-means cluster assignment in its map-only form: the k centroids
+    // (here the 8 lowest-id vectors — the same deterministic seeding
+    // trainCentroids uses) become plan literals, so assignment is ONE
+    // projection over the corpus — zero exchanges, zero row blow-up
+    // (IvfOpsSpec plan-asserts both, and parity with the window-based
+    // assign). This is the kernel that labels 100 TB of embeddings with
+    // their inverted list. The oracle replays the crossJoin + rank
+    // formulation — value-identical by the tie contract (max cosine,
+    // then lowest cluster_id).
+    QueryDef("ext_kmeans_assign",
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              |  FROM embeddings),
+              |c AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cluster_id, vec AS cvec
+              |  FROM v WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT v.vec_id, c.cluster_id,
+              |         ${duckCosine("v.vec", "c.cvec")} AS sim
+              |  FROM v CROSS JOIN c),
+              |r AS (SELECT vec_id, cluster_id,
+              |             row_number() OVER (PARTITION BY vec_id
+              |               ORDER BY sim DESC, cluster_id ASC) AS rk
+              |      FROM scored)
+              |SELECT vec_id, cluster_id FROM r WHERE rk = 1
+              |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val vecs = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val cent = IvfIndex.collectCentroids(
+          vecs.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cluster_id"),
+              col("vec").as("centroid")))
+        IvfIndex.assignInline(vecs, cent).orderBy("vec_id")
       }))
 }

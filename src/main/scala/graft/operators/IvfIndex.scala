@@ -62,6 +62,38 @@ object IvfIndex {
       .select(col(idCol), col("cluster_id"))
   }
 
+  /** Collect a centroid frame (cluster_id, centroid) to driver-side
+    * literals for [[assignInline]]. k×dim doubles — tiny by
+    * construction, the same driver-side footprint [[trainCentroids]]
+    * already accepts per Lloyd step. */
+  def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("cluster_id"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toIndexedSeq.sortBy(_._1)
+  }
+
+  /** Map-only nearest-centroid assignment: the k×dim centroids ride
+    * into the plan as literal arrays, so assignment is ONE projection —
+    * no crossJoin row blow-up (k rows per vector) and no per-id window
+    * shuffle like [[assign]]. This is the 100 TB shape for IVF list
+    * assignment: the corpus never moves (zero exchanges, asserted in
+    * IvfOpsSpec). Same contract as [[assign]]: highest cosine wins,
+    * ties break on the lower cluster_id; a null similarity (zero
+    * vector) loses to any real one. */
+  def assignInline(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    require(centroids.nonEmpty, "assignInline needs at least one centroid")
+    val candidates = centroids.map { case (cid, cv) =>
+      struct(
+        coalesce(-cosine(col(vecCol), array(cv.map(lit(_)): _*)),
+          lit(Double.PositiveInfinity)).as("neg_sim"),
+        lit(cid).as("cluster_id"))
+    }
+    vecs.select(col(idCol),
+      array_min(array(candidates: _*)).getField("cluster_id").as("cluster_id"))
+  }
+
   /** IVF top-k search: probe the nprobe nearest inverted lists per
     * query, exact cosine inside the probed lists. Assigns the corpus to
     * lists inline — use [[IndexStore]] to persist the lists and probe

@@ -47,6 +47,27 @@ class IvfOpsSpec extends SparkSpec {
     assert(a1.size == corpus.count())
   }
 
+  test("inline assignment matches window assignment and never shuffles") {
+    val cent = IvfIndex.trainCentroids(corpus, k = 8, iters = 1)
+    val inline = IvfIndex.assignInline(corpus, IvfIndex.collectCentroids(cent))
+    // parity: identical (vec_id, cluster_id) pairs as the crossJoin+window form
+    val viaWindow = IvfIndex.assign(corpus, cent).collect().toSet
+    assert(inline.collect().toSet == viaWindow)
+    // the whole point: assignment is one projection — zero exchanges
+    assert(shuffleCount(inline) == 0,
+      "map-only assignment must not move the corpus")
+  }
+
+  test("inline assignment prefers the lower cluster_id on exact ties") {
+    // two identical centroids → every vector ties → lower id must win
+    val cent = IvfIndex.collectCentroids(
+      IvfIndex.trainCentroids(corpus, k = 1, iters = 0))
+    val dup = Seq(3 -> cent.head._2, 7 -> cent.head._2)
+    val got = IvfIndex.assignInline(corpus, dup)
+      .select("cluster_id").distinct().as[Int].collect().toSeq
+    assert(got == Seq(3))
+  }
+
   test("salted join equals plain join on skewed data") {
     // skew: 80% of left rows share one key
     val left = spark.range(0, 2000)
