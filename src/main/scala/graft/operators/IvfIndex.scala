@@ -35,12 +35,13 @@ object IvfIndex {
       .select(col("cluster_id"), col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
       // Materialize the k×dim centroids on the driver each step (they
-      // are tiny by construction) so every assign job reads a broadcast
-      // literal instead of the previous iterations' full lineage —
+      // are tiny by construction) so every assign job reads plan
+      // literals instead of the previous iterations' full lineage —
       // plan depth stays constant across iters, nothing re-executes.
-      // Same shape as MLlib's own k-means driver loop.
-      val local = assign(vecs, cent, idCol, vecCol)
-        .join(vecs, idCol)
+      // Same shape as MLlib's own k-means driver loop. Each step is
+      // withClusterId (one projection) + the mergeable centroid agg:
+      // the ONLY exchange per Lloyd iteration is the k-group groupBy.
+      val local = withClusterId(vecs, collectCentroids(cent), vecCol)
         .groupBy("cluster_id")
         .agg(VectorAgg.centroid(col(vecCol), dim).as("centroid"))
         .as[(Int, Seq[Double])].collect().toIndexedSeq
@@ -50,22 +51,27 @@ object IvfIndex {
   }
 
   /** Nearest-centroid assignment: (idCol, cluster_id). Ties break on the
-    * lower cluster_id for determinism. */
+    * lower cluster_id; a degenerate similarity (null or NaN from a
+    * zero vector) loses to any real one — the same contract as
+    * [[assignInline]], asserted in IvfOpsSpec. */
   def assign(vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("cluster_id").asc)
+      .orderBy(col("__sim").desc_nulls_last, col("cluster_id").asc)
     vecs.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      // nanvl: Spark orders NaN ABOVE every double, so a 0/0 similarity
+      // would otherwise beat real ones — fold NaN into null (sorts last)
+      .withColumn("__sim",
+        nanvl(cosine(col(vecCol), col("centroid")), lit(null).cast("double")))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
       .select(col(idCol), col("cluster_id"))
   }
 
   /** Collect a centroid frame (cluster_id, centroid) to driver-side
-    * literals for [[assignInline]]. k×dim doubles — tiny by
-    * construction, the same driver-side footprint [[trainCentroids]]
-    * already accepts per Lloyd step. */
+    * literals for [[withClusterId]]/[[assignInline]]. k×dim doubles —
+    * tiny by construction, the same driver-side footprint
+    * [[trainCentroids]] already accepts per Lloyd step. */
   def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] = {
     val spark = centroids.sparkSession
     import spark.implicits._
@@ -73,26 +79,34 @@ object IvfIndex {
       .as[(Int, Seq[Double])].collect().toIndexedSeq.sortBy(_._1)
   }
 
-  /** Map-only nearest-centroid assignment: the k×dim centroids ride
-    * into the plan as literal arrays, so assignment is ONE projection —
-    * no crossJoin row blow-up (k rows per vector) and no per-id window
-    * shuffle like [[assign]]. This is the 100 TB shape for IVF list
-    * assignment: the corpus never moves (zero exchanges, asserted in
-    * IvfOpsSpec). Same contract as [[assign]]: highest cosine wins,
-    * ties break on the lower cluster_id; a null similarity (zero
-    * vector) loses to any real one. */
-  def assignInline(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
-    require(centroids.nonEmpty, "assignInline needs at least one centroid")
+  /** Appends `cluster_id` (nearest centroid) to `vecs` in ONE
+    * projection: the k×dim centroids ride into the plan as literal
+    * arrays, so there is no crossJoin row blow-up (k rows per vector),
+    * no per-id window shuffle, and no assign-then-self-join — the
+    * 100 TB shape for labeling a corpus with its inverted list (zero
+    * exchanges, asserted in IvfOpsSpec). Highest cosine wins, ties
+    * break on the lower cluster_id; a degenerate similarity (null/NaN)
+    * loses to any real one. */
+  def withClusterId(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "vec"): DataFrame = {
+    require(centroids.nonEmpty, "withClusterId needs at least one centroid")
     val candidates = centroids.map { case (cid, cv) =>
       struct(
-        coalesce(-cosine(col(vecCol), array(cv.map(lit(_)): _*)),
+        coalesce(-nanvl(cosine(col(vecCol), array(cv.map(lit(_)): _*)),
+            lit(null).cast("double")),
           lit(Double.PositiveInfinity)).as("neg_sim"),
         lit(cid).as("cluster_id"))
     }
-    vecs.select(col(idCol),
-      array_min(array(candidates: _*)).getField("cluster_id").as("cluster_id"))
+    vecs.withColumn("cluster_id",
+      array_min(array(candidates: _*)).getField("cluster_id"))
   }
+
+  /** [[withClusterId]] projected to (idCol, cluster_id) — the map-only
+    * twin of [[assign]]. */
+  def assignInline(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame =
+    withClusterId(vecs, centroids, vecCol)
+      .select(col(idCol), col("cluster_id"))
 
   /** IVF top-k search: probe the nprobe nearest inverted lists per
     * query, exact cosine inside the probed lists. Assigns the corpus to
@@ -101,7 +115,7 @@ object IvfIndex {
   def topK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "vec"): DataFrame =
-    topKFromLists(corpus.join(assign(corpus, centroids, idCol, vecCol), idCol),
+    topKFromLists(withClusterId(corpus, collectCentroids(centroids), vecCol),
       queries, centroids, k, nprobe, idCol, vecCol)
 
   /** Probe path over pre-assigned inverted lists (rows carry idCol,
