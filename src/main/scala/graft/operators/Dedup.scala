@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash
@@ -40,25 +41,64 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
     graft.functions.MinHash.minhashSignature(shingles, numHashes)
 
+  /** Bucket-population cap above which the all-pairs join inside an LSH
+    * bucket is replaced by star-linking through the bucket representative
+    * (the minimum id). A bucket of m members normally contributes
+    * m(m-1)/2 candidate pairs on ONE reducer — a boilerplate-heavy corpus
+    * (thousands of near-identical docs sharing a band hash) turns that
+    * quadratic blow-up into the job's straggler at exactly the data shape
+    * dedup exists for. Star-linking emits m-1 pairs (rep, member)
+    * instead: output is linear, every member remains a candidate, and
+    * connected-component clustering — the dedup consumer — sees the same
+    * components, because near-identical members verify against the
+    * representative and join its cluster transitively. What is given up
+    * is only the direct enumeration of (x, y) pairs that share NO bucket
+    * below the cap; for the boilerplate shape that creates hot buckets,
+    * those pairs are exactly the ones reachable through the
+    * representative. Guarded recall is pinned by DedupSpec's
+    * planted-boilerplate corpus. */
+  val DefaultHotBandThreshold = 1000
+
   /** LSH banding: hash `rowsPerBand`-sized slices of the signature; docs
     * sharing any band hash become candidate pairs. Returns (id_a, id_b)
     * with id_a < id_b, distinct. The join key is (band index, band hash),
     * so the shuffle is by bucket — never all-pairs. Band hashes come
     * from the native codegen'd BandKeys expression (band index folded
-    * into the hash; posexplode recovers the band_id). */
+    * into the hash; posexplode recovers the band_id).
+    *
+    * Buckets larger than `hotBandThreshold` are star-linked through
+    * their representative instead of all-paired — see
+    * [[DefaultHotBandThreshold]] for the semantics and why. The
+    * population count and representative come from a window over the
+    * band key, which the subsequent self-join shuffles on anyway, so
+    * the guard adds no new exchange — only a per-bucket sort. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4,
+      hotBandThreshold: Int = DefaultHotBandThreshold): DataFrame = {
+    require(hotBandThreshold >= 2,
+      s"hotBandThreshold=$hotBandThreshold: a bucket needs at least two " +
+        "members to form a pair, so a cap below 2 disables banding entirely")
     val banded = sigs.select(col(idCol),
       posexplode(graft.functions.MinHash.bandKeys(col(sigCol), bands,
         rowsPerBand)))
       .toDF(idCol, "band_id", "band_hash")
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val w = Window.partitionBy("band_id", "band_hash")
+    val sized = banded
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("band_rep", min(col(idCol)).over(w))
+    val small = sized.where(col("band_n") <= hotBandThreshold)
+      .select(col(idCol), col("band_id"), col("band_hash"))
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    // band_rep = min(id) over the bucket, so id_a < id_b holds here too
+    val hotPairs = sized
+      .where(col("band_n") > hotBandThreshold && col(idCol) =!= col("band_rep"))
+      .select(col("band_rep").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
   }
 
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
@@ -75,7 +115,8 @@ object Dedup {
     * via banding, then exact n-gram Jaccard verification ≥ threshold. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      hotBandThreshold: Int = DefaultHotBandThreshold): DataFrame = {
     // Materialize shingles and signatures once: they feed the 16 band
     // projections plus both sides of the verification join, and Catalyst
     // would otherwise inline (= recompute) the hashing into every
@@ -93,7 +134,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
-    val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands)
+    val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands,
+      hotBandThreshold)
     pairs
       .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -124,11 +166,15 @@ object Dedup {
   val SimhashChunks = 4
 
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      hotBandThreshold: Int = DefaultHotBandThreshold): DataFrame = {
     require(maxHamming <= SimhashChunks - 1,
       s"the ${SimhashChunks}x16-bit pigeonhole only guarantees candidate " +
         s"recall for Hamming <= ${SimhashChunks - 1}; maxHamming=$maxHamming " +
         "would silently miss pairs")
+    require(hotBandThreshold >= 2,
+      s"hotBandThreshold=$hotBandThreshold: a bucket needs at least two " +
+        "members to form a pair, so a cap below 2 disables chunking entirely")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.repartition(par).select(col(idCol),
       simhashSignature(col(textCol)).as("sim"))
@@ -136,13 +182,30 @@ object Dedup {
       posexplode(array((0 until SimhashChunks)
         .map(j => simhashChunk(col("sim"), j)): _*)))
       .toDF(idCol, "sim", "chunk_id", "chunk")
-    chunked.alias("a")
-      .join(chunked.alias("b"),
+    // Same hot-bucket guard as lshCandidatePairs (see
+    // DefaultHotBandThreshold): oversized chunk buckets star-link through
+    // the bucket representative — min(struct(id, sim)) carries the
+    // representative's signature along so the exact Hamming verify stays
+    // a column comparison, no extra join.
+    val w = Window.partitionBy("chunk_id", "chunk")
+    val sized = chunked
+      .withColumn("chunk_n", count(lit(1)).over(w))
+      .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w))
+    val small = sized.where(col("chunk_n") <= hotBandThreshold)
+      .select(col(idCol), col("sim"), col("chunk_id"), col("chunk"))
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk") === col("b.chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+    val hotPairs = sized
+      .where(col("chunk_n") > hotBandThreshold &&
+        col(idCol) =!= col("rep")(idCol))
+      .select(col("rep")(idCol).as("id_a"), col(idCol).as("id_b"),
+        bit_count(col("rep")("sim").bitwiseXOR(col("sim"))).as("hamming"))
+    smallPairs.unionByName(hotPairs)
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

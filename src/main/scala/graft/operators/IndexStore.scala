@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -157,14 +158,41 @@ object IndexStore {
     shingled.unpersist()
   }
 
+  /** Hot-bucket guard for persisted probes, mirroring
+    * [[Dedup.DefaultHotBandThreshold]]: an index bucket with m entries
+    * emits m candidate rows for EVERY probe doc that hits it, so a
+    * boilerplate-heavy index turns one band into a quadratic blow-up at
+    * probe time. Buckets above the cap contribute only their
+    * representative (min id): a probe hitting a hot bucket is still
+    * guaranteed a candidate — the near-dup DECISION (is this doc a dup
+    * of anything?) is preserved — while the enumeration of thousands of
+    * boilerplate matches is capped. Non-hot buckets are exhaustive as
+    * before. The count/representative come from a window over the
+    * bucket key, which the bucketed scan already hash-partitions on, so
+    * the guard adds NO index-side exchange — only a per-bucket sort
+    * (shuffle count re-asserted in IndexStoreSpec). Callers needing the
+    * full enumeration can raise the threshold. */
+  private def capHotBuckets(indexTable: DataFrame, keyCol: String,
+      idCol: String, threshold: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    indexTable
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_rep", min(col(idCol)).over(w))
+      .where(col("bucket_n") <= threshold || col(idCol) === col("bucket_rep"))
+      .drop("bucket_n", "bucket_rep")
+  }
+
   /** Probes a persisted MinHash index: near-dup matches for each query
     * doc at exact-Jaccard ≥ threshold. Returns (query_id, match_id,
     * jaccard); self-matches (same id) are excluded. The band-table join
-    * moves only the probe side — the index is pre-bucketed on band_key. */
+    * moves only the probe side — the index is pre-bucketed on band_key.
+    * Band buckets above `hotBandThreshold` contribute only their
+    * representative (see [[capHotBuckets]]). */
   def probeMinhash(spark: SparkSession, queries: DataFrame, idCol: String,
       textCol: String, table: String, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
     requireParams(spark, s"${table}_bands",
       minhashParams(shingleN, numHashes, bands), "probe")
     // The probe side is an incremental-ingest batch — small by contract —
@@ -182,7 +210,8 @@ object IndexStore {
     val qBands = qsh.select(col("query_id"),
       explode(bandKeys(Dedup.minhashSignature(col("q_shingles"), numHashes),
         bands, numHashes / bands)).as("band_key"))
-    val candidates = spark.table(s"${table}_bands")
+    val candidates = capHotBuckets(spark.table(s"${table}_bands"),
+        "band_key", idCol, hotBandThreshold)
       .join(qBands, "band_key")
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("match_id"))
@@ -251,7 +280,8 @@ object IndexStore {
     * only the probe side (index bucketed on chunk_key), and the verify
     * is a bit_count on columns already in hand. */
   def probeSimhash(spark: SparkSession, queries: DataFrame, idCol: String,
-      textCol: String, table: String, maxHamming: Int = 3): DataFrame = {
+      textCol: String, table: String, maxHamming: Int = 3,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
     require(maxHamming <= Dedup.SimhashChunks - 1,
       s"the ${Dedup.SimhashChunks}x16-bit pigeonhole only guarantees " +
         s"candidate recall for Hamming <= ${Dedup.SimhashChunks - 1}; " +
@@ -260,7 +290,8 @@ object IndexStore {
     val qChunks = simhashChunks(queries, idCol, textCol)
       .select(col(idCol).as("query_id"), col("sim").as("q_sim"),
         col("chunk_key"))
-    spark.table(s"${table}_chunks")
+    capHotBuckets(spark.table(s"${table}_chunks"), "chunk_key", idCol,
+        hotBandThreshold)
       .join(qChunks, "chunk_key")
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("match_id"),

@@ -81,6 +81,82 @@ class DedupSpec extends SparkSpec {
     p1.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  // ---- hot-band guard -------------------------------------------------
+  // The boilerplate shape that melts unguarded LSH: ~10^3 near-identical
+  // docs (three variants of one 42-token text, any cross-variant pair
+  // differs in ONE trailing token → Jaccard 39/41 ≈ 0.95), so every band
+  // bucket holds hundreds of members and all-pairs inside buckets would
+  // be ~n²/2 rows on single reducers.
+  private def boilerplate(n: Int) = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit(base + " variant "),
+        element_at(array(lit("vx"), lit("vy"), lit("vz")),
+          ($"id" % 3 + 1).cast("int"))).as("text"))
+  }
+
+  test("hot-band guard keeps the boilerplate corpus linear and fully covered") {
+    val n = 1000
+    val sh = boilerplate(n).select($"doc_id",
+      array_distinct(Dedup.wordShingles($"text", 3)).as("shingles"))
+    val sigs = sh.select($"doc_id",
+      Dedup.minhashSignature($"shingles", 64).as("sig"))
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+      hotBandThreshold = 50).count()
+    // linear, not quadratic: unguarded, each all-hot bucket contributes
+    // ~(n/3)²/2 pairs per band
+    assert(pairs <= 8L * n, s"guarded pair count must stay linear, got $pairs")
+    // full-pipeline recall: every doc still lands in a VERIFIED near-dup
+    // pair (every text pair here has Jaccard ≥ 0.95, so star pairs verify)
+    val verified = Dedup.minhashNearDupPairs(boilerplate(n), "doc_id", "text",
+        threshold = 0.8, hotBandThreshold = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val covered = verified.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered.size == n,
+      s"every boilerplate doc must keep a near-dup pair; covered ${covered.size}/$n")
+    // and the star pairs keep the corpus connected for clustering: at
+    // most one component per variant group (groups usually merge further
+    // through shared buckets)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    verified.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (0L until n.toLong).map(find).toSet
+    assert(roots.size <= 3,
+      s"boilerplate must collapse to ≤3 clusters, got ${roots.size}")
+  }
+
+  test("hot-band guard is a no-op when no bucket exceeds the threshold") {
+    val sh = planted.select($"doc_id",
+      array_distinct(Dedup.wordShingles($"text", 3)).as("shingles"))
+    val sigs = sh.select($"doc_id",
+      Dedup.minhashSignature($"shingles", 64).as("sig"))
+    val guarded = Dedup.lshCandidatePairs(sigs, "doc_id", "sig")
+      .collect().toSet
+    val unguarded = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+      hotBandThreshold = Int.MaxValue).collect().toSet
+    assert(guarded == unguarded,
+      "below the threshold the guarded plan must emit exactly the old pairs")
+  }
+
+  test("simhash hot-chunk guard: linear pairs, no document loses its near-dups") {
+    val n = 600
+    val corpus = boilerplate(n)
+    val g = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxHamming = 3, hotBandThreshold = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(g.length <= 8L * n,
+      s"guarded simhash pairs must stay linear, got ${g.length}")
+    val gIds = g.flatMap(p => Seq(p._1, p._2)).toSet
+    val uIds = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxHamming = 3, hotBandThreshold = Int.MaxValue)
+      .select(explode(array($"id_a", $"id_b")).as("id")).distinct()
+      .as[Long].collect().toSet
+    assert(gIds == uIds,
+      "the guard must not drop any document that has a near-dup")
+  }
+
   test("native ngram shingles equal the expression-tree formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
       .unionByName(Seq((90001L, ""), (90002L, "   "), (90003L, "one"),

@@ -402,6 +402,41 @@ class IndexStoreSpec extends SparkSpec {
       "compaction must not change probe results")
   }
 
+  test("probe hot-bucket guard: bounded candidates, near-dup decision preserved") {
+    val hot = "graft_spec_mh_hot"
+    val hotSh = "graft_spec_sh_hot"
+    Seq(s"${hot}_bands", s"${hot}_shingles", s"${hotSh}_chunks").foreach(dropTable)
+    // boilerplate-heavy index: 800 near-identical docs, so every band /
+    // chunk bucket holds hundreds of entries
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val boiler = spark.range(800).select(
+      col("id").as("doc_id"),
+      concat(lit(base + " variant "),
+        element_at(array(lit("vx"), lit("vy"), lit("vz")),
+          (col("id") % 3 + 1).cast("int"))).as("text"))
+    IndexStore.buildMinhashIndex(boiler, "doc_id", "text", hot, s"$idxPath/$hot")
+    val query = spark.range(900001, 900002).select(col("id").as("doc_id"),
+      lit(base + " variant vx").as("text"))
+    val guarded = IndexStore.probeMinhash(spark, query, "doc_id", "text", hot,
+      hotBandThreshold = 50).collect()
+    assert(guarded.nonEmpty,
+      "a boilerplate query must still be detected as a near-dup")
+    assert(guarded.length <= 50,
+      s"hot buckets must contribute only representatives, got ${guarded.length} matches")
+    // unguarded, the same probe enumerates the whole boilerplate group
+    val unguarded = IndexStore.probeMinhash(spark, query, "doc_id", "text",
+      hot, hotBandThreshold = Int.MaxValue).count()
+    assert(unguarded >= 700L,
+      s"unguarded enumeration should return ~the whole group, got $unguarded")
+    // same shape for the SimHash index
+    IndexStore.buildSimhashIndex(boiler, "doc_id", "text", hotSh,
+      s"$idxPath/$hotSh")
+    val gsh = IndexStore.probeSimhash(spark, query, "doc_id", "text", hotSh,
+      hotBandThreshold = 50).collect()
+    assert(gsh.nonEmpty && gsh.length <= 50,
+      s"SimHash probe guard: expected bounded non-empty matches, got ${gsh.length}")
+  }
+
   test("mismatched build parameters are rejected on append and probe") {
     import spark.implicits._
     ensureMinhashIndex(); ensureIvfIndex()
