@@ -799,5 +799,61 @@ object ExtensionQueries {
             .select(col("vec_id").cast("int").as("cluster_id"),
               col("vec").as("centroid")))
         IvfIndex.assignInline(vecs, cent).orderBy("vec_id")
+      }),
+
+    // k-means TRAINING, oracled: trainCentroids is deterministic by
+    // construction (the k lowest-id vectors seed the clusters, fixed
+    // iteration count, max-cosine/lowest-cluster tie contract), so two
+    // Lloyd steps unroll as DuckDB CTEs: assign to the seeds, average
+    // per dimension, assign to the new means, average again. Output is
+    // the exploded (cluster_id, dim_idx, value) form, rounded to 6
+    // decimals — the element-wise means are summed in different orders
+    // by the two engines, so the last few ulps are not comparable (the
+    // same stance d5's rounded cosines take). Each Spark Lloyd step is
+    // a map-only literal-centroid assignment plus ONE k-group exchange;
+    // the driver holds k×dim doubles, nothing else.
+    QueryDef("ext_kmeans_train",
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              |  FROM embeddings),
+              |c0 AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cluster_id, vec AS cvec
+              |  FROM v WHERE vec_id < 8),
+              |s1 AS (
+              |  SELECT v.vec_id, c0.cluster_id, v.vec,
+              |         row_number() OVER (PARTITION BY v.vec_id
+              |           ORDER BY ${duckCosine("v.vec", "c0.cvec")} DESC,
+              |                    c0.cluster_id ASC) AS rk
+              |  FROM v CROSS JOIN c0),
+              |m1 AS (
+              |  SELECT cluster_id, d.dim_idx, avg(vec[d.dim_idx + 1]) AS val
+              |  FROM s1 CROSS JOIN (SELECT unnest(range(64)) AS dim_idx) d
+              |  WHERE rk = 1 GROUP BY 1, 2),
+              |c1 AS (
+              |  SELECT cluster_id, list(val ORDER BY dim_idx) AS cvec
+              |  FROM m1 GROUP BY 1),
+              |s2 AS (
+              |  SELECT v.vec_id, c1.cluster_id, v.vec,
+              |         row_number() OVER (PARTITION BY v.vec_id
+              |           ORDER BY ${duckCosine("v.vec", "c1.cvec")} DESC,
+              |                    c1.cluster_id ASC) AS rk
+              |  FROM v CROSS JOIN c1),
+              |m2 AS (
+              |  SELECT cluster_id, d.dim_idx, avg(vec[d.dim_idx + 1]) AS val
+              |  FROM s2 CROSS JOIN (SELECT unnest(range(64)) AS dim_idx) d
+              |  WHERE rk = 1 GROUP BY 1, 2)
+              |SELECT cluster_id, CAST(dim_idx AS INTEGER) AS dim_idx,
+              |       round(val, 6) AS cval
+              |FROM m2 ORDER BY cluster_id, dim_idx""".stripMargin),
+      (s, dir) => {
+        val vecs = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        IvfIndex.trainCentroids(vecs, k = 8, iters = 2)
+          .select(col("cluster_id"),
+            posexplode(col("centroid")).as(Seq("dim_idx", "cval")))
+          .select(col("cluster_id"), col("dim_idx"),
+            round(col("cval"), 6).as("cval"))
+          .orderBy("cluster_id", "dim_idx")
       }))
 }
