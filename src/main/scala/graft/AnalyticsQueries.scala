@@ -174,6 +174,30 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Quantized IVF — the actual 100 TB serving shape: inverted lists
+    // stored as int8 codes (array<tinyint>, ~4-8× less index I/O than
+    // fp64) + per-vector scale, dequantized INSIDE the scoring kernel
+    // (native codegen'd Int8Dequantize); list membership identical to
+    // the fp index because assignment runs before quantization.
+    // Rows-only (k-means centroids fp-order-sensitive); recall@10 ≥ 0.9
+    // vs the fp probe and the zero-index-side-shuffle plan are pinned
+    // in IndexStoreSpec.
+    QueryDef("ext_ivf_quantized", None,
+      (s, dir) => {
+        val tbl = "graft_ivfq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_lists")) {
+          val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
+          IndexStore.buildIvfIndexQuantized(corpus, centroids, tbl,
+            s"/tmp/graft_index/$tbl")
+        }
+        IndexStore.probeIvfQuantized(s, corpus.where(col("vec_id") < 10),
+            tbl, k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // Persisted MinHash index probed with NEW documents (planted
     // perturbed copies): build once over the corpus, then near-dup-check
     // incoming docs against it — the incremental-ingest dedup shape.

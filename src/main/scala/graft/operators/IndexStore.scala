@@ -519,6 +519,53 @@ object IndexStore {
       .saveAsTable(s"${table}_centroids")
   }
 
+  /** Builds a QUANTIZED IVF index: inverted lists carry int8 codes
+    * (array<tinyint>, ~4-8× smaller on disk than the fp64 vectors) plus
+    * the per-vector reconstruction scale, bucketed by cluster_id like
+    * [[buildIvfIndex]]. Assignment runs on the fp vectors BEFORE
+    * quantization (one map-only literal-centroid projection, zero
+    * exchanges), so list membership is identical to the fp index — only
+    * the stored representation is compressed. scale = 0.0 is the
+    * "undefined" sentinel for zero/empty vectors (see Int8QuantizeUtil).
+    */
+  def buildIvfIndexQuantized(corpus: DataFrame, centroids: DataFrame,
+      table: String, path: String, idCol: String = "vec_id",
+      vecCol: String = "vec", nBuckets: Int = 8): Unit = {
+    val dim = centroids.select(size(col("centroid"))).head().getInt(0)
+    val lists = IvfIndex.withClusterId(corpus,
+        IvfIndex.collectCentroids(centroids), vecCol)
+      .withColumn("__scale", Similarity.int8Scale(col(vecCol)))
+      .select(col(idCol),
+        Similarity.int8Codes(col(vecCol), col("__scale"))
+          .cast("array<tinyint>").as("codes"),
+        coalesce(col("__scale"), lit(0.0)).as("scale"),
+        col("cluster_id"))
+    lists.write.bucketBy(nBuckets, "cluster_id")
+      .option("path", s"$path/${table}_lists").mode("overwrite")
+      .saveAsTable(s"${table}_lists")
+    setParams(corpus.sparkSession, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString,
+        "quantized" -> "int8"))
+    centroids.write
+      .option("path", s"$path/${table}_centroids").mode("overwrite")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** IVF top-k against a persisted QUANTIZED index: same zero
+    * index-side-shuffle probe as [[probeIvf]], but the probed lists are
+    * int8 codes dequantized inside the scoring kernel. Refuses to probe
+    * a non-quantized index (and vice versa) via the persisted
+    * `quantized` build parameter. */
+  def probeIvfQuantized(spark: SparkSession, queries: DataFrame,
+      table: String, k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame = {
+    requireParams(spark, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "quantized" -> "int8"),
+      "probe")
+    IvfIndex.topKFromQuantizedLists(spark.table(s"${table}_lists"), queries,
+      spark.table(s"${table}_centroids"), k, nprobe, idCol, vecCol)
+  }
+
   /** Incremental IVF maintenance: assigns `delta` vectors against the
     * PERSISTED centroids (standard IVF practice — the coarse quantizer
     * is trained once and reused; retrain only on drift) and appends the

@@ -118,25 +118,54 @@ object IvfIndex {
     topKFromLists(withClusterId(corpus, collectCentroids(centroids), vecCol),
       queries, centroids, k, nprobe, idCol, vecCol)
 
-  /** Probe path over pre-assigned inverted lists (rows carry idCol,
-    * vecCol, cluster_id). */
-  def topKFromLists(lists: DataFrame, queries: DataFrame,
-      centroids: DataFrame, k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+  /** The nprobe nearest inverted lists per query: (q_<idCol>, q_vec,
+    * cluster_id) — shared probe-selection step of [[topKFromLists]] and
+    * [[topKFromQuantizedLists]]. Centroids broadcast; the per-query
+    * window is over an unbounded-cardinality key. */
+  private def probedClusters(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val probeW = Window.partitionBy(col(s"q_$idCol"))
       .orderBy(col("__sim").desc, col("cluster_id").asc)
-    val probes = queries
+    queries
       .select(col(idCol).as(s"q_$idCol"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col("q_vec"), col("centroid")))
       .withColumn("__rk", row_number().over(probeW))
       .where(col("__rk") <= nprobe)
       .select(col(s"q_$idCol"), col("q_vec"), col("cluster_id"))
+  }
 
+  /** Probe path over pre-assigned inverted lists (rows carry idCol,
+    * vecCol, cluster_id). */
+  def topKFromLists(lists: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    val probes = probedClusters(queries, centroids, nprobe, idCol, vecCol)
     val scored = probes.join(lists, Seq("cluster_id"))
       .where(col(s"q_$idCol") =!= col(idCol))
       .select(col(s"q_$idCol").as("query_id"), col(idCol).as("neighbor_id"),
         cosine(col("q_vec"), col(vecCol)).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Probe path over QUANTIZED inverted lists (rows carry idCol, int8
+    * `codes` as array<tinyint>, `scale`, cluster_id) — the 100 TB
+    * serving shape: the probed-list scan reads ~4-8× fewer bytes than
+    * fp64 lists, and reconstruction (q/s per element) happens INSIDE the
+    * scoring kernel via the native codegen'd Int8Dequantize — no
+    * materialized fp64 copy of the index ever exists. Queries stay fp
+    * under `vecCol`. Recall vs the fp probe is pinned in
+    * IndexStoreSpec (≥ 0.9 @10). */
+  def topKFromQuantizedLists(lists: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    val probes = probedClusters(queries, centroids, nprobe, idCol, vecCol)
+    val scored = probes.join(lists, Seq("cluster_id"))
+      .where(col(s"q_$idCol") =!= col(idCol))
+      .select(col(s"q_$idCol").as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("q_vec"),
+          graft.functions.Quantize.int8Dequantize(
+            col("codes").cast("array<double>"), col("scale"))).as("cos_raw"))
     Similarity.rankTopK(scored, k)
   }
 }

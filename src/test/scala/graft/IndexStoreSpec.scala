@@ -402,6 +402,43 @@ class IndexStoreSpec extends SparkSpec {
       "compaction must not change probe results")
   }
 
+  test("quantized IVF probe: recall@10 ≥ 0.9 vs fp probe, lists join in place") {
+    val q = "graft_spec_ivfq"
+    Seq(s"${q}_lists", s"${q}_centroids").foreach(dropTable)
+    IndexStore.buildIvfIndexQuantized(corpusVecs, ivfCentroids, q,
+      s"$idxPath/$q")
+    ensureIvfIndex()
+    // the stored lists really are int8-narrow
+    val codesType = spark.table(s"${q}_lists").schema("codes").dataType
+    assert(codesType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, true),
+      s"codes must persist as array<tinyint>, got $codesType")
+    val queries = corpusVecs.where(col("vec_id") < 20)
+    val fp = IndexStore.probeIvf(spark, queries, ivfTbl, k = 10, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val qz = IndexStore.probeIvfQuantized(spark, queries, q, k = 10, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (fp & qz).size.toDouble / fp.size
+    assert(recall >= 0.9, s"quantized recall@10 too low: $recall")
+    // the probed quantized lists still join with zero index-side movement
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try assertIndexSideInPlace(
+      IndexStore.probeIvfQuantized(spark, queries, q, k = 10, nprobe = 3),
+      s"$idxPath/$q/${q}_lists")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+    // probing an fp index through the quantized path fails loudly
+    intercept[Exception] {
+      IndexStore.probeIvfQuantized(spark, queries, ivfTbl, k = 5, nprobe = 3)
+        .collect()
+    }
+  }
+
   test("probe hot-bucket guard: bounded candidates, near-dup decision preserved") {
     val hot = "graft_spec_mh_hot"
     val hotSh = "graft_spec_sh_hot"
