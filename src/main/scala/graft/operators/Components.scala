@@ -26,6 +26,9 @@ import org.apache.spark.storage.StorageLevel
   * src ONCE (cached), checkpointed labels keep their id-partitioning,
   * and each iteration moves only the propagated neighbor-minima — one
   * exchange per step, proven by plan-walk in ComponentsSpec.
+  * [[connectedComponentsRestartable]] realizes the same budget with
+  * co-bucketed TABLES as the iteration state, adding crash-resume on
+  * top.
   */
 object Components {
 
@@ -131,6 +134,92 @@ object Components {
     try cc.write.mode("overwrite").parquet(path)
     finally freeBlocks(cc)
     cc.sparkSession.read.parquet(path)
+  }
+
+  /** RESTART-FREE reliable mode: iteration state lives in co-bucketed
+    * catalog tables instead of durable checkpoints — the layout the
+    * class scaladoc promises. The symmetrized edge list is written ONCE
+    * bucketed by src; each iteration's labels land bucketed by id with
+    * the same bucket count, so both joins of [[step]] read their
+    * bucketed scans in place and the only exchange per iteration is the
+    * dst-aggregation (shuffle.partitions is pinned to nBuckets for the
+    * loop so the aggregated minima land co-partitioned with the label
+    * buckets; plan-asserted in ComponentsSpec). Progress markers are the
+    * catalog entries themselves — a `<base>_labels_i` table exists only
+    * if its CTAS finished, the same crash-window stance IndexStore
+    * takes — so a killed run RESUMES from its last completed iteration:
+    * no checkpoint directory, no RDD lineage, nothing session-lived.
+    * Non-convergence within maxIters (cumulative across runs) still
+    * fails loud, but preserves the state so a re-invocation with a
+    * larger bound continues instead of restarting. Superseded iterations
+    * are reaped as the run advances; after convergence exactly one
+    * labels generation remains and a re-invocation returns it
+    * immediately. `base` names one logical run — resuming it with a
+    * DIFFERENT pair list is caller error (the persisted edges win). */
+  def connectedComponentsRestartable(pairs: DataFrame, base: String,
+      path: String, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20, nBuckets: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesTbl = s"${base}_edges"
+    def labelsTbl(i: Int) = s"${base}_labels_$i"
+    def dropWithFiles(t: String): Unit =
+      if (spark.catalog.tableExists(t)) {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+        spark.sql(s"DROP TABLE $t")
+        val hp = new org.apache.hadoop.fs.Path(loc)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+
+    if (!spark.catalog.tableExists(edgesTbl)) {
+      val a = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .write.bucketBy(nBuckets, "src")
+        .option("path", s"$path/$edgesTbl").mode("overwrite")
+        .saveAsTable(edgesTbl)
+    }
+    val edges = spark.table(edgesTbl)
+
+    var iter = (0 to maxIters)
+      .filter(i => spark.catalog.tableExists(labelsTbl(i)))
+      .lastOption.getOrElse(-1)
+    if (iter < 0) {
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).withColumn("moved", lit(true))
+        .write.bucketBy(nBuckets, "id")
+        .option("path", s"$path/${labelsTbl(0)}").mode("overwrite")
+        .saveAsTable(labelsTbl(0))
+      iter = 0
+    }
+    def stillMoving(i: Int): Boolean =
+      !spark.table(labelsTbl(i)).where(col("moved")).isEmpty
+    // labels_0's moved=true is a "not converged yet" sentinel — except
+    // for an empty graph, whose empty table correctly reads as converged
+    var converged = !stillMoving(iter)
+    val partKey = "spark.sql.shuffle.partitions"
+    val savedPart = spark.conf.get(partKey)
+    spark.conf.set(partKey, nBuckets.toString)
+    try {
+      while (!converged && iter < maxIters) {
+        step(edges, spark.table(labelsTbl(iter)).select("id", "label"))
+          .write.bucketBy(nBuckets, "id")
+          .option("path", s"$path/${labelsTbl(iter + 1)}").mode("overwrite")
+          .saveAsTable(labelsTbl(iter + 1))
+        iter += 1
+        converged = !stillMoving(iter)
+        // the just-superseded iteration is dead state: a crash from here
+        // on resumes from the newer table either way
+        dropWithFiles(labelsTbl(iter - 1))
+      }
+    } finally spark.conf.set(partKey, savedPart)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsRestartable did not converge in $maxIters " +
+        s"iterations — state is preserved under $base; re-invoke with a " +
+        "larger maxIters to continue from where this run stopped")
+    spark.table(labelsTbl(iter))
+      .select(col("id"), col("label").as("component"))
   }
 
   /** Dedup keeper table: one row per cluster with the representative

@@ -108,6 +108,51 @@ class ComponentsSpec extends SparkSpec {
       "no RDD blocks remain cached after the terminal write")
   }
 
+  test("restartable mode: abort leaves resumable state, resume matches, one exchange per step") {
+    import org.apache.spark.sql.functions.col
+    val base = "graft_cc_rst"
+    val path = "/tmp/graft_cc_rst"
+    (0 to 30).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${base}_labels_$i"))
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_edges")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // a 7-hop chain (needs > 2 iterations) plus an isolated pair
+    val pairs = ((0L until 7L).map(i => (i, i + 1)) :+ ((100L, 101L)))
+      .toDF("id_a", "id_b")
+    // "kill": a too-low bound aborts loudly mid-run, state preserved
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponentsRestartable(pairs, base, path, maxIters = 2)
+    }
+    assert(e.getMessage.contains("preserved"))
+    assert(spark.catalog.tableExists(s"${base}_labels_2"),
+      "the last completed iteration must survive the abort")
+    // resume: continues at iteration 2 (no restart) and matches the
+    // in-memory implementation
+    val resumed = Components.connectedComponentsRestartable(pairs, base, path)
+      .as[(Long, Long)].collect().toMap
+    val expected = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == expected, "resumed run must equal the one-shot labels")
+    // re-invocation after convergence is an immediate no-op read
+    assert(Components.connectedComponentsRestartable(pairs, base, path)
+      .as[(Long, Long)].collect().toMap == resumed)
+    // superseded iterations were reaped: exactly one generation remains
+    val gens = (0 to 30)
+      .filter(i => spark.catalog.tableExists(s"${base}_labels_$i"))
+    assert(gens.size == 1, s"stale label generations left behind: $gens")
+    // the co-bucketed layout delivers the promised shuffle budget: both
+    // joins read bucketed scans in place, only the aggregation exchanges
+    val partKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val stepDf = Components.step(spark.table(s"${base}_edges"),
+        spark.table(s"${base}_labels_${gens.head}").select("id", "label"))
+      assert(shuffleCount(stepDf) == 1,
+        "bucketed edges and labels must join in place; only the " +
+          "dst-aggregation may exchange")
+    } finally spark.conf.set(partKey, saved)
+  }
+
   test("dedupClusters: one keeper per cluster with the right size") {
     val clusters = Components.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
