@@ -156,6 +156,68 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("skew: AQE splits the hot SMJ partition; manual salting spreads the hot key") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.operators.Ops
+    // one hot key (50k rows) among 100 uniform keys (~160 rows each per
+    // shuffle partition) — the shape a zipfian join key produces
+    val left = spark.range(50000).select(lit(7L).as("k"), $"id".as("v"))
+      .unionAll(spark.range(5000).select(($"id" % 100 + 10).as("k"), $"id".as("v")))
+    val right = spark.range(200).select($"id".as("k"), ($"id" * 2).as("w"))
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 1. manual salting: identical results, and the hot key's rows
+      // leave the join spread over several shuffle partitions instead of
+      // one straggler
+      val salted = Ops.saltedJoin(left, right, "k", nSalts = 8)
+      val plain = left.join(right, "k")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        "salting must only route rows, never change results")
+      val hotSpread = salted.where($"k" === 7)
+        .select(org.apache.spark.sql.functions.spark_partition_id())
+        .distinct().count()
+      assert(hotSpread > 1,
+        s"salted hot key must occupy several partitions, got $hotSpread")
+      // 2. AQE skew-join: with realistic thresholds scaled down to this
+      // fixture, the runtime re-plan splits the oversized partition and
+      // marks the SMJ as a skew join — no salting, no code change
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      val aqe = left.join(right, "k")
+      aqe.collect()
+      def smjNodes(p: SparkPlan): Seq[SortMergeJoinExec] = p match {
+        case q: QueryStageExec => smjNodes(q.plan)
+        case s: SortMergeJoinExec => s +: s.children.flatMap(smjNodes)
+        case other => other.children.flatMap(smjNodes)
+      }
+      val root = aqe.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = smjNodes(root)
+      assert(smj.nonEmpty, s"expected a sort-merge join in:\n$root")
+      assert(smj.exists(_.isSkewJoin),
+        s"AQE must have split the skewed partition (isSkewJoin):\n$root")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
