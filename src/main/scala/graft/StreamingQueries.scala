@@ -11,6 +11,23 @@ import graft.streaming.{StreamingDedup, StreamingIndexIngest, StreamingSync}
   */
 object StreamingQueries {
 
+  /** Stateful streaming pays a fixed per-micro-batch cost per shuffle
+    * partition (a state-store task with its checkpoint delta file,
+    * whether or not any rows hash there), so streaming state width is
+    * sized to expected STATE volume, not inherited from the batch
+    * shuffle width — 32 batch partitions would mean 32 near-empty
+    * state commits per batch at bench scale. In production you size
+    * this to peak keys/executor once at first checkpoint (it is fixed
+    * for the checkpoint's life); the queries here create a fresh
+    * checkpoint per run, so the narrow width never pins a long-lived
+    * deployment. */
+  private def withStreamingConf[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Streaming windowed aggregation == batch time_bucket aggregation.
@@ -18,16 +35,18 @@ object StreamingQueries {
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
              |       count(*) AS n_events, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
-      (s, dir) => StreamingSync.runWindowedToMemory(s, dir)),
+      (s, dir) => withStreamingConf(s)(
+        StreamingSync.runWindowedToMemory(s, dir))),
 
     // foreachBatch micro-batch merge reconstructs the full table
     // (pk-unique source ⇒ merge of all batches == source).
     QueryDef("sr2_streaming_merge",
       Some("""SELECT event_id, user_id, event_type, value, ts FROM events
              |ORDER BY event_id""".stripMargin),
-      (s, dir) => StreamingSync.runForeachBatchMerge(s, dir,
-          "/tmp/graft_stream/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
-        .orderBy("event_id")),
+      (s, dir) => withStreamingConf(s)(
+        StreamingSync.runForeachBatchMerge(s, dir,
+            "/tmp/graft_stream/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+          .orderBy("event_id"))),
 
     // Stateful streaming dedup (flatMapGroupsWithState): first event per
     // (user, type) across micro-batches == min event_id per group in
@@ -36,8 +55,9 @@ object StreamingQueries {
       Some("""SELECT min(event_id) AS event_id, user_id, event_type
              |FROM events GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin),
-      (s, dir) => StreamingDedup.run(s, dir,
-          "/tmp/graft_dedup/" + dir.replaceAll("[^a-zA-Z0-9]", "_"))),
+      (s, dir) => withStreamingConf(s)(
+        StreamingDedup.run(s, dir,
+          "/tmp/graft_dedup/" + dir.replaceAll("[^a-zA-Z0-9]", "_")))),
 
     // Continuous dedup-ingest: micro-batches of documents appended to
     // the persisted MinHash index as they arrive, then the finished
@@ -45,7 +65,7 @@ object StreamingQueries {
     // order independent, so the probe is deterministic. Rows-only (LSH
     // banding not SQL-expressible); one-shot parity in StreamingSpec.
     QueryDef("sr4_streaming_index_ingest", None,
-      (s, dir) => {
+      (s, dir) => withStreamingConf(s) {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         StreamingIndexIngest.run(s, dir, s"/tmp/graft_ingest/$tag",
           s"graft_smh_$tag", s"/tmp/graft_ingest/$tag/idx")

@@ -25,9 +25,14 @@ object StreamingDedup {
   def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
     val srcDir = s"$workDir/src"
+    // Two range-ordered micro-batches: enough for state to carry a
+    // champion across batches (the semantics under test); each extra
+    // batch re-runs the full stateful shuffle for wall-clock, not
+    // coverage. Arrival-order independence is pinned separately by the
+    // repeatability spec in StreamingSpec.
     graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type")
-      .repartitionByRange(4, col("event_id"))
+      .repartitionByRange(2, col("event_id"))
       .write.mode("overwrite").parquet(srcDir)
 
     val stream = spark.readStream

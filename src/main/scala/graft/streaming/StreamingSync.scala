@@ -68,10 +68,15 @@ object StreamingSync {
     val srcDir = s"$workDir/src"
     val tgtBase = s"$workDir/tgt"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tgtBase))
-    // split the source into several files so the stream sees >1 micro-batch
+    // Split the source so the stream sees >1 micro-batch — two is enough
+    // to exercise the merge-into-prior-version path, and each extra batch
+    // costs a full-table rewrite (the published version grows every
+    // batch), so more batches add wall-clock, not coverage. Deeper
+    // multi-batch behavior (checkpoint resume, arrival order) is pinned
+    // by StreamingSpec with its own staging.
     val events = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
-    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+    events.repartition(2).write.mode("overwrite").parquet(srcDir)
 
     val stream = {
       val rawSchema = spark.read.parquet(srcDir).schema
