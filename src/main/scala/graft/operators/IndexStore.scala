@@ -44,6 +44,21 @@ object IndexStore {
   // before this metadata existed have no properties — those skip the
   // check (documented legacy hole) rather than refuse to operate.
 
+  /** Routes rows to their bucket BEFORE a bucketed write. Without this,
+    * every writer task emits one file per bucket it holds rows for —
+    * (upstream partitions × nBuckets) tiny files per write, a
+    * small-files multiplier that compounds on every streaming append
+    * until probes read thousands of near-empty parquet footers.
+    * `repartition(nBuckets, bucketCol)` uses the same
+    * Pmod(Murmur3Hash) routing as Spark's bucket-id assignment, so
+    * each writer task holds exactly one bucket and a write emits
+    * exactly nBuckets files — while the expensive upstream projection
+    * (signatures, cluster assignment) still runs at full parallelism
+    * map-side BEFORE the routing exchange. */
+  private def bucketRouted(df: DataFrame, bucketCol: String,
+      nBuckets: Int): DataFrame =
+    df.repartition(nBuckets, col(bucketCol))
+
   private val ParamPrefix = "graft.param."
 
   private def tableMeta(spark: SparkSession, table: String) =
@@ -116,12 +131,13 @@ object IndexStore {
     // CTAS→ALTER pair is still not atomic, but the crash window is one
     // statement, and a build is an idempotent overwrite — rebuild any
     // index whose creation crashed rather than appending to it
-    bandsOf(shingled, idCol, numHashes, bands)
+    bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
+        "band_key", nBuckets)
       .write.bucketBy(nBuckets, "band_key")
       .option("path", s"$path/${table}_bands").mode("overwrite")
       .saveAsTable(s"${table}_bands")
     setParams(spark, s"${table}_bands", params)
-    shingled.write.bucketBy(nBuckets, idCol)
+    bucketRouted(shingled, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
       .option("path", s"$path/${table}_shingles").mode("overwrite")
       .saveAsTable(s"${table}_shingles")
     setParams(spark, s"${table}_shingles", params)
@@ -149,11 +165,12 @@ object IndexStore {
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both writes; freed below
     // bucket counts come from the catalog — an append can never silently
     // (or loudly, via Spark's raw bucketing-mismatch error) re-bucket
-    bandsOf(shingled, idCol, numHashes, bands)
-      .write.bucketBy(numBucketsOf(spark, s"${table}_bands"), "band_key")
+    val nbB = numBucketsOf(spark, s"${table}_bands")
+    bucketRouted(bandsOf(shingled, idCol, numHashes, bands), "band_key", nbB)
+      .write.bucketBy(nbB, "band_key")
       .mode("append").saveAsTable(s"${table}_bands")
-    shingled.write
-      .bucketBy(numBucketsOf(spark, s"${table}_shingles"), idCol)
+    val nbS = numBucketsOf(spark, s"${table}_shingles")
+    bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
       .mode("append").saveAsTable(s"${table}_shingles")
     shingled.unpersist()
   }
@@ -257,7 +274,7 @@ object IndexStore {
   def buildSimhashIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, path: String, nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    simhashChunks(docs, idCol, textCol)
+    bucketRouted(simhashChunks(docs, idCol, textCol), "chunk_key", nBuckets)
       .write.bucketBy(nBuckets, "chunk_key")
       .option("path", s"$path/${table}_chunks").mode("overwrite")
       .saveAsTable(s"${table}_chunks")
@@ -270,8 +287,9 @@ object IndexStore {
       table: String): Unit = {
     val spark = delta.sparkSession
     requireParams(spark, s"${table}_chunks", Map("idCol" -> idCol), "append")
-    simhashChunks(delta, idCol, textCol)
-      .write.bucketBy(numBucketsOf(spark, s"${table}_chunks"), "chunk_key")
+    val nb = numBucketsOf(spark, s"${table}_chunks")
+    bucketRouted(simhashChunks(delta, idCol, textCol), "chunk_key", nb)
+      .write.bucketBy(nb, "chunk_key")
       .mode("append").saveAsTable(s"${table}_chunks")
   }
 
@@ -402,7 +420,7 @@ object IndexStore {
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.conf.set(autoKey, "false")
     try
-      transform(spark.table(table))
+      bucketRouted(transform(spark.table(table)), bucketCol, nBuckets)
         .write.bucketBy(nBuckets, bucketCol)
         .option("path", target).mode("overwrite").saveAsTable(tmp)
     finally spark.conf.set(autoKey, saved)
@@ -509,7 +527,8 @@ object IndexStore {
     val dim = centroids.select(size(col("centroid"))).head().getInt(0)
     val lists = corpus
       .join(IvfIndex.assign(corpus, centroids, idCol, vecCol), idCol)
-    lists.write.bucketBy(nBuckets, "cluster_id")
+    bucketRouted(lists, "cluster_id", nBuckets)
+      .write.bucketBy(nBuckets, "cluster_id")
       .option("path", s"$path/${table}_lists").mode("overwrite")
       .saveAsTable(s"${table}_lists")
     setParams(corpus.sparkSession, s"${table}_lists",
@@ -540,7 +559,8 @@ object IndexStore {
           .cast("array<tinyint>").as("codes"),
         coalesce(col("__scale"), lit(0.0)).as("scale"),
         col("cluster_id"))
-    lists.write.bucketBy(nBuckets, "cluster_id")
+    bucketRouted(lists, "cluster_id", nBuckets)
+      .write.bucketBy(nBuckets, "cluster_id")
       .option("path", s"$path/${table}_lists").mode("overwrite")
       .saveAsTable(s"${table}_lists")
     setParams(corpus.sparkSession, s"${table}_lists",
@@ -585,8 +605,11 @@ object IndexStore {
           lit(s"append to ${table}_lists: vectors must have dimension $d")),
         lit(true))))
     val centroids = spark.table(s"${table}_centroids")
-    guarded.join(IvfIndex.assign(guarded, centroids, idCol, vecCol), idCol)
-      .write.bucketBy(numBucketsOf(spark, s"${table}_lists"), "cluster_id")
+    val nb = numBucketsOf(spark, s"${table}_lists")
+    bucketRouted(
+        guarded.join(IvfIndex.assign(guarded, centroids, idCol, vecCol), idCol),
+        "cluster_id", nb)
+      .write.bucketBy(nb, "cluster_id")
       .mode("append").saveAsTable(s"${table}_lists")
   }
 

@@ -188,6 +188,31 @@ class IndexStoreSpec extends SparkSpec {
       s"expected matches in both the built and appended halves, got $matchedPar")
   }
 
+  test("index writes route to buckets: one file per bucket per write") {
+    // Without write-time routing every writer task emits one file per
+    // bucket it holds rows for — (upstream partitions × buckets) tiny
+    // files per write, compounding on every streaming append. The
+    // routed write must emit exactly nBuckets files on build and at
+    // most nBuckets more per append.
+    val tbl = "graft_spec_mh_files"
+    Seq(s"${tbl}_bands", s"${tbl}_shingles").foreach(dropTable)
+    def parquetFiles(t: String): Int =
+      Option(new java.io.File(s"$idxPath/$tbl/$t").listFiles())
+        .fold(0)(_.count(_.getName.endsWith(".parquet")))
+    IndexStore.buildMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, s"$idxPath/$tbl")
+    assert(parquetFiles(s"${tbl}_bands") == 8,
+      "build must emit exactly nBuckets band files")
+    assert(parquetFiles(s"${tbl}_shingles") == 8,
+      "build must emit exactly nBuckets shingle files")
+    IndexStore.appendMinhashIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", tbl)
+    assert(parquetFiles(s"${tbl}_bands") <= 16,
+      "append must add at most nBuckets band files")
+    assert(parquetFiles(s"${tbl}_shingles") <= 16,
+      "append must add at most nBuckets shingle files")
+  }
+
   test("appendIvfIndex: probes see appended vectors, equal to the inline pipeline") {
     val inc = "graft_spec_ivf_inc"
     Seq(s"${inc}_lists", s"${inc}_centroids").foreach(dropTable)
