@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity}
+import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Similarity, Tfidf}
 
 /** Capability registry, batch 3: the LLM-training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) —
@@ -18,6 +18,24 @@ import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity}
   */
 object ExtensionQueries {
   import Tables.load
+
+  /** Shared oracle for both contamination-check paths (broadcast and
+    * shuffle join are value-identical by contract, so they check
+    * against the same SQL). */
+  private val contaminationOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM c JOIN b ON c.s = b.s
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   /** documents ∪ perturbed copies of every 5th doc (exact-dup after
     * whitespace normalization). */
@@ -580,34 +598,32 @@ object ExtensionQueries {
       }),
 
     // Benchmark-contamination check: corpus docs sharing any word
-    // 3-gram with the held-out eval set (every 97th doc). One explode +
-    // semi-ish join on the shingle — the eval side is distinct-deduped
-    // and orders of magnitude smaller, so Catalyst broadcasts it and
-    // the corpus never shuffles; at 100 TB the join key would be
-    // xxhash64(shingle) to move 8 bytes instead of strings.
+    // 3-gram with the held-out eval set (every 97th doc). Join shapes
+    // (broadcast eval / shuffle-by-shingle fallback) live in
+    // operators.Contamination; this registers the broadcast fast path.
     QueryDef("ext_contamination_check",
-      Some("""WITH sh AS (
-             |  SELECT doc_id,
-             |    list_distinct(CASE WHEN len(toks) >= 3
-             |      THEN list_transform(range(1, len(toks) - 1),
-             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
-             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-             |        FROM documents)),
-             |b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
-             |c AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
-             |SELECT c.doc_id, count(*) AS n_shared
-             |FROM c JOIN b ON c.s = b.s
-             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+      Some(contaminationOracleSql),
       (s, dir) => {
-        val sh = load(s, dir, "documents").select(col("doc_id"),
-          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
-        val bench = sh.where(col("doc_id") % 97 === 0)
-          .select(explode(col("shingles")).as("s")).distinct()
-        sh.where(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode(col("shingles")).as("s"))
-          .join(bench, "s")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        Contamination.sharedShingleCounts(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0))
+          .orderBy("doc_id")
+      }),
+
+    // The shuffle-by-shingle fallback over the SAME fixture and oracle —
+    // the path for eval sets beyond broadcast range. Oracle-checked
+    // equality with ext_contamination_check's SQL is the cross-engine
+    // form of the parity contract (plan shapes pinned in
+    // ContaminationSpec).
+    QueryDef("ext_contamination_shuffle",
+      Some(contaminationOracleSql),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        Contamination.sharedShingleCounts(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          broadcastEval = false)
           .orderBy("doc_id")
       }),
 
@@ -716,15 +732,11 @@ object ExtensionQueries {
       }),
 
     // TF-IDF top terms per document (keyword extraction / doc
-    // representation). Scoring uses a LINEAR idf scaled to integers —
-    // tf · ((1e6 · N) div df) — so ranking and output are exact integer
-    // arithmetic in both engines (a float ln() idf risks cross-engine
-    // ulp drift at rank boundaries; the monotone-in-df linear form
-    // keeps the demonstration engine-portable). Term frequencies
-    // aggregate with map-side partials; the doc-frequency join
-    // shuffles only the (doc, term) pairs; the top-3 window partitions
-    // by doc_id — an unbounded-cardinality key, so unlike a per-label
-    // window it spreads across the cluster at any scale.
+    // representation); integer scoring + skew-safe join shapes in
+    // operators.Tfidf. Registered with the broadcast-vocab path — the
+    // corpus side never shuffles for the df join, immune to the
+    // zipfian stop-word key; the salted fallback for beyond-broadcast
+    // vocabularies is parity-pinned in TfidfSpec.
     QueryDef("ext_tfidf_topterms",
       Some("""WITH tok AS (
              |  SELECT doc_id, t AS term
@@ -745,24 +757,8 @@ object ExtensionQueries {
              |      FROM scored)
              |SELECT doc_id, term, CAST(score_m AS BIGINT) AS score_m
              |FROM r WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin),
-      (s, dir) => {
-        val docs = load(s, dir, "documents")
-        val tf = docs
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-          .where(length(col("term")) >= 3)
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score_m").desc, col("term").asc)
-        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-          .withColumn("score_m",
-            expr("tf * ((1000000L * n_docs) div df)"))
-          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
-          .select("doc_id", "term", "score_m")
-          .orderBy("doc_id", "term")
-      }),
+      (s, dir) => Tfidf.topTerms(load(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "term")),
 
     // k-means cluster assignment in its map-only form: the k centroids
     // (here the 8 lowest-id vectors — the same deterministic seeding
