@@ -236,6 +236,63 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // Persisted SRP (hyperplane) index — the fourth index kind: ANN
+    // with data-independent directions, so unlike IVF there is no
+    // training step and appends never drift. Band table bucketed on the
+    // packed band key; vectors stored once in an id-bucketed table for
+    // the exact-cosine re-rank. Rows-only (1024 plane coefficients in
+    // SQL would be absurd); parity with the inline SrpLsh.topK and the
+    // probe plan shape are pinned in SrpLshSpec.
+    QueryDef("ext_srp_persisted", None,
+      (s, dir) => {
+        val tbl = "graft_srp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildSrpIndex(corpus, tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.probeSrp(s, corpus.where(col("vec_id") < 10), tbl, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Quantized SRP — the serving shape of the persisted SRP index:
+    // same band table (candidates never change), re-rank table stored
+    // as int8 codes + scale (~4-8× less re-rank I/O), dequantized
+    // inside the cosine kernel. Rows-only; recall@5 ≥ 0.9 vs the fp
+    // probe is pinned in IndexStoreSpec.
+    QueryDef("ext_srp_quantized", None,
+      (s, dir) => {
+        val tbl = "graft_srpq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildSrpIndexQuantized(corpus, tbl,
+            s"/tmp/graft_index/$tbl")
+        IndexStore.probeSrpQuantized(s, corpus.where(col("vec_id") < 10),
+            tbl, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // Incrementally-maintained SRP index: build over half the corpus,
+    // append the other half (band rows land in the same stable buckets,
+    // signatures never need recomputation), probe the union. Rows-only;
+    // append ≡ one-shot parity in SrpLshSpec.
+    QueryDef("ext_srp_incremental", None,
+      (s, dir) => {
+        val tbl = "graft_srpi_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands")) {
+          IndexStore.buildSrpIndex(corpus.where(col("vec_id") % 2 === 0),
+            tbl, s"/tmp/graft_index/$tbl")
+          IndexStore.appendSrpIndex(corpus.where(col("vec_id") % 2 === 1), tbl)
+        }
+        IndexStore.probeSrp(s, corpus.where(col("vec_id") < 10), tbl, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
     // Incrementally-maintained IVF index: build inverted lists over the
     // existing corpus, append a later batch assigned against the SAME
     // persisted centroids (IVF practice: the coarse quantizer is trained

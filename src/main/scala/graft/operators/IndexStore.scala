@@ -339,6 +339,212 @@ object IndexStore {
   def vacuumSimhashIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_chunks")
 
+  // ---- SRP (hyperplane) LSH index -----------------------------------
+  // The fourth index kind: ANN over embeddings with data-independent
+  // directions (no training step, unlike IVF — nothing to drift, appends
+  // never need re-assignment). Two tables, mirroring MinHash's layout:
+  // {table}_bands(band_key, id) bucketed by band_key for the candidate
+  // join, and {table}_vecs(id, vec) bucketed by id for the exact-cosine
+  // re-rank — the vector payload is stored ONCE, not once per band (at
+  // embedding scale the vectors dominate storage; a signature table row
+  // is 16 bytes).
+
+  private def srpParams(nPlanes: Int, bands: Int, dim: Int,
+      idCol: String, vecCol: String): Map[String, String] =
+    Map("nPlanes" -> nPlanes.toString, "bands" -> bands.toString,
+      "dim" -> dim.toString, "idCol" -> idCol, "vecCol" -> vecCol)
+
+  private def srpBandRows(vecs: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, bands: Int, dim: Int): DataFrame =
+    vecs.select(col(idCol),
+      explode(SrpLsh.packedBandKeys(col(vecCol), nPlanes, bands, dim))
+        .as("band_key"))
+
+  /** Builds the SRP index for `corpus`: band table + vector table,
+    * external at `path`. The plane set regenerates deterministically
+    * from (nPlanes, dim) — pure SplitMix64, nothing to persist — but
+    * the parameters are still recorded and validated so a probe with a
+    * different geometry fails loud instead of missing silently. */
+  def buildSrpIndex(corpus: DataFrame, table: String, path: String,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    // "quantized" recorded explicitly (not just absent) so a quantized
+    // probe against an fp index — and vice versa — fails loud at
+    // validation instead of on a missing column mid-plan
+    val params = srpParams(nPlanes, bands, dim, idCol, vecCol) +
+      ("quantized" -> "none")
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+        "band_key", nBuckets)
+      .write.bucketBy(nBuckets, "band_key")
+      .option("path", s"$path/${table}_bands").mode("overwrite")
+      .saveAsTable(s"${table}_bands")
+    setParams(spark, s"${table}_bands", params)
+    bucketRouted(vecs, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+      .option("path", s"$path/${table}_vecs").mode("overwrite")
+      .saveAsTable(s"${table}_vecs")
+    setParams(spark, s"${table}_vecs", params)
+    vecs.unpersist()
+  }
+
+  /** Appends delta vectors' band and vector rows in place — no rebuild,
+    * no re-assignment (the hyperplanes are data-independent, so old
+    * signatures never go stale the way IVF lists drift). */
+  def appendSrpIndex(delta: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_bands",
+      srpParams(nPlanes, bands, dim, idCol, vecCol)
+        + ("quantized" -> "none"), "append")
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = delta.select(col(idCol), col(vecCol)).repartition(par)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbB = numBucketsOf(spark, s"${table}_bands")
+    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+        "band_key", nbB)
+      .write.bucketBy(nbB, "band_key")
+      .mode("append").saveAsTable(s"${table}_bands")
+    val nbV = numBucketsOf(spark, s"${table}_vecs")
+    bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
+      .mode("append").saveAsTable(s"${table}_vecs")
+    vecs.unpersist()
+  }
+
+  /** Builds a QUANTIZED SRP index: the band table is identical to
+    * [[buildSrpIndex]]'s (signatures come from the fp vectors, so
+    * candidate generation never changes), but the re-rank table stores
+    * int8 codes (array<tinyint>) + per-vector reconstruction scale
+    * instead of fp64 vectors — ~4-8× less re-rank I/O, the same
+    * serving lever as the quantized IVF lists. scale = 0.0 is the
+    * "undefined" sentinel for zero/empty vectors. */
+  def buildSrpIndexQuantized(corpus: DataFrame, table: String,
+      path: String, idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val params = srpParams(nPlanes, bands, dim, idCol, vecCol) +
+      ("quantized" -> "int8")
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+        "band_key", nBuckets)
+      .write.bucketBy(nBuckets, "band_key")
+      .option("path", s"$path/${table}_bands").mode("overwrite")
+      .saveAsTable(s"${table}_bands")
+    setParams(spark, s"${table}_bands", params)
+    val quant = vecs
+      .withColumn("__scale", Similarity.int8Scale(col(vecCol)))
+      .select(col(idCol),
+        Similarity.int8Codes(col(vecCol), col("__scale"))
+          .cast("array<tinyint>").as("codes"),
+        coalesce(col("__scale"), lit(0.0)).as("scale"))
+    bucketRouted(quant, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+      .option("path", s"$path/${table}_vecs").mode("overwrite")
+      .saveAsTable(s"${table}_vecs")
+    setParams(spark, s"${table}_vecs", params)
+    vecs.unpersist()
+  }
+
+  /** Approximate top-k cosine neighbors against a persisted SRP index:
+    * candidates from the band join (index side bucketed, no shuffle),
+    * exact cosine via the vector table (bucketed on id, no shuffle),
+    * same rank kernel as the inline [[SrpLsh.topK]] — value parity
+    * asserted in SrpLshSpec. Band buckets above `hotBandThreshold`
+    * contribute only their representative (see [[capHotBuckets]]),
+    * mirroring every other probe. */
+  def probeSrp(spark: SparkSession, queries: DataFrame, table: String,
+      k: Int, idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_bands",
+      srpParams(nPlanes, bands, dim, idCol, vecCol)
+        + ("quantized" -> "none"), "probe")
+    val scored = srpCandidates(spark, queries, table, idCol, vecCol,
+        nPlanes, bands, dim, hotBandThreshold)
+      .join(spark.table(s"${table}_vecs")
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Probe over a QUANTIZED SRP index: candidate generation is
+    * identical to the fp probe (same band table — signatures always
+    * come from the fp query vectors), and the re-rank dequantizes the
+    * int8 codes INSIDE the cosine kernel (native codegen'd
+    * Int8Dequantize) — no materialized fp copy of the index. Recall vs
+    * the fp probe is pinned in IndexStoreSpec. */
+  def probeSrpQuantized(spark: SparkSession, queries: DataFrame,
+      table: String, k: Int, idCol: String = "vec_id",
+      vecCol: String = "vec", nPlanes: Int = 16, bands: Int = 4,
+      dim: Int = 64,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_bands",
+      srpParams(nPlanes, bands, dim, idCol, vecCol)
+        + ("quantized" -> "int8"), "probe")
+    val scored = srpCandidates(spark, queries, table, idCol, vecCol,
+        nPlanes, bands, dim, hotBandThreshold)
+      .join(spark.table(s"${table}_vecs")
+        .select(col(idCol).as("neighbor_id"), col("codes"), col("scale")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_vec"),
+          graft.functions.Quantize.int8Dequantize(
+            col("codes").cast("array<double>"), col("scale")))
+          .as("cos_raw"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Shared SRP candidate generation: distinct (query_id, neighbor_id)
+    * pairs from the band join, with the query vector attached
+    * (broadcast — probe batches are small by contract). */
+  private def srpCandidates(spark: SparkSession, queries: DataFrame,
+      table: String, idCol: String, vecCol: String, nPlanes: Int,
+      bands: Int, dim: Int, hotBandThreshold: Int): DataFrame = {
+    val qVecs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    val qBands = queries
+      .select(col(idCol).as("query_id"),
+        explode(SrpLsh.packedBandKeys(col(vecCol), nPlanes, bands, dim))
+          .as("band_key"))
+    capHotBuckets(spark.table(s"${table}_bands"),
+        "band_key", idCol, hotBandThreshold)
+      .join(qBands, "band_key")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+      .distinct()
+      .join(broadcast(qVecs), "query_id")
+  }
+
+  /** Deletes vectors from an SRP index (band + vector tables). */
+  def deleteFromSrpIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String): Unit = {
+    val idCol = getParams(spark, s"${table}_bands")
+      .getOrElse("idCol", "vec_id")
+    Seq(s"${table}_bands", s"${table}_vecs").foreach(t =>
+      deleteFromTable(spark, t, bucketColOf(spark, t), idCol, ids,
+        s"$newPathBase/${t}_d", numBucketsOf(spark, t)))
+  }
+
+  /** Compacts both SRP index tables. */
+  def compactSrpIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit =
+    Seq(s"${table}_bands", s"${table}_vecs").foreach(t =>
+      compactTable(spark, t, bucketColOf(spark, t),
+        s"$newPathBase/${t}_c", numBucketsOf(spark, t)))
+
+  /** Vacuums both SRP index tables' retired directories. */
+  def vacuumSrpIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_bands") ++
+      vacuumIndexTable(spark, s"${table}_vecs")
+
   /** Compacts a bucketed index table: every append leaves one file set
     * per bucket, so a long-lived index accumulates small files (slower
     * scans, more tasks). This rewrites the table's rows into exactly one

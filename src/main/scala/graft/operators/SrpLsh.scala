@@ -46,6 +46,25 @@ object SrpLsh {
       lit(s"srp signature: expected $dim-dim vector, got "), size(vec))))
   }
 
+  /** The band keys of a vector packed into ONE long each —
+    * `(band index << bits) | band value` — so a persisted index table
+    * can bucket and equi-join on a single column (the [[IndexStore]]
+    * layout; exact and reversible, unlike a hash, so no cross-band
+    * collisions at all). Same plane stream and banding as [[topK]]:
+    * index and probe MUST derive keys identically or probes silently
+    * miss. */
+  def packedBandKeys(vec: Column, nPlanes: Int = 16, bands: Int = 4,
+      dim: Int = 64): Column = {
+    require(nPlanes > 0 && nPlanes <= 31 && bands > 0 && bands <= nPlanes &&
+      nPlanes % bands == 0, s"bad nPlanes=$nPlanes/bands=$bands")
+    val bits = nPlanes / bands
+    val mask = (1 << bits) - 1
+    val sig = signature(vec, planes(nPlanes, dim))
+    array((0 until bands).map(b =>
+      (shiftrightunsigned(sig, b * bits).bitwiseAND(lit(mask)).cast("long")
+        + lit(b.toLong << bits)).as(s"bk$b")): _*)
+  }
+
   /** Extract `bands` band keys from a packed signature. */
   private def bandKeys(sig: Column, nPlanes: Int, bands: Int): Column = {
     val bits = nPlanes / bands

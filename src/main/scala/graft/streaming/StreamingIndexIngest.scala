@@ -73,4 +73,38 @@ object StreamingIndexIngest {
         else IndexStore.appendSimhashIndex(batch, "doc_id", "text", table),
       probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
+
+  /** SRP (embedding ANN) instance — the same build-then-append
+    * choreography over the embeddings table instead of documents; the
+    * finished index answers top-k for the first queries. One-shot
+    * parity in StreamingSpec. */
+  def runSrp(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String): DataFrame = {
+    import graft.operators.Similarity
+    val srcDir = s"$workDir/vecs_src"
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("vec"))
+    vecs.repartition(2).write.mode("overwrite").parquet(srcDir)
+    Seq(s"${table}_bands", s"${table}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!spark.catalog.tableExists(s"${table}_bands"))
+          IndexStore.buildSrpIndex(batch, table, idxPath)
+        else IndexStore.appendSrpIndex(batch, table)
+        (): Unit
+      }
+      .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    IndexStore.probeSrp(spark, vecs.where(col("vec_id") < 10), table, k = 5)
+      .orderBy("query_id", "rank")
+  }
 }

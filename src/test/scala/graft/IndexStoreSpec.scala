@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.joins.BaseJoinExec
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity}
+import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity, SrpLsh}
 
 /** Proves the two claims [[graft.operators.IndexStore]] makes about the
   * persisted-index layer:
@@ -67,6 +67,14 @@ class IndexStoreSpec extends SparkSpec {
         s"$idxPath/$ivfTbl")
     }
 
+  private val srpTbl = "graft_spec_srp"
+
+  private def ensureSrpIndex(): Unit =
+    if (!spark.catalog.tableExists(s"${srpTbl}_bands")) {
+      Seq(s"${srpTbl}_bands", s"${srpTbl}_vecs").foreach(dropTable)
+      IndexStore.buildSrpIndex(corpusVecs, srpTbl, s"$idxPath/$srpTbl")
+    }
+
   private def assertSameRows(a: DataFrame, b: DataFrame, clue: String): Unit = {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, clue)
     assert(a.count() == b.count(), clue)
@@ -96,6 +104,65 @@ class IndexStoreSpec extends SparkSpec {
     val fresh = IvfIndex.topK(corpusVecs, queries, ivfCentroids, k = 5, nprobe = 3)
     assert(fromIndex.count() > 0)
     assertSameRows(fromIndex, fresh, "persisted IVF probe must equal the inline pipeline")
+  }
+
+  test("probeSrp over a persisted index equals the inline SRP pipeline") {
+    ensureSrpIndex()
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val fromIndex = IndexStore.probeSrp(spark, queries, srpTbl, k = 5)
+    val fresh = SrpLsh.topK(corpusVecs, queries, k = 5)
+    assert(fromIndex.count() > 0)
+    assertSameRows(fromIndex, fresh, "persisted SRP probe must equal the inline pipeline")
+  }
+
+  test("appendSrpIndex: probes see both halves, equal to a one-shot build") {
+    val inc = "graft_spec_srp_inc"
+    Seq(s"${inc}_bands", s"${inc}_vecs").foreach(dropTable)
+    IndexStore.buildSrpIndex(corpusVecs.where(col("vec_id") % 2 === 0),
+      inc, s"$idxPath/$inc")
+    IndexStore.appendSrpIndex(corpusVecs.where(col("vec_id") % 2 === 1), inc)
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val incremental = IndexStore.probeSrp(spark, queries, inc, k = 5)
+    ensureSrpIndex()
+    val oneShot = IndexStore.probeSrp(spark, queries, srpTbl, k = 5)
+    assertSameRows(incremental, oneShot,
+      "incrementally-appended SRP index must equal the one-shot build")
+    val matchedPar = incremental.select(col("neighbor_id") % 2).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(matchedPar == Set(0L, 1L),
+      s"expected neighbors from both halves, got $matchedPar")
+  }
+
+  test("quantized SRP probe: recall@5 ≥ 0.9 vs fp probe, candidates unchanged") {
+    ensureSrpIndex()
+    val q = "graft_spec_srpq"
+    Seq(s"${q}_bands", s"${q}_vecs").foreach(dropTable)
+    IndexStore.buildSrpIndexQuantized(corpusVecs, q, s"$idxPath/$q")
+    val queries = corpusVecs.where(col("vec_id") < 20)
+    val fp = IndexStore.probeSrp(spark, queries, srpTbl, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = IndexStore.probeSrpQuantized(spark, queries, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (fp & qz).size.toDouble / fp.size
+    assert(recall >= 0.9, s"quantized SRP recall@5 = $recall")
+    // an fp probe against the quantized index must fail loud — the
+    // re-rank table has no fp vector column to score
+    intercept[IllegalArgumentException] {
+      IndexStore.probeSrp(spark, queries, q, k = 5)
+    }
+  }
+
+  test("mismatched SRP geometry is rejected on append and probe") {
+    ensureSrpIndex()
+    val delta = corpusVecs.limit(5)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendSrpIndex(delta, srpTbl, nPlanes = 24, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.probeSrp(spark, delta, srpTbl, k = 5, bands = 8, nPlanes = 16)
+    }
   }
 
   // ---- 2. no index-side movement ------------------------------------
@@ -157,6 +224,12 @@ class IndexStoreSpec extends SparkSpec {
       val ivf = IndexStore.probeIvf(spark,
         corpusVecs.where(col("vec_id") < 10), ivfTbl, k = 5, nprobe = 3)
       assertIndexSideInPlace(ivf, s"$idxPath/$ivfTbl/${ivfTbl}_lists")
+
+      ensureSrpIndex()
+      val srp = IndexStore.probeSrp(spark,
+        corpusVecs.where(col("vec_id") < 10), srpTbl, k = 5)
+      assertIndexSideInPlace(srp, s"$idxPath/$srpTbl/${srpTbl}_bands")
+      assertIndexSideInPlace(srp, s"$idxPath/$srpTbl/${srpTbl}_vecs")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")

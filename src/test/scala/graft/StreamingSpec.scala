@@ -78,6 +78,20 @@ class StreamingSpec extends SparkSpec {
       "SimHash index from streamed micro-batches must probe like a one-shot build")
   }
 
+  test("streaming SRP ingest equals the inline SRP pipeline") {
+    val streamed = graft.streaming.StreamingIndexIngest.runSrp(spark,
+      sf0001, "/tmp/graft_ingest_srp", "graft_test_srp",
+      "/tmp/graft_ingest_srp/idx")
+    val corpus = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        graft.operators.Similarity.toDoubleArray($"embedding").as("vec"))
+    val fresh = graft.operators.SrpLsh
+      .topK(corpus, corpus.where($"vec_id" < 10), k = 5)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(fresh).isEmpty && fresh.exceptAll(streamed).isEmpty,
+      "SRP index from streamed micro-batches must probe like the inline pipeline")
+  }
+
   test("streaming merge resumes from its checkpoint without reprocessing old batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.sources.VersionedTable
