@@ -49,6 +49,23 @@ class SrpLshSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("packedBandKeys: one key per band, band index recoverable, scale-invariant") {
+    val bits = 16 / 4
+    val rows = corpus.limit(100).select(
+      SrpLsh.packedBandKeys($"vec").as("pk"),
+      SrpLsh.packedBandKeys(transform($"vec", x => x * 2.0)).as("pk2"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (pk, pk2) =>
+      assert(pk.length == 4)
+      pk.zipWithIndex.foreach { case (k, b) =>
+        assert((k >> bits) == b.toLong, s"band index lost in key $k at $b")
+        assert((k & ((1 << bits) - 1)) >= 0)
+      }
+      assert(pk == pk2, "packed keys must be scale-invariant")
+    }
+  }
+
   test("ranked output is well-formed per query") {
     val out = SrpLsh.topK(corpus, corpus.where($"vec_id" < 5), k = 5)
       .select("query_id", "rank", "cos_sim").as[(Long, Int, Double)].collect()
