@@ -37,6 +37,38 @@ object ExtensionQueries {
       |FROM c JOIN b ON c.s = b.s
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Shared CTE prefix for the repeated-window queries: planted-dup
+    * corpus -> tokens -> every 20-token window hashed -> winnowing
+    * selection (min of each run of 10 consecutive window hashes,
+    * mirroring Dedup.winnowedFingerprints key for key) -> fingerprints
+    * repeated across >= 2 distinct docs. `tail` is the final SELECT
+    * (with `moreCtes = true` it may open with further CTEs). */
+  private def repeatedSpanSql(tail: String, moreCtes: Boolean = false): String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+      |hk AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t) - 18),
+      |      p -> md5(array_to_string(t[p : p + 19], ' ')) || ':' || lpad(CAST(p AS VARCHAR), 10, '0')) AS hk
+      |  FROM toks WHERE len(t) >= 20),
+      |sel AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(1, len(hk) - 9) + 1),
+      |      q -> list_min(hk[q : q + 9])))) AS selkey
+      |  FROM hk),
+      |w AS (
+      |  SELECT doc_id, CAST(substr(selkey, 34, 10) AS BIGINT) AS win_start,
+      |         substr(selkey, 1, 32) AS fp
+      |  FROM sel),
+      |heavy AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS n_docs
+      |  FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)""".stripMargin +
+      (if (moreCtes) ",\n" else "\n") + tail
+
   /** documents ∪ perturbed copies of every 5th doc (exact-dup after
     * whitespace normalization). */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
@@ -128,6 +160,43 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")))
         .where(col("n_copies") > 1)
         .orderBy("keeper_id")),
+
+    // Cross-document repeated token windows — the distributed form of
+    // exact-substring dedup (boilerplate spans: license headers,
+    // navigation chrome, templated text verbatim across
+    // otherwise-distinct docs). Window hashes are WINNOWED (content-
+    // defined min-selection), so any verbatim repeat of >= 29 tokens
+    // shares a selected fingerprint wherever it sits — a fixed stride
+    // grid would only match offset-aligned repeats. Selection runs
+    // inside array expressions per row (zero shuffle before the
+    // fingerprint groupBy) and is SQL-expressible end to end — fully
+    // oracle-checked. Guarantee proof + scale notes in Dedup.scala.
+    QueryDef("ext_repeated_spans",
+      Some(repeatedSpanSql(
+        """SELECT w.doc_id, w.win_start, w.fp, heavy.n_docs
+          |FROM w JOIN heavy USING (fp)
+          |ORDER BY doc_id, win_start, fp""".stripMargin)),
+      (s, dir) => Dedup.repeatedWindowSpans(
+          docsWithExactDups(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "win_start", "fp")),
+
+    // The curation-side consumer of the same signal: documents whose
+    // window grid is ≥ 50% cross-document repeats — the boilerplate
+    // drop-list. Same CTEs, per-doc aggregation on top.
+    QueryDef("ext_boilerplate_docs",
+      Some(repeatedSpanSql(
+        """rep AS (
+          |  SELECT w.doc_id, count(*) AS n_repeated
+          |  FROM w JOIN heavy USING (fp) GROUP BY w.doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+          |SELECT tot.doc_id, tot.n_windows, rep.n_repeated,
+          |       round(CAST(rep.n_repeated AS DOUBLE) / tot.n_windows, 6) AS repeat_frac
+          |FROM tot JOIN rep USING (doc_id)
+          |WHERE CAST(rep.n_repeated AS DOUBLE) / tot.n_windows >= 0.5
+          |ORDER BY doc_id""".stripMargin, moreCtes = true)),
+      (s, dir) => Dedup.boilerplateDocs(
+          docsWithExactDups(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // MinHash+LSH near-dup pairs with exact-Jaccard verification. The
     // LSH banding is not SQL-expressible → rows-only check; planted-pair

@@ -215,4 +215,101 @@ object Dedup {
   def exactDuplicateGroups(docs: DataFrame, idCol: String, keyCol: Column): DataFrame =
     docs.groupBy(keyCol.as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ---- cross-document repeated substrings (boilerplate spans) -------
+  // Document-level near-dup (MinHash/SimHash) misses the other failure
+  // mode of crawled training data: long VERBATIM repeats embedded in
+  // otherwise-distinct documents — license headers, navigation chrome,
+  // templated disclaimers. The literature's exact-substring dedup
+  // builds a corpus-wide suffix array (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", arXiv:2107.06499, §4);
+  // a suffix array is a single giant sorted structure — the wrong shape
+  // for a shared-nothing cluster. The distributed form here fingerprints
+  // every token window and WINNOWS them (Schleimer/Wilkerson/Aiken,
+  // "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  // 2003): keep, for every run of `guarantee` consecutive window
+  // hashes, the minimum — a CONTENT-defined selection, so two
+  // occurrences of the same substring select the same fingerprints no
+  // matter where in their documents they sit (a fixed stride grid would
+  // only match when the offsets happen to align mod stride). The
+  // winnowing theorem gives structural recall: any verbatim repeat of
+  // ≥ window + guarantee - 1 tokens shares ≥ 1 selected fingerprint,
+  // at expected density ~2/(guarantee+1) of all windows. The entire
+  // selection runs INSIDE array expressions per document row — zero
+  // shuffle before the fingerprint aggregation, which itself is a
+  // map-side-partial groupBy; never all-pairs, no global sorted
+  // structure. md5 fingerprints keep every step SQL-expressible, so
+  // the operator is oracle-checked end to end (a production deployment
+  // would swap in a rolling hash to make each offset O(1) instead of
+  // O(window); md5 is the engine-portable choice).
+
+  /** Winnowing-selected window fingerprints: (id, win_start, fp) with
+    * win_start 1-based. Documents shorter than `window` tokens have no
+    * windows (whole-short-doc duplication is [[exactDuplicateGroups]]'
+    * job); documents with fewer than `guarantee` windows select the
+    * single overall minimum. Ties on identical fingerprint values break
+    * by position (the fingerprint is what downstream matching keys on,
+    * so ties never cost recall). At warehouse scale this is the table
+    * you'd persist once per crawl snapshot. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, guarantee: Int = 10): DataFrame = {
+    require(window > 0 && guarantee > 0,
+      s"window=$window guarantee=$guarantee")
+    docs
+      .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .where(size(col("t")) >= window)
+      // hash every window start, packed as 'md5hex:paddedPos' so one
+      // lexicographic array_min picks (min fp, then min pos) — fixed
+      // 32-char hex keeps the comparison aligned across engines
+      .select(col(idCol), expr(
+        s"""transform(sequence(1, size(t) - $window + 1),
+           |  p -> concat(
+           |    md5(cast(concat_ws(' ', slice(t, p, $window)) as binary)),
+           |    ':', lpad(cast(p as string), 10, '0')))""".stripMargin)
+        .as("hk"))
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(1, size(hk) - $guarantee + 1)),
+           |  q -> array_min(slice(hk, q, $guarantee))))""".stripMargin))
+        .as("selkey"))
+      .select(col(idCol),
+        expr("cast(substr(selkey, 34, 10) as bigint)").as("win_start"),
+        expr("substr(selkey, 1, 32)").as("fp"))
+  }
+
+  /** Selected fingerprints occurring in ≥ `minDocs` DISTINCT documents:
+    * (id, win_start, fp, n_docs) — the repeated spans to mask or cut.
+    * The distinct-doc count aggregates with map-side partials; the
+    * flag-back join shuffles by fingerprint, and the repeated side is
+    * by definition the small tail of the distribution. */
+  def repeatedWindowSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, guarantee: Int = 10, minDocs: Int = 2): DataFrame = {
+    val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
+    val heavy = wins.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    wins.join(heavy, "fp")
+      .select(col(idCol), col("win_start"), col("fp"), col("n_docs"))
+  }
+
+  /** Boilerplate-heavy documents: fraction of a document's selected
+    * fingerprints that are cross-document repeats, for documents with
+    * ≥ `minDocs`-way repeated content — the drop-list a curation
+    * pipeline feeds from this signal. Returns (id, n_windows,
+    * n_repeated, repeat_frac ≥ `minFrac`). */
+  def boilerplateDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
+      minFrac: Double = 0.5): DataFrame = {
+    val repeated = repeatedWindowSpans(docs, idCol, textCol, window,
+        guarantee, minDocs)
+      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
+    val totals = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
+      .groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    totals.join(repeated, Seq(idCol))
+      .withColumn("repeat_frac",
+        round(col("n_repeated") / col("n_windows"), 6))
+      .where(col("repeat_frac") >= minFrac)
+      .select(col(idCol), col("n_windows"), col("n_repeated"),
+        col("repeat_frac"))
+  }
 }

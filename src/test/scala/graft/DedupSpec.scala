@@ -171,6 +171,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing catches a 29-token repeat at MISALIGNED offsets") {
+    // The structural-recall case a fixed stride grid would miss: the
+    // shared block sits at offset 6 in one doc and offset 13 in the
+    // other (different phases mod any stride), with window=20 and
+    // guarantee=10 the 29-token repeat must still share a selected
+    // fingerprint because winnowing's min-selection is content-defined.
+    val block = (1 to 29).map(i => s"shared$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("aaa", 5)} $block ${filler("bbb", 11)}"),
+      (2L, s"${filler("ccc", 12)} $block ${filler("ddd", 7)}"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedWindowSpans(docs, "doc_id", "text")
+    val byDoc = spans.select("doc_id", "fp").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.keySet == Set(1L, 2L), s"both docs must report spans, got $byDoc")
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "the shared block must select a common fingerprint in both docs")
+  }
+
+  test("boilerplate docs: full duplicates score repeat_frac 1.0; density sane") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val planted = docs.unionAll(docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val bp = Dedup.boilerplateDocs(planted, "doc_id", "text")
+      .select("doc_id", "repeat_frac").as[(Long, Double)].collect().toMap
+    // every planted copy (and its source) is 100% repeated content
+    val copies = bp.keys.filter(_ >= 100000)
+    assert(copies.nonEmpty)
+    copies.foreach(id => assert(bp(id) == 1.0, s"copy $id frac ${bp(id)}"))
+    // winnowing density: selected fingerprints ≈ 2/(g+1) of windows,
+    // never more than all windows, never zero for an eligible doc
+    val sel = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(sel.nonEmpty && sel.forall(_ >= 1))
+  }
+
   test("native band keys are bit-identical to the xxhash64 expression tree") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val sigs = docs.select($"doc_id",
