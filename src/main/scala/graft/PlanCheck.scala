@@ -13,7 +13,9 @@ object PlanCheck {
       else Seq("s1_scan_pruned_filtered", "j1_semi_join_count",
         "s8_point_lookup_batch", "e2e_incremental_agg", "j4_merge_upsert",
         "ext_bloom_join_prune", "ext_minhash_persisted", "ext_hash_sample",
-        "ext_curation_pipeline")
+        "ext_curation_pipeline", "ext_tfidf_topterms",
+        "ext_contamination_shuffle", "ext_srp_persisted",
+        "ext_repeated_spans")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -176,18 +176,39 @@ object Components {
       val a = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+        // route to the bucket key before the bucketed write: distinct
+        // leaves the rows hash-partitioned on (src, dst) across the
+        // session's shuffle width, so without this every writer task
+        // emits files into buckets it doesn't own (the small-file
+        // fan-out IndexStore.bucketRouted documents) — and this table
+        // is re-read by every iteration's join
+        .repartition(nBuckets, col("src"))
         .write.bucketBy(nBuckets, "src")
         .option("path", s"$path/$edgesTbl").mode("overwrite")
         .saveAsTable(edgesTbl)
     }
     val edges = spark.table(edgesTbl)
 
-    var iter = (0 to maxIters)
-      .filter(i => spark.catalog.tableExists(labelsTbl(i)))
-      .lastOption.getOrElse(-1)
+    // Generations are discovered from the CATALOG, not by scanning a
+    // 0..maxIters range: a prior run invoked with a LARGER bound may
+    // have progressed past this call's maxIters, and a range scan would
+    // silently restart from scratch while the old generation lingered
+    // to be resurrected by a later wider call. While at it, reap any
+    // stale earlier generations a crash between write(i+1) and drop(i)
+    // left behind — resume must hold the one-live-generation invariant.
+    val genPattern = (java.util.regex.Pattern
+      .quote(s"${base.toLowerCase}_labels_") + "(\\d+)").r
+    val gens = spark.catalog.listTables().collect().toSeq
+      .flatMap(t => t.name match {
+        case genPattern(i) => Some(i.toInt)
+        case _ => None
+      }).sorted
+    gens.dropRight(1).foreach(i => dropWithFiles(labelsTbl(i)))
+    var iter = gens.lastOption.getOrElse(-1)
     if (iter < 0) {
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).withColumn("moved", lit(true))
+        .repartition(nBuckets, col("id"))
         .write.bucketBy(nBuckets, "id")
         .option("path", s"$path/${labelsTbl(0)}").mode("overwrite")
         .saveAsTable(labelsTbl(0))

@@ -49,13 +49,19 @@ object Dedup {
     * quadratic blow-up into the job's straggler at exactly the data shape
     * dedup exists for. Star-linking emits m-1 pairs (rep, member)
     * instead: output is linear, every member remains a candidate, and
-    * connected-component clustering — the dedup consumer — sees the same
-    * components, because near-identical members verify against the
-    * representative and join its cluster transitively. What is given up
-    * is only the direct enumeration of (x, y) pairs that share NO bucket
-    * below the cap; for the boilerplate shape that creates hot buckets,
-    * those pairs are exactly the ones reachable through the
-    * representative. Guarded recall is pinned by DedupSpec's
+    * for the boilerplate shape that creates hot buckets — thousands of
+    * near-IDENTICAL docs — members verify against the representative
+    * and connected-component clustering sees the same components
+    * transitively. The honest limit of the trade: a pair (x, y) whose
+    * ONLY shared bucket is hot survives only through the verification
+    * step of its (rep, x) / (rep, y) star pairs, so if both x and y
+    * clear the similarity threshold with each other but NOT with the
+    * representative, that pair is dropped. This is inherent to any
+    * bounded-work cap (skipping the bucket outright would drop the
+    * pair too, plus the star pairs); pairs sharing any non-hot bucket
+    * are unaffected, and callers can raise the threshold when full
+    * enumeration matters more than the straggler. Guarded recall on
+    * the near-identical shape is pinned by DedupSpec's
     * planted-boilerplate corpus. */
   val DefaultHotBandThreshold = 1000
 
@@ -296,20 +302,30 @@ object Dedup {
     * fingerprints that are cross-document repeats, for documents with
     * ≥ `minDocs`-way repeated content — the drop-list a curation
     * pipeline feeds from this signal. Returns (id, n_windows,
-    * n_repeated, repeat_frac ≥ `minFrac`). */
+    * n_repeated, repeat_frac ≥ `minFrac`). One LEFT join + one per-doc
+    * aggregation: repeated and total counts come from the same pass
+    * (heavy fingerprints are unique per fp, so the join never
+    * multiplies rows), and the threshold filters the RAW ratio — the
+    * rounded output column would let a just-under-`minFrac` document
+    * round its way across the boundary and diverge from the oracle.
+    * The winnow projection still evaluates once per join side; a crawl
+    * deployment persists [[winnowedFingerprints]] once per snapshot
+    * (see its scaladoc) and feeds both consumers from the table. */
   def boilerplateDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
       minFrac: Double = 0.5): DataFrame = {
-    val repeated = repeatedWindowSpans(docs, idCol, textCol, window,
-        guarantee, minDocs)
-      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
-    val totals = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-      .groupBy(idCol).agg(count(lit(1)).as("n_windows"))
-    totals.join(repeated, Seq(idCol))
-      .withColumn("repeat_frac",
-        round(col("n_repeated") / col("n_windows"), 6))
-      .where(col("repeat_frac") >= minFrac)
+    val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
+    val heavy = wins.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    wins.join(heavy, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("n_docs")).as("n_repeated"))
+      .where(col("n_repeated") > 0 &&
+        col("n_repeated").cast("double") / col("n_windows") >= minFrac)
       .select(col(idCol), col("n_windows"), col("n_repeated"),
-        col("repeat_frac"))
+        round(col("n_repeated").cast("double") / col("n_windows"), 6)
+          .as("repeat_frac"))
   }
 }

@@ -179,24 +179,29 @@ object IndexStore {
     * [[Dedup.DefaultHotBandThreshold]]: an index bucket with m entries
     * emits m candidate rows for EVERY probe doc that hits it, so a
     * boilerplate-heavy index turns one band into a quadratic blow-up at
-    * probe time. Buckets above the cap contribute only their
-    * representative (min id): a probe hitting a hot bucket is still
-    * guaranteed a candidate — the near-dup DECISION (is this doc a dup
-    * of anything?) is preserved — while the enumeration of thousands of
-    * boilerplate matches is capped. Non-hot buckets are exhaustive as
-    * before. The count/representative come from a window over the
-    * bucket key, which the bucketed scan already hash-partitions on, so
-    * the guard adds NO index-side exchange — only a per-bucket sort
-    * (shuffle count re-asserted in IndexStoreSpec). Callers needing the
-    * full enumeration can raise the threshold. */
+    * probe time. Buckets above the cap contribute only their TWO
+    * representatives (min and max id — both computable without a
+    * per-bucket sort): a probe hitting a hot bucket is guaranteed a
+    * candidate even when the probe doc IS one of the representatives
+    * (self-probing an indexed doc is the normal incremental-ingest
+    * recheck; a single representative would self-filter to zero
+    * candidates there), so the near-dup DECISION is preserved while the
+    * enumeration of thousands of boilerplate matches is capped. Non-hot
+    * buckets are exhaustive as before. The count/representatives come
+    * from a window over the bucket key, which the bucketed scan already
+    * hash-partitions on, so the guard adds NO index-side exchange
+    * (re-asserted in IndexStoreSpec). Callers needing the full
+    * enumeration can raise the threshold. */
   private def capHotBuckets(indexTable: DataFrame, keyCol: String,
       idCol: String, threshold: Int): DataFrame = {
     val w = Window.partitionBy(keyCol)
     indexTable
       .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("bucket_rep", min(col(idCol)).over(w))
-      .where(col("bucket_n") <= threshold || col(idCol) === col("bucket_rep"))
-      .drop("bucket_n", "bucket_rep")
+      .withColumn("bucket_lo", min(col(idCol)).over(w))
+      .withColumn("bucket_hi", max(col(idCol)).over(w))
+      .where(col("bucket_n") <= threshold ||
+        col(idCol) === col("bucket_lo") || col(idCol) === col("bucket_hi"))
+      .drop("bucket_n", "bucket_lo", "bucket_hi")
   }
 
   /** Probes a persisted MinHash index: near-dup matches for each query

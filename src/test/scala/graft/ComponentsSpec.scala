@@ -153,6 +153,49 @@ class ComponentsSpec extends SparkSpec {
     } finally spark.conf.set(partKey, saved)
   }
 
+  test("restartable mode: generations beyond the current bound are honored, strays reaped") {
+    import org.apache.spark.sql.functions.col
+    val base = "graft_cc_rst2"
+    val path = "/tmp/graft_cc_rst2"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(base))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val pairs = ((0L until 7L).map(i => (i, i + 1)) :+ ((100L, 101L)))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponentsRestartable(pairs, base, path, maxIters = 4)
+    }
+    assert(spark.catalog.tableExists(s"${base}_labels_4"))
+    // a resume with a SMALLER bound than the preserved generation must
+    // NOT restart from scratch (the old range-scan bug: labels_4 is
+    // invisible to a 0..2 scan, so the run redoes iterations 0-2 and
+    // orphans labels_4) — the cumulative bound is already exceeded, so
+    // it fails loud with the state intact
+    intercept[IllegalStateException] {
+      Components.connectedComponentsRestartable(pairs, base, path, maxIters = 2)
+    }
+    assert(spark.catalog.tableExists(s"${base}_labels_4"),
+      "the preserved generation must survive a smaller-bound call")
+    assert(!spark.catalog.tableExists(s"${base}_labels_0") &&
+      !spark.catalog.tableExists(s"${base}_labels_2"),
+      "a smaller-bound call must not restart iteration from zero")
+    // crash window between write(i+1) and drop(i): plant a stale earlier
+    // generation and resume — the newest generation wins, the stray is
+    // reaped, and convergence leaves exactly one generation
+    spark.table(s"${base}_labels_4")
+      .write.bucketBy(8, "id")
+      .option("path", s"$path/${base}_labels_2_stale")
+      .saveAsTable(s"${base}_labels_2")
+    val resumed = Components.connectedComponentsRestartable(pairs, base, path)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap)
+    val gens = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.matches(s"${base}_labels_\\d+"))
+    assert(gens.length == 1, s"expected one surviving generation, got ${gens.toSeq}")
+  }
+
   test("dedupClusters: one keeper per cluster with the right size") {
     val clusters = Components.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))

@@ -563,6 +563,16 @@ class IndexStoreSpec extends SparkSpec {
       hot, hotBandThreshold = Int.MaxValue).count()
     assert(unguarded >= 700L,
       s"unguarded enumeration should return ~the whole group, got $unguarded")
+    // self-probe by a representative: doc 0 IS the min-id rep of every
+    // hot bucket it sits in, and the self-filter removes it — the
+    // second (max-id) representative must still supply a candidate, or
+    // the incremental-ingest recheck of an indexed doc silently returns
+    // clean for exactly the boilerplate it duplicates
+    val selfGuarded = IndexStore.probeMinhash(spark,
+      boiler.where(col("doc_id") === 0), "doc_id", "text", hot,
+      hotBandThreshold = 50).collect()
+    assert(selfGuarded.nonEmpty,
+      "a representative probing itself must still receive a non-self candidate")
     // same shape for the SimHash index
     IndexStore.buildSimhashIndex(boiler, "doc_id", "text", hotSh,
       s"$idxPath/$hotSh")
