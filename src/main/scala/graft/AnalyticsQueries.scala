@@ -418,7 +418,7 @@ object AnalyticsQueries {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
              |JOIN (SELECT * FROM events WHERE event_type = 'error') r
              |  ON l.user_id = r.user_id
-             | AND abs(date_diff('second', r.ts, l.ts)) <= 300
+             | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300 * 1000000
              |ORDER BY l.user_id, l_id, r_id""".stripMargin),
       (s, dir) => {
         val events = load(s, dir, "events")

@@ -65,7 +65,13 @@ object Case311 {
     "agency_responsible", "service_notice", "address", "zipcode",
     "media_url", "subject", "type_")
 
-  /** config.py:102 — SF_WHERE source predicate. */
+  /** config.py:102 — SF_WHERE source predicate. Null handling is
+    * deliberate: SOQL stores empty strings as null, so the reference's
+    * `RecordTypeId != ''` / `NOT IN ('', ...)` terms are Salesforce's
+    * is-not-blank idiom and EXCLUDE null rows — which is exactly what
+    * Spark's null-propagating `=!=` / `!isin` do here. (SOQL's `!=
+    * 'literal'` alone would keep nulls, unlike SQL; the `''` terms in
+    * this predicate make the two agree.) */
   def sfWhere: Column =
     col("RecordTypeId") =!= "012G00000014BhVIAU" &&
       !col("Case_Record_Type__c").isin("", "Agency Receivables", "Revenue Escalation") &&
@@ -108,9 +114,10 @@ object Case311 {
       // private flag truthiness (common.py:184-186): only False/'false'
       // → 0, case-SENSITIVE — 'False'/'FALSE'/null/'0' are all truthy
       .withColumn("private_case", Normalize.boolTo01(col("private_case")))
-      // status_notes pick + clean + truncate (common.py:204-216)
-      .withColumn("status_notes",
-        substring(Normalize.nfkdAscii(Normalize.stripEdges(rawStatusNotes)), 1, 2000))
+      // status_notes pick + clean + truncate (common.py:204-216); the
+      // shared cleanText also maps null → '' early, which the
+      // TextFields pass below applies anyway
+      .withColumn("status_notes", Normalize.cleanText(rawStatusNotes, 2000))
 
     // date fields → US Eastern, unparseable → null (common.py:189-201)
     val dated = Seq("requested", "updated", "expected", "closed")

@@ -109,8 +109,12 @@ object Normalize {
 
   /** X1 — WKT point synthesis with zero/null guard (common.py:118-128):
     * either coordinate null or 0 → null geometry, else
-    * 'SRID=4326;POINT (lon lat)'. Callers should pass decimal-typed
-    * columns for deterministic text rendering. */
+    * 'SRID=4326;POINT (lon lat)'. Text rendering follows the input
+    * column type: double renders like Python's `'{}'.format(float)` —
+    * including scientific notation for |v| < 1e-3 or ≥ 1e7, which the
+    * reference produces too — so double-typed coordinates are the
+    * faithful choice; pass decimals only when comparing against a
+    * fixed-point oracle. */
   def wktPoint(lon: Column, lat: Column): Column =
     when(
       lon.isNotNull && lat.isNotNull && lon =!= 0 && lat =!= 0,

@@ -37,7 +37,16 @@ object Incremental {
     * including nulls, so a re-modified row can legitimately clear a
     * field (per-column coalesce would resurrect the stale value).
     * Idempotent: merging the same delta twice is a no-op.
-    */
+    *
+    * PRECONDITION: the delta is pk-UNIQUE — a snapshot per key, which
+    * is what a watermark pull of source state yields (the reference's
+    * SOQL query returns each case once). A CDC/log-shaped delta with
+    * several rows per pk would full-outer-multiply against the target
+    * and silently break the warehouse's pk invariant (the reference's
+    * sequential executemany has an arrival order to break the tie; a
+    * DataFrame has none, so there is no well-defined "last" to pick).
+    * Collapse such a delta first with [[latestPerKey]], which makes the
+    * tie-break explicit. */
   def merge(target: DataFrame, deltaDf: DataFrame, pk: String): DataFrame = {
     val cols = target.columns
     // Qualified-by-alias references survive self-joins (target and delta
@@ -49,6 +58,22 @@ object Incremental {
         if (c == pk) coalesce(col(s"d.$c"), col(s"t.$c")).as(c)
         else when(deltaExists, col(s"d.$c")).otherwise(col(s"t.$c")).as(c)
       }.toIndexedSeq: _*)
+  }
+
+  /** Collapses a CDC/log-shaped delta (several rows per pk) to the
+    * newest row per key — the explicit tie-break [[merge]]'s pk-unique
+    * precondition needs. "Newest" is max (orderCol, then the whole row)
+    * so equal-timestamp duplicates still resolve deterministically.
+    * One map-side-combining aggregation, no window sort. */
+  def latestPerKey(deltaDf: DataFrame, pk: String,
+      orderCol: String): DataFrame = {
+    val payload = deltaDf.columns.filter(_ != pk)
+    deltaDf
+      .groupBy(col(pk))
+      .agg(max(struct((col(orderCol) +:
+        payload.filter(_ != orderCol).map(col).toSeq).toIndexedSeq: _*))
+        .as("__latest"))
+      .select(col(pk) +: payload.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** J2 (delete-removed-tickets.py:136-142): ids the warehouse has that

@@ -19,6 +19,8 @@ object Ops {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt")
     // right/full outer would surface each unmatched (replicated) right
     // row nSalts times — parity with the unsalted join breaks.
     val jt = joinType.toLowerCase.replace("_", "")
@@ -90,11 +92,21 @@ object Ops {
   /** Shared three-pass prefix machinery: quantile-bucket on the leading
     * key, windowed prefix inside each bucket (parallel partitions),
     * broadcast each bucket's exclusive offset back. `perRow` is the
-    * per-row contribution (1 for enumeration, a value for running sum). */
+    * per-row contribution (1 for enumeration, a value for running sum).
+    *
+    * The three passes re-evaluate `df`'s lineage (quantiles, bucket
+    * totals, the final windowed job). The input must therefore be
+    * DETERMINISTIC across jobs — a file scan is; an upstream
+    * round-robin repartition, sample, or changing source is not, and
+    * would let the collected offsets disagree with the re-bucketed
+    * rows. Persist upstream first in that case. */
   private def bucketedPrefix(df: DataFrame, orderCols: Seq[Column],
       leadingNumeric: Column, nBuckets: Int, perRow: Column,
       outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Seq("__gk", "__v", "__bkt", "__off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"global prefix operators reserve the column name $c"))
     val spark = df.sparkSession
     val keyed = df.withColumn("__gk", leadingNumeric.cast("double"))
       .withColumn("__v", perRow)

@@ -28,6 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * attempt. Step 3 is a single-file rename: atomic on POSIX and HDFS;
   * on S3-style stores the equivalent is a conditional PUT of the
   * pointer object. IncrementalSpec drives the crash window.
+  *
+  * Durability boundary, stated honestly: the protocol orders WRITER
+  * crashes (process death at any step), not media-level power loss —
+  * step 1's parquet data is written by Spark tasks without an fsync,
+  * so a power cut after step 3 could in principle persist the pointer
+  * but not all data pages. Closing that window needs data-side
+  * durability from the storage layer: HDFS replication/hflush or an
+  * object store's committed-PUT semantics give it; a local filesystem
+  * demo relies on the OS flushing data before anyone reads it. The
+  * same boundary applies to every parquet-writing engine without a
+  * write-ahead log.
   */
 object VersionedTable {
 

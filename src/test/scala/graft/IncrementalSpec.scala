@@ -65,6 +65,26 @@ class IncrementalSpec extends SparkSpec {
     assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
   }
 
+  test("latestPerKey collapses a CDC-shaped delta; merge stays pk-unique") {
+    val target = Seq((1L, "old", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "v", "updated")
+    // two delta rows for pk 1 (log-shaped): the newer one must win, and
+    // merging the collapsed delta must leave exactly one row per pk
+    val delta = Seq(
+      (1L, "mid", Timestamp.valueOf("2024-01-02 00:00:00")),
+      (1L, "new", Timestamp.valueOf("2024-01-03 00:00:00")),
+      (2L, "ins", Timestamp.valueOf("2024-01-02 12:00:00")))
+      .toDF("id", "v", "updated")
+    val collapsed = Incremental.latestPerKey(delta, "id", "updated")
+    assert(collapsed.count() == 2)
+    val merged = Incremental.merge(target, collapsed, "id")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "new", 2L -> "ins"))
+    // the raw log-shaped delta WOULD break the pk invariant — the
+    // documented precondition latestPerKey exists to restore
+    assert(Incremental.merge(target, delta, "id").count() == 3)
+  }
+
   test("reconcile: deleted = warehouse - source; archive + purge partition warehouse") {
     val sourceIds = Seq(1L, 3L).toDF("id")
     val deleted = Incremental.deletedIds(target, sourceIds, "id")

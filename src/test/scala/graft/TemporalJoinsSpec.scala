@@ -57,8 +57,44 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     val naive = l.alias("l").join(r.alias("r"),
         $"l.user_id" === $"r.user_id" &&
-          abs($"l.ts".cast("long") - $"r.ts".cast("long")) <= 300)
+          abs(org.apache.spark.sql.functions.unix_micros($"l.ts") -
+            org.apache.spark.sql.functions.unix_micros($"r.ts"))
+            <= 300L * 1000000L)
       .select($"l.event_id", $"r.event_id").as[(Long, Long)].collect().toSet
     assert(banded == naive)
+  }
+
+  test("asof: a null right timestamp never matches (native ASOF semantics)") {
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((99L, 10L, Option.empty[Timestamp]))
+      .toDF("event_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"event_id")
+    val out = TemporalJoins.asofJoin(l, r, "user_id", "ts",
+        "event_id", "last_err")
+      .select("last_err").collect()
+    assert(out.length == 1 && out.head.isNullAt(0),
+      "a null-ts right row must not be invented as the as-of match")
+  }
+
+  test("banded range join is exact at sub-second resolution") {
+    // true |delta| = 10.9s > 10 but whole-second truncation reads 10:
+    // the pair must be EXCLUDED; the 9.95s pair must be included
+    val l = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:20.9")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (11L, 10L, Timestamp.valueOf("2024-01-01 10:00:10.0")),
+      (12L, 10L, Timestamp.valueOf("2024-01-01 10:00:10.95")))
+      .toDF("event_id", "user_id", "ts")
+    val pairs = TemporalJoins.bandedRangeJoin(l, r, "user_id", "ts", "ts", 10)
+      .select("r_id").as[Long].collect().toSet
+    assert(pairs == Set(12L),
+      s"10.9s pair must be outside a 10s tolerance, got $pairs")
+  }
+
+  test("bandedRangeJoin rejects a non-positive tolerance") {
+    intercept[IllegalArgumentException] {
+      TemporalJoins.bandedRangeJoin(left, right, "user_id", "ts", "ts", 0)
+    }
   }
 }
