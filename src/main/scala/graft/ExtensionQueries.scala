@@ -327,7 +327,8 @@ object ExtensionQueries {
     QueryDef("t2_quality_score",
       Some("""WITH m AS (
              |  SELECT doc_id,
-             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS DOUBLE) AS n_toks,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
              |    CAST(length(text) AS DOUBLE) AS n_chars,
              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -346,7 +347,7 @@ object ExtensionQueries {
 
     QueryDef("t3_token_counts",
       Some("""SELECT doc_id,
-             |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+             |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_ws_tokens,
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => load(s, dir, "documents")
@@ -552,7 +553,7 @@ object ExtensionQueries {
               |  FROM corpus),
               |s AS (
               |  SELECT doc_id, text, toks,
-              |    CAST(len(toks) AS DOUBLE) AS n_toks,
+              |    CAST(len(list_filter(toks, x -> x <> '')) AS DOUBLE) AS n_toks,
               |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
               |    CAST(length(text) AS DOUBLE) AS n_chars,
               |    CAST(len(list_filter(toks,
@@ -567,7 +568,7 @@ object ExtensionQueries {
               |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
               |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
               |          * 10000.0 + 0.5) / 10000.0 AS quality,
-              |    len(toks) AS n_ws_tokens,
+              |    len(list_filter(toks, x -> x <> '')) AS n_ws_tokens,
               |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
               |  FROM s),
               |kept AS (
@@ -643,7 +644,8 @@ object ExtensionQueries {
     QueryDef("ext_token_packing",
       Some("""WITH t AS (
              |  SELECT doc_id,
-             |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS n_tokens
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, n_tokens,

@@ -22,12 +22,17 @@ object AgoFormat {
 
   /** X12 — a datetime string carrying a '+0000' UTC marker is reparsed
     * and shifted to US Eastern; anything else passes through
-    * (sync-db2-ago.py:164-169). */
+    * (sync-db2-ago.py:164-169). try_to_timestamp, not to_timestamp: the
+    * contains() test is deliberately loose (matching the reference's
+    * substring check), so a string that carries '+0000' but doesn't
+    * parse — the marker mid-string, a mangled date — must degrade to
+    * null like every other unparseable date in this module, not raise
+    * under Spark 4's default ANSI mode. */
   def utcStringToEastern(c: Column): Column =
     when(c.contains("+0000"),
       formatTs(from_utc_timestamp(
-        to_timestamp(regexp_replace(c, "\\s*\\+0000$", ""),
-          "yyyy-MM-dd HH:mm:ss"),
+        try_to_timestamp(regexp_replace(c, "\\s*\\+0000$", ""),
+          lit("yyyy-MM-dd HH:mm:ss")),
         "America/New_York")))
       .otherwise(c)
 

@@ -173,11 +173,16 @@ case class EsriGeometryJson(child: Expression,
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     GeoJsonUtil.esriJson(v.asInstanceOf[UTF8String], layerType)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // layerType is a free-form API string: a reference object keeps it
+    // out of the generated source, where a quote or backslash in the
+    // value would break Janino compilation
+    val lt = ctx.addReferenceObj("layerType", layerType, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.GeoJsonUtil.esriJson($c, "$layerType");
+      ${ev.value} = graft.functions.GeoJsonUtil.esriJson($c, $lt);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
+  }
   override protected def withNewChildInternal(newChild: Expression): EsriGeometryJson =
     copy(child = newChild)
   override def prettyName: String = "esri_geometry_json"

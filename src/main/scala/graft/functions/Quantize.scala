@@ -76,6 +76,19 @@ object Int8QuantizeUtil {
 }
 
 private[functions] trait VecDoubleCheck { self: Expression =>
+  /** Binary kernels: the scale child must be DOUBLE too — eval casts it
+    * with asInstanceOf and codegen splices it into a double call site,
+    * so a non-double scale would pass analysis and fail (or silently
+    * diverge between eval and codegen) at runtime. */
+  protected def checkVecAndScale(vecDt: DataType, scaleDt: DataType,
+      name: String): TypeCheckResult = {
+    val v = checkVec(vecDt, name)
+    if (v != TypeCheckResult.TypeCheckSuccess) v
+    else if (scaleDt != DoubleType) TypeCheckResult.TypeCheckFailure(
+      s"$name scale must be DOUBLE, got ${scaleDt.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   protected def checkVec(dt: DataType, name: String): TypeCheckResult =
     dt match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -113,7 +126,7 @@ case class Int8Codes(left: Expression, right: Expression)
   override def dataType: DataType = left.dataType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    checkVec(left.dataType, prettyName)
+    checkVecAndScale(left.dataType, right.dataType, prettyName)
   override def nullSafeEval(v: Any, s: Any): Any =
     Int8QuantizeUtil.codes(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -130,7 +143,7 @@ case class Int8Dequantize(left: Expression, right: Expression)
   override def dataType: DataType = left.dataType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    checkVec(left.dataType, prettyName)
+    checkVecAndScale(left.dataType, right.dataType, prettyName)
   override def nullSafeEval(v: Any, s: Any): Any =
     Int8QuantizeUtil.dequantize(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

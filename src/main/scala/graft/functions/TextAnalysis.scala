@@ -14,8 +14,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count. Empty tokens are excluded: Spark's
+    * split('', '\s+') yields [''], so a bare size() would credit an
+    * empty or whitespace-only document with one token — and an
+    * empty-doc filter keyed on token count would never fire. (The raw
+    * [[tokens]] array keeps the engine-shared [''] convention — the
+    * shingle/dedup stack and its oracles mirror it consistently; only
+    * the COUNT surfaces as a statistic.) */
+  def tokenCount(text: Column): Column =
+    size(filter(tokens(text), t => t =!= lit("")))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric marks — a cheap proxy for subword token pressure. */

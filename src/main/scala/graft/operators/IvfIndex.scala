@@ -129,7 +129,11 @@ object IvfIndex {
     queries
       .select(col(idCol).as(s"q_$idCol"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col("q_vec"), col("centroid")))
+      // nanvl, like assign/withClusterId: NaN sorts ABOVE every real
+      // double under desc, so a degenerate centroid would win a probe
+      // slot for every query; folded to null it sorts last instead
+      .withColumn("__sim",
+        nanvl(cosine(col("q_vec"), col("centroid")), lit(null).cast("double")))
       .withColumn("__rk", row_number().over(probeW))
       .where(col("__rk") <= nprobe)
       .select(col(s"q_$idCol"), col("q_vec"), col("cluster_id"))

@@ -83,8 +83,12 @@ object Similarity {
     * packed into an int. Scale-invariant vectors (and so near-identical
     * embeddings) map to the same block. */
   def signBlock(vec: Column, dims: Int = 8): Column =
+    // try_element_at: a malformed short vector contributes 0 bits for
+    // its missing dims instead of raising INVALID_ARRAY_INDEX under
+    // ANSI mode — same degrade-to-harmless stance as the null guards
     (0 until dims)
-      .map(i => when(element_at(vec, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .map(i => when(try_element_at(vec, lit(i + 1)) > 0, lit(1 << i))
+        .otherwise(lit(0)))
       .reduce(_ + _)
 
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos_raw)
@@ -103,10 +107,15 @@ object Similarity {
     * Null-scored candidates (cosine of a zero-norm or malformed vector
     * is null by design) are dropped before ranking — they carry no
     * similarity information; the window form would only ever surface
-    * them when a query has fewer than k real candidates. */
+    * them when a query has fewer than k real candidates. NaN scores
+    * (a NaN/Infinity element in a vector makes the whole fold NaN) are
+    * dropped for the same reason — Spark and the TopK comparator both
+    * order NaN ABOVE every real double, so one poisoned corpus vector
+    * would otherwise become the rank-1 neighbor of every query. */
   def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .where(col("cos_raw").isNotNull && col("neighbor_id").isNotNull)
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("neighbor_id").isNotNull)
       .groupBy("query_id")
       .agg(VectorAgg.topK(col("neighbor_id"), col("cos_raw"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -120,7 +129,12 @@ object Similarity {
   def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored
+      // same null/NaN drop as rankTopK — the two kernels must stay
+      // value-identical on every input (parity spec)
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("neighbor_id").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_raw"), 6).as("cos_sim"))

@@ -18,18 +18,17 @@ import graft.operators.IndexStore
   */
 object StreamingIndexIngest {
 
-  /** Shared choreography: stage the documents as a 2-file stream source
-    * (>1 micro-batch; more batches add cost, not coverage), drop any
-    * previous index, stream batches through build-then-append, probe
-    * the finished index with planted perturbed docs. */
-  private def ingest(spark: SparkSession, sfDir: String, workDir: String,
-      idxTables: Seq[String], idxPath: String,
+  /** Shared choreography over ANY source frame: stage it as a 2-file
+    * stream source (>1 micro-batch; more batches add cost, not
+    * coverage), drop any previous index, stream batches through
+    * build-then-append, then run the caller's probe over the finished
+    * index. */
+  private def ingestFrames(spark: SparkSession, source: DataFrame,
+      workDir: String, idxTables: Seq[String], idxPath: String,
       buildOrAppend: (DataFrame, Boolean) => Unit,
-      probe: DataFrame => DataFrame): DataFrame = {
-    val srcDir = s"$workDir/docs_src"
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text")
-    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
+      probe: () => DataFrame): DataFrame = {
+    val srcDir = s"$workDir/src"
+    source.repartition(2).write.mode("overwrite").parquet(srcDir)
     idxTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
 
@@ -44,10 +43,21 @@ object StreamingIndexIngest {
       .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
       .start()
     try q.processAllAvailable() finally q.stop()
+    probe()
+  }
 
-    probe(docs.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" graft tail")).as("text")))
+  /** Document-corpus instance of [[ingestFrames]]: probes the finished
+    * index with planted perturbed docs. */
+  private def ingest(spark: SparkSession, sfDir: String, workDir: String,
+      idxTables: Seq[String], idxPath: String,
+      buildOrAppend: (DataFrame, Boolean) => Unit,
+      probe: DataFrame => DataFrame): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    ingestFrames(spark, docs, workDir, idxTables, idxPath, buildOrAppend,
+      () => probe(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graft tail")).as("text"))))
   }
 
   /** MinHash instance — identical to probing a one-shot index over the
@@ -74,37 +84,22 @@ object StreamingIndexIngest {
       probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
 
-  /** SRP (embedding ANN) instance — the same build-then-append
-    * choreography over the embeddings table instead of documents; the
-    * finished index answers top-k for the first queries. One-shot
-    * parity in StreamingSpec. */
+  /** SRP (embedding ANN) instance — [[ingestFrames]] over the
+    * embeddings table instead of documents; the finished index answers
+    * top-k for the first queries. One-shot parity in StreamingSpec. */
   def runSrp(spark: SparkSession, sfDir: String, workDir: String,
       table: String, idxPath: String): DataFrame = {
     import graft.operators.Similarity
-    val srcDir = s"$workDir/vecs_src"
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         Similarity.toDoubleArray(col("embedding")).as("vec"))
-    vecs.repartition(2).write.mode("overwrite").parquet(srcDir)
-    Seq(s"${table}_bands", s"${table}_vecs")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
-
-    val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!spark.catalog.tableExists(s"${table}_bands"))
-          IndexStore.buildSrpIndex(batch, table, idxPath)
-        else IndexStore.appendSrpIndex(batch, table)
-        (): Unit
-      }
-      .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    IndexStore.probeSrp(spark, vecs.where(col("vec_id") < 10), table, k = 5)
-      .orderBy("query_id", "rank")
+    ingestFrames(spark, vecs, workDir,
+      Seq(s"${table}_bands", s"${table}_vecs"), idxPath,
+      (batch, first) =>
+        if (first) IndexStore.buildSrpIndex(batch, table, idxPath)
+        else IndexStore.appendSrpIndex(batch, table),
+      () => IndexStore.probeSrp(spark, vecs.where(col("vec_id") < 10),
+          table, k = 5)
+        .orderBy("query_id", "rank"))
   }
 }

@@ -42,15 +42,23 @@ object StreamingSync {
         col("n_events"), col("sum_value"))
 
   /** Run the windowed aggregation over the events table as a stream into
-    * an in-memory sink, synchronously, and return the final result. */
+    * an in-memory sink, synchronously, and return the final result.
+    * The staging dir is unique per run (a FIXED path shared by
+    * concurrent runs over the same dataset would let one run's
+    * overwrite delete files the other's stream is still reading) and
+    * deleted once the stream has drained into the memory sink. */
   def runWindowedToMemory(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_${System.nanoTime()}"
-    val stage = "/tmp/graft_stream_stage/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = "/tmp/graft_stream_stage/" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_") + s"_${System.nanoTime()}"
     val q = windowedCounts(eventsStream(spark, sfDir, stage))
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
     spark.table(name).orderBy("w_start", "event_type")
   }
 

@@ -101,7 +101,11 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 1, 10L, 0.9), (1L, 2, 12L, 0.5)))
   }
 
-  test("topK aggregator ranks NaN first, like Spark's desc window ordering") {
+  test("NaN-scored candidates are dropped by both rank kernels (poison guard)") {
+    // Spark and the TopK comparator both order NaN ABOVE every real
+    // double, so without the guard one NaN-poisoned corpus vector
+    // becomes the rank-1 neighbor of every query; both kernels must
+    // drop NaN identically so parity holds on poisoned input too
     val scored = Seq((1L, 7L, Double.NaN), (1L, 3L, 0.9), (1L, 5L, 0.8),
         (1L, 9L, 0.7))
       .toDF("query_id", "neighbor_id", "cos_raw")
@@ -112,7 +116,8 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("rank", "neighbor_id")
       .as[(Int, Long)].collect().toSeq
     assert(agg == win, s"agg=$agg win=$win")
-    assert(agg.head == ((1, 7L)), "NaN is the largest double in SQL ordering")
+    assert(agg == Seq((1, 3L), (2, 5L), (3, 9L)),
+      s"the NaN row must not outrank real scores: $agg")
   }
 
   test("cosine_sim null semantics mirror zip_with: length mismatch → null") {

@@ -27,6 +27,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(bpeishTokenCount(col("t")), "ab3 cd-4") == 5) // ab,3,cd,-,4
   }
 
+  test("empty and whitespace-only documents count zero tokens") {
+    // split('', '\s+') yields [''] — the raw tokens array keeps that
+    // engine-shared convention, but the COUNT must not credit an empty
+    // doc with one token (an empty-doc filter would never fire)
+    val got = Seq("", "   ", "\t\n", "one two").toDF("text")
+      .select(tokenCount($"text")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 0, 2))
+  }
+
   test("qualityScore stays in [0,1] over real documents") {
     val r = Tables.load(spark, sf0001, "documents")
       .select(qualityScore($"text").as("q")).as[Double].collect()
