@@ -31,9 +31,11 @@ class TextAnalysisSpec extends SparkSpec {
     // split('', '\s+') yields [''] — the raw tokens array keeps that
     // engine-shared convention, but the COUNT must not credit an empty
     // doc with one token (an empty-doc filter would never fire)
-    val got = Seq("", "   ", "\t\n", "one two").toDF("text")
+    // '\tword': trim strips only spaces, so the tab survives and split
+    // yields a leading empty — the count must still be 1
+    val got = Seq("", "   ", "\t\n", "\tword", "one two").toDF("text")
       .select(tokenCount($"text")).as[Int].collect().toSeq
-    assert(got == Seq(0, 0, 0, 2))
+    assert(got == Seq(0, 0, 0, 1, 2))
   }
 
   test("qualityScore stays in [0,1] over real documents") {
