@@ -63,7 +63,7 @@ object AnalyticsQueries {
     // microsecond precision.
     QueryDef("ext_session_window",
       Some("""WITH g AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, ts, event_id,
              |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |  FROM events),
              |s AS (
@@ -71,7 +71,7 @@ object AnalyticsQueries {
              |         sum(CASE WHEN prev_ts IS NULL
              |                       OR date_diff('microsecond', prev_ts, ts) >= 1800000000
              |                  THEN 1 ELSE 0 END)
-             |           OVER (PARTITION BY user_id ORDER BY ts
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                 ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM g)
              |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -98,7 +98,13 @@ object AnalyticsQueries {
 
     // Typed Aggregator showpiece: per-label embedding centroid (the
     // coarse-quantizer building block for IVF-style ANN), exploded to
-    // (label, dim, mean) for oracle comparison.
+    // (label, dim, mean) for oracle comparison. Accepted risk, stated
+    // honestly: both engines sum doubles in their own partition/scan
+    // order, so a per-cell mean landing within ~1e-13 of a 0.5e-6
+    // rounding boundary could round apart — the groups here are small
+    // (~hundreds of rows) and six rounds of gates have not hit it, but
+    // at warehouse scale this query belongs rows-only like the IVF
+    // centroid queries.
     QueryDef("ext_label_centroids",
       Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
              |       round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS mean_val
@@ -128,7 +134,10 @@ object AnalyticsQueries {
         // later queries' plans are untouched (the optimized plan is
         // cached on this Dataset's QueryExecution)
         val ids = (0 until 500).map(i => java.lang.Long.valueOf(i * 7L))
-        s.experimental.extraOptimizations = Seq(InListToSemiJoin)
+        // snapshot, don't reset to Nil: a caller's own installed rules
+        // must survive this query
+        val saved = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = saved :+ InListToSemiJoin
         try {
           val df = load(s, dir, "orders")
             .where(col("o_orderkey").isin(ids: _*))
@@ -136,7 +145,7 @@ object AnalyticsQueries {
             .orderBy("o_orderkey")
           df.queryExecution.optimizedPlan // materialize under the rule
           df
-        } finally s.experimental.extraOptimizations = Nil
+        } finally s.experimental.extraOptimizations = saved
       }),
 
     // IVF ANN: train coarse centroids, probe 4 of 16 inverted lists per
@@ -447,7 +456,9 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        // only the table this query reads: registerAll would re-load
+        // ten tables and clobber any same-named session temp views
+        load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
                  FROM lineitem
                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

@@ -71,7 +71,7 @@ object Case311Queries {
               |    lower(trim(pinpoint0)) AS pinpoint_area,
               |    CASE WHEN TRY_CAST(parent0 AS BIGINT) <> 0 THEN TRY_CAST(parent0 AS BIGINT) END
               |      AS parent_service_request_id,
-              |    CASE WHEN lower(private0) = 'false' THEN 0 ELSE 1 END AS private_case,
+              |    CASE WHEN private0 = 'false' THEN 0 ELSE 1 END AS private_case,
               |    timezone('America/New_York', timezone('UTC', TRY_CAST(created_s AS TIMESTAMP))) AS requested_datetime,
               |    timezone('America/New_York', timezone('UTC', TRY_CAST(modified_s AS TIMESTAMP))) AS updated_datetime,
               |    timezone('America/New_York', timezone('UTC', TRY_CAST(closed_s AS TIMESTAMP))) AS closed_datetime,
@@ -139,7 +139,7 @@ object Case311Queries {
               |    CASE WHEN regexp_extract(police0, '[0-9]+') <> ''
               |              AND TRY_CAST(regexp_extract(police0, '[0-9]+') AS INTEGER) <= 100
               |         THEN TRY_CAST(regexp_extract(police0, '[0-9]+') AS INTEGER) END AS police_district,
-              |    CASE WHEN lower(private0) = 'false' THEN 0 ELSE 1 END AS private_case,
+              |    CASE WHEN private0 = 'false' THEN 0 ELSE 1 END AS private_case,
               |    timezone('America/New_York', timezone('UTC', TRY_CAST(modified_s AS TIMESTAMP))) AS updated_datetime,
               |    coalesce(zip0, '') AS zipcode
               |  FROM f)

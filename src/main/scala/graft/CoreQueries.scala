@@ -34,7 +34,7 @@ object CoreQueries {
       Some("""WITH target AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
              |SELECT event_type, count(*) AS n_events, max(ts) AS max_ts,
              |       round(sum(value), 2) AS sum_value
-             |FROM events WHERE ts > (SELECT max(ts) FROM target)
+             |FROM events WHERE ts > (SELECT coalesce(max(ts), TIMESTAMP '1970-01-01 00:00:00') FROM target)
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       flagship),
 
@@ -83,7 +83,8 @@ object CoreQueries {
     QueryDef("f2_watermark_delta",
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
              |FROM orders
-             |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+             |WHERE o_orderdate > (SELECT coalesce(max(o_orderdate), TIMESTAMP '1970-01-01 00:00:00')
+             |                     FROM orders
              |                     WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
              |ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {

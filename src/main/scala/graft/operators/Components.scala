@@ -101,16 +101,22 @@ object Components {
       .withColumn("label", col("id")), reliable)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val next = truncated(step(edges, labels), reliable)
-      // convergence probe: early-exit scan over the blocks the checkpoint
-      // just materialized — no join, no shuffle, no recomputation.
-      converged = next.where(col("moved")).isEmpty
-      freeBlocks(labels) // previous iteration's blocks are dead now
-      labels = next.drop("moved")
-      iter += 1
-    }
-    edges.unpersist()
+    // finally: a mid-loop job failure (executor OOM, task abort) must
+    // not strand the edges cache — repeated failed attempts would
+    // otherwise accumulate executor storage until the ContextCleaner
+    // happens to run (writeComponents holds the same standard for its
+    // final blocks)
+    try {
+      while (!converged && iter < maxIters) {
+        val next = truncated(step(edges, labels), reliable)
+        // convergence probe: early-exit scan over the blocks the checkpoint
+        // just materialized — no join, no shuffle, no recomputation.
+        converged = next.where(col("moved")).isEmpty
+        freeBlocks(labels) // previous iteration's blocks are dead now
+        labels = next.drop("moved")
+        iter += 1
+      }
+    } finally edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations — " +
         "graph diameter exceeds the bound; raise maxIters")

@@ -14,6 +14,16 @@ import graft.functions.SimHash
   */
 object Dedup {
 
+  /** Each pipeline's first select narrows its input to (id, derived
+    * columns), so the only caller name that can collide with internal
+    * columns is the id column itself — checked loudly, matching
+    * Ops/TemporalJoins' reserved-name stance. */
+  private def requireIdColFree(idCol: String, reserved: Seq[String],
+      op: String): Unit =
+    require(!reserved.contains(idCol),
+      s"$op reserves column names ${reserved.mkString(", ")}; " +
+        s"idCol=$idCol collides")
+
   /** Word n-gram shingles of the lowercased text; documents shorter than
     * `n` tokens collapse to a single whole-text shingle. Tokenization is
     * the codegen'd built-in split; the window construction is the native
@@ -84,6 +94,9 @@ object Dedup {
     require(hotBandThreshold >= 2,
       s"hotBandThreshold=$hotBandThreshold: a bucket needs at least two " +
         "members to form a pair, so a cap below 2 disables banding entirely")
+    requireIdColFree(idCol,
+      Seq("band_id", "band_hash", "band_n", "band_rep", "id_a", "id_b"),
+      "lshCandidatePairs")
     val banded = sigs.select(col(idCol),
       posexplode(graft.functions.MinHash.bandKeys(col(sigCol), bands,
         rowsPerBand)))
@@ -133,6 +146,8 @@ object Dedup {
     // spreads the hash-heavy compute across all cores even when the
     // input is a single small file (one split); at real scale the scan
     // already yields enough splits and the exchange cost is noise.
+    requireIdColFree(idCol, Seq("shingles", "sig", "sh_a", "sh_b", "jaccard"),
+      "minhashNearDupPairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val shingled = docs.repartition(par)
       .select(col(idCol),
@@ -181,6 +196,9 @@ object Dedup {
     require(hotBandThreshold >= 2,
       s"hotBandThreshold=$hotBandThreshold: a bucket needs at least two " +
         "members to form a pair, so a cap below 2 disables chunking entirely")
+    requireIdColFree(idCol,
+      Seq("sim", "chunk_id", "chunk", "chunk_n", "rep", "id_a", "id_b",
+        "hamming"), "simhashNearDupPairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.repartition(par).select(col(idCol),
       simhashSignature(col(textCol)).as("sim"))
@@ -261,6 +279,8 @@ object Dedup {
       window: Int = 20, guarantee: Int = 10): DataFrame = {
     require(window > 0 && guarantee > 0,
       s"window=$window guarantee=$guarantee")
+    requireIdColFree(idCol, Seq("t", "hk", "selkey", "win_start", "fp"),
+      "winnowedFingerprints")
     docs
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("t"))
       .where(size(col("t")) >= window)
@@ -288,13 +308,19 @@ object Dedup {
     * The distinct-doc count aggregates with map-side partials; the
     * flag-back join shuffles by fingerprint, and the repeated side is
     * by definition the small tail of the distribution. */
+  /** Fingerprints occurring in ≥ minDocs distinct documents — the one
+    * definition both span reporting and the boilerplate drop-list key
+    * on (they must agree or the drop-list diverges from the spans). */
+  private def heavyFingerprints(wins: DataFrame, idCol: String,
+      minDocs: Int): DataFrame =
+    wins.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
   def repeatedWindowSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2): DataFrame = {
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-    val heavy = wins.groupBy("fp")
-      .agg(countDistinct(col(idCol)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-    wins.join(heavy, "fp")
+    wins.join(heavyFingerprints(wins, idCol, minDocs), "fp")
       .select(col(idCol), col("win_start"), col("fp"), col("n_docs"))
   }
 
@@ -315,10 +341,7 @@ object Dedup {
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
       minFrac: Double = 0.5): DataFrame = {
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-    val heavy = wins.groupBy("fp")
-      .agg(countDistinct(col(idCol)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-    wins.join(heavy, Seq("fp"), "left")
+    wins.join(heavyFingerprints(wins, idCol, minDocs), Seq("fp"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         count(col("n_docs")).as("n_repeated"))
