@@ -249,6 +249,51 @@ object IndexStore {
       .select("query_id", "match_id", "jaccard")
   }
 
+  /** The incremental-ingest dedup shape made first-class — the loop a
+    * crawl pipeline runs forever: near-dup-check an arriving batch
+    * against the persisted index, keep only novel documents, append
+    * exactly those so the NEXT batch is checked against them too.
+    * Returns (accepted, matches): `accepted` is the batch minus docs
+    * matching the index minus batch-INTERNAL near-dups (two novel
+    * near-copies arriving together — neither is in the index, so the
+    * probe alone misses them; the inline pairs pass catches them and
+    * the min id wins, the same keeper rule as dedupClusters);
+    * `matches` is the probe evidence (query_id, match_id, jaccard) for
+    * audit. The append is the only side effect, and it happens AFTER
+    * both checks, so a crash mid-call never indexes a rejected doc.
+    *
+    * The returned `accepted` frame is lazily re-evaluated against the
+    * GROWN index, which is stable by construction: accepted docs are
+    * pairwise below threshold (the inner pass removed the rest), so
+    * appending them creates no new matches among themselves; a doc the
+    * inner pass rejected now also matches its appended keeper through
+    * the index, rejecting it identically; and index rejections only
+    * ever re-reject (the index grows monotonically). Ids are assumed
+    * unique across batches — re-ingesting an ID the index already
+    * holds would hide its own match behind the self-id filter. */
+  def dedupIngestMinhash(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
+      : (DataFrame, DataFrame) = {
+    val matches = probeMinhash(spark, batch, idCol, textCol, table,
+      shingleN, numHashes, bands, threshold, hotBandThreshold)
+    val vsIndex = batch.join(
+      matches.select(col("query_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    // batch-internal near-dups among the survivors: keep each pair's
+    // min id (id_a < id_b by contract, so dropping every id_b keeps
+    // exactly the keeper of each cluster reachable through min links)
+    val innerDups = Dedup.minhashNearDupPairs(vsIndex, idCol, textCol,
+        shingleN, numHashes, bands, threshold, hotBandThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val accepted = vsIndex.join(innerDups, Seq(idCol), "left_anti")
+    appendMinhashIndex(accepted, idCol, textCol, table, shingleN,
+      numHashes, bands)
+    (accepted, matches)
+  }
+
   // ---- SimHash index ------------------------------------------------
   // One table is enough: the 64-bit signature rides along with each of
   // its 4 chunk rows, so the exact-Hamming verification is a column

@@ -261,6 +261,38 @@ class IndexStoreSpec extends SparkSpec {
       s"expected matches in both the built and appended halves, got $matchedPar")
   }
 
+  test("dedupIngest: rejects index matches and batch-internal dups, appends the novel") {
+    import spark.implicits._
+    val tbl = "graft_spec_mh_ingest"
+    Seq(s"${tbl}_bands", s"${tbl}_shingles").foreach(dropTable)
+    IndexStore.buildMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, s"$idxPath/$tbl")
+    val indexedText = docs.where(col("doc_id") === 0)
+      .select("text").as[String].head()
+    val novelA = (1 to 40).map(i => s"novela$i").mkString(" ")
+    val novelB = (1 to 40).map(i => s"novelb$i").mkString(" ")
+    val batch = Seq(
+      (900001L, indexedText + " tail"), // near-dup of an indexed doc
+      (900002L, novelA),                // novel — keeper
+      (900003L, novelA + " tail"),      // batch-internal near-dup of 900002
+      (900004L, novelB))                // novel
+      .toDF("doc_id", "text")
+    val (accepted, matches) =
+      IndexStore.dedupIngestMinhash(spark, batch, "doc_id", "text", tbl)
+    assert(accepted.select("doc_id").as[Long].collect().toSet ==
+      Set(900002L, 900004L),
+      "index matches and inner dups must be rejected; min id keeps")
+    assert(matches.where(col("query_id") === 900001L).count() > 0,
+      "the probe evidence must name the index match")
+    // the accepted docs are part of the index now: the NEXT batch's
+    // near-copies are rejected against them
+    val next = Seq((900005L, novelA + " coda")).toDF("doc_id", "text")
+    val (accepted2, matches2) =
+      IndexStore.dedupIngestMinhash(spark, next, "doc_id", "text", tbl)
+    assert(accepted2.isEmpty, "a near-copy of an accepted doc must reject")
+    assert(matches2.select("match_id").as[Long].collect().contains(900002L))
+  }
+
   test("index writes route to buckets: one file per bucket per write") {
     // Without write-time routing every writer task emits one file per
     // bucket it holds rows for — (upstream partitions × buckets) tiny
