@@ -279,28 +279,36 @@ object Dedup {
       window: Int = 20, guarantee: Int = 10): DataFrame = {
     require(window > 0 && guarantee > 0,
       s"window=$window guarantee=$guarantee")
-    requireIdColFree(idCol, Seq("t", "hk", "selkey", "win_start", "fp"),
+    requireIdColFree(idCol, Seq("t", "selkey", "win_start", "fp"),
       "winnowedFingerprints")
     docs
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("t"))
       .where(size(col("t")) >= window)
-      // hash every window start, packed as 'md5hex:paddedPos' so one
-      // lexicographic array_min picks (min fp, then min pos) — fixed
-      // 32-char hex keeps the comparison aligned across engines
-      .select(col(idCol), expr(
-        s"""transform(sequence(1, size(t) - $window + 1),
-           |  p -> concat(
-           |    md5(cast(concat_ws(' ', slice(t, p, $window)) as binary)),
-           |    ':', lpad(cast(p as string), 10, '0')))""".stripMargin)
-        .as("hk"))
-      .select(col(idCol), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(1, size(hk) - $guarantee + 1)),
-           |  q -> array_min(slice(hk, q, $guarantee))))""".stripMargin))
-        .as("selkey"))
+      // native codegen'd hash-and-winnow (the HOF tree below is the
+      // interpreted parity twin; at crawl scale this per-token kernel
+      // is the hot path — same rationale as MinHashSignature)
+      .select(col(idCol),
+        explode(graft.functions.Winnow.winnowedKeys(col("t"), window,
+          guarantee)).as("selkey"))
       .select(col(idCol),
         expr("cast(substr(selkey, 34, 10) as bigint)").as("win_start"),
         expr("substr(selkey, 1, 32)").as("fp"))
+  }
+
+  /** Expression-tree twin of [[graft.functions.Winnow.winnowedKeys]] —
+    * parity reference (interpreted HOFs; DedupSpec pins equality).
+    * Caller must pre-filter `size(toks) >= window` — Spark's
+    * `sequence(1, k)` with k ≤ 0 counts DOWN, so a shorter document
+    * would produce nonsense windows rather than none. */
+  def winnowedKeysFold(toks: Column, window: Int, guarantee: Int): Column = {
+    val hk = transform(
+      sequence(lit(1), size(toks) - (window - 1)),
+      p => concat(
+        md5(concat_ws(" ", slice(toks, p, lit(window))).cast("binary")),
+        lit(":"), lpad(p.cast("string"), 10, "0")))
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(hk) - (guarantee - 1))),
+      q => array_min(slice(hk, q, lit(guarantee)))))
   }
 
   /** Selected fingerprints occurring in ≥ `minDocs` DISTINCT documents:

@@ -208,6 +208,29 @@ class DedupSpec extends SparkSpec {
     assert(sel.nonEmpty && sel.forall(_ >= 1))
   }
 
+  test("native winnowed keys equal the expression-tree formulation") {
+    def toks = split(trim(lower($"text")), "\\s+")
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+      .where(size(toks) >= 20)
+    val bad = docs.select(
+        graft.functions.Winnow.winnowedKeys(toks, 20, 10).as("fast"),
+        Dedup.winnowedKeysFold(toks, 20, 10).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(bad.count() == 0, "winnow kernel divergence on real documents")
+    // edge shapes: md5 ties (identical windows, pos tiebreak), exactly
+    // one window, fewer hash positions than the guarantee
+    val edge = Seq(
+      (1L, (1 to 25).map(_ => "same").mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 25).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bad2 = edge.select(
+        graft.functions.Winnow.winnowedKeys(toks, 20, 10).as("fast"),
+        Dedup.winnowedKeysFold(toks, 20, 10).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(bad2.count() == 0, "winnow kernel divergence on edge shapes")
+  }
+
   test("native band keys are bit-identical to the xxhash64 expression tree") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val sigs = docs.select($"doc_id",
