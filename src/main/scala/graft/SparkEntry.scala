@@ -6,9 +6,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * SURVEY.md §2 operator ids.
   */
 object SparkEntry {
-  private def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ InventoryQueries.defs ++ ExtensionQueries.defs ++
+  private def allDefs: Seq[QueryDef] = {
+    val ds = CoreQueries.defs ++ InventoryQueries.defs ++ ExtensionQueries.defs ++
       StreamingQueries.defs ++ Case311Queries.defs ++ AnalyticsQueries.defs
+    // toMap would silently keep only the LAST def of a duplicated name —
+    // a query (and its oracle) could vanish from the gate without error
+    val dups = ds.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    ds
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
