@@ -231,6 +231,31 @@ class DedupSpec extends SparkSpec {
     assert(bad2.count() == 0, "winnow kernel divergence on edge shapes")
   }
 
+  test("winnow kernel parity holds over randomized token arrays") {
+    // adversarial shapes the fixed cases cannot enumerate: tiny vocab
+    // (many md5 ties), repeated runs, lengths straddling window and
+    // guarantee boundaries — all from a fixed seed for reproducibility
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (0 until 200).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      val vocab = 1 + rnd.nextInt(6)
+      (i.toLong, (0 until n).map(_ => s"tok${rnd.nextInt(vocab)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def toks = split(trim(lower($"text")), "\\s+")
+    val bad = docs.where(size(toks) >= 5).select(
+        graft.functions.Winnow.winnowedKeys(toks, 5, 3).as("fast"),
+        Dedup.winnowedKeysFold(toks, 5, 3).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(bad.count() == 0, "winnow kernel diverges on randomized input")
+  }
+
+  test("winnowed fingerprint extraction is shuffle-free (per-row selection)") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    assert(shuffleCount(Dedup.winnowedFingerprints(docs, "doc_id", "text")) == 0,
+      "selection must run inside the scan projection — no exchange " +
+        "before the fingerprint aggregation")
+  }
+
   test("native band keys are bit-identical to the xxhash64 expression tree") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val sigs = docs.select($"doc_id",
