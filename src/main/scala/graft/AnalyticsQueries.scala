@@ -283,6 +283,28 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Embedding near-dup served from the persisted SRP index — the
+    // dedup-at-ingest shape for vectors: planted scaled copies
+    // (cos ≈ 1.0) probe against the built index without re-scanning
+    // the corpus. Rows-only (LSH banding not SQL-expressible);
+    // planted-copy recall and exact-precision spec in IndexStoreSpec.
+    QueryDef("ext_srp_neardup", None,
+      (s, dir) => {
+        val tbl = "graft_srpn_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildSrpIndex(corpus, tbl, s"/tmp/graft_index/$tbl")
+        val probes = load(s, dir, "embeddings")
+          .where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(Similarity.toDoubleArray(col("embedding")),
+              x => x * 1.001).as("vec"))
+        IndexStore.probeSrpNearDup(s, probes, tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Incrementally-maintained SRP index: build over half the corpus,
     // append the other half (band rows land in the same stable buckets,
     // signatures never need recomputation), probe the union. Rows-only;

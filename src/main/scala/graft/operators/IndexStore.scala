@@ -573,6 +573,37 @@ object IndexStore {
       .join(broadcast(qVecs), "query_id")
   }
 
+  /** Embedding near-dup served from the persisted SRP index: indexed
+    * vectors sharing ≥ 1 signature band with each query, kept at exact
+    * cosine ≥ `threshold` — the index-backed analogue of the inline
+    * blocked-cosine near-dup (d5), for the dedup-at-ingest shape where
+    * the corpus side must not be re-scanned per batch. Precision is
+    * exact (the cosine verify runs on the stored vectors); recall is
+    * the SRP banding's — scaled/near-identical embeddings agree on
+    * their whole signature, so planted copies always collide
+    * (spec-pinned). Returns (query_id, match_id, cos_sim). */
+  def probeSrpNearDup(spark: SparkSession, queries: DataFrame,
+      table: String, threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_bands",
+      srpParams(nPlanes, bands, dim, idCol, vecCol)
+        + ("quantized" -> "none"), "probe")
+    srpCandidates(spark, queries, table, idCol, vecCol,
+        nPlanes, bands, dim, hotBandThreshold)
+      .join(spark.table(s"${table}_vecs")
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id").as("match_id"),
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6)
+          .as("cos_sim"))
+      // NaN guard like rankTopK: Spark ORDERS NaN above every double,
+      // so a bare >= would let a poisoned vector "match" everything
+      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")) &&
+        col("cos_sim") >= threshold)
+  }
+
   /** Deletes vectors from an SRP index (band + vector tables). */
   def deleteFromSrpIndex(spark: SparkSession, table: String,
       ids: DataFrame, newPathBase: String): Unit = {

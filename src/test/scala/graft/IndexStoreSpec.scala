@@ -154,6 +154,30 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("SRP near-dup probe: planted copies recalled, threshold exact") {
+    ensureSrpIndex()
+    // scaled copies of every 20th vector: cosine 1.0 with their source
+    val probes = corpusVecs.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("vec"), x => x * 1.001)
+          .as("vec"))
+    val matches = IndexStore.probeSrpNearDup(spark, probes, srpTbl)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = probes.select("vec_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach(q => assert(matches.contains((q, q - 100000)),
+      s"planted copy $q must match its source"))
+    // precision is exact: every reported pair verifies at >= threshold
+    // by brute force over the same vectors
+    val brute = Similarity.cosineTopK(corpusVecs, probes, k = 50)
+      .where(col("cos_sim") >= 0.999)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.subsetOf(brute),
+      s"index matches must verify by brute force: ${matches -- brute}")
+  }
+
   test("mismatched SRP geometry is rejected on append and probe") {
     ensureSrpIndex()
     val delta = corpusVecs.limit(5)
