@@ -276,21 +276,45 @@ object IndexStore {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8,
       hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
-      : (DataFrame, DataFrame) = {
-    val matches = probeMinhash(spark, batch, idCol, textCol, table,
-      shingleN, numHashes, bands, threshold, hotBandThreshold)
+      : (DataFrame, DataFrame) =
+    dedupIngest(batch, idCol,
+      probe = b => probeMinhash(spark, b, idCol, textCol, table,
+        shingleN, numHashes, bands, threshold, hotBandThreshold),
+      innerPairs = b => Dedup.minhashNearDupPairs(b, idCol, textCol,
+        shingleN, numHashes, bands, threshold, hotBandThreshold),
+      append = b => appendMinhashIndex(b, idCol, textCol, table,
+        shingleN, numHashes, bands))
+
+  /** SimHash instance of the same loop — the Hamming-distance text
+    * index gets the identical choreography via its probe/pairs/append
+    * triple. */
+  def dedupIngestSimhash(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String, maxHamming: Int = 3,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
+      : (DataFrame, DataFrame) =
+    dedupIngest(batch, idCol,
+      probe = b => probeSimhash(spark, b, idCol, textCol, table,
+        maxHamming, hotBandThreshold),
+      innerPairs = b => Dedup.simhashNearDupPairs(b, idCol, textCol,
+        maxHamming, hotBandThreshold),
+      append = b => appendSimhashIndex(b, idCol, textCol, table))
+
+  /** Shared dedup-ingest choreography: probe, drop index matches, drop
+    * batch-internal near-dups (id_a < id_b by the pairs contract, so
+    * dropping every id_b keeps exactly each cluster's min-id keeper),
+    * append the survivors. The append runs AFTER both checks. */
+  private def dedupIngest(batch: DataFrame, idCol: String,
+      probe: DataFrame => DataFrame,
+      innerPairs: DataFrame => DataFrame,
+      append: DataFrame => Unit): (DataFrame, DataFrame) = {
+    val matches = probe(batch)
     val vsIndex = batch.join(
       matches.select(col("query_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
-    // batch-internal near-dups among the survivors: keep each pair's
-    // min id (id_a < id_b by contract, so dropping every id_b keeps
-    // exactly the keeper of each cluster reachable through min links)
-    val innerDups = Dedup.minhashNearDupPairs(vsIndex, idCol, textCol,
-        shingleN, numHashes, bands, threshold, hotBandThreshold)
+    val innerDups = innerPairs(vsIndex)
       .select(col("id_b").as(idCol)).distinct()
     val accepted = vsIndex.join(innerDups, Seq(idCol), "left_anti")
-    appendMinhashIndex(accepted, idCol, textCol, table, shingleN,
-      numHashes, bands)
+    append(accepted)
     (accepted, matches)
   }
 

@@ -317,6 +317,34 @@ class IndexStoreSpec extends SparkSpec {
     assert(matches2.select("match_id").as[Long].collect().contains(900002L))
   }
 
+  test("dedupIngest SimHash instance: same loop through the chunk table") {
+    import spark.implicits._
+    val tbl = "graft_spec_sh_ingest"
+    dropTable(s"${tbl}_chunks")
+    IndexStore.buildSimhashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, s"$idxPath/$tbl")
+    val indexedText = docs.where(col("doc_id") === 0)
+      .select("text").as[String].head()
+    val novel = (1 to 40).map(i => s"shnovel$i").mkString(" ")
+    // SimHash's Hamming ≤ 3 bar is far tighter than Jaccard 0.8, so the
+    // near-dup variants here are token-identical (whitespace changes
+    // that tokenization erases → Hamming 0)
+    val batch = Seq(
+      (910001L, indexedText),           // exact dup of an indexed doc
+      (910002L, novel),                 // novel — keeper
+      (910003L, "  " + novel))          // batch-internal dup (ws variant)
+      .toDF("doc_id", "text")
+    val (accepted, matches) =
+      IndexStore.dedupIngestSimhash(spark, batch, "doc_id", "text", tbl)
+    assert(accepted.select("doc_id").as[Long].collect().toSet == Set(910002L),
+      "index dup and inner dup must reject; min id keeps")
+    assert(matches.where(col("query_id") === 910001L).count() > 0)
+    val next = Seq((910004L, novel + "  ")).toDF("doc_id", "text")
+    val (accepted2, _) =
+      IndexStore.dedupIngestSimhash(spark, next, "doc_id", "text", tbl)
+    assert(accepted2.isEmpty, "a near-copy of an accepted doc must reject")
+  }
+
   test("index writes route to buckets: one file per bucket per write") {
     // Without write-time routing every writer task emits one file per
     // bucket it holds rows for — (upstream partitions × buckets) tiny
