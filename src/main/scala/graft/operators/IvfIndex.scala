@@ -23,7 +23,20 @@ object IvfIndex {
 
   /** Deterministic k-means init: the k lowest-id vectors seed the
     * clusters. `dim` must match the vector dimensionality — a mismatch
-    * would zero-pad centroids and null out every cosine downstream. */
+    * would zero-pad centroids and null out every cosine downstream.
+    *
+    * Empty clusters are RESEEDED, never silently dropped: the per-step
+    * `groupBy("cluster_id")` yields no row for a cluster that attracted
+    * zero vectors (e.g. two identical seeds, where the tie-break funnels
+    * both into the lower id), and on a skewed corpus that would quietly
+    * shrink the IVF coarse quantizer below k — every later probe pays
+    * the recall cost with no error anywhere. Each dropped id is re-
+    * anchored on the vector FARTHEST from its nearest surviving centroid
+    * (the classic empty-cluster repair; deterministic tie-break on id,
+    * degenerate zero/NaN vectors excluded — they can never attract
+    * members). Post-step centroid count == k is therefore an invariant;
+    * a corpus with fewer usable vectors than missing clusters fails
+    * loudly instead of returning an undersized quantizer. */
   def trainCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "vec",
       dim: Int = 64): DataFrame = {
@@ -45,9 +58,39 @@ object IvfIndex {
         .groupBy("cluster_id")
         .agg(VectorAgg.centroid(col(vecCol), dim).as("centroid"))
         .as[(Int, Seq[Double])].collect().toIndexedSeq
-      cent = local.toDF("cluster_id", "centroid")
+      val missing = (0 until k).filterNot(local.map(_._1).toSet)
+      val repaired =
+        if (missing.isEmpty) local
+        else local ++ reseedCentroids(vecs, local, missing, idCol, vecCol)
+      cent = repaired.toDF("cluster_id", "centroid")
     }
     cent
+  }
+
+  /** Farthest-point repair for clusters emptied by a Lloyd step: the
+    * `missing.size` vectors with the LOWEST nearest-surviving-centroid
+    * cosine become the new anchors (one extra distributed job, run only
+    * when a cluster actually emptied). Degenerate vectors — null/NaN
+    * similarity against every centroid — are excluded: a zero vector
+    * can never attract members, so seeding on one would re-empty the
+    * cluster every iteration. */
+  private def reseedCentroids(vecs: DataFrame,
+      surviving: Seq[(Int, Seq[Double])], missing: Seq[Int],
+      idCol: String, vecCol: String): Seq[(Int, Seq[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val far = vecs
+      .withColumn("__negsim",
+        nearestCandidate(col(vecCol), surviving).getField("neg_sim"))
+      .where(col("__negsim") =!= lit(Double.PositiveInfinity))
+      .orderBy(col("__negsim").desc, col(idCol).asc)
+      .limit(missing.size)
+      .select(col(vecCol)).as[Seq[Double]].collect().toIndexedSeq
+    require(far.length == missing.size,
+      s"k-means reseed: clusters ${missing.mkString(",")} emptied but only " +
+        s"${far.length} non-degenerate vectors remain to re-anchor them — " +
+        "the corpus cannot sustain k clusters; lower k")
+    missing.zip(far)
   }
 
   /** Nearest-centroid assignment: (idCol, cluster_id). Ties break on the
@@ -88,17 +131,27 @@ object IvfIndex {
     * break on the lower cluster_id; a degenerate similarity (null/NaN)
     * loses to any real one. */
   def withClusterId(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      vecCol: String = "vec"): DataFrame = {
-    require(centroids.nonEmpty, "withClusterId needs at least one centroid")
+      vecCol: String = "vec"): DataFrame =
+    vecs.withColumn("cluster_id",
+      nearestCandidate(col(vecCol), centroids).getField("cluster_id"))
+
+  /** The winning (neg_sim, cluster_id) struct of the nearest literal
+    * centroid — shared by [[withClusterId]] (assignment) and
+    * [[reseedCentroids]] (farthest-point distance): two hand-copied
+    * candidate trees would let assignment and repair disagree on the
+    * degenerate-vector convention. neg_sim = -cosine, with null/NaN
+    * folded to +Inf so a degenerate similarity loses to any real one. */
+  private def nearestCandidate(vec: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
     val candidates = centroids.map { case (cid, cv) =>
       struct(
-        coalesce(-nanvl(cosine(col(vecCol), array(cv.map(lit(_)): _*)),
+        coalesce(-nanvl(cosine(vec, array(cv.map(lit(_)): _*)),
             lit(null).cast("double")),
           lit(Double.PositiveInfinity)).as("neg_sim"),
         lit(cid).as("cluster_id"))
     }
-    vecs.withColumn("cluster_id",
-      array_min(array(candidates: _*)).getField("cluster_id"))
+    array_min(array(candidates: _*))
   }
 
   /** [[withClusterId]] projected to (idCol, cluster_id) — the map-only

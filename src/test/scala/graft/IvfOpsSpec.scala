@@ -68,6 +68,51 @@ class IvfOpsSpec extends SparkSpec {
     assert(got == Seq(3))
   }
 
+  test("Lloyd training reseeds emptied clusters instead of dropping them") {
+    // Seeds are the 3 lowest-id vectors; v0 == v1, so on the first Lloyd
+    // step v1 ties between centroids 0 and 1 and the lower-id tie-break
+    // funnels it into cluster 0 — cluster 1 attracts zero vectors and the
+    // groupBy yields no row for it. The unguarded loop would return k-1
+    // centroids with no error. The zero vector is degenerate (null cosine
+    // everywhere) and must never be chosen as the reseed anchor; the
+    // genuinely farthest vector (-1,-1) must be.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)),
+      (4L, Seq(-1.0, -1.0)),
+      (5L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "vec")
+    val cent = IvfIndex.trainCentroids(vecs, k = 3, iters = 2, dim = 2)
+    val byId = cent.as[(Int, Seq[Double])].collect().toMap
+    assert(byId.keySet == Set(0, 1, 2), "every requested cluster id survives")
+    // the reseeded cluster anchored on (-1,-1): after the next step it owns
+    // exactly that vector, so its centroid points into the third quadrant
+    val c1 = byId(1)
+    assert(c1(0) < 0 && c1(1) < 0, s"reseeded centroid $c1 should be ~(-1,-1)")
+    // and assignment against the repaired quantizer is total over the
+    // non-degenerate corpus with all three clusters populated
+    val assigned = IvfIndex.assignInline(vecs,
+      IvfIndex.collectCentroids(cent))
+    assert(assigned.select("cluster_id").distinct().as[Int].collect().toSet
+      == Set(0, 1, 2))
+  }
+
+  test("Lloyd training fails loudly when the corpus cannot sustain k") {
+    // one usable vector, k = 3: after both zero-vector seeds' clusters
+    // empty there is a single non-degenerate anchor for two holes —
+    // must throw, not return an undersized quantizer
+    val tiny = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 0.0)),
+      (2L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "vec")
+    intercept[IllegalArgumentException] {
+      IvfIndex.trainCentroids(tiny, k = 3, iters = 1, dim = 2)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // skew: 80% of left rows share one key
     val left = spark.range(0, 2000)
