@@ -67,13 +67,20 @@ object Incremental {
     * One map-side-combining aggregation, no window sort. */
   def latestPerKey(deltaDf: DataFrame, pk: String,
       orderCol: String): DataFrame = {
+    require(!deltaDf.columns.contains("__latest"),
+      "latestPerKey reserves the column name __latest")
+    // backtick-quoted references (and getField on the way out), not raw
+    // string paths: a column name containing a dot would otherwise parse
+    // as a nested struct traversal and fail — or resolve wrongly
+    def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
     val payload = deltaDf.columns.filter(_ != pk)
     deltaDf
-      .groupBy(col(pk))
-      .agg(max(struct((col(orderCol) +:
-        payload.filter(_ != orderCol).map(col).toSeq).toIndexedSeq: _*))
+      .groupBy(qcol(pk))
+      .agg(max(struct((qcol(orderCol) +:
+        payload.filter(_ != orderCol).map(qcol).toSeq).toIndexedSeq: _*))
         .as("__latest"))
-      .select(col(pk) +: payload.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
+      .select(qcol(pk) +: payload.map(c =>
+        col("__latest").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** J2 (delete-removed-tickets.py:136-142): ids the warehouse has that

@@ -85,6 +85,24 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.merge(target, delta, "id").count() == 3)
   }
 
+  test("latestPerKey survives dotted payload names and rejects __latest") {
+    // a payload column with a dot must extract as a FIELD of the agg
+    // struct, not parse as a deeper path traversal
+    val dotted = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-02 00:00:00")),
+      (1L, "b", Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("id", "v.x", "updated")
+    val got = Incremental.latestPerKey(dotted, "id", "updated")
+      .select(col("id"), col("`v.x`")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b"))
+    // the internal agg alias is reserved loudly, like Dedup/Ops
+    val clash = Seq((1L, "x", Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "__latest", "updated")
+    intercept[IllegalArgumentException] {
+      Incremental.latestPerKey(clash, "id", "updated")
+    }
+  }
+
   test("reconcile: deleted = warehouse - source; archive + purge partition warehouse") {
     val sourceIds = Seq(1L, 3L).toDF("id")
     val deleted = Incremental.deletedIds(target, sourceIds, "id")
