@@ -140,19 +140,23 @@ object Dedup {
     // projections plus both sides of the verification join, and Catalyst
     // would otherwise inline (= recompute) the hashing into every
     // consumer. At warehouse scale this materialization is a signature
-    // table; in a single job, a persisted intermediate (cached for the
-    // session lifetime — callers running many corpora through one
-    // session should write signatures to a table instead). The repartition
-    // spreads the hash-heavy compute across all cores even when the
-    // input is a single small file (one split); at real scale the scan
-    // already yields enough splits and the exchange cost is noise.
+    // table ([[IndexStore.buildMinhashIndex]] is that path). Here it is
+    // a LAZY localCheckpoint, not a CacheManager persist: blocks still
+    // compute once (MEMORY_AND_DISK) on first use, but they belong to
+    // the returned frame's RDD and the context cleaner reclaims them
+    // once the caller drops it — repeated inline runs in a long session
+    // accumulate no pinned storage (DedupSpec asserts the drain). The
+    // repartition spreads the hash-heavy compute across all cores even
+    // when the input is a single small file (one split); at real scale
+    // the scan already yields enough splits and the exchange cost is
+    // noise.
     requireIdColFree(idCol, Seq("shingles", "sig", "sh_a", "sh_b", "jaccard"),
       "minhashNearDupPairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val shingled = docs.repartition(par)
       .select(col(idCol),
         array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands,
@@ -311,11 +315,6 @@ object Dedup {
       q => array_min(slice(hk, q, lit(guarantee)))))
   }
 
-  /** Selected fingerprints occurring in ≥ `minDocs` DISTINCT documents:
-    * (id, win_start, fp, n_docs) — the repeated spans to mask or cut.
-    * The distinct-doc count aggregates with map-side partials; the
-    * flag-back join shuffles by fingerprint, and the repeated side is
-    * by definition the small tail of the distribution. */
   /** Fingerprints occurring in ≥ minDocs distinct documents — the one
     * definition both span reporting and the boilerplate drop-list key
     * on (they must agree or the drop-list diverges from the spans). */
@@ -325,6 +324,11 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
+  /** Selected fingerprints occurring in ≥ `minDocs` DISTINCT documents:
+    * (id, win_start, fp, n_docs) — the repeated spans to mask or cut.
+    * The distinct-doc count aggregates with map-side partials; the
+    * flag-back join shuffles by fingerprint, and the repeated side is
+    * by definition the small tail of the distribution. */
   def repeatedWindowSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2): DataFrame = {
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)

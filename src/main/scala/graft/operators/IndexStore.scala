@@ -199,10 +199,62 @@ object IndexStore {
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_lo", min(col(idCol)).over(w))
       .withColumn("bucket_hi", max(col(idCol)).over(w))
-      .where(col("bucket_n") <= threshold ||
-        col(idCol) === col("bucket_lo") || col(idCol) === col("bucket_hi"))
-      .drop("bucket_n", "bucket_lo", "bucket_hi")
+      .withColumn("__capped", col("bucket_n") > threshold &&
+        col(idCol) =!= col("bucket_lo") && col(idCol) =!= col("bucket_hi"))
+      // no-silent-caps: the guard's activity is OBSERVED on the rows the
+      // probe already reads (CollectMetrics — zero extra passes, no
+      // exchange), so production dedup can see when candidate
+      // enumeration was bounded instead of exhaustive. Names are
+      // uniquified per call site — a query may contain several probes
+      // and observation names must be unique within a plan. Read with
+      // [[capActivity]] after materializing the probe frame.
+      .observe(s"$CapMetricPrefix.${capSeq.incrementAndGet()}",
+        sum(when(col("__capped"), 1L).otherwise(0L)).as("rows_suppressed"),
+        sum(when(col("bucket_n") > threshold, 1L).otherwise(0L))
+          .as("hot_bucket_rows"),
+        max(col("bucket_n")).as("max_bucket_n"))
+      .where(!col("__capped"))
+      .drop("bucket_n", "bucket_lo", "bucket_hi", "__capped")
   }
+
+  /** Prefix of the observed-metrics names [[capHotBuckets]] attaches to
+    * every guarded probe scan. */
+  val CapMetricPrefix = "graft.hot_bucket_cap"
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Hot-bucket cap activity for a probe frame, summed over every
+    * guarded index scan in its plan: how many candidate rows the guard
+    * replaced with representatives (`rowsSuppressed`), how many index
+    * rows sat in over-threshold buckets (`hotBucketRows`), and the
+    * largest bucket seen (`maxBucketN`). Metrics populate when THIS
+    * frame materializes (collect / write / foreach); before that they
+    * read zero, and an action on a derived frame (e.g. `df.count()`
+    * executes a derived aggregate) records on the derived frame's own
+    * execution instead. `None` means the frame contains no guarded
+    * scan at all. rowsSuppressed == 0
+    * with hotBucketRows == 0 is the exhaustive-enumeration case; a
+    * positive rowsSuppressed is the explicit signal that the near-dup
+    * decision was made through representatives rather than full
+    * enumeration (the documented recall trade). */
+  def capActivity(probeResult: DataFrame): Option[CapActivity] = {
+    val rows = probeResult.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(CapMetricPrefix) => row
+    }.toSeq
+    def longAt(r: org.apache.spark.sql.Row, field: String): Long = {
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
+    if (rows.isEmpty) None
+    else Some(CapActivity(
+      rowsSuppressed = rows.map(longAt(_, "rows_suppressed")).sum,
+      hotBucketRows = rows.map(longAt(_, "hot_bucket_rows")).sum,
+      maxBucketN = rows.map(longAt(_, "max_bucket_n")).max))
+  }
+
+  /** See [[capActivity]]. */
+  final case class CapActivity(rowsSuppressed: Long, hotBucketRows: Long,
+    maxBucketN: Long)
 
   /** Probes a persisted MinHash index: near-dup matches for each query
     * doc at exact-Jaccard ≥ threshold. Returns (query_id, match_id,
@@ -262,15 +314,17 @@ object IndexStore {
     * audit. The append is the only side effect, and it happens AFTER
     * both checks, so a crash mid-call never indexes a rejected doc.
     *
-    * The returned `accepted` frame is lazily re-evaluated against the
-    * GROWN index, which is stable by construction: accepted docs are
-    * pairwise below threshold (the inner pass removed the rest), so
-    * appending them creates no new matches among themselves; a doc the
-    * inner pass rejected now also matches its appended keeper through
-    * the index, rejecting it identically; and index rejections only
-    * ever re-reject (the index grows monotonically). Ids are assumed
-    * unique across batches — re-ingesting an ID the index already
-    * holds would hide its own match behind the self-id filter. */
+    * The returned frames are PINNED to the pre-append index state
+    * (eager localCheckpoint): the probe runs exactly once, before the
+    * append, and later consumption replays the materialized rows rather
+    * than re-probing the grown index. Without the pin, re-evaluation
+    * could diverge from what was actually appended — hot-bucket capping
+    * is not monotone (an append can push a bucket over the threshold,
+    * SHRINKING its candidates to the representatives), so a doc
+    * rejected pre-append could fail to re-match and appear accepted
+    * without ever having been indexed. Ids are assumed unique across
+    * batches — re-ingesting an ID the index already holds would hide
+    * its own match behind the self-id filter. */
   def dedupIngestMinhash(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, table: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -302,18 +356,25 @@ object IndexStore {
   /** Shared dedup-ingest choreography: probe, drop index matches, drop
     * batch-internal near-dups (id_a < id_b by the pairs contract, so
     * dropping every id_b keeps exactly each cluster's min-id keeper),
-    * append the survivors. The append runs AFTER both checks. */
+    * append the survivors. The append runs AFTER both checks, and both
+    * returned frames materialize BEFORE it (eager localCheckpoint, so
+    * they are also lineage-free — nothing downstream can re-trigger the
+    * probe). localCheckpoint blocks are executor-local and reclaimed by
+    * the context cleaner once the caller drops the frames — unlike a
+    * CacheManager persist, a long-lived ingest session accumulates no
+    * pinned storage. */
   private def dedupIngest(batch: DataFrame, idCol: String,
       probe: DataFrame => DataFrame,
       innerPairs: DataFrame => DataFrame,
       append: DataFrame => Unit): (DataFrame, DataFrame) = {
-    val matches = probe(batch)
+    val matches = probe(batch).localCheckpoint()
     val vsIndex = batch.join(
       matches.select(col("query_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
     val innerDups = innerPairs(vsIndex)
       .select(col("id_b").as(idCol)).distinct()
     val accepted = vsIndex.join(innerDups, Seq(idCol), "left_anti")
+      .localCheckpoint()
     append(accepted)
     (accepted, matches)
   }
@@ -620,12 +681,17 @@ object IndexStore {
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id").as("match_id"),
-        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6)
-          .as("cos_sim"))
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("cos_raw"))
       // NaN guard like rankTopK: Spark ORDERS NaN above every double,
-      // so a bare >= would let a poisoned vector "match" everything
-      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")) &&
-        col("cos_sim") >= threshold)
+      // so a bare >= would let a poisoned vector "match" everything.
+      // The threshold applies to the RAW cosine — rounding first would
+      // let a value up to 5e-7 below it round across the boundary
+      // (same stance as boilerplateDocs' raw-ratio filter); the rounded
+      // form is display-only, in the output column.
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("cos_raw") >= threshold)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   /** Deletes vectors from an SRP index (band + vector tables). */

@@ -35,6 +35,25 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty, s"missed planted pairs: $missing")
   }
 
+  test("repeated inline near-dup runs leave no pinned storage behind") {
+    // the shingle intermediate is a lazy localCheckpoint, not a
+    // CacheManager persist: once the returned frame is dropped, the
+    // context cleaner reclaims its blocks — a persist would pin them
+    // for the session lifetime and repeated inline runs would leak
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    (1 to 2).foreach { _ =>
+      Dedup.minhashNearDupPairs(planted, "doc_id", "text").count()
+    }
+    def leaked = sc.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(leaked.isEmpty,
+      s"checkpoint blocks must drain once the frames are unreferenced: $leaked")
+  }
+
   test("minhash jaccard estimate ≈ exact jaccard for identical docs") {
     val sh = array_distinct(Dedup.wordShingles($"text", 3))
     val sig = Dedup.minhashSignature(sh, 64)

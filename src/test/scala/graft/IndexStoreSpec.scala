@@ -317,6 +317,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(matches2.select("match_id").as[Long].collect().contains(900002L))
   }
 
+  test("dedupIngest results are pinned to the pre-append index state") {
+    import spark.implicits._
+    val tbl = "graft_spec_mh_pin"
+    Seq(s"${tbl}_bands", s"${tbl}_shingles").foreach(dropTable)
+    IndexStore.buildMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, s"$idxPath/$tbl")
+    val novel = (1 to 40).map(i => s"pinnovel$i").mkString(" ")
+    val batch = Seq((920001L, novel)).toDF("doc_id", "text")
+    val (accepted, matches) =
+      IndexStore.dedupIngestMinhash(spark, batch, "doc_id", "text", tbl)
+    assert(accepted.select("doc_id").as[Long].collect().toSet == Set(920001L))
+    assert(matches.isEmpty)
+    // Grow the index with a near-copy of the accepted doc. A LAZY
+    // accepted frame would re-probe the grown index here, see the copy,
+    // and flip to empty — i.e. report as rejected a doc that WAS
+    // appended. The returned frames must replay the decision that was
+    // actually acted on.
+    IndexStore.appendMinhashIndex(
+      Seq((920002L, novel + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    assert(accepted.select("doc_id").as[Long].collect().toSet == Set(920001L),
+      "accepted must replay the pre-append decision, not re-probe")
+    assert(matches.isEmpty, "matches must replay the pre-append evidence")
+  }
+
   test("dedupIngest SimHash instance: same loop through the chunk table") {
     import spark.implicits._
     val tbl = "graft_spec_sh_ingest"
@@ -636,17 +661,38 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.buildMinhashIndex(boiler, "doc_id", "text", hot, s"$idxPath/$hot")
     val query = spark.range(900001, 900002).select(col("id").as("doc_id"),
       lit(base + " variant vx").as("text"))
-    val guarded = IndexStore.probeMinhash(spark, query, "doc_id", "text", hot,
-      hotBandThreshold = 50).collect()
+    val guardedDf = IndexStore.probeMinhash(spark, query, "doc_id", "text",
+      hot, hotBandThreshold = 50)
+    assert(IndexStore.capActivity(guardedDf).contains(
+      IndexStore.CapActivity(0, 0, 0)),
+      "cap metrics read zero before the probe materializes")
+    assert(IndexStore.capActivity(query).isEmpty,
+      "a frame with no guarded scan reports no cap metrics")
+    val guarded = guardedDf.collect()
     assert(guarded.nonEmpty,
       "a boilerplate query must still be detected as a near-dup")
     assert(guarded.length <= 50,
       s"hot buckets must contribute only representatives, got ${guarded.length} matches")
+    // the cap is never silent: the probe's own execution reports how
+    // much enumeration the guard replaced with representatives
+    val act = IndexStore.capActivity(guardedDf)
+      .getOrElse(fail("a guarded probe must report cap activity"))
+    assert(act.rowsSuppressed > 0 && act.hotBucketRows > act.rowsSuppressed &&
+      act.maxBucketN > 50,
+      s"boilerplate probe should show suppressed enumeration, got $act")
     // unguarded, the same probe enumerates the whole boilerplate group
-    val unguarded = IndexStore.probeMinhash(spark, query, "doc_id", "text",
-      hot, hotBandThreshold = Int.MaxValue).count()
-    assert(unguarded >= 700L,
+    val unguardedDf = IndexStore.probeMinhash(spark, query, "doc_id", "text",
+      hot, hotBandThreshold = Int.MaxValue)
+    // collect(), not count(): metrics attach to the execution of the
+    // frame itself, and count() executes a derived aggregate frame
+    val unguarded = unguardedDf.collect().length
+    assert(unguarded >= 700,
       s"unguarded enumeration should return ~the whole group, got $unguarded")
+    val unAct = IndexStore.capActivity(unguardedDf)
+      .getOrElse(fail("metrics exist (at zero) even when nothing was capped"))
+    assert(unAct.rowsSuppressed == 0 && unAct.hotBucketRows == 0 &&
+      unAct.maxBucketN > 50,
+      s"exhaustive probe must report zero suppression, got $unAct")
     // self-probe by a representative: doc 0 IS the min-id rep of every
     // hot bucket it sits in, and the self-filter removes it — the
     // second (max-id) representative must still supply a candidate, or
