@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextAnalysis
-import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Similarity, Tfidf}
+import graft.operators.{Contamination, Dedup, IndexStore, IvfIndex, Multimodal, Similarity, Tfidf}
 
 /** Capability registry, batch 3: the LLM-training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) —
@@ -197,6 +197,27 @@ object ExtensionQueries {
       (s, dir) => Dedup.boilerplateDocs(
           docsWithExactDups(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // The PERSISTED winnow index serving the same spans: the md5+winnow
+    // pass runs once at build time into an fp-bucketed table, and the
+    // consumer is one aggregation + one flag-back join over the bucketed
+    // scan (no index-side exchange). Unlike the LSH indexes, winnowing
+    // is SQL-expressible — so this persisted-index path is FULLY
+    // oracle-checked against the same SQL as the inline form, proving
+    // build + read-back end to end, not just rows>0.
+    QueryDef("ext_winnow_persisted",
+      Some(repeatedSpanSql(
+        """SELECT w.doc_id, w.win_start, w.fp, heavy.n_docs
+          |FROM w JOIN heavy USING (fp)
+          |ORDER BY doc_id, win_start, fp""".stripMargin)),
+      (s, dir) => {
+        val tbl = "graft_win_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"${tbl}_wins"))
+          IndexStore.buildWinnowIndex(docsWithExactDups(s, dir), "doc_id",
+            "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.repeatedWindowSpansFromIndex(s, tbl)
+          .orderBy("doc_id", "win_start", "fp")
+      }),
 
     // MinHash+LSH near-dup pairs with exact-Jaccard verification. The
     // LSH banding is not SQL-expressible → rows-only check; planted-pair

@@ -324,16 +324,45 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
+  // The wins ⨝ heavy(fp) flag-back join is where zipfian skew lives for
+  // this operator: fp frequencies follow the corpus's repeat
+  // distribution, and one license-header fingerprint present in 10M
+  // documents puts 10M wins rows on a single reducer if the join falls
+  // to sort-merge. Same two skew-safe paths as Tfidf's term join:
+  //
+  //  - broadcastHeavy = true (default): broadcast the (fp, n_docs)
+  //    side. SAFE under the documented bound: heavy fingerprints are
+  //    those repeated across ≥ minDocs documents — the tail of the
+  //    fingerprint distribution, orders of magnitude smaller than the
+  //    winnow-selected set (itself ~2/(guarantee+1) of all windows) —
+  //    and each row is 44 bytes. A corpus that is MOSTLY boilerplate
+  //    can exceed broadcast range;
+  //  - broadcastHeavy = false: [[Ops.saltedJoin]] spreads each hot
+  //    fingerprint over nSalts shuffle partitions. Value-identical
+  //    (DedupSpec pins parity and both plan shapes, mirroring
+  //    TfidfSpec).
+
   /** Selected fingerprints occurring in ≥ `minDocs` DISTINCT documents:
     * (id, win_start, fp, n_docs) — the repeated spans to mask or cut.
-    * The distinct-doc count aggregates with map-side partials; the
-    * flag-back join shuffles by fingerprint, and the repeated side is
-    * by definition the small tail of the distribution. */
+    * The distinct-doc count aggregates with map-side partials; skew
+    * stance of the flag-back join documented above. */
   def repeatedWindowSpans(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 20, guarantee: Int = 10, minDocs: Int = 2): DataFrame = {
-    val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-    wins.join(heavyFingerprints(wins, idCol, minDocs), "fp")
-      .select(col(idCol), col("win_start"), col("fp"), col("n_docs"))
+      window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
+      broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame =
+    spansFromWins(winnowedFingerprints(docs, idCol, textCol, window,
+      guarantee), idCol, minDocs, broadcastHeavy, nSalts)
+
+  /** [[repeatedWindowSpans]] over an already-materialized fingerprint
+    * table — the shape [[IndexStore.repeatedWindowSpansFromIndex]]
+    * serves, where the md5+winnow pass ran ONCE at build time instead
+    * of once per consumer. */
+  def spansFromWins(wins: DataFrame, idCol: String, minDocs: Int = 2,
+      broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame = {
+    val heavy = heavyFingerprints(wins, idCol, minDocs)
+    val flagged =
+      if (broadcastHeavy) wins.join(broadcast(heavy), "fp")
+      else Ops.saltedJoin(wins, heavy, "fp", nSalts)
+    flagged.select(col(idCol), col("win_start"), col("fp"), col("n_docs"))
   }
 
   /** Boilerplate-heavy documents: fraction of a document's selected
@@ -347,13 +376,26 @@ object Dedup {
     * rounded output column would let a just-under-`minFrac` document
     * round its way across the boundary and diverge from the oracle.
     * The winnow projection still evaluates once per join side; a crawl
-    * deployment persists [[winnowedFingerprints]] once per snapshot
-    * (see its scaladoc) and feeds both consumers from the table. */
+    * deployment persists the fingerprints once per snapshot via
+    * [[IndexStore.buildWinnowIndex]] and feeds both consumers from the
+    * table ([[IndexStore.boilerplateDocsFromIndex]]). */
   def boilerplateDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
-      minFrac: Double = 0.5): DataFrame = {
-    val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-    wins.join(heavyFingerprints(wins, idCol, minDocs), Seq("fp"), "left")
+      minFrac: Double = 0.5,
+      broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame =
+    boilerplateFromWins(winnowedFingerprints(docs, idCol, textCol, window,
+      guarantee), idCol, minDocs, minFrac, broadcastHeavy, nSalts)
+
+  /** [[boilerplateDocs]] over an already-materialized fingerprint
+    * table. */
+  def boilerplateFromWins(wins: DataFrame, idCol: String,
+      minDocs: Int = 2, minFrac: Double = 0.5,
+      broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame = {
+    val heavy = heavyFingerprints(wins, idCol, minDocs)
+    val flagged =
+      if (broadcastHeavy) wins.join(broadcast(heavy), Seq("fp"), "left")
+      else Ops.saltedJoin(wins, heavy, "fp", nSalts, "left_outer")
+    flagged
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         count(col("n_docs")).as("n_repeated"))

@@ -474,6 +474,127 @@ object IndexStore {
   def vacuumSimhashIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_chunks")
 
+  // ---- Winnow (exact-substring fingerprint) index --------------------
+  // The fifth index kind: the winnowed window-fingerprint table behind
+  // repeated-span and boilerplate detection ([[Dedup.repeatedWindowSpans]]
+  // / [[Dedup.boilerplateDocs]]), persisted once per crawl snapshot.
+  // The inline consumers each evaluate the full-corpus md5+winnow pass
+  // on BOTH sides of the heavy-fp join; fed from this table, the pass
+  // runs once at build time and every consumer is a scan. One table:
+  // {table}_wins(id, win_start, fp) bucketed by fp — the key every
+  // consumer joins or aggregates on, so the heavy-fingerprint groupBy
+  // and the probe join both read the buckets in place with no
+  // index-side exchange.
+
+  private def winnowParams(window: Int, guarantee: Int,
+      idCol: String): Map[String, String] =
+    Map("window" -> window.toString, "guarantee" -> guarantee.toString,
+      "idCol" -> idCol)
+
+  /** Builds the winnow fingerprint index for `docs`. A probe or append
+    * whose (window, guarantee) differ from the build would select
+    * incompatible fingerprints and silently match nothing — the
+    * parameters are persisted and validated like every other kind. */
+  def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, window: Int = 20, guarantee: Int = 10,
+      nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    bucketRouted(Dedup.winnowedFingerprints(docs.repartition(par), idCol,
+        textCol, window, guarantee), "fp", nBuckets)
+      .write.bucketBy(nBuckets, "fp")
+      .option("path", s"$path/${table}_wins").mode("overwrite")
+      .saveAsTable(s"${table}_wins")
+    setParams(spark, s"${table}_wins", winnowParams(window, guarantee, idCol))
+  }
+
+  /** Appends `delta` docs' fingerprint rows in place, mirroring
+    * [[appendMinhashIndex]]: stable bucket routing keeps a fingerprint's
+    * rows co-located across appends, and consumers immediately see old
+    * and new documents. */
+  def appendWinnowIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String, window: Int = 20, guarantee: Int = 10): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_wins",
+      winnowParams(window, guarantee, idCol), "append")
+    val par = spark.sparkContext.defaultParallelism
+    val nb = numBucketsOf(spark, s"${table}_wins")
+    bucketRouted(Dedup.winnowedFingerprints(delta.repartition(par), idCol,
+        textCol, window, guarantee), "fp", nb)
+      .write.bucketBy(nb, "fp")
+      .mode("append").saveAsTable(s"${table}_wins")
+  }
+
+  /** [[Dedup.repeatedWindowSpans]] served from the persisted table: the
+    * md5+winnow pass ran once at build; this is one aggregation + one
+    * flag-back join over the bucketed scan (the heavy groupBy on fp
+    * needs no exchange — the scan already hash-partitions on it).
+    * Value parity with the inline form is pinned in IndexStoreSpec. */
+  def repeatedWindowSpansFromIndex(spark: SparkSession, table: String,
+      minDocs: Int = 2, broadcastHeavy: Boolean = true,
+      nSalts: Int = 8): DataFrame =
+    Dedup.spansFromWins(spark.table(s"${table}_wins"),
+      winnowIdCol(spark, table), minDocs, broadcastHeavy, nSalts)
+
+  /** [[Dedup.boilerplateDocs]] served from the persisted table. */
+  def boilerplateDocsFromIndex(spark: SparkSession, table: String,
+      minDocs: Int = 2, minFrac: Double = 0.5,
+      broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame =
+    Dedup.boilerplateFromWins(spark.table(s"${table}_wins"),
+      winnowIdCol(spark, table), minDocs, minFrac, broadcastHeavy, nSalts)
+
+  private def winnowIdCol(spark: SparkSession, table: String): String =
+    getParams(spark, s"${table}_wins").getOrElse("idCol", "doc_id")
+
+  /** Verbatim-overlap probe: for each query doc, the indexed docs it
+    * shares ≥ 1 winnowed fingerprint with — by the winnowing guarantee,
+    * any verbatim repeat of ≥ window + guarantee − 1 tokens between a
+    * query and an indexed doc IS detected. Returns (query_id, match_id,
+    * n_shared_fps). The join moves only the probe side (index bucketed
+    * on fp); fingerprint buckets above `hotFpThreshold` — a license
+    * header indexed from thousands of docs — contribute only their
+    * representatives (see [[capHotBuckets]]; activity observable via
+    * [[capActivity]]). */
+  def probeWinnow(spark: SparkSession, queries: DataFrame, idCol: String,
+      textCol: String, table: String, window: Int = 20,
+      guarantee: Int = 10,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_wins",
+      winnowParams(window, guarantee, idCol), "probe")
+    val storedId = winnowIdCol(spark, table)
+    val par = queries.sparkSession.sparkContext.defaultParallelism
+    val qWins = Dedup.winnowedFingerprints(queries.repartition(par), idCol,
+        textCol, window, guarantee)
+      .select(col(idCol).as("query_id"), col("fp"))
+    capHotBuckets(spark.table(s"${table}_wins"), "fp", storedId,
+        hotFpThreshold)
+      .join(qWins, "fp")
+      .where(col(storedId) =!= col("query_id"))
+      .groupBy(col("query_id"), col(storedId).as("match_id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"))
+  }
+
+  /** Compacts the winnow fingerprint table. */
+  def compactWinnowIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val wins = s"${table}_wins"
+    compactTable(spark, wins, bucketColOf(spark, wins),
+      s"$newPathBase/${wins}_c", numBucketsOf(spark, wins))
+  }
+
+  /** Deletes documents from a winnow index — the take-down path. */
+  def deleteFromWinnowIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String): Unit = {
+    val wins = s"${table}_wins"
+    deleteFromTable(spark, wins, bucketColOf(spark, wins),
+      winnowIdCol(spark, table), ids, s"$newPathBase/${wins}_d",
+      numBucketsOf(spark, wins))
+  }
+
+  /** Vacuums the winnow index's retired directories. */
+  def vacuumWinnowIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_wins")
+
   // ---- SRP (hyperplane) LSH index -----------------------------------
   // The fourth index kind: ANN over embeddings with data-independent
   // directions (no training step, unlike IVF — nothing to drift, appends

@@ -54,6 +54,34 @@ class DedupSpec extends SparkSpec {
       s"checkpoint blocks must drain once the frames are unreferenced: $leaked")
   }
 
+  test("heavy-fp join: broadcast and salted paths agree, both plan shapes pinned") {
+    // mirrors TfidfSpec's treatment of the term join — the fingerprint
+    // distribution is zipfian by construction, so the flag-back join
+    // must have an explicit skew story in BOTH directions
+    def spanRows(b: Boolean) =
+      Dedup.repeatedWindowSpans(planted, "doc_id", "text",
+          broadcastHeavy = b)
+        .orderBy("doc_id", "win_start", "fp")
+        .as[(Long, Long, String, Long)].collect().toSeq
+    val bSpans = spanRows(true)
+    assert(bSpans.nonEmpty && bSpans == spanRows(false))
+    def boilerRows(b: Boolean) =
+      Dedup.boilerplateDocs(planted, "doc_id", "text", broadcastHeavy = b)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val bBoiler = boilerRows(true)
+    assert(bBoiler.nonEmpty && bBoiler == boilerRows(false))
+    val bPlan = Dedup.repeatedWindowSpans(planted, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"(fp, n_docs) side should broadcast into the wins stream:\n$bPlan")
+    val sPlan = Dedup.repeatedWindowSpans(planted, "doc_id", "text",
+        broadcastHeavy = false)
+      .queryExecution.sparkPlan.toString
+    assert(sPlan.contains("__salt"),
+      s"fallback should join on (fp, __salt):\n$sPlan")
+  }
+
   test("minhash jaccard estimate ≈ exact jaccard for identical docs") {
     val sh = array_distinct(Dedup.wordShingles($"text", 3))
     val sig = Dedup.minhashSignature(sh, 64)

@@ -75,6 +75,22 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.buildSrpIndex(corpusVecs, srpTbl, s"$idxPath/$srpTbl")
     }
 
+  private val winTbl = "graft_spec_win"
+
+  /** docs ∪ whitespace-perturbed copies — the corpus whose planted
+    * verbatim repeats the winnow consumers must report. */
+  private def winCorpus: DataFrame = docs.unionByName(
+    docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit(" "), col("text"), lit("  ")).as("text")))
+
+  private def ensureWinnowIndex(): Unit =
+    if (!spark.catalog.tableExists(s"${winTbl}_wins")) {
+      dropTable(s"${winTbl}_wins")
+      IndexStore.buildWinnowIndex(winCorpus, "doc_id", "text", winTbl,
+        s"$idxPath/$winTbl")
+    }
+
   private def assertSameRows(a: DataFrame, b: DataFrame, clue: String): Unit = {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, clue)
     assert(a.count() == b.count(), clue)
@@ -254,6 +270,11 @@ class IndexStoreSpec extends SparkSpec {
         corpusVecs.where(col("vec_id") < 10), srpTbl, k = 5)
       assertIndexSideInPlace(srp, s"$idxPath/$srpTbl/${srpTbl}_bands")
       assertIndexSideInPlace(srp, s"$idxPath/$srpTbl/${srpTbl}_vecs")
+
+      ensureWinnowIndex()
+      val win = IndexStore.probeWinnow(spark, probes, "doc_id", "text",
+        winTbl)
+      assertIndexSideInPlace(win, s"$idxPath/$winTbl/${winTbl}_wins")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
@@ -315,6 +336,88 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.dedupIngestMinhash(spark, next, "doc_id", "text", tbl)
     assert(accepted2.isEmpty, "a near-copy of an accepted doc must reject")
     assert(matches2.select("match_id").as[Long].collect().contains(900002L))
+  }
+
+  test("winnow index: span and boilerplate consumers equal the inline pipelines") {
+    ensureWinnowIndex()
+    val spans = IndexStore.repeatedWindowSpansFromIndex(spark, winTbl)
+    val inlineSpans = Dedup.repeatedWindowSpans(winCorpus, "doc_id", "text")
+    assert(spans.count() > 0, "planted verbatim repeats must surface")
+    assertSameRows(spans, inlineSpans,
+      "index-fed spans must equal the inline md5+winnow pipeline")
+    val boiler = IndexStore.boilerplateDocsFromIndex(spark, winTbl)
+    val inlineBoiler = Dedup.boilerplateDocs(winCorpus, "doc_id", "text")
+    assert(boiler.count() > 0)
+    assertSameRows(boiler, inlineBoiler,
+      "index-fed drop-list must equal the inline form")
+  }
+
+  test("appendWinnowIndex: consumers see both halves, equal to a one-shot build") {
+    val inc = "graft_spec_win_inc"
+    dropTable(s"${inc}_wins")
+    IndexStore.buildWinnowIndex(winCorpus.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", inc, s"$idxPath/$inc")
+    IndexStore.appendWinnowIndex(winCorpus.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", inc)
+    ensureWinnowIndex()
+    assertSameRows(
+      IndexStore.repeatedWindowSpansFromIndex(spark, inc),
+      IndexStore.repeatedWindowSpansFromIndex(spark, winTbl),
+      "incrementally-built winnow index must equal the one-shot build")
+    // mismatched winnow geometry must fail loud, not select
+    // incompatible fingerprints that silently never match
+    intercept[IllegalArgumentException] {
+      IndexStore.appendWinnowIndex(winCorpus, "doc_id", "text", inc,
+        window = 10)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.probeWinnow(spark, winCorpus, "doc_id", "text", inc,
+        guarantee = 5)
+    }
+  }
+
+  test("probeWinnow: verbatim overlap with indexed docs is detected") {
+    import spark.implicits._
+    val tbl = "graft_spec_win_probe"
+    dropTable(s"${tbl}_wins")
+    IndexStore.buildWinnowIndex(docs, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    // probes append two tokens, so each shares its full original text
+    // verbatim — every probe of a ≥29-token original (window+guarantee-1)
+    // must match it by the winnowing guarantee
+    val matches = IndexStore.probeWinnow(spark, probes, "doc_id", "text",
+      tbl)
+    val got = matches.select("query_id", "match_id")
+      .as[(Long, Long)].collect().toSet
+    val expected = docs
+      .where(col("doc_id") % 5 === 0 &&
+        size(split(trim(lower(col("text"))), "\\s+")) >= 29)
+      .select("doc_id").as[Long].collect()
+      .map(id => (id + 100000, id)).toSet
+    assert(expected.nonEmpty)
+    val missed = expected -- got
+    assert(missed.isEmpty,
+      s"winnowing guarantees these overlaps are detected: $missed")
+  }
+
+  test("winnow index erasure + compaction keep consumers consistent") {
+    val tbl = "graft_spec_win_del"
+    dropTable(s"${tbl}_wins")
+    IndexStore.buildWinnowIndex(winCorpus, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    // erase the planted copies: the surviving spans must equal an index
+    // that never contained them
+    IndexStore.deleteFromWinnowIndex(spark, tbl,
+      winCorpus.where(col("doc_id") >= 100000).select("doc_id"),
+      s"$idxPath/$tbl")
+    val expect = Dedup.repeatedWindowSpans(docs, "doc_id", "text")
+    assertSameRows(IndexStore.repeatedWindowSpansFromIndex(spark, tbl),
+      expect, "erased docs must stop contributing spans and doc counts")
+    IndexStore.compactWinnowIndex(spark, tbl, s"$idxPath/$tbl")
+    assertSameRows(IndexStore.repeatedWindowSpansFromIndex(spark, tbl),
+      expect, "compaction must not change consumer results")
+    assert(IndexStore.vacuumWinnowIndex(spark, tbl).nonEmpty,
+      "the swaps above retired directories to reclaim")
   }
 
   test("dedupIngest results are pinned to the pre-append index state") {
