@@ -324,6 +324,36 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // The incremental-ingest dedup loop for EMBEDDINGS, completing the
+    // probe/pairs/append symmetry with the MinHash/SimHash instances:
+    // scaled copies of indexed vectors (cos ≈ 1.0) are rejected against
+    // the index; negated vectors are genuinely novel (cos = −1 to their
+    // source) but arrive with a scaled near-copy, so the inline blocked
+    // pass keeps each pair's min id; survivors are appended. Returns
+    // the accepted ids — deterministic on re-invocation because
+    // accepted docs only ever self-match afterwards (self-id filtered).
+    // Rows-only (LSH banding); the decision choreography and
+    // stability-under-growth are spec'd in IndexStoreSpec.
+    QueryDef("ext_srp_ingest", None,
+      (s, dir) => {
+        val tbl = "graft_srpg_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildSrpIndex(corpus, tbl, s"/tmp/graft_index/$tbl")
+        val every20 = corpus.where(col("vec_id") % 20 === 0)
+        val batch = every20
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("vec"), x => x * 1.001).as("vec"))
+          .unionByName(every20.select((col("vec_id") + 300000).as("vec_id"),
+            transform(col("vec"), x => x * -1.001).as("vec")))
+          .unionByName(every20.select((col("vec_id") + 400000).as("vec_id"),
+            transform(col("vec"), x => x * -1.002).as("vec")))
+        val (accepted, _) = IndexStore.dedupIngestSrp(s, batch, tbl)
+        accepted.select("vec_id").orderBy("vec_id")
+      }),
+
     // Incrementally-maintained IVF index: build inverted lists over the
     // existing corpus, append a later batch assigned against the SAME
     // persisted centroids (IVF practice: the coarse quantizer is trained

@@ -353,6 +353,27 @@ object IndexStore {
         maxHamming, hotBandThreshold),
       append = b => appendSimhashIndex(b, idCol, textCol, table))
 
+  /** SRP instance of the same loop — EMBEDDING streams get the
+    * check-then-append choreography: near-dup-check a vector batch
+    * against the persisted SRP index (exact cosine ≥ threshold on the
+    * stored vectors, candidates from the band join), drop batch-internal
+    * near-copies via the inline blocked-cosine pass (min id keeps, the
+    * same keeper rule as the text instances), append the survivors'
+    * band and vector rows. */
+  def dedupIngestSrp(spark: SparkSession, batch: DataFrame, table: String,
+      threshold: Double = 0.999, idCol: String = "vec_id",
+      vecCol: String = "vec", nPlanes: Int = 16, bands: Int = 4,
+      dim: Int = 64, blockDims: Int = 8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
+      : (DataFrame, DataFrame) =
+    dedupIngest(batch, idCol,
+      probe = b => probeSrpNearDup(spark, b, table, threshold, idCol,
+        vecCol, nPlanes, bands, dim, hotBandThreshold),
+      innerPairs = b => Similarity.blockedNearDupPairs(b, threshold,
+        idCol, vecCol, blockDims),
+      append = b => appendSrpIndex(b, table, idCol, vecCol, nPlanes,
+        bands, dim))
+
   /** Shared dedup-ingest choreography: probe, drop index matches, drop
     * batch-internal near-dups (id_a < id_b by the pairs contract, so
     * dropping every id_b keeps exactly each cluster's min-id keeper),

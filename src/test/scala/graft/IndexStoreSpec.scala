@@ -473,6 +473,36 @@ class IndexStoreSpec extends SparkSpec {
     assert(accepted2.isEmpty, "a near-copy of an accepted doc must reject")
   }
 
+  test("dedupIngest SRP instance: same loop through the band/vec tables") {
+    import spark.implicits._
+    val tbl = "graft_spec_srp_ingest"
+    Seq(s"${tbl}_bands", s"${tbl}_vecs").foreach(dropTable)
+    // index the even half; odd-id vectors are genuinely novel directions
+    IndexStore.buildSrpIndex(corpusVecs.where(col("vec_id") % 2 === 0),
+      tbl, s"$idxPath/$tbl")
+    def scaled(src: Long, newId: Long, f: Double) =
+      corpusVecs.where(col("vec_id") === src)
+        .select(lit(newId).as("vec_id"),
+          transform(col("vec"), x => x * f).as("vec"))
+    val batch = scaled(0L, 900001L, 1.001)   // near-copy of indexed 0
+      .unionByName(scaled(1L, 900002L, 1.001)) // novel — keeper
+      .unionByName(scaled(1L, 900003L, 1.002)) // batch-internal near-dup
+      .unionByName(scaled(3L, 900004L, 1.001)) // novel
+    val (accepted, matches) = IndexStore.dedupIngestSrp(spark, batch, tbl)
+    assert(accepted.select("vec_id").as[Long].collect().toSet ==
+      Set(900002L, 900004L),
+      "index matches and inner dups must be rejected; min id keeps")
+    assert(matches.where(col("query_id") === 900001L &&
+      col("match_id") === 0L).count() > 0,
+      "the probe evidence must name the index match")
+    // stability under growth: the accepted vectors are indexed now, so
+    // the NEXT batch's near-copies reject against them
+    val next = scaled(1L, 900005L, 1.003)
+    val (accepted2, matches2) = IndexStore.dedupIngestSrp(spark, next, tbl)
+    assert(accepted2.isEmpty, "a near-copy of an accepted vector must reject")
+    assert(matches2.select("match_id").as[Long].collect().contains(900002L))
+  }
+
   test("index writes route to buckets: one file per bucket per write") {
     // Without write-time routing every writer task emits one file per
     // bucket it holds rows for — (upstream partitions × buckets) tiny
