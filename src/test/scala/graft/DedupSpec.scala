@@ -54,6 +54,59 @@ class DedupSpec extends SparkSpec {
       s"checkpoint blocks must drain once the frames are unreferenced: $leaked")
   }
 
+  test("hot-band guard: measured recall on the adversarial boilerplate shape") {
+    // The worst case the star-link trade documents: pairs that clear
+    // the Jaccard threshold with EACH OTHER but not with the bucket
+    // representative, embedded in a family big enough that every
+    // family-wide band bucket is hot. Each planted pair shares the
+    // 30-token core + a 3-token pair tail, with one private token per
+    // side: J(pair) ≈ 0.84 ≥ 0.8, J(pair member, family doc) ≈ 0.65
+    // < 0.8 — so a pair survives ONLY if some band key is specific to
+    // the pair (small bucket) rather than family-wide (hot, capped to
+    // star links that fail verification against the representative).
+    def measure(core: String, familyTail: Int => String,
+        pairDocs: Int => (String, String)): (Double, Int) = {
+      val family = (1 to 200).map(i => (i.toLong, s"$core ${familyTail(i)}"))
+      val pairs = (1 to 25).flatMap { i =>
+        val (tx, ty) = pairDocs(i)
+        Seq((1000L + i, s"$core $tx"), (2000L + i, s"$core $ty"))
+      }
+      val corpus = (family ++ pairs).toDF("doc_id", "text")
+      def plantedFound(hotThreshold: Int): Set[Long] =
+        Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+            threshold = 0.8, hotBandThreshold = hotThreshold)
+          .where(col("id_a") >= 1000 && col("id_b") === col("id_a") + 1000)
+          .select("id_a").as[Long].collect().toSet
+      val truth = plantedFound(Int.MaxValue)
+      val guarded = plantedFound(30)
+      assert((guarded -- truth).isEmpty, "the guard can only lose pairs")
+      (guarded.size.toDouble / truth.size, truth.size)
+    }
+    // Moderate shape: 30-token core, pairs keep a 3-token shared tail +
+    // 1 private token each (J(pair) ≈ 0.84, J(pair, family) ≈ 0.65).
+    val core30 = (1 to 30).map(i => s"core$i").mkString(" ")
+    val (modRecall, modTruth) = measure(core30,
+      i => s"fam${i}a fam${i}b",
+      i => (s"sh${i}x sh${i}y sh${i}z px$i", s"sh${i}x sh${i}y sh${i}z py$i"))
+    info(f"moderate-boilerplate recall = $modRecall%.2f over $modTruth pairs")
+    assert(modTruth == 25 && modRecall == 1.0,
+      s"pair tails perturb band slots, so every pair keeps a small bucket: $modRecall")
+    // Extreme shape: 100-token core, family docs 25% private, pair docs
+    // are IDENTICAL near-pure core (one 1-token tail): J(pair) = 1 but
+    // J(pair, rep) ≈ 0.77 < 0.8, and with a ~3% tail only some bands
+    // are pair-specific — the honest drop case, quantified.
+    val core100 = (1 to 100).map(i => s"core$i").mkString(" ")
+    val (extRecall, extTruth) = measure(core100,
+      i => (1 to 30).map(j => s"fam${i}p$j").mkString(" "),
+      i => (s"sh$i", s"sh$i"))
+    info(f"extreme-boilerplate recall = $extRecall%.2f over $extTruth pairs")
+    assert(extTruth == 25)
+    // Floor at the measured value minus slack; the exact number is
+    // recorded in ARCHITECTURE.md. Raising hotBandThreshold restores
+    // recall = 1 at the straggler's cost — the documented dial.
+    assert(extRecall >= 0.6, s"extreme-shape recall collapsed: $extRecall")
+  }
+
   test("heavy-fp join: broadcast and salted paths agree, both plan shapes pinned") {
     // mirrors TfidfSpec's treatment of the term join — the fingerprint
     // distribution is zipfian by construction, so the flag-back join
