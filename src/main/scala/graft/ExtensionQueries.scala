@@ -270,7 +270,7 @@ object ExtensionQueries {
               |       round(${duckCosine("a.vec", "b.vec")}, 6) AS cos_sim
               |FROM blocked a JOIN blocked b
               |  ON a.block = b.block AND a.vec_id < b.vec_id
-              |WHERE round(${duckCosine("a.vec", "b.vec")}, 6) >= 0.999
+              |WHERE ${duckCosine("a.vec", "b.vec")} >= 0.999
               |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Similarity.blockedNearDupPairs(
           vecsWithNearDups(s, dir), threshold = 0.999)

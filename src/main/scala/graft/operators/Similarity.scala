@@ -186,7 +186,15 @@ object Similarity {
         col("a.block") === col("b.block") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
-      .where(col("cos_sim") >= threshold)
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_raw"))
+      // NaN guard like rankTopK/probeSrpNearDup: Spark ORDERS NaN above
+      // every double, so a poisoned vector would otherwise pair with its
+      // entire block. Threshold on the RAW cosine, round only the output
+      // column — rounding first would let a value up to 5e-7 below the
+      // threshold round itself across the boundary.
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
   }
 }

@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
       s"the NaN row must not outrank real scores: $agg")
   }
 
+  test("blockedNearDupPairs drops degenerate vectors instead of matching the block") {
+    // a zero vector (null cosine) and a NaN-poisoned vector would both
+    // land in block 0 and — unguarded — "match" every blockmate, since
+    // Spark orders NaN above every real double
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0)), (2L, Seq(1.001, 2.002)), // genuine near-dups
+      (3L, Seq(0.0, 0.0)),                          // zero → null cosine
+      (4L, Seq(Double.NaN, 1.0)))                   // poisoned → NaN cosine
+      .toDF("vec_id", "vec")
+    val pairs = Similarity.blockedNearDupPairs(vecs, threshold = 0.999,
+        blockDims = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"degenerate vectors must never surface as near-dups: $pairs")
+  }
+
   test("cosine_sim null semantics mirror zip_with: length mismatch → null") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
         (Seq(1.0, 2.0), Seq(3.0, 4.0)))
