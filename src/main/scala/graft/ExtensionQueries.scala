@@ -219,6 +219,60 @@ object ExtensionQueries {
           .orderBy("doc_id", "win_start", "fp")
       }),
 
+    // Second consumer of the same persisted index: the boilerplate
+    // drop-list computed from the fingerprint table — with the build
+    // reused across both queries, the corpus-wide md5+winnow pass ran
+    // ONCE for spans + drop-list where the inline forms each pay it
+    // twice. Also fully oracle-checked (same SQL as the inline form).
+    QueryDef("ext_boilerplate_persisted",
+      Some(repeatedSpanSql(
+        """rep AS (
+          |  SELECT w.doc_id, count(*) AS n_repeated
+          |  FROM w JOIN heavy USING (fp) GROUP BY w.doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+          |SELECT tot.doc_id, tot.n_windows, rep.n_repeated,
+          |       round(CAST(rep.n_repeated AS DOUBLE) / tot.n_windows, 6) AS repeat_frac
+          |FROM tot JOIN rep USING (doc_id)
+          |WHERE CAST(rep.n_repeated AS DOUBLE) / tot.n_windows >= 0.5
+          |ORDER BY doc_id""".stripMargin, moreCtes = true)),
+      (s, dir) => {
+        val tbl = "graft_win_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"${tbl}_wins"))
+          IndexStore.buildWinnowIndex(docsWithExactDups(s, dir), "doc_id",
+            "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.boilerplateDocsFromIndex(s, tbl)
+          .orderBy("doc_id")
+      }),
+
+    // The exact-substring INGEST gate: batch docs verbatim-sharing a
+    // ≥29-token block with the index (appended-token copies) reject;
+    // reversed-token docs are novel to the index but arrive as an
+    // overlapping pair, so the inline winnow pass keeps the min id;
+    // sub-window docs have no fingerprints and always pass. Rows-only
+    // (the loop's append is a side effect); choreography and growth
+    // stability are spec'd in IndexStoreSpec.
+    QueryDef("ext_winnow_ingest", None,
+      (s, dir) => {
+        val tbl = "graft_wing_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        if (!s.catalog.tableExists(s"${tbl}_wins"))
+          IndexStore.buildWinnowIndex(docs, "doc_id", "text", tbl,
+            s"/tmp/graft_index/$tbl")
+        val every10 = docs.where(col("doc_id") % 10 === 0)
+        val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))),
+          "\\s+")))
+        val batch = every10
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" wtail wcoda")).as("text"))
+          .unionByName(every10.select((col("doc_id") + 600000).as("doc_id"),
+            rev.as("text")))
+          .unionByName(every10.select((col("doc_id") + 700000).as("doc_id"),
+            concat(lit("wzz "), rev).as("text")))
+        val (accepted, _) = IndexStore.dedupIngestWinnow(s, batch,
+          "doc_id", "text", tbl)
+        accepted.select("doc_id").orderBy("doc_id")
+      }),
+
     // MinHash+LSH near-dup pairs with exact-Jaccard verification. The
     // LSH banding is not SQL-expressible → rows-only check; planted-pair
     // recovery is asserted in DedupSpec.

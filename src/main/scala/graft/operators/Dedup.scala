@@ -386,6 +386,50 @@ object Dedup {
     boilerplateFromWins(winnowedFingerprints(docs, idCol, textCol, window,
       guarantee), idCol, minDocs, minFrac, broadcastHeavy, nSalts)
 
+  /** Batch-internal verbatim-overlap pairs: documents sharing ≥
+    * `minSharedFps` winnowed fingerprints — i.e. a verbatim repeat of
+    * ≥ window + guarantee − 1 tokens (guaranteed detected; shorter
+    * repeats best-effort). Returns (id_a, id_b, n_shared_fps) with
+    * id_a < id_b. The self-join keys on fp with the same hot-bucket
+    * star-link guard as [[lshCandidatePairs]]: a boilerplate
+    * fingerprint present in thousands of docs contributes (rep, member)
+    * pairs instead of the quadratic bucket — for the ingest-gate use
+    * (minSharedFps = 1) every member stays linked to the keeper, which
+    * is exactly the drop-all-but-one outcome dedup wants; with higher
+    * minSharedFps, star-linked fingerprints under-count shared spans
+    * (documented trade, same as the LSH guard). */
+  def winnowNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, guarantee: Int = 10, minSharedFps: Int = 1,
+      hotFpThreshold: Int = DefaultHotBandThreshold): DataFrame = {
+    require(hotFpThreshold >= 2,
+      s"hotFpThreshold=$hotFpThreshold: a bucket needs at least two " +
+        "members to form a pair")
+    requireIdColFree(idCol, Seq("fp_n", "fp_rep", "id_a", "id_b",
+      "n_shared_fps"), "winnowNearDupPairs")
+    // distinct (id, fp): a fingerprint repeated WITHIN one doc must
+    // count once toward bucket sizes and shared-fp counts
+    val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
+      .select(col(idCol), col("fp")).distinct()
+    val w = Window.partitionBy("fp")
+    val sized = wins
+      .withColumn("fp_n", count(lit(1)).over(w))
+      .withColumn("fp_rep", min(col(idCol)).over(w))
+    val small = sized.where(col("fp_n") <= hotFpThreshold)
+      .select(col(idCol), col("fp"))
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.fp").as("fp"))
+    val hotPairs = sized
+      .where(col("fp_n") > hotFpThreshold && col(idCol) =!= col("fp_rep"))
+      .select(col("fp_rep").as("id_a"), col(idCol).as("id_b"), col("fp"))
+    smallPairs.unionByName(hotPairs)
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("fp")).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= minSharedFps)
+  }
+
   /** [[boilerplateDocs]] over an already-materialized fingerprint
     * table. */
   def boilerplateFromWins(wins: DataFrame, idCol: String,

@@ -595,6 +595,30 @@ object IndexStore {
       .agg(countDistinct(col("fp")).as("n_shared_fps"))
   }
 
+  /** Winnow instance of the dedup-ingest loop — the EXACT-SUBSTRING
+    * gate: reject batch docs that verbatim-share ≥ `minSharedFps`
+    * winnowed fingerprints (≥ window + guarantee − 1 contiguous tokens
+    * guaranteed detected) with the index or with an earlier batch doc
+    * (min-id keeper), append the survivors' fingerprints. Catches the
+    * failure mode the similarity instances miss: a doc that embeds a
+    * long verbatim block inside otherwise-novel text sails under any
+    * whole-document similarity threshold. Docs shorter than `window`
+    * tokens have no fingerprints and always pass — whole-short-doc
+    * duplication is the MinHash/SimHash instances' job. */
+  def dedupIngestWinnow(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String, window: Int = 20,
+      guarantee: Int = 10, minSharedFps: Int = 1,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold)
+      : (DataFrame, DataFrame) =
+    dedupIngest(batch, idCol,
+      probe = b => probeWinnow(spark, b, idCol, textCol, table, window,
+        guarantee, hotFpThreshold)
+        .where(col("n_shared_fps") >= minSharedFps),
+      innerPairs = b => Dedup.winnowNearDupPairs(b, idCol, textCol,
+        window, guarantee, minSharedFps, hotFpThreshold),
+      append = b => appendWinnowIndex(b, idCol, textCol, table, window,
+        guarantee))
+
   /** Compacts the winnow fingerprint table. */
   def compactWinnowIndex(spark: SparkSession, table: String,
       newPathBase: String): Unit = {

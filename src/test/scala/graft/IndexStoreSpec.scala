@@ -503,6 +503,47 @@ class IndexStoreSpec extends SparkSpec {
     assert(matches2.select("match_id").as[Long].collect().contains(900002L))
   }
 
+  test("dedupIngest winnow instance: the exact-substring gate") {
+    import spark.implicits._
+    val tbl = "graft_spec_win_ingest"
+    dropTable(s"${tbl}_wins")
+    val block = (1 to 30).map(i => s"wblk$i").mkString(" ")
+    val filler = (n: Int, tag: String) =>
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    IndexStore.buildWinnowIndex(
+      Seq((1L, s"$block ${filler(10, "idxa")}")).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, s"$idxPath/$tbl")
+    val novelBlock = (1 to 30).map(i => s"wnov$i").mkString(" ")
+    val batch = Seq(
+      // embeds the INDEXED 30-token block in otherwise-novel text: a
+      // whole-doc similarity gate would pass it; the substring gate must not
+      (930001L, s"${filler(10, "pa")} $block ${filler(10, "pb")}"),
+      // two docs sharing a novel 30-token block: min id keeps
+      (930002L, s"$novelBlock ${filler(10, "pc")}"),
+      (930003L, s"${filler(10, "pd")} $novelBlock"),
+      // fully novel long doc
+      (930004L, filler(40, "pe")),
+      // sub-window doc: no fingerprints, always passes
+      (930005L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val (accepted, matches) =
+      IndexStore.dedupIngestWinnow(spark, batch, "doc_id", "text", tbl)
+    assert(accepted.select("doc_id").as[Long].collect().toSet ==
+      Set(930002L, 930004L, 930005L),
+      "index overlap and batch-internal overlap must reject; min id keeps")
+    assert(matches.where(col("query_id") === 930001L &&
+      col("match_id") === 1L).count() > 0,
+      "the probe evidence must name the indexed doc behind the shared block")
+    // growth stability: the accepted block is indexed now
+    val next = Seq((930006L, s"${filler(10, "pf")} $novelBlock"))
+      .toDF("doc_id", "text")
+    val (accepted2, matches2) =
+      IndexStore.dedupIngestWinnow(spark, next, "doc_id", "text", tbl)
+    assert(accepted2.isEmpty,
+      "a doc sharing the accepted doc's block must reject")
+    assert(matches2.select("match_id").as[Long].collect().contains(930002L))
+  }
+
   test("index writes route to buckets: one file per bucket per write") {
     // Without write-time routing every writer task emits one file per
     // bucket it holds rows for — (upstream partitions × buckets) tiny
