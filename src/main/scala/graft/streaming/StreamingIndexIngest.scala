@@ -84,6 +84,20 @@ object StreamingIndexIngest {
       probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
 
+  /** Winnow (exact-substring) instance — same contract over the
+    * fingerprint table: the finished index reports verbatim overlaps
+    * for the planted perturbed docs. One-shot parity in StreamingSpec. */
+  def runWinnow(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String): DataFrame =
+    ingest(spark, sfDir, workDir, Seq(s"${table}_wins"), idxPath,
+      (batch, first) =>
+        if (first) IndexStore.buildWinnowIndex(batch, "doc_id", "text",
+          table, idxPath)
+        else IndexStore.appendWinnowIndex(batch, "doc_id", "text", table),
+      probes => IndexStore.probeWinnow(spark, probes, "doc_id", "text",
+          table)
+        .orderBy("query_id", "match_id"))
+
   /** SRP (embedding ANN) instance — [[ingestFrames]] over the
     * embeddings table instead of documents; the finished index answers
     * top-k for the first queries. One-shot parity in StreamingSpec. */

@@ -78,6 +78,27 @@ class StreamingSpec extends SparkSpec {
       "SimHash index from streamed micro-batches must probe like a one-shot build")
   }
 
+  test("streaming winnow ingest equals a one-shot build") {
+    val streamed = graft.streaming.StreamingIndexIngest.runWinnow(spark,
+      sf0001, "/tmp/graft_ingest_win", "graft_test_swin",
+      "/tmp/graft_ingest_win/idx")
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val probes = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" graft tail")).as("text"))
+    val oneShot = "graft_test_owin"
+    spark.sql(s"DROP TABLE IF EXISTS ${oneShot}_wins")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/tmp/graft_ingest_win/oneshot"))
+    graft.operators.IndexStore.buildWinnowIndex(docs, "doc_id", "text",
+      oneShot, "/tmp/graft_ingest_win/oneshot")
+    val fresh = graft.operators.IndexStore.probeWinnow(spark, probes,
+      "doc_id", "text", oneShot)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(fresh).isEmpty && fresh.exceptAll(streamed).isEmpty,
+      "winnow index from streamed micro-batches must probe like a one-shot build")
+  }
+
   test("streaming SRP ingest equals the inline SRP pipeline") {
     val streamed = graft.streaming.StreamingIndexIngest.runSrp(spark,
       sf0001, "/tmp/graft_ingest_srp", "graft_test_srp",
