@@ -349,8 +349,23 @@ object Dedup {
   def repeatedWindowSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
       broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame =
-    spansFromWins(winnowedFingerprints(docs, idCol, textCol, window,
-      guarantee), idCol, minDocs, broadcastHeavy, nSalts)
+    spansFromWins(inlineWins(docs, idCol, textCol, window, guarantee),
+      idCol, minDocs, broadcastHeavy, nSalts)
+
+  /** One-shot materialization boundary for the INLINE consumers: the
+    * fingerprint projection feeds both the heavy aggregation and the
+    * flag-back join, and without a boundary Catalyst inlines (= fully
+    * recomputes) the md5+winnow pass into each — two corpus passes per
+    * consumer. Lazy localCheckpoint computes it once and is reclaimed
+    * by the context cleaner when the frame drops (the
+    * minhashNearDupPairs stance); the persisted form of the same
+    * boundary is [[IndexStore.buildWinnowIndex]]. */
+  private def inlineWins(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, guarantee: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    winnowedFingerprints(docs.repartition(par), idCol, textCol, window,
+      guarantee).localCheckpoint(false)
+  }
 
   /** [[repeatedWindowSpans]] over an already-materialized fingerprint
     * table — the shape [[IndexStore.repeatedWindowSpansFromIndex]]
@@ -375,15 +390,16 @@ object Dedup {
     * multiplies rows), and the threshold filters the RAW ratio — the
     * rounded output column would let a just-under-`minFrac` document
     * round its way across the boundary and diverge from the oracle.
-    * The winnow projection still evaluates once per join side; a crawl
-    * deployment persists the fingerprints once per snapshot via
-    * [[IndexStore.buildWinnowIndex]] and feeds both consumers from the
-    * table ([[IndexStore.boilerplateDocsFromIndex]]). */
+    * The winnow projection evaluates ONCE (materialization boundary in
+    * [[inlineWins]]); a crawl deployment persists the fingerprints once
+    * per snapshot via [[IndexStore.buildWinnowIndex]] and feeds both
+    * consumers from the table
+    * ([[IndexStore.boilerplateDocsFromIndex]]). */
   def boilerplateDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, guarantee: Int = 10, minDocs: Int = 2,
       minFrac: Double = 0.5,
       broadcastHeavy: Boolean = true, nSalts: Int = 8): DataFrame =
-    boilerplateFromWins(winnowedFingerprints(docs, idCol, textCol, window,
+    boilerplateFromWins(inlineWins(docs, idCol, textCol, window,
       guarantee), idCol, minDocs, minFrac, broadcastHeavy, nSalts)
 
   /** Batch-internal verbatim-overlap pairs: documents sharing ≥
@@ -407,9 +423,12 @@ object Dedup {
     requireIdColFree(idCol, Seq("fp_n", "fp_rep", "id_a", "id_b",
       "n_shared_fps"), "winnowNearDupPairs")
     // distinct (id, fp): a fingerprint repeated WITHIN one doc must
-    // count once toward bucket sizes and shared-fp counts
+    // count once toward bucket sizes and shared-fp counts. The
+    // materialization boundary matters even on a small batch — the
+    // frame feeds the sizing window plus both self-join sides, four
+    // inlined evaluations without it.
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-      .select(col(idCol), col("fp")).distinct()
+      .select(col(idCol), col("fp")).distinct().localCheckpoint(false)
     val w = Window.partitionBy("fp")
     val sized = wins
       .withColumn("fp_n", count(lit(1)).over(w))
