@@ -102,9 +102,17 @@ object Dedup {
         rowsPerBand)))
       .toDF(idCol, "band_id", "band_hash")
     val w = Window.partitionBy("band_id", "band_hash")
+    // Materialization boundary AFTER the sizing window: `sized` feeds
+    // both self-join sides plus the hot branch, so without it the
+    // signature hashing and the window each run three times (Catalyst
+    // inlines the chain into every consumer). Lazy localCheckpoint
+    // computes once; blocks drain via the context cleaner when the
+    // frame drops, and the captured output partitioning (by band key)
+    // still satisfies the self-join's distribution.
     val sized = banded
       .withColumn("band_n", count(lit(1)).over(w))
       .withColumn("band_rep", min(col(idCol)).over(w))
+      .localCheckpoint(false)
     val small = sized.where(col("band_n") <= hotBandThreshold)
       .select(col(idCol), col("band_id"), col("band_hash"))
     val smallPairs = small.alias("a")
@@ -216,9 +224,11 @@ object Dedup {
     // representative's signature along so the exact Hamming verify stays
     // a column comparison, no extra join.
     val w = Window.partitionBy("chunk_id", "chunk")
+    // same boundary rationale as lshCandidatePairs' `sized`
     val sized = chunked
       .withColumn("chunk_n", count(lit(1)).over(w))
       .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w))
+      .localCheckpoint(false)
     val small = sized.where(col("chunk_n") <= hotBandThreshold)
       .select(col(idCol), col("sim"), col("chunk_id"), col("chunk"))
     val smallPairs = small.alias("a")

@@ -48,7 +48,12 @@ object Tfidf {
     * alphabetically. Output: (doc_id, term, score_m), unordered. */
   def topTerms(docs: DataFrame, k: Int = 3, broadcastVocab: Boolean = true,
       nSalts: Int = 8): DataFrame = {
-    val tf = termFrequencies(docs)
+    // Materialization boundary: tf feeds the document-frequency
+    // aggregation AND the scored join's stream side — without it the
+    // tokenize+explode+count chain (shuffle included) runs twice. Lazy
+    // localCheckpoint computes once; blocks drain via the context
+    // cleaner when the frame drops (the Dedup boundary stance).
+    val tf = termFrequencies(docs).localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scoredInput =
