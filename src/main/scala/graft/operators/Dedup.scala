@@ -24,6 +24,29 @@ object Dedup {
       s"$op reserves column names ${reserved.mkString(", ")}; " +
         s"idCol=$idCol collides")
 
+  /** Lazy localCheckpoint that KEEPS the child's hash-partitioning.
+    * With AQE enabled at plan-creation time the checkpoint leaf reports
+    * unknown partitioning — the adaptive plan's partitioning is not
+    * final until execution — so every downstream join/agg on the
+    * boundary's own partition key re-shuffles the materialized table
+    * (measured: the band-table self-join gained two exchanges,
+    * DedupSpec pins the fixed form). Building the frame with AQE off
+    * captures the window's HashPartitioning into the LogicalRDD. The
+    * sub-plan forgoes AQE's runtime coalescing for its one window
+    * shuffle; the downstream plans keep AQE. Constructing the frame
+    * beforehand is safe (construction only analyzes); what must happen
+    * inside the scope is the FIRST forcing of the physical plan, which
+    * the checkpoint call does — so callers must not have explained or
+    * executed the frame earlier. */
+  private def checkpointKeepPartitioning(frame: DataFrame): DataFrame = {
+    val f = frame
+    val conf = f.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val saved = conf.get(key)
+    conf.set(key, "false")
+    try f.localCheckpoint(false) finally conf.set(key, saved)
+  }
+
   /** Word n-gram shingles of the lowercased text; documents shorter than
     * `n` tokens collapse to a single whole-text shingle. Tokenization is
     * the codegen'd built-in split; the window construction is the native
@@ -107,12 +130,12 @@ object Dedup {
     // signature hashing and the window each run three times (Catalyst
     // inlines the chain into every consumer). Lazy localCheckpoint
     // computes once; blocks drain via the context cleaner when the
-    // frame drops, and the captured output partitioning (by band key)
-    // still satisfies the self-join's distribution.
-    val sized = banded
+    // frame drops, and checkpointKeepPartitioning captures the window's
+    // band-key partitioning so the self-join is co-partitioned for free
+    // (DedupSpec pins the single-exchange plan).
+    val sized = checkpointKeepPartitioning(banded
       .withColumn("band_n", count(lit(1)).over(w))
-      .withColumn("band_rep", min(col(idCol)).over(w))
-      .localCheckpoint(false)
+      .withColumn("band_rep", min(col(idCol)).over(w)))
     val small = sized.where(col("band_n") <= hotBandThreshold)
       .select(col(idCol), col("band_id"), col("band_hash"))
     val smallPairs = small.alias("a")
@@ -224,11 +247,11 @@ object Dedup {
     // representative's signature along so the exact Hamming verify stays
     // a column comparison, no extra join.
     val w = Window.partitionBy("chunk_id", "chunk")
-    // same boundary rationale as lshCandidatePairs' `sized`
-    val sized = chunked
+    // same boundary + partitioning-capture rationale as
+    // lshCandidatePairs' `sized`
+    val sized = checkpointKeepPartitioning(chunked
       .withColumn("chunk_n", count(lit(1)).over(w))
-      .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w))
-      .localCheckpoint(false)
+      .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w)))
     val small = sized.where(col("chunk_n") <= hotBandThreshold)
       .select(col(idCol), col("sim"), col("chunk_id"), col("chunk"))
     val smallPairs = small.alias("a")

@@ -349,6 +349,27 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0, "winnow kernel diverges on randomized input")
   }
 
+  test("checkpointed band table keeps its partitioning through the self-join") {
+    // The sizing boundary's claim: the LogicalRDD left behind by the
+    // lazy localCheckpoint captures the window's (band_id, band_hash)
+    // hash-partitioning, so the candidate self-join is co-partitioned
+    // for free and the ONLY exchange in the whole pairs plan is the
+    // final distinct. Broadcast is disabled so the join can't dodge
+    // the distribution requirement the claim is about.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sigs = planted.select($"doc_id",
+        Dedup.minhashSignature(
+          array_distinct(Dedup.wordShingles($"text", 3)), 64).as("sig"))
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig")
+      assert(shuffleCount(pairs) == 1,
+        "expected the distinct's exchange only — a second exchange means " +
+          "the boundary dropped the band-key partitioning and the " +
+          "self-join re-shuffled the band table")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("winnowed fingerprint extraction is shuffle-free (per-row selection)") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     assert(shuffleCount(Dedup.winnowedFingerprints(docs, "doc_id", "text")) == 0,
