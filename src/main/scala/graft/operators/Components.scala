@@ -32,6 +32,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Target edge rows per iteration partition when sizing the loop
+    * width from the measured edge count — small enough that a partition
+    * sorts in memory, large enough that tiny pair graphs don't pay
+    * session-width task overhead per iteration. */
+  private val RowsPerIterationPartition = 250000L
+
   /** Truncates the self-referencing iteration plan. Default is
     * localCheckpoint: executor-memory blocks, no checkpoint files to
     * leak, freed per iteration below — right for a driver-loop whose
@@ -40,9 +46,17 @@ object Components {
     * REQUIRES the deployment to have set a shared-storage checkpoint
     * dir (defaulting to a driver-local path would scatter executor
     * checkpoints across machines); retention of those files follows
-    * the deployment's checkpoint policy. */
-  private def truncated(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    * the deployment's checkpoint policy. Either way the checkpoint goes
+    * through [[Ops.checkpointKeepPartitioning]]: a checkpoint planned
+    * under AQE loses the labels' id-partitioning, so BOTH of step's
+    * joins would re-shuffle the label table every iteration — the exact
+    * budget the class scaladoc promises away (masked in small tests by
+    * broadcast conversion; ComponentsSpec pins the plan with broadcast
+    * disabled). */
+  private def truncated(df: DataFrame, reliable: Boolean,
+      nPart: Int): DataFrame =
+    Ops.checkpointKeepPartitioning(df, eager = true, reliable = reliable,
+      numShufflePartitions = Some(nPart))
 
   /** Frees the materialized blocks behind a checkpointed iteration —
     * best effort: once the NEXT iteration is materialized, the previous
@@ -90,15 +104,44 @@ object Components {
     // repartition by src is the layout investment the scaladoc promises:
     // paid ONCE, then every iteration's edges⨝labels co-locates for free
     // (the persisted cache keeps the partitioning; checkpointed labels
-    // keep theirs through LogicalRDD).
+    // keep theirs through LogicalRDD). Two layout pins make the reuse
+    // real rather than aspirational (plan-asserted in ComponentsSpec):
+    // the repartition carries an EXPLICIT partition count — a bare
+    // repartition(col) is AQE-optimizable, and a runtime-coalesced edge
+    // cache would mismatch the checkpoints' width and re-shuffle labels
+    // every iteration — and the initial checkpoint wraps the DISTINCT
+    // frame only, with the label column added after the boundary: a
+    // checkpoint of the aliased projection captures its partitioning on
+    // the `label` alias, which the joins on id/src cannot match.
+    //
+    // The iteration width itself is sized to the MEASURED edge count
+    // (checkpoint sub-plans see no AQE, so nothing else right-sizes
+    // it): a near-dup pair graph is routinely tiny next to the corpus
+    // that produced it, and running every iteration at the session's
+    // full shuffle width pays per-task overhead times iterations for
+    // nothing. Capped at the session width so warehouse-scale graphs
+    // use the deployment's sizing. The symmetrized list is cached
+    // before counting — `pairs` may be an expensive pipeline (the LSH
+    // output in dedupClusters) and counting an uncached plan would run
+    // it twice; the pre-layout cache is dropped once the layout
+    // materializes inside the first checkpoint.
+    val confPart = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val a = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
+    val base = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = truncated(edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id")), reliable)
+    val nEdges = base.count()
+    val nPart = math.max(1L, math.min(confPart.toLong,
+      nEdges / RowsPerIterationPartition + 1)).toInt
+    val edges = base.repartition(nPart, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels =
+      try {
+        // eager: materializes the edge layout too, so base is droppable
+        truncated(edges.select(col("src").as("id")).distinct(), reliable,
+          nPart).withColumn("label", col("id"))
+      } finally base.unpersist(blocking = false)
     var converged = false
     var iter = 0
     // finally: a mid-loop job failure (executor OOM, task abort) must
@@ -108,7 +151,7 @@ object Components {
     // final blocks)
     try {
       while (!converged && iter < maxIters) {
-        val next = truncated(step(edges, labels), reliable)
+        val next = truncated(step(edges, labels), reliable, nPart)
         // convergence probe: early-exit scan over the blocks the checkpoint
         // just materialized — no join, no shuffle, no recomputation.
         converged = next.where(col("moved")).isEmpty

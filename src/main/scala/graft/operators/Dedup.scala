@@ -24,28 +24,10 @@ object Dedup {
       s"$op reserves column names ${reserved.mkString(", ")}; " +
         s"idCol=$idCol collides")
 
-  /** Lazy localCheckpoint that KEEPS the child's hash-partitioning.
-    * With AQE enabled at plan-creation time the checkpoint leaf reports
-    * unknown partitioning — the adaptive plan's partitioning is not
-    * final until execution — so every downstream join/agg on the
-    * boundary's own partition key re-shuffles the materialized table
-    * (measured: the band-table self-join gained two exchanges,
-    * DedupSpec pins the fixed form). Building the frame with AQE off
-    * captures the window's HashPartitioning into the LogicalRDD. The
-    * sub-plan forgoes AQE's runtime coalescing for its one window
-    * shuffle; the downstream plans keep AQE. Constructing the frame
-    * beforehand is safe (construction only analyzes); what must happen
-    * inside the scope is the FIRST forcing of the physical plan, which
-    * the checkpoint call does — so callers must not have explained or
-    * executed the frame earlier. */
-  private def checkpointKeepPartitioning(frame: DataFrame): DataFrame = {
-    val f = frame
-    val conf = f.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val saved = conf.get(key)
-    conf.set(key, "false")
-    try f.localCheckpoint(false) finally conf.set(key, saved)
-  }
+  /** Lazy localCheckpoint that keeps the child's hash-partitioning —
+    * see [[Ops.checkpointKeepPartitioning]] for the AQE subtlety. */
+  private def checkpointKeepPartitioning(frame: DataFrame): DataFrame =
+    Ops.checkpointKeepPartitioning(frame)
 
   /** Word n-gram shingles of the lowercased text; documents shorter than
     * `n` tokens collapse to a single whole-text shingle. Tokenization is
@@ -457,15 +439,17 @@ object Dedup {
       "n_shared_fps"), "winnowNearDupPairs")
     // distinct (id, fp): a fingerprint repeated WITHIN one doc must
     // count once toward bucket sizes and shared-fp counts. The
-    // materialization boundary matters even on a small batch — the
-    // frame feeds the sizing window plus both self-join sides, four
-    // inlined evaluations without it.
+    // materialization boundary sits AFTER the sizing window (the
+    // lshCandidatePairs shape): `sized` feeds both self-join sides plus
+    // the hot branch, so a pre-window boundary would still compute the
+    // window three times, and the captured fp-partitioning makes the
+    // self-join co-partitioned for free.
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
-      .select(col(idCol), col("fp")).distinct().localCheckpoint(false)
+      .select(col(idCol), col("fp")).distinct()
     val w = Window.partitionBy("fp")
-    val sized = wins
+    val sized = checkpointKeepPartitioning(wins
       .withColumn("fp_n", count(lit(1)).over(w))
-      .withColumn("fp_rep", min(col(idCol)).over(w))
+      .withColumn("fp_rep", min(col(idCol)).over(w)))
     val small = sized.where(col("fp_n") <= hotFpThreshold)
       .select(col(idCol), col("fp"))
     val smallPairs = small.alias("a")

@@ -6,6 +6,44 @@ import org.apache.spark.sql.functions._
 /** Generic distributed-join utilities. */
 object Ops {
 
+  /** Checkpoint that KEEPS the child's hash-partitioning. With AQE
+    * enabled at plan-creation time a checkpoint leaf reports unknown
+    * partitioning — the adaptive plan's partitioning is not final until
+    * execution — so every downstream join/agg on the boundary's own
+    * partition key silently re-shuffles the materialized table
+    * (measured on the LSH band self-join: two extra exchanges; masked
+    * in small tests by broadcast conversion). Building the frame with
+    * AQE off captures the final HashPartitioning into the LogicalRDD;
+    * only that sub-plan forgoes AQE's runtime coalescing — downstream
+    * plans keep it. Constructing `frame` beforehand is safe
+    * (construction only analyzes); what must happen inside the scope is
+    * the FIRST forcing of the physical plan, which the checkpoint call
+    * does — callers must not have explained or executed the frame
+    * earlier. `reliable = true` uses a durable checkpoint (caller is
+    * responsible for the checkpoint-dir contract); otherwise a
+    * localCheckpoint, eager or lazy. `numShufflePartitions` additionally
+    * scopes `spark.sql.shuffle.partitions` over the sub-plan — with AQE
+    * off nothing coalesces the captured width, so callers that know the
+    * data is small (e.g. an iteration sized to a measured edge count)
+    * pin the width here instead of paying conf-width task overhead. */
+  def checkpointKeepPartitioning(frame: DataFrame, eager: Boolean = false,
+      reliable: Boolean = false,
+      numShufflePartitions: Option[Int] = None): DataFrame = {
+    val conf = frame.sparkSession.conf
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val savedAqe = conf.get(aqeKey)
+    val savedPart = conf.get(partKey)
+    conf.set(aqeKey, "false")
+    numShufflePartitions.foreach(n => conf.set(partKey, n.toString))
+    try {
+      if (reliable) frame.checkpoint(eager) else frame.localCheckpoint(eager)
+    } finally {
+      conf.set(aqeKey, savedAqe)
+      conf.set(partKey, savedPart)
+    }
+  }
+
   /** Skew-mitigated equi-join: the left (large, skewed) side gets a
     * deterministic salt in [0, nSalts); the right side is replicated
     * once per salt value. A hot key's rows then spread over nSalts

@@ -46,15 +46,32 @@ class ComponentsSpec extends SparkSpec {
   test("one iteration moves only the propagated labels: a single exchange") {
     import org.apache.spark.sql.functions.col
     // same construction as the real loop: edges partitioned by src and
-    // cached, labels checkpointed (id-partitioned from the distinct)
+    // cached, labels checkpointed WITH their id-partitioning captured
+    // (a plain localCheckpoint under AQE loses it and both of step's
+    // joins re-shuffle the labels). Broadcast is disabled so the
+    // assertion can't be satisfied by broadcasting the small label
+    // table — at scale neither side broadcasts and the claim is about
+    // co-partitioned reuse.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
       .toDF("id_a", "id_b")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).cache()
+      .distinct().repartition(nPart, col("src")).cache()
     edges.count()
-    val labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // label column added AFTER the boundary — checkpointing the aliased
+    // projection captures hash(label), which the joins on id can't use
+    val labels = graft.operators.Ops.checkpointKeepPartitioning(
+        edges.select(col("src").as("id")).distinct(), eager = true)
+      .withColumn("label", col("id"))
+    def free(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.optimizedPlan.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
     try {
       val next = Components.step(edges, labels)
       assert(shuffleCount(next) == 1,
@@ -64,13 +81,21 @@ class ComponentsSpec extends SparkSpec {
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
         10L -> 10L, 11L -> 10L, 12L -> 11L),
         "after one step every vertex holds the min over itself and its neighbors")
+      // the budget must HOLD ACROSS ITERATIONS: a checkpointed step
+      // output is the next iteration's label input, and if the capture
+      // degraded there the loop would re-shuffle labels from iteration
+      // 2 onward — exactly what a single-step test can't see
+      val labels2 = graft.operators.Ops.checkpointKeepPartitioning(
+        next.drop("moved"), eager = true)
+      try {
+        assert(shuffleCount(Components.step(edges, labels2)) == 1,
+          "iteration 2 must reuse the checkpointed step output's " +
+            "id-partitioning — only the dst-aggregation may exchange")
+      } finally free(labels2)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       edges.unpersist()
-      labels.queryExecution.optimizedPlan.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ =>
-      }
+      free(labels)
     }
   }
 
