@@ -52,8 +52,7 @@ class ComponentsSpec extends SparkSpec {
     // assertion can't be satisfied by broadcasting the small label
     // table — at scale neither side broadcasts and the claim is about
     // co-partitioned reuse.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    noBroadcast {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
       .toDF("id_a", "id_b")
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -93,9 +92,9 @@ class ComponentsSpec extends SparkSpec {
             "id-partitioning — only the dst-aggregation may exchange")
       } finally free(labels2)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       edges.unpersist()
       free(labels)
+    }
     }
   }
 
@@ -165,11 +164,14 @@ class ComponentsSpec extends SparkSpec {
       .filter(i => spark.catalog.tableExists(s"${base}_labels_$i"))
     assert(gens.size == 1, s"stale label generations left behind: $gens")
     // the co-bucketed layout delivers the promised shuffle budget: both
-    // joins read bucketed scans in place, only the aggregation exchanges
+    // joins read bucketed scans in place, only the aggregation
+    // exchanges. Broadcast disabled — a broadcast of the small label
+    // table would satisfy the count without exercising the bucketed
+    // co-location the claim is about.
     val partKey = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(partKey)
     spark.conf.set(partKey, "8")
-    try {
+    try noBroadcast {
       val stepDf = Components.step(spark.table(s"${base}_edges"),
         spark.table(s"${base}_labels_${gens.head}").select("id", "label"))
       assert(shuffleCount(stepDf) == 1,

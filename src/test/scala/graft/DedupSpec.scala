@@ -356,9 +356,7 @@ class DedupSpec extends SparkSpec {
     // for free and the ONLY exchange in the whole pairs plan is the
     // final distinct. Broadcast is disabled so the join can't dodge
     // the distribution requirement the claim is about.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    noBroadcast {
       val sigs = planted.select($"doc_id",
         Dedup.minhashSignature(
           array_distinct(Dedup.wordShingles($"text", 3)), 64).as("sig"))
@@ -367,7 +365,7 @@ class DedupSpec extends SparkSpec {
         "expected the distinct's exchange only — a second exchange means " +
           "the boundary dropped the band-key partitioning and the " +
           "self-join re-shuffled the band table")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("winnowed fingerprint extraction is shuffle-free (per-row selection)") {

@@ -51,18 +51,9 @@ class MergeBucketedSpec extends SparkSpec {
         .option("path", s"$basePath/$dltTbl").saveAsTable(dltTbl)
     }
 
-  private def noBroadcast[A](body: => A): A = {
-    // full-outer can't broadcast anyway; belt and braces so the plan
-    // walk never silently passes via a BroadcastExchange
-    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> spark.conf.getOption(k))
-    keys.foreach(spark.conf.set(_, "-1"))
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  // noBroadcast comes from SparkSpec — full-outer can't broadcast
+  // anyway; belt and braces so the plan walk never silently passes via
+  // a BroadcastExchange
 
   private def finalPlan(df: DataFrame): SparkPlan = {
     df.collect() // finalize AQE

@@ -25,6 +25,22 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
 
+  /** Runs `body` with broadcast joins disabled (both the static and the
+    * adaptive threshold) so a plan-walk assertion about co-partitioned
+    * or bucketed reuse can't be silently satisfied by broadcasting the
+    * small test-sized side — at scale neither side broadcasts and the
+    * layout claim is what the assertion is for. */
+  protected def noBroadcast[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Counts shuffles in the final (post-AQE) physical plan. Query-stage
     * nodes are leaves, so traversal must descend into their `plan`. */
   protected def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
