@@ -368,6 +368,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs: checkpointed fp table joins in place, one exchange") {
+    // same claim as the band-table test for the winnow shape: the
+    // boundary sits after the fp-sizing window and captures its
+    // fp-partitioning, so the self-join reads the checkpoint in place
+    // and the only exchange is the shared-fp count's aggregation
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    noBroadcast {
+      assert(shuffleCount(Dedup.winnowNearDupPairs(docs, "doc_id", "text")) == 1,
+        "expected the countDistinct aggregation's exchange only — more " +
+          "means the boundary dropped the fp-partitioning and the " +
+          "self-join re-shuffled the fingerprint table")
+    }
+  }
+
   test("winnowed fingerprint extraction is shuffle-free (per-row selection)") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     assert(shuffleCount(Dedup.winnowedFingerprints(docs, "doc_id", "text")) == 0,
