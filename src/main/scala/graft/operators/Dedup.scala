@@ -160,16 +160,19 @@ object Dedup {
     // once the caller drops it — repeated inline runs in a long session
     // accumulate no pinned storage (DedupSpec asserts the drain). The
     // repartition spreads the hash-heavy compute across all cores even
-    // when the input is a single small file (one split); at real scale
-    // the scan already yields enough splits and the exchange cost is
-    // noise.
+    // when the input is a single small file (one split) — BY ID, not
+    // round-robin, with the partitioning captured through the
+    // checkpoint: the shingle table is the fattest frame in the
+    // pipeline (corpus × shingle arrays) and both verification joins
+    // key on the doc id, so a round-robin layout re-shuffles it twice
+    // while the captured id-hash layout feeds both joins in place
+    // (only the thin pairs side moves; plan-pinned in DedupSpec).
     requireIdColFree(idCol, Seq("shingles", "sig", "sh_a", "sh_b", "jaccard"),
       "minhashNearDupPairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val shingled = docs.repartition(par)
+    val shingled = checkpointKeepPartitioning(docs.repartition(par, col(idCol))
       .select(col(idCol),
-        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
-      .localCheckpoint(false)
+        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles")))
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands,

@@ -368,6 +368,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash pipeline: the shingle table feeds both verify joins in place") {
+    // the shingle table is the pipeline's fattest frame; its checkpoint
+    // captures an id-hash layout so BOTH verification joins read it in
+    // place and only the thin pairs side moves. Budget: the candidate
+    // distinct + one pairs-side exchange per verify join = 3; a fourth
+    // exchange means a verify join re-shuffled the shingle table.
+    noBroadcast {
+      assert(shuffleCount(
+          Dedup.minhashNearDupPairs(planted, "doc_id", "text")) == 3,
+        "expected distinct + two thin pairs-side exchanges only — more " +
+          "means the corpus-sized shingle table itself re-shuffled")
+    }
+  }
+
   test("winnow pairs: checkpointed fp table joins in place, one exchange") {
     // same claim as the band-table test for the winnow shape: the
     // boundary sits after the fp-sizing window and captures its
