@@ -131,40 +131,43 @@ object Components {
     val base = a.unionAll(a.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = base.count()
-    val nPart = math.max(1L, math.min(confPart.toLong,
-      nEdges / RowsPerIterationPartition + 1)).toInt
-    val edges = base.repartition(nPart, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels =
+    // finallys: ANY failure — the sizing count, the initial
+    // checkpoint's jobs, a mid-loop executor OOM — must not strand a
+    // cache; repeated failed attempts would otherwise accumulate
+    // pinned executor storage until the ContextCleaner happens to run
+    // (writeComponents holds the same standard for its final blocks).
+    // unpersist is idempotent, so the success path's early base drop
+    // and the outer finally can coexist.
+    try {
+      val nEdges = base.count()
+      val nPart = math.max(1L, math.min(confPart.toLong,
+        nEdges / RowsPerIterationPartition + 1)).toInt
+      val edges = base.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         // eager: materializes the edge layout too, so base is droppable
-        truncated(edges.select(col("src").as("id")).distinct(), reliable,
-          nPart).withColumn("label", col("id"))
-      } finally base.unpersist(blocking = false)
-    var converged = false
-    var iter = 0
-    // finally: a mid-loop job failure (executor OOM, task abort) must
-    // not strand the edges cache — repeated failed attempts would
-    // otherwise accumulate executor storage until the ContextCleaner
-    // happens to run (writeComponents holds the same standard for its
-    // final blocks)
-    try {
-      while (!converged && iter < maxIters) {
-        val next = truncated(step(edges, labels), reliable, nPart)
-        // convergence probe: early-exit scan over the blocks the checkpoint
-        // just materialized — no join, no shuffle, no recomputation.
-        converged = next.where(col("moved")).isEmpty
-        freeBlocks(labels) // previous iteration's blocks are dead now
-        labels = next.drop("moved")
-        iter += 1
-      }
-    } finally edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters iterations — " +
-        "graph diameter exceeds the bound; raise maxIters")
-    // the final labels' materialization backs the returned plan
-    labels.select(col("id"), col("label").as("component"))
+        var labels = truncated(edges.select(col("src").as("id")).distinct(),
+          reliable, nPart).withColumn("label", col("id"))
+        base.unpersist(blocking = false)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIters) {
+          val next = truncated(step(edges, labels), reliable, nPart)
+          // convergence probe: early-exit scan over the blocks the
+          // checkpoint just materialized — no join, no shuffle, no
+          // recomputation.
+          converged = next.where(col("moved")).isEmpty
+          freeBlocks(labels) // previous iteration's blocks are dead now
+          labels = next.drop("moved")
+          iter += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters iterations — " +
+            "graph diameter exceeds the bound; raise maxIters")
+        // the final labels' materialization backs the returned plan
+        labels.select(col("id"), col("label").as("component"))
+      } finally edges.unpersist()
+    } finally base.unpersist(blocking = false)
   }
 
   /** Terminal form for long-lived sessions: the plan returned by

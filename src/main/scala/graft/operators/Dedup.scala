@@ -376,13 +376,16 @@ object Dedup {
     * recomputes) the md5+winnow pass into each — two corpus passes per
     * consumer. Lazy localCheckpoint computes it once and is reclaimed
     * by the context cleaner when the frame drops (the
-    * minhashNearDupPairs stance); the persisted form of the same
-    * boundary is [[IndexStore.buildWinnowIndex]]. */
+    * minhashNearDupPairs stance, including the construction-stays-
+    * job-free property of [[Ops.checkpointKeepPartitioning]]); the
+    * persisted form of the same boundary is
+    * [[IndexStore.buildWinnowIndex]]. */
   private def inlineWins(docs: DataFrame, idCol: String, textCol: String,
       window: Int, guarantee: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    winnowedFingerprints(docs.repartition(par), idCol, textCol, window,
-      guarantee).localCheckpoint(false)
+    checkpointKeepPartitioning(
+      winnowedFingerprints(docs.repartition(par), idCol, textCol, window,
+        guarantee))
   }
 
   /** [[repeatedWindowSpans]] over an already-materialized fingerprint

@@ -25,22 +25,42 @@ object Ops {
     * scopes `spark.sql.shuffle.partitions` over the sub-plan — with AQE
     * off nothing coalesces the captured width, so callers that know the
     * data is small (e.g. an iteration sized to a measured edge count)
-    * pin the width here instead of paying conf-width task overhead. */
+    * pin the width here instead of paying conf-width task overhead.
+    *
+    * A second reason this wrapper exists, beyond the capture: a LAZY
+    * `localCheckpoint` planned under AQE is not actually lazy —
+    * AdaptiveSparkPlanExec.execute() materializes its shuffle stages at
+    * plan-capture time, so merely CONSTRUCTING the frame launches the
+    * sub-plan's jobs. Under the AQE-off scope, execute() only builds
+    * the RDD graph and nothing runs until the first action.
+    *
+    * Concurrency contract: session confs are session-global, so the
+    * set/restore window is serialized per session (the lock below)
+    * against other graft boundary scopes — two interleaved scopes would
+    * otherwise restore each other's temporary values and leave the
+    * session with AQE permanently off. Queries planned CONCURRENTLY on
+    * the same session from other threads during the (construction-only,
+    * no jobs) window would still see the scoped values: drive
+    * multi-tenant planning through separate sessions, the same
+    * isolation Spark itself expects for per-query conf. */
   def checkpointKeepPartitioning(frame: DataFrame, eager: Boolean = false,
       reliable: Boolean = false,
       numShufflePartitions: Option[Int] = None): DataFrame = {
-    val conf = frame.sparkSession.conf
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val savedAqe = conf.get(aqeKey)
-    val savedPart = conf.get(partKey)
-    conf.set(aqeKey, "false")
-    numShufflePartitions.foreach(n => conf.set(partKey, n.toString))
-    try {
-      if (reliable) frame.checkpoint(eager) else frame.localCheckpoint(eager)
-    } finally {
-      conf.set(aqeKey, savedAqe)
-      conf.set(partKey, savedPart)
+    val session = frame.sparkSession
+    session.synchronized {
+      val conf = session.conf
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val savedAqe = conf.get(aqeKey)
+      val savedPart = conf.get(partKey)
+      conf.set(aqeKey, "false")
+      numShufflePartitions.foreach(n => conf.set(partKey, n.toString))
+      try {
+        if (reliable) frame.checkpoint(eager) else frame.localCheckpoint(eager)
+      } finally {
+        conf.set(aqeKey, savedAqe)
+        conf.set(partKey, savedPart)
+      }
     }
   }
 

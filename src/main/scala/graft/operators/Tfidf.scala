@@ -52,8 +52,12 @@ object Tfidf {
     // aggregation AND the scored join's stream side — without it the
     // tokenize+explode+count chain (shuffle included) runs twice. Lazy
     // localCheckpoint computes once; blocks drain via the context
-    // cleaner when the frame drops (the Dedup boundary stance).
-    val tf = termFrequencies(docs).localCheckpoint(false)
+    // cleaner when the frame drops (the Dedup boundary stance). Routed
+    // through Ops.checkpointKeepPartitioning so construction stays
+    // job-free — a plain lazy localCheckpoint planned under AQE runs
+    // the corpus shuffle at CONSTRUCTION time (see the helper's
+    // scaladoc); the captured (doc, term) layout is incidental here.
+    val tf = Ops.checkpointKeepPartitioning(termFrequencies(docs))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scoredInput =
