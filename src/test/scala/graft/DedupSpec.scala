@@ -368,6 +368,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("boundary construction launches no Spark jobs") {
+    // a lazy localCheckpoint planned under AQE is not lazy — the
+    // adaptive plan materializes its shuffle stages at plan-capture
+    // time, so CONSTRUCTING the frame runs corpus-sized jobs. Every
+    // inline boundary routes through checkpointKeepPartitioning, whose
+    // AQE-off scope keeps construction job-free; this pins the
+    // property across the lazy-boundary operators (the dedup-ingest
+    // pins are eager BY CONTRACT and excluded).
+    // resolve the fixtures first — the parquet source runs a one-time
+    // footer-read job at first analysis, which is not what this pins
+    docs.columns; planted.columns
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.minhashNearDupPairs(planted, "doc_id", "text")
+      Dedup.simhashNearDupPairs(planted, "doc_id", "text")
+      Dedup.winnowNearDupPairs(docs, "doc_id", "text")
+      Dedup.repeatedWindowSpans(docs, "doc_id", "text")
+      Dedup.boilerplateDocs(docs, "doc_id", "text")
+      graft.operators.Tfidf.topTerms(docs)
+      // listener delivery is async; give the bus time to drain before
+      // reading the counter
+      Thread.sleep(2000)
+      assert(counter.get == 0,
+        s"${counter.get} job(s) ran during pure construction — a " +
+          "boundary is being planned under AQE again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("minhash pipeline: the shingle table feeds both verify joins in place") {
     // the shingle table is the pipeline's fattest frame; its checkpoint
     // captures an id-hash layout so BOTH verification joins read it in
