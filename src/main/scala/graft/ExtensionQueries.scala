@@ -43,12 +43,22 @@ object ExtensionQueries {
     * mirroring Dedup.winnowedFingerprints key for key) -> fingerprints
     * repeated across >= 2 distinct docs. `tail` is the final SELECT
     * (with `moreCtes = true` it may open with further CTEs). */
-  private def repeatedSpanSql(tail: String, moreCtes: Boolean = false): String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
+  /** The winnow CTE chain shared by every span/boilerplate oracle.
+    * `corpusWhere` (e.g. "WHERE doc_id < 200") bounds the base corpus
+    * for all-pairs consumers — it applies to both the originals and the
+    * planted copies. The interpolated header is kept separate from the
+    * regex-bearing body: an s-interpolator would reject the \s escape. */
+  private def repeatedSpanSql(tail: String, moreCtes: Boolean = false,
+      corpusWhere: String = ""): String = {
+    val copyAnd =
+      if (corpusWhere.isEmpty) ""
+      else corpusWhere.stripPrefix("WHERE ") + " AND "
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents $corpusWhere
       |  UNION ALL
-      |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
-      |toks AS (
+      |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE ${copyAnd}doc_id % 5 = 0),""".stripMargin +
+    "\n" +
+    """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
       |hk AS (
       |  SELECT doc_id,
@@ -68,11 +78,14 @@ object ExtensionQueries {
       |  SELECT fp, count(DISTINCT doc_id) AS n_docs
       |  FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)""".stripMargin +
       (if (moreCtes) ",\n" else "\n") + tail
+  }
 
   /** documents ∪ perturbed copies of every 5th doc (exact-dup after
     * whitespace normalization). */
-  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents").select("doc_id", "text")
+  private def docsWithExactDups(s: SparkSession, dir: String,
+      maxId: Option[Long] = None): DataFrame = {
+    val base = load(s, dir, "documents").select("doc_id", "text")
+    val d = maxId.fold(base)(m => base.where(col("doc_id") < m))
     d.unionAll(d.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(lit(" "), col("text"), lit("  ")).as("text")))
@@ -272,6 +285,28 @@ object ExtensionQueries {
           "doc_id", "text", tbl)
         accepted.select("doc_id").orderBy("doc_id")
       }),
+
+    // Batch-internal verbatim-overlap pairs over the winnowed
+    // fingerprints — winnowing is SQL-expressible, so unlike the LSH
+    // pair kernels this one is FULLY oracle-checked: the DuckDB side
+    // recomputes the selection and self-joins on fp. The corpus is
+    // bounded (doc_id < 200) so the all-pairs oracle stays tractable
+    // and every fp bucket sits under the hot threshold — the guarded
+    // star-link path is exercised separately in DedupSpec.
+    QueryDef("ext_winnow_pairs",
+      Some(repeatedSpanSql(
+        """pair_w AS (SELECT DISTINCT doc_id, fp FROM w),
+          |pairsq AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM pair_w a JOIN pair_w b
+          |    ON a.fp = b.fp AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, count(*) AS n_shared_fps
+          |FROM pairsq GROUP BY 1, 2
+          |ORDER BY id_a, id_b""".stripMargin, moreCtes = true,
+        corpusWhere = "WHERE doc_id < 200")),
+      (s, dir) => Dedup.winnowNearDupPairs(
+          docsWithExactDups(s, dir, maxId = Some(200L)), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
 
     // MinHash+LSH near-dup pairs with exact-Jaccard verification. The
     // LSH banding is not SQL-expressible → rows-only check; planted-pair
