@@ -42,10 +42,9 @@ object ExtensionQueries {
     * selection (min of each run of 10 consecutive window hashes,
     * mirroring Dedup.winnowedFingerprints key for key) -> fingerprints
     * repeated across >= 2 distinct docs. `tail` is the final SELECT
-    * (with `moreCtes = true` it may open with further CTEs). */
-  /** The winnow CTE chain shared by every span/boilerplate oracle.
+    * (with `moreCtes = true` it may open with further CTEs);
     * `corpusWhere` (e.g. "WHERE doc_id < 200") bounds the base corpus
-    * for all-pairs consumers — it applies to both the originals and the
+    * for all-pairs consumers — applied to both the originals and the
     * planted copies. The interpolated header is kept separate from the
     * regex-bearing body: an s-interpolator would reject the \s escape. */
   private def repeatedSpanSql(tail: String, moreCtes: Boolean = false,

@@ -271,22 +271,26 @@ object Components {
     // labels_0's moved=true is a "not converged yet" sentinel — except
     // for an empty graph, whose empty table correctly reads as converged
     var converged = !stillMoving(iter)
-    val partKey = "spark.sql.shuffle.partitions"
-    val savedPart = spark.conf.get(partKey)
-    spark.conf.set(partKey, nBuckets.toString)
-    try {
-      while (!converged && iter < maxIters) {
+    // shuffle width pinned to nBuckets PER ITERATION via the locked
+    // scope (Ops.withSessionConf): the dst-aggregation's exchange must
+    // land at the buckets' width for the one-exchange write, and the
+    // conf is read at the CTAS's planning, inseparable from its job —
+    // so the lock rides the iteration. The convergence probe and the
+    // reaping drop need no scoped conf and run outside it.
+    while (!converged && iter < maxIters) {
+      Ops.withSessionConf(spark,
+        Map("spark.sql.shuffle.partitions" -> nBuckets.toString)) {
         step(edges, spark.table(labelsTbl(iter)).select("id", "label"))
           .write.bucketBy(nBuckets, "id")
           .option("path", s"$path/${labelsTbl(iter + 1)}").mode("overwrite")
           .saveAsTable(labelsTbl(iter + 1))
-        iter += 1
-        converged = !stillMoving(iter)
-        // the just-superseded iteration is dead state: a crash from here
-        // on resumes from the newer table either way
-        dropWithFiles(labelsTbl(iter - 1))
       }
-    } finally spark.conf.set(partKey, savedPart)
+      iter += 1
+      converged = !stillMoving(iter)
+      // the just-superseded iteration is dead state: a crash from here
+      // on resumes from the newer table either way
+      dropWithFiles(labelsTbl(iter - 1))
+    }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsRestartable did not converge in $maxIters " +
         s"iterations — state is preserved under $base; re-invoke with a " +

@@ -959,14 +959,16 @@ object IndexStore {
     val base = newPath.replaceAll("/+$", "")
     val target = if (canonicalLoc(base) == currentLoc) s"${base}_alt" else base
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val saved = spark.conf.get(autoKey)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.conf.set(autoKey, "false")
-    try
+    // locked scope (Ops.withSessionConf): an unlocked set/restore here
+    // interleaving with another graft conf scope would restore a stale
+    // value; the conf must be live at the CTAS's planning, so the lock
+    // rides the rewrite job
+    Ops.withSessionConf(spark, Map(autoKey -> "false")) {
       bucketRouted(transform(spark.table(table)), bucketCol, nBuckets)
         .write.bucketBy(nBuckets, bucketCol)
         .option("path", target).mode("overwrite").saveAsTable(tmp)
-    finally spark.conf.set(autoKey, saved)
+    }
     // the CTAS starts from a blank property map — carry the build
     // parameters over BEFORE the swap so a torn-swap recovery (rename of
     // tmp) also restores them; the retired location is recorded so

@@ -34,35 +34,55 @@ object Ops {
     * sub-plan's jobs. Under the AQE-off scope, execute() only builds
     * the RDD graph and nothing runs until the first action.
     *
-    * Concurrency contract: session confs are session-global, so the
-    * set/restore window is serialized per session (the lock below)
-    * against other graft boundary scopes — two interleaved scopes would
-    * otherwise restore each other's temporary values and leave the
-    * session with AQE permanently off. Queries planned CONCURRENTLY on
-    * the same session from other threads during the (construction-only,
-    * no jobs) window would still see the scoped values: drive
+    * Concurrency contract: session confs are session-global, so every
+    * graft set/restore scope goes through [[withSessionConf]], which
+    * serializes on the session — two interleaved scopes would otherwise
+    * restore each other's temporary values and leave the session with
+    * AQE permanently off. The lock covers only PLAN CAPTURE (the lazy
+    * checkpoint call — job-free under the AQE-off scope); an eager
+    * request materializes outside the lock, so long-running checkpoint
+    * jobs never block other threads' boundary construction. Queries
+    * planned concurrently on the same session from other threads during
+    * the capture window would still see the scoped values: drive
     * multi-tenant planning through separate sessions, the same
     * isolation Spark itself expects for per-query conf. */
   def checkpointKeepPartitioning(frame: DataFrame, eager: Boolean = false,
       reliable: Boolean = false,
       numShufflePartitions: Option[Int] = None): DataFrame = {
     val session = frame.sparkSession
+    val scoped = Map("spark.sql.adaptive.enabled" -> "false") ++
+      numShufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+    val ck = withSessionConf(session, scoped) {
+      if (reliable) frame.checkpoint(false) else frame.localCheckpoint(false)
+    }
+    // materialize outside the lock: a count over the checkpoint-marked
+    // plan fills the localCheckpoint blocks (or triggers the reliable
+    // checkpoint write at job end) exactly like the eager flag would,
+    // without holding the session monitor across cluster jobs
+    if (eager) ck.count()
+    ck
+  }
+
+  /** Scoped session-conf override, serialized on the session. ALL graft
+    * set/restore conf scopes must route through this: an unlocked scope
+    * interleaving with a locked one restores a stale value and clobbers
+    * the session permanently (e.g. leaving shuffle width pinned to an
+    * iteration's tiny sizing). Restores only the keys it modified. Keep
+    * `body` to planning/DDL where possible; a scope that must stay live
+    * through an execute (a CTAS whose exchanges read the conf at
+    * planning, inseparable from its job) serializes other graft scopes
+    * for that job's duration — correctness over concurrency. */
+  def withSessionConf[A](session: org.apache.spark.sql.SparkSession,
+      entries: Map[String, String])(body: => A): A =
     session.synchronized {
       val conf = session.conf
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val partKey = "spark.sql.shuffle.partitions"
-      val savedAqe = conf.get(aqeKey)
-      val savedPart = conf.get(partKey)
-      conf.set(aqeKey, "false")
-      numShufflePartitions.foreach(n => conf.set(partKey, n.toString))
-      try {
-        if (reliable) frame.checkpoint(eager) else frame.localCheckpoint(eager)
-      } finally {
-        conf.set(aqeKey, savedAqe)
-        conf.set(partKey, savedPart)
+      val saved = entries.keys.map(k => k -> conf.getOption(k)).toList
+      entries.foreach { case (k, v) => conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
       }
     }
-  }
 
   /** Skew-mitigated equi-join: the left (large, skewed) side gets a
     * deterministic salt in [0, nSalts); the right side is replicated

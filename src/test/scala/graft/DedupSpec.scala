@@ -394,9 +394,9 @@ class DedupSpec extends SparkSpec {
       Dedup.repeatedWindowSpans(docs, "doc_id", "text")
       Dedup.boilerplateDocs(docs, "doc_id", "text")
       graft.operators.Tfidf.topTerms(docs)
-      // listener delivery is async; give the bus time to drain before
-      // reading the counter
-      Thread.sleep(2000)
+      // listener delivery is async; drain the bus before reading the
+      // counter (deterministic, unlike a fixed sleep)
+      org.apache.spark.graft.TestBridge.drainListeners(spark.sparkContext)
       assert(counter.get == 0,
         s"${counter.get} job(s) ran during pure construction — a " +
           "boundary is being planned under AQE again")
