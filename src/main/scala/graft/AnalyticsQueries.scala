@@ -414,15 +414,12 @@ object AnalyticsQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      (s, dir) => {
-        val threshKey =
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-        val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
-          "spark.sql.adaptive.autoBroadcastJoinThreshold")
-        val saved = (threshKey +: bcastKeys).map(k => k -> s.conf.getOption(k))
-        s.conf.set(threshKey, "0")
-        bcastKeys.foreach(s.conf.set(_, "-1")) // bloom targets shuffle joins
-        try {
+      (s, dir) =>
+        // locked scope (Ops.withSessionConf): bloom targets shuffle joins
+        graft.operators.Ops.withSessionConf(s, Map(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
           val df = load(s, dir, "lineitem")
             .join(load(s, dir, "orders")
               .where(col("o_orderpriority") === "1-URGENT"),
@@ -442,11 +439,7 @@ object AnalyticsQueries {
           // reuses.
           df.queryExecution.optimizedPlan
           df
-        } finally saved.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
-      }),
+        }),
 
     // As-of join (composed: union-tag + running last-ignoring-nulls):
     // each purchase gets the most recent error at-or-before it per user.

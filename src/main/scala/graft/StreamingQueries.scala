@@ -21,12 +21,9 @@ object StreamingQueries {
     * for the checkpoint's life); the queries here create a fresh
     * checkpoint per run, so the narrow width never pins a long-lived
     * deployment. */
-  private def withStreamingConf[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try f finally s.conf.set(key, prev)
-  }
+  private def withStreamingConf[T](s: org.apache.spark.sql.SparkSession)(f: => T): T =
+    graft.operators.Ops.withSessionConf(s,
+      Map("spark.sql.shuffle.partitions" -> "8"))(f)
 
   val defs: Seq[QueryDef] = Seq(
 
