@@ -218,6 +218,33 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("concurrent conf scopes serialize and restore the session intact") {
+    // the withSessionConf contract: interleaved unlocked set/restore
+    // scopes clobber the session (A saves B's temporary and restores it
+    // after B finished); the locked helper must leave the conf exactly
+    // as found under heavy interleaving, and each scope must observe
+    // its own value while inside
+    import graft.operators.Ops
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map { i =>
+      new Thread(() => (1 to 50).foreach { _ =>
+        Ops.withSessionConf(spark, Map(key -> (100 + i).toString)) {
+          if (spark.conf.get(key) != (100 + i).toString)
+            failures.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.get == 0, s"${failures.get} scope(s) observed a " +
+      "foreign conf value inside their own window")
+    assert(spark.conf.get(key) == before,
+      s"session conf clobbered: $key = ${spark.conf.get(key)}, " +
+        s"expected $before")
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
