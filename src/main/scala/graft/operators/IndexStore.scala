@@ -126,22 +126,31 @@ object IndexStore {
     val params = minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol)
     val par = spark.sparkContext.defaultParallelism
     val shingled = shingleOf(docs.repartition(par), idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // params land immediately after each table materializes: the
-    // CTAS→ALTER pair is still not atomic, but the crash window is one
-    // statement, and a build is an idempotent overwrite — rebuild any
-    // index whose creation crashed rather than appending to it
-    bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
-        "band_key", nBuckets)
-      .write.bucketBy(nBuckets, "band_key")
-      .option("path", s"$path/${table}_bands").mode("overwrite")
-      .saveAsTable(s"${table}_bands")
-    setParams(spark, s"${table}_bands", params)
-    bucketRouted(shingled, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
-      .option("path", s"$path/${table}_shingles").mode("overwrite")
-      .saveAsTable(s"${table}_shingles")
-    setParams(spark, s"${table}_shingles", params)
-    shingled.unpersist()
+    withPersisted(shingled) {
+      // params land immediately after each table materializes: the
+      // CTAS→ALTER pair is still not atomic, but the crash window is one
+      // statement, and a build is an idempotent overwrite — rebuild any
+      // index whose creation crashed rather than appending to it
+      bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
+          "band_key", nBuckets)
+        .write.bucketBy(nBuckets, "band_key")
+        .option("path", s"$path/${table}_bands").mode("overwrite")
+        .saveAsTable(s"${table}_bands")
+      setParams(spark, s"${table}_bands", params)
+      bucketRouted(shingled, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+        .option("path", s"$path/${table}_shingles").mode("overwrite")
+        .saveAsTable(s"${table}_shingles")
+      setParams(spark, s"${table}_shingles", params)
+    }
+  }
+
+  /** persist → body → unpersist with the unpersist in a FINALLY: a
+    * failed CTAS must not strand the staging cache — repeated failed
+    * build/append attempts would otherwise accumulate pinned executor
+    * storage (the Components standard). */
+  private def withPersisted[A](df: DataFrame)(body: => A): A = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try body finally df.unpersist()
   }
 
   /** Incremental maintenance: appends `delta` docs' band and shingle
@@ -162,17 +171,17 @@ object IndexStore {
       minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol), "append")
     val par = spark.sparkContext.defaultParallelism
     val shingled = shingleOf(delta.repartition(par), idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both writes; freed below
-    // bucket counts come from the catalog — an append can never silently
-    // (or loudly, via Spark's raw bucketing-mismatch error) re-bucket
-    val nbB = numBucketsOf(spark, s"${table}_bands")
-    bucketRouted(bandsOf(shingled, idCol, numHashes, bands), "band_key", nbB)
-      .write.bucketBy(nbB, "band_key")
-      .mode("append").saveAsTable(s"${table}_bands")
-    val nbS = numBucketsOf(spark, s"${table}_shingles")
-    bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
-      .mode("append").saveAsTable(s"${table}_shingles")
-    shingled.unpersist()
+    withPersisted(shingled) { // feeds both writes
+      // bucket counts come from the catalog — an append can never silently
+      // (or loudly, via Spark's raw bucketing-mismatch error) re-bucket
+      val nbB = numBucketsOf(spark, s"${table}_bands")
+      bucketRouted(bandsOf(shingled, idCol, numHashes, bands), "band_key", nbB)
+        .write.bucketBy(nbB, "band_key")
+        .mode("append").saveAsTable(s"${table}_bands")
+      val nbS = numBucketsOf(spark, s"${table}_shingles")
+      bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
+        .mode("append").saveAsTable(s"${table}_shingles")
+    }
   }
 
   /** Hot-bucket guard for persisted probes, mirroring
@@ -678,18 +687,18 @@ object IndexStore {
       ("quantized" -> "none")
     val par = spark.sparkContext.defaultParallelism
     val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
-        "band_key", nBuckets)
-      .write.bucketBy(nBuckets, "band_key")
-      .option("path", s"$path/${table}_bands").mode("overwrite")
-      .saveAsTable(s"${table}_bands")
-    setParams(spark, s"${table}_bands", params)
-    bucketRouted(vecs, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
-      .option("path", s"$path/${table}_vecs").mode("overwrite")
-      .saveAsTable(s"${table}_vecs")
-    setParams(spark, s"${table}_vecs", params)
-    vecs.unpersist()
+    withPersisted(vecs) {
+      bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+          "band_key", nBuckets)
+        .write.bucketBy(nBuckets, "band_key")
+        .option("path", s"$path/${table}_bands").mode("overwrite")
+        .saveAsTable(s"${table}_bands")
+      setParams(spark, s"${table}_bands", params)
+      bucketRouted(vecs, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+        .option("path", s"$path/${table}_vecs").mode("overwrite")
+        .saveAsTable(s"${table}_vecs")
+      setParams(spark, s"${table}_vecs", params)
+    }
   }
 
   /** Appends delta vectors' band and vector rows in place — no rebuild,
@@ -704,16 +713,16 @@ object IndexStore {
         + ("quantized" -> "none"), "append")
     val par = spark.sparkContext.defaultParallelism
     val vecs = delta.select(col(idCol), col(vecCol)).repartition(par)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nbB = numBucketsOf(spark, s"${table}_bands")
-    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
-        "band_key", nbB)
-      .write.bucketBy(nbB, "band_key")
-      .mode("append").saveAsTable(s"${table}_bands")
-    val nbV = numBucketsOf(spark, s"${table}_vecs")
-    bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
-      .mode("append").saveAsTable(s"${table}_vecs")
-    vecs.unpersist()
+    withPersisted(vecs) {
+      val nbB = numBucketsOf(spark, s"${table}_bands")
+      bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+          "band_key", nbB)
+        .write.bucketBy(nbB, "band_key")
+        .mode("append").saveAsTable(s"${table}_bands")
+      val nbV = numBucketsOf(spark, s"${table}_vecs")
+      bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
+        .mode("append").saveAsTable(s"${table}_vecs")
+    }
   }
 
   /** Builds a QUANTIZED SRP index: the band table is identical to
@@ -732,24 +741,24 @@ object IndexStore {
       ("quantized" -> "int8")
     val par = spark.sparkContext.defaultParallelism
     val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
-        "band_key", nBuckets)
-      .write.bucketBy(nBuckets, "band_key")
-      .option("path", s"$path/${table}_bands").mode("overwrite")
-      .saveAsTable(s"${table}_bands")
-    setParams(spark, s"${table}_bands", params)
-    val quant = vecs
-      .withColumn("__scale", Similarity.int8Scale(col(vecCol)))
-      .select(col(idCol),
-        Similarity.int8Codes(col(vecCol), col("__scale"))
-          .cast("array<tinyint>").as("codes"),
-        coalesce(col("__scale"), lit(0.0)).as("scale"))
-    bucketRouted(quant, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
-      .option("path", s"$path/${table}_vecs").mode("overwrite")
-      .saveAsTable(s"${table}_vecs")
-    setParams(spark, s"${table}_vecs", params)
-    vecs.unpersist()
+    withPersisted(vecs) {
+      bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+          "band_key", nBuckets)
+        .write.bucketBy(nBuckets, "band_key")
+        .option("path", s"$path/${table}_bands").mode("overwrite")
+        .saveAsTable(s"${table}_bands")
+      setParams(spark, s"${table}_bands", params)
+      val quant = vecs
+        .withColumn("__scale", Similarity.int8Scale(col(vecCol)))
+        .select(col(idCol),
+          Similarity.int8Codes(col(vecCol), col("__scale"))
+            .cast("array<tinyint>").as("codes"),
+          coalesce(col("__scale"), lit(0.0)).as("scale"))
+      bucketRouted(quant, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+        .option("path", s"$path/${table}_vecs").mode("overwrite")
+        .saveAsTable(s"${table}_vecs")
+      setParams(spark, s"${table}_vecs", params)
+    }
   }
 
   /** Approximate top-k cosine neighbors against a persisted SRP index:
