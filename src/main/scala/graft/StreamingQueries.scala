@@ -22,7 +22,11 @@ object StreamingQueries {
     * checkpoint per run, so the narrow width never pins a long-lived
     * deployment. */
   private def withStreamingConf[T](s: org.apache.spark.sql.SparkSession)(f: => T): T =
-    graft.operators.Ops.withSessionConf(s,
+    // unlocked-body variant: f starts a stream and BLOCKS draining it,
+    // and the micro-batch thread may take the session monitor (catalog
+    // lazy init) — the locked variant would deadlock sr4 on a fresh
+    // session. The width only matters at the query's own start anyway.
+    graft.operators.Ops.withSessionConfUnlockedBody(s,
       Map("spark.sql.shuffle.partitions" -> "8"))(f)
 
   val defs: Seq[QueryDef] = Seq(

@@ -77,12 +77,44 @@ object Ops {
     session.synchronized {
       val conf = session.conf
       val saved = entries.keys.map(k => k -> conf.getOption(k)).toList
-      entries.foreach { case (k, v) => conf.set(k, v) }
-      try body finally saved.foreach {
+      // the sets live INSIDE the try: a set that throws mid-map (static
+      // conf, invalid value) must still restore the keys already set
+      try {
+        entries.foreach { case (k, v) => conf.set(k, v) }
+        body
+      } finally saved.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None) => conf.unset(k)
       }
     }
+
+  /** [[withSessionConf]] variant for bodies that BLOCK on another
+    * session thread — e.g. starting a streaming query and draining it
+    * with processAllAvailable. Holding the session monitor across the
+    * drain deadlocks: the micro-batch thread may force the session's
+    * `catalog` lazy val (foreachBatch calling tableExists), whose
+    * initializer synchronizes on the same monitor. Here the lock covers
+    * only the set and the restore; `body` runs unlocked, which is sound
+    * when the scoped conf matters only at body's own planning time (a
+    * streaming query snapshots the conf at start). A concurrent scope
+    * touching the SAME key during body sees the scoped value — the
+    * single-writer-per-key discipline callers already follow. */
+  def withSessionConfUnlockedBody[A](
+      session: org.apache.spark.sql.SparkSession,
+      entries: Map[String, String])(body: => A): A = {
+    val conf = session.conf
+    val saved = session.synchronized {
+      val s = entries.keys.map(k => k -> conf.getOption(k)).toList
+      entries.foreach { case (k, v) => conf.set(k, v) }
+      s
+    }
+    try body finally session.synchronized {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
 
   /** Skew-mitigated equi-join: the left (large, skewed) side gets a
     * deterministic salt in [0, nSalts); the right side is replicated

@@ -245,6 +245,26 @@ class PlansSpec extends SparkSpec {
         s"expected $before")
   }
 
+  test("unlocked-body conf scope releases the session monitor") {
+    // the deadlock shape: a streaming drain blocks inside the scope
+    // while the micro-batch thread takes the session monitor (catalog
+    // lazy init). The unlocked-body variant must let another thread
+    // synchronize on the session while the body runs.
+    import graft.operators.Ops
+    val s2 = spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    val before = s2.conf.get(key)
+    Ops.withSessionConfUnlockedBody(s2, Map(key -> "7")) {
+      assert(s2.conf.get(key) == "7")
+      val t = new Thread(() => s2.synchronized { () })
+      t.start(); t.join(5000)
+      assert(!t.isAlive,
+        "session monitor held across the unlocked body — a micro-batch " +
+          "thread forcing the catalog lazy val would deadlock here")
+    }
+    assert(s2.conf.get(key) == before, "scope failed to restore")
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
