@@ -340,8 +340,12 @@ object AnalyticsQueries {
         val corpus = load(s, dir, "embeddings")
           .select(col("vec_id"),
             Similarity.toDoubleArray(col("embedding")).as("vec"))
-        if (!s.catalog.tableExists(s"${tbl}_bands"))
-          IndexStore.buildSrpIndex(corpus, tbl, s"/tmp/graft_index/$tbl")
+        // UNCONDITIONAL rebuild (overwrite): the loop's append is a side
+        // effect, so a build-once query would hand every later invocation
+        // a larger, duplicate-row index — bench reps would time growing
+        // work and the median would mean nothing. A fresh build makes
+        // every invocation measure the same build+probe+append lifecycle.
+        IndexStore.buildSrpIndex(corpus, tbl, s"/tmp/graft_index/$tbl")
         val every20 = corpus.where(col("vec_id") % 20 === 0)
         val batch = every20
           .select((col("vec_id") + 100000).as("vec_id"),

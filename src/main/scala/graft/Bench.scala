@@ -51,8 +51,11 @@ object Bench {
         i += 1
       }
       // lower median (index (n-1)/2 of the sorted reps) — for reps=3
-      // the true median; a failed query reports its failing elapsed
-      val med = if (times.isEmpty) lastElapsed
+      // the true median. A failed query reports its FAILING elapsed even
+      // when earlier reps succeeded: the error is the headline, and a
+      // median of the surviving reps would make a flaky query read as a
+      // healthy timing right next to its own error entry.
+      val med = if (err.isDefined || times.isEmpty) lastElapsed
         else times.sorted.apply((times.length - 1) / 2)
       (name, med, err)
     }

@@ -267,9 +267,10 @@ object ExtensionQueries {
       (s, dir) => {
         val tbl = "graft_wing_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         val docs = load(s, dir, "documents").select("doc_id", "text")
-        if (!s.catalog.tableExists(s"${tbl}_wins"))
-          IndexStore.buildWinnowIndex(docs, "doc_id", "text", tbl,
-            s"/tmp/graft_index/$tbl")
+        // unconditional rebuild — same rationale as ext_srp_ingest: the
+        // append side effect must not compound across invocations/reps
+        IndexStore.buildWinnowIndex(docs, "doc_id", "text", tbl,
+          s"/tmp/graft_index/$tbl")
         val every10 = docs.where(col("doc_id") % 10 === 0)
         val rev = concat_ws(" ", reverse(split(trim(lower(col("text"))),
           "\\s+")))

@@ -28,7 +28,13 @@ object Tables {
     Map("events" -> Set("ts")).withDefaultValue(Set.empty)
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a session CONSTANT, not a scope: the flag must stay live for every
+    // later lazy scan of the returned frame, so a set/restore scope would
+    // silently revert it under the first reader. setSessionConstant keeps
+    // the every-conf-write-routes-through-Ops invariant checkable (it
+    // refuses to fire while a scope holds the key).
+    graft.operators.Ops.setSessionConstant(spark,
+      "spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {

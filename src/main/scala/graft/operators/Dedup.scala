@@ -24,10 +24,29 @@ object Dedup {
       s"$op reserves column names ${reserved.mkString(", ")}; " +
         s"idCol=$idCol collides")
 
+  /** Conf key electing DURABLE inline boundaries: "true" swaps every
+    * lazy localCheckpoint boundary in this file for a reliable
+    * checkpoint (requires `SparkContext.setCheckpointDir`). The trade
+    * being chosen: localCheckpoint blocks are executor-local AND
+    * lineage-free, so losing an executor (dynamic allocation shrink,
+    * preemption, OOM kill) makes them unrecomputable and FAILS the
+    * query instead of recomputing — fine on a static local/dedicated
+    * cluster, a real regression under dynamic allocation at warehouse
+    * scale. The reliable form writes the boundary to the checkpoint
+    * dir (HDFS/object store): slower per run, but executor loss only
+    * re-reads. Session-scoped so a deployment flips it once; per-call
+    * code stays identical (DedupSpec pins value parity across both
+    * modes). */
+  val ReliableBoundaryConf = "spark.graft.boundary.reliable"
+
   /** Lazy localCheckpoint that keeps the child's hash-partitioning —
-    * see [[Ops.checkpointKeepPartitioning]] for the AQE subtlety. */
+    * see [[Ops.checkpointKeepPartitioning]] for the AQE subtlety — or a
+    * reliable checkpoint when [[ReliableBoundaryConf]] elects
+    * durability over speed (executor-loss trade documented there). */
   private def checkpointKeepPartitioning(frame: DataFrame): DataFrame =
-    Ops.checkpointKeepPartitioning(frame)
+    Ops.checkpointKeepPartitioning(frame,
+      reliable = frame.sparkSession.conf
+        .getOption(ReliableBoundaryConf).contains("true"))
 
   /** Word n-gram shingles of the lowercased text; documents shorter than
     * `n` tokens collapse to a single whole-text shingle. Tokenization is
@@ -180,9 +199,14 @@ object Dedup {
     pairs
       .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // threshold the RAW jaccard; the rounded form is display-only in
+      // the output column — rounding first would let a value up to 5e-7
+      // below the threshold round across the boundary (the same stance
+      // as probeSrpNearDup's raw-cosine filter; both similarity
+      // families now agree on boundary semantics)
+      .withColumn("__j_raw", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("__j_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j_raw"), 6).as("jaccard"))
   }
 
   /** SimHash near-dup candidates: 64-bit SimHash banded into 4×16-bit

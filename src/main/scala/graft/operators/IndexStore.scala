@@ -304,10 +304,13 @@ object IndexStore {
         .select(col(idCol).as("match_id"), col("shingles").as("m_shingles")),
         "match_id")
       .join(qsh, "query_id")
-      .withColumn("jaccard",
-        round(Dedup.jaccard(col("q_shingles"), col("m_shingles")), 6))
-      .where(col("jaccard") >= threshold)
-      .select("query_id", "match_id", "jaccard")
+      // raw-threshold / rounded-display split, matching
+      // minhashNearDupPairs and probeSrpNearDup: rounding before the
+      // filter would admit values up to 5e-7 below the threshold
+      .withColumn("__j_raw", Dedup.jaccard(col("q_shingles"), col("m_shingles")))
+      .where(col("__j_raw") >= threshold)
+      .select(col("query_id"), col("match_id"),
+        round(col("__j_raw"), 6).as("jaccard"))
   }
 
   /** The incremental-ingest dedup shape made first-class — the loop a

@@ -63,6 +63,68 @@ object Ops {
     ck
   }
 
+  /** Keys with a set/restore scope currently open, per session. The
+    * single-writer-per-key discipline the scopes rely on used to be
+    * stated only in comments; this registry makes a violation FAIL
+    * LOUDLY instead of corrupting the session by timing: two
+    * overlapping scopes over the same key (a reentrant nested
+    * `withSessionConf`, or an unlocked-body scope racing a locked one)
+    * would each save the other's temporary value as its "before" and
+    * the loser's restore leaves the session permanently scoped.
+    * WeakHashMap keyed by session so a dropped session leaks nothing;
+    * all access under the session monitor (both scope variants hold it
+    * while registering/releasing). */
+  private val activeScopedKeys =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def acquireScopedKeys(
+      session: org.apache.spark.sql.SparkSession,
+      keys: Iterable[String], owner: String): Unit = {
+    val held = activeScopedKeys.synchronized {
+      Option(activeScopedKeys.get(session)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, String]
+        activeScopedKeys.put(session, m)
+        m
+      }
+    }
+    held.synchronized {
+      keys.find(held.contains).foreach { k =>
+        throw new IllegalStateException(
+          s"conf scope conflict on $k: a ${held(k)} scope is already " +
+            s"open for this session and a $owner scope tried to set the " +
+            "same key — overlapping scopes restore each other's " +
+            "temporary values and leave the session permanently scoped. " +
+            "Serialize the two call sites or drive them through " +
+            "separate sessions.")
+      }
+      keys.foreach(held(_) = owner)
+    }
+  }
+
+  private def releaseScopedKeys(
+      session: org.apache.spark.sql.SparkSession,
+      keys: Iterable[String]): Unit = {
+    val held = activeScopedKeys.synchronized {
+      Option(activeScopedKeys.get(session))
+    }
+    held.foreach(m => m.synchronized { keys.foreach(m.remove) })
+  }
+
+  /** Sets a session conf key PERMANENTLY (no restore) — for constants
+    * that must stay live for every later lazy scan (e.g. a parquet
+    * legacy-read flag), which a set/restore scope would silently revert
+    * under the first reader. Refuses to fire while a scope holds the
+    * key: the scope's restore would clobber the constant by timing.
+    * This is the sanctioned non-scope conf write — everything else
+    * routes through [[withSessionConf]]. */
+  def setSessionConstant(session: org.apache.spark.sql.SparkSession,
+      key: String, value: String): Unit = session.synchronized {
+    acquireScopedKeys(session, Seq(key), s"setSessionConstant($key)")
+    try session.conf.set(key, value)
+    finally releaseScopedKeys(session, Seq(key))
+  }
+
   /** Scoped session-conf override, serialized on the session. ALL graft
     * set/restore conf scopes must route through this: an unlocked scope
     * interleaving with a locked one restores a stale value and clobbers
@@ -71,10 +133,14 @@ object Ops {
     * `body` to planning/DDL where possible; a scope that must stay live
     * through an execute (a CTAS whose exchanges read the conf at
     * planning, inseparable from its job) serializes other graft scopes
-    * for that job's duration — correctness over concurrency. */
+    * for that job's duration — correctness over concurrency. A nested
+    * scope over the SAME key (session.synchronized is reentrant, so the
+    * monitor alone can't catch it) fails loudly via the scoped-key
+    * registry instead of silently un-scoping the outer value on exit. */
   def withSessionConf[A](session: org.apache.spark.sql.SparkSession,
       entries: Map[String, String])(body: => A): A =
     session.synchronized {
+      acquireScopedKeys(session, entries.keys, "withSessionConf")
       val conf = session.conf
       val saved = entries.keys.map(k => k -> conf.getOption(k)).toList
       // the sets live INSIDE the try: a set that throws mid-map (static
@@ -82,9 +148,11 @@ object Ops {
       try {
         entries.foreach { case (k, v) => conf.set(k, v) }
         body
-      } finally saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
+      } finally {
+        try saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None) => conf.unset(k)
+        } finally releaseScopedKeys(session, entries.keys)
       }
     }
 
@@ -96,23 +164,29 @@ object Ops {
     * initializer synchronizes on the same monitor. Here the lock covers
     * only the set and the restore; `body` runs unlocked, which is sound
     * when the scoped conf matters only at body's own planning time (a
-    * streaming query snapshots the conf at start). A concurrent scope
-    * touching the SAME key during body sees the scoped value — the
-    * single-writer-per-key discipline callers already follow. */
+    * streaming query snapshots the conf at start). The scoped keys stay
+    * REGISTERED for the body's whole duration, so a concurrent scope
+    * opening over the same key fails loudly (see the scoped-key
+    * registry) instead of racing the restore. */
   def withSessionConfUnlockedBody[A](
       session: org.apache.spark.sql.SparkSession,
       entries: Map[String, String])(body: => A): A = {
     val conf = session.conf
     val saved = session.synchronized {
-      val s = entries.keys.map(k => k -> conf.getOption(k)).toList
-      entries.foreach { case (k, v) => conf.set(k, v) }
-      s
+      acquireScopedKeys(session, entries.keys, "withSessionConfUnlockedBody")
+      try {
+        val s = entries.keys.map(k => k -> conf.getOption(k)).toList
+        entries.foreach { case (k, v) => conf.set(k, v) }
+        s
+      } catch { case t: Throwable =>
+        releaseScopedKeys(session, entries.keys); throw t
+      }
     }
     try body finally session.synchronized {
-      saved.foreach {
+      try saved.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None) => conf.unset(k)
-      }
+      } finally releaseScopedKeys(session, entries.keys)
     }
   }
 
