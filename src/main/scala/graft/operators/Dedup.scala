@@ -36,7 +36,9 @@ object Dedup {
     * dir (HDFS/object store): slower per run, but executor loss only
     * re-reads. Session-scoped so a deployment flips it once; per-call
     * code stays identical (DedupSpec pins value parity across both
-    * modes). */
+    * modes, and that flipping the flag without a checkpoint dir refuses
+    * up front — the require in [[Ops.checkpointKeepPartitioning]] —
+    * instead of failing mid-query with Spark's opaque error). */
   val ReliableBoundaryConf = "spark.graft.boundary.reliable"
 
   /** Lazy localCheckpoint that keeps the child's hash-partitioning —

@@ -50,6 +50,15 @@ object Ops {
       reliable: Boolean = false,
       numShufflePartitions: Option[Int] = None): DataFrame = {
     val session = frame.sparkSession
+    // fail fast with the contract spelled out: without this, a reliable
+    // request surfaces as Spark's opaque "checkpoint directory has not
+    // been set" from inside the checkpoint call — same stance as
+    // Components.connectedComponents' require
+    if (reliable) require(
+      session.sparkContext.getCheckpointDir.nonEmpty,
+      "reliable = true needs sparkContext.setCheckpointDir on shared " +
+        "storage (durable boundaries write there; see " +
+        "Dedup.ReliableBoundaryConf for the trade)")
     val scoped = Map("spark.sql.adaptive.enabled" -> "false") ++
       numShufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
     val ck = withSessionConf(session, scoped) {
@@ -66,39 +75,67 @@ object Ops {
   /** Keys with a set/restore scope currently open, per session. The
     * single-writer-per-key discipline the scopes rely on used to be
     * stated only in comments; this registry makes a violation FAIL
-    * LOUDLY instead of corrupting the session by timing: two
-    * overlapping scopes over the same key (a reentrant nested
-    * `withSessionConf`, or an unlocked-body scope racing a locked one)
-    * would each save the other's temporary value as its "before" and
-    * the loser's restore leaves the session permanently scoped.
+    * LOUDLY instead of corrupting the session by timing: two scopes
+    * overlapping on the same key from DIFFERENT threads (e.g. an
+    * unlocked-body scope racing a locked one) would each save the
+    * other's temporary value as its "before" and the loser's restore
+    * leaves the session permanently scoped. SAME-thread nesting is
+    * legal and tracked by depth: nested scopes unwind LIFO on one
+    * thread, so the inner scope saves the outer's temporary and
+    * restores it before the outer restores the original — e.g. a
+    * checkpointKeepPartitioning(numShufflePartitions = ...) inside a
+    * withStreamingConf body composes fine and must not trip the guard.
     * WeakHashMap keyed by session so a dropped session leaks nothing;
-    * all access under the session monitor (both scope variants hold it
-    * while registering/releasing). */
+    * per-session map access under its own monitor (callers may or may
+    * not hold the session monitor). */
+  private final class ScopeHold(val owner: String, val threadId: Long) {
+    var depth: Int = 1
+  }
+
   private val activeScopedKeys =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, String]]()
+      scala.collection.mutable.Map[String, ScopeHold]]()
 
-  private def acquireScopedKeys(
-      session: org.apache.spark.sql.SparkSession,
-      keys: Iterable[String], owner: String): Unit = {
-    val held = activeScopedKeys.synchronized {
+  private def heldMap(session: org.apache.spark.sql.SparkSession) =
+    activeScopedKeys.synchronized {
       Option(activeScopedKeys.get(session)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, String]
+        val m = scala.collection.mutable.Map.empty[String, ScopeHold]
         activeScopedKeys.put(session, m)
         m
       }
     }
+
+  /** Registers `keys` for `owner`, atomically: validation runs over ALL
+    * keys before any is registered, so a rejected acquire leaves the
+    * registry untouched. `allowSameThreadNesting = false` is for
+    * [[setSessionConstant]], whose write would be clobbered by the
+    * enclosing scope's restore even on the same thread. */
+  private def acquireScopedKeys(
+      session: org.apache.spark.sql.SparkSession,
+      keys: Iterable[String], owner: String,
+      allowSameThreadNesting: Boolean = true): Unit = {
+    val held = heldMap(session)
+    val tid = Thread.currentThread().getId
     held.synchronized {
-      keys.find(held.contains).foreach { k =>
-        throw new IllegalStateException(
-          s"conf scope conflict on $k: a ${held(k)} scope is already " +
-            s"open for this session and a $owner scope tried to set the " +
-            "same key — overlapping scopes restore each other's " +
-            "temporary values and leave the session permanently scoped. " +
-            "Serialize the two call sites or drive them through " +
-            "separate sessions.")
+      keys.foreach { k =>
+        held.get(k).foreach { h =>
+          if (!(allowSameThreadNesting && h.threadId == tid))
+            throw new IllegalStateException(
+              s"conf scope conflict on $k: a ${h.owner} scope is already " +
+                s"open for this session and a $owner on another thread " +
+                "(or a non-nestable constant write) tried to set the " +
+                "same key — overlapping scopes restore each other's " +
+                "temporary values and leave the session permanently " +
+                "scoped. Serialize the two call sites or drive them " +
+                "through separate sessions.")
+        }
       }
-      keys.foreach(held(_) = owner)
+      keys.foreach { k =>
+        held.get(k) match {
+          case Some(h) => h.depth += 1
+          case None => held(k) = new ScopeHold(owner, tid)
+        }
+      }
     }
   }
 
@@ -108,7 +145,14 @@ object Ops {
     val held = activeScopedKeys.synchronized {
       Option(activeScopedKeys.get(session))
     }
-    held.foreach(m => m.synchronized { keys.foreach(m.remove) })
+    held.foreach(m => m.synchronized {
+      keys.foreach { k =>
+        m.get(k).foreach { h =>
+          h.depth -= 1
+          if (h.depth <= 0) m.remove(k)
+        }
+      }
+    })
   }
 
   /** Sets a session conf key PERMANENTLY (no restore) — for constants
@@ -120,7 +164,11 @@ object Ops {
     * routes through [[withSessionConf]]. */
   def setSessionConstant(session: org.apache.spark.sql.SparkSession,
       key: String, value: String): Unit = session.synchronized {
-    acquireScopedKeys(session, Seq(key), s"setSessionConstant($key)")
+    // nesting disallowed even same-thread: a constant written inside an
+    // enclosing scope over the key would be reverted by that scope's
+    // restore — the opposite of "permanent"
+    acquireScopedKeys(session, Seq(key), s"setSessionConstant($key)",
+      allowSameThreadNesting = false)
     try session.conf.set(key, value)
     finally releaseScopedKeys(session, Seq(key))
   }
@@ -133,27 +181,32 @@ object Ops {
     * `body` to planning/DDL where possible; a scope that must stay live
     * through an execute (a CTAS whose exchanges read the conf at
     * planning, inseparable from its job) serializes other graft scopes
-    * for that job's duration — correctness over concurrency. A nested
-    * scope over the SAME key (session.synchronized is reentrant, so the
-    * monitor alone can't catch it) fails loudly via the scoped-key
-    * registry instead of silently un-scoping the outer value on exit. */
+    * for that job's duration — correctness over concurrency. A scope
+    * over a key another THREAD holds open fails loudly via the
+    * scoped-key registry instead of silently un-scoping that value by
+    * timing; same-thread nesting is legal (LIFO unwind restores
+    * correctly — see the registry comment). */
   def withSessionConf[A](session: org.apache.spark.sql.SparkSession,
       entries: Map[String, String])(body: => A): A =
     session.synchronized {
       acquireScopedKeys(session, entries.keys, "withSessionConf")
-      val conf = session.conf
-      val saved = entries.keys.map(k => k -> conf.getOption(k)).toList
-      // the sets live INSIDE the try: a set that throws mid-map (static
-      // conf, invalid value) must still restore the keys already set
+      // everything after the acquire sits under its releasing finally:
+      // a getOption/set that throws (static conf, invalid value) must
+      // not leave the keys registered forever — that would turn every
+      // future scope over them into a permanent conflict error
       try {
-        entries.foreach { case (k, v) => conf.set(k, v) }
-        body
-      } finally {
-        try saved.foreach {
+        val conf = session.conf
+        val saved = entries.keys.map(k => k -> conf.getOption(k)).toList
+        // the sets live INSIDE the inner try: a set that throws mid-map
+        // must still restore the keys already set
+        try {
+          entries.foreach { case (k, v) => conf.set(k, v) }
+          body
+        } finally saved.foreach {
           case (k, Some(v)) => conf.set(k, v)
           case (k, None) => conf.unset(k)
-        } finally releaseScopedKeys(session, entries.keys)
-      }
+        }
+      } finally releaseScopedKeys(session, entries.keys)
     }
 
   /** [[withSessionConf]] variant for bodies that BLOCK on another

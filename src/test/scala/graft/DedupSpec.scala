@@ -438,6 +438,46 @@ class DedupSpec extends SparkSpec {
         "before the fingerprint aggregation")
   }
 
+  test("reliable boundaries: conf-elected durable mode matches local mode exactly") {
+    // the ReliableBoundaryConf contract: flipping the session flag swaps
+    // every inline dedup boundary from lazy localCheckpoint to a durable
+    // checkpoint with IDENTICAL query results — the 100 TB durability
+    // story under dynamic allocation must be a pure execution-strategy
+    // change, never a semantic one. Exercised through the two pipelines
+    // with the most boundary traffic (minhash: shingle table + band
+    // sizing; winnow: fp sizing).
+    val sc = spark.sparkContext
+    assert(spark.conf.getOption(Dedup.ReliableBoundaryConf).isEmpty,
+      "fixture: the flag must start unset")
+    def minhash() = Dedup.minhashNearDupPairs(planted, "doc_id", "text")
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    def winnow() = Dedup.winnowNearDupPairs(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val localM = minhash()
+    val localW = winnow()
+    assert(localM.nonEmpty && localW.nonEmpty)
+    spark.conf.set(Dedup.ReliableBoundaryConf, "true")
+    try {
+      // without a checkpoint dir the reliable mode must refuse UP FRONT
+      // (at boundary construction, with the contract spelled out) — not
+      // mid-query at materialization with Spark's opaque error
+      assert(sc.getCheckpointDir.isEmpty)
+      val e = intercept[IllegalArgumentException] { minhash() }
+      assert(e.getMessage.contains("setCheckpointDir"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+        .toString
+      sc.setCheckpointDir(dir)
+      try {
+        assert(minhash() == localM,
+          "reliable-mode minhash pairs diverged from local-mode")
+        assert(winnow() == localW,
+          "reliable-mode winnow pairs diverged from local-mode")
+        assert(new java.io.File(dir).listFiles.nonEmpty,
+          "durable boundaries must actually land in the checkpoint dir")
+      } finally sc.setCheckpointDir(null)
+    } finally spark.conf.unset(Dedup.ReliableBoundaryConf)
+  }
+
   test("native band keys are bit-identical to the xxhash64 expression tree") {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
     val sigs = docs.select($"doc_id",

@@ -265,6 +265,97 @@ class PlansSpec extends SparkSpec {
     assert(s2.conf.get(key) == before, "scope failed to restore")
   }
 
+  test("scope registry: a cross-thread overlap on one key fails loudly and drains") {
+    // the registry's whole point: two scopes overlapping on the same key
+    // from different threads would restore each other's temporaries and
+    // leave the session permanently scoped — the loser must get an
+    // IllegalStateException naming the conflict, the winner's restore
+    // must still run, and the registry must drain so later scopes work
+    import graft.operators.Ops
+    val s2 = spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    val before = s2.conf.get(key)
+    val seen = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    Ops.withSessionConfUnlockedBody(s2, Map(key -> "9")) {
+      val t = new Thread(() =>
+        try Ops.withSessionConf(s2, Map(key -> "11")) { () }
+        catch { case e: Throwable => seen.set(e) })
+      t.start(); t.join(10000)
+      assert(!t.isAlive)
+    }
+    val e = seen.get
+    assert(e != null, "the concurrent scope must not have been admitted")
+    assert(e.isInstanceOf[IllegalStateException] &&
+      e.getMessage.contains("conf scope conflict"),
+      s"wrong failure: $e")
+    assert(s2.conf.get(key) == before,
+      "the holding scope's restore must still run after the conflict")
+    // the registry drained: the same key is scopable again
+    Ops.withSessionConf(s2, Map(key -> "13")) {
+      assert(s2.conf.get(key) == "13")
+    }
+    assert(s2.conf.get(key) == before)
+    // and a rejected acquire leaves NO key registered, even when only
+    // one key of a multi-key scope conflicted (atomic validation)
+    val other = "spark.sql.autoBroadcastJoinThreshold"
+    val seen2 = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    Ops.withSessionConfUnlockedBody(s2, Map(key -> "9")) {
+      val t = new Thread(() =>
+        try Ops.withSessionConf(s2, Map(other -> "-1", key -> "11")) { () }
+        catch { case e2: Throwable => seen2.set(e2) })
+      t.start(); t.join(10000)
+    }
+    assert(seen2.get != null)
+    Ops.withSessionConf(s2, Map(other -> "-1")) { () } // would throw if leaked
+  }
+
+  test("scope registry: same-thread LIFO nesting is legal and restores correctly") {
+    // nested scopes on ONE thread unwind LIFO — the inner saves the
+    // outer's temporary and restores it before the outer restores the
+    // original — so the registry must admit them (e.g. a
+    // checkpointKeepPartitioning(numShufflePartitions=...) inside a
+    // withStreamingConf body); only cross-thread overlap is corruption
+    import graft.operators.Ops
+    val s2 = spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    val before = s2.conf.get(key)
+    Ops.withSessionConf(s2, Map(key -> "17")) {
+      assert(s2.conf.get(key) == "17")
+      Ops.withSessionConf(s2, Map(key -> "19")) {
+        assert(s2.conf.get(key) == "19")
+      }
+      assert(s2.conf.get(key) == "17",
+        "inner scope must restore the OUTER's temporary, not the original")
+      // the unlocked-body variant nests the same way
+      Ops.withSessionConfUnlockedBody(s2, Map(key -> "23")) {
+        assert(s2.conf.get(key) == "23")
+      }
+      assert(s2.conf.get(key) == "17")
+    }
+    assert(s2.conf.get(key) == before)
+  }
+
+  test("scope registry: setSessionConstant refuses inside a scope, even same-thread") {
+    // a "permanent" constant written inside an enclosing scope over the
+    // key would be silently reverted by that scope's restore — the
+    // registry must refuse it where it allows nested SCOPES
+    import graft.operators.Ops
+    val s2 = spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    val before = s2.conf.get(key)
+    Ops.withSessionConf(s2, Map(key -> "29")) {
+      val e = intercept[IllegalStateException] {
+        Ops.setSessionConstant(s2, key, "31")
+      }
+      assert(e.getMessage.contains("conf scope conflict"))
+    }
+    assert(s2.conf.get(key) == before)
+    // outside any scope the constant is the sanctioned write
+    Ops.setSessionConstant(s2, key, "37")
+    assert(s2.conf.get(key) == "37")
+    s2.conf.set(key, before)
+  }
+
   test("centroid Aggregator equals the expression-only mean per dimension") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .select(col("label"), Similarity.toDoubleArray(col("embedding")).as("vec"))
