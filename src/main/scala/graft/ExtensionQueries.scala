@@ -286,6 +286,58 @@ object ExtensionQueries {
         accepted.select("doc_id").orderBy("doc_id")
       }),
 
+    // The COMPOSED multi-gate ingest pipeline (exact fingerprint →
+    // winnow verbatim → MinHash near-dup, one dataflow, survivors
+    // appended to all three indexes) — the engine's analog of the
+    // reference's single-entry sync loop. Four planted batch classes:
+    // byte-copies cut at the exact gate; verbatim-extended docs cut at
+    // the winnow gate; every-30th-token perturbations pass winnow
+    // DETERMINISTICALLY (no intact 40-token window survives a ≤29-token
+    // gap) but keep ~90% of their 3-gram shingles (jaccard ≈ 0.82) and
+    // cut at the minhash gate; fully-rewritten docs pass all gates.
+    // Rows-only (LSH banding); gate attribution, sequential-parity and
+    // consecutive-batch stability are spec'd in IndexStoreSpec.
+    QueryDef("ext_ingest_gate_e2e", None,
+      (s, dir) => {
+        val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // bounded corpus (the ext_winnow_pairs stance): the query is the
+        // COMPOSITION showcase — three per-invocation index builds over
+        // the full sf0.1 corpus would just re-time the build paths the
+        // per-kind queries already measure
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+          .where(col("doc_id") < 2000)
+        // unconditional rebuild — the ingest-query stance: the loop's
+        // appends must not compound across invocations/reps
+        IndexStore.buildExactIndex(docs, "doc_id", "text",
+          s"graft_gx_$sfx", s"/tmp/graft_index/graft_gx_$sfx")
+        IndexStore.buildWinnowIndex(docs, "doc_id", "text",
+          s"graft_gw_$sfx", s"/tmp/graft_index/graft_gw_$sfx",
+          window = 40, guarantee = 10)
+        IndexStore.buildMinhashIndex(docs, "doc_id", "text",
+          s"graft_gm_$sfx", s"/tmp/graft_index/graft_gm_$sfx")
+        val every10 = docs.where(col("doc_id") % 10 === 0)
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val perturbed = concat_ws(" ", transform(toks,
+          (t, i) => when(i % 30 === 29, concat(t, lit("q"))).otherwise(t)))
+        val novel = concat_ws(" ", transform(toks,
+          (t, i) => concat(lit("nv"), t, i.cast("string"))))
+        val batch = every10
+          .select((col("doc_id") + 800000).as("doc_id"), col("text"))
+          .unionByName(every10.select((col("doc_id") + 810000).as("doc_id"),
+            concat(col("text"), lit(" gtail gcoda")).as("text")))
+          .unionByName(every10.select((col("doc_id") + 820000).as("doc_id"),
+            perturbed.as("text")))
+          .unionByName(every10.select((col("doc_id") + 830000).as("doc_id"),
+            novel.as("text")))
+        val (accepted, decisions) = IndexStore.dedupIngestGate(s, batch,
+          "doc_id", "text", s"graft_gx_$sfx", s"graft_gw_$sfx",
+          s"graft_gm_$sfx", window = 40, guarantee = 10)
+        decisions
+          .unionByName(accepted.select(col("doc_id"),
+            lit("accepted").as("gate")))
+          .orderBy("doc_id")
+      }),
+
     // Batch-internal verbatim-overlap pairs over the winnowed
     // fingerprints — winnowing is SQL-expressible, so unlike the LSH
     // pair kernels this one is FULLY oracle-checked: the DuckDB side

@@ -136,9 +136,18 @@ object Dedup {
     // frame drops, and checkpointKeepPartitioning captures the window's
     // band-key partitioning so the self-join is co-partitioned for free
     // (DedupSpec pins the single-exchange plan).
-    val sized = checkpointKeepPartitioning(banded
-      .withColumn("band_n", count(lit(1)).over(w))
-      .withColumn("band_rep", min(col(idCol)).over(w)))
+    // no-silent-caps (the persisted probes' stance, extended inline):
+    // guard activity is observed on the checkpointed rows every consumer
+    // already reads — rows_suppressed counts hot-bucket members whose
+    // pairing was star-bounded through the representative rather than
+    // fully enumerated. CollectMetrics passes partitioning through, so
+    // the single-exchange plan pin holds; read with
+    // IndexStore.capActivity on the pairs frame after an action.
+    val sized = IndexStore.observeCap(checkpointKeepPartitioning(banded
+        .withColumn("band_n", count(lit(1)).over(w))
+        .withColumn("band_rep", min(col(idCol)).over(w))),
+      col("band_n") > hotBandThreshold && col(idCol) =!= col("band_rep"),
+      col("band_n") > hotBandThreshold, col("band_n"))
     val small = sized.where(col("band_n") <= hotBandThreshold)
       .select(col(idCol), col("band_id"), col("band_hash"))
     val smallPairs = small.alias("a")
@@ -258,11 +267,13 @@ object Dedup {
     // representative's signature along so the exact Hamming verify stays
     // a column comparison, no extra join.
     val w = Window.partitionBy("chunk_id", "chunk")
-    // same boundary + partitioning-capture rationale as
-    // lshCandidatePairs' `sized`
-    val sized = checkpointKeepPartitioning(chunked
-      .withColumn("chunk_n", count(lit(1)).over(w))
-      .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w)))
+    // same boundary + partitioning-capture + cap-observability rationale
+    // as lshCandidatePairs' `sized`
+    val sized = IndexStore.observeCap(checkpointKeepPartitioning(chunked
+        .withColumn("chunk_n", count(lit(1)).over(w))
+        .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w))),
+      col("chunk_n") > hotBandThreshold && col(idCol) =!= col("rep")(idCol),
+      col("chunk_n") > hotBandThreshold, col("chunk_n"))
     val small = sized.where(col("chunk_n") <= hotBandThreshold)
       .select(col(idCol), col("sim"), col("chunk_id"), col("chunk"))
     val smallPairs = small.alias("a")
@@ -479,9 +490,12 @@ object Dedup {
     val wins = winnowedFingerprints(docs, idCol, textCol, window, guarantee)
       .select(col(idCol), col("fp")).distinct()
     val w = Window.partitionBy("fp")
-    val sized = checkpointKeepPartitioning(wins
-      .withColumn("fp_n", count(lit(1)).over(w))
-      .withColumn("fp_rep", min(col(idCol)).over(w)))
+    // same cap-observability stance as lshCandidatePairs' `sized`
+    val sized = IndexStore.observeCap(checkpointKeepPartitioning(wins
+        .withColumn("fp_n", count(lit(1)).over(w))
+        .withColumn("fp_rep", min(col(idCol)).over(w))),
+      col("fp_n") > hotFpThreshold && col(idCol) =!= col("fp_rep"),
+      col("fp_n") > hotFpThreshold, col("fp_n"))
     val small = sized.where(col("fp_n") <= hotFpThreshold)
       .select(col(idCol), col("fp"))
     val smallPairs = small.alias("a")

@@ -182,6 +182,8 @@ object IndexStore {
       bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
         .mode("append").saveAsTable(s"${table}_shingles")
     }
+    Seq(s"${table}_bands", s"${table}_shingles")
+      .foreach(noteAppend(spark, _))
   }
 
   /** Hot-bucket guard for persisted probes, mirroring
@@ -211,20 +213,32 @@ object IndexStore {
       .withColumn("__capped", col("bucket_n") > threshold &&
         col(idCol) =!= col("bucket_lo") && col(idCol) =!= col("bucket_hi"))
       // no-silent-caps: the guard's activity is OBSERVED on the rows the
-      // probe already reads (CollectMetrics — zero extra passes, no
-      // exchange), so production dedup can see when candidate
-      // enumeration was bounded instead of exhaustive. Names are
-      // uniquified per call site — a query may contain several probes
-      // and observation names must be unique within a plan. Read with
+      // probe already reads (see [[observeCap]]). Read with
       // [[capActivity]] after materializing the probe frame.
-      .observe(s"$CapMetricPrefix.${capSeq.incrementAndGet()}",
-        sum(when(col("__capped"), 1L).otherwise(0L)).as("rows_suppressed"),
-        sum(when(col("bucket_n") > threshold, 1L).otherwise(0L))
-          .as("hot_bucket_rows"),
-        max(col("bucket_n")).as("max_bucket_n"))
+      .transform(observeCap(_, col("__capped"),
+        col("bucket_n") > threshold, col("bucket_n")))
       .where(!col("__capped"))
       .drop("bucket_n", "bucket_lo", "bucket_hi", "__capped")
   }
+
+  /** Attaches the hot-bucket guard's activity metrics to `df`
+    * (CollectMetrics — zero extra passes, no exchange, partitioning and
+    * ordering pass through, so plan pins on the guarded frames hold
+    * unchanged). Shared by the persisted probes' drop-cap
+    * ([[capHotBuckets]]) and [[Dedup]]'s inline star-link guards —
+    * `suppressed` means "this row's candidate enumeration was bounded":
+    * dropped in favor of the bucket representatives (probes) or
+    * star-linked through the representative instead of all-paired
+    * (inline pairs). Names are uniquified per call site — a query may
+    * contain several guarded scans and observation names must be unique
+    * within a plan (exact duplicate subtrees, e.g. an observed frame
+    * self-joined, are fine). Read with [[capActivity]]. */
+  private[operators] def observeCap(df: DataFrame, suppressed: Column,
+      hot: Column, bucketN: Column): DataFrame =
+    df.observe(s"$CapMetricPrefix.${capSeq.incrementAndGet()}",
+      sum(when(suppressed, 1L).otherwise(0L)).as("rows_suppressed"),
+      sum(when(hot, 1L).otherwise(0L)).as("hot_bucket_rows"),
+      max(bucketN).as("max_bucket_n"))
 
   /** Prefix of the observed-metrics names [[capHotBuckets]] attaches to
     * every guarded probe scan. */
@@ -232,11 +246,14 @@ object IndexStore {
 
   private val capSeq = new java.util.concurrent.atomic.AtomicLong
 
-  /** Hot-bucket cap activity for a probe frame, summed over every
-    * guarded index scan in its plan: how many candidate rows the guard
-    * replaced with representatives (`rowsSuppressed`), how many index
-    * rows sat in over-threshold buckets (`hotBucketRows`), and the
-    * largest bucket seen (`maxBucketN`). Metrics populate when THIS
+  /** Hot-bucket cap activity for a guarded frame — a persisted-index
+    * probe OR an inline near-dup pairs frame ([[Dedup]]'s star-link
+    * guards observe through the same machinery) — summed over every
+    * guarded scan in its plan: how many candidate rows the guard
+    * bounded (`rowsSuppressed` — dropped for representatives at probes,
+    * star-linked through the representative inline), how many rows sat
+    * in over-threshold buckets (`hotBucketRows`), and the largest
+    * bucket seen (`maxBucketN`). Metrics populate when THIS
     * frame materializes (collect / write / foreach); before that they
     * read zero, and an action on a derived frame (e.g. `df.count()`
     * executes a derived aggregate) records on the derived frame's own
@@ -341,29 +358,39 @@ object IndexStore {
       idCol: String, textCol: String, table: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8,
-      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
-      : (DataFrame, DataFrame) =
-    dedupIngest(batch, idCol,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val r = dedupIngest(batch, idCol,
       probe = b => probeMinhash(spark, b, idCol, textCol, table,
         shingleN, numHashes, bands, threshold, hotBandThreshold),
       innerPairs = b => Dedup.minhashNearDupPairs(b, idCol, textCol,
         shingleN, numHashes, bands, threshold, hotBandThreshold),
       append = b => appendMinhashIndex(b, idCol, textCol, table,
         shingleN, numHashes, bands))
+    maybeAutoCompact(spark, s"${table}_bands", autoCompactAppends)(
+      base => compactMinhashIndex(spark, table, base))
+    r
+  }
 
   /** SimHash instance of the same loop — the Hamming-distance text
     * index gets the identical choreography via its probe/pairs/append
     * triple. */
   def dedupIngestSimhash(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, table: String, maxHamming: Int = 3,
-      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
-      : (DataFrame, DataFrame) =
-    dedupIngest(batch, idCol,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val r = dedupIngest(batch, idCol,
       probe = b => probeSimhash(spark, b, idCol, textCol, table,
         maxHamming, hotBandThreshold),
       innerPairs = b => Dedup.simhashNearDupPairs(b, idCol, textCol,
         maxHamming, hotBandThreshold),
       append = b => appendSimhashIndex(b, idCol, textCol, table))
+    maybeAutoCompact(spark, s"${table}_chunks", autoCompactAppends)(
+      base => compactSimhashIndex(spark, table, base))
+    r
+  }
 
   /** SRP instance of the same loop — EMBEDDING streams get the
     * check-then-append choreography: near-dup-check a vector batch
@@ -376,15 +403,20 @@ object IndexStore {
       threshold: Double = 0.999, idCol: String = "vec_id",
       vecCol: String = "vec", nPlanes: Int = 16, bands: Int = 4,
       dim: Int = 64, blockDims: Int = 8,
-      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
-      : (DataFrame, DataFrame) =
-    dedupIngest(batch, idCol,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val r = dedupIngest(batch, idCol,
       probe = b => probeSrpNearDup(spark, b, table, threshold, idCol,
         vecCol, nPlanes, bands, dim, hotBandThreshold),
       innerPairs = b => Similarity.blockedNearDupPairs(b, threshold,
         idCol, vecCol, blockDims),
       append = b => appendSrpIndex(b, table, idCol, vecCol, nPlanes,
         bands, dim))
+    maybeAutoCompact(spark, s"${table}_bands", autoCompactAppends)(
+      base => compactSrpIndex(spark, table, base))
+    r
+  }
 
   /** Shared dedup-ingest choreography: probe, drop index matches, drop
     * batch-internal near-dups (id_a < id_b by the pairs contract, so
@@ -400,6 +432,18 @@ object IndexStore {
       probe: DataFrame => DataFrame,
       innerPairs: DataFrame => DataFrame,
       append: DataFrame => Unit): (DataFrame, DataFrame) = {
+    val (accepted, matches) = gateStage(batch, idCol, probe, innerPairs)
+    append(accepted)
+    (accepted, matches)
+  }
+
+  /** The CHECK half of [[dedupIngest]] — probe rejection, then
+    * batch-internal keeper selection, both results pinned pre-append —
+    * factored out so [[dedupIngestGate]] can chain several gates and
+    * hold EVERY append until the last gate has ruled. */
+  private def gateStage(batch: DataFrame, idCol: String,
+      probe: DataFrame => DataFrame,
+      innerPairs: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val matches = probe(batch).localCheckpoint()
     val vsIndex = batch.join(
       matches.select(col("query_id").as(idCol)).distinct(),
@@ -408,7 +452,6 @@ object IndexStore {
       .select(col("id_b").as(idCol)).distinct()
     val accepted = vsIndex.join(innerDups, Seq(idCol), "left_anti")
       .localCheckpoint()
-    append(accepted)
     (accepted, matches)
   }
 
@@ -459,6 +502,7 @@ object IndexStore {
     bucketRouted(simhashChunks(delta, idCol, textCol), "chunk_key", nb)
       .write.bucketBy(nb, "chunk_key")
       .mode("append").saveAsTable(s"${table}_chunks")
+    noteAppend(spark, s"${table}_chunks")
   }
 
   /** Near-dup matches for each query doc at exact Hamming ≤ maxHamming.
@@ -556,6 +600,7 @@ object IndexStore {
         textCol, window, guarantee), "fp", nb)
       .write.bucketBy(nb, "fp")
       .mode("append").saveAsTable(s"${table}_wins")
+    noteAppend(spark, s"${table}_wins")
   }
 
   /** [[Dedup.repeatedWindowSpans]] served from the persisted table: the
@@ -620,9 +665,10 @@ object IndexStore {
   def dedupIngestWinnow(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, table: String, window: Int = 20,
       guarantee: Int = 10, minSharedFps: Int = 1,
-      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold)
-      : (DataFrame, DataFrame) =
-    dedupIngest(batch, idCol,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val r = dedupIngest(batch, idCol,
       probe = b => probeWinnow(spark, b, idCol, textCol, table, window,
         guarantee, hotFpThreshold)
         .where(col("n_shared_fps") >= minSharedFps),
@@ -630,6 +676,10 @@ object IndexStore {
         window, guarantee, minSharedFps, hotFpThreshold),
       append = b => appendWinnowIndex(b, idCol, textCol, table, window,
         guarantee))
+    maybeAutoCompact(spark, s"${table}_wins", autoCompactAppends)(
+      base => compactWinnowIndex(spark, table, base))
+    r
+  }
 
   /** Compacts the winnow fingerprint table. */
   def compactWinnowIndex(spark: SparkSession, table: String,
@@ -651,6 +701,206 @@ object IndexStore {
   /** Vacuums the winnow index's retired directories. */
   def vacuumWinnowIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_wins")
+
+  // ---- exact-fingerprint index --------------------------------------
+  // The sixth (and cheapest) index kind: one md5 per document, no
+  // signatures, no windows. Exists so the composed ingest gate can cut
+  // byte-identical re-crawls BEFORE any shingle/winnow hashing runs —
+  // at crawl scale the majority of rejects are exact re-fetches, and
+  // paying 64 minhash passes to discover a doc is its own byte-copy is
+  // the wrong cost order.
+
+  /** Whole-document canonical fingerprint: md5 over the lowercased,
+    * whitespace-normalized text — the SAME normalization the shingle
+    * and winnow kernels tokenize with, so "identical modulo case and
+    * whitespace" is one definition across every dedup family (a doc the
+    * exact gate passes can never be a 1.0-jaccard trivial catch for the
+    * minhash gate). */
+  def exactFingerprint(text: Column): Column =
+    md5(concat_ws(" ", split(trim(lower(text)), "\\s+")).cast("binary"))
+
+  private def exactFps(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col(idCol), exactFingerprint(col(textCol)).as("fp"))
+  }
+
+  /** Builds the exact-duplicate index: (id, fp) bucketed by fp, so a
+    * probe join moves only the probe side — the same zero-index-shuffle
+    * contract as every other kind. */
+  def buildExactIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    bucketRouted(exactFps(docs, idCol, textCol), "fp", nBuckets)
+      .write.bucketBy(nBuckets, "fp")
+      .option("path", s"$path/${table}_fps").mode("overwrite")
+      .saveAsTable(s"${table}_fps")
+    setParams(spark, s"${table}_fps", Map("idCol" -> idCol))
+  }
+
+  /** Appends delta docs' fingerprint rows in place, mirroring
+    * [[appendMinhashIndex]]. */
+  def appendExactIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_fps", Map("idCol" -> idCol), "append")
+    val nb = numBucketsOf(spark, s"${table}_fps")
+    bucketRouted(exactFps(delta, idCol, textCol), "fp", nb)
+      .write.bucketBy(nb, "fp")
+      .mode("append").saveAsTable(s"${table}_fps")
+    noteAppend(spark, s"${table}_fps")
+  }
+
+  /** Exact-duplicate probe: the indexed docs sharing each query doc's
+    * canonical fingerprint — (query_id, match_id). Fingerprint buckets
+    * above `hotFpThreshold` (thousands of byte-identical boilerplate
+    * copies) contribute only their representatives via
+    * [[capHotBuckets]]; for EXACT duplication any one match is
+    * decision-equivalent to all of them, so the cap costs nothing but
+    * enumeration. */
+  def probeExact(spark: SparkSession, queries: DataFrame, idCol: String,
+      textCol: String, table: String,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_fps", Map("idCol" -> idCol), "probe")
+    val qf = exactFps(queries, idCol, textCol)
+      .select(col(idCol).as("query_id"), col("fp"))
+    capHotBuckets(spark.table(s"${table}_fps"), "fp", idCol, hotFpThreshold)
+      .join(qf, "fp")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("match_id"))
+      .distinct()
+  }
+
+  /** Batch-internal exact-duplicate pairs, keeper = min id per
+    * fingerprint: (id_a = keeper, id_b = dropped copy). A WINDOW, not a
+    * self-join — work and output stay linear even when the whole batch
+    * is one fingerprint, so this path needs no hot-bucket guard at
+    * all. */
+  private def exactInnerPairs(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    exactFps(batch, idCol, textCol)
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .where(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col(idCol).as("id_b"))
+  }
+
+  /** Exact instance of the dedup-ingest loop — the first, cheapest
+    * gate run standalone. */
+  def dedupIngestExact(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val r = dedupIngest(batch, idCol,
+      probe = b => probeExact(spark, b, idCol, textCol, table,
+        hotFpThreshold),
+      innerPairs = b => exactInnerPairs(b, idCol, textCol),
+      append = b => appendExactIndex(b, idCol, textCol, table))
+    maybeAutoCompact(spark, s"${table}_fps", autoCompactAppends)(
+      base => compactExactIndex(spark, table, base))
+    r
+  }
+
+  /** Compacts the exact-fingerprint table. */
+  def compactExactIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val fps = s"${table}_fps"
+    compactTable(spark, fps, bucketColOf(spark, fps),
+      s"$newPathBase/${fps}_c", numBucketsOf(spark, fps))
+  }
+
+  /** Deletes documents from an exact index — the take-down path. */
+  def deleteFromExactIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String): Unit = {
+    val fps = s"${table}_fps"
+    deleteFromTable(spark, fps, bucketColOf(spark, fps),
+      getParams(spark, fps).getOrElse("idCol", "doc_id"), ids,
+      s"$newPathBase/${fps}_d", numBucketsOf(spark, fps))
+  }
+
+  /** Vacuums the exact index's retired directories. */
+  def vacuumExactIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_fps")
+
+  // ---- composed multi-gate ingest -----------------------------------
+
+  /** The composed multi-gate ingest pipeline — this engine's analog of
+    * the reference's single-entry sync loop
+    * (`/root/reference/sync-db2.py:90-190`: one flow runs extract →
+    * process → upsert, not three separately-invoked scripts): an
+    * arriving document batch passes
+    *
+    *   1. the EXACT gate — identical canonical fingerprint (one md5 per
+    *      doc, the cheapest cut),
+    *   2. the WINNOW gate — verbatim overlap of ≥ window + guarantee − 1
+    *      contiguous tokens with any indexed or co-batch doc,
+    *   3. the MINHASH gate — whole-document near-duplication at
+    *      jaccard ≥ threshold,
+    *
+    * each checking against its persisted index AND batch-internally
+    * (min-id keeper), in COST-ASCENDING order so the expensive signature
+    * hashing runs only over what the cheap gates let through. Survivors
+    * of ALL gates — and only they — append to all three indexes, so the
+    * next batch sees them at every gate and a doc rejected at gate k is
+    * never indexed anywhere. (Running the three single-kind loops in
+    * sequence accepts the SAME set — parity pinned in IndexStoreSpec —
+    * but each loop appends before the next gate rules, so earlier
+    * indexes accumulate docs that were ultimately rejected.)
+    *
+    * Returns (accepted, decisions): `decisions` is (id, gate) naming,
+    * for every rejected doc, the FIRST gate that cut it — gates after
+    * the cut never see the doc, mirroring the reference loop's
+    * per-record skip accounting. Both frames are pinned pre-append
+    * (the [[dedupIngest]] stance, for the same non-monotone-cap
+    * reason). Consecutive-batch stability is spec'd alongside the
+    * parity. */
+  def dedupIngestGate(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, exactTable: String, winnowTable: String,
+      minhashTable: String, window: Int = 20, guarantee: Int = 10,
+      minSharedFps: Int = 1, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val (a1, _) = gateStage(batch, idCol,
+      probe = b => probeExact(spark, b, idCol, textCol, exactTable,
+        hotBandThreshold),
+      innerPairs = b => exactInnerPairs(b, idCol, textCol))
+    val (a2, _) = gateStage(a1, idCol,
+      probe = b => probeWinnow(spark, b, idCol, textCol, winnowTable,
+        window, guarantee, hotBandThreshold)
+        .where(col("n_shared_fps") >= minSharedFps),
+      innerPairs = b => Dedup.winnowNearDupPairs(b, idCol, textCol,
+        window, guarantee, minSharedFps, hotBandThreshold))
+    val (a3, _) = gateStage(a2, idCol,
+      probe = b => probeMinhash(spark, b, idCol, textCol, minhashTable,
+        shingleN, numHashes, bands, threshold, hotBandThreshold),
+      innerPairs = b => Dedup.minhashNearDupPairs(b, idCol, textCol,
+        shingleN, numHashes, bands, threshold, hotBandThreshold))
+    // appends only now, after the LAST gate has ruled
+    appendExactIndex(a3, idCol, textCol, exactTable)
+    appendWinnowIndex(a3, idCol, textCol, winnowTable, window, guarantee)
+    appendMinhashIndex(a3, idCol, textCol, minhashTable, shingleN,
+      numHashes, bands)
+    maybeAutoCompact(spark, s"${exactTable}_fps", autoCompactAppends)(
+      base => compactExactIndex(spark, exactTable, base))
+    maybeAutoCompact(spark, s"${winnowTable}_wins", autoCompactAppends)(
+      base => compactWinnowIndex(spark, winnowTable, base))
+    maybeAutoCompact(spark, s"${minhashTable}_bands", autoCompactAppends)(
+      base => compactMinhashIndex(spark, minhashTable, base))
+    // each stage's output is pinned (gateStage), so these anti joins
+    // replay materialized rows rather than re-probing the grown indexes
+    def cutAt(in: DataFrame, out: DataFrame, gate: String) =
+      in.select(col(idCol))
+        .join(out.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("gate", lit(gate))
+    val decisions = cutAt(batch, a1, "exact")
+      .unionByName(cutAt(a1, a2, "winnow"))
+      .unionByName(cutAt(a2, a3, "minhash"))
+    (a3, decisions)
+  }
 
   // ---- SRP (hyperplane) LSH index -----------------------------------
   // The fourth index kind: ANN over embeddings with data-independent
@@ -726,6 +976,7 @@ object IndexStore {
       bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
         .mode("append").saveAsTable(s"${table}_vecs")
     }
+    Seq(s"${table}_bands", s"${table}_vecs").foreach(noteAppend(spark, _))
   }
 
   /** Builds a QUANTIZED SRP index: the band table is identical to
@@ -996,6 +1247,69 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  // ---- append accounting + auto-compaction --------------------------
+  // Every bucketed append leaves one new file set per bucket, so a
+  // long-lived index's scan cost grows linearly with appends until
+  // someone compacts. "Someone remembers to run compact" is not a
+  // policy; this is: each append bumps a per-table counter in the table
+  // properties, and the ingest loops trigger the kind's compaction once
+  // the counter passes the caller's threshold. Two counters with
+  // different lifetimes: appendsSince lives OUTSIDE the param prefix,
+  // so a rewrite (which carries only build params) implicitly RESETS it
+  // — compaction of any provenance zeroes the clock; appendsTotal lives
+  // UNDER the param prefix, so it survives rewrites and stays monotone
+  // — it names each auto-compaction's target directory, which therefore
+  // never collides with a still-unvacuumed retired directory.
+
+  private val AppendsSinceKey = "graft.compact.appendsSince"
+  private val AppendsTotalParam = "appendsTotal"
+
+  /** Documented default for the ingest loops' `autoCompactAppends`
+    * knob: compact a table after this many appends. At one append per
+    * ingest batch, 32 appends ≈ 32 file sets per bucket — far before
+    * footer-read overhead dominates probes, while keeping rewrite
+    * frequency (a full table pass) amortized to ~3% of write volume.
+    * 0 disables the policy; vacuum stays a SEPARATE explicit step
+    * (retired directories are the rollback story — see
+    * [[vacuumIndexTable]]). */
+  val DefaultAutoCompactAppends = 32
+
+  /** Appends recorded for `table` since its last compaction (any
+    * rewrite resets the count — see the counter-lifetime note above). */
+  def appendsSinceCompact(spark: SparkSession, table: String): Int =
+    tableMeta(spark, table).properties.get(AppendsSinceKey)
+      .map(_.toInt).getOrElse(0)
+
+  private def noteAppend(spark: SparkSession, table: String): Unit = {
+    val since = appendsSinceCompact(spark, table) + 1
+    val total = getParams(spark, table).get(AppendsTotalParam)
+      .map(_.toLong).getOrElse(0L) + 1
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$AppendsSinceKey'='$since', " +
+      s"'$ParamPrefix$AppendsTotalParam'='$total')")
+  }
+
+  /** Triggers `compact` when `primaryTable`'s append counter has
+    * reached `every` (0 disables). The target base directory embeds the
+    * monotone total-append count and sits beside the index's ORIGINAL
+    * location — auto_g* components of the current location are stripped
+    * first, so repeated auto-compactions of a long-lived index land as
+    * siblings instead of nesting deeper each time. Returns whether a
+    * compaction ran. */
+  private def maybeAutoCompact(spark: SparkSession, primaryTable: String,
+      every: Int)(compact: String => Unit): Boolean = {
+    if (every > 0 && appendsSinceCompact(spark, primaryTable) >= every) {
+      val total = getParams(spark, primaryTable)
+        .get(AppendsTotalParam).getOrElse("0")
+      var base = new org.apache.hadoop.fs.Path(
+        tableMeta(spark, primaryTable).location).getParent
+      while (base.getParent != null && base.getName.matches("auto_g\\d+"))
+        base = base.getParent
+      compact(s"$base/auto_g$total")
+      true
+    } else false
+  }
+
   private val SupersededKey = "graft.vacuum.superseded"
 
   /** , not ',': commas are legal in S3/HDFS paths, and a comma
@@ -1168,6 +1482,7 @@ object IndexStore {
         "cluster_id", nb)
       .write.bucketBy(nb, "cluster_id")
       .mode("append").saveAsTable(s"${table}_lists")
+    noteAppend(spark, s"${table}_lists")
   }
 
   /** IVF top-k against a persisted index: zero index-build cost, and the

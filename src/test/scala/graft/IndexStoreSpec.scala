@@ -338,6 +338,196 @@ class IndexStoreSpec extends SparkSpec {
     assert(matches2.select("match_id").as[Long].collect().contains(900002L))
   }
 
+  // ---- composed multi-gate ingest -----------------------------------
+
+  /** Disjoint-vocabulary 90-token docs: long enough that the winnowing
+    * guarantee (window 40 + guarantee 10 − 1 = 49 tokens) covers every
+    * verbatim-copy class, and token-unique so cross-doc jaccard is 0. */
+  private def gateBase: DataFrame = {
+    import spark.implicits._
+    (0 until 8).map(d =>
+      (d.toLong, (1 to 90).map(i => s"g${d}w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  /** The four planted batch classes against `gateBase` doc d:
+    * 1000+d byte-copy (exact gate), 2000+d verbatim-extended (winnow
+    * gate — shares the full 90-token run), 3000+d every-30th-token
+    * perturbation (passes winnow deterministically: every 40-token
+    * window spans a ≤29-token unmodified gap; jaccard ≈ 0.83 → minhash
+    * gate), 4000+d fully rewritten (accepted). */
+  private def gateBatch: DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val perturbed = concat_ws(" ", transform(toks,
+      (t, i) => when(i % 30 === 29, concat(t, lit("q"))).otherwise(t)))
+    val novel = concat_ws(" ", transform(toks,
+      (t, i) => concat(lit("nv"), t, i.cast("string"))))
+    gateBase.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .unionByName(gateBase.select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" gtail gcoda")).as("text")))
+      .unionByName(gateBase.select((col("doc_id") + 3000).as("doc_id"),
+        perturbed.as("text")))
+      .unionByName(gateBase.select((col("doc_id") + 4000).as("doc_id"),
+        novel.as("text")))
+  }
+
+  private def freshGateTables(prefix: String): (String, String, String) = {
+    val (ex, wn, mh) = (s"${prefix}_x", s"${prefix}_w", s"${prefix}_m")
+    Seq(s"${ex}_fps", s"${wn}_wins", s"${mh}_bands", s"${mh}_shingles")
+      .foreach(dropTable)
+    IndexStore.buildExactIndex(gateBase, "doc_id", "text", ex,
+      s"$idxPath/$ex")
+    IndexStore.buildWinnowIndex(gateBase, "doc_id", "text", wn,
+      s"$idxPath/$wn", window = 40, guarantee = 10)
+    IndexStore.buildMinhashIndex(gateBase, "doc_id", "text", mh,
+      s"$idxPath/$mh")
+    (ex, wn, mh)
+  }
+
+  test("multi-gate ingest: first-gate attribution, appends only survivors") {
+    import spark.implicits._
+    val (ex, wn, mh) = freshGateTables("graft_spec_gate")
+    val (accepted, decisions) = IndexStore.dedupIngestGate(spark,
+      gateBatch, "doc_id", "text", ex, wn, mh, window = 40,
+      guarantee = 10)
+    assert(accepted.select("doc_id").as[Long].collect().toSet ==
+      (0 until 8).map(d => 4000L + d).toSet,
+      "only the fully-rewritten class survives every gate")
+    val byGate = decisions.as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGate("exact") == (0 until 8).map(d => 1000L + d).toSet,
+      "byte-copies must be cut by the FIRST gate")
+    assert(byGate("winnow") == (0 until 8).map(d => 2000L + d).toSet,
+      "verbatim-extended docs must reach and be cut by the winnow gate")
+    assert(byGate("minhash") == (0 until 8).map(d => 3000L + d).toSet,
+      "shingle-perturbed docs must pass winnow and be cut by minhash")
+    // the whole point of composing: a doc rejected at ANY gate is
+    // indexed NOWHERE — each index holds exactly base + accepted
+    assert(spark.table(s"${ex}_fps").count() == 16,
+      "exact index must hold base(8) + accepted(8) docs only")
+    assert(spark.table(s"${mh}_shingles").count() == 16,
+      "minhash index must not contain exact/winnow-gate rejects")
+    assert(spark.table(s"${wn}_wins")
+      .select("doc_id").distinct().count() == 16,
+      "winnow index must not contain exact/minhash-gate rejects")
+  }
+
+  test("multi-gate ingest: accepted-set parity with sequential single-kind loops") {
+    import spark.implicits._
+    val (ex, wn, mh) = freshGateTables("graft_spec_gseq")
+    val (a1, _) = IndexStore.dedupIngestExact(spark, gateBatch, "doc_id",
+      "text", ex)
+    val (a2, _) = IndexStore.dedupIngestWinnow(spark, a1, "doc_id",
+      "text", wn, window = 40, guarantee = 10)
+    val (a3, _) = IndexStore.dedupIngestMinhash(spark, a2, "doc_id",
+      "text", mh)
+    val (exC, wnC, mhC) = freshGateTables("graft_spec_gcmp")
+    val (composed, _) = IndexStore.dedupIngestGate(spark, gateBatch,
+      "doc_id", "text", exC, wnC, mhC, window = 40, guarantee = 10)
+    assert(composed.select("doc_id").as[Long].collect().toSet ==
+      a3.select("doc_id").as[Long].collect().toSet,
+      "the composed gate must accept exactly the sequential loops' set")
+    // and the composed form's indexes stay clean where the sequential
+    // loops pollute earlier indexes with later-gate rejects
+    assert(spark.table(s"${ex}_fps").count() == 32,
+      "sequential: exact index holds base + ALL gate-1 survivors (24)")
+    assert(spark.table(s"${exC}_fps").count() == 16,
+      "composed: exact index holds base + final survivors only")
+  }
+
+  test("multi-gate ingest: consecutive batches gate against earlier survivors") {
+    import spark.implicits._
+    val (ex, wn, mh) = freshGateTables("graft_spec_gseq2")
+    val (acc1, _) = IndexStore.dedupIngestGate(spark, gateBatch,
+      "doc_id", "text", ex, wn, mh, window = 40, guarantee = 10)
+    assert(acc1.count() == 8)
+    // batch 2 derives its classes from batch 1's ACCEPTED docs (the
+    // 4000+d rewrites) — every gate must now see them as indexed
+    val a = acc1.select(col("doc_id"), col("text"))
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val perturbed = concat_ws(" ", transform(toks,
+      (t, i) => when(i % 30 === 29, concat(t, lit("q"))).otherwise(t)))
+    val batch2 = a.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(a.select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" btail bcoda")).as("text")))
+      .unionByName(a.select((col("doc_id") + 30000).as("doc_id"),
+        perturbed.as("text")))
+    val (acc2, dec2) = IndexStore.dedupIngestGate(spark, batch2,
+      "doc_id", "text", ex, wn, mh, window = 40, guarantee = 10)
+    assert(acc2.isEmpty,
+      "every batch-2 doc dups an accepted batch-1 doc — none may pass")
+    val byGate2 = dec2.as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val accIds = a.select("doc_id").as[Long].collect().toSet
+    assert(byGate2("exact") == accIds.map(_ + 10000),
+      "byte-copies of batch-1 survivors must cut at the exact gate")
+    assert(byGate2("winnow") == accIds.map(_ + 20000),
+      "verbatim-extended copies of survivors must cut at the winnow gate")
+    assert(byGate2("minhash") == accIds.map(_ + 30000),
+      "perturbed copies of survivors must cut at the minhash gate")
+  }
+
+  test("ext_ingest_gate_e2e query: every gate fires; byte-copies all cut first") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ext_ingest_gate_e2e")(spark, sf0001)
+      .as[(Long, String)].collect()
+    val nPerClass = rows.length / 4
+    assert(nPerClass > 0 && rows.length == 4 * nPerClass,
+      "one decision row per batch doc, four classes")
+    assert(rows.filter(_._1 < 810000).forall(_._2 == "exact"),
+      "every byte-copy must be attributed to the exact gate")
+    // the other classes' attribution depends on doc length (a <30-token
+    // doc's perturbation IS a byte-copy); the long-doc majority must
+    // exercise every later gate
+    Seq("winnow", "minhash", "accepted").foreach(g =>
+      assert(rows.exists(_._2 == g), s"no doc reached gate outcome $g"))
+  }
+
+  test("ingest auto-compaction: counter-driven, probes stay green, counter resets") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def locOf(t: String): String = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(t)).location.toString
+    val tbl = "graft_spec_autoc"
+    dropTable(s"${tbl}_wins")
+    def novelDoc(tag: String): DataFrame =
+      Seq((tag.hashCode.toLong.abs, (1 to 60).map(i => s"$tag$i")
+        .mkString(" "))).toDF("doc_id", "text")
+    IndexStore.buildWinnowIndex(novelDoc("aca"), "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    val loc0 = locOf(s"${tbl}_wins")
+    // append 1 of 2: below threshold — no compaction, counter visible
+    IndexStore.dedupIngestWinnow(spark, novelDoc("acb"), "doc_id",
+      "text", tbl, autoCompactAppends = 2)
+    assert(IndexStore.appendsSinceCompact(spark, s"${tbl}_wins") == 1)
+    assert(locOf(s"${tbl}_wins") == loc0, "no compaction below threshold")
+    // append 2 of 2: threshold reached — compaction swaps the location
+    // and implicitly resets the counter (rewrites carry only params)
+    IndexStore.dedupIngestWinnow(spark, novelDoc("acc"), "doc_id",
+      "text", tbl, autoCompactAppends = 2)
+    assert(IndexStore.appendsSinceCompact(spark, s"${tbl}_wins") == 0,
+      "compaction must reset the append counter")
+    val loc1 = locOf(s"${tbl}_wins")
+    assert(loc1 != loc0, "threshold reached — the table must be compacted")
+    // probes keep working across the swap: a verbatim copy of a
+    // pre-compaction doc still rejects, and the loop keeps running
+    val copy = novelDoc("acb")
+      .select((col("doc_id") + 7).as("doc_id"), col("text"))
+    val (accAfter, _) = IndexStore.dedupIngestWinnow(spark, copy,
+      "doc_id", "text", tbl, autoCompactAppends = 2)
+    assert(accAfter.isEmpty,
+      "a verbatim copy of an indexed doc must reject after compaction")
+    assert(IndexStore.appendsSinceCompact(spark, s"${tbl}_wins") == 1,
+      "the post-compaction append must count from zero")
+    // a second compaction cycle lands as a SIBLING auto_g dir, not
+    // nested inside the first compaction's directory
+    IndexStore.dedupIngestWinnow(spark, novelDoc("acd"), "doc_id",
+      "text", tbl, autoCompactAppends = 2)
+    val loc2 = locOf(s"${tbl}_wins")
+    assert(loc2 != loc1 && !loc2.contains(loc1.stripPrefix("file:")),
+      s"repeated auto-compactions must not nest: $loc2 inside $loc1")
+  }
+
   test("winnow index: span and boilerplate consumers equal the inline pipelines") {
     ensureWinnowIndex()
     val spans = IndexStore.repeatedWindowSpansFromIndex(spark, winTbl)
