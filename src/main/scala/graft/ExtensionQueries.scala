@@ -338,6 +338,49 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // The sixth (exact-fingerprint) index kind probed end to end under
+    // the oracle: md5 equality over the canonical text IS
+    // canonical-text equality, so unlike the LSH kinds this persisted
+    // path is FULLY value-checked — the DuckDB side joins on the
+    // normalized text itself and must produce the identical match
+    // relation. Three planted probe classes: edge-whitespace variants
+    // and internal-whitespace-run variants MUST match their source doc
+    // (canonicalization collapses both), appended-token variants must
+    // match nothing.
+    QueryDef("ext_exact_persisted",
+      Some("""WITH norm AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS c
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id + 100000 AS query_id, c FROM norm WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, c FROM norm WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000, c || ' zmod' FROM norm WHERE doc_id % 5 = 2)
+        |SELECT q.query_id, n.doc_id AS match_id
+        |FROM q JOIN norm n ON q.c = n.c
+        |ORDER BY query_id, match_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_ex_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"${tbl}_fps"))
+          IndexStore.buildExactIndex(
+            load(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "), col("text"), lit("  ")).as("text"))
+          .unionByName(d.where(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              regexp_replace(col("text"), " ", "   ").as("text")))
+          .unionByName(d.where(col("doc_id") % 5 === 2)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              concat(col("text"), lit(" zmod")).as("text")))
+        IndexStore.probeExact(s, batch, "doc_id", "text", tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Batch-internal verbatim-overlap pairs over the winnowed
     // fingerprints — winnowing is SQL-expressible, so unlike the LSH
     // pair kernels this one is FULLY oracle-checked: the DuckDB side
