@@ -304,8 +304,12 @@ object ExtensionQueries {
         // COMPOSITION showcase — three per-invocation index builds over
         // the full sf0.1 corpus would just re-time the build paths the
         // per-kind queries already measure
+        // per-invocation cost is dominated by the three index BUILDS,
+        // which a production ingest loop amortizes across thousands of
+        // batches — the bounded corpus keeps the bench timing the
+        // composition, not three build paths measured elsewhere
         val docs = load(s, dir, "documents").select("doc_id", "text")
-          .where(col("doc_id") < 2000)
+          .where(col("doc_id") < 500)
         // unconditional rebuild — the ingest-query stance: the loop's
         // appends must not compound across invocations/reps
         IndexStore.buildExactIndex(docs, "doc_id", "text",

@@ -77,6 +77,35 @@ object ScaleRehearsal {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"q":"winnow_ingest_lifecycle","scale":$scale,""" +
         f""""accepted":$nAcc,"sec":$sec%.2f}""")
+
+      // composed multi-gate lifecycle (exact → winnow → minhash): the
+      // three builds plus one gated batch of byte-copies (exact-gate
+      // rejects) and disjoint-vocabulary rewrites (survivors)
+      val (gx, gw, gm) = (s"graft_rh_gx_s$scale", s"graft_rh_gw_s$scale",
+        s"graft_rh_gm_s$scale")
+      Seq(s"${gx}_fps", s"${gw}_wins", s"${gm}_bands", s"${gm}_shingles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val tg = System.nanoTime()
+      IndexStore.buildExactIndex(corpus, "doc_id", "text", gx,
+        s"/tmp/graft_rehearsal/$gx")
+      IndexStore.buildWinnowIndex(corpus, "doc_id", "text", gw,
+        s"/tmp/graft_rehearsal/$gw")
+      IndexStore.buildMinhashIndex(corpus, "doc_id", "text", gm,
+        s"/tmp/graft_rehearsal/$gm")
+      val toksG = split(trim(lower(col("text"))), "\\s+")
+      val batchG = corpus.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 600000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 700000000L).as("doc_id"),
+            concat_ws(" ", transform(toksG,
+              (t, i) => concat(lit("zz"), t, i.cast("string")))).as("text")))
+      val (accG, decG) = IndexStore.dedupIngestGate(spark, batchG,
+        "doc_id", "text", gx, gw, gm)
+      val nAccG = accG.count()
+      val nCutExact = decG.where(col("gate") === "exact").count()
+      val secG = (System.nanoTime() - tg) / 1e9
+      println(f"""{"q":"gate_ingest_lifecycle","scale":$scale,""" +
+        f""""accepted":$nAccG,"cutExact":$nCutExact,"sec":$secG%.2f}""")
     }
     spark.stop()
   }

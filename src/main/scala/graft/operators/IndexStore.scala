@@ -368,8 +368,7 @@ object IndexStore {
         shingleN, numHashes, bands, threshold, hotBandThreshold),
       append = b => appendMinhashIndex(b, idCol, textCol, table,
         shingleN, numHashes, bands))
-    maybeAutoCompact(spark, s"${table}_bands", autoCompactAppends)(
-      base => compactMinhashIndex(spark, table, base))
+    autoCompact(spark, "minhash", table, autoCompactAppends)
     r
   }
 
@@ -387,8 +386,7 @@ object IndexStore {
       innerPairs = b => Dedup.simhashNearDupPairs(b, idCol, textCol,
         maxHamming, hotBandThreshold),
       append = b => appendSimhashIndex(b, idCol, textCol, table))
-    maybeAutoCompact(spark, s"${table}_chunks", autoCompactAppends)(
-      base => compactSimhashIndex(spark, table, base))
+    autoCompact(spark, "simhash", table, autoCompactAppends)
     r
   }
 
@@ -413,8 +411,7 @@ object IndexStore {
         idCol, vecCol, blockDims),
       append = b => appendSrpIndex(b, table, idCol, vecCol, nPlanes,
         bands, dim))
-    maybeAutoCompact(spark, s"${table}_bands", autoCompactAppends)(
-      base => compactSrpIndex(spark, table, base))
+    autoCompact(spark, "srp", table, autoCompactAppends)
     r
   }
 
@@ -676,8 +673,7 @@ object IndexStore {
         window, guarantee, minSharedFps, hotFpThreshold),
       append = b => appendWinnowIndex(b, idCol, textCol, table, window,
         guarantee))
-    maybeAutoCompact(spark, s"${table}_wins", autoCompactAppends)(
-      base => compactWinnowIndex(spark, table, base))
+    autoCompact(spark, "winnow", table, autoCompactAppends)
     r
   }
 
@@ -798,8 +794,7 @@ object IndexStore {
         hotFpThreshold),
       innerPairs = b => exactInnerPairs(b, idCol, textCol),
       append = b => appendExactIndex(b, idCol, textCol, table))
-    maybeAutoCompact(spark, s"${table}_fps", autoCompactAppends)(
-      base => compactExactIndex(spark, table, base))
+    autoCompact(spark, "exact", table, autoCompactAppends)
     r
   }
 
@@ -884,12 +879,9 @@ object IndexStore {
     appendWinnowIndex(a3, idCol, textCol, winnowTable, window, guarantee)
     appendMinhashIndex(a3, idCol, textCol, minhashTable, shingleN,
       numHashes, bands)
-    maybeAutoCompact(spark, s"${exactTable}_fps", autoCompactAppends)(
-      base => compactExactIndex(spark, exactTable, base))
-    maybeAutoCompact(spark, s"${winnowTable}_wins", autoCompactAppends)(
-      base => compactWinnowIndex(spark, winnowTable, base))
-    maybeAutoCompact(spark, s"${minhashTable}_bands", autoCompactAppends)(
-      base => compactMinhashIndex(spark, minhashTable, base))
+    autoCompact(spark, "exact", exactTable, autoCompactAppends)
+    autoCompact(spark, "winnow", winnowTable, autoCompactAppends)
+    autoCompact(spark, "minhash", minhashTable, autoCompactAppends)
     // each stage's output is pinned (gateStage), so these anti joins
     // replay materialized rows rather than re-probing the grown indexes
     def cutAt(in: DataFrame, out: DataFrame, gate: String) =
@@ -1308,6 +1300,28 @@ object IndexStore {
       compact(s"$base/auto_g$total")
       true
     } else false
+  }
+
+  /** The same counter-driven policy for callers that append OUTSIDE the
+    * batch ingest loops — a streaming foreachBatch sink, a custom
+    * maintenance job: compacts `table` (base name, no suffix) once its
+    * primary table's append counter has reached `every` (0 disables).
+    * `kind` is one of exact / minhash / simhash / srp / winnow / ivf.
+    * Returns whether a compaction ran. */
+  def autoCompact(spark: SparkSession, kind: String, table: String,
+      every: Int = DefaultAutoCompactAppends): Boolean = {
+    val (primary, compact): (String, String => Unit) = kind match {
+      case "exact"   => (s"${table}_fps",    compactExactIndex(spark, table, _))
+      case "minhash" => (s"${table}_bands",  compactMinhashIndex(spark, table, _))
+      case "simhash" => (s"${table}_chunks", compactSimhashIndex(spark, table, _))
+      case "srp"     => (s"${table}_bands",  compactSrpIndex(spark, table, _))
+      case "winnow"  => (s"${table}_wins",   compactWinnowIndex(spark, table, _))
+      case "ivf"     => (s"${table}_lists",  compactIvfIndex(spark, table, _))
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other' " +
+          "(expected exact/minhash/simhash/srp/winnow/ivf)")
+    }
+    maybeAutoCompact(spark, primary, every)(compact)
   }
 
   private val SupersededKey = "graft.vacuum.superseded"

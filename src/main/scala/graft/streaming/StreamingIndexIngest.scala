@@ -61,26 +61,42 @@ object StreamingIndexIngest {
   }
 
   /** MinHash instance — identical to probing a one-shot index over the
-    * same corpus (asserted in StreamingSpec). */
+    * same corpus (asserted in StreamingSpec). `autoCompactAppends` runs
+    * [[IndexStore.autoCompact]]'s counter-driven policy after each
+    * appending micro-batch — the knob a LONG-RUNNING stream needs,
+    * since its per-batch appends otherwise grow the index's file count
+    * without bound (content is unaffected either way; parity spec'd). */
   def run(spark: SparkSession, sfDir: String, workDir: String,
-      table: String, idxPath: String): DataFrame =
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame =
     ingest(spark, sfDir, workDir,
       Seq(s"${table}_bands", s"${table}_shingles"), idxPath,
       (batch, first) =>
         if (first) IndexStore.buildMinhashIndex(batch, "doc_id", "text",
           table, idxPath)
-        else IndexStore.appendMinhashIndex(batch, "doc_id", "text", table),
+        else {
+          IndexStore.appendMinhashIndex(batch, "doc_id", "text", table)
+          IndexStore.autoCompact(spark, "minhash", table, autoCompactAppends)
+          (): Unit
+        },
       probes => IndexStore.probeMinhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
 
   /** SimHash instance — same contract over the chunk table. */
   def runSimhash(spark: SparkSession, sfDir: String, workDir: String,
-      table: String, idxPath: String): DataFrame =
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame =
     ingest(spark, sfDir, workDir, Seq(s"${table}_chunks"), idxPath,
       (batch, first) =>
         if (first) IndexStore.buildSimhashIndex(batch, "doc_id", "text",
           table, idxPath)
-        else IndexStore.appendSimhashIndex(batch, "doc_id", "text", table),
+        else {
+          IndexStore.appendSimhashIndex(batch, "doc_id", "text", table)
+          IndexStore.autoCompact(spark, "simhash", table, autoCompactAppends)
+          (): Unit
+        },
       probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
 
@@ -88,12 +104,18 @@ object StreamingIndexIngest {
     * fingerprint table: the finished index reports verbatim overlaps
     * for the planted perturbed docs. One-shot parity in StreamingSpec. */
   def runWinnow(spark: SparkSession, sfDir: String, workDir: String,
-      table: String, idxPath: String): DataFrame =
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame =
     ingest(spark, sfDir, workDir, Seq(s"${table}_wins"), idxPath,
       (batch, first) =>
         if (first) IndexStore.buildWinnowIndex(batch, "doc_id", "text",
           table, idxPath)
-        else IndexStore.appendWinnowIndex(batch, "doc_id", "text", table),
+        else {
+          IndexStore.appendWinnowIndex(batch, "doc_id", "text", table)
+          IndexStore.autoCompact(spark, "winnow", table, autoCompactAppends)
+          (): Unit
+        },
       probes => IndexStore.probeWinnow(spark, probes, "doc_id", "text",
           table)
         .orderBy("query_id", "match_id"))
@@ -102,7 +124,9 @@ object StreamingIndexIngest {
     * embeddings table instead of documents; the finished index answers
     * top-k for the first queries. One-shot parity in StreamingSpec. */
   def runSrp(spark: SparkSession, sfDir: String, workDir: String,
-      table: String, idxPath: String): DataFrame = {
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
     import graft.operators.Similarity
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
@@ -111,7 +135,11 @@ object StreamingIndexIngest {
       Seq(s"${table}_bands", s"${table}_vecs"), idxPath,
       (batch, first) =>
         if (first) IndexStore.buildSrpIndex(batch, table, idxPath)
-        else IndexStore.appendSrpIndex(batch, table),
+        else {
+          IndexStore.appendSrpIndex(batch, table)
+          IndexStore.autoCompact(spark, "srp", table, autoCompactAppends)
+          (): Unit
+        },
       () => IndexStore.probeSrp(spark, vecs.where(col("vec_id") < 10),
           table, k = 5)
         .orderBy("query_id", "rank"))

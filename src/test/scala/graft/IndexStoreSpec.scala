@@ -275,6 +275,19 @@ class IndexStoreSpec extends SparkSpec {
       val win = IndexStore.probeWinnow(spark, probes, "doc_id", "text",
         winTbl)
       assertIndexSideInPlace(win, s"$idxPath/$winTbl/${winTbl}_wins")
+
+      // the sixth kind honors the same contract: the fp-bucketed scan
+      // feeds the hot-bucket window AND the probe join in place (probe
+      // with exact copies — a no-match probe would let AQE's
+      // empty-relation propagation eliminate the index scan entirely)
+      val exTbl = "graft_spec_ex_plan"
+      dropTable(s"${exTbl}_fps")
+      IndexStore.buildExactIndex(docs, "doc_id", "text", exTbl,
+        s"$idxPath/$exTbl")
+      val exq = IndexStore.probeExact(spark,
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")),
+        "doc_id", "text", exTbl)
+      assertIndexSideInPlace(exq, s"$idxPath/$exTbl/${exTbl}_fps")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
@@ -481,6 +494,62 @@ class IndexStoreSpec extends SparkSpec {
     // exercise every later gate
     Seq("winnow", "minhash", "accepted").foreach(g =>
       assert(rows.exists(_._2 == g), s"no doc reached gate outcome $g"))
+  }
+
+  test("exact index: variant probes, incremental append, erasure") {
+    import spark.implicits._
+    val ex = "graft_spec_ex"
+    dropTable(s"${ex}_fps")
+    spark.sql(s"DROP TABLE IF EXISTS ${ex}_fps__compacting")
+    // build half, append half — the maintained index must serve both
+    IndexStore.buildExactIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", ex, s"$idxPath/$ex")
+    IndexStore.appendExactIndex(docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", ex)
+    // canonicalization: edge-whitespace + case variants match their
+    // source; appended-token controls match nothing
+    val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zctl")).as("text")))
+    val before = IndexStore.probeExact(spark, batch, "doc_id", "text", ex)
+      .as[(Long, Long)].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect()
+    assert(ids.forall(id => before.contains((id + 100000, id))),
+      "every normalized variant must match its source doc")
+    assert(before.forall(_._1 < 300000), "controls must match nothing")
+    // take-down: erased ids never probe again, the rest are untouched
+    val erased = ids.sorted.take(10).toSeq
+    IndexStore.deleteFromExactIndex(spark, ex, erased.toDF("doc_id"),
+      s"$idxPath/$ex")
+    val after = IndexStore.probeExact(spark, batch, "doc_id", "text", ex)
+      .as[(Long, Long)].collect().toSet
+    val eSet = erased.toSet
+    assert(after == before.filterNot(p => eSet.contains(p._2)),
+      "erasure must drop exactly the erased docs' matches")
+  }
+
+  test("exact probe hot-fp cap: representatives only, loudly observed") {
+    import spark.implicits._
+    val ex = "graft_spec_ex_hot"
+    dropTable(s"${ex}_fps")
+    val boiler = (0L until 120L)
+      .map(i => (i, "the same boilerplate page text"))
+      .toDF("doc_id", "text")
+    IndexStore.buildExactIndex(boiler, "doc_id", "text", ex,
+      s"$idxPath/$ex")
+    val probe = Seq((900001L, "  THE same   boilerplate page TEXT "))
+      .toDF("doc_id", "text")
+    val frame = IndexStore.probeExact(spark, probe, "doc_id", "text", ex,
+      hotFpThreshold = 50)
+    val m = frame.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // for EXACT duplication any one match is decision-equivalent to all
+    // of them — the capped bucket answers with its min/max ids only
+    assert(m == Set((900001L, 0L), (900001L, 119L)),
+      s"an over-threshold fp bucket must contribute its representatives, got $m")
+    val act = IndexStore.capActivity(frame)
+    assert(act.exists(a => a.rowsSuppressed == 118 && a.maxBucketN == 120),
+      s"the cap must be loudly observed: $act")
   }
 
   test("ingest auto-compaction: counter-driven, probes stay green, counter resets") {

@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
       "index built from streamed micro-batches must probe like a one-shot build")
   }
 
+  test("streaming ingest auto-compaction: compacts mid-stream, probes unchanged") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    // every appending micro-batch triggers the counter policy
+    // (threshold 1) — the finished index must have been compacted away
+    // from its original location AND still probe exactly like the
+    // uncompacted streamed build
+    val plain = graft.streaming.StreamingIndexIngest.run(spark, sf0001,
+      "/tmp/graft_ingest_ac0", "graft_test_ac0",
+      "/tmp/graft_ingest_ac0/idx")
+    val compacted = graft.streaming.StreamingIndexIngest.run(spark, sf0001,
+      "/tmp/graft_ingest_ac1", "graft_test_ac1",
+      "/tmp/graft_ingest_ac1/idx", autoCompactAppends = 1)
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("graft_test_ac1_bands"))
+      .location.toString
+    assert(loc.contains("auto_g"),
+      s"threshold-1 streaming ingest must auto-compact mid-stream: $loc")
+    assert(graft.operators.IndexStore
+      .appendsSinceCompact(spark, "graft_test_ac1_bands") == 0,
+      "the final append's compaction must have reset the counter")
+    assert(plain.count() > 0)
+    assert(plain.exceptAll(compacted).isEmpty &&
+      compacted.exceptAll(plain).isEmpty,
+      "mid-stream compaction must not change a single probe row")
+  }
+
   test("streaming SimHash ingest equals a one-shot build") {
     val streamed = graft.streaming.StreamingIndexIngest.runSimhash(spark,
       sf0001, "/tmp/graft_ingest_sh", "graft_test_ssh",
