@@ -342,6 +342,41 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // The EMBEDDING composed ingest gate (exact vector fingerprint →
+    // SRP cosine near-dup): byte-copies of indexed vectors cut at the
+    // md5 gate before any band hashing runs; ×2-scaled copies are
+    // byte-distinct but keep every hyperplane sign, so the SRP gate
+    // cuts them deterministically at cosine 1.0; alternating
+    // sign-flips are near-orthogonal and survive. Rows-only (LSH
+    // banding); attribution/parity spec'd in IndexStoreSpec.
+    QueryDef("ext_vec_gate_e2e", None,
+      (s, dir) => {
+        val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val vecs = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+          .where(col("vec_id") < 500)
+        // unconditional rebuild — the ingest-query stance
+        IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
+          s"graft_gvx_$sfx", s"/tmp/graft_index/graft_gvx_$sfx")
+        IndexStore.buildSrpIndex(vecs, s"graft_gvs_$sfx",
+          s"/tmp/graft_index/graft_gvs_$sfx")
+        val every10 = vecs.where(col("vec_id") % 10 === 0)
+        val batch = every10
+          .select((col("vec_id") + 800000).as("vec_id"), col("vec"))
+          .unionByName(every10.select((col("vec_id") + 810000).as("vec_id"),
+            transform(col("vec"), v => v * 2.0d).as("vec")))
+          .unionByName(every10.select((col("vec_id") + 820000).as("vec_id"),
+            transform(col("vec"), (v, i) =>
+              when(i % 2 === 0, -v).otherwise(v)).as("vec")))
+        val (accepted, decisions) = IndexStore.dedupIngestGateVec(s,
+          batch, s"graft_gvx_$sfx", s"graft_gvs_$sfx")
+        decisions
+          .unionByName(accepted.select(col("vec_id"),
+            lit("accepted").as("gate")))
+          .orderBy("vec_id")
+      }),
+
     // The sixth (exact-fingerprint) index kind probed end to end under
     // the oracle: md5 equality over the canonical text IS
     // canonical-text equality, so unlike the LSH kinds this persisted

@@ -732,7 +732,8 @@ object IndexStore {
       .write.bucketBy(nBuckets, "fp")
       .option("path", s"$path/${table}_fps").mode("overwrite")
       .saveAsTable(s"${table}_fps")
-    setParams(spark, s"${table}_fps", Map("idCol" -> idCol))
+    setParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "text"))
   }
 
   /** Appends delta docs' fingerprint rows in place, mirroring
@@ -740,7 +741,8 @@ object IndexStore {
   def appendExactIndex(delta: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
     val spark = delta.sparkSession
-    requireParams(spark, s"${table}_fps", Map("idCol" -> idCol), "append")
+    requireParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "text"), "append")
     val nb = numBucketsOf(spark, s"${table}_fps")
     bucketRouted(exactFps(delta, idCol, textCol), "fp", nb)
       .write.bucketBy(nb, "fp")
@@ -758,7 +760,8 @@ object IndexStore {
   def probeExact(spark: SparkSession, queries: DataFrame, idCol: String,
       textCol: String, table: String,
       hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
-    requireParams(spark, s"${table}_fps", Map("idCol" -> idCol), "probe")
+    requireParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "text"), "probe")
     val qf = exactFps(queries, idCol, textCol)
       .select(col(idCol).as("query_id"), col("fp"))
     capHotBuckets(spark.table(s"${table}_fps"), "fp", idCol, hotFpThreshold)
@@ -818,6 +821,83 @@ object IndexStore {
   /** Vacuums the exact index's retired directories. */
   def vacuumExactIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_fps")
+
+  // ---- exact-fingerprint index, embedding payload -------------------
+  // The same cheapest-gate idea for EMBEDDING streams: an embedding
+  // pipeline re-fetching content it already embedded produces
+  // byte-identical vectors (deterministic embedder), and paying an SRP
+  // band probe to discover a vector is its own byte-copy is the same
+  // wrong cost order the text gate exists to avoid.
+
+  /** Whole-vector canonical fingerprint: md5 over the exact decimal
+    * rendering of the components — byte-identical vectors collide, ANY
+    * numeric perturbation (even 1 ulp) does not. [[exactFingerprint]]'s
+    * role, for embedding payloads. */
+  def vecFingerprint(vec: Column): Column =
+    md5(concat_ws(",", transform(vec, v => v.cast("string")))
+      .cast("binary"))
+
+  private def vecFps(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val par = vecs.sparkSession.sparkContext.defaultParallelism
+    vecs.repartition(par)
+      .select(col(idCol), vecFingerprint(col(vecCol)).as("fp"))
+  }
+
+  /** [[buildExactIndex]] over an embedding corpus — identical storage
+    * contract; the payload param makes text/vec cross-probes fail loud
+    * at the parameter check instead of silently never matching. */
+  def buildExactVecIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val spark = vecs.sparkSession
+    bucketRouted(vecFps(vecs, idCol, vecCol), "fp", nBuckets)
+      .write.bucketBy(nBuckets, "fp")
+      .option("path", s"$path/${table}_fps").mode("overwrite")
+      .saveAsTable(s"${table}_fps")
+    setParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "vec"))
+  }
+
+  /** Appends delta vectors' fingerprint rows in place. */
+  def appendExactVecIndex(delta: DataFrame, idCol: String, vecCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "vec"), "append")
+    val nb = numBucketsOf(spark, s"${table}_fps")
+    bucketRouted(vecFps(delta, idCol, vecCol), "fp", nb)
+      .write.bucketBy(nb, "fp")
+      .mode("append").saveAsTable(s"${table}_fps")
+    noteAppend(spark, s"${table}_fps")
+  }
+
+  /** Byte-identical-vector probe — (query_id, match_id), the
+    * [[probeExact]] contract over embeddings, same hot-fp cap. */
+  def probeExactVec(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, table: String,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "vec"), "probe")
+    val qf = vecFps(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("fp"))
+    capHotBuckets(spark.table(s"${table}_fps"), "fp", idCol, hotFpThreshold)
+      .join(qf, "fp")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("match_id"))
+      .distinct()
+  }
+
+  /** Batch-internal byte-identical pairs — the windowed (linear,
+    * guard-free) keeper selection of [[exactInnerPairs]], over
+    * vector fingerprints. */
+  private def vecInnerPairs(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    vecFps(batch, idCol, vecCol)
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .where(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col(idCol).as("id_b"))
+  }
 
   // ---- composed multi-gate ingest -----------------------------------
 
@@ -884,14 +964,60 @@ object IndexStore {
     autoCompact(spark, "minhash", minhashTable, autoCompactAppends)
     // each stage's output is pinned (gateStage), so these anti joins
     // replay materialized rows rather than re-probing the grown indexes
-    def cutAt(in: DataFrame, out: DataFrame, gate: String) =
-      in.select(col(idCol))
-        .join(out.select(col(idCol)), Seq(idCol), "left_anti")
-        .withColumn("gate", lit(gate))
+    val cutAt = gateCut(idCol) _
     val decisions = cutAt(batch, a1, "exact")
       .unionByName(cutAt(a1, a2, "winnow"))
       .unionByName(cutAt(a2, a3, "minhash"))
     (a3, decisions)
+  }
+
+  /** (id, gate) rows for the docs `in` contains but `out` does not —
+    * the first-gate-that-cut attribution both composed gates share. */
+  private def gateCut(idCol: String)(in: DataFrame, out: DataFrame,
+      gate: String): DataFrame =
+    in.select(col(idCol))
+      .join(out.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("gate", lit(gate))
+
+  /** The EMBEDDING composed ingest gate — [[dedupIngestGate]]'s shape
+    * for vector streams: an arriving embedding batch passes
+    *
+    *   1. the EXACT gate — byte-identical vector fingerprint (one md5
+    *      per vector, the cheapest cut),
+    *   2. the SRP gate — cosine near-duplication at >= `threshold`
+    *      against the hyperplane-LSH index,
+    *
+    * each checking the persisted index AND batch-internally (min-id
+    * keeper), cost-ascending; survivors of BOTH gates — and only they —
+    * append to both indexes. Same pinned-pre-append, first-gate
+    * decisions, and parity-with-sequential-loops contracts as the text
+    * gate (spec'd in IndexStoreSpec). */
+  def dedupIngestGateVec(spark: SparkSession, batch: DataFrame,
+      exactTable: String, srpTable: String, threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      blockDims: Int = 8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      : (DataFrame, DataFrame) = {
+    val (a1, _) = gateStage(batch, idCol,
+      probe = b => probeExactVec(spark, b, idCol, vecCol, exactTable,
+        hotBandThreshold),
+      innerPairs = b => vecInnerPairs(b, idCol, vecCol))
+    val (a2, _) = gateStage(a1, idCol,
+      probe = b => probeSrpNearDup(spark, b, srpTable, threshold, idCol,
+        vecCol, nPlanes, bands, dim, hotBandThreshold),
+      innerPairs = b => Similarity.blockedNearDupPairs(b, threshold,
+        idCol, vecCol, blockDims))
+    // appends only now, after the LAST gate has ruled
+    appendExactVecIndex(a2, idCol, vecCol, exactTable)
+    appendSrpIndex(a2, srpTable, idCol, vecCol, nPlanes, bands, dim)
+    autoCompact(spark, "exact", exactTable, autoCompactAppends)
+    autoCompact(spark, "srp", srpTable, autoCompactAppends)
+    val cutAt = gateCut(idCol) _
+    val decisions = cutAt(batch, a1, "exact")
+      .unionByName(cutAt(a1, a2, "srp"))
+    (a2, decisions)
   }
 
   // ---- SRP (hyperplane) LSH index -----------------------------------
@@ -1252,6 +1378,11 @@ object IndexStore {
   // UNDER the param prefix, so it survives rewrites and stays monotone
   // — it names each auto-compaction's target directory, which therefore
   // never collides with a still-unvacuumed retired directory.
+  // The counters assume the SINGLE-WRITER-PER-INDEX discipline the
+  // append path itself already requires (concurrent saveAsTable appends
+  // to one bucketed table are not transactional): a lost counter bump
+  // under racing writers would only DELAY a compaction, never corrupt
+  // one, but the append contents themselves have no such safety net.
 
   private val AppendsSinceKey = "graft.compact.appendsSince"
   private val AppendsTotalParam = "appendsTotal"

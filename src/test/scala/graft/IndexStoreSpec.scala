@@ -552,6 +552,61 @@ class IndexStoreSpec extends SparkSpec {
       s"the cap must be loudly observed: $act")
   }
 
+  test("embedding multi-gate ingest: exact cuts byte-copies, SRP cuts cosine dups") {
+    import spark.implicits._
+    val (ex, sr) = ("graft_spec_gv_x", "graft_spec_gv_s")
+    Seq(s"${ex}_fps", s"${sr}_bands", s"${sr}_vecs").foreach(dropTable)
+    IndexStore.buildExactVecIndex(corpusVecs, "vec_id", "vec", ex,
+      s"$idxPath/$ex")
+    IndexStore.buildSrpIndex(corpusVecs, sr, s"$idxPath/$sr")
+    val every10 = corpusVecs.where(col("vec_id") % 10 === 0)
+    // byte-copies cut at the exact gate; ×2-scaled copies are
+    // byte-distinct but keep EVERY hyperplane sign (positive scaling),
+    // so the SRP gate finds them deterministically at cosine 1.0;
+    // alternating sign-flips are near-orthogonal to their source and
+    // survive both gates
+    val batch = every10
+      .select((col("vec_id") + 1000).as("vec_id"), col("vec"))
+      .unionByName(every10.select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("vec"), v => v * 2.0d).as("vec")))
+      .unionByName(every10.select((col("vec_id") + 3000).as("vec_id"),
+        transform(col("vec"), (v, i) =>
+          when(i % 2 === 0, -v).otherwise(v)).as("vec")))
+    val (acc, dec) = IndexStore.dedupIngestGateVec(spark, batch, ex, sr)
+    val ids = every10.select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    val byGate = dec.as[(Long, String)].collect().groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGate("exact") == ids.map(_ + 1000),
+      "byte-copies must cut at the exact gate")
+    assert(byGate("srp") == ids.map(_ + 2000),
+      "scaled (cosine-1.0, byte-distinct) copies must cut at the SRP gate")
+    assert(acc.select("vec_id").as[Long].collect().toSet ==
+      ids.map(_ + 3000), "sign-flipped vectors must survive both gates")
+    // a vector rejected at ANY gate is indexed NOWHERE
+    val n = corpusVecs.count() + ids.size
+    assert(spark.table(s"${ex}_fps").count() == n,
+      "exact-vec index must hold corpus + accepted only")
+    assert(spark.table(s"${sr}_vecs").count() == n,
+      "SRP vector table must not contain exact-gate rejects")
+    // consecutive batches: byte-copies of batch-1 survivors cut FIRST
+    val (acc2, dec2) = IndexStore.dedupIngestGateVec(spark,
+      acc.select((col("vec_id") + 10000).as("vec_id"), col("vec")),
+      ex, sr)
+    assert(acc2.isEmpty,
+      "every batch-2 vector byte-dups an accepted batch-1 vector")
+    assert(dec2.as[(Long, String)].collect().forall(_._2 == "exact"),
+      "byte-copies of survivors must be attributed to the exact gate")
+  }
+
+  test("autoCompact refuses an unknown index kind up front") {
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.autoCompact(spark, "bloom", "graft_spec_nope")
+    }
+    assert(e.getMessage.contains("unknown index kind"),
+      s"misdispatch must fail with the kind list, got: ${e.getMessage}")
+  }
+
   test("ingest auto-compaction: counter-driven, probes stay green, counter resets") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.TableIdentifier
