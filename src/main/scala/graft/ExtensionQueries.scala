@@ -342,6 +342,121 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // The composed gate VALUE-CHECKED end to end: same dedupIngestGate
+    // code path as ext_ingest_gate_e2e, but with the minhash gate made
+    // provably unreachable (threshold 1.01 > any jaccard), so the whole
+    // composition — exact-gate canonicalization, batch-internal min-id
+    // keeper, winnow index probe, winnow batch-internal pair cut,
+    // first-gate attribution, accepted set — is DuckDB-expressible and
+    // hash-checked, not rows-only. Five planted classes: byte-copies
+    // (exact, vs index), tail-extended docs (winnow, vs index),
+    // whitespace-interleave rewrites (accepted), byte-copies of those
+    // rewrites (exact, batch-internal keeper), and tail-extended
+    // rewrites (winnow, batch-internal pair). Docs under 20 tokens have
+    // no winnow fingerprints and legitimately pass that gate — the
+    // oracle mirrors the length guard, so the split is value-checked
+    // rather than assumed.
+    QueryDef("ext_ingest_gate_oracle",
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |every10 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0),
+        |batch AS (
+        |  SELECT doc_id + 800000 AS doc_id, text FROM every10
+        |  UNION ALL
+        |  SELECT doc_id + 810000, text || ' gtail gcoda' FROM every10
+        |  UNION ALL
+        |  SELECT doc_id + 820000, regexp_replace(text, '\s+', ' q', 'g') FROM every10
+        |  UNION ALL
+        |  SELECT doc_id + 830000, regexp_replace(text, '\s+', ' q', 'g') FROM every10
+        |  UNION ALL
+        |  SELECT doc_id + 840000, regexp_replace(text, '\s+', ' q', 'g') || ' zaa zbb' FROM every10),
+        |cnorm AS (
+        |  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS c
+        |  FROM corpus),
+        |bnorm AS (
+        |  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS c
+        |  FROM batch),
+        |cut_e AS (
+        |  SELECT DISTINCT b.doc_id FROM bnorm b
+        |  WHERE EXISTS (SELECT 1 FROM cnorm n WHERE n.c = b.c)
+        |     OR EXISTS (SELECT 1 FROM bnorm b2 WHERE b2.c = b.c AND b2.doc_id < b.doc_id)),
+        |a1 AS (
+        |  SELECT b.doc_id, b.text FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM cut_e e WHERE e.doc_id = b.doc_id)),
+        |ctoks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+        |chk AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(t) - 18),
+        |      p -> md5(array_to_string(t[p : p + 19], ' ')) || ':' || lpad(CAST(p AS VARCHAR), 10, '0')) AS hk
+        |  FROM ctoks WHERE len(t) >= 20),
+        |csel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(1, len(hk) - 9) + 1),
+        |      q -> list_min(hk[q : q + 9])))) AS selkey
+        |  FROM chk),
+        |cw AS (SELECT DISTINCT doc_id, substr(selkey, 1, 32) AS fp FROM csel),
+        |btoks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM a1),
+        |bhk AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(t) - 18),
+        |      p -> md5(array_to_string(t[p : p + 19], ' ')) || ':' || lpad(CAST(p AS VARCHAR), 10, '0')) AS hk
+        |  FROM btoks WHERE len(t) >= 20),
+        |bsel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(1, len(hk) - 9) + 1),
+        |      q -> list_min(hk[q : q + 9])))) AS selkey
+        |  FROM bhk),
+        |bw AS (SELECT DISTINCT doc_id, substr(selkey, 1, 32) AS fp FROM bsel),
+        |widx AS (SELECT DISTINCT b.doc_id FROM bw b JOIN cw c ON c.fp = b.fp),
+        |wsurv AS (
+        |  SELECT a.doc_id FROM a1 a
+        |  WHERE NOT EXISTS (SELECT 1 FROM widx w WHERE w.doc_id = a.doc_id)),
+        |sw AS (SELECT b.doc_id, b.fp FROM bw b JOIN wsurv s ON s.doc_id = b.doc_id),
+        |winner AS (
+        |  SELECT DISTINCT b.doc_id FROM sw b
+        |  JOIN sw b2 ON b2.fp = b.fp AND b2.doc_id < b.doc_id),
+        |a2 AS (
+        |  SELECT s.doc_id FROM wsurv s
+        |  WHERE NOT EXISTS (SELECT 1 FROM winner w WHERE w.doc_id = s.doc_id))
+        |SELECT doc_id, gate FROM (
+        |  SELECT doc_id, 'exact' AS gate FROM cut_e
+        |  UNION ALL SELECT doc_id, 'winnow' FROM widx
+        |  UNION ALL SELECT doc_id, 'winnow' FROM winner
+        |  UNION ALL SELECT doc_id, 'accepted' FROM a2)
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+          .where(col("doc_id") < 500)
+        // unconditional rebuild — the ingest-query stance
+        IndexStore.buildExactIndex(docs, "doc_id", "text",
+          s"graft_ox_$sfx", s"/tmp/graft_index/graft_ox_$sfx")
+        IndexStore.buildWinnowIndex(docs, "doc_id", "text",
+          s"graft_ow_$sfx", s"/tmp/graft_index/graft_ow_$sfx")
+        IndexStore.buildMinhashIndex(docs, "doc_id", "text",
+          s"graft_om_$sfx", s"/tmp/graft_index/graft_om_$sfx")
+        val every10 = docs.where(col("doc_id") % 10 === 0)
+        val novel = regexp_replace(col("text"), "\\s+", " q")
+        val batch = every10
+          .select((col("doc_id") + 800000).as("doc_id"), col("text"))
+          .unionByName(every10.select((col("doc_id") + 810000).as("doc_id"),
+            concat(col("text"), lit(" gtail gcoda")).as("text")))
+          .unionByName(every10.select((col("doc_id") + 820000).as("doc_id"),
+            novel.as("text")))
+          .unionByName(every10.select((col("doc_id") + 830000).as("doc_id"),
+            novel.as("text")))
+          .unionByName(every10.select((col("doc_id") + 840000).as("doc_id"),
+            concat(novel, lit(" zaa zbb")).as("text")))
+        val (accepted, decisions) = IndexStore.dedupIngestGate(s, batch,
+          "doc_id", "text", s"graft_ox_$sfx", s"graft_ow_$sfx",
+          s"graft_om_$sfx", threshold = 1.01)
+        decisions
+          .unionByName(accepted.select(col("doc_id"),
+            lit("accepted").as("gate")))
+          .orderBy("doc_id")
+      }),
+
     // The EMBEDDING composed ingest gate (exact vector fingerprint →
     // SRP cosine near-dup): byte-copies of indexed vectors cut at the
     // md5 gate before any band hashing runs; ×2-scaled copies are
