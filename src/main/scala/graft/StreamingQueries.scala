@@ -70,5 +70,21 @@ object StreamingQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         StreamingIndexIngest.run(s, dir, s"/tmp/graft_ingest/$tag",
           s"graft_smh_$tag", s"/tmp/graft_ingest/$tag/idx")
+      }),
+
+    // The COMPOSED multi-gate ingest run as a stream — the reference's
+    // cron loop (`partial-update.sh`) as a forever-sync: indexes
+    // pre-seeded from the corpus, two staged micro-batches gated
+    // exact → winnow → minhash, per-batch first-gate decisions
+    // accumulated in an append sink. Decision set is batch-order
+    // independent by construction (planted relationships never cross
+    // batch files). Rows-only (LSH banding); batch-gate parity and
+    // checkpoint recovery spec'd in StreamingSpec.
+    QueryDef("sr5_streaming_gate", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runGate(s, dir, s"/tmp/graft_sgate/$tag",
+          s"graft_sgx_$tag", s"graft_sgw_$tag", s"graft_sgm_$tag",
+          s"/tmp/graft_sgate/$tag/idx")
       }))
 }

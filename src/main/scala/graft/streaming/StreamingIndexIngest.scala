@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.IndexStore
@@ -119,6 +119,143 @@ object StreamingIndexIngest {
       probes => IndexStore.probeWinnow(spark, probes, "doc_id", "text",
           table)
         .orderBy("query_id", "match_id"))
+
+  /** The COMPOSED multi-gate ingest, run as a stream — the reference's
+    * cron loop (`/root/reference/README.md:11`, `partial-update.sh`) is
+    * exactly "the composed sync, run forever": each arriving micro-batch
+    * passes [[IndexStore.dedupIngestGate]] (exact → winnow → minhash,
+    * cost-ascending, survivors appended to all three indexes — with the
+    * per-kind auto-compaction counters live mid-stream), and the batch's
+    * first-gate-attribution decisions accumulate into an append-mode
+    * parquet sink, so at stream end the sink holds the full (id, gate)
+    * history every batch contributed.
+    *
+    * The indexes are pre-built over the corpus before the stream starts
+    * (the production shape: a resumed loop gates against everything
+    * already persisted, not against an empty index). The two staged
+    * batch files plant their duplicate relationships ONLY against the
+    * pre-seeded index or WITHIN their own file — never across batch
+    * files — so the final decision set is identical whichever order the
+    * file source delivers the micro-batches in; that order-independence
+    * is what makes this deterministic despite the source's listing
+    * order being unspecified. Parity with running the batch-mode gate
+    * over the same two frames sequentially, and checkpoint-stop/resume
+    * recovery, are spec'd in StreamingSpec. */
+  def runGate(spark: SparkSession, sfDir: String, workDir: String,
+      exactTable: String, winnowTable: String, minhashTable: String,
+      idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 500)
+    Seq(s"${exactTable}_fps", s"${winnowTable}_wins",
+      s"${minhashTable}_bands", s"${minhashTable}_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    // pre-seed: the gate resumes against a persisted corpus index
+    IndexStore.buildExactIndex(docs, "doc_id", "text", exactTable,
+      s"$idxPath/$exactTable")
+    IndexStore.buildWinnowIndex(docs, "doc_id", "text", winnowTable,
+      s"$idxPath/$winnowTable", window = 40, guarantee = 10)
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", minhashTable,
+      s"$idxPath/$minhashTable")
+    val (b1, b2) = gateBatches(docs)
+    val srcDir = s"$workDir/src"
+    stageBatchFile(b1, workDir, srcDir, "b1")
+    stageBatchFile(b2, workDir, srcDir, "b2")
+    val sinkDir = s"$workDir/sink"
+    runGateStream(spark, srcDir, sinkDir, s"$workDir/ckpt_${System.nanoTime()}",
+      exactTable, winnowTable, minhashTable, autoCompactAppends)
+    spark.read.parquet(sinkDir).orderBy("doc_id")
+  }
+
+  /** Stages `df` as ONE flat parquet file `srcDir/<name>.parquet` — the
+    * file stream source reads a flat directory, and one file per staged
+    * batch (with maxFilesPerTrigger = 1) makes file = micro-batch. */
+  private[graft] def stageBatchFile(df: DataFrame, workDir: String,
+      srcDir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$workDir/stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    Files.createDirectories(Paths.get(srcDir))
+    Files.copy(part.toPath, Paths.get(srcDir, s"$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    (): Unit
+  }
+
+  /** The two staged batch frames [[runGate]] streams: per batch file, a
+    * byte-copy class (exact gate, vs the pre-seeded index), a co-batch
+    * copy class (exact gate, batch-internal min-id keeper), a
+    * tail-extended class (winnow gate), an every-30th-token
+    * perturbation class (no intact 40-token window survives a ≤29-token
+    * gap, so the winnow gate CANNOT cut it; its shingle jaccard ≈ 0.82
+    * cuts at the minhash gate), and a disjoint-vocabulary rewrite class
+    * (accepted). All relationships point at the index or stay inside
+    * one file — none cross files (see [[runGate]]). */
+  private[graft] def gateBatches(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val perturbed = concat_ws(" ", transform(toks,
+      (t, i) => when(i % 30 === 29, concat(t, lit("q"))).otherwise(t)))
+    // per-DOC disjoint vocabulary (the ScaleRehearsal per-replica
+    // trick): the corpus contains organic near-dup pairs, and a
+    // shared-vocab rewrite of two near-identical sources would be a
+    // legitimate minhash near-dup of its sibling — the SOURCE doc_id
+    // prefix makes every rewrite disjoint from every other doc in
+    // corpus, batch, and the OTHER batch file. Computed in a
+    // PRELIMINARY select: inside a class select that aliases the
+    // shifted id as doc_id, col("doc_id") resolves to the SHIFTED
+    // value, which would make the "byte-copy" classes differ in their
+    // embedded prefix (measured: nv820000x... vs nv830000x...).
+    def novel(tag: String) = concat_ws(" ", transform(toks,
+      (t, i) => concat(lit(tag), col("doc_id").cast("string"), lit("x"),
+        t, i.cast("string"))))
+    val every10 = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), novel("nv").as("nv_text"),
+        novel("wz").as("wz_text"), perturbed.as("p_text"))
+    def cls(offset: Int, textCol: Column): DataFrame = every10
+      .select((col("doc_id") + offset).as("doc_id"), textCol.as("text"))
+    val b1 = cls(800000, col("text"))
+      .unionByName(cls(810000, concat(col("text"), lit(" gtail gcoda"))))
+      .unionByName(cls(820000, col("nv_text")))
+      .unionByName(cls(830000, col("nv_text")))
+    val b2 = cls(840000, col("p_text"))
+      .unionByName(cls(850000, col("wz_text")))
+    (b1, b2)
+  }
+
+  /** Starts (or resumes, given the same checkpoint dir) the gate stream
+    * over the staged batch files and drains what is currently available,
+    * synchronously — split out of [[runGate]] so the recovery spec can
+    * drain with only b1 staged, "crash" (stop), stage b2, and drain
+    * again from the same checkpoint: the resumed stream must process
+    * exactly the un-committed file, never re-gating (and re-appending)
+    * a batch the checkpoint already committed. */
+  def runGateStream(spark: SparkSession, srcDir: String, sinkDir: String,
+      checkpointDir: String, exactTable: String, winnowTable: String,
+      minhashTable: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (accepted, decisions) = IndexStore.dedupIngestGate(spark,
+          batch, "doc_id", "text", exactTable, winnowTable, minhashTable,
+          window = 40, guarantee = 10,
+          autoCompactAppends = autoCompactAppends)
+        decisions
+          .unionByName(accepted.select(col("doc_id"),
+            lit("accepted").as("gate")))
+          .write.mode("append").parquet(sinkDir)
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 
   /** SRP (embedding ANN) instance — [[ingestFrames]] over the
     * embeddings table instead of documents; the finished index answers

@@ -139,6 +139,106 @@ class StreamingSpec extends SparkSpec {
       "SRP index from streamed micro-batches must probe like the inline pipeline")
   }
 
+  test("streaming composed gate equals sequential batch gates over the same frames") {
+    import graft.operators.IndexStore
+    val streamed = graft.streaming.StreamingIndexIngest.runGate(spark,
+      sf0001, "/tmp/graft_sgate_test", "graft_t_sgx", "graft_t_sgw",
+      "graft_t_sgm", "/tmp/graft_sgate_test/idx")
+    // batch-mode twin: same pre-seed, same two frames gated sequentially
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").where($"doc_id" < 500)
+    val (b1, b2) = graft.streaming.StreamingIndexIngest.gateBatches(docs)
+    Seq("graft_t_bgx_fps", "graft_t_bgw_wins", "graft_t_bgm_bands",
+      "graft_t_bgm_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_bgate_test"))
+    IndexStore.buildExactIndex(docs, "doc_id", "text", "graft_t_bgx",
+      "/tmp/graft_bgate_test/gx")
+    IndexStore.buildWinnowIndex(docs, "doc_id", "text", "graft_t_bgw",
+      "/tmp/graft_bgate_test/gw", window = 40, guarantee = 10)
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", "graft_t_bgm",
+      "/tmp/graft_bgate_test/gm")
+    def gateOnce(b: org.apache.spark.sql.DataFrame) = {
+      val (acc, dec) = IndexStore.dedupIngestGate(spark, b, "doc_id",
+        "text", "graft_t_bgx", "graft_t_bgw", "graft_t_bgm",
+        window = 40, guarantee = 10)
+      dec.unionByName(acc.select($"doc_id", lit("accepted").as("gate")))
+    }
+    val batchTwin = gateOnce(b1).unionByName(gateOnce(b2))
+    // every staged doc gets exactly one decision row
+    assert(streamed.count() == b1.count() + b2.count())
+    assert(streamed.exceptAll(batchTwin).isEmpty &&
+      batchTwin.exceptAll(streamed).isEmpty,
+      "the streamed gate must accept/cut exactly what sequential batch gates do")
+    // class guarantees: byte-copies always match their indexed source
+    // (exact); co-batch copies always match their smaller-id sibling
+    // (exact); per-doc disjoint-vocabulary rewrites match NOTHING
+    // (accepted). The per-batch-file classes are existential: a
+    // tail-extension of a shorter-than-window doc legitimately passes
+    // winnow, and a perturbed doc can legitimately cut at winnow
+    // BATCH-INTERNALLY (two perturbed copies of organically near-dup
+    // sources share the identically-perturbed window verbatim) — but
+    // vs the INDEX no perturbed doc has an intact 40-token window, so
+    // with the corpus median ~50 tokens at least one of each class
+    // reaches its designed gate.
+    val gateOf = streamed.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcIds = docs.where($"doc_id" % 10 === 0)
+      .select("doc_id").as[Long].collect()
+    assert(srcIds.nonEmpty)
+    srcIds.foreach { id =>
+      assert(gateOf(id + 800000) == "exact", s"byte-copy $id")
+      assert(gateOf(id + 830000) == "exact", s"co-batch copy $id")
+      assert(gateOf(id + 820000) == "accepted", s"rewrite $id")
+      assert(gateOf(id + 850000) == "accepted", s"rewrite-2 $id")
+    }
+    assert(srcIds.exists(id => gateOf(id + 810000) == "winnow"),
+      "at least one tail-extension shares an intact 40-token window")
+    assert(srcIds.exists(id => gateOf(id + 840000) == "minhash"),
+      "at least one perturbed doc falls through winnow and cuts at minhash")
+  }
+
+  test("streaming gate resumes from its checkpoint without re-gating committed batches") {
+    import graft.streaming.StreamingIndexIngest
+    import graft.operators.IndexStore
+    val work = "/tmp/graft_sgate_resume"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    Seq("graft_t_rgx_fps", "graft_t_rgw_wins", "graft_t_rgm_bands",
+      "graft_t_rgm_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").where($"doc_id" < 500)
+    IndexStore.buildExactIndex(docs, "doc_id", "text", "graft_t_rgx",
+      s"$work/idx/gx")
+    IndexStore.buildWinnowIndex(docs, "doc_id", "text", "graft_t_rgw",
+      s"$work/idx/gw", window = 40, guarantee = 10)
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", "graft_t_rgm",
+      s"$work/idx/gm")
+    val (b1, b2) = StreamingIndexIngest.gateBatches(docs)
+    val src = s"$work/src"; val sink = s"$work/sink"; val ckpt = s"$work/ckpt"
+    def drain(): Unit = StreamingIndexIngest.runGateStream(spark, src,
+      sink, ckpt, "graft_t_rgx", "graft_t_rgw", "graft_t_rgm")
+
+    StreamingIndexIngest.stageBatchFile(b1, work, src, "b1")
+    drain()
+    assert(spark.read.parquet(sink).count() == b1.count(),
+      "first drain must decide exactly the first staged batch")
+
+    StreamingIndexIngest.stageBatchFile(b2, work, src, "b2")
+    drain() // restart on the SAME checkpoint
+    val fin = spark.read.parquet(sink)
+    assert(fin.count() == b1.count() + b2.count(),
+      "a resumed gate stream must gate only the new file — a re-gated " +
+        "committed batch would append duplicate decision rows")
+    // b1's accepted docs are in the index; had b1 been re-gated, its
+    // rewrites would now be CUT as exact matches of themselves — their
+    // single sink row must still say accepted
+    val b1Rewrites = fin.where($"doc_id" >= 820000 && $"doc_id" < 830000)
+    assert(b1Rewrites.count() > 0)
+    assert(b1Rewrites.where($"gate" =!= "accepted").count() == 0)
+  }
+
   test("streaming merge resumes from its checkpoint without reprocessing old batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.sources.VersionedTable
