@@ -492,6 +492,49 @@ object ExtensionQueries {
           .orderBy("vec_id")
       }),
 
+    // The THREE-gate embedding ingest (exact fingerprint → SRP → IVF):
+    // the trained-centroid gate slot for corpora where SRP's
+    // data-independent planes under-recall. The SRP gate is muted here
+    // (threshold 1.01 > any cosine) so the ×2-scaled copies fall
+    // through to the IVF gate, which cuts them DETERMINISTICALLY:
+    // cosine is scale-invariant, so a positive-scaled copy ranks the
+    // centroids identically to its source and always probes the
+    // source's own inverted list first (cosine 1.0 ≥ threshold).
+    // Rows-only (trained k-means not SQL-expressible); live-ordering
+    // (SRP claims the cut when un-muted) and consecutive-batch
+    // stability spec'd in IndexStoreSpec.
+    QueryDef("ext_vec_gate_ivf", None,
+      (s, dir) => {
+        val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val vecs = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+          .where(col("vec_id") < 500)
+        // unconditional rebuild — the ingest-query stance
+        IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
+          s"graft_g3x_$sfx", s"/tmp/graft_index/graft_g3x_$sfx")
+        IndexStore.buildSrpIndex(vecs, s"graft_g3s_$sfx",
+          s"/tmp/graft_index/graft_g3s_$sfx")
+        IndexStore.buildIvfIndex(vecs,
+          IvfIndex.trainCentroids(vecs, k = 8, iters = 2),
+          s"graft_g3i_$sfx", s"/tmp/graft_index/graft_g3i_$sfx")
+        val every10 = vecs.where(col("vec_id") % 10 === 0)
+        val batch = every10
+          .select((col("vec_id") + 800000).as("vec_id"), col("vec"))
+          .unionByName(every10.select((col("vec_id") + 810000).as("vec_id"),
+            transform(col("vec"), v => v * 2.0d).as("vec")))
+          .unionByName(every10.select((col("vec_id") + 820000).as("vec_id"),
+            transform(col("vec"), (v, i) =>
+              when(i % 2 === 0, -v).otherwise(v)).as("vec")))
+        val (accepted, decisions) = IndexStore.dedupIngestGateVec(s,
+          batch, s"graft_g3x_$sfx", s"graft_g3s_$sfx", threshold = 1.01,
+          ivfTable = Some(s"graft_g3i_$sfx"))
+        decisions
+          .unionByName(accepted.select(col("vec_id"),
+            lit("accepted").as("gate")))
+          .orderBy("vec_id")
+      }),
+
     // The sixth (exact-fingerprint) index kind probed end to end under
     // the oracle: md5 equality over the canonical text IS
     // canonical-text equality, so unlike the LSH kinds this persisted

@@ -44,6 +44,37 @@ object ScaleRehearsal {
             .as("text")))
       }
     }
+    // single-plan replication for large n: a 100-way union would cost
+    // more in analysis than execution; one explode keeps the plan flat
+    def explodeReplicated(n: Int): DataFrame = {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      docs.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(n - 1))).as("k"))
+        .select((col("doc_id") + col("k") * 10000000L).as("doc_id"),
+          when(col("k") === 0, col("text")).otherwise(
+            concat_ws(" ", transform(toks, t =>
+              concat(concat(lit("r"), col("k"), lit("x")), t)))).as("text"))
+    }
+    // WARMUP (untimed): absorb session init, JIT, and codegen-cache
+    // fills before the first recorded number — the round-9 rehearsal's
+    // 1× d2 embedded ~3s of warmup (7.63 s at 1× vs 4.36 s at 10×, a
+    // nonsense slope that needed a footnote). Touches each kernel
+    // family once on a bounded corpus.
+    {
+      val w = docs.where(col("doc_id") < 200).localCheckpoint()
+      Dedup.minhashNearDupPairs(w, "doc_id", "text", threshold = 0.8).collect()
+      Dedup.winnowNearDupPairs(w, "doc_id", "text").collect()
+      // the bucketed saveAsTable + ingest-loop path JITs separately
+      // from the inline kernels — without this, the 1× ingest numbers
+      // embed it (measured: winnow lifecycle 6.8 s at 1× vs 4.1 s at 10×)
+      spark.sql("DROP TABLE IF EXISTS graft_rh_warm_wins")
+      IndexStore.buildWinnowIndex(w, "doc_id", "text", "graft_rh_warm",
+        "/tmp/graft_rehearsal/warm")
+      IndexStore.dedupIngestWinnow(spark, w.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
+        "doc_id", "text", "graft_rh_warm")
+      (): Unit
+    }
     def time(name: String, scale: Int, df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val frame = df
@@ -106,6 +137,80 @@ object ScaleRehearsal {
       val secG = (System.nanoTime() - tg) / 1e9
       println(f"""{"q":"gate_ingest_lifecycle","scale":$scale,""" +
         f""""accepted":$nAccG,"cutExact":$nCutExact,"sec":$secG%.2f}""")
+    }
+
+    // ---- gate-path ~100× rehearsal ---------------------------------
+    // 100 disjoint-vocabulary replicas PLUS one organically hot
+    // fingerprint: 1,100 verbatim copies of a boilerplate doc (the
+    // license-header scenario the hot-bucket caps exist for), above
+    // DefaultHotBandThreshold (1000) — so the probes' observed metrics
+    // finally show first cap activity instead of zeros. Then a
+    // 33-batch gate loop crosses the default auto-compaction threshold
+    // (32 appends per table) so the counter fires organically
+    // mid-loop; per-batch wall times are recorded first/median/last to
+    // show per-batch cost does not grow with accumulated appends.
+    {
+      val boilerText = (0 until 60).map(i => s"boiler$i").mkString(" ")
+      val boiler = spark.range(1100).select(
+        (col("id") + 2000000000L).as("doc_id"), lit(boilerText).as("text"))
+      val corpus = explodeReplicated(100).unionByName(boiler)
+        .localCheckpoint()
+      val (gx, gw, gm) = ("graft_rh100_gx", "graft_rh100_gw",
+        "graft_rh100_gm")
+      Seq(s"${gx}_fps", s"${gw}_wins", s"${gm}_bands", s"${gm}_shingles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/tmp/graft_rehearsal/g100"))
+      val tb = System.nanoTime()
+      IndexStore.buildExactIndex(corpus, "doc_id", "text", gx,
+        "/tmp/graft_rehearsal/g100/gx")
+      IndexStore.buildWinnowIndex(corpus, "doc_id", "text", gw,
+        "/tmp/graft_rehearsal/g100/gw")
+      IndexStore.buildMinhashIndex(corpus, "doc_id", "text", gm,
+        "/tmp/graft_rehearsal/g100/gm")
+      println(f"""{"q":"gate100_build","docs":${corpus.count()},""" +
+        f""""sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      // first-cap-activity probes: one boilerplate copy (hits the hot
+      // bucket in every kind) + clean docs
+      val probeBatch = spark.range(1).select(
+          lit(2100000000L).as("doc_id"), lit(boilerText).as("text"))
+        .unionByName(docs.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 2110000000L).as("doc_id"), col("text")))
+      time("gate100_probe_exact", 100,
+        IndexStore.probeExact(spark, probeBatch, "doc_id", "text", gx))
+      time("gate100_probe_winnow", 100,
+        IndexStore.probeWinnow(spark, probeBatch, "doc_id", "text", gw))
+      time("gate100_probe_minhash", 100,
+        IndexStore.probeMinhash(spark, probeBatch, "doc_id", "text", gm))
+      // 33 gated batches: novel rewrites (accepted, index grows) +
+      // byte-copies (exact cuts); per-batch disjoint vocabulary keeps
+      // batches from near-dupping each other
+      val toksB = split(trim(lower(col("text"))), "\\s+")
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var compactedAt = -1
+      for (i <- 0 until 33) {
+        val off = 2200000000L + i.toLong * 1000000L
+        val batch = docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat_ws(" ", transform(toksB, t =>
+              concat(lit(s"g${i}x"), t))).as("text"))
+          .unionByName(docs.where(col("doc_id") % 20 === 10)
+            .select((col("doc_id") + off + 500000L).as("doc_id"),
+              col("text")))
+        val t0 = System.nanoTime()
+        val (acc, _) = IndexStore.dedupIngestGate(spark, batch,
+          "doc_id", "text", gx, gw, gm)
+        acc.count()
+        times += (System.nanoTime() - t0) / 1e9
+        if (compactedAt < 0 &&
+            IndexStore.appendsSinceCompact(spark, s"${gx}_fps") == 0)
+          compactedAt = i
+      }
+      val sorted = times.sorted
+      println(f"""{"q":"gate100_loop","batches":${times.length},""" +
+        f""""first":${times.head}%.2f,"median":${sorted(times.length / 2)}%.2f,""" +
+        f""""last":${times.last}%.2f,"compactedAtBatch":$compactedAt,""" +
+        f""""appendsSinceCompact":${IndexStore.appendsSinceCompact(spark, s"${gx}_fps")}}""")
     }
     spark.stop()
   }

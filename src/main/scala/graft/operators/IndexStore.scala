@@ -991,14 +991,26 @@ object IndexStore {
     * keeper), cost-ascending; survivors of BOTH gates — and only they —
     * append to both indexes. Same pinned-pre-append, first-gate
     * decisions, and parity-with-sequential-loops contracts as the text
-    * gate (spec'd in IndexStoreSpec). */
+    * gate (spec'd in IndexStoreSpec).
+    *
+    * `ivfTable` adds an optional THIRD gate after SRP: cosine ≥
+    * `ivfThreshold` against a trained-centroid IVF index
+    * ([[probeIvfNearDup]]) — for corpora where SRP's data-independent
+    * planes under-recall, a coarse quantizer that followed the corpus's
+    * density completes the symmetry. It runs LAST because probing
+    * nprobe inverted lists with exact cosine costs more per survivor
+    * than the SRP band join; survivors then also append to the IVF
+    * lists (assignment against the persisted centroids — the trained
+    * quantizer is reused, never retrained per batch). */
   def dedupIngestGateVec(spark: SparkSession, batch: DataFrame,
       exactTable: String, srpTable: String, threshold: Double = 0.999,
       idCol: String = "vec_id", vecCol: String = "vec",
       nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
       blockDims: Int = 8,
       hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
-      autoCompactAppends: Int = DefaultAutoCompactAppends)
+      autoCompactAppends: Int = DefaultAutoCompactAppends,
+      ivfTable: Option[String] = None, ivfThreshold: Double = 0.999,
+      ivfNprobe: Int = 3)
       : (DataFrame, DataFrame) = {
     val (a1, _) = gateStage(batch, idCol,
       probe = b => probeExactVec(spark, b, idCol, vecCol, exactTable,
@@ -1009,15 +1021,72 @@ object IndexStore {
         vecCol, nPlanes, bands, dim, hotBandThreshold),
       innerPairs = b => Similarity.blockedNearDupPairs(b, threshold,
         idCol, vecCol, blockDims))
+    val a3 = ivfTable.fold(a2)(t =>
+      gateStage(a2, idCol,
+        probe = b => probeIvfNearDup(spark, b, t, ivfThreshold,
+          ivfNprobe, idCol, vecCol),
+        innerPairs = b => Similarity.blockedNearDupPairs(b, ivfThreshold,
+          idCol, vecCol, blockDims))._1)
     // appends only now, after the LAST gate has ruled
-    appendExactVecIndex(a2, idCol, vecCol, exactTable)
-    appendSrpIndex(a2, srpTable, idCol, vecCol, nPlanes, bands, dim)
+    appendExactVecIndex(a3, idCol, vecCol, exactTable)
+    appendSrpIndex(a3, srpTable, idCol, vecCol, nPlanes, bands, dim)
+    ivfTable.foreach(t => appendIvfIndex(spark, a3, t, idCol, vecCol))
     autoCompact(spark, "exact", exactTable, autoCompactAppends)
     autoCompact(spark, "srp", srpTable, autoCompactAppends)
+    ivfTable.foreach(t => autoCompact(spark, "ivf", t, autoCompactAppends))
     val cutAt = gateCut(idCol) _
     val decisions = cutAt(batch, a1, "exact")
       .unionByName(cutAt(a1, a2, "srp"))
-    (a2, decisions)
+      .unionByName(cutAt(a2, a3, "ivf"))
+    (a3, decisions)
+  }
+
+  /** Take-down propagation through the composed TEXT gate — the
+    * reference's deletion reconciliation
+    * (`/root/reference/delete-removed-tickets.py:112-188`: records
+    * removed upstream are purged from every downstream store in one
+    * sweep), composed over the gate's three indexes: a taken-down
+    * document must stop gating future batches at EVERY gate at once —
+    * deleting it from only one index would leave the others silently
+    * rejecting re-submissions of content the pipeline no longer owns.
+    * Each per-kind erasure is the existing bucket-preserving rewrite
+    * ([[deleteFromTable]]); retired directories stay until the caller
+    * vacuums per kind. */
+  def deleteFromGateIndexes(spark: SparkSession, ids: DataFrame,
+      idCol: String, exactTable: String, winnowTable: String,
+      minhashTable: String, newPathBase: String): Unit = {
+    deleteFromExactIndex(spark, exactTable, ids,
+      s"$newPathBase/$exactTable")
+    deleteFromWinnowIndex(spark, winnowTable, ids,
+      s"$newPathBase/$winnowTable")
+    deleteFromMinhashIndex(spark, minhashTable, idCol, ids,
+      s"$newPathBase/$minhashTable")
+  }
+
+  /** [[deleteFromGateIndexes]] for the EMBEDDING gate: exact-vec + SRP
+    * (+ IVF when the third gate slot is in use). */
+  def deleteFromGateVecIndexes(spark: SparkSession, ids: DataFrame,
+      exactTable: String, srpTable: String, newPathBase: String,
+      ivfTable: Option[String] = None): Unit = {
+    deleteFromExactIndex(spark, exactTable, ids,
+      s"$newPathBase/$exactTable")
+    deleteFromSrpIndex(spark, srpTable, ids, s"$newPathBase/$srpTable")
+    ivfTable.foreach(t =>
+      deleteFromIvfIndex(spark, t, ids, s"$newPathBase/$t"))
+  }
+
+  /** Near-dup probe against a persisted IVF index — the contract of
+    * [[probeSrpNearDup]] served from trained inverted lists: every
+    * indexed vector with cosine ≥ `threshold` among the query's
+    * `nprobe` nearest lists. The probed-list join moves only the probe
+    * side (lists are bucketed on cluster_id). */
+  def probeIvfNearDup(spark: SparkSession, queries: DataFrame,
+      table: String, threshold: Double = 0.999, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    requireParams(spark, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol), "probe")
+    IvfIndex.nearDupFromLists(spark.table(s"${table}_lists"), queries,
+      spark.table(s"${table}_centroids"), threshold, nprobe, idCol, vecCol)
   }
 
   // ---- SRP (hyperplane) LSH index -----------------------------------

@@ -205,6 +205,27 @@ object IvfIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Near-dup probe over pre-assigned inverted lists: for each query
+    * vector, every indexed vector with cosine ≥ `threshold` among the
+    * nprobe nearest lists' members — [[graft.operators.IndexStore.probeSrpNearDup]]'s
+    * contract served from a TRAINED coarse quantizer instead of
+    * data-independent hyperplanes. No top-k truncation: the gate wants
+    * every above-threshold match, and each corpus vector lives in
+    * exactly one list so no pair can surface twice. Same NaN guard and
+    * raw-threshold/rounded-display split as the SRP twin. */
+  def nearDupFromLists(lists: DataFrame, queries: DataFrame,
+      centroids: DataFrame, threshold: Double, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame =
+    probedClusters(queries, centroids, nprobe, idCol, vecCol)
+      .join(lists, Seq("cluster_id"))
+      .where(col(s"q_$idCol") =!= col(idCol))
+      .select(col(s"q_$idCol").as("query_id"), col(idCol).as("match_id"),
+        cosine(col("q_vec"), col(vecCol)).as("cos_raw"))
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("cos_raw") >= threshold)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+
   /** Probe path over QUANTIZED inverted lists (rows carry idCol, int8
     * `codes` as array<tinyint>, `scale`, cluster_id) — the 100 TB
     * serving shape: the probed-list scan reads ~4-8× fewer bytes than

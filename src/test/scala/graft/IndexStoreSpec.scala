@@ -599,6 +599,154 @@ class IndexStoreSpec extends SparkSpec {
       "byte-copies of survivors must be attributed to the exact gate")
   }
 
+  test("three-gate vec ingest: IVF slot fires in order and catches what SRP is blind to") {
+    import spark.implicits._
+    val (ex, sr, iv) = ("graft_spec_g3_x", "graft_spec_g3_s", "graft_spec_g3_i")
+    def rebuild(): Unit = {
+      Seq(s"${ex}_fps", s"${sr}_bands", s"${sr}_vecs", s"${iv}_lists",
+        s"${iv}_centroids").foreach(dropTable)
+      IndexStore.buildExactVecIndex(corpusVecs, "vec_id", "vec", ex,
+        s"$idxPath/$ex")
+      IndexStore.buildSrpIndex(corpusVecs, sr, s"$idxPath/$sr")
+      IndexStore.buildIvfIndex(corpusVecs, ivfCentroids, iv,
+        s"$idxPath/$iv")
+    }
+    val every10 = corpusVecs.where(col("vec_id") % 10 === 0)
+    val ids = every10.select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    val batch = every10
+      .select((col("vec_id") + 1000).as("vec_id"), col("vec"))
+      .unionByName(every10.select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("vec"), v => v * 2.0d).as("vec")))
+      .unionByName(every10.select((col("vec_id") + 3000).as("vec_id"),
+        transform(col("vec"), (v, i) =>
+          when(i % 2 === 0, -v).otherwise(v)).as("vec")))
+    def gates(dec: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      dec.as[(Long, String)].collect().groupBy(_._2)
+        .view.mapValues(_.map(_._1).toSet).toMap
+
+    // all three gates live: FIRST-gate attribution — the cosine-1.0
+    // copies are SRP's (positive scaling keeps every hyperplane sign);
+    // the IVF gate, though it would also catch them, must cut nothing
+    rebuild()
+    val (acc, dec) = IndexStore.dedupIngestGateVec(spark, batch, ex, sr,
+      ivfTable = Some(iv))
+    val g = gates(dec)
+    assert(g("exact") == ids.map(_ + 1000), "byte-copies cut at exact")
+    assert(g("srp") == ids.map(_ + 2000), "scaled copies are SRP's cut")
+    assert(g.getOrElse("ivf", Set.empty).isEmpty,
+      "IVF is LAST — it must never claim a cut an earlier gate made")
+    assert(acc.select("vec_id").as[Long].collect().toSet ==
+      ids.map(_ + 3000), "sign-flips survive all three gates")
+    // survivors — and only they — were assigned and appended to the lists
+    assert(spark.table(s"${iv}_lists").count() ==
+      corpusVecs.count() + ids.size,
+      "IVF lists must hold corpus + accepted only")
+
+    // SRP muted (threshold > any cosine): the scaled copies fall
+    // through to the IVF gate, which catches them DETERMINISTICALLY —
+    // cosine is scale-invariant, so a positive-scaled copy ranks the
+    // centroids identically to its source and always probes the
+    // source's own inverted list first
+    rebuild()
+    val (acc2, dec2) = IndexStore.dedupIngestGateVec(spark, batch, ex,
+      sr, threshold = 1.01, ivfTable = Some(iv))
+    val g2 = gates(dec2)
+    assert(g2("exact") == ids.map(_ + 1000))
+    assert(g2.getOrElse("srp", Set.empty).isEmpty, "muted SRP cuts nothing")
+    assert(g2("ivf") == ids.map(_ + 2000),
+      "with SRP muted the IVF gate must cut every cosine-1.0 copy")
+    assert(acc2.select("vec_id").as[Long].collect().toSet ==
+      ids.map(_ + 3000))
+
+    // consecutive-batch stability: byte-copies of accepted survivors
+    // cut at the FIRST gate on the next batch — nothing reaches IVF
+    val (acc3, dec3) = IndexStore.dedupIngestGateVec(spark,
+      acc2.select((col("vec_id") + 10000).as("vec_id"), col("vec")),
+      ex, sr, threshold = 1.01, ivfTable = Some(iv))
+    assert(acc3.isEmpty,
+      "every batch-2 vector byte-dups an accepted batch-1 vector")
+    assert(dec3.as[(Long, String)].collect().forall(_._2 == "exact"),
+      "copies of survivors are attributed to the exact gate")
+  }
+
+  test("take-down propagates through the composed gate: a deleted doc stops gating everywhere") {
+    import spark.implicits._
+    val (gx, gw, gm) = ("graft_spec_td_x", "graft_spec_td_w", "graft_spec_td_m")
+    Seq(s"${gx}_fps", s"${gw}_wins", s"${gm}_bands", s"${gm}_shingles")
+      .foreach(dropTable)
+    val corpus = docs.where(col("doc_id") < 200)
+    IndexStore.buildExactIndex(corpus, "doc_id", "text", gx, s"$idxPath/$gx")
+    IndexStore.buildWinnowIndex(corpus, "doc_id", "text", gw, s"$idxPath/$gw")
+    IndexStore.buildMinhashIndex(corpus, "doc_id", "text", gm, s"$idxPath/$gm")
+    // pick two long docs (≥ 29 tokens, so the winnow gate is live for
+    // them) — A gets taken down, B stays
+    val long2 = corpus
+      .where(size(split(trim(lower(col("text"))), "\\s+")) >= 40)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    assert(long2.length == 2, "fixture needs two ≥40-token docs")
+    val (a, b) = (long2(0), long2(1))
+    def copyOf(id: Long, off: Long, tail: String = "") = corpus
+      .where(col("doc_id") === id)
+      .select(lit(id + off).as("doc_id"),
+        concat(col("text"), lit(tail)).as("text"))
+    // pre-deletion: copies and tail-extensions of BOTH docs are cut
+    val (accPre, _) = IndexStore.dedupIngestGate(spark,
+      copyOf(a, 1000000).unionByName(copyOf(b, 2000000)),
+      "doc_id", "text", gx, gw, gm)
+    assert(accPre.isEmpty, "both byte-copies must be cut pre-deletion")
+    // take down A everywhere in one call (and the copies the pre-batch
+    // did NOT append — it accepted nothing, so the index holds corpus only)
+    IndexStore.deleteFromGateIndexes(spark,
+      Seq(a).toDF("doc_id"), "doc_id", gx, gw, gm, s"$idxPath/td")
+    // post-deletion: A's byte-copy is novel at every gate (exact fp
+    // gone, winnow fps gone, shingle signature gone); B still gates.
+    // A's copy and tail-class live in SEPARATE batches — in one batch
+    // the accepted copy would legitimately winnow-cut the tail batch-
+    // internally and mask what the deletion is being tested for.
+    val (accA, decA) = IndexStore.dedupIngestGate(spark,
+      copyOf(a, 3000000).unionByName(copyOf(b, 4000000)),
+      "doc_id", "text", gx, gw, gm)
+    assert(accA.select("doc_id").as[Long].collect().toSet == Set(a + 3000000),
+      "a taken-down doc must stop gating byte-copies")
+    assert(decA.as[(Long, String)].collect().toSet == Set((b + 4000000, "exact")),
+      "an un-deleted doc must keep gating")
+    // the accepted copy of A re-entered the index — the SAME content
+    // re-submitted later is once again cut, at the exact gate
+    val (accRe, decRe) = IndexStore.dedupIngestGate(spark,
+      copyOf(a, 5000000), "doc_id", "text", gx, gw, gm)
+    assert(accRe.isEmpty && decRe.as[(Long, String)].collect()
+      .forall(_._2 == "exact"),
+      "re-accepted content gates again immediately")
+  }
+
+  test("take-down propagates through the vec gate incl. the IVF slot") {
+    import spark.implicits._
+    val (ex, sr, iv) = ("graft_spec_tdv_x", "graft_spec_tdv_s", "graft_spec_tdv_i")
+    Seq(s"${ex}_fps", s"${sr}_bands", s"${sr}_vecs", s"${iv}_lists",
+      s"${iv}_centroids").foreach(dropTable)
+    IndexStore.buildExactVecIndex(corpusVecs, "vec_id", "vec", ex,
+      s"$idxPath/$ex")
+    IndexStore.buildSrpIndex(corpusVecs, sr, s"$idxPath/$sr")
+    IndexStore.buildIvfIndex(corpusVecs, ivfCentroids, iv, s"$idxPath/$iv")
+    val (va, vb) = (0L, 10L)
+    def scaledOf(id: Long, off: Long) = corpusVecs
+      .where(col("vec_id") === id)
+      .select(lit(id + off).as("vec_id"),
+        transform(col("vec"), v => v * 2.0d).as("vec"))
+    IndexStore.deleteFromGateVecIndexes(spark, Seq(va).toDF("vec_id"),
+      ex, sr, s"$idxPath/tdv", ivfTable = Some(iv))
+    // A's scaled copy passes exact (byte-distinct), SRP (bands gone),
+    // AND IVF (list rows gone); B's scaled copy still cuts at SRP
+    val (acc, dec) = IndexStore.dedupIngestGateVec(spark,
+      scaledOf(va, 1000000).unionByName(scaledOf(vb, 2000000)),
+      ex, sr, ivfTable = Some(iv))
+    assert(acc.select("vec_id").as[Long].collect().toSet == Set(va + 1000000),
+      "a taken-down vector must stop gating its cosine-1.0 copies")
+    assert(dec.as[(Long, String)].collect().toSet ==
+      Set((vb + 2000000, "srp")))
+  }
+
   test("autoCompact refuses an unknown index kind up front") {
     val e = intercept[IllegalArgumentException] {
       IndexStore.autoCompact(spark, "bloom", "graft_spec_nope")
