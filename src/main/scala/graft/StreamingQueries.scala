@@ -86,5 +86,19 @@ object StreamingQueries {
         StreamingIndexIngest.runGate(s, dir, s"/tmp/graft_sgate/$tag",
           s"graft_sgx_$tag", s"graft_sgw_$tag", s"graft_sgm_$tag",
           s"/tmp/graft_sgate/$tag/idx")
+      }),
+
+    // The EMBEDDING composed gate as a stream — sr5's twin with all
+    // three vec slots live (exact-vec → SRP@0.9999 → IVF@0.999), each
+    // cutting the planted class only it can: byte-copies, ×2-scaled
+    // cosine-1.0 copies, exact rotations at cosine 0.9995 (between the
+    // thresholds), sign-flip survivors. Rows-only (trained k-means);
+    // batch parity + attribution + checkpoint recovery in StreamingSpec.
+    QueryDef("sr6_streaming_vec_gate", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runGateVec(s, dir, s"/tmp/graft_svgate/$tag",
+          s"graft_svx_$tag", s"graft_svs_$tag", s"graft_svi_$tag",
+          s"/tmp/graft_svgate/$tag/idx")
       }))
 }

@@ -257,6 +257,136 @@ object StreamingIndexIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** The EMBEDDING composed gate run as a stream — [[runGate]]'s twin
+    * over the vec gate with all three slots live (exact-fingerprint →
+    * SRP → trained-centroid IVF). The gates are separated by THRESHOLD
+    * so each has a planted class only it can cut: the SRP gate runs at
+    * 0.9999 (cuts the ×2-scaled cosine-1.0 copies; positive scaling
+    * preserves every hyperplane sign, so the band join always surfaces
+    * them), and the IVF gate at 0.999 (cuts the exact-rotation class
+    * planted at cosine 0.9995 — BELOW the SRP gate's threshold, so SRP
+    * finds the candidate but may not cut it, and the cut lands on the
+    * gate whose threshold covers it). Indexes pre-seeded from the
+    * corpus; decisions accumulate in an append sink; batch files plant
+    * relationships only against the index or within their own file, so
+    * the decision set is file-order independent. Rows-only (trained
+    * k-means); batch parity, class attribution, and checkpoint recovery
+    * spec'd in StreamingSpec. */
+  def runGateVec(spark: SparkSession, sfDir: String, workDir: String,
+      exactTable: String, srpTable: String, ivfTable: String,
+      idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    import graft.operators.{IvfIndex, Similarity}
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("vec"))
+      .where(col("vec_id") < 500)
+    Seq(s"${exactTable}_fps", s"${srpTable}_bands", s"${srpTable}_vecs",
+      s"${ivfTable}_lists", s"${ivfTable}_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
+    IndexStore.buildExactVecIndex(vecs, "vec_id", "vec", exactTable,
+      s"$idxPath/$exactTable")
+    IndexStore.buildSrpIndex(vecs, srpTable, s"$idxPath/$srpTable")
+    IndexStore.buildIvfIndex(vecs,
+      IvfIndex.trainCentroids(vecs, k = 8, iters = 2), ivfTable,
+      s"$idxPath/$ivfTable")
+    val (b1, b2) = gateVecBatches(vecs)
+    val srcDir = s"$workDir/src"
+    stageBatchFile(b1, workDir, srcDir, "b1")
+    stageBatchFile(b2, workDir, srcDir, "b2")
+    val sinkDir = s"$workDir/sink"
+    runGateVecStream(spark, srcDir, sinkDir,
+      s"$workDir/ckpt_${System.nanoTime()}", exactTable, srpTable,
+      ivfTable, autoCompactAppends)
+    spark.read.parquet(sinkDir).orderBy("vec_id")
+  }
+
+  /** The two staged batch frames [[runGateVec]] streams. Per class, one
+    * designed gate: byte-copies of indexed vectors (exact gate);
+    * ×2-scaled copies (cosine 1.0 — SRP gate at threshold 0.9999); an
+    * EXACT rotation of each source toward a deterministic orthogonal
+    * direction at cosine 0.9995 (between the two thresholds: the SRP
+    * gate's band join surfaces the candidate but 0.9995 < 0.9999 so SRP
+    * must not cut it; the IVF gate at 0.999 does); an alternating
+    * sign-flip (cosine far below any threshold — accepted; a diagonal
+    * ±1 transform is orthogonal, so flips of near-orthogonal sources
+    * stay near-orthogonal to everything). Scaled and rotation classes
+    * reference only pre-seeded index content; nothing crosses batch
+    * files. */
+  private[graft] def gateVecBatches(vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Similarity
+    val every10 = vecs.where(col("vec_id") % 10 === 0)
+    def cls(offset: Int, vecExpr: Column): DataFrame = every10
+      .select((col("vec_id") + offset).as("vec_id"), vecExpr.as("vec"))
+    // exact rotation to cosine cosT: w = cosT·v̂ + sinT·p̂ with p̂ the
+    // unit rejection of a hash-derived deterministic direction — |w|=1
+    // and cos(w,v) = cosT up to float rounding (~1e-15, far inside the
+    // 5e-4 gap to either threshold). Built in THREE selects with an
+    // eager localCheckpoint after each: a scalar like p̂'s norm sits
+    // inside a per-element lambda, so with one collapsed projection
+    // Catalyst re-inlines each array's whole upstream tree into every
+    // element slot and the staging plan's ANALYSIS cost goes
+    // combinatorial (measured: ~190 s to stage 50 rows, re-paid by
+    // every downstream action). The barrier makes each step read
+    // stored arrays instead.
+    def rotated(cosT: Double, offset: Int): DataFrame = {
+      val sinT = math.sqrt(1 - cosT * cosT)
+      val dim = 64
+      val s1 = every10.select(col("vec_id"),
+          transform(col("vec"), x =>
+            x / sqrt(Similarity.dot(col("vec"), col("vec")))).as("vhat"),
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            pmod(hash(col("vec_id"), i), lit(100000)).cast("double")
+              / lit(100000.0) - lit(0.5)).as("r"))
+        .localCheckpoint()
+      val s2 = s1.select(col("vec_id"), col("vhat"),
+          zip_with(col("r"), col("vhat"), (rd, vd) =>
+            rd - Similarity.dot(col("r"), col("vhat")) * vd).as("perp"))
+        .localCheckpoint()
+      s2.select((col("vec_id") + offset).as("vec_id"),
+        zip_with(col("vhat"), col("perp"), (vd, pd) =>
+          lit(cosT) * vd + lit(sinT) * pd
+            / sqrt(Similarity.dot(col("perp"), col("perp")))).as("vec"))
+    }
+    val b1 = cls(800000, col("vec"))
+      .unionByName(cls(810000, transform(col("vec"), x => x * 2.0d)))
+    val b2 = rotated(0.9995, 820000)
+      .unionByName(cls(830000, transform(col("vec"), (x, i) =>
+        when(i % 2 === 0, -x).otherwise(x))))
+    (b1, b2)
+  }
+
+  /** Starts (or resumes on the same checkpoint) the vec-gate stream —
+    * split out like [[runGateStream]] so the recovery spec can crash
+    * between staged files. */
+  def runGateVecStream(spark: SparkSession, srcDir: String,
+      sinkDir: String, checkpointDir: String, exactTable: String,
+      srpTable: String, ivfTable: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (accepted, decisions) = IndexStore.dedupIngestGateVec(spark,
+          batch, exactTable, srpTable, threshold = 0.9999,
+          ivfTable = Some(ivfTable), ivfThreshold = 0.999,
+          autoCompactAppends = autoCompactAppends)
+        decisions
+          .unionByName(accepted.select(col("vec_id"),
+            lit("accepted").as("gate")))
+          .write.mode("append").parquet(sinkDir)
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** SRP (embedding ANN) instance — [[ingestFrames]] over the
     * embeddings table instead of documents; the finished index answers
     * top-k for the first queries. One-shot parity in StreamingSpec. */

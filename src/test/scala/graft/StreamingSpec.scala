@@ -239,6 +239,104 @@ class StreamingSpec extends SparkSpec {
     assert(b1Rewrites.where($"gate" =!= "accepted").count() == 0)
   }
 
+  test("streaming vec gate equals sequential batch gates and lands each class on its designed slot") {
+    import graft.operators.{IndexStore, IvfIndex, Similarity}
+    val streamed = graft.streaming.StreamingIndexIngest.runGateVec(spark,
+      sf0001, "/tmp/graft_svgate_test", "graft_t_svx", "graft_t_svs",
+      "graft_t_svi", "/tmp/graft_svgate_test/idx")
+    // batch-mode twin: same pre-seed, same two frames gated sequentially
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+      .where($"vec_id" < 500)
+    val (b1, b2) = graft.streaming.StreamingIndexIngest.gateVecBatches(vecs)
+    Seq("graft_t_bvx_fps", "graft_t_bvs_bands", "graft_t_bvs_vecs",
+      "graft_t_bvi_lists", "graft_t_bvi_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_bvgate_test"))
+    IndexStore.buildExactVecIndex(vecs, "vec_id", "vec", "graft_t_bvx",
+      "/tmp/graft_bvgate_test/vx")
+    IndexStore.buildSrpIndex(vecs, "graft_t_bvs", "/tmp/graft_bvgate_test/vs")
+    IndexStore.buildIvfIndex(vecs,
+      IvfIndex.trainCentroids(vecs, k = 8, iters = 2), "graft_t_bvi",
+      "/tmp/graft_bvgate_test/vi")
+    def gateOnce(b: org.apache.spark.sql.DataFrame) = {
+      val (acc, dec) = IndexStore.dedupIngestGateVec(spark, b,
+        "graft_t_bvx", "graft_t_bvs", threshold = 0.9999,
+        ivfTable = Some("graft_t_bvi"), ivfThreshold = 0.999)
+      dec.unionByName(acc.select($"vec_id", lit("accepted").as("gate")))
+    }
+    val batchTwin = gateOnce(b1).unionByName(gateOnce(b2))
+    assert(streamed.count() == b1.count() + b2.count())
+    assert(streamed.exceptAll(batchTwin).isEmpty &&
+      batchTwin.exceptAll(streamed).isEmpty,
+      "the streamed vec gate must accept/cut exactly what sequential batch gates do")
+    // class attribution — every class lands on its designed slot, with
+    // no existential softening: byte-copies are the exact gate's;
+    // ×2-scaled copies are SRP's (cosine 1.0 ≥ 0.9999, and positive
+    // scaling preserves every hyperplane sign so the candidate is
+    // always surfaced); the 0.9995-rotations sit BELOW the SRP gate's
+    // threshold — SRP sees the candidate but must not cut it — and cut
+    // at the IVF slot; sign-flips survive everything (sf0.001 has no
+    // organic pair above cosine 0.99, and ±1 diagonals are orthogonal
+    // transforms, so flips stay as far from everything as their sources)
+    val gateOf = streamed.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcIds = vecs.where($"vec_id" % 10 === 0)
+      .select("vec_id").as[Long].collect()
+    assert(srcIds.nonEmpty)
+    srcIds.foreach { id =>
+      assert(gateOf(id + 800000) == "exact", s"byte-copy $id")
+      assert(gateOf(id + 810000) == "srp", s"scaled copy $id")
+      assert(gateOf(id + 820000) == "ivf", s"rotation $id")
+      assert(gateOf(id + 830000) == "accepted", s"sign-flip $id")
+    }
+  }
+
+  test("streaming vec gate resumes from its checkpoint without re-gating committed batches") {
+    import graft.streaming.StreamingIndexIngest
+    import graft.operators.{IndexStore, IvfIndex, Similarity}
+    val work = "/tmp/graft_svgate_resume"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    Seq("graft_t_rvx_fps", "graft_t_rvs_bands", "graft_t_rvs_vecs",
+      "graft_t_rvi_lists", "graft_t_rvi_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+      .where($"vec_id" < 500)
+    IndexStore.buildExactVecIndex(vecs, "vec_id", "vec", "graft_t_rvx",
+      s"$work/idx/vx")
+    IndexStore.buildSrpIndex(vecs, "graft_t_rvs", s"$work/idx/vs")
+    IndexStore.buildIvfIndex(vecs,
+      IvfIndex.trainCentroids(vecs, k = 8, iters = 2), "graft_t_rvi",
+      s"$work/idx/vi")
+    val (b1, b2) = StreamingIndexIngest.gateVecBatches(vecs)
+    val src = s"$work/src"; val sink = s"$work/sink"; val ckpt = s"$work/ckpt"
+    def drain(): Unit = StreamingIndexIngest.runGateVecStream(spark, src,
+      sink, ckpt, "graft_t_rvx", "graft_t_rvs", "graft_t_rvi")
+
+    StreamingIndexIngest.stageBatchFile(b1, work, src, "b1")
+    drain()
+    assert(spark.read.parquet(sink).count() == b1.count(),
+      "first drain must decide exactly the first staged batch")
+
+    StreamingIndexIngest.stageBatchFile(b2, work, src, "b2")
+    drain() // restart on the SAME checkpoint
+    val fin = spark.read.parquet(sink)
+    assert(fin.count() == b1.count() + b2.count(),
+      "a resumed vec-gate stream must gate only the new file")
+    // b2's sign-flips were accepted and appended; had b2 been re-gated
+    // after a further restart, they'd cut as exact matches of
+    // themselves. Drain a third time with nothing new staged: the sink
+    // must not grow.
+    drain()
+    assert(spark.read.parquet(sink).count() == b1.count() + b2.count(),
+      "an idle resume must not re-gate or re-append anything")
+    val flips = fin.where($"vec_id" >= 830000 && $"vec_id" < 840000)
+    assert(flips.count() > 0)
+    assert(flips.where($"gate" =!= "accepted").count() == 0)
+  }
+
   test("streaming merge resumes from its checkpoint without reprocessing old batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.sources.VersionedTable
