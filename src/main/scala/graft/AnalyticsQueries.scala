@@ -207,6 +207,31 @@ object AnalyticsQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Duplicate check served from the QUANTIZED IVF index — the
+    // read-mostly dedup probe at 100 TB storage cost: planted scaled
+    // copies (cosine 1.0) against int8 inverted lists, dequantized in
+    // the kernel, with a guard band on the threshold so grid error
+    // never drops a true near-dup. Rows-only (trained k-means);
+    // recall-vs-fp parity and the guard-band contract are pinned in
+    // IndexStoreSpec.
+    QueryDef("ext_ivf_neardup_quant", None,
+      (s, dir) => {
+        val tbl = "graft_ivfnq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_lists")) {
+          val centroids = IvfIndex.trainCentroids(corpus, k = 16, iters = 2)
+          IndexStore.buildIvfIndexQuantized(corpus, centroids, tbl,
+            s"/tmp/graft_index/$tbl")
+        }
+        val probes = corpus.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("vec"), x => x * 2.0d).as("vec"))
+        IndexStore.probeIvfNearDupQuantized(s, probes, tbl, nprobe = 4)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Persisted MinHash index probed with NEW documents (planted
     // perturbed copies): build once over the corpus, then near-dup-check
     // incoming docs against it — the incremental-ingest dedup shape.

@@ -1084,9 +1084,28 @@ object IndexStore {
       table: String, threshold: Double = 0.999, nprobe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
     requireParams(spark, s"${table}_lists",
-      Map("idCol" -> idCol, "vecCol" -> vecCol), "probe")
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "quantized" -> "none"),
+      "probe")
     IvfIndex.nearDupFromLists(spark.table(s"${table}_lists"), queries,
       spark.table(s"${table}_centroids"), threshold, nprobe, idCol, vecCol)
+  }
+
+  /** [[probeIvfNearDup]] against a QUANTIZED IVF index — the serving
+    * shape for a read-mostly duplicate check at 100 TB (int8 lists scan
+    * 4-8× fewer bytes). The `guardBand` relaxes the threshold on the
+    * dequantized cosine so grid error never drops a true near-dup
+    * ([[IvfIndex.nearDupFromQuantizedLists]]); refuses a non-quantized
+    * index via the persisted build parameter. */
+  def probeIvfNearDupQuantized(spark: SparkSession, queries: DataFrame,
+      table: String, threshold: Double = 0.999, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      guardBand: Double = 0.001): DataFrame = {
+    requireParams(spark, s"${table}_lists",
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "quantized" -> "int8"),
+      "probe")
+    IvfIndex.nearDupFromQuantizedLists(spark.table(s"${table}_lists"),
+      queries, spark.table(s"${table}_centroids"), threshold, nprobe,
+      idCol, vecCol, guardBand)
   }
 
   // ---- SRP (hyperplane) LSH index -----------------------------------
@@ -1616,8 +1635,12 @@ object IndexStore {
       .write.bucketBy(nBuckets, "cluster_id")
       .option("path", s"$path/${table}_lists").mode("overwrite")
       .saveAsTable(s"${table}_lists")
+    // "quantized" recorded explicitly (the SRP convention) so an fp
+    // probe against a quantized index — and vice versa — fails loud at
+    // validation instead of mid-plan on a missing column
     setParams(corpus.sparkSession, s"${table}_lists",
-      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString))
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "dim" -> dim.toString,
+        "quantized" -> "none"))
     centroids.write
       .option("path", s"$path/${table}_centroids").mode("overwrite")
       .saveAsTable(s"${table}_centroids")
@@ -1679,7 +1702,8 @@ object IndexStore {
   def appendIvfIndex(spark: SparkSession, delta: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "vec"): Unit = {
     requireParams(spark, s"${table}_lists",
-      Map("idCol" -> idCol, "vecCol" -> vecCol), "append")
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "quantized" -> "none"),
+      "append")
     // dimension is a per-ROW property of the delta, not an argument —
     // guard it inline (codegen'd size comparison, negligible per row):
     // assert_true raises on the first wrong-dimension vector instead of
@@ -1706,7 +1730,8 @@ object IndexStore {
       k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "vec"): DataFrame = {
     requireParams(spark, s"${table}_lists",
-      Map("idCol" -> idCol, "vecCol" -> vecCol), "probe")
+      Map("idCol" -> idCol, "vecCol" -> vecCol, "quantized" -> "none"),
+      "probe")
     IvfIndex.topKFromLists(spark.table(s"${table}_lists"), queries,
       spark.table(s"${table}_centroids"), k, nprobe, idCol, vecCol)
   }

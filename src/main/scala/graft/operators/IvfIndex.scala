@@ -226,6 +226,32 @@ object IvfIndex {
       .select(col("query_id"), col("match_id"),
         round(col("cos_raw"), 6).as("cos_sim"))
 
+  /** [[nearDupFromLists]] over QUANTIZED inverted lists: the duplicate
+    * check served from int8 codes + per-vector scale, dequantized
+    * inside the cosine kernel — no fp copy of the index exists. A
+    * threshold on a DEQUANTIZED cosine can flip boundary pairs, so the
+    * filter runs at `threshold - guardBand`: a true ≥-threshold pair is
+    * never lost to grid error (measured error on unit-scale 64-dim
+    * embeddings is ~1e-4; the default band is 10× that), at the cost of
+    * admitting pairs up to `guardBand` BELOW the threshold — the
+    * documented precision trade of quantized serving. Callers that need
+    * exact decisions keep fp lists ([[nearDupFromLists]]). */
+  def nearDupFromQuantizedLists(lists: DataFrame, queries: DataFrame,
+      centroids: DataFrame, threshold: Double, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      guardBand: Double = 0.001): DataFrame =
+    probedClusters(queries, centroids, nprobe, idCol, vecCol)
+      .join(lists, Seq("cluster_id"))
+      .where(col(s"q_$idCol") =!= col(idCol))
+      .select(col(s"q_$idCol").as("query_id"), col(idCol).as("match_id"),
+        cosine(col("q_vec"),
+          graft.functions.Quantize.int8Dequantize(
+            col("codes").cast("array<double>"), col("scale"))).as("cos_raw"))
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("cos_raw") >= threshold - guardBand)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+
   /** Probe path over QUANTIZED inverted lists (rows carry idCol, int8
     * `codes` as array<tinyint>, `scale`, cluster_id) — the 100 TB
     * serving shape: the probed-list scan reads ~4-8× fewer bytes than

@@ -747,6 +747,50 @@ class IndexStoreSpec extends SparkSpec {
       Set((vb + 2000000, "srp")))
   }
 
+  test("quantized IVF near-dup probe: guard band keeps every true pair, parity with fp lists") {
+    import spark.implicits._
+    val (fq, ff) = ("graft_spec_ivfnq", "graft_spec_ivfnf")
+    Seq(s"${fq}_lists", s"${fq}_centroids", s"${ff}_lists",
+      s"${ff}_centroids").foreach(dropTable)
+    IndexStore.buildIvfIndexQuantized(corpusVecs, ivfCentroids, fq,
+      s"$idxPath/$fq")
+    IndexStore.buildIvfIndex(corpusVecs, ivfCentroids, ff, s"$idxPath/$ff")
+    val every10 = corpusVecs.where(col("vec_id") % 10 === 0)
+    // scaled copies sit AT cosine 1.0; the guard band exists for pairs
+    // near the threshold, where int8 grid error (measured ~1e-4 on this
+    // corpus) could otherwise flip the comparison
+    val probes = every10
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("vec"), x => x * 2.0d).as("vec"))
+    val quant = IndexStore.probeIvfNearDupQuantized(spark, probes, fq)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val fp = IndexStore.probeIvfNearDup(spark, probes, ff)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val ids = every10.select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // every planted pair present in BOTH servings
+    ids.foreach { id =>
+      assert(quant((id + 5000, id)), s"quantized probe lost copy of $id")
+      assert(fp((id + 5000, id)), s"fp probe lost copy of $id")
+    }
+    // the guard band only ADDS boundary pairs — it never loses one the
+    // fp probe found (list membership is identical: assignment runs
+    // before quantization)
+    assert(fp.subsetOf(quant),
+      s"quantized probe lost fp pairs: ${(fp -- quant).take(3)}")
+    // serving-shape mismatch fails loudly, not mid-plan on a missing
+    // column: the quantized probe refuses an fp index
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.probeIvfNearDupQuantized(spark, probes, ff)
+    }
+    assert(e.getMessage.contains("quantized"))
+    // and the fp probe refuses the quantized index symmetrically
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.probeIvfNearDup(spark, probes, fq)
+    }
+    assert(e2.getMessage.contains("quantized"))
+  }
+
   test("autoCompact refuses an unknown index kind up front") {
     val e = intercept[IllegalArgumentException] {
       IndexStore.autoCompact(spark, "bloom", "graft_spec_nope")
