@@ -330,6 +330,27 @@ object AnalyticsQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // The SRP near-dup check served from QUANTIZED storage — the int8
+    // twin of ext_ivf_neardup_quant: same band-join candidates (bands
+    // derive from fp query vectors), verify over dequantized codes with
+    // the guard band keeping every true pair. Rows-only; fp-parity and
+    // serving-shape refusal pinned in IndexStoreSpec.
+    QueryDef("ext_srp_neardup_quant", None,
+      (s, dir) => {
+        val tbl = "graft_srpnq_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val corpus = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        if (!s.catalog.tableExists(s"${tbl}_bands"))
+          IndexStore.buildSrpIndexQuantized(corpus, tbl,
+            s"/tmp/graft_index/$tbl")
+        val probes = corpus.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("vec"), x => x * 1.001).as("vec"))
+        IndexStore.probeSrpNearDupQuantized(s, probes, tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Incrementally-maintained SRP index: build over half the corpus,
     // append the other half (band rows land in the same stable buckets,
     // signatures never need recomputation), probe the union. Rows-only;

@@ -1329,6 +1329,38 @@ object IndexStore {
         round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** [[probeSrpNearDup]] against a QUANTIZED SRP index — the int8
+    * serving twin of [[probeIvfNearDupQuantized]]: candidates come from
+    * the same band table (signatures always derive from fp query
+    * vectors), the verify dequantizes the stored codes inside the
+    * cosine kernel, and the threshold is relaxed by `guardBand` so grid
+    * error never drops a true near-dup — at the cost of admitting pairs
+    * up to the band BELOW it (the documented quantized-serving trade). */
+  def probeSrpNearDupQuantized(spark: SparkSession, queries: DataFrame,
+      table: String, threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      guardBand: Double = 0.001): DataFrame = {
+    requireParams(spark, s"${table}_bands",
+      srpParams(nPlanes, bands, dim, idCol, vecCol)
+        + ("quantized" -> "int8"), "probe")
+    srpCandidates(spark, queries, table, idCol, vecCol,
+        nPlanes, bands, dim, hotBandThreshold)
+      .join(spark.table(s"${table}_vecs")
+        .select(col(idCol).as("neighbor_id"), col("codes"), col("scale")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id").as("match_id"),
+        Similarity.cosine(col("q_vec"),
+          graft.functions.Quantize.int8Dequantize(
+            col("codes").cast("array<double>"), col("scale")))
+          .as("cos_raw"))
+      .where(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        col("cos_raw") >= threshold - guardBand)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Deletes vectors from an SRP index (band + vector tables). */
   def deleteFromSrpIndex(spark: SparkSession, table: String,
       ids: DataFrame, newPathBase: String): Unit = {

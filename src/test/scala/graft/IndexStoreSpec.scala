@@ -791,6 +791,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("quantized"))
   }
 
+  test("quantized SRP near-dup probe: fp parity under the guard band, serving shapes refuse each other") {
+    import spark.implicits._
+    val (sq, sf) = ("graft_spec_srpnq", "graft_spec_srpnf")
+    Seq(s"${sq}_bands", s"${sq}_vecs", s"${sf}_bands", s"${sf}_vecs")
+      .foreach(dropTable)
+    IndexStore.buildSrpIndexQuantized(corpusVecs, sq, s"$idxPath/$sq")
+    IndexStore.buildSrpIndex(corpusVecs, sf, s"$idxPath/$sf")
+    val probes = corpusVecs.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("vec"), x => x * 2.0d).as("vec"))
+    val quant = IndexStore.probeSrpNearDupQuantized(spark, probes, sq)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val fp = IndexStore.probeSrpNearDup(spark, probes, sf)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val ids = corpusVecs.where(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // candidates are identical (same band table layout, bands from fp
+    // queries), so under the guard band the quantized serving can only
+    // ADD boundary pairs relative to fp
+    ids.foreach(id => assert(quant((id + 5000, id)),
+      s"quantized SRP probe lost copy of $id"))
+    assert(fp.subsetOf(quant),
+      s"quantized probe lost fp pairs: ${(fp -- quant).take(3)}")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.probeSrpNearDupQuantized(spark, probes, sf)
+    }
+    assert(e.getMessage.contains("quantized"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.probeSrpNearDup(spark, probes, sq)
+    }
+    assert(e2.getMessage.contains("quantized"))
+  }
+
   test("autoCompact refuses an unknown index kind up front") {
     val e = intercept[IllegalArgumentException] {
       IndexStore.autoCompact(spark, "bloom", "graft_spec_nope")
