@@ -825,6 +825,55 @@ class IndexStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("quantized"))
   }
 
+  test("quantized indexes share the erasure/compaction lifecycle and keep their serving marker") {
+    import spark.implicits._
+    val (sq, iq) = ("graft_spec_lcsq", "graft_spec_lciq")
+    Seq(s"${sq}_bands", s"${sq}_vecs", s"${iq}_lists", s"${iq}_centroids")
+      .foreach(dropTable)
+    IndexStore.buildSrpIndexQuantized(corpusVecs, sq, s"$idxPath/$sq")
+    IndexStore.buildIvfIndexQuantized(corpusVecs, ivfCentroids, iq,
+      s"$idxPath/$iq")
+    val (va, vb) = (0L, 10L)
+    def scaledOf(id: Long, off: Long) = corpusVecs
+      .where(col("vec_id") === id)
+      .select(lit(id + off).as("vec_id"),
+        transform(col("vec"), x => x * 2.0d).as("vec"))
+    val probes = scaledOf(va, 5000).unionByName(scaledOf(vb, 6000))
+    // erasure: the same bucket-preserving rewrite as the fp kinds,
+    // over the codes schema
+    IndexStore.deleteFromSrpIndex(spark, sq, Seq(va).toDF("vec_id"),
+      s"$idxPath/lc_sq_d")
+    IndexStore.deleteFromIvfIndex(spark, iq, Seq(va).toDF("vec_id"),
+      s"$idxPath/lc_iq_d")
+    def matchedPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val sqAfter = matchedPairs(
+      IndexStore.probeSrpNearDupQuantized(spark, probes, sq))
+    val iqAfter = matchedPairs(
+      IndexStore.probeIvfNearDupQuantized(spark, probes, iq))
+    Seq(("srp", sqAfter), ("ivf", iqAfter)).foreach { case (kind, got) =>
+      assert(!got.exists(_._2 == va), s"$kind: deleted vec still matches")
+      assert(got((vb + 6000, vb)), s"$kind: undeleted vec must keep matching")
+    }
+    // compaction: probe results unchanged
+    IndexStore.compactSrpIndex(spark, sq, s"$idxPath/lc_sq_c")
+    IndexStore.compactIvfIndex(spark, iq, s"$idxPath/lc_iq_c")
+    assert(matchedPairs(
+      IndexStore.probeSrpNearDupQuantized(spark, probes, sq)) == sqAfter)
+    assert(matchedPairs(
+      IndexStore.probeIvfNearDupQuantized(spark, probes, iq)) == iqAfter)
+    // the rewrites carried the serving marker: the fp probes still
+    // REFUSE these tables — if the rewrite had dropped the properties,
+    // this would silently degrade to a mid-plan missing-column error
+    // (or worse, tolerated validation)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.probeSrpNearDup(spark, probes, sq)
+    }.getMessage.contains("quantized"))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.probeIvfNearDup(spark, probes, iq)
+    }.getMessage.contains("quantized"))
+  }
+
   test("autoCompact refuses an unknown index kind up front") {
     val e = intercept[IllegalArgumentException] {
       IndexStore.autoCompact(spark, "bloom", "graft_spec_nope")
