@@ -239,6 +239,64 @@ class StreamingSpec extends SparkSpec {
     assert(b1Rewrites.where($"gate" =!= "accepted").count() == 0)
   }
 
+  test("a take-down between micro-batches stops gating the next drained file") {
+    // the reference's deletion reconciliation runs BETWEEN cron syncs;
+    // composed here: drain one staged file, take a doc down from all
+    // three gate indexes while the stream's checkpoint is live, stage
+    // the next file — copies of the taken-down doc must now be accepted
+    // while every other doc keeps gating, on the SAME checkpoint
+    import graft.streaming.StreamingIndexIngest
+    import graft.operators.IndexStore
+    val work = "/tmp/graft_sgate_takedown"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    Seq("graft_t_tdx_fps", "graft_t_tdw_wins", "graft_t_tdm_bands",
+      "graft_t_tdm_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").where($"doc_id" < 200)
+    IndexStore.buildExactIndex(docs, "doc_id", "text", "graft_t_tdx",
+      s"$work/idx/gx")
+    IndexStore.buildWinnowIndex(docs, "doc_id", "text", "graft_t_tdw",
+      s"$work/idx/gw", window = 40, guarantee = 10)
+    IndexStore.buildMinhashIndex(docs, "doc_id", "text", "graft_t_tdm",
+      s"$work/idx/gm")
+    // same fixture selection as the batch take-down spec: the first two
+    // ≥40-token docs have no organic near-dup in this corpus, so a
+    // post-deletion copy's fate is decided by the DELETION, not by a
+    // surviving organic sibling (doc 0, e.g., minhash-matches one)
+    val long2 = docs
+      .where(size(split(trim(lower($"text")), "\\s+")) >= 40)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    assert(long2.length == 2, "fixture needs two ≥40-token docs")
+    val (a, b) = (long2(0), long2(1))
+    def copyOf(id: Long, off: Long) = docs.where($"doc_id" === id)
+      .select(lit(id + off).as("doc_id"), $"text")
+    val src = s"$work/src"; val sink = s"$work/sink"; val ckpt = s"$work/ckpt"
+    def drain(): Unit = StreamingIndexIngest.runGateStream(spark, src,
+      sink, ckpt, "graft_t_tdx", "graft_t_tdw", "graft_t_tdm")
+
+    StreamingIndexIngest.stageBatchFile(
+      copyOf(a, 1000000).unionByName(copyOf(b, 2000000)), work, src, "b1")
+    drain()
+    assert(spark.read.parquet(sink).where($"gate" =!= "exact").count() == 0,
+      "pre-take-down, both byte-copies must cut at the exact gate")
+
+    IndexStore.deleteFromGateIndexes(spark, Seq(a).toDF("doc_id"),
+      "doc_id", "graft_t_tdx", "graft_t_tdw", "graft_t_tdm", s"$work/td")
+
+    StreamingIndexIngest.stageBatchFile(
+      copyOf(a, 3000000).unionByName(copyOf(b, 4000000)), work, src, "b2")
+    drain() // SAME checkpoint — only the new file is gated
+    val fin = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin(a + 3000000) == "accepted",
+      "a taken-down doc must stop gating the stream's next batch")
+    assert(fin(b + 4000000) == "exact",
+      "an un-deleted doc must keep gating after someone else's take-down")
+    assert(fin(a + 1000000) == "exact" && fin(b + 2000000) == "exact",
+      "committed decisions are history — reconciliation must not rewrite them")
+  }
+
   test("streaming vec gate equals sequential batch gates and lands each class on its designed slot") {
     import graft.operators.{IndexStore, IvfIndex, Similarity}
     val streamed = graft.streaming.StreamingIndexIngest.runGateVec(spark,
