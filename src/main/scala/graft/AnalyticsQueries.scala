@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{IndexStore, IvfIndex, Ops, Similarity, SrpLsh, TemporalJoins, VectorAgg}
+import graft.operators.{IndexStore, IvfIndex, NgramLm, Ops, Similarity, SrpLsh, TemporalJoins, VectorAgg}
 import graft.plans.InListToSemiJoin
 
 /** Capability registry, batch 6: analytic operators beyond the
@@ -659,6 +659,93 @@ object AnalyticsQueries {
             * 100 + 0.5).cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
+
+    // Corpus-trained bigram-LM perplexity scoring with CCNet-style
+    // head/middle/tail banding: train add-one-smoothed bigram counts on
+    // the 80% doc_id-hash slice, score the held-out 20% as integer
+    // milli-bits of cross-entropy per token (order-independent integer
+    // sums — see NgramLm's determinism doctrine), band by exact tercile
+    // over the per-doc aggregate. Fully value-checked: every per-bigram
+    // quantity is an exact integer or an exactly-rounded double on both
+    // engines.
+    QueryDef("ext_lm_perplexity",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_prepend('<s>',
+             |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+             |           THEN CAST([] AS VARCHAR[])
+             |           ELSE string_split_regex(
+             |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+             |      END) AS toks
+             |  FROM documents),
+             |big AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+             |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+             |bc AS (
+             |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+             |cc AS (
+             |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+             |  FROM bc GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT t) + 1 AS vsize
+             |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+             |scored AS (
+             |  SELECT e.doc_id,
+             |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+             |                     (coalesce(cc.cctx, 0) + v.vsize))
+             |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+             |  FROM big e
+             |  LEFT JOIN bc ON e.bg = bc.bg
+             |  LEFT JOIN cc ON e.prev = cc.prev
+             |  CROSS JOIN v
+             |  WHERE e.doc_id % 10 >= 8),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+             |  FROM scored GROUP BY 1),
+             |o AS (
+             |  SELECT doc_id, n_bigrams,
+             |    CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+             |  FROM agg)
+             |SELECT doc_id, n_bigrams, h_milli_tok,
+             |  CASE ntile(3) OVER (ORDER BY h_milli_tok, doc_id)
+             |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+             |FROM o ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        NgramLm.withBands(
+            NgramLm.scoreMicroBits(model, docs.where(col("doc_id") % 10 >= 8)))
+          .orderBy("doc_id")
+      }),
+
+    // Corpus token heavy hitters with running coverage — the
+    // tokenizer-design statistic. Top-k is a distributed
+    // TakeOrderedAndProject (never a global sort); the cumulative
+    // window runs over the already-limited k rows. The windowed sum is
+    // CAST in the oracle (DuckDB windowed sum(BIGINT) → HUGEINT; same
+    // pattern as ext_sessionize).
+    QueryDef("ext_vocab_coverage",
+      Some("""WITH tok AS (
+             |  SELECT unnest(
+             |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+             |         THEN CAST([] AS VARCHAR[])
+             |         ELSE string_split_regex(
+             |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+             |    END) AS token
+             |  FROM documents),
+             |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+             |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50),
+             |r AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+             |    token, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+             |  FROM top)
+             |SELECT rank, token, cnt, cum_cnt,
+             |  CAST(floor(cum_cnt * 1000000.0 / total + 0.5) AS BIGINT) AS cum_share_micro
+             |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin),
+      (s, dir) => NgramLm.vocabCoverage(load(s, dir, "documents"))),
 
     // Skew-mitigated salted join: results must equal the plain join.
     QueryDef("ext_salted_join",

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Shingles
+
+/** Corpus-trained bigram language model with add-one smoothing, scored
+  * as integer milli-bits of cross-entropy per token — the CCNet-style
+  * perplexity filter that splits a crawl into head/middle/tail quality
+  * bands. The reference pipeline's curation surface stops at
+  * closed-form per-row ratios (cf. the quality heuristics mirrored in
+  * `t2_quality_score`); a corpus-STATISTICS quality model is the next
+  * rung a training-data pipeline needs, and unlike an external LM it is
+  * trained by the same engine that scores with it.
+  *
+  * Determinism doctrine: per-bigram log-probabilities are quantized to
+  * integer milli-bits (`floor(-log2(p)*1000 + 0.5)`) BEFORE the per-doc
+  * sum, so the aggregate is an order-independent integer sum — a double
+  * sum would hash-differ across partitionings, and engine-local `log`
+  * implementations (JVM StrictMath/fdlibm vs DuckDB libm) can disagree
+  * in the last ulp, which a 1e-3 grid makes irrelevant (flip risk per
+  * term ~1e-12) where a 1e-6 grid would not.
+  *
+  * Scale shape (100 TB corpus): training is one shuffle on the bigram
+  * key with map-side partial aggregation, context counts are a second
+  * far smaller shuffle over the count table itself, and the vocabulary
+  * size is a 1-row aggregate kept lazy as a frame (no job at model
+  * construction). Scoring joins the exploded bigram stream against the
+  * two count tables: broadcast by default (a web-scale bigram table can
+  * be pruned to top-k counts first — everything pruned scores as
+  * unseen, which only moves mass toward the smoothing floor); with
+  * `broadcastModel=false` they shuffle-join on the bigram/context keys,
+  * where the one systematically hot probe key (`<s>`, first position of
+  * every document) is AQE-skew-split territory — the build side holds
+  * one row per key, so splitting the probe side is always legal.
+  */
+object NgramLm {
+
+  /** Trained model: `bigramCounts(bg, cb)`, `contextCounts(prev, cctx)`,
+    * `vocabSize(vsize)` (1 row, distinct train tokens incl. `<s>` + 1
+    * for the unseen class). All lazy frames — constructing a model
+    * launches no jobs; persist via IndexStore tables for reuse. */
+  final case class Model(
+      bigramCounts: DataFrame,
+      contextCounts: DataFrame,
+      vocabSize: DataFrame)
+
+  /** Whitespace tokens of the lowercased text, empty-free: the text is
+    * fully whitespace-stripped first (`trim` alone strips only spaces,
+    * so tab/newline-led text would split with an empty head), and a
+    * whitespace-only doc maps to `[]` rather than `['']`. */
+  def cleanTokens(text: Column): Column = {
+    val stripped = regexp_replace(lower(text), "^\\s+|\\s+$", "")
+    when(stripped === "", array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
+
+  /** Sentence-start-marked token array: `<s>` + [[cleanTokens]]. */
+  def sentenceTokens(text: Column): Column =
+    concat(array(lit("<s>")), cleanTokens(text))
+
+  /** Exploded bigram stream: (doc_id, bg "prev cur", prev). Built from
+    * the codegen'd [[graft.functions.NgramShingles]] native (n=2) —
+    * space-joined pairs are an exact key because tokens cannot contain
+    * whitespace post-split. A token-less doc contributes no rows (the
+    * shingle native would collapse a 1-element array to a whole-text
+    * shingle, so it is guarded to empty). */
+  def bigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = sentenceTokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(size(toks) >= 2, Shingles.ngramShingles(toks, 2))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+  }
+
+  /** Train on a document frame (idCol, textCol). */
+  def train(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Model = {
+    val bgs = bigrams(docs, idCol, textCol)
+    val bc = bgs.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cc = bc
+      .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cctx"))
+    val v = docs
+      .select(explode(sentenceTokens(col(textCol))).as("t"))
+      .agg((countDistinct(col("t")) + 1).as("vsize"))
+    Model(bc, cc, v)
+  }
+
+  /** Score documents: (doc_id, n_bigrams, h_milli_tok) where
+    * h_milli_tok is the rounded mean of per-bigram integer milli-bits
+    * under add-one smoothing, p = (c(prev,cur)+1) / (c(prev)+V). An
+    * unseen context degrades to the uniform floor 1/V. The final
+    * division is double over exactly-representable integers (< 2^53),
+    * so it is bit-identical across engines. */
+  /** Per-bigram integer milli-bits: `floor(-log2(p)*1000 + 0.5)` with
+    * p = (cb+1)/(cctx+V) — the quantization that makes the per-doc sum
+    * order-independent. */
+  private def hMilli(cb: Column, cctx: Column, vsize: Column): Column =
+    floor(-log2((coalesce(cb, lit(0L)) + lit(1.0)) /
+        (coalesce(cctx, lit(0L)) + vsize))
+      * lit(1000.0) + lit(0.5))
+
+  /** Per-doc rollup of the quantized bigram scores. The final division
+    * is double over exactly-representable integers (< 2^53), so it is
+    * bit-identical across engines. */
+  private def perDoc(scoredBigrams: DataFrame): DataFrame =
+    scoredBigrams
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("h_milli")).as("h_total"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("h_total") * lit(1.0) / col("n_bigrams") + lit(0.5))
+          .as("h_milli_tok"))
+
+  def scoreMicroBits(model: Model, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    perDoc(bigrams(docs, idCol, textCol)
+      .join(side(model.bigramCounts), Seq("bg"), "left")
+      .join(side(model.contextCounts), Seq("prev"), "left")
+      .crossJoin(broadcast(model.vocabSize))
+      .select(col("doc_id"),
+        hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli")))
+  }
+
+  /** Streaming-compatible scoring: same math as [[scoreMicroBits]] but
+    * the vocabulary size is a pre-resolved literal (a stream cannot
+    * cross-join the 1-row vocab frame — a streaming cartesian is
+    * unsupported, correctly: the "frame" would have to be re-read every
+    * micro-batch). The count-table joins are stream-static left joins;
+    * the caller pins the model frames (localCheckpoint or a persisted
+    * IndexStore table) so the static side isn't recomputed per batch. */
+  def scoreBigramsWithVocab(docsOrStream: DataFrame, model: Model,
+      vocabSize: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    perDoc(bigrams(docsOrStream, idCol, textCol)
+      .join(broadcast(model.bigramCounts), Seq("bg"), "left")
+      .join(broadcast(model.contextCounts), Seq("prev"), "left")
+      .select(col("doc_id"),
+        hMilli(col("cb"), col("cctx"), lit(vocabSize)).as("h_milli")))
+
+  /** Exact CCNet-style tercile banding (head = lowest cross-entropy).
+    * The ntile runs over a GLOBAL order — correct and cheap on the
+    * per-doc aggregate at verify scale, but a single-partition sort of
+    * one-row-per-document at warehouse scale: that is what
+    * [[withApproxBands]] is for. Ties are broken by doc_id so the
+    * assignment is a pure function of the data. */
+  def withBands(scored: DataFrame): DataFrame = {
+    val nt = ntile(3).over(Window.orderBy(col("h_milli_tok"), col("doc_id")))
+    scored.withColumn("band",
+      when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+  }
+
+  /** Corpus token heavy hitters with cumulative coverage — the
+    * tokenizer-design statistic ("how much of the stream do the top-k
+    * types cover"). Scale shape: one shuffle for the count table
+    * (map-side partial agg over the exploded token stream), the top-k
+    * via orderBy+limit (planned as a distributed TakeOrderedAndProject
+    * — per-partition heaps, never a global sort), the grand total as a
+    * broadcast 1-row aggregate, and the running-coverage window runs
+    * over the ALREADY-LIMITED k rows, so its single partition holds k
+    * rows, not the vocabulary. Count ties at the k-boundary are broken
+    * by token ascending in both the top-k and the window order, so the
+    * cut is a pure function of the data. cum_share_micro is an exactly-
+    * rounded double over exact integers — engine-deterministic. */
+  def vocabCoverage(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(cleanTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        floor(col("cum_cnt") * lit(1000000.0) / col("total") + lit(0.5))
+          .as("cum_share_micro"))
+      .orderBy("rank")
+  }
+
+  /** Scale-path banding: tercile THRESHOLDS from one approximate
+    * percentile aggregate (broadcast, then a map-side compare) — no
+    * global sort, no single-partition window. Band populations are
+    * approximate within the sketch accuracy; the per-doc score itself
+    * is unchanged. */
+  def withApproxBands(scored: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val cuts = scored.agg(
+      percentile_approx(col("h_milli_tok"), lit(1.0 / 3), lit(accuracy)).as("t1"),
+      percentile_approx(col("h_milli_tok"), lit(2.0 / 3), lit(accuracy)).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        when(col("h_milli_tok") <= col("t1"), "head")
+          .when(col("h_milli_tok") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .drop("t1", "t2")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.NgramLm
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("hand-computed add-one bigram cross-entropy, exact to the milli-bit") {
+    // train "x y x y": bigrams (<s>,x) (x,y) (y,x) (x,y)
+    //   bc: "<s> x"->1, "x y"->2, "y x"->1; cc: <s>->1, x->2, y->1
+    //   vocab {<s>,x,y} + 1 unseen class -> V=4
+    val model = NgramLm.train(docs(0L -> "x y x y"))
+    // eval "x y z": p=2/5, 3/6, 1/5 -> milli-bits 1322, 1000, 2322
+    val h = Seq(2.0 / 5, 3.0 / 6, 1.0 / 5)
+      .map(p => math.floor(-math.log(p) / math.log(2.0) * 1000.0 + 0.5).toLong)
+    assert(h == Seq(1322L, 1000L, 2322L))
+    val got = NgramLm.scoreMicroBits(model, docs(8L -> "x y z")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("h_milli_tok") ==
+      math.floor(h.sum * 1.0 / 3 + 0.5).toLong) // 1548
+  }
+
+  test("unseen-vocabulary text scores strictly higher than in-distribution text") {
+    val model = NgramLm.train(docs(
+      0L -> "a b a b a b", 1L -> "b a b a", 2L -> "a b a b a"))
+    val scored = NgramLm.scoreMicroBits(model,
+        docs(10L -> "a b a b", 11L -> "q r s t"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("h_milli_tok")).toMap
+    assert(scored(11L) > scored(10L))
+  }
+
+  test("integer milli-bit sums are partitioning-invariant") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))
+    val eval_ = corpus.where($"doc_id" % 10 >= 8)
+    val a = NgramLm.scoreMicroBits(model, eval_)
+      .orderBy("doc_id").collect().toSeq
+    val b = NgramLm.scoreMicroBits(model, eval_.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("broadcast and shuffle-join scoring agree") {
+    val corpus = Tables.load(spark, sf0001, "documents").limit(100)
+    val model = NgramLm.train(corpus)
+    val bcast = NgramLm.scoreMicroBits(model, corpus)
+      .orderBy("doc_id").collect().toSeq
+    val shuffled = noBroadcast {
+      NgramLm.scoreMicroBits(model, corpus, broadcastModel = false)
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(bcast == shuffled)
+  }
+
+  test("token-less documents contribute no rows; one token is one bigram") {
+    val model = NgramLm.train(docs(0L -> "a b"))
+    val got = NgramLm.scoreMicroBits(model,
+        docs(1L -> "", 2L -> "   ", 3L -> "\t\n", 4L -> "a"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bigrams")).toMap
+    assert(got == Map(4L -> 1L))
+  }
+
+  test("exact tercile bands are balanced and monotone in cross-entropy") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))
+    val banded = NgramLm.withBands(
+        NgramLm.scoreMicroBits(model, corpus.where($"doc_id" % 10 >= 8)))
+      .collect().map(r => r.getAs[String]("band") -> r.getAs[Long]("h_milli_tok"))
+    val byBand = banded.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    val sizes = byBand.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(byBand("head").max <= byBand("middle").min)
+    assert(byBand("middle").max <= byBand("tail").min)
+  }
+
+  test("vocabCoverage: ranked heavy hitters with exact running coverage") {
+    val corpus = docs(
+      0L -> "a a a b b c", 1L -> "a b c d", 2L -> "a a e")
+    // counts: a=6 b=3 c=2 d=1 e=1, total=13; ties d/e broken by token asc
+    val got = NgramLm.vocabCoverage(corpus, k = 4).collect()
+    assert(got.map(_.getAs[String]("token")).toSeq == Seq("a", "b", "c", "d"))
+    assert(got.map(_.getAs[Long]("cnt")).toSeq == Seq(6L, 3L, 2L, 1L))
+    assert(got.map(_.getAs[Long]("cum_cnt")).toSeq == Seq(6L, 9L, 11L, 12L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+    // exact micro-rounded shares of total=13
+    val shares = Seq(6L, 9L, 11L, 12L)
+      .map(c => math.floor(c * 1000000.0 / 13 + 0.5).toLong)
+    assert(got.map(_.getAs[Long]("cum_share_micro")).toSeq == shares)
+  }
+
+  test("vocabCoverage: k past the vocabulary covers the full stream") {
+    val got = NgramLm.vocabCoverage(docs(0L -> "x y x", 1L -> "z"), k = 50)
+      .collect()
+    assert(got.length == 3)
+    assert(got.last.getAs[Long]("cum_share_micro") == 1000000L)
+  }
+
+  test("vocabCoverage top-k is a TakeOrdered, not a global sort") {
+    val df = NgramLm.vocabCoverage(
+      Tables.load(spark, sf0001, "documents"), k = 50)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k in:\n$plan")
+  }
+
+  test("approx banding (scale path, no global sort) agrees with exact ntile") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))
+    val scored = NgramLm.scoreMicroBits(model, corpus.where($"doc_id" % 10 >= 8))
+    val exact = NgramLm.withBands(scored)
+      .select("doc_id", "band").as[(Long, String)].collect().toMap
+    val approx = NgramLm.withApproxBands(scored)
+      .select("doc_id", "band").as[(Long, String)].collect().toMap
+    assert(exact.keySet == approx.keySet)
+    val agree = exact.keys.count(k => exact(k) == approx(k))
+    // threshold-compare puts ties in the lower band where ntile force-
+    // balances counts — boundary docs may differ, the interior may not
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"only $agree of ${exact.size} band assignments agree")
+  }
+}

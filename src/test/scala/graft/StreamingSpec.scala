@@ -446,6 +446,19 @@ class StreamingSpec extends SparkSpec {
       Seq("event_id", "user_id", "event_type", "value", "ts")).count() == events.count())
   }
 
+  test("stream-scored LM perplexity equals the batch scorer row-for-row") {
+    import graft.operators.NgramLm
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val model = NgramLm.train(docs.where($"doc_id" % 10 < 8))
+    val batch = NgramLm.scoreMicroBits(model, docs.where($"doc_id" % 10 >= 8))
+      .orderBy("doc_id").collect().toSeq
+    val streamed = graft.streaming.StreamingLmScore
+      .run(spark, sf0001, "/tmp/graft_lmscore_test")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
