@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * r9 level while the control sits at ITS r8 level ⇒ a real
   * regression, bisect the round-9 conf-registry rework.
   *
-  * Usage: runMain graft.AbBench [sfDir] [reps]
+  * Usage: runMain graft.AbBench [sfDir] [reps] [queryName...]
+  * (extra args replace the default control+suspect list — the tool is
+  * the repo's general interleaved A/B, the default list documents the
+  * round-9/10 run that exonerated the conf-registry rework)
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -39,8 +42,11 @@ object AbBench {
     // pruned and the timing covers the same work the driver bench times
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.selectExpr("bit_xor(xxhash64(struct(*)))").collect()
-    val names = Seq("s7_ordered_key_scan", "sr1_streaming_window",
-      "sr2_streaming_merge", "sr3_streaming_dedup_state")
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("s7_ordered_key_scan", "sr1_streaming_window",
+        "sr2_streaming_merge", "sr3_streaming_dedup_state")
+    names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))
     // warmup round (JIT, codegen cache, file index) — not recorded
     names.foreach(n => run(SparkEntry.queries(n)(spark, sfDir)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]

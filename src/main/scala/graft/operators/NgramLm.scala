@@ -78,16 +78,28 @@ object NgramLm {
       .withColumn("prev", substring_index(col("bg"), " ", 1))
   }
 
-  /** Train on a document frame (idCol, textCol). */
+  /** Train on a document frame (idCol, textCol). One corpus pass: the
+    * bigram-count table is built once behind a lazy materialization
+    * boundary (construction launches no jobs), and BOTH derived
+    * statistics read it instead of the corpus — the context counts as a
+    * second-level rollup, and the vocabulary as the distinct endpoints
+    * of the counted bigrams, which is exactly the train vocabulary
+    * because every token of every doc appears in some bigram (token i
+    * is the `cur` of bigram i, with `<s>` opening each doc; a token-less
+    * doc contributes no bigrams and no tokens). Without the boundary
+    * Catalyst would inline the full tokenize+explode+aggregate corpus
+    * pass once per consumer — the same trap ARCHITECTURE.md records for
+    * the winnow and TF-IDF frames. */
   def train(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model = {
     val bgs = bigrams(docs, idCol, textCol)
-    val bc = bgs.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val bc = Ops.checkpointKeepPartitioning(
+      bgs.groupBy("bg").agg(count(lit(1)).as("cb")))
     val cc = bc
       .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
       .agg(sum(col("cb")).as("cctx"))
-    val v = docs
-      .select(explode(sentenceTokens(col(textCol))).as("t"))
+    val v = bc.select(substring_index(col("bg"), " ", 1).as("t"))
+      .union(bc.select(substring_index(col("bg"), " ", -1).as("t")))
       .agg((countDistinct(col("t")) + 1).as("vsize"))
     Model(bc, cc, v)
   }

@@ -20,22 +20,24 @@ object StreamingLmScore {
   /** Train on the 80% doc_id-hash slice, stream-score the held-out 20%
     * in two micro-batches, return the final scored table.
     *
-    * The model's count frames are pinned with an eager localCheckpoint:
-    * a stream-static join re-evaluates its static side every micro-batch,
-    * so an unpinned model would re-run both training aggregations per
-    * batch (and a production deployment scoring thousands of batches
-    * would instead read the model from a persisted IndexStore table —
-    * same shape, durable form). The vocabulary size is resolved to a
-    * literal here (bounded 1-row collect) because a stream cannot
-    * cross-join the lazy 1-row vocab frame. */
+    * The model's count frames sit behind materialization boundaries: a
+    * stream-static join re-evaluates its static side every micro-batch,
+    * so an unpinned model would re-run the training aggregations per
+    * batch (a production deployment scoring thousands of batches would
+    * instead read the model from a persisted table — same shape,
+    * durable form). The vocabulary size is resolved to a literal here
+    * (bounded 1-row collect) because a stream cannot cross-join the
+    * lazy 1-row vocab frame. */
   def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
     val raw = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
-    val model = NgramLm.Model(
-      raw.bigramCounts.localCheckpoint(),
-      raw.contextCounts.localCheckpoint(),
-      raw.vocabSize)
+    // bigramCounts is already behind train()'s lazy boundary (filled at
+    // the first micro-batch, reused by the rest); only the context
+    // rollup derived from it needs its own pin here
+    val model = raw.copy(
+      contextCounts = graft.operators.Ops.checkpointKeepPartitioning(
+        raw.contextCounts))
     val vsize = raw.vocabSize.head().getLong(0)
 
     val srcDir = s"$workDir/src_${System.nanoTime()}"
