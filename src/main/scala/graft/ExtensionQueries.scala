@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextAnalysis
-import graft.operators.{Contamination, Dedup, IndexStore, IvfIndex, Multimodal, Similarity, Tfidf}
+import graft.operators.{Contamination, Dedup, IndexStore, IvfIndex, Multimodal, NgramLm, Similarity, Tfidf}
 
 /** Capability registry, batch 3: the LLM-training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) —
@@ -18,6 +18,51 @@ import graft.operators.{Contamination, Dedup, IndexStore, IvfIndex, Multimodal, 
   */
 object ExtensionQueries {
   import Tables.load
+
+  /** Shared oracle for the persisted-LM lifecycle queries: score the
+    * held-out 20% against a bigram LM trained on `trainPred`'s slice in
+    * ONE shot — the additive count table makes build+append (and
+    * build+unlearn) equal a one-shot retrain, so one SQL shape checks
+    * every lifecycle composition. Mirrors the ext_lm_perplexity /
+    * sr7_streaming_lm_score CTEs (see NgramLm's determinism doctrine
+    * for the integer milli-bit quantization). */
+  private def lmOracle(trainPred: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_prepend('<s>',
+       |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+       |           THEN CAST([] AS VARCHAR[])
+       |           ELSE string_split_regex(
+       |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+       |      END) AS toks
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+       |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+       |bc AS (
+       |  SELECT bg, count(*) AS cb FROM big WHERE $trainPred GROUP BY 1),
+       |cc AS (
+       |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+       |  FROM bc GROUP BY 1),
+       |v AS (
+       |  SELECT count(DISTINCT t) + 1 AS vsize
+       |  FROM (SELECT unnest(toks) AS t FROM tok WHERE $trainPred)),
+       |scored AS (
+       |  SELECT e.doc_id,
+       |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+       |                     (coalesce(cc.cctx, 0) + v.vsize))
+       |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+       |  FROM big e
+       |  LEFT JOIN bc ON e.bg = bc.bg
+       |  LEFT JOIN cc ON e.prev = cc.prev
+       |  CROSS JOIN v
+       |  WHERE e.doc_id % 10 >= 8),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+       |  FROM scored GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for both contamination-check paths (broadcast and
     * shuffle join are value-identical by contract, so they check
@@ -576,6 +621,46 @@ object ExtensionQueries {
               concat(col("text"), lit(" zmod")).as("text")))
         IndexStore.probeExact(s, batch, "doc_id", "text", tbl)
           .orderBy("query_id", "match_id")
+      }),
+
+    // Persisted-LM incremental maintenance, value-checked end-to-end:
+    // build the count table from half the train slice, APPEND the other
+    // half, score the held-out 20% — counts are additive, so the oracle
+    // is simply "train on the whole slice at once". Rebuilt
+    // unconditionally per invocation (the ext_srp_ingest stance): an
+    // append onto the previous rep's table would double the counts and
+    // measure a different model each rep.
+    QueryDef("ext_lm_incremental", Some(lmOracle("doc_id % 10 < 8")),
+      (s, dir) => {
+        val tbl = "graft_lm_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        IndexStore.buildLmIndex(docs.where(col("doc_id") % 10 < 4),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.appendLmIndex(
+          docs.where(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8),
+          "doc_id", "text", tbl)
+        IndexStore.scoreFromLmIndex(s, tbl,
+            docs.where(col("doc_id") % 10 >= 8))
+          .orderBy("doc_id")
+      }),
+
+    // Exact unlearning through the same table: build on the full train
+    // slice, take DOWN the %10<2 sub-slice by appending its counts
+    // negated, score held-out — the oracle is a retrain that never saw
+    // the removed docs. The reference's delete-removed-tickets
+    // reconciliation applied to model state instead of rows.
+    QueryDef("ext_lm_unlearn",
+      Some(lmOracle("doc_id % 10 >= 2 AND doc_id % 10 < 8")),
+      (s, dir) => {
+        val tbl = "graft_lmu_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        IndexStore.buildLmIndex(docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.unlearnFromLmIndex(docs.where(col("doc_id") % 10 < 2),
+          "doc_id", "text", tbl)
+        IndexStore.scoreFromLmIndex(s, tbl,
+            docs.where(col("doc_id") % 10 >= 8))
+          .orderBy("doc_id")
       }),
 
     // Batch-internal verbatim-overlap pairs over the winnowed

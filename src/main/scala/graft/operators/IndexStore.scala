@@ -1485,6 +1485,99 @@ object IndexStore {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  // ---- bigram-LM model table -----------------------------------------
+  // The seventh persisted kind holds MODEL STATE, not candidate
+  // postings: the bigram language model's additive count rows
+  // (NgramLm.bigramCounts). Counts form a commutative group — merge is
+  // summation, unlearning is negation — so every lifecycle step is
+  // EXACT, not approximate: append-then-score equals a one-shot retrain
+  // bit-for-bit, and a take-down appends the doc's counts NEGATED, after
+  // which scoring equals a retrain that never saw the doc (both
+  // oracle-checked end-to-end in ext_lm_incremental / ext_lm_unlearn).
+  // The caller's ledger discipline mirrors the reference's
+  // delete-removed-tickets reconciliation: only unlearn documents
+  // previously learned — negating counts that were never added subtracts
+  // mass other documents contributed (there is no per-doc provenance in
+  // an aggregate, by design: that is what keeps the table vocabulary-
+  // sized instead of corpus-sized).
+
+  /** Builds the persisted LM: (bg, cb) bucketed by bg, so the scoring
+    * join and every derived statistic read the model co-located. */
+  def buildLmIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    bucketRouted(NgramLm.bigramCounts(docs, idCol, textCol), "bg", nBuckets)
+      .write.bucketBy(nBuckets, "bg")
+      .option("path", s"$path/${table}_counts").mode("overwrite")
+      .saveAsTable(s"${table}_counts")
+    setParams(spark, s"${table}_counts",
+      Map("idCol" -> idCol, "payload" -> "text", "ngram" -> "2"))
+  }
+
+  /** Appends delta docs' count rows in place — the nightly re-train
+    * reduced to one aggregation over the new slice. */
+  def appendLmIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_counts",
+      Map("idCol" -> idCol, "payload" -> "text", "ngram" -> "2"), "append")
+    val nb = numBucketsOf(spark, s"${table}_counts")
+    bucketRouted(NgramLm.bigramCounts(delta, idCol, textCol), "bg", nb)
+      .write.bucketBy(nb, "bg")
+      .mode("append").saveAsTable(s"${table}_counts")
+    noteAppend(spark, s"${table}_counts")
+  }
+
+  /** Exact unlearning: appends the docs' count rows NEGATED. The next
+    * compaction folds the cancellation pairs away physically; until
+    * then [[lmModelFromIndex]]'s merge cancels them logically. */
+  def unlearnFromLmIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    requireParams(spark, s"${table}_counts",
+      Map("idCol" -> idCol, "payload" -> "text", "ngram" -> "2"), "unlearn")
+    val nb = numBucketsOf(spark, s"${table}_counts")
+    bucketRouted(NgramLm.bigramCounts(docs, idCol, textCol)
+        .withColumn("cb", -col("cb")), "bg", nb)
+      .write.bucketBy(nb, "bg")
+      .mode("append").saveAsTable(s"${table}_counts")
+    noteAppend(spark, s"${table}_counts")
+  }
+
+  /** The live model: appended (and negated) count rows merged by
+    * summation, non-positive totals dropped — a bigram whose counts
+    * cancelled exactly is indistinguishable from one never seen, which
+    * is what makes unlearning exact (the vocabulary re-derives from the
+    * surviving bigrams, so a fully-unlearned token leaves V too). The
+    * merge is a partial-agg-friendly rollup over the bucketed scan
+    * (co-located by bg — no exchange before the aggregate). */
+  def lmModelFromIndex(spark: SparkSession, table: String): NgramLm.Model =
+    NgramLm.modelFromCounts(Ops.checkpointKeepPartitioning(
+      spark.table(s"${table}_counts")
+        .groupBy("bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0)))
+
+  /** Scores `docs` against the persisted model. */
+  def scoreFromLmIndex(spark: SparkSession, table: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    NgramLm.scoreMicroBits(lmModelFromIndex(spark, table), docs,
+      idCol, textCol)
+
+  /** Compacts the LM count table: folds duplicate bigram rows and
+    * cancellation pairs into one positive row each — the one kind whose
+    * compaction changes row COUNT (not just file count) by design. */
+  def compactLmIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val counts = s"${table}_counts"
+    rewriteInPlace(spark, counts, bucketColOf(spark, counts),
+      s"$newPathBase/${counts}_c", numBucketsOf(spark, counts))(
+      _.groupBy("bg").agg(sum(col("cb")).as("cb")).where(col("cb") > 0))
+  }
+
+  /** Vacuums the LM table's retired directories. */
+  def vacuumLmIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_counts")
+
   // ---- append accounting + auto-compaction --------------------------
   // Every bucketed append leaves one new file set per bucket, so a
   // long-lived index's scan cost grows linearly with appends until
@@ -1557,7 +1650,7 @@ object IndexStore {
     * batch ingest loops — a streaming foreachBatch sink, a custom
     * maintenance job: compacts `table` (base name, no suffix) once its
     * primary table's append counter has reached `every` (0 disables).
-    * `kind` is one of exact / minhash / simhash / srp / winnow / ivf.
+    * `kind` is one of exact / minhash / simhash / srp / winnow / ivf / lm.
     * Returns whether a compaction ran. */
   def autoCompact(spark: SparkSession, kind: String, table: String,
       every: Int = DefaultAutoCompactAppends): Boolean = {
@@ -1568,9 +1661,10 @@ object IndexStore {
       case "srp"     => (s"${table}_bands",  compactSrpIndex(spark, table, _))
       case "winnow"  => (s"${table}_wins",   compactWinnowIndex(spark, table, _))
       case "ivf"     => (s"${table}_lists",  compactIvfIndex(spark, table, _))
+      case "lm"      => (s"${table}_counts", compactLmIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }

@@ -91,10 +91,25 @@ object NgramLm {
     * pass once per consumer — the same trap ARCHITECTURE.md records for
     * the winnow and TF-IDF frames. */
   def train(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Model = {
-    val bgs = bigrams(docs, idCol, textCol)
-    val bc = Ops.checkpointKeepPartitioning(
-      bgs.groupBy("bg").agg(count(lit(1)).as("cb")))
+      textCol: String = "text"): Model =
+    modelFromCounts(Ops.checkpointKeepPartitioning(
+      bigramCounts(docs, idCol, textCol)))
+
+  /** Raw additive count rows for `docs` — the model's persistable
+    * state. Counts form a commutative group (merge = sum, unlearn =
+    * negate), which is what makes the persisted-LM lifecycle exact
+    * (see IndexStore.buildLmIndex). */
+  def bigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+
+  /** Derives the full model from a (bg, cb) count frame: context counts
+    * as a second-level rollup, vocabulary as the distinct endpoints of
+    * the counted bigrams. The caller supplies the frame already behind
+    * a materialization boundary (or a persisted table scan) — each
+    * derived statistic is one more consumer of it. */
+  def modelFromCounts(bc: DataFrame): Model = {
     val cc = bc
       .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
       .agg(sum(col("cb")).as("cctx"))
