@@ -747,6 +747,39 @@ object AnalyticsQueries {
              |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin),
       (s, dir) => NgramLm.vocabCoverage(load(s, dir, "documents"))),
 
+    // Per-source token-distribution drift — KL(source ‖ corpus) in
+    // integer micro-bits, the data-mixing diagnostic. Per-term
+    // quantization before the per-source sum keeps the aggregate an
+    // order-independent integer sum (the LM determinism doctrine);
+    // every source token exists in the corpus, so q > 0 unsmoothed.
+    QueryDef("ext_source_kl",
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(
+             |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+             |         THEN CAST([] AS VARCHAR[])
+             |         ELSE string_split_regex(
+             |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+             |    END) AS token
+             |  FROM documents),
+             |sc AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY 1, 2),
+             |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
+             |ct AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM sc GROUP BY 1),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+             |terms AS (
+             |  SELECT sc.source,
+             |    CAST(floor((sc.cs / stot.ns) *
+             |               log2((sc.cs * n.n) / (stot.ns * ct.c)) * 1000000.0 + 0.5)
+             |      AS BIGINT) AS term_micro,
+             |    sc.cs
+             |  FROM sc
+             |  JOIN stot USING (source)
+             |  JOIN ct USING (token)
+             |  CROSS JOIN n)
+             |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_types, CAST(sum(term_micro) AS BIGINT) AS kl_micro
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => NgramLm.sourceTokenKl(load(s, dir, "documents"))),
+
     // Skew-mitigated salted join: results must equal the plain join.
     QueryDef("ext_salted_join",
       Some("""SELECT l_orderkey, l_linenumber, o_totalprice

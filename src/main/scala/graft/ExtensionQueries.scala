@@ -23,10 +23,12 @@ object ExtensionQueries {
     * held-out 20% against a bigram LM trained on `trainPred`'s slice in
     * ONE shot — the additive count table makes build+append (and
     * build+unlearn) equal a one-shot retrain, so one SQL shape checks
-    * every lifecycle composition. Mirrors the ext_lm_perplexity /
-    * sr7_streaming_lm_score CTEs (see NgramLm's determinism doctrine
-    * for the integer milli-bit quantization). */
-  private def lmOracle(trainPred: String): String =
+    * every lifecycle composition; the streaming forms (sr7's
+    * stream-static scoring, sr8's streamed model ingest) check against
+    * the same SQL for the same reason. Mirrors the ext_lm_perplexity
+    * CTEs (see NgramLm's determinism doctrine for the integer milli-bit
+    * quantization). */
+  private[graft] def lmOracle(trainPred: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id,
        |    list_prepend('<s>',

@@ -110,44 +110,23 @@ object StreamingQueries {
     // ext_lm_perplexity, minus the banding, which needs a global sort a
     // stream can't express).
     QueryDef("sr7_streaming_lm_score",
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    list_prepend('<s>',
-             |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
-             |           THEN CAST([] AS VARCHAR[])
-             |           ELSE string_split_regex(
-             |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
-             |      END) AS toks
-             |  FROM documents),
-             |big AS (
-             |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
-             |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
-             |bc AS (
-             |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
-             |cc AS (
-             |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
-             |  FROM bc GROUP BY 1),
-             |v AS (
-             |  SELECT count(DISTINCT t) + 1 AS vsize
-             |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
-             |scored AS (
-             |  SELECT e.doc_id,
-             |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
-             |                     (coalesce(cc.cctx, 0) + v.vsize))
-             |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
-             |  FROM big e
-             |  LEFT JOIN bc ON e.bg = bc.bg
-             |  LEFT JOIN cc ON e.prev = cc.prev
-             |  CROSS JOIN v
-             |  WHERE e.doc_id % 10 >= 8),
-             |agg AS (
-             |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
-             |  FROM scored GROUP BY 1)
-             |SELECT doc_id, n_bigrams,
-             |  CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
-             |FROM agg ORDER BY doc_id""".stripMargin),
+      Some(ExtensionQueries.lmOracle("doc_id % 10 < 8")),
       (s, dir) => withStreamingConf(s) {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         StreamingLmScore.run(s, dir, s"/tmp/graft_lmscore/$tag")
+      }),
+
+    // The persisted LM maintained AS a stream: train-slice micro-batches
+    // append to the model table (built on the first, auto-compaction
+    // live mid-stream), the finished model scores the held-out slice.
+    // Counts are additive, so the final table is batch-order
+    // independent and the stream checks against the one-shot-train SQL
+    // — the second fully oracle-checked stream after sr7.
+    QueryDef("sr8_streaming_lm_ingest",
+      Some(ExtensionQueries.lmOracle("doc_id % 10 < 8")),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runLmIngest(s, dir, s"/tmp/graft_lmingest/$tag",
+          s"graft_slm_$tag", s"/tmp/graft_lmingest/$tag/idx")
       }))
 }

@@ -214,6 +214,46 @@ object NgramLm {
       .orderBy("rank")
   }
 
+  /** Per-source token-distribution drift: KL(source ‖ corpus) in
+    * micro-bits — the data-mixing diagnostic that tells you which
+    * source's token distribution has wandered from the blend it feeds
+    * (a unigram form of the domain-reweighting signal). One corpus
+    * shuffle builds the (source, token) counts; the source totals,
+    * corpus token counts, and grand total all derive from that table
+    * rather than re-reading the corpus. Per-term values quantize to
+    * integer micro-bits BEFORE the per-source sum (same determinism
+    * doctrine as the LM scores); terms can be negative, so a true-zero
+    * divergence may sum to a few negative micro-bits of rounding — the
+    * spec pins the tolerance. Every source token exists in the corpus
+    * by construction, so q > 0 and no smoothing is needed. Exact
+    * cross-engine products require counts within 2^53 — at warehouse
+    * scale swap the grand-total factor to a precomputed double. */
+  def sourceTokenKl(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(cleanTokens(col(textCol))).as("token"))
+    // boundary: sc feeds the source totals, the corpus counts, AND the
+    // scoring join — unpinned, each consumer would re-run the corpus
+    // tokenize+explode+aggregate pass (the train()/winnow/TF-IDF trap)
+    val sc = Ops.checkpointKeepPartitioning(
+      tok.groupBy("source", "token").agg(count(lit(1)).as("cs")))
+    val sTot = sc.groupBy("source").agg(sum(col("cs")).as("ns"))
+    val ct = sc.groupBy("token").agg(sum(col("cs")).as("c"))
+    val n = ct.agg(sum(col("c")).as("n"))
+    sc.join(broadcast(sTot), "source")
+      .join(broadcast(ct), "token")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("cs"),
+        floor((col("cs") / col("ns")) *
+            log2((col("cs") * col("n")) / (col("ns") * col("c"))) *
+            lit(1000000.0) + lit(0.5))
+          .as("term_micro"))
+      .groupBy("source")
+      .agg(sum(col("cs")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("term_micro")).as("kl_micro"))
+      .orderBy("source")
+  }
+
   /** Scale-path banding: tercile THRESHOLDS from one approximate
     * percentile aggregate (broadcast, then a map-side compare) — no
     * global sort, no single-partition window. Band populations are

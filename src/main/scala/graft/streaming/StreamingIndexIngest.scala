@@ -120,6 +120,34 @@ object StreamingIndexIngest {
           table)
         .orderBy("query_id", "match_id"))
 
+  /** Bigram-LM instance — the model table maintained as a stream: each
+    * micro-batch's counts append (built on the first), the lm kind's
+    * counter-driven auto-compaction folds duplicate rows mid-stream,
+    * and the finished model scores the held-out slice. Unlike the LSH
+    * kinds this stream is FULLY oracle-checkable: counts are additive,
+    * so the final table equals a one-shot train no matter how the file
+    * source ordered the batches. */
+  def runLmIngest(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    ingestFrames(spark, docs.where(col("doc_id") % 10 < 8), workDir,
+      Seq(s"${table}_counts"), idxPath,
+      (batch, first) =>
+        if (first) IndexStore.buildLmIndex(batch, "doc_id", "text",
+          table, idxPath)
+        else {
+          IndexStore.appendLmIndex(batch, "doc_id", "text", table)
+          IndexStore.autoCompact(spark, "lm", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.scoreFromLmIndex(spark, table,
+          docs.where(col("doc_id") % 10 >= 8))
+        .orderBy("doc_id"))
+  }
+
   /** The COMPOSED multi-gate ingest, run as a stream — the reference's
     * cron loop (`/root/reference/README.md:11`, `partial-update.sh`) is
     * exactly "the composed sync, run forever": each arriving micro-batch

@@ -112,6 +112,42 @@ class NgramLmSpec extends SparkSpec {
       s"expected distributed top-k in:\n$plan")
   }
 
+  test("sourceTokenKl: identical distributions score ~0, a skewed source scores high") {
+    // two sources with the SAME distribution, one heavily skewed
+    val corpus = Seq(
+      ("a", "x x y z"), ("a", "x x y z"),
+      ("b", "x x y z"), ("b", "x x y z"),
+      ("c", "q q q q q q q q")).toDF("source", "text")
+    val got = NgramLm.sourceTokenKl(corpus)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("kl_micro")).toMap
+    // a and b match the blend except for c's mass: small positive KL;
+    // per-term rounding can dip a true-zero a few micro-bits negative
+    assert(got("a") == got("b"))
+    assert(got("a") >= -5L)
+    assert(got("c") > got("a") + 100000L,
+      s"the skewed source must stand out: $got")
+    // hand-check c: p(q)=1 in c, q(q)=8/24 -> KL = log2(3) bits
+    val expect = math.floor(
+      1.0 * (math.log(8.0 * 24 / (8.0 * 8)) / math.log(2.0)) * 1e6 + 0.5).toLong
+    assert(got("c") == expect)
+  }
+
+  test("sourceTokenKl over the fixture: every source small, totals add up") {
+    val got = NgramLm.sourceTokenKl(Tables.load(spark, sf0001, "documents"))
+      .collect()
+    assert(got.length > 1)
+    val tokTotal = got.map(_.getAs[Long]("n_tokens")).sum
+    val direct = Tables.load(spark, sf0001, "documents")
+      .select(explode(NgramLm.cleanTokens($"text")).as("t")).count()
+    assert(tokTotal == direct)
+    got.foreach { r =>
+      val kl = r.getAs[Long]("kl_micro")
+      assert(kl >= -50L && kl < 1000000L,
+        s"${r.getAs[String]("source")} kl=$kl out of the plausible band")
+    }
+  }
+
   test("approx banding (scale path, no global sort) agrees with exact ntile") {
     val corpus = Tables.load(spark, sf0001, "documents")
     val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))

@@ -459,6 +459,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamed LM ingest equals one-shot training; threshold-1 compaction is value-neutral") {
+    import graft.operators.NgramLm
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val oneShot = NgramLm.scoreMicroBits(
+        NgramLm.train(docs.where($"doc_id" % 10 < 8)),
+        docs.where($"doc_id" % 10 >= 8))
+      .orderBy("doc_id").collect().toSeq
+    val streamed = graft.streaming.StreamingIndexIngest.runLmIngest(
+        spark, sf0001, "/tmp/graft_lmingest_test", "graft_test_lmi",
+        "/tmp/graft_lmingest_test/idx")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot,
+      "streamed count appends must reproduce the one-shot model exactly")
+    val compacted = graft.streaming.StreamingIndexIngest.runLmIngest(
+        spark, sf0001, "/tmp/graft_lmingest_ac", "graft_test_lmiac",
+        "/tmp/graft_lmingest_ac/idx", autoCompactAppends = 1)
+      .collect().toSeq
+    assert(compacted == oneShot,
+      "mid-stream count folding must not change a single score")
+    assert(graft.operators.IndexStore
+      .appendsSinceCompact(spark, "graft_test_lmiac_counts") == 0,
+      "the final append's compaction must have reset the counter")
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
