@@ -73,6 +73,10 @@ object ScaleRehearsal {
       IndexStore.dedupIngestWinnow(spark, w.where(col("doc_id") < 20)
           .select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
         "doc_id", "text", "graft_rh_warm")
+      // the LM's bigram/broadcast-join/ntile-free scoring path JITs
+      // separately from the shingle kernels
+      graft.operators.NgramLm.scoreMicroBits(
+        graft.operators.NgramLm.train(w), w).collect()
       (): Unit
     }
     def time(name: String, scale: Int, df: => DataFrame): Unit = {
@@ -137,6 +141,20 @@ object ScaleRehearsal {
       val secG = (System.nanoTime() - tg) / 1e9
       println(f"""{"q":"gate_ingest_lifecycle","scale":$scale,""" +
         f""""accepted":$nAccG,"cutExact":$nCutExact,"sec":$secG%.2f}""")
+
+      // bigram-LM lifecycle (train 80% + score 20%). The disjoint-
+      // vocabulary replication multiplies the VOCABULARY itself, so
+      // the broadcast count tables grow ~linearly with scale — the
+      // worst case for the broadcast-model path (a same-vocabulary 10×
+      // corpus would grow only the counts' values, not the tables).
+      val tlm = System.nanoTime()
+      val model = graft.operators.NgramLm.train(
+        corpus.where(col("doc_id") % 10 < 8))
+      val nScored = graft.operators.NgramLm.scoreMicroBits(model,
+        corpus.where(col("doc_id") % 10 >= 8)).count()
+      val secLm = (System.nanoTime() - tlm) / 1e9
+      println(f"""{"q":"lm_train_score","scale":$scale,""" +
+        f""""scored":$nScored,"sec":$secLm%.2f}""")
     }
 
     // ---- gate-path ~100× rehearsal ---------------------------------
