@@ -718,6 +718,62 @@ object AnalyticsQueries {
           .orderBy("doc_id")
       }),
 
+    // Interpolated (Jelinek-Mercer) LM scoring — half bigram, half
+    // unigram evidence, both add-one smoothed; the unigram statistics
+    // DERIVE from the bigram count table (second-endpoint rollup), so
+    // the persisted model needs no extra state. Fully value-checked
+    // like the rest of the LM family.
+    QueryDef("ext_lm_interp",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_prepend('<s>',
+             |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+             |           THEN CAST([] AS VARCHAR[])
+             |           ELSE string_split_regex(
+             |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+             |      END) AS toks
+             |  FROM documents),
+             |big AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+             |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+             |bc AS (
+             |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+             |cc AS (
+             |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+             |  FROM bc GROUP BY 1),
+             |uc AS (
+             |  SELECT string_split(bg, ' ')[2] AS cur, CAST(sum(cb) AS BIGINT) AS cu
+             |  FROM bc GROUP BY 1),
+             |nt AS (SELECT CAST(sum(cb) AS BIGINT) AS ntok FROM bc),
+             |v AS (
+             |  SELECT count(DISTINCT t) + 1 AS vsize
+             |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+             |scored AS (
+             |  SELECT e.doc_id,
+             |    CAST(floor(-log2(
+             |        ((coalesce(bc.cb, 0) + 1.0) / (coalesce(cc.cctx, 0) + v.vsize)
+             |         + (coalesce(uc.cu, 0) + 1.0) / (nt.ntok + v.vsize)) / 2.0)
+             |      * 1000.0 + 0.5) AS BIGINT) AS h_milli
+             |  FROM big e
+             |  LEFT JOIN bc ON e.bg = bc.bg
+             |  LEFT JOIN cc ON e.prev = cc.prev
+             |  LEFT JOIN uc ON string_split(e.bg, ' ')[2] = uc.cur
+             |  CROSS JOIN nt
+             |  CROSS JOIN v
+             |  WHERE e.doc_id % 10 >= 8),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+             |  FROM scored GROUP BY 1)
+             |SELECT doc_id, n_bigrams,
+             |  CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        NgramLm.scoreInterpolated(model, docs.where(col("doc_id") % 10 >= 8))
+          .orderBy("doc_id")
+      }),
+
     // Corpus token heavy hitters with running coverage — the
     // tokenizer-design statistic. Top-k is a distributed
     // TakeOrderedAndProject (never a global sort); the cumulative

@@ -155,6 +155,41 @@ object NgramLm {
         hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli")))
   }
 
+  /** Interpolated (Jelinek-Mercer, equal-weight) scoring:
+    * p = (p_bigram + p_unigram) / 2 with both components add-one
+    * smoothed — the standard fix for the pure bigram model's cliff on
+    * unseen contexts (a rare-but-valid word after an unseen context
+    * scores the uniform floor under [[scoreMicroBits]]; here its
+    * unigram evidence carries half the mass). Needs NO new model
+    * state: unigram counts are the bigram table rolled up by its
+    * SECOND endpoint (every token occurrence is the `cur` of exactly
+    * one bigram once `<s>` opens each doc), and the token total is the
+    * bigram total for the same reason. The /2.0 is exact in IEEE
+    * doubles, so the determinism doctrine holds unchanged. */
+  def scoreInterpolated(model: Model, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val uc = model.bigramCounts
+      .groupBy(substring_index(col("bg"), " ", -1).as("cur"))
+      .agg(sum(col("cb")).as("cu"))
+    val nTot = model.bigramCounts.agg(sum(col("cb")).as("ntok"))
+    val pBi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cctx"), lit(0L)) + col("vsize"))
+    val pUni = (coalesce(col("cu"), lit(0L)) + lit(1.0)) /
+      (col("ntok") + col("vsize"))
+    perDoc(bigrams(docs, idCol, textCol)
+      .withColumn("cur", substring_index(col("bg"), " ", -1))
+      .join(side(model.bigramCounts), Seq("bg"), "left")
+      .join(side(model.contextCounts), Seq("prev"), "left")
+      .join(side(uc), Seq("cur"), "left")
+      .crossJoin(broadcast(model.vocabSize))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        floor(-log2((pBi + pUni) / lit(2.0)) * lit(1000.0) + lit(0.5))
+          .as("h_milli")))
+  }
+
   /** Streaming-compatible scoring: same math as [[scoreMicroBits]] but
     * the vocabulary size is a pre-resolved literal (a stream cannot
     * cross-join the 1-row vocab frame — a streaming cartesian is

@@ -82,6 +82,43 @@ class NgramLmSpec extends SparkSpec {
     assert(byBand("middle").max <= byBand("tail").min)
   }
 
+  test("interpolated scoring: hand-computed mixture, exact to the milli-bit") {
+    // train "x y x y": bc as in the bigram test; unigram rollup by the
+    // SECOND endpoint: cur(x)=2 (<s>-x, y-x), cur(y)=2; ntok=4; V=4
+    val model = NgramLm.train(docs(0L -> "x y x y"))
+    def h(pBi: Double, pUni: Double): Long =
+      math.floor(-StrictMath.log((pBi + pUni) / 2.0) / StrictMath.log(2.0)
+        * 1000.0 + 0.5).toLong
+    val expect = Seq(
+      h(2.0 / 5, 3.0 / 8), // (<s>,x): bi (1+1)/(1+4), uni (2+1)/(4+4)
+      h(3.0 / 6, 3.0 / 8), // (x,y)
+      h(1.0 / 5, 1.0 / 8)) // (y,z): both unseen paths
+    val got = NgramLm.scoreInterpolated(model, docs(8L -> "x y z")).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_bigrams") == 3L)
+    assert(got.head.getAs[Long]("h_milli_tok") ==
+      math.floor(expect.sum * 1.0 / 3 + 0.5).toLong)
+  }
+
+  test("interpolation softens the unseen-context cliff but keeps the ordering") {
+    val model = NgramLm.train(docs(
+      0L -> "a b a b a b c", 1L -> "b a b a c a"))
+    // "c a": context c IS trained (c->nothing? c appears as cur and as
+    // prev in doc1's "c a") — score a doc whose context is unseen:
+    val pure = NgramLm.scoreMicroBits(model, docs(10L -> "q a q b"))
+      .head().getAs[Long]("h_milli_tok")
+    val interp = NgramLm.scoreInterpolated(model, docs(10L -> "q a q b"))
+      .head().getAs[Long]("h_milli_tok")
+    // a and b carry strong unigram evidence the pure model ignores
+    // after the unseen context q
+    assert(interp < pure,
+      s"unigram evidence must soften the unseen-context floor: $interp vs $pure")
+    // in-distribution text still scores lower than gibberish under both
+    val inDist = NgramLm.scoreInterpolated(model, docs(11L -> "a b a b"))
+      .head().getAs[Long]("h_milli_tok")
+    assert(inDist < interp)
+  }
+
   test("vocabCoverage: ranked heavy hitters with exact running coverage") {
     val corpus = docs(
       0L -> "a a a b b c", 1L -> "a b c d", 2L -> "a a e")
