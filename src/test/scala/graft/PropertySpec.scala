@@ -106,6 +106,47 @@ class PropertySpec extends SparkSpec {
     assert(rate > 0.02 && rate < 0.09, s"~5% expected, got $rate")
   }
 
+  test("bigram LM: Spark scorer equals an independent in-JVM reference over the adversarial corpus") {
+    import graft.operators.NgramLm
+    // reference implementation from first principles — plain Scala
+    // collections, no Spark — so the operator's join/aggregate
+    // choreography is checked against the MATH, not against itself.
+    // Same Java regex semantics the Column expressions compile to.
+    def refToks(s: String): Seq[String] = {
+      val stripped = s.toLowerCase.replaceAll("^\\s+|\\s+$", "")
+      if (stripped.isEmpty) Seq("<s>")
+      else "<s>" +: stripped.split("\\s+").toSeq
+    }
+    def refBigrams(toks: Seq[String]): Seq[(String, String)] =
+      if (toks.length < 2) Nil
+      else toks.sliding(2).map(p => (p(0), p(1))).toSeq
+    val all = corpus.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val (trainRows, evalRows) = all.partition(_._1 % 3 != 0)
+    val trainBgs = trainRows.flatMap(r => refBigrams(refToks(r._2)))
+    val bc = trainBgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = trainBgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = trainRows.flatMap(r => refToks(r._2)).toSet.size + 1L
+    def hMilli(bg: (String, String)): Long = {
+      val p = (bc.getOrElse(bg, 0L) + 1.0) / (cc.getOrElse(bg._1, 0L) + v)
+      math.floor(-StrictMath.log(p) / StrictMath.log(2.0) * 1000.0 + 0.5).toLong
+    }
+    val expected = evalRows.flatMap { case (id, text) =>
+      val bgs = refBigrams(refToks(text))
+      if (bgs.isEmpty) None
+      else {
+        val hs = bgs.map(hMilli)
+        Some((id, bgs.length.toLong,
+          math.floor(hs.sum * 1.0 / hs.length + 0.5).toLong))
+      }
+    }.sortBy(_._1)
+    val trainDf = trainRows.toDF("doc_id", "text")
+    val evalDf = evalRows.toDF("doc_id", "text")
+    val got = NgramLm.scoreMicroBits(NgramLm.train(trainDf), evalDf)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("watermark monotonicity: delta of a merge never lowers the watermark") {
     import graft.operators.Incremental
     val base = Tables.load(spark, sf0001, "orders")
