@@ -896,6 +896,53 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Quality-aware keeper selection: among reformatted duplicates
+    // (same canonical fingerprint, different rendering) keep the
+    // HIGHEST-QUALITY variant — planted space-inflated copies dilute
+    // their alpha ratio, so the original must win every group. The
+    // argmax is a struct-max aggregate, not a per-fingerprint window
+    // (hot boilerplate fingerprints stay linear); the oracle takes the
+    // window form, values identical.
+    QueryDef("ext_dedup_keeper_quality",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, ' ' || regexp_replace(text, ' ', '   ', 'g') || '  '
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |m AS (
+             |  SELECT doc_id,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |    floor((least(1.0, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |            x -> x <> '')) AS DOUBLE) / 100.0) * 0.5
+             |      + (CASE WHEN length(text) > 0
+             |         THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)
+             |         ELSE 0.0 END) * 0.3
+             |      + least(1.0, (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |            x -> x <> '')) > 0
+             |         THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |            x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |              / len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+             |         ELSE 0.0 END) * 4.0) * 0.2)
+             |      * 10000.0 + 0.5) / 10000.0 AS quality
+             |  FROM corpus),
+             |k AS (
+             |  SELECT fp, doc_id AS keeper_id FROM (
+             |    SELECT fp, doc_id,
+             |      row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn
+             |    FROM m) WHERE rn = 1)
+             |SELECT m.doc_id, m.quality, k.keeper_id,
+             |  CAST(m.doc_id = k.keeper_id AS INT) AS kept
+             |FROM m JOIN k USING (fp) ORDER BY m.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionByName(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "),
+              regexp_replace(col("text"), " ", "   "),
+              lit("  ")).as("text")))
+        Dedup.qualityKeepers(corpus)
+      }),
+
     // Near-dup CLUSTERING: pairs → connected components → one keeper
     // per cluster. Pairwise dedup alone double- or under-drops through
     // chains (a~b, b~c); the component step is what real dedup ships.

@@ -299,6 +299,31 @@ object Dedup {
     docs.groupBy(keyCol.as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-duplicate keeper selection by QUALITY rather than min-id:
+    * within each canonical-fingerprint group keep the highest-quality
+    * RENDERING (ties to the lowest id) — reformatted duplicates share a
+    * fingerprint but not a quality score (whitespace inflation dilutes
+    * the alpha ratio), and a curation pipeline wants the cleanest
+    * variant, not the first-crawled one. The argmax is an AGGREGATE
+    * (max of a (quality, -id) struct with map-side partials), not a
+    * per-group window — a boilerplate fingerprint with millions of
+    * copies stays a linear rollup instead of one window task. Returns
+    * every input doc with its group's keeper and a kept flag. */
+  def qualityKeepers(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val scored = docs.select(col(idCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fp"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val keepers = scored.groupBy("fp")
+      .agg(max(struct(col("quality"), (-col(idCol)).as("neg_id"))).as("best"))
+      .select(col("fp"), (-col("best.neg_id")).as("keeper_id"))
+    scored.join(keepers, "fp")
+      .select(col(idCol), col("quality"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).cast("int").as("kept"))
+      .orderBy(idCol)
+  }
+
   // ---- cross-document repeated substrings (boilerplate spans) -------
   // Document-level near-dup (MinHash/SimHash) misses the other failure
   // mode of crawled training data: long VERBATIM repeats embedded in

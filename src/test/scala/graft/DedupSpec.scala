@@ -27,6 +27,26 @@ class DedupSpec extends SparkSpec {
     assert(plantedIds.subsetOf(keepers))
   }
 
+  test("quality keeper: the cleanest rendering wins its group; ties fall to min id") {
+    val corpus = Seq(
+      // group 1: base + space-inflated copy (same fingerprint, base is
+      // cleaner → must win regardless of id order)
+      (10L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (3L, "  the quick   brown fox jumps over the lazy dog and runs on  "),
+      // group 2: byte-identical twins → equal quality, min id keeps
+      (7L, "another document with plain words in it"),
+      (5L, "another document with plain words in it"),
+      // group 3: singleton keeps itself
+      (9L, "a lonely single document")).toDF("doc_id", "text")
+    val got = Dedup.qualityKeepers(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Int]("kept"))).toMap
+    assert(got(10L) == (10L, 1) && got(3L) == (10L, 0),
+      s"the clean rendering must win its group: $got")
+    assert(got(7L) == (5L, 0) && got(5L) == (5L, 1))
+    assert(got(9L) == (9L, 1))
+  }
+
   test("minhash LSH recovers every planted near-dup pair") {
     val pairs = Dedup.minhashNearDupPairs(planted, "doc_id", "text", threshold = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
