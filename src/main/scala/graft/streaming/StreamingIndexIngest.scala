@@ -285,6 +285,33 @@ object StreamingIndexIngest {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Resumable LM-ingest drain over a staged source directory (shared
+    * checkpoint across calls — a re-drain processes only files staged
+    * since the last): each new file's counts append to the model table,
+    * built if absent. The between-drain reconciliation for MODEL state
+    * is [[IndexStore.unlearnFromLmIndex]] — negated counts, exact —
+    * spec'd in StreamingSpec the same way the gate take-down is. */
+  def runLmStream(spark: SparkSession, srcDir: String,
+      checkpointDir: String, table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!spark.catalog.tableExists(s"${table}_counts"))
+          IndexStore.buildLmIndex(batch, "doc_id", "text", table, idxPath)
+        else {
+          IndexStore.appendLmIndex(batch, "doc_id", "text", table)
+          IndexStore.autoCompact(spark, "lm", table, autoCompactAppends)
+          (): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** The EMBEDDING composed gate run as a stream — [[runGate]]'s twin
     * over the vec gate with all three slots live (exact-fingerprint →
     * SRP → trained-centroid IVF). The gates are separated by THRESHOLD

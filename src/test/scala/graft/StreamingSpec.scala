@@ -484,6 +484,41 @@ class StreamingSpec extends SparkSpec {
       "the final append's compaction must have reset the counter")
   }
 
+  test("an LM take-down between micro-batches equals a retrain that never saw the doc") {
+    // the gate take-down's MODEL-state twin: drain one staged file into
+    // the count table, unlearn a doc from it while the checkpoint is
+    // live, drain the next file on the SAME checkpoint — the finished
+    // model must equal a one-shot retrain on everything except the
+    // taken-down doc, exactly (additive counts, negated between drains)
+    import graft.operators.{IndexStore, NgramLm}
+    import graft.streaming.StreamingIndexIngest
+    val work = "/tmp/graft_lm_takedown"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    spark.sql("DROP TABLE IF EXISTS graft_t_lmu_counts")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").where($"doc_id" < 200)
+    val train = docs.where($"doc_id" % 10 < 8)
+    val eval_ = docs.where($"doc_id" % 10 >= 8)
+    val src = s"$work/src"; val ckpt = s"$work/ckpt"
+    def drain(): Unit = StreamingIndexIngest.runLmStream(spark, src, ckpt,
+      "graft_t_lmu", s"$work/idx")
+
+    StreamingIndexIngest.stageBatchFile(
+      train.where($"doc_id" < 100), work, src, "b1")
+    drain()
+    IndexStore.unlearnFromLmIndex(docs.where($"doc_id" === 0L),
+      "doc_id", "text", "graft_t_lmu")
+    StreamingIndexIngest.stageBatchFile(
+      train.where($"doc_id" >= 100), work, src, "b2")
+    drain() // same checkpoint — only the new file appends
+    val got = IndexStore.scoreFromLmIndex(spark, "graft_t_lmu", eval_)
+      .orderBy("doc_id").collect().toSeq
+    val want = NgramLm.scoreMicroBits(
+        NgramLm.train(train.where($"doc_id" =!= 0L)), eval_)
+      .orderBy("doc_id").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("watermark: late-but-within-watermark updates; too-late is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
