@@ -468,6 +468,8 @@ class DedupSpec extends SparkSpec {
     // resolve the fixtures first — the parquet source runs a one-time
     // footer-read job at first analysis, which is not what this pins
     docs.columns; planted.columns
+    val full = Tables.load(spark, sf0001, "documents")
+    full.columns
     val counter = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -483,6 +485,8 @@ class DedupSpec extends SparkSpec {
       Dedup.repeatedWindowSpans(docs, "doc_id", "text")
       Dedup.boilerplateDocs(docs, "doc_id", "text")
       graft.operators.Tfidf.topTerms(docs)
+      graft.operators.NgramLm.train(docs)
+      graft.operators.NgramLm.sourceTokenKl(full)
       // listener delivery is async; drain the bus before reading the
       // counter (deterministic, unlike a fixed sleep)
       org.apache.spark.graft.TestBridge.drainListeners(spark.sparkContext)

@@ -185,6 +185,31 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("scoring a trained model scans the corpus exactly once") {
+    // train()'s boundary means the scoring plan reads the model as
+    // checkpoint leaves: the only file scan left is the EVAL side. Two
+    // parquet scans here would mean a model statistic is re-running its
+    // corpus pass per consumer (the trap the boundary exists for).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))
+    val df = NgramLm.scoreMicroBits(model, corpus.where($"doc_id" % 10 >= 8))
+    df.collect()
+    def scans(p: SparkPlan): Int = p match {
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => 1 + f.children.map(scans).sum
+      case other => other.children.map(scans).sum
+    }
+    val n = scans(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    assert(n == 1, s"expected exactly one corpus scan (the eval side), saw $n")
+  }
+
   test("approx banding (scale path, no global sort) agrees with exact ntile") {
     val corpus = Tables.load(spark, sf0001, "documents")
     val model = NgramLm.train(corpus.where($"doc_id" % 10 < 8))
