@@ -875,6 +875,59 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Gopher-style character-weighted repetition signals (duplicate-
+    // trigram char fraction + top-bigram char fraction): the companion
+    // to t5 that weights every occurrence by its length, so one long
+    // repeated phrase outscores many short ones. Same doubled-text
+    // plant as t5 — the planted rows must carry dup fractions near 1.
+    QueryDef("t7_gopher_repetition",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0),
+             |toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+             |tri AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             |    THEN list_transform(range(1, len(t) - 1),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [array_to_string(t, ' ')] END) AS g
+             |  FROM toks),
+             |tc AS (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2),
+             |ta AS (
+             |  SELECT doc_id,
+             |    CAST(sum(cnt * length(g)) AS BIGINT) AS total_chars,
+             |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup_chars
+             |  FROM tc GROUP BY 1),
+             |bi AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             |    THEN list_transform(range(1, len(t)),
+             |           i -> t[i] || ' ' || t[i+1])
+             |    ELSE [array_to_string(t, ' ')] END) AS g
+             |  FROM toks),
+             |bc AS (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2),
+             |br AS (
+             |  SELECT doc_id, g, cnt,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rk,
+             |    sum(cnt * length(g)) OVER (PARTITION BY doc_id) AS total2
+             |  FROM bc)
+             |SELECT ta.doc_id,
+             |  floor((CASE WHEN ta.total_chars > 0
+             |         THEN ta.dup_chars / CAST(ta.total_chars AS DOUBLE) ELSE 0.0 END)
+             |        * 10000.0 + 0.5) / 10000.0 AS dup_tri_char_frac,
+             |  floor((CASE WHEN br.total2 > 0
+             |         THEN br.cnt * length(br.g) / CAST(br.total2 AS DOUBLE) ELSE 0.0 END)
+             |        * 10000.0 + 0.5) / 10000.0 AS top_bigram_char_frac
+             |FROM ta JOIN br ON ta.doc_id = br.doc_id AND br.rk = 1
+             |ORDER BY ta.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        graft.operators.Repetition.gopherSignals(corpus).orderBy("doc_id")
+      }),
+
     // PII surface counts — emails and long digit runs flagged for the
     // redaction router; counting only, values never leave the row.
     QueryDef("t6_pii_flags",
@@ -1065,6 +1118,32 @@ object ExtensionQueries {
           .orderBy("label", "vec_id")
       }),
 
+    // Deterministic training-shard assignment: the write-side step
+    // between curation and the trainer — order the corpus by a
+    // reproducible pseudo-random key (md5 of the id), cut it into
+    // fixed-size shards of 128 docs. The global rank runs through the
+    // scale-safe 3-pass bucketed prefix (quantile buckets on the
+    // 52-bit numeric md5 prefix — monotone in the full-string order, so
+    // bucket boundaries respect it), NOT a single-task global window;
+    // the oracle is exactly that window form. Output is the per-shard
+    // manifest (count + id checksum); the physical partitionBy write
+    // and shard invariants are spec'd in ShardingSpec.
+    QueryDef("ext_shard_assign",
+      Some("""WITH h AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+             |r AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY hx, doc_id) AS rn
+             |  FROM h)
+             |SELECT CAST((rn - 1) // 128 AS BIGINT) AS shard_id,
+             |       count(*) AS n_docs,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin),
+      (s, dir) => graft.operators.Ops.withHashShardId(
+          load(s, dir, "documents").select("doc_id"), col("doc_id"), 128)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("shard_id")),
+
     // ── Curation pipeline (composed flagship) ────────────────────────
 
     // The end-to-end training-data curation shape: language-ID +
@@ -1135,6 +1214,127 @@ object ExtensionQueries {
             org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
           .where(col("doc_id") === col("keeper_id"))
           .select("doc_id", "lang_pred", "quality", "n_ws_tokens")
+          .orderBy("doc_id")
+      }),
+
+    // CCNet-style composed pipeline (Wenzek et al. 2020, public
+    // arXiv:1911.00359): language-ID → quality gate → LM-perplexity
+    // tercile banding (drop the worst 'tail' band) → exact-dedup
+    // keeper, one dataflow. The corpus plants whitespace-perturbed
+    // copies of the HELD-OUT docs (doc_id % 10 = 8) so the dedup stage
+    // has work inside the scored slice; the LM trains on the 80% slice
+    // (copies are all % 10 = 8, so they never leak into training),
+    // scores the held-out 20%, and the band is assigned over the full
+    // scored set BEFORE any filter — a pure function of the corpus.
+    // Fully value-checked end to end: the oracle composes the
+    // ext_lm_perplexity, t1, t2 and d1 SQL on the same corpus.
+    QueryDef("ext_ccnet_pipeline", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 10 = 8),
+              |tok AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM corpus),
+              |big AS (
+              |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+              |bc AS (
+              |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+              |cc AS (
+              |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+              |  FROM bc GROUP BY 1),
+              |v AS (
+              |  SELECT count(DISTINCT t) + 1 AS vsize
+              |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+              |scored AS (
+              |  SELECT e.doc_id,
+              |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+              |                     (coalesce(cc.cctx, 0) + v.vsize))
+              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+              |  FROM big e
+              |  LEFT JOIN bc ON e.bg = bc.bg
+              |  LEFT JOIN cc ON e.prev = cc.prev
+              |  CROSS JOIN v
+              |  WHERE e.doc_id % 10 >= 8),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+              |  FROM scored GROUP BY 1),
+              |banded AS (
+              |  SELECT doc_id, h_milli_tok,
+              |    CASE ntile(3) OVER (ORDER BY h_milli_tok, doc_id)
+              |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+              |  FROM (SELECT doc_id, n_bigrams,
+              |          CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+              |        FROM agg)),
+              |t2 AS (
+              |  SELECT doc_id, text,
+              |    string_split_regex(trim(lower(text)), '\\s+') AS toks2
+              |  FROM corpus),
+              |s2 AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(toks2, x -> x <> '')) AS DOUBLE) AS n_toks,
+              |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(len(list_filter(toks2,
+              |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+              |      AS n_stop,
+              |    $hits,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+              |  FROM t2),
+              |feat AS (
+              |  SELECT doc_id,
+              |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
+              |    floor((least(1.0, n_toks / 100.0) * 0.5
+              |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+              |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+              |          * 10000.0 + 0.5) / 10000.0 AS quality,
+              |    fingerprint
+              |  FROM s2),
+              |kept AS (
+              |  SELECT b.doc_id, b.band, b.h_milli_tok,
+              |         f.lang_pred, f.quality, f.fingerprint
+              |  FROM banded b JOIN feat f ON b.doc_id = f.doc_id
+              |  WHERE b.band <> 'tail' AND f.lang_pred = 'en' AND f.quality >= 0.45),
+              |keepers AS (
+              |  SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+              |SELECT k.doc_id, k.lang_pred, k.quality, k.band, k.h_milli_tok
+              |FROM kept k JOIN keepers d
+              |  ON k.doc_id = d.doc_id AND k.fingerprint = d.fingerprint
+              |ORDER BY k.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 10 === 8)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "), col("text"), lit("  ")).as("text")))
+        val model = NgramLm.train(corpus.where(col("doc_id") % 10 < 8))
+        val banded = NgramLm.withBands(
+          NgramLm.scoreMicroBits(model, corpus.where(col("doc_id") % 10 >= 8)))
+        val feat = corpus.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        val kept = banded.join(feat, "doc_id")
+          .where(col("band") =!= "tail" && col("lang_pred") === "en" &&
+            col("quality") >= 0.45)
+        kept
+          .withColumn("keeper_id", min("doc_id").over(
+            Window.partitionBy("fingerprint")))
+          .where(col("doc_id") === col("keeper_id"))
+          .select("doc_id", "lang_pred", "quality", "band", "h_milli_tok")
           .orderBy("doc_id")
       }),
 
@@ -1458,5 +1658,54 @@ object ExtensionQueries {
           .select(col("cluster_id"), col("dim_idx"),
             round(col("cval"), 6).as("cval"))
           .orderBy("cluster_id", "dim_idx")
+      }),
+
+    // SemDeDup-style semantic deduplication (cluster the embedding
+    // space, drop within-cluster near-duplicates, never compare across
+    // clusters): the planted ×1.001 copies are cosine-1.0 with their
+    // sources, land in the same cluster by construction, and must all
+    // be dropped. Registered with the deterministic seed quantizer
+    // (the k lowest-id vectors — exactly representable on both
+    // engines) so the oracle value-checks the DEDUP plumbing:
+    // assignment tie contract, smaller-id-wins drop rule, anti-join.
+    // Quantizer TRAINING is oracle'd separately (ext_kmeans_train) and
+    // the trained-centroid composition is spec'd in SimilaritySpec.
+    QueryDef("ext_semantic_dedup",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              |  FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+              |  FROM embeddings WHERE vec_id % 20 = 0),
+              |c AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+              |  FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT v.vec_id, v.vec, c.cluster_id,
+              |         row_number() OVER (PARTITION BY v.vec_id
+              |           ORDER BY ${duckCosine("v.vec", "c.cvec")} DESC,
+              |                    c.cluster_id ASC) AS rk
+              |  FROM corpus v CROSS JOIN c),
+              |asg AS (SELECT vec_id, vec, cluster_id FROM scored WHERE rk = 1),
+              |drp AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM asg a JOIN asg b
+              |    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+              |  WHERE ${duckCosine("a.vec", "b.vec")} >= 0.999)
+              |SELECT vec_id, cluster_id FROM asg
+              |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+              |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val cent = IvfIndex.collectCentroids(
+          base.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cluster_id"),
+              col("vec").as("centroid")))
+        Similarity.semanticDedup(vecsWithNearDups(s, dir), cent,
+            threshold = 0.999)
+          .orderBy("vec_id")
       }))
 }

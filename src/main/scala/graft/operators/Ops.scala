@@ -368,4 +368,30 @@ object Ops {
       .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
       .drop("__bkt", "__gk", "__off", "__v")
   }
+
+  /** Deterministic training-shard assignment: rank rows by the md5 of
+    * `keyCol` — a reproducible pseudo-random shuffle — and cut that
+    * order into fixed-size shards (`shard_id` = zero-based rank div
+    * `shardSize`). The write-side step between curation and the
+    * trainer: every engine and every rerun produces the identical
+    * shard for every row, so shard manifests are diffable and a
+    * resumed job never re-deals the deck. The global rank runs through
+    * the same 3-pass bucketed prefix as [[withGlobalRowNumber]]
+    * (quantile buckets on the 52-bit numeric md5 prefix — monotone in
+    * the full-hash string order, so bucket boundaries respect the
+    * total order), never a single-task global window. */
+  def withHashShardId(df: DataFrame, keyCol: Column, shardSize: Int,
+      nBuckets: Int = 32): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    Seq("__shx", "__shrn").foreach(c =>
+      require(!df.columns.contains(c), s"withHashShardId reserves $c"))
+    val keyed = df.withColumn("__shx",
+      md5(keyCol.cast("string").cast("binary")))
+    withGlobalRowNumber(keyed, Seq(col("__shx"), keyCol),
+        expr("conv(substr(__shx, 1, 13), 16, 10)").cast("double"),
+        "__shrn", nBuckets)
+      .withColumn("shard_id",
+        floor((col("__shrn") - 1) / lit(shardSize.toDouble)).cast("long"))
+      .drop("__shx", "__shrn")
+  }
 }

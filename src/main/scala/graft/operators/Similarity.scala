@@ -197,4 +197,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * arXiv:2303.09540): assign every vector to its nearest centroid,
+    * then drop every vector that has a SMALLER-id near-duplicate
+    * (cosine ≥ threshold) inside its cluster — one representative per
+    * duplicate set survives, and cross-cluster pairs are by design
+    * never compared (that approximation is the whole point: the
+    * quadratic pair search shrinks from n² to Σ cluster²).
+    *
+    * Returns the KEPT rows as (idCol, cluster_id).
+    *
+    * Scale shape: assignment is the map-only literal-centroid
+    * projection ([[IvfIndex.withClusterId]] — zero exchanges, no row
+    * blow-up), so the only corpus-sized shuffles are the self-join on
+    * cluster_id and the id anti-join. At warehouse scale k is chosen
+    * so clusters stay small (k ≈ n / target_cluster_size — SemDeDup
+    * used 11k clusters for 1.3e9 docs), which bounds the per-cluster
+    * quadratic term; a pathologically hot cluster is a quantizer
+    * problem (retrain with larger k), not a join problem. The NaN
+    * guard mirrors [[blockedNearDupPairs]]: a degenerate cosine must
+    * not pair a poisoned vector with its whole cluster. */
+  def semanticDedup(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame = {
+    val assigned = IvfIndex.withClusterId(vecs, centroids, vecCol)
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col(idCol).as("id_b"),
+      col("cluster_id").as("__cb"), col(vecCol).as("__vb"))
+    val dropped = a
+      .join(b, col("cluster_id") === col("__cb") && col("id_b") < col("id_a"))
+      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .where(col("__cos").isNotNull && !isnan(col("__cos")) &&
+        col("__cos") >= threshold)
+      .select(col("id_a").as(idCol))
+    assigned.select(col(idCol), col("cluster_id"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -225,4 +225,21 @@ class NgramLmSpec extends SparkSpec {
     assert(agree >= (exact.size * 0.9).toInt,
       s"only $agree of ${exact.size} band assignments agree")
   }
+
+  test("ccnet pipeline invariants: dedup'd, tail-free, held-out slice only") {
+    val out = SparkEntry.queries("ext_ccnet_pipeline")(spark, sf0001)
+    val rows = out.select("doc_id", "band")
+      .as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    // only the scored (held-out) slice can survive, copies included
+    assert(rows.forall { case (id, _) => (id % 100000) % 10 >= 8 })
+    // the tail band is the pipeline's whole point of rejection
+    assert(rows.forall(_._2 != "tail"))
+    // the keeper stage must leave at most one doc per fingerprint:
+    // every planted copy pair (id, id+100000) keeps only the original
+    assert(rows.map(_._1).count(_ >= 100000L) == 0)
+    // and the planted copies' originals survive unless another gate
+    // (band/lang/quality) cut them — so kept ids are unique
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }

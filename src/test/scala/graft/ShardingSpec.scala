@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Ops
+
+/** Deterministic hash-shard assignment (`Ops.withHashShardId`) — the
+  * write-side shard cut between curation and the trainer. */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.load(spark, sf0001, "documents").select("doc_id")
+
+  test("hash shards are fixed-size with a single ragged tail") {
+    val sizes = Ops.withHashShardId(docs, $"doc_id", 128)
+      .groupBy("shard_id").agg(count(lit(1)).as("n"))
+      .orderBy("shard_id").as[(Long, Long)].collect()
+    val n = docs.count()
+    assert(sizes.map(_._1).toSeq == (0L until sizes.length).map(identity))
+    assert(sizes.init.forall(_._2 == 128L))
+    assert(sizes.last._2 == (if (n % 128 == 0) 128L else n % 128))
+    assert(sizes.map(_._2).sum == n)
+  }
+
+  test("hash shard assignment equals the single-task global-window form") {
+    val fast = Ops.withHashShardId(docs, $"doc_id", 128)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+    val w = Window.orderBy(
+      md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    val ref = docs.withColumn("rn", row_number().over(w))
+      .select($"doc_id",
+        floor(($"rn" - 1) / lit(128.0)).cast("long").as("shard_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(fast == ref)
+  }
+
+  test("shard assignment is stable across runs (pure function of the data)") {
+    def run() = Ops.withHashShardId(docs, $"doc_id", 64)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+    assert(run() == run())
+  }
+
+  test("partitionBy(shard_id) fans out one directory per shard and round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val assigned = Ops.withHashShardId(docs, $"doc_id", 128)
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val dirs = new java.io.File(out).listFiles
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("shard_id="))
+    assert(dirs == assigned.select("shard_id").distinct().count())
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("withHashShardId refuses a non-positive shard size and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Ops.withHashShardId(docs, $"doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ops.withHashShardId(docs.withColumn("__shx", lit(1)), $"doc_id", 8)
+    }
+  }
+}

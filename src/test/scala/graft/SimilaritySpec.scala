@@ -248,4 +248,57 @@ class SimilaritySpec extends SparkSpec {
       .where($"fast" =!= $"ref")
     assert(bad.count() == 0)
   }
+
+  private lazy val plantedCorpus = corpus.unionAll(
+    corpus.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"vec", x => x * 1.001).as("vec")))
+
+  test("semanticDedup under a TRAINED quantizer: planted copies dropped, sources kept") {
+    import graft.operators.IvfIndex
+    val centDf = IvfIndex.trainCentroids(corpus, k = 8, iters = 2)
+    val cent = IvfIndex.collectCentroids(centDf)
+    val kept = Similarity.semanticDedup(plantedCorpus, cent, threshold = 0.999)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val baseIds = corpus.select("vec_id").as[Long].collect().toSet
+    // a ×1.001 copy is cosine-1.0 with its source, lands in the same
+    // cluster (assignment is scale-invariant), and carries the larger
+    // id — so exactly the 25 planted ids must be dropped
+    assert(keptIds == baseIds)
+  }
+
+  test("semanticDedup equals a window-assignment + explicit-pair reference") {
+    import graft.operators.IvfIndex
+    val centDf = IvfIndex.trainCentroids(corpus, k = 8, iters = 2)
+    val cent = IvfIndex.collectCentroids(centDf)
+    val kept = Similarity.semanticDedup(plantedCorpus, cent, threshold = 0.999)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+
+    // independent kernels end to end: window-based assign (crossJoin +
+    // row_number) instead of the literal-centroid projection, then an
+    // explicit distinct-dropped-set difference instead of the anti-join
+    val asg = IvfIndex.assign(plantedCorpus, centDf)
+    val withVec = plantedCorpus.join(asg, "vec_id")
+    val a = withVec.select($"vec_id".as("ia"), $"cluster_id".as("ca"), $"vec".as("va"))
+    val b = withVec.select($"vec_id".as("ib"), $"cluster_id".as("cb"), $"vec".as("vb"))
+    val dropped = a.join(b, $"ca" === $"cb" && $"ib" < $"ia")
+      .where(Similarity.cosine($"va", $"vb") >= 0.999)
+      .select($"ia").distinct().as[Long].collect().toSet
+    val ref = asg.select("vec_id", "cluster_id").as[(Long, Int)].collect()
+      .filterNot(r => dropped(r._1)).toSet
+    assert(kept == ref)
+  }
+
+  test("semanticDedup keeps a degenerate zero vector instead of NaN-matching its cluster") {
+    import graft.operators.IvfIndex
+    val zeroRow = Seq((999999L, Seq.fill(64)(0.0))).toDF("vec_id", "vec")
+    val withZero = corpus.unionAll(zeroRow)
+    val cent = IvfIndex.collectCentroids(
+      IvfIndex.trainCentroids(corpus, k = 4, iters = 1))
+    val kept = Similarity.semanticDedup(withZero, cent, threshold = 0.999)
+    // the zero vector's cosines are all null → it can neither drop nor
+    // be dropped; everything survives (no organic 0.999 pairs at sf0.001)
+    assert(kept.count() == corpus.count() + 1)
+    assert(kept.where($"vec_id" === 999999L).count() == 1)
+  }
 }

@@ -59,6 +59,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a != c)
   }
 
+  test("gopher signals: hand-computed char-weighted repetition fractions") {
+    // doc 1: no repetition; doc 2: doubled 3-token phrase; doc 3: two
+    // alternating tokens (every trigram duplicated); doc 4: single
+    // token (degenerate single-gram fallback → top bigram frac 1.0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "spam ham spam ham spam ham spam ham"),
+      (4L, "hello")).toDF("doc_id", "text")
+    val r = graft.operators.Repetition.gopherSignals(docs)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect()
+
+    // doc 1: all 4 trigrams unique → 0.0; top bigram "alpha beta"
+    // (first lexicographically among the all-count-1 tie), 10 chars of
+    // the 56 bigram chars → 0.1786
+    assert(r(0) == ((1L, 0.0, 0.1786)))
+    // doc 2: "alpha beta gamma" ×2 (32 of 64 trigram chars) → 0.5;
+    // top bigram "alpha beta" ×2 (20 of 51) → 0.3922
+    assert(r(1) == ((2L, 0.5, 0.3922)))
+    // doc 3: every trigram occurs 3× → 1.0; "spam ham" ×4 (32 of 56)
+    assert(r(2) == ((3L, 1.0, 0.5714)))
+    // doc 4: single fallback gram each — nothing repeats, but the one
+    // "bigram" covers all chars
+    assert(r(3) == ((4L, 0.0, 1.0)))
+  }
+
   test("native stopword hits equal the filter-tree formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("text")
       .unionByName(Seq("", "the the THE the", "el que de y", "   ", "xyzzy")
