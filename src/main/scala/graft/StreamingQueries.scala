@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingDedup, StreamingIndexIngest, StreamingLmScore, StreamingSync}
+import graft.streaming.{StreamingDedup, StreamingIndexIngest, StreamingLmScore, StreamingShards, StreamingSync}
 
 /** Capability registry, batch 4: Structured Streaming formulations of the
   * incremental-sync semantics (SURVEY §2.10). The streams run
@@ -128,5 +128,37 @@ object StreamingQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         StreamingIndexIngest.runLmIngest(s, dir, s"/tmp/graft_lmingest/$tag",
           s"graft_slm_$tag", s"/tmp/graft_lmingest/$tag/idx")
+      }),
+
+    // Continuous training-shard production: document micro-batches cut
+    // into fixed 128-doc shards as they arrive — md5-order within a
+    // batch, ranks continuing across batches from the sink's count.
+    // The staged arrival order is a pure function of the data (batch k
+    // = doc_id % 4, drained in k order), so this is the third FULLY
+    // oracle-checked stream: the SQL replays per-batch md5 ranks plus
+    // exclusive batch offsets. Restart/replay idempotency and batch-
+    // spanning shard invariants are spec'd in StreamingSpec.
+    QueryDef("sr9_streaming_shards",
+      Some("""WITH b AS (
+             |  SELECT doc_id, doc_id % 4 AS batch,
+             |         md5(CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, batch,
+             |         row_number() OVER (PARTITION BY batch ORDER BY hx, doc_id) AS rnb
+             |  FROM b),
+             |n AS (SELECT batch, count(*) AS cnt FROM b GROUP BY 1),
+             |o AS (
+             |  SELECT batch,
+             |         coalesce(CAST(sum(cnt) OVER (ORDER BY batch
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+             |  FROM n)
+             |SELECT r.doc_id,
+             |       CAST((r.rnb - 1 + o.off) // 128 AS BIGINT) AS shard_id
+             |FROM r JOIN o ON r.batch = o.batch
+             |ORDER BY r.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingShards.run(s, dir, s"/tmp/graft_sshards/$tag")
       }))
 }

@@ -548,4 +548,60 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.exists(_._1 == ts("2024-01-01 05:00:00")))
     } finally q.stop()
   }
+
+  test("streaming shards: batch-spanning fixed sizes, ranks continue across arrivals") {
+    import graft.streaming.StreamingShards
+    val out = StreamingShards.run(spark, sf0001,
+      s"/tmp/graft_sshards_spec/${System.nanoTime()}", shardSize = 128)
+    val rows = out.select("doc_id", "shard_id").as[(Long, Long)].collect()
+    val n = rows.length
+    assert(n == Tables.load(spark, sf0001, "documents").count())
+    // fixed 128-doc shards with one ragged global tail — the batch
+    // assigner's invariant, despite 4 arrivals of ~n/4 docs each
+    // (boundaries must span micro-batches for this to hold)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val last = sizes.keys.max
+    assert((0L to last).forall(sizes.contains))
+    assert(sizes.filter(_._1 < last).values.forall(_ == 128))
+    assert(sizes(last) == (if (n % 128 == 0) 128 else n % 128))
+
+    // parity with the oracle formula computed in Spark: per-arrival md5
+    // rank + exclusive batch offset
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id")
+      .withColumn("batch", col("doc_id") % 4)
+      .withColumn("hx", md5(col("doc_id").cast("string").cast("binary")))
+    val perBatch = docs.withColumn("rnb", row_number().over(
+      Window.partitionBy("batch").orderBy("hx", "doc_id")))
+    val offs = docs.groupBy("batch").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ref = perBatch.join(offs.select("batch", "off"), "batch")
+      .select(col("doc_id"),
+        floor((col("rnb") - 1 + col("off")) / lit(128.0)).cast("long")
+          .as("shard_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows.toSet == ref)
+  }
+
+  test("streaming shards: a replayed micro-batch is idempotent, a resumed deal continues") {
+    import graft.streaming.StreamingShards
+    val sink = s"/tmp/graft_sshards_spec/replay_${System.nanoTime()}/sink"
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id")
+    val b0 = docs.where(col("doc_id") < 100)
+    val b1 = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+    StreamingShards.appendSharded(spark, b0, sink, shardSize = 64)
+    // replay of the SAME batch (crash-after-write, before checkpoint
+    // commit): the anti-join must deal no new cards
+    StreamingShards.appendSharded(spark, b0, sink, shardSize = 64)
+    assert(spark.read.parquet(sink).count() == 100)
+    // the next arrival resumes at rank 100 → its docs land in shards
+    // 1 (ranks 100..127) and 2
+    StreamingShards.appendSharded(spark, b1, sink, shardSize = 64)
+    val byShard = spark.read.parquet(sink).groupBy("shard_id")
+      .agg(count(lit(1)).as("c")).orderBy("shard_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(byShard == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
+  }
 }
