@@ -38,6 +38,26 @@ object InventoryQueries {
           .orderBy("event_id")
       }),
 
+    // JSONL roundtrip — the lingua franca format of training-data
+    // interchange: the documents table written as newline-delimited
+    // JSON and read back under an explicit schema (schema-on-read, no
+    // inference pass over 100 TB). JSON string escaping must carry
+    // quotes/control chars in document text bit-exactly; the oracle is
+    // the source table itself.
+    QueryDef("s12_jsonl_roundtrip",
+      Some("""SELECT doc_id, source, text FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val out = tmpDir("jsonl", dir)
+        load(s, dir, "documents").select("doc_id", "source", "text")
+          .write.mode("overwrite").json(out)
+        s.read.schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("text", StringType))))
+          .json(out)
+          .orderBy("doc_id")
+      }),
+
     // S1 (production shape) — DataSource V2 connector with source-side
     // watermark + record-type pushdown and column pruning; rows are
     // deterministic so DuckDB can generate the same relation.

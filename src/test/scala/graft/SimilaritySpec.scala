@@ -289,6 +289,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == ref)
   }
 
+  test("semanticDedup plan: no cartesian, bounded shuffles even with broadcast off") {
+    import graft.operators.IvfIndex
+    noBroadcast {
+      val cent = IvfIndex.collectCentroids(
+        IvfIndex.trainCentroids(corpus, k = 4, iters = 1))
+      val kept = Similarity.semanticDedup(corpus, cent, threshold = 0.999)
+      val n = shuffleCount(kept)
+      // assignment is a map-only projection (zero exchanges of its
+      // own); what remains is the cluster-keyed self-join (2) and the
+      // id anti-join (2) — anything beyond 4 means a layout is being
+      // re-shuffled, anything cartesian means the cluster key was lost
+      assert(n <= 4, s"semanticDedup shuffled $n times")
+      val txt = kept.queryExecution.executedPlan.toString
+      assert(!txt.contains("CartesianProduct"),
+        "within-cluster join degenerated to a cartesian product")
+    }
+  }
+
   test("semanticDedup keeps a degenerate zero vector instead of NaN-matching its cluster") {
     import graft.operators.IvfIndex
     val zeroRow = Seq((999999L, Seq.fill(64)(0.0))).toDF("vec_id", "vec")
