@@ -928,6 +928,20 @@ object ExtensionQueries {
         graft.operators.Repetition.gopherSignals(corpus).orderBy("doc_id")
       }),
 
+    // Deflate compression ratio — the entropy-side quality signal (a
+    // doubled doc compresses visibly below its original; TextAnalysisSpec
+    // pins the orderings). Rows-only: DuckDB has no deflate. Same
+    // doubled-text plant as t5/t7 so the three repetition signals are
+    // comparable row-for-row.
+    QueryDef("t8_compression_ratio", None,
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        graft.operators.Repetition.compressionRatio(corpus).orderBy("doc_id")
+      }),
+
     // PII surface counts — emails and long digit runs flagged for the
     // redaction router; counting only, values never leave the row.
     QueryDef("t6_pii_flags",

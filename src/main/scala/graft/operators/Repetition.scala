@@ -61,4 +61,42 @@ object Repetition {
             col("total2"))
           .otherwise(0.0)).as("top_bigram_char_frac"))
   }
+
+  /** Per-document deflate compression ratio (compressed/raw bytes of the
+    * UTF-8 text) — the entropy-side quality signal of web-scale
+    * curation stacks: templated/looped text compresses far below
+    * natural prose, binary-ish noise compresses above it. This is the
+    * ONE text signal that runs outside Catalyst expressions —
+    * entropy coding is not expressible as a column tree — so it takes
+    * the same `mapPartitions` route as the multimodal decode: typed,
+    * partition-local, zero shuffle, one `Deflater` instance reused
+    * (reset) per partition rather than allocated per row. Ratios are
+    * floor-quantized to 1e-4; byte counts are exact. Rows-only in the
+    * correctness harness (DuckDB has no deflate) — planted orderings
+    * are spec'd in TextAnalysisSpec. */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio =
+            if (raw.length > 0) n.toDouble / raw.length else 1.0
+          (id, raw.length.toLong, n,
+            math.floor(ratio * 10000.0 + 0.5) / 10000.0)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio")
+  }
 }

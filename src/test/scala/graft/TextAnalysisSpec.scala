@@ -86,6 +86,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3) == ((4L, 0.0, 1.0)))
   }
 
+  test("deflate ratio orders repetitive text below unique-token text; exact byte counts") {
+    val rep = Seq.fill(200)("spam ham").mkString(" ")
+    val noise = (0 until 300).map(i => s"tok${i * 7919 % 100000}").mkString(" ")
+    val docs = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val r = graft.operators.Repetition.compressionRatio(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // exact raw byte counts (ASCII here: chars == bytes)
+    assert(r(0)._2 == rep.length && r(1)._2 == noise.length && r(2)._2 == 0)
+    // a 200× repeated phrase compresses to a sliver; 300 distinct
+    // tokens cannot (bounds loose enough to survive zlib revisions)
+    assert(r(0)._4 < 0.05, s"repetitive ratio ${r(0)._4}")
+    assert(r(1)._4 > 0.2, s"unique-token ratio ${r(1)._4}")
+    assert(r(0)._4 < r(1)._4)
+    // empty text: zero bytes, ratio pinned to 1.0 (never divides)
+    assert(r(2)._3 >= 0 && r(2)._4 == 1.0)
+  }
+
   test("native stopword hits equal the filter-tree formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("text")
       .unionByName(Seq("", "the the THE the", "el que de y", "   ", "xyzzy")
