@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IndexStore}
+import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity}
 
 /** Dev tool (not part of the driver contract): measures the dedup-path
   * scaling slope by running the inline near-dup kernels and the winnow
@@ -77,6 +77,14 @@ object ScaleRehearsal {
       // separately from the shingle kernels
       graft.operators.NgramLm.scoreMicroBits(
         graft.operators.NgramLm.train(w), w).collect()
+      // the kmeans/assignment/cosine-join family JITs separately too
+      val we = Tables.load(spark, sfDir, "embeddings")
+        .where(col("vec_id") < 200)
+        .select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        .localCheckpoint()
+      Similarity.semanticDedup(we, IvfIndex.collectCentroids(
+        IvfIndex.trainCentroids(we, k = 4, iters = 1)), 0.999).collect()
       (): Unit
     }
     def time(name: String, scale: Int, df: => DataFrame): Unit = {
@@ -155,6 +163,39 @@ object ScaleRehearsal {
       val secLm = (System.nanoTime() - tlm) / 1e9
       println(f"""{"q":"lm_train_score","scale":$scale,""" +
         f""""scored":$nScored,"sec":$secLm%.2f}""")
+
+      // semantic-dedup lifecycle (train quantizer + cluster-scoped
+      // dedup). k scales WITH the corpus (fixed ~250-vec target
+      // cluster) — the SemDeDup doctrine: the cluster-keyed pair join
+      // then stays linear because cluster sizes hold constant; what
+      // grows is the map-only assignment's per-row O(k·dim) compute.
+      // Replicas are per-replica sign-pattern rotations (orthogonal ⇒
+      // within-replica cosine structure preserved exactly; patterns
+      // differ on ~¼–½ of dims ⇒ cross-replica cosines land far below
+      // threshold), each replica planting its own ×1.001 copies — so
+      // kept counts scale exactly and the slope measures the engine.
+      val embBase = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+      val embRep = (1 until scale).foldLeft(embBase) { (acc, k) =>
+        acc.unionByName(embBase.select(
+          (col("vec_id") + k * 10000000L).as("vec_id"),
+          transform(col("vec"), (x, i) =>
+            when(pmod(i + lit(5 * k), lit(16)) < 8, -x).otherwise(x))
+            .as("vec")))
+      }
+      val embC = embRep.unionByName(embRep.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 5000000L).as("vec_id"),
+            transform(col("vec"), x => x * 1.001).as("vec")))
+        .localCheckpoint()
+      val kClusters = 8 * scale
+      val tsd = System.nanoTime()
+      val cent = IvfIndex.collectCentroids(
+        IvfIndex.trainCentroids(embC, k = kClusters, iters = 1))
+      val nKept = Similarity.semanticDedup(embC, cent, 0.999).count()
+      val secSd = (System.nanoTime() - tsd) / 1e9
+      println(f"""{"q":"semantic_dedup_lifecycle","scale":$scale,""" +
+        f""""kept":$nKept,"k":$kClusters,"sec":$secSd%.2f}""")
     }
 
     // ---- gate-path ~100× rehearsal ---------------------------------
