@@ -182,6 +182,21 @@ object ExtensionQueries {
       s"src$i" -> thr
     }
 
+  /** Per-source TOKEN budgets for the budget-based mixer (the
+    * fraction-based sampler's companion): spread so some budgets
+    * swallow a source whole and others cut mid-source. One shared
+    * table drives both engines. */
+  private val sourceTokenBudgets: Seq[(String, Long)] =
+    (0 until 20).map { i =>
+      val b = i % 4 match {
+        case 0 => 1000000L // effectively unlimited at verify scale
+        case 1 => 2000L
+        case 2 => 1000L
+        case _ => 300L
+      }
+      s"src$i" -> b
+    }
+
   private val duckVecsCte =
     """corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -1548,6 +1563,50 @@ object ExtensionQueries {
           .where(substring(
             md5(col("doc_id").cast("string").cast("binary")), 1, 2)
             < col("thr"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      }),
+
+    // Token-BUDGET source mixing (DoReMi/Pile-style): each source keeps
+    // docs in deterministic md5 order until its token budget is
+    // exhausted — the budget-based companion to the fraction-based
+    // ext_source_mix_sample. The per-source running token sum goes
+    // through the GROUPED 3-pass prefix (global-quantile buckets on the
+    // hash key, windows per (source, bucket)) — a per-source global
+    // window would funnel the biggest source through one task, the
+    // exact straggler the mixer exists to manage. Oracle replays the
+    // per-source window form over the same VALUES budgets.
+    QueryDef("ext_source_token_budget", {
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      Some(s"""WITH w(source, budget) AS (VALUES $values),
+              |t AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n,
+              |    md5(CAST(doc_id AS VARCHAR)) AS hx
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, source, n,
+              |    sum(n) OVER (PARTITION BY source ORDER BY hx, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t)
+              |SELECT c.doc_id, c.source FROM c JOIN w ON c.source = w.source
+              |WHERE c.cum <= w.budget
+              |ORDER BY c.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val budgets = sourceTokenBudgets.toDF("source", "budget")
+        val t = load(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hx"))
+        graft.operators.Ops.withGroupedRunningSum(t, col("source"),
+            Seq(col("hx"), col("doc_id")),
+            expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
+            col("n"), "cum")
+          .join(broadcast(budgets), "source")
+          .where(col("cum") <= col("budget"))
           .select("doc_id", "source")
           .orderBy("doc_id")
       }),

@@ -369,6 +369,54 @@ object Ops {
       .drop("__bkt", "__gk", "__off", "__v")
   }
 
+  /** Per-group exact running sum — the same three-pass shape as
+    * [[withGlobalRunningSum]], partitioned by `groupCol`. A bare
+    * `sum().over(Window.partitionBy(group).orderBy(...))` funnels each
+    * group through ONE task, which at warehouse scale makes the
+    * biggest source the straggler; here buckets come from GLOBAL
+    * quantiles of the leading key (sound whenever that key's
+    * distribution is group-independent — a hash key is), windows run
+    * per (group, bucket) so every partition stays small, and each
+    * group's per-bucket offsets come from the tiny (groups × buckets)
+    * totals table — computed with a window over THAT table, never a
+    * driver fold over per-group state. Same determinism caveat as the
+    * global form: the passes re-evaluate `df`'s lineage. */
+  def withGroupedRunningSum(df: DataFrame, groupCol: Column,
+      orderCols: Seq[Column], leadingNumeric: Column, valueCol: Column,
+      outCol: String = "cumsum", nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.select(valueCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"withGroupedRunningSum needs an integral value column, got $dt")
+    Seq("__gk", "__v", "__bkt", "__off", "__grp", "__t").foreach(c =>
+      require(!df.columns.contains(c),
+        s"grouped prefix operators reserve the column name $c"))
+    val keyed = df.withColumn("__grp", groupCol)
+      .withColumn("__gk", leadingNumeric.cast("double"))
+      .withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = keyed.stat.approxQuantile("__gk", probes, 0.001)
+      .distinct.sorted
+    val bucketOf = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__gk") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = keyed.withColumn("__bkt", bucketOf)
+    val totals = bucketed.groupBy("__grp", "__bkt")
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__t"))
+    val offs = totals.withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy("__grp").orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__grp", "__bkt", "__off")
+    val w = Window.partitionBy(col("__grp"), col("__bkt"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offs), Seq("__grp", "__bkt"))
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .drop("__grp", "__gk", "__bkt", "__off", "__v")
+  }
+
   /** Deterministic training-shard assignment: rank rows by the md5 of
     * `keyCol` — a reproducible pseudo-random shuffle — and cut that
     * order into fixed-size shards (`shard_id` = zero-based rank div

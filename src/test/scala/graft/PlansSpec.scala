@@ -97,6 +97,27 @@ class PlansSpec extends SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("withGroupedRunningSum matches the per-group global window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), lit(3L).as("v"))
+    val fast = graft.operators.Ops.withGroupedRunningSum(ev, col("user_id"),
+        Seq(col("event_id")), col("event_id"), col("v"), "cum",
+        nBuckets = 7)
+      .select(col("event_id"), col("cum"))
+    val slow = ev.withColumn("cum", sum(col("v")).over(
+        W.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("event_id"), col("cum"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // and its windows are all partitioned — no single-task stage hides
+    // inside the fast path
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    fast.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"grouped prefix grew a global window:\n$w"))
+  }
+
   test("w4/b1 plans contain no empty-partition (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("w4_batched_sink", "b1_chunked_ids")) {
