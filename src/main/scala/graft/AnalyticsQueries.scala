@@ -605,6 +605,37 @@ object AnalyticsQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // Incremental distinct-count maintenance via persisted HLL sketches:
+    // sketch the history once, PERSIST the binary sketch rows, and fold
+    // each new batch in with a sketch union — distinct counts stay
+    // current without ever re-scanning history (the corpus-statistics
+    // pattern for "unique docs/users so far" at 100 TB, where the
+    // rescan is the cost and the sketch is KBs). The roundtrip through
+    // parquet is part of the query: estimates come from UNIONING the
+    // persisted history sketch with the fresh batch sketch. Rows-only
+    // (DuckDB's approx_distinct is a different sketch); union-tracks-
+    // one-shot (±2% — the union path re-estimates through a different
+    // target representation, so it is close, not bit-identical) and
+    // ±5%-of-exact are spec'd in PlansSpec.
+    QueryDef("ext_hll_incremental", None,
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        val hist = li.where(col("l_orderkey") % 10 < 8)
+          .groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        val histPath = "/tmp/graft_hll/" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        hist.write.mode("overwrite").parquet(histPath)
+        val batch = li.where(col("l_orderkey") % 10 >= 8)
+          .groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        s.read.parquet(histPath).unionAll(batch)
+          .groupBy("l_returnflag")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_orders"))
+          .orderBy("l_returnflag")
+      }),
+
     // Hyperplane (SRP) LSH ANN — data-independent projection directions,
     // banded signature buckets. Rows-only (1024 plane coefficients in a
     // SQL oracle would be absurd); recall and planted-pair recovery are

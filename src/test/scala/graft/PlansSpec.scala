@@ -97,6 +97,34 @@ class PlansSpec extends SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("persisted-sketch union equals a one-shot sketch; estimate tracks exact") {
+    val out = SparkEntry.queries("ext_hll_incremental")(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val oneShot = li.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey")))
+        .as("est"))
+      .as[(String, Long)].collect().toMap
+    // folding the batch into the PERSISTED history sketch tracks the
+    // one-shot sketch within the union's own error (the union path
+    // re-estimates through a different target representation, so it is
+    // NOT bit-identical — measured ~1% here) and the exact count
+    // within the sketch's published error: the properties that make
+    // never-rescan maintenance sound
+    oneShot.foreach { case (k, os) =>
+      assert(math.abs(out(k).toDouble - os) / os <= 0.02,
+        s"$k: union estimate ${out(k)} vs one-shot $os drifts beyond 2%")
+    }
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val est = out(k).toDouble
+      assert(math.abs(est - n) / n <= 0.05,
+        s"$k: sketch estimate $est vs exact $n drifts beyond 5%")
+    }
+  }
+
   test("withGroupedRunningSum matches the per-group global window") {
     import org.apache.spark.sql.expressions.{Window => W}
     val ev = Tables.load(spark, sf0001, "events")
