@@ -220,8 +220,33 @@ object Similarity {
     * not pair a poisoned vector with its whole cluster. */
   def semanticDedup(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "vec"): DataFrame = {
-    val assigned = IvfIndex.withClusterId(vecs, centroids, vecCol)
+      vecCol: String = "vec"): DataFrame =
+    dedupAssigned(IvfIndex.withClusterId(vecs, centroids, vecCol),
+      threshold, idCol, vecCol)
+
+  /** [[semanticDedup]] for warehouse-scale k: literal-centroid
+    * assignment embeds k×dim constants in ONE projection, which is the
+    * fastest shape up to k ≈ 100 but grows the expression tree (and
+    * eventually trips codegen size limits) linearly with k — SemDeDup
+    * at corpus scale wants k in the thousands. This variant assigns
+    * through [[IvfIndex.assign]]'s broadcast crossJoin + per-id
+    * row_number instead (k rows per vector, pruned immediately; the
+    * centroid TABLE broadcasts, so the corpus still never shuffles for
+    * assignment), then shares the exact pair/anti dedup logic.
+    * Bit-identical to the literal form for any k (same cosine kernel,
+    * same tie contract) — parity spec'd in SimilaritySpec. */
+  def semanticDedupJoin(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame =
+    dedupAssigned(
+      vecs.join(IvfIndex.assign(vecs, centroids, idCol, vecCol), idCol),
+      threshold, idCol, vecCol)
+
+  /** Shared dedup choreography over an assigned (idCol, vecCol,
+    * cluster_id) frame: drop every vector with a smaller-id
+    * within-cluster near-duplicate. */
+  private def dedupAssigned(assigned: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"))
     val b = assigned.select(col(idCol).as("id_b"),

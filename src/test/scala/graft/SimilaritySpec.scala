@@ -307,6 +307,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupJoin (large-k path) is identical to the literal-centroid form") {
+    import graft.operators.IvfIndex
+    val centDf = IvfIndex.trainCentroids(corpus, k = 8, iters = 2)
+    val lit = Similarity.semanticDedup(plantedCorpus,
+        IvfIndex.collectCentroids(centDf), threshold = 0.999)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    val joined = Similarity.semanticDedupJoin(plantedCorpus, centDf,
+        threshold = 0.999)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    assert(lit == joined)
+  }
+
   test("semanticDedup keeps a degenerate zero vector instead of NaN-matching its cluster") {
     import graft.operators.IvfIndex
     val zeroRow = Seq((999999L, Seq.fill(64)(0.0))).toDF("vec_id", "vec")
