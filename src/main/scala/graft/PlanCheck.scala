@@ -15,7 +15,9 @@ object PlanCheck {
         "ext_bloom_join_prune", "ext_minhash_persisted", "ext_hash_sample",
         "ext_curation_pipeline", "ext_tfidf_topterms",
         "ext_contamination_shuffle", "ext_srp_persisted",
-        "ext_repeated_spans", "ext_winnow_persisted", "ext_srp_ingest")
+        "ext_repeated_spans", "ext_winnow_persisted", "ext_srp_ingest",
+        "ext_semantic_dedup", "ext_shard_assign", "ext_source_token_budget",
+        "ext_ccnet_pipeline", "t7_gopher_repetition")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

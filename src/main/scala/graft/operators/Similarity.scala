@@ -220,9 +220,10 @@ object Similarity {
     * not pair a poisoned vector with its whole cluster. */
   def semanticDedup(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "vec"): DataFrame =
+      vecCol: String = "vec",
+      hotClusterThreshold: Int = DefaultHotClusterThreshold): DataFrame =
     dedupAssigned(IvfIndex.withClusterId(vecs, centroids, vecCol),
-      threshold, idCol, vecCol)
+      threshold, idCol, vecCol, hotClusterThreshold)
 
   /** [[semanticDedup]] for warehouse-scale k: literal-centroid
     * assignment embeds k×dim constants in ONE projection, which is the
@@ -237,27 +238,70 @@ object Similarity {
     * same tie contract) — parity spec'd in SimilaritySpec. */
   def semanticDedupJoin(vecs: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "vec"): DataFrame =
+      vecCol: String = "vec",
+      hotClusterThreshold: Int = DefaultHotClusterThreshold): DataFrame =
     dedupAssigned(
       vecs.join(IvfIndex.assign(vecs, centroids, idCol, vecCol), idCol),
-      threshold, idCol, vecCol)
+      threshold, idCol, vecCol, hotClusterThreshold)
+
+  /** Cluster-population cap above which the within-cluster all-pairs
+    * join is replaced by star-checking members against the cluster
+    * representative (minimum id) — the same bounded-work trade as
+    * [[Dedup.DefaultHotBandThreshold]], for the same pathology: a
+    * degenerate cluster (mis-sized k, a boilerplate embedding repeated
+    * thousands of times, an all-zeros failure mode upstream) otherwise
+    * contributes m(m-1)/2 cosine pairs on one reducer. Star members
+    * drop iff they near-dup the representative; activity is OBSERVED
+    * (`IndexStore.capActivity`), never silent. */
+  val DefaultHotClusterThreshold = 1000
 
   /** Shared dedup choreography over an assigned (idCol, vecCol,
     * cluster_id) frame: drop every vector with a smaller-id
-    * within-cluster near-duplicate. */
-  private def dedupAssigned(assigned: DataFrame, threshold: Double,
-      idCol: String, vecCol: String): DataFrame = {
-    val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
+    * within-cluster near-duplicate. The sizing window partitions by
+    * cluster_id — the key the self-join shuffles on anyway — and the
+    * checkpoint boundary keeps that partitioning (the frame feeds both
+    * join sides plus the anti-join base, so without the boundary the
+    * assignment cosine work runs three times). */
+  private def dedupAssigned(assignedRaw: DataFrame, threshold: Double,
+      idCol: String, vecCol: String,
+      hotClusterThreshold: Int): DataFrame = {
+    require(hotClusterThreshold >= 2,
+      s"hotClusterThreshold=$hotClusterThreshold: a cluster needs at " +
+        "least two members to form a pair")
+    val w = Window.partitionBy("cluster_id")
+    val sizedFrame = assignedRaw
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__crep", min(col(idCol)).over(w))
+    val sized = IndexStore.observeCap(
+      Ops.checkpointKeepPartitioning(sizedFrame,
+        reliable = sizedFrame.sparkSession.conf
+          .getOption(Dedup.ReliableBoundaryConf).contains("true")),
+      col("__cn") > hotClusterThreshold && col(idCol) =!= col("__crep"),
+      col("__cn") > hotClusterThreshold, col("__cn"))
+    def cosOk(c: Column): Column =
+      c.isNotNull && !isnan(c) && c >= threshold
+    val small = sized.where(col("__cn") <= hotClusterThreshold)
+    val a = small.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"))
-    val b = assigned.select(col(idCol).as("id_b"),
+    val b = small.select(col(idCol).as("id_b"),
       col("cluster_id").as("__cb"), col(vecCol).as("__vb"))
-    val dropped = a
+    val smallDropped = a
       .join(b, col("cluster_id") === col("__cb") && col("id_b") < col("id_a"))
       .withColumn("__cos", cosine(col("__va"), col("__vb")))
-      .where(col("__cos").isNotNull && !isnan(col("__cos")) &&
-        col("__cos") >= threshold)
+      .where(cosOk(col("__cos")))
       .select(col("id_a").as(idCol))
-    assigned.select(col(idCol), col("cluster_id"))
-      .join(dropped, Seq(idCol), "left_anti")
+    // hot clusters: members check against the representative only
+    // (rep = min id, so the drop direction is already smaller-id-wins)
+    val reps = sized
+      .where(col("__cn") > hotClusterThreshold && col(idCol) === col("__crep"))
+      .select(col("cluster_id").as("__cr"), col(vecCol).as("__vr"))
+    val hotDropped = sized
+      .where(col("__cn") > hotClusterThreshold && col(idCol) =!= col("__crep"))
+      .join(reps, col("cluster_id") === col("__cr"))
+      .withColumn("__cos", cosine(col(vecCol), col("__vr")))
+      .where(cosOk(col("__cos")))
+      .select(col(idCol))
+    sized.select(col(idCol), col("cluster_id"))
+      .join(smallDropped.unionByName(hotDropped), Seq(idCol), "left_anti")
   }
 }

@@ -307,6 +307,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup star-links a hot cluster through its representative, observed") {
+    import graft.operators.{IndexStore, IvfIndex}
+    // 1,150 byte-copies of one organic vector — a boilerplate embedding
+    // above the default 1,000 cap — planted alongside the corpus; the
+    // representative is vec 0 itself (min id in its own hot cluster)
+    val copies = spark.range(1150)
+      .select(($"id" + 2000000L).as("vec_id"))
+      .crossJoin(corpus.where($"vec_id" === 0).select($"vec"))
+    val withHot = corpus.unionAll(copies.select($"vec_id", $"vec"))
+    val cent = IvfIndex.collectCentroids(
+      IvfIndex.trainCentroids(corpus, k = 4, iters = 1))
+    val kept = Similarity.semanticDedup(withHot, cent, threshold = 0.999)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    // every copy near-dups the representative → all 1,150 dropped;
+    // organic members of the hot cluster are star-checked against the
+    // rep only, don't near-dup it, and all survive
+    assert(keptIds == corpus.select("vec_id").as[Long].collect().toSet)
+    // and the bounded work is OBSERVED, never silent
+    val act = IndexStore.capActivity(kept)
+    assert(act.exists(a => a.rowsSuppressed >= 1150 && a.maxBucketN >= 1151),
+      s"hot-cluster cap activity not observed: $act")
+  }
+
   test("semanticDedupJoin (large-k path) is identical to the literal-centroid form") {
     import graft.operators.IvfIndex
     val centDf = IvfIndex.trainCentroids(corpus, k = 8, iters = 2)
