@@ -160,5 +160,113 @@ object StreamingQueries {
       (s, dir) => withStreamingConf(s) {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         StreamingShards.run(s, dir, s"/tmp/graft_sshards/$tag")
+      }),
+
+    // The CCNet curation pipeline as a forever-sync — lang-ID + quality
+    // gates, a FROZEN perplexity cutoff (the ⌈2n/3⌉-th order statistic
+    // of the train slice's own scores: production CCNet filters the
+    // crawl against reference-corpus cutoffs, and an integer order
+    // statistic is engine-exact where tercile banding is not), then
+    // exact-dedup ingest against a persisted index pre-seeded with the
+    // accepted corpus; survivors append, so later batches dedup against
+    // everything accepted before them. The fourth fully oracle-checked
+    // stream: parity-file arrival is a pure function of the data and
+    // every planted dup pair shares a micro-batch.
+    QueryDef("sr10_streaming_ccnet", {
+      val hits = graft.functions.TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = graft.functions.TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 10 = 8),
+              |tok AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM corpus),
+              |big AS (
+              |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+              |bc AS (
+              |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+              |cc AS (
+              |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+              |  FROM bc GROUP BY 1),
+              |v AS (
+              |  SELECT count(DISTINCT t) + 1 AS vsize
+              |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+              |scored AS (
+              |  SELECT e.doc_id,
+              |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+              |                     (coalesce(cc.cctx, 0) + v.vsize))
+              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+              |  FROM big e
+              |  LEFT JOIN bc ON e.bg = bc.bg
+              |  LEFT JOIN cc ON e.prev = cc.prev
+              |  CROSS JOIN v),
+              |agg AS (
+              |  SELECT doc_id,
+              |    CAST(floor(CAST(sum(h_milli) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT)
+              |      AS h_milli_tok
+              |  FROM scored GROUP BY 1),
+              |nt AS (SELECT count(*) AS n FROM agg WHERE doc_id % 10 < 8),
+              |thr AS (
+              |  SELECT max(h_milli_tok) AS cutoff FROM (
+              |    SELECT h_milli_tok,
+              |           row_number() OVER (ORDER BY h_milli_tok, doc_id) AS rn
+              |    FROM agg WHERE doc_id % 10 < 8) r CROSS JOIN nt
+              |  WHERE r.rn <= greatest(1, (2 * nt.n) // 3)),
+              |t2 AS (
+              |  SELECT doc_id, text,
+              |    string_split_regex(trim(lower(text)), '\\s+') AS toks2
+              |  FROM corpus),
+              |s2 AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(toks2, x -> x <> '')) AS DOUBLE) AS n_toks,
+              |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(len(list_filter(toks2,
+              |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+              |      AS n_stop,
+              |    $hits,
+              |    array_to_string(toks2, ' ') AS c
+              |  FROM t2),
+              |feat AS (
+              |  SELECT doc_id,
+              |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
+              |    floor((least(1.0, n_toks / 100.0) * 0.5
+              |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+              |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+              |          * 10000.0 + 0.5) / 10000.0 AS quality,
+              |    c
+              |  FROM s2),
+              |train_c AS (
+              |  SELECT DISTINCT c FROM s2 WHERE doc_id % 10 < 8),
+              |kept AS (
+              |  SELECT f.doc_id, f.lang_pred, f.quality, a.h_milli_tok, f.c
+              |  FROM feat f JOIN agg a ON f.doc_id = a.doc_id CROSS JOIN thr
+              |  WHERE f.doc_id % 10 >= 8
+              |    AND f.lang_pred = 'en' AND f.quality >= 0.45
+              |    AND a.h_milli_tok <= thr.cutoff)
+              |SELECT k.doc_id, k.lang_pred, k.quality, k.h_milli_tok
+              |FROM kept k
+              |WHERE NOT EXISTS (SELECT 1 FROM train_c t WHERE t.c = k.c)
+              |  AND NOT EXISTS (SELECT 1 FROM kept k2
+              |                  WHERE k2.c = k.c AND k2.doc_id < k.doc_id)
+              |ORDER BY k.doc_id""".stripMargin)
+    },
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingCuration.run(s, dir,
+          s"/tmp/graft_sccnet/$tag", s"graft_scc_$tag",
+          s"/tmp/graft_sccnet/$tag/idx")
       }))
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{IndexStore, NgramLm, Ops}
+
+/** The CCNet curation pipeline run as a forever-sync: a document stream
+  * (the crawl) flows micro-batch by micro-batch through language-ID +
+  * quality gates, a stream-static LM perplexity gate, and an
+  * exact-dedup ingest against a PERSISTED fingerprint index pre-seeded
+  * with the accepted corpus — survivors append to the index, so later
+  * batches dedup against everything accepted before them. This is the
+  * production composition of sr7 (stream-static scoring), the
+  * dedup-ingest loop, and the batch `ext_ccnet_pipeline`.
+  *
+  * Two choices keep the stream fully ORACLE-checkable where the batch
+  * pipeline's tercile banding would not be: (1) the perplexity gate is
+  * a FIXED threshold — the ⌈2n/3⌉-th order statistic of the training
+  * slice's own scores, an integer both engines compute identically —
+  * which is also the production shape (CCNet computes cutoffs on a
+  * reference corpus, then filters the crawl against frozen cutoffs);
+  * (2) staged arrival order is a pure function of the data (parity
+  * files drained in order) and every planted duplicate pair lives in
+  * ONE file, so acceptance is replayable in SQL.
+  */
+object StreamingCuration {
+
+  /** Returns the accepted sink: (doc_id, lang_pred, quality,
+    * h_milli_tok), one row per crawl doc that cleared every gate. */
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val train = docs.where(col("doc_id") % 10 < 8)
+    // the crawl: the held-out slice plus whitespace-perturbed copies of
+    // its % 10 = 8 docs (same fingerprint, larger id, same parity — so
+    // each copy shares a micro-batch with its original)
+    val crawl = docs.where(col("doc_id") % 10 >= 8)
+      .unionByName(docs.where(col("doc_id") % 10 === 8)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit(" "), col("text"), lit("  ")).as("text")))
+
+    // model, vocab literal, and the frozen perplexity cutoff — all
+    // batch-side, pinned so the per-batch stream-static joins don't
+    // re-run training (see StreamingLmScore for the boundary story)
+    val raw = NgramLm.train(train)
+    val model = raw.copy(
+      contextCounts = Ops.checkpointKeepPartitioning(raw.contextCounts))
+    val vsize = raw.vocabSize.head().getLong(0)
+    val trainScores = NgramLm.scoreMicroBits(model, train)
+      .select("doc_id", "h_milli_tok").localCheckpoint()
+    val n = trainScores.count()
+    val kOrd = ((2L * n) / 3L).max(1L).toInt
+    val thr = trainScores.orderBy(col("h_milli_tok"), col("doc_id"))
+      .limit(kOrd).agg(max(col("h_milli_tok"))).head().getLong(0)
+
+    // the accepted-corpus fingerprint index, pre-seeded with the
+    // training slice: crawl docs that duplicate the corpus never
+    // re-enter it
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    IndexStore.buildExactIndex(train, "doc_id", "text", table, idxPath)
+
+    val srcDir = s"$workDir/src"
+    val sinkDir = s"$workDir/sink"
+    Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    new java.io.File(srcDir).mkdirs()
+
+    val q = spark.readStream.schema(crawl.schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val feat = batch.select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val kept = feat
+          .join(NgramLm.scoreMicroBits(model, batch)
+            .select("doc_id", "h_milli_tok"), "doc_id")
+          .where(col("lang_pred") === "en" && col("quality") >= 0.45 &&
+            col("h_milli_tok") <= thr)
+          .localCheckpoint()
+        val (accepted, _) = IndexStore.dedupIngestExact(spark,
+          kept.select("doc_id", "text"), "doc_id", "text", table)
+        accepted.select("doc_id")
+          .join(kept, "doc_id")
+          .select("doc_id", "lang_pred", "quality", "h_milli_tok")
+          .write.mode("append").parquet(sinkDir)
+        (): Unit
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .start()
+    try (0 until 2).foreach { parity =>
+      crawl.where(col("doc_id") % 2 === parity)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(sinkDir).orderBy("doc_id")
+  }
+}

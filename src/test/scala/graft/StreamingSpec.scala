@@ -585,6 +585,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSet == ref)
   }
 
+  test("streaming ccnet: accepted docs clear every gate exactly once") {
+    val out = SparkEntry.queries("sr10_streaming_ccnet")(spark, sf0001)
+      .select("doc_id", "quality", "h_milli_tok")
+      .as[(Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // only crawl docs (held-out slice + its copies) can be accepted
+    assert(out.forall { case (id, _, _) => (id % 100000) % 10 >= 8 })
+    // quality gate held
+    assert(out.forall(_._2 >= 0.45))
+    // the dedup-ingest leaves one doc per fingerprint: a planted copy
+    // (id ≥ 100000) can only appear if its original was gated out
+    // upstream — and originals gate no worse than their copies, so none
+    assert(out.forall(_._1 < 100000L))
+    assert(out.map(_._1).distinct.length == out.length)
+    // the frozen cutoff held: every accepted score is ≤ the train-slice
+    // order statistic, recomputed here independently
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val train = docs.where($"doc_id" % 10 < 8)
+    val model = graft.operators.NgramLm.train(train)
+    val ts = graft.operators.NgramLm.scoreMicroBits(model, train)
+      .select("doc_id", "h_milli_tok").as[(Long, Long)].collect()
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val cutoff = ts(((2 * ts.length) / 3).max(1) - 1)
+    assert(out.forall(_._3 <= cutoff))
+  }
+
   test("streaming shards: a replayed micro-batch is idempotent, a resumed deal continues") {
     import graft.streaming.StreamingShards
     val sink = s"/tmp/graft_sshards_spec/replay_${System.nanoTime()}/sink"
