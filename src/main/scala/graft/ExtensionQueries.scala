@@ -1539,6 +1539,28 @@ object ExtensionQueries {
           .orderBy("vec_id")
       }),
 
+    // PCA whitening of the embedding space (mean-center + decorrelate +
+    // unit-variance) — the conditioning pass before cosine ANN /
+    // semantic dedup. One distributed Gram-aggregator pass fits the
+    // model; the projection is literal-matrix math. Output is the
+    // whitening CONTRACT (per-dim |mean| ≈ 0, variance ≈ 1), which is
+    // stable under the eigenbasis' sign/rotation ambiguity where raw
+    // matrix entries are not. Rows-only (no eigensolve in SQL);
+    // identity-covariance and sign-determinism specs in EmbeddingsSpec.
+    QueryDef("ext_pca_whiten", None,
+      (s, dir) => {
+        import graft.operators.Embeddings
+        val vecs = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val model = Embeddings.fitWhitening(vecs, "vec", k = 16)
+        Embeddings.whiten(vecs, model, "vec")
+          .select(posexplode(col("white")).as(Seq("dim_idx", "w")))
+          .groupBy("dim_idx")
+          .agg(round(abs(avg(col("w"))), 3).as("white_mean_abs"),
+            round(var_pop(col("w")), 3).as("white_var"))
+          .orderBy("dim_idx")
+      }),
+
     // Source-mixture sampling: re-weight a multi-source corpus toward a
     // target mix (the Pile-style domain-weighting step). Each source
     // carries its own deterministic md5-threshold keep-fraction; the

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Embeddings, Similarity}
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Tables.load(spark, sf0001, "embeddings")
+    .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+
+  test("whitening contract: zero mean, unit variance, diagonal covariance") {
+    val k = 8
+    val model = Embeddings.fitWhitening(vecs, "vec", k)
+    val white = Embeddings.whiten(vecs, model, "vec").select($"white")
+      .as[Seq[Double]].collect()
+    val n = white.length.toDouble
+    val mean = Array.tabulate(k)(j => white.map(_(j)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-9, s"whitened mean $m"))
+    for (i <- 0 until k; j <- i until k) {
+      val cov = white.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      if (i == j) assert(math.abs(cov - 1.0) < 1e-6,
+        s"dim $i variance $cov should be 1")
+      else assert(math.abs(cov) < 1e-6,
+        s"dims ($i,$j) covariance $cov should vanish")
+    }
+  }
+
+  test("fit is reproducible and sign-fixed across runs") {
+    val a = Embeddings.fitWhitening(vecs, "vec", k = 4)
+    val b = Embeddings.fitWhitening(vecs, "vec", k = 4)
+    a.mean.zip(b.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9)
+    }
+    a.rows.flatten.zip(b.rows.flatten).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"row entry drifted: $x vs $y")
+    }
+    // sign convention: each row's largest-|entry| component is positive
+    a.rows.foreach { r =>
+      val m = r.maxBy(math.abs)
+      assert(m > 0, s"sign fix violated: extreme entry $m")
+    }
+  }
+
+  test("fitWhitening guards its preconditions") {
+    intercept[IllegalArgumentException] {
+      Embeddings.fitWhitening(vecs, "vec", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.fitWhitening(vecs, "vec", k = 10000)
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.fitWhitening(vecs.limit(1), "vec", k = 2)
+    }
+  }
+}
