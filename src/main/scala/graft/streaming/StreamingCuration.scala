@@ -48,7 +48,6 @@ object StreamingCuration {
     val raw = NgramLm.train(train)
     val model = raw.copy(
       contextCounts = Ops.checkpointKeepPartitioning(raw.contextCounts))
-    val vsize = raw.vocabSize.head().getLong(0)
     val trainScores = NgramLm.scoreMicroBits(model, train)
       .select("doc_id", "h_milli_tok").localCheckpoint()
     val n = trainScores.count()
@@ -72,22 +71,7 @@ object StreamingCuration {
     val q = spark.readStream.schema(crawl.schema).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val feat = batch.select(col("doc_id"), col("text"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
-        val kept = feat
-          .join(NgramLm.scoreMicroBits(model, batch)
-            .select("doc_id", "h_milli_tok"), "doc_id")
-          .where(col("lang_pred") === "en" && col("quality") >= 0.45 &&
-            col("h_milli_tok") <= thr)
-          .localCheckpoint()
-        val (accepted, _) = IndexStore.dedupIngestExact(spark,
-          kept.select("doc_id", "text"), "doc_id", "text", table)
-        accepted.select("doc_id")
-          .join(kept, "doc_id")
-          .select("doc_id", "lang_pred", "quality", "h_milli_tok")
-          .write.mode("append").parquet(sinkDir)
-        (): Unit
+        curateBatch(spark, batch, model, thr, table, sinkDir)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
@@ -97,5 +81,57 @@ object StreamingCuration {
       q.processAllAvailable()
     } finally q.stop()
     spark.read.parquet(sinkDir).orderBy("doc_id")
+  }
+
+  /** One micro-batch of the loop: gates → dedup-CHECK against the
+    * index → sink append → index append, in exactly that order, with a
+    * doc_id anti-join against the sink as the replay guard. A crash
+    * anywhere inside the batch replays it wholesale (the file-source
+    * checkpoint commits only after this returns); the ordering decides
+    * what a replay can damage. Probe-before-append means the replayed
+    * batch recomputes the SAME accepted set (nothing of this batch is
+    * in the index yet if the append never ran), and the sink guard
+    * turns the re-append into a no-op — so the SINK is exactly-once
+    * under replay. The one remaining window (crash after sink append,
+    * before index append) costs only future dedup completeness for
+    * those fingerprints, never sink rows: the chosen trade, since the
+    * sink is the product and the index is an optimization — and the
+    * next enclosing run rebuilds the index from scratch anyway. */
+  def curateBatch(spark: SparkSession, batch: DataFrame,
+      model: NgramLm.Model, thr: Long, table: String,
+      sinkDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = batch.select(col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val kept = feat
+      .join(NgramLm.scoreMicroBits(model, batch)
+        .select("doc_id", "h_milli_tok"), "doc_id")
+      .where(col("lang_pred") === "en" && col("quality") >= 0.45 &&
+        col("h_milli_tok") <= thr)
+      .localCheckpoint()
+    // dedup CHECK only — no side effects yet
+    val matches = IndexStore.probeExact(spark,
+      kept.select("doc_id", "text"), "doc_id", "text", table)
+    val vsIndex = kept.join(
+      matches.select(col("query_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val keeper = vsIndex
+      .withColumn("__fp", IndexStore.exactFingerprint(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(
+        Window.partitionBy("__fp")))
+      .where(col("doc_id") === col("__keep"))
+      .drop("__fp", "__keep")
+      .localCheckpoint()
+    val fresh = (if (new java.io.File(sinkDir).exists)
+        keeper.join(spark.read.parquet(sinkDir).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else keeper).localCheckpoint()
+    fresh.select("doc_id", "lang_pred", "quality", "h_milli_tok")
+      .write.mode("append").parquet(sinkDir)
+    IndexStore.appendExactIndex(fresh.select("doc_id", "text"),
+      "doc_id", "text", table)
+    IndexStore.autoCompact(spark, "exact", table)
+    (): Unit
   }
 }

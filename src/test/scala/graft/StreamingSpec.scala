@@ -611,6 +611,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_._3 <= cutoff))
   }
 
+  test("streaming ccnet: a replayed micro-batch cannot double-accept (sink-first guard)") {
+    import graft.operators.{IndexStore, NgramLm}
+    import graft.streaming.StreamingCuration
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val train = docs.where($"doc_id" % 10 < 8)
+    val model = NgramLm.train(train)
+    val tag = s"ccr_${System.nanoTime()}"
+    val table = s"graft_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+    IndexStore.buildExactIndex(train, "doc_id", "text", table,
+      s"/tmp/graft_ccr/$tag/idx")
+    val sink = s"/tmp/graft_ccr/$tag/sink"
+    // LM gate wide open for the drill — the replay guard is under test
+    val b0 = docs.where($"doc_id" % 10 === 8 && $"doc_id" < 300)
+    StreamingCuration.curateBatch(spark, b0, model, Long.MaxValue, table, sink)
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 > 0)
+    // crash-replay of the SAME batch (checkpoint never committed):
+    // probe-before-append recomputes the same accepted set and the
+    // sink anti-join must deal no new rows
+    StreamingCuration.curateBatch(spark, b0, model, Long.MaxValue, table, sink)
+    assert(spark.read.parquet(sink).count() == n1)
+    // a LATER batch duplicating accepted docs is cut by the index
+    val dupBatch = b0.limit(3)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat(lit(" "), $"text").as("text"))
+    StreamingCuration.curateBatch(spark, dupBatch, model, Long.MaxValue,
+      table, sink)
+    assert(spark.read.parquet(sink).count() == n1)
+  }
+
   test("streaming shards: a replayed micro-batch is idempotent, a resumed deal continues") {
     import graft.streaming.StreamingShards
     val sink = s"/tmp/graft_sshards_spec/replay_${System.nanoTime()}/sink"
