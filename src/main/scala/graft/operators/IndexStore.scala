@@ -939,6 +939,28 @@ object IndexStore {
       hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
       autoCompactAppends: Int = DefaultAutoCompactAppends)
       : (DataFrame, DataFrame) = {
+    val (a3, decisions) = dedupIngestGateCheck(spark, batch, idCol,
+      textCol, exactTable, winnowTable, minhashTable, window, guarantee,
+      minSharedFps, shingleN, numHashes, bands, threshold,
+      hotBandThreshold)
+    dedupIngestGateAppend(spark, a3, idCol, textCol, exactTable,
+      winnowTable, minhashTable, window, guarantee, shingleN, numHashes,
+      bands, autoCompactAppends)
+    (a3, decisions)
+  }
+
+  /** The CHECK half of [[dedupIngestGate]] — all three gates and the
+    * attribution, NO side effects. Streaming callers use the split so
+    * a crash-replayed micro-batch can re-derive the same decisions
+    * (nothing of the batch is in the indexes yet) and gate its sink
+    * append idempotently before [[dedupIngestGateAppend]] runs. */
+  def dedupIngestGateCheck(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, exactTable: String,
+      winnowTable: String, minhashTable: String, window: Int = 20,
+      guarantee: Int = 10, minSharedFps: Int = 1, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
+      : (DataFrame, DataFrame) = {
     val (a1, _) = gateStage(batch, idCol,
       probe = b => probeExact(spark, b, idCol, textCol, exactTable,
         hotBandThreshold),
@@ -954,14 +976,6 @@ object IndexStore {
         shingleN, numHashes, bands, threshold, hotBandThreshold),
       innerPairs = b => Dedup.minhashNearDupPairs(b, idCol, textCol,
         shingleN, numHashes, bands, threshold, hotBandThreshold))
-    // appends only now, after the LAST gate has ruled
-    appendExactIndex(a3, idCol, textCol, exactTable)
-    appendWinnowIndex(a3, idCol, textCol, winnowTable, window, guarantee)
-    appendMinhashIndex(a3, idCol, textCol, minhashTable, shingleN,
-      numHashes, bands)
-    autoCompact(spark, "exact", exactTable, autoCompactAppends)
-    autoCompact(spark, "winnow", winnowTable, autoCompactAppends)
-    autoCompact(spark, "minhash", minhashTable, autoCompactAppends)
     // each stage's output is pinned (gateStage), so these anti joins
     // replay materialized rows rather than re-probing the grown indexes
     val cutAt = gateCut(idCol) _
@@ -969,6 +983,24 @@ object IndexStore {
       .unionByName(cutAt(a1, a2, "winnow"))
       .unionByName(cutAt(a2, a3, "minhash"))
     (a3, decisions)
+  }
+
+  /** The APPEND half of [[dedupIngestGate]]: survivors append to all
+    * three indexes, only after the last gate has ruled. */
+  def dedupIngestGateAppend(spark: SparkSession, accepted: DataFrame,
+      idCol: String, textCol: String, exactTable: String,
+      winnowTable: String, minhashTable: String, window: Int = 20,
+      guarantee: Int = 10, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16,
+      autoCompactAppends: Int = DefaultAutoCompactAppends): Unit = {
+    appendExactIndex(accepted, idCol, textCol, exactTable)
+    appendWinnowIndex(accepted, idCol, textCol, winnowTable, window,
+      guarantee)
+    appendMinhashIndex(accepted, idCol, textCol, minhashTable, shingleN,
+      numHashes, bands)
+    autoCompact(spark, "exact", exactTable, autoCompactAppends)
+    autoCompact(spark, "winnow", winnowTable, autoCompactAppends)
+    autoCompact(spark, "minhash", minhashTable, autoCompactAppends)
   }
 
   /** (id, gate) rows for the docs `in` contains but `out` does not —
@@ -1012,6 +1044,25 @@ object IndexStore {
       ivfTable: Option[String] = None, ivfThreshold: Double = 0.999,
       ivfNprobe: Int = 3)
       : (DataFrame, DataFrame) = {
+    val (a3, decisions) = dedupIngestGateVecCheck(spark, batch,
+      exactTable, srpTable, threshold, idCol, vecCol, nPlanes, bands,
+      dim, blockDims, hotBandThreshold, ivfTable, ivfThreshold, ivfNprobe)
+    dedupIngestGateVecAppend(spark, a3, exactTable, srpTable, idCol,
+      vecCol, nPlanes, bands, dim, autoCompactAppends, ivfTable)
+    (a3, decisions)
+  }
+
+  /** CHECK half of [[dedupIngestGateVec]] — no side effects; see
+    * [[dedupIngestGateCheck]] for why streaming callers split. */
+  def dedupIngestGateVecCheck(spark: SparkSession, batch: DataFrame,
+      exactTable: String, srpTable: String, threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      blockDims: Int = 8,
+      hotBandThreshold: Int = Dedup.DefaultHotBandThreshold,
+      ivfTable: Option[String] = None, ivfThreshold: Double = 0.999,
+      ivfNprobe: Int = 3)
+      : (DataFrame, DataFrame) = {
     val (a1, _) = gateStage(batch, idCol,
       probe = b => probeExactVec(spark, b, idCol, vecCol, exactTable,
         hotBandThreshold),
@@ -1027,18 +1078,26 @@ object IndexStore {
           ivfNprobe, idCol, vecCol),
         innerPairs = b => Similarity.blockedNearDupPairs(b, ivfThreshold,
           idCol, vecCol, blockDims))._1)
-    // appends only now, after the LAST gate has ruled
-    appendExactVecIndex(a3, idCol, vecCol, exactTable)
-    appendSrpIndex(a3, srpTable, idCol, vecCol, nPlanes, bands, dim)
-    ivfTable.foreach(t => appendIvfIndex(spark, a3, t, idCol, vecCol))
-    autoCompact(spark, "exact", exactTable, autoCompactAppends)
-    autoCompact(spark, "srp", srpTable, autoCompactAppends)
-    ivfTable.foreach(t => autoCompact(spark, "ivf", t, autoCompactAppends))
     val cutAt = gateCut(idCol) _
     val decisions = cutAt(batch, a1, "exact")
       .unionByName(cutAt(a1, a2, "srp"))
       .unionByName(cutAt(a2, a3, "ivf"))
     (a3, decisions)
+  }
+
+  /** APPEND half of [[dedupIngestGateVec]]. */
+  def dedupIngestGateVecAppend(spark: SparkSession, accepted: DataFrame,
+      exactTable: String, srpTable: String,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+      autoCompactAppends: Int = DefaultAutoCompactAppends,
+      ivfTable: Option[String] = None): Unit = {
+    appendExactVecIndex(accepted, idCol, vecCol, exactTable)
+    appendSrpIndex(accepted, srpTable, idCol, vecCol, nPlanes, bands, dim)
+    ivfTable.foreach(t => appendIvfIndex(spark, accepted, t, idCol, vecCol))
+    autoCompact(spark, "exact", exactTable, autoCompactAppends)
+    autoCompact(spark, "srp", srpTable, autoCompactAppends)
+    ivfTable.foreach(t => autoCompact(spark, "ivf", t, autoCompactAppends))
   }
 
   /** Take-down propagation through the composed TEXT gate — the

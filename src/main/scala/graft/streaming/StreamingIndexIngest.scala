@@ -270,14 +270,31 @@ object StreamingIndexIngest {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (accepted, decisions) = IndexStore.dedupIngestGate(spark,
-          batch, "doc_id", "text", exactTable, winnowTable, minhashTable,
-          window = 40, guarantee = 10,
-          autoCompactAppends = autoCompactAppends)
-        decisions
+        // check → sink (replay-guarded) → append, in that order: a
+        // crash-replayed batch re-derives the SAME decisions (its
+        // appends never ran), the sink anti-join deals no duplicate
+        // rows, and re-attribution after a post-append crash is
+        // filtered by the same guard — the sink is exactly-once; the
+        // one surviving window (crash between sink and append) costs
+        // future dedup completeness only, same trade as
+        // StreamingCuration (the sink is the product).
+        val (accepted, decisions) = IndexStore.dedupIngestGateCheck(
+          spark, batch, "doc_id", "text", exactTable, winnowTable,
+          minhashTable, window = 40, guarantee = 10)
+        val rows = decisions
           .unionByName(accepted.select(col("doc_id"),
             lit("accepted").as("gate")))
-          .write.mode("append").parquet(sinkDir)
+        val fresh = (if (new java.io.File(sinkDir).exists)
+            rows.join(spark.read.parquet(sinkDir).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          else rows).localCheckpoint()
+        fresh.write.mode("append").parquet(sinkDir)
+        IndexStore.dedupIngestGateAppend(spark,
+          accepted.join(fresh.where(col("gate") === "accepted")
+            .select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", exactTable, winnowTable, minhashTable,
+          window = 40, guarantee = 10,
+          autoCompactAppends = autoCompactAppends)
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)
@@ -427,14 +444,24 @@ object StreamingIndexIngest {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (accepted, decisions) = IndexStore.dedupIngestGateVec(spark,
-          batch, exactTable, srpTable, threshold = 0.9999,
-          ivfTable = Some(ivfTable), ivfThreshold = 0.999,
-          autoCompactAppends = autoCompactAppends)
-        decisions
+        // same check → guarded-sink → append ordering as the text gate
+        val (accepted, decisions) = IndexStore.dedupIngestGateVecCheck(
+          spark, batch, exactTable, srpTable, threshold = 0.9999,
+          ivfTable = Some(ivfTable), ivfThreshold = 0.999)
+        val rows = decisions
           .unionByName(accepted.select(col("vec_id"),
             lit("accepted").as("gate")))
-          .write.mode("append").parquet(sinkDir)
+        val fresh = (if (new java.io.File(sinkDir).exists)
+            rows.join(spark.read.parquet(sinkDir).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          else rows).localCheckpoint()
+        fresh.write.mode("append").parquet(sinkDir)
+        IndexStore.dedupIngestGateVecAppend(spark,
+          accepted.join(fresh.where(col("gate") === "accepted")
+            .select("vec_id"), Seq("vec_id"), "left_semi"),
+          exactTable, srpTable,
+          autoCompactAppends = autoCompactAppends,
+          ivfTable = Some(ivfTable))
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)
