@@ -1637,6 +1637,151 @@ object IndexStore {
   def vacuumLmIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_counts")
 
+  // ---- batch-KEYED LM lifecycle (replay-exactly-once) ---------------
+  // The unkeyed LM append is additive, so a crash-replayed micro-batch
+  // double-counts its slice — no ordering fixes that (the bucketed
+  // append is not transactional). The keyed variant closes it: every
+  // count row carries its writer's batch key, so (bg, bk) is the row's
+  // IDENTITY. A replay before any compaction writes byte-identical
+  // rows that the read-side (bg, bk) dedup cancels; compaction folds
+  // keys away, so it first raises a high-water mark (BEFORE its atomic
+  // swap — a crash between leaves the un-folded rows in place and the
+  // mark merely re-skips an applied batch) and appends at or below the
+  // mark are skipped entirely. Key discipline: in-band appends use the
+  // stream's monotone non-negative batch ids; out-of-band unlearns use
+  // strictly DECREASING negative keys (they have no natural sequence,
+  // so they get their own low-water mark); Long.MinValue is the folded
+  // row's sentinel and is never a legal caller key.
+
+  private val LmBkHighWaterParam = "lmBkHighWater"
+  private val LmBkNegLowWaterParam = "lmBkNegLowWater"
+  private val LmFoldedBk = Long.MinValue
+
+  private def lmKeyedParams(idCol: String) = Map("idCol" -> idCol,
+    "payload" -> "text", "ngram" -> "2", "keyed" -> "true")
+
+  private def lmWaterMark(spark: SparkSession, counts: String,
+      param: String, default: Long): Long =
+    getParams(spark, counts).get(param).map(_.toLong).getOrElse(default)
+
+  private def setLmWaterMark(spark: SparkSession, counts: String,
+      param: String, v: Long): Unit =
+    spark.sql(s"ALTER TABLE $counts SET TBLPROPERTIES " +
+      s"('$ParamPrefix$param'='$v')")
+
+  /** Builds the keyed LM table; `batchKey` (the building stream's first
+    * batch id) becomes the initial high-water mark, so a crash-replay
+    * of the building batch — which finds the table existing and falls
+    * through to the append path — is skipped rather than re-counted. */
+  def buildLmIndexKeyed(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, batchKey: Long = 0L,
+      nBuckets: Int = 8): Unit = {
+    require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
+    val spark = docs.sparkSession
+    bucketRouted(NgramLm.bigramCounts(docs, idCol, textCol)
+        .withColumn("bk", lit(batchKey)), "bg", nBuckets)
+      .write.bucketBy(nBuckets, "bg")
+      .option("path", s"$path/${table}_counts").mode("overwrite")
+      .saveAsTable(s"${table}_counts")
+    setParams(spark, s"${table}_counts",
+      lmKeyedParams(idCol) + (LmBkHighWaterParam -> batchKey.toString))
+  }
+
+  /** Replay-idempotent append. Returns whether the batch was APPLIED —
+    * false means the key sits at or below the high-water mark (a
+    * replay of a batch some compaction already folded) and nothing was
+    * written. Pre-compaction replays DO write duplicate rows; the
+    * (bg, bk) dedup in [[lmModelFromIndexKeyed]] cancels them. */
+  def appendLmIndexKeyed(delta: DataFrame, idCol: String, textCol: String,
+      table: String, batchKey: Long): Boolean = {
+    require(batchKey >= 0 && batchKey != LmFoldedBk,
+      s"append batchKey must be in-band (>= 0), got $batchKey")
+    val spark = delta.sparkSession
+    val counts = s"${table}_counts"
+    requireParams(spark, counts, lmKeyedParams(idCol), "append")
+    if (batchKey <= lmWaterMark(spark, counts, LmBkHighWaterParam, -1L))
+      false
+    else {
+      val nb = numBucketsOf(spark, counts)
+      bucketRouted(NgramLm.bigramCounts(delta, idCol, textCol)
+          .withColumn("bk", lit(batchKey)), "bg", nb)
+        .write.bucketBy(nb, "bg").mode("append").saveAsTable(counts)
+      noteAppend(spark, counts)
+      true
+    }
+  }
+
+  /** Replay-idempotent exact unlearning: negated counts under a
+    * strictly-negative key BELOW every key previously used (the
+    * low-water mark starts at 0 and only compaction lowers it, so the
+    * first unlearn uses -1, the next -2, …). Returns whether applied. */
+  def unlearnFromLmIndexKeyed(docs: DataFrame, idCol: String,
+      textCol: String, table: String, batchKey: Long): Boolean = {
+    require(batchKey < 0 && batchKey != LmFoldedBk,
+      s"unlearn batchKey must be negative (out-of-band), got $batchKey")
+    val spark = docs.sparkSession
+    val counts = s"${table}_counts"
+    requireParams(spark, counts, lmKeyedParams(idCol), "unlearn")
+    val low = lmWaterMark(spark, counts, LmBkNegLowWaterParam, 0L)
+    if (batchKey >= low) false
+    else {
+      val nb = numBucketsOf(spark, counts)
+      bucketRouted(NgramLm.bigramCounts(docs, idCol, textCol)
+          .withColumn("cb", -col("cb"))
+          .withColumn("bk", lit(batchKey)), "bg", nb)
+        .write.bucketBy(nb, "bg").mode("append").saveAsTable(counts)
+      noteAppend(spark, counts)
+      true
+    }
+  }
+
+  /** The live model from a keyed table: (bg, bk) row-identity dedup —
+    * which cancels pre-compaction replay duplicates — then the same
+    * sum/fold as the unkeyed form. Both steps cluster on bg, so the
+    * bucketed scan feeds them without an exchange. */
+  def lmModelFromIndexKeyed(spark: SparkSession,
+      table: String): NgramLm.Model =
+    NgramLm.modelFromCounts(Ops.checkpointKeepPartitioning(
+      spark.table(s"${table}_counts")
+        .dropDuplicates("bg", "bk")
+        .groupBy("bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0)))
+
+  /** Scores `docs` against the keyed persisted model. */
+  def scoreFromLmIndexKeyed(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    NgramLm.scoreMicroBits(lmModelFromIndexKeyed(spark, table), docs,
+      idCol, textCol)
+
+  /** Compacts the keyed LM table. Water marks move FIRST (a crash
+    * between the marks and the swap leaves the un-folded rows in place,
+    * where replay duplicates are still cancelled row-wise; the moved
+    * marks then merely skip batches that were genuinely applied), then
+    * the fold dedups (bg, bk), sums, drops cancelled bigrams, and
+    * stamps surviving rows with the fold sentinel. */
+  def compactLmIndexKeyed(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val counts = s"${table}_counts"
+    val marks = spark.table(counts).where(col("bk") =!= LmFoldedBk)
+      .agg(max(when(col("bk") >= 0, col("bk"))).as("hi"),
+        min(when(col("bk") < 0, col("bk"))).as("lo")).head()
+    if (!marks.isNullAt(0))
+      setLmWaterMark(spark, counts, LmBkHighWaterParam,
+        math.max(marks.getLong(0),
+          lmWaterMark(spark, counts, LmBkHighWaterParam, -1L)))
+    if (!marks.isNullAt(1))
+      setLmWaterMark(spark, counts, LmBkNegLowWaterParam,
+        math.min(marks.getLong(1),
+          lmWaterMark(spark, counts, LmBkNegLowWaterParam, 0L)))
+    rewriteInPlace(spark, counts, bucketColOf(spark, counts),
+      s"$newPathBase/${counts}_c", numBucketsOf(spark, counts))(
+      _.dropDuplicates("bg", "bk")
+        .groupBy("bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0)
+        .withColumn("bk", lit(LmFoldedBk)))
+  }
+
   // ---- append accounting + auto-compaction --------------------------
   // Every bucketed append leaves one new file set per bucket, so a
   // long-lived index's scan cost grows linearly with appends until
@@ -1721,9 +1866,10 @@ object IndexStore {
       case "winnow"  => (s"${table}_wins",   compactWinnowIndex(spark, table, _))
       case "ivf"     => (s"${table}_lists",  compactIvfIndex(spark, table, _))
       case "lm"      => (s"${table}_counts", compactLmIndex(spark, table, _))
+      case "lmk"     => (s"${table}_counts", compactLmIndexKeyed(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }

@@ -25,7 +25,7 @@ object StreamingIndexIngest {
     * index. */
   private def ingestFrames(spark: SparkSession, source: DataFrame,
       workDir: String, idxTables: Seq[String], idxPath: String,
-      buildOrAppend: (DataFrame, Boolean) => Unit,
+      buildOrAppend: (DataFrame, Boolean, Long) => Unit,
       probe: () => DataFrame): DataFrame = {
     val srcDir = s"$workDir/src"
     source.repartition(2).write.mode("overwrite").parquet(srcDir)
@@ -36,8 +36,9 @@ object StreamingIndexIngest {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        buildOrAppend(batch, !spark.catalog.tableExists(idxTables.head))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        buildOrAppend(batch, !spark.catalog.tableExists(idxTables.head),
+          batchId)
         (): Unit
       }
       .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
@@ -50,7 +51,7 @@ object StreamingIndexIngest {
     * index with planted perturbed docs. */
   private def ingest(spark: SparkSession, sfDir: String, workDir: String,
       idxTables: Seq[String], idxPath: String,
-      buildOrAppend: (DataFrame, Boolean) => Unit,
+      buildOrAppend: (DataFrame, Boolean, Long) => Unit,
       probe: DataFrame => DataFrame): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
@@ -72,7 +73,7 @@ object StreamingIndexIngest {
       : DataFrame =
     ingest(spark, sfDir, workDir,
       Seq(s"${table}_bands", s"${table}_shingles"), idxPath,
-      (batch, first) =>
+      (batch, first, _) =>
         if (first) IndexStore.buildMinhashIndex(batch, "doc_id", "text",
           table, idxPath)
         else {
@@ -89,7 +90,7 @@ object StreamingIndexIngest {
       autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
       : DataFrame =
     ingest(spark, sfDir, workDir, Seq(s"${table}_chunks"), idxPath,
-      (batch, first) =>
+      (batch, first, _) =>
         if (first) IndexStore.buildSimhashIndex(batch, "doc_id", "text",
           table, idxPath)
         else {
@@ -108,7 +109,7 @@ object StreamingIndexIngest {
       autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
       : DataFrame =
     ingest(spark, sfDir, workDir, Seq(s"${table}_wins"), idxPath,
-      (batch, first) =>
+      (batch, first, _) =>
         if (first) IndexStore.buildWinnowIndex(batch, "doc_id", "text",
           table, idxPath)
         else {
@@ -126,7 +127,11 @@ object StreamingIndexIngest {
     * and the finished model scores the held-out slice. Unlike the LSH
     * kinds this stream is FULLY oracle-checkable: counts are additive,
     * so the final table equals a one-shot train no matter how the file
-    * source ordered the batches. */
+    * source ordered the batches. Uses the batch-KEYED lifecycle — a
+    * crash-replayed micro-batch would otherwise DOUBLE its additive
+    * counts silently; with row keys a pre-compaction replay cancels at
+    * read time and a post-compaction replay is skipped by the
+    * high-water mark (replay drills in IndexStoreSpec). */
   def runLmIngest(spark: SparkSession, sfDir: String, workDir: String,
       table: String, idxPath: String,
       autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
@@ -135,15 +140,16 @@ object StreamingIndexIngest {
       .select("doc_id", "text")
     ingestFrames(spark, docs.where(col("doc_id") % 10 < 8), workDir,
       Seq(s"${table}_counts"), idxPath,
-      (batch, first) =>
-        if (first) IndexStore.buildLmIndex(batch, "doc_id", "text",
-          table, idxPath)
+      (batch, first, batchId) =>
+        if (first) IndexStore.buildLmIndexKeyed(batch, "doc_id", "text",
+          table, idxPath, batchKey = batchId)
         else {
-          IndexStore.appendLmIndex(batch, "doc_id", "text", table)
-          IndexStore.autoCompact(spark, "lm", table, autoCompactAppends)
+          IndexStore.appendLmIndexKeyed(batch, "doc_id", "text", table,
+            batchId)
+          IndexStore.autoCompact(spark, "lmk", table, autoCompactAppends)
           (): Unit
         },
-      () => IndexStore.scoreFromLmIndex(spark, table,
+      () => IndexStore.scoreFromLmIndexKeyed(spark, table,
           docs.where(col("doc_id") % 10 >= 8))
         .orderBy("doc_id"))
   }
@@ -315,12 +321,14 @@ object StreamingIndexIngest {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!spark.catalog.tableExists(s"${table}_counts"))
-          IndexStore.buildLmIndex(batch, "doc_id", "text", table, idxPath)
+          IndexStore.buildLmIndexKeyed(batch, "doc_id", "text", table,
+            idxPath, batchKey = batchId)
         else {
-          IndexStore.appendLmIndex(batch, "doc_id", "text", table)
-          IndexStore.autoCompact(spark, "lm", table, autoCompactAppends)
+          IndexStore.appendLmIndexKeyed(batch, "doc_id", "text", table,
+            batchId)
+          IndexStore.autoCompact(spark, "lmk", table, autoCompactAppends)
           (): Unit
         }
       }
@@ -482,7 +490,7 @@ object StreamingIndexIngest {
         Similarity.toDoubleArray(col("embedding")).as("vec"))
     ingestFrames(spark, vecs, workDir,
       Seq(s"${table}_bands", s"${table}_vecs"), idxPath,
-      (batch, first) =>
+      (batch, first, _) =>
         if (first) IndexStore.buildSrpIndex(batch, table, idxPath)
         else {
           IndexStore.appendSrpIndex(batch, table)

@@ -1633,6 +1633,94 @@ class IndexStoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("keyed LM: a crash-replayed append cannot double-count, before or after compaction") {
+    import graft.operators.NgramLm
+    val tbl = "graft_spec_lmk"
+    dropTable(s"${tbl}_counts")
+    val a = docs.where(col("doc_id") < 100)
+    val b = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+    val eval_ = docs.where(col("doc_id") >= 150 && col("doc_id") < 250)
+    def score() = IndexStore.scoreFromLmIndexKeyed(spark, tbl, eval_)
+      .orderBy("doc_id").collect().toSeq
+    IndexStore.buildLmIndexKeyed(a, "doc_id", "text", tbl,
+      s"$idxPath/$tbl", batchKey = 0L)
+    assert(IndexStore.appendLmIndexKeyed(b, "doc_id", "text", tbl, 1L))
+    val once = score()
+    // parity with a one-shot train over both slices
+    val want = NgramLm.scoreMicroBits(NgramLm.train(a.unionByName(b)),
+      eval_).orderBy("doc_id").collect().toSeq
+    assert(once == want)
+    // replay BEFORE any compaction: the write happens (the mark can't
+    // see uncompacted keys) but the duplicate rows share (bg, bk)
+    // identity and the read-side dedup cancels them
+    assert(IndexStore.appendLmIndexKeyed(b, "doc_id", "text", tbl, 1L))
+    assert(score() == once, "pre-compaction replay double-counted")
+    // compaction folds keys away — marks must rise FIRST
+    IndexStore.compactLmIndexKeyed(spark, tbl, s"$idxPath/${tbl}_c1")
+    assert(score() == once, "compaction changed the model")
+    // replay AFTER compaction: skipped outright by the high-water mark
+    assert(!IndexStore.appendLmIndexKeyed(b, "doc_id", "text", tbl, 1L))
+    assert(!IndexStore.appendLmIndexKeyed(a, "doc_id", "text", tbl, 0L),
+      "the replayed BUILD batch must be skipped too")
+    assert(score() == once, "post-compaction replay double-counted")
+    // and genuinely new batches still land
+    val c = docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+    assert(IndexStore.appendLmIndexKeyed(c, "doc_id", "text", tbl, 2L))
+    val withC = NgramLm.scoreMicroBits(
+      NgramLm.train(a.unionByName(b).unionByName(c)), eval_)
+      .orderBy("doc_id").collect().toSeq
+    assert(score() == withC)
+  }
+
+  test("keyed LM unlearning is replay-idempotent and exact") {
+    import graft.operators.NgramLm
+    val tbl = "graft_spec_lmku"
+    dropTable(s"${tbl}_counts")
+    val a = docs.where(col("doc_id") < 150)
+    val eval_ = docs.where(col("doc_id") >= 150 && col("doc_id") < 250)
+    def score() = IndexStore.scoreFromLmIndexKeyed(spark, tbl, eval_)
+      .orderBy("doc_id").collect().toSeq
+    IndexStore.buildLmIndexKeyed(a, "doc_id", "text", tbl,
+      s"$idxPath/$tbl", batchKey = 0L)
+    assert(IndexStore.unlearnFromLmIndexKeyed(
+      docs.where(col("doc_id") === 0L), "doc_id", "text", tbl, -1L))
+    val after = score()
+    assert(after == NgramLm.scoreMicroBits(
+      NgramLm.train(a.where(col("doc_id") =!= 0L)), eval_)
+      .orderBy("doc_id").collect().toSeq,
+      "keyed unlearning must equal a retrain that never saw the doc")
+    // replayed unlearn pre-compaction: duplicate negated rows cancel
+    assert(IndexStore.unlearnFromLmIndexKeyed(
+      docs.where(col("doc_id") === 0L), "doc_id", "text", tbl, -1L))
+    assert(score() == after, "pre-compaction unlearn replay double-negated")
+    IndexStore.compactLmIndexKeyed(spark, tbl, s"$idxPath/${tbl}_c1")
+    // replayed unlearn post-compaction: skipped by the low-water mark
+    assert(!IndexStore.unlearnFromLmIndexKeyed(
+      docs.where(col("doc_id") === 0L), "doc_id", "text", tbl, -1L))
+    assert(score() == after)
+    // the next REAL unlearn continues below the mark
+    assert(IndexStore.unlearnFromLmIndexKeyed(
+      docs.where(col("doc_id") === 5L), "doc_id", "text", tbl, -2L))
+    assert(score() == NgramLm.scoreMicroBits(
+      NgramLm.train(a.where(col("doc_id") =!= 0L && col("doc_id") =!= 5L)),
+      eval_).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("keyed LM refuses out-of-band keys in-band and vice versa") {
+    val tbl = "graft_spec_lmkg"
+    dropTable(s"${tbl}_counts")
+    IndexStore.buildLmIndexKeyed(docs.where(col("doc_id") < 50),
+      "doc_id", "text", tbl, s"$idxPath/$tbl", batchKey = 0L)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendLmIndexKeyed(docs.where(col("doc_id") < 10),
+        "doc_id", "text", tbl, -3L)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.unlearnFromLmIndexKeyed(docs.where(col("doc_id") < 10),
+        "doc_id", "text", tbl, 3L)
+    }
+  }
+
   // ---- 4. caching contract ------------------------------------------
 
   test("repeated probes accumulate no persisted RDDs") {

@@ -506,12 +506,14 @@ class StreamingSpec extends SparkSpec {
     StreamingIndexIngest.stageBatchFile(
       train.where($"doc_id" < 100), work, src, "b1")
     drain()
-    IndexStore.unlearnFromLmIndex(docs.where($"doc_id" === 0L),
-      "doc_id", "text", "graft_t_lmu")
+    // keyed take-down (the stream's table is batch-keyed now): negative
+    // out-of-band key, below the initial low-water mark of 0
+    assert(IndexStore.unlearnFromLmIndexKeyed(docs.where($"doc_id" === 0L),
+      "doc_id", "text", "graft_t_lmu", batchKey = -1L))
     StreamingIndexIngest.stageBatchFile(
       train.where($"doc_id" >= 100), work, src, "b2")
     drain() // same checkpoint — only the new file appends
-    val got = IndexStore.scoreFromLmIndex(spark, "graft_t_lmu", eval_)
+    val got = IndexStore.scoreFromLmIndexKeyed(spark, "graft_t_lmu", eval_)
       .orderBy("doc_id").collect().toSeq
     val want = NgramLm.scoreMicroBits(
         NgramLm.train(train.where($"doc_id" =!= 0L)), eval_)
