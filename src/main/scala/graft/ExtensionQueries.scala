@@ -137,6 +137,30 @@ object ExtensionQueries {
         concat(lit(" "), col("text"), lit("  ")).as("text")))
   }
 
+  /** documents ∪ two deterministic plants for the filter-suite queries
+    * (t9/t10, shared so their rows stay comparable): structured
+    * multi-line variants of every 11th doc (bullets, a stopword-rich
+    * sentence, a javascript line, an ellipsis line, proper sentences)
+    * and symbol-spam variants of every 13th doc (hash runs, lorem
+    * ipsum, a curly brace). The raw table is flat single-line word
+    * soup — without the plants every line-level rule is degenerate. */
+  private def qualityPlantCorpus(base: DataFrame): DataFrame = {
+    val d = base.select("doc_id", "text")
+    d.unionAll(d.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("- item one\n- item two\n"), col("text"),
+            lit(" to of and that have with.\n" +
+              "Good sentence with many words written here.\n" +
+              "this short line mentions javascript libraries.\n" +
+              "Trailing thought...\n" +
+              "Another proper sentence ends with five words.")).as("text")))
+      .unionAll(d.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"),
+            lit(" lorem ipsum dolor { 1234 ### ### ### ### ### ### " +
+              "### ### ### ### ### ...")).as("text")))
+  }
+
   /** documents ∪ near-dup copies of every 5th doc (two appended
     * tokens); `maxId` bounds the base corpus for all-pairs kernels. */
   private def docsWithNearDups(s: SparkSession, dir: String,
@@ -955,6 +979,116 @@ object ExtensionQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
         graft.operators.Repetition.compressionRatio(corpus).orderBy("doc_id")
+      }),
+
+    // Gopher document-quality rule suite (arXiv:2112.11446 A1) over a
+    // corpus planted with two deterministic variants: structured
+    // multi-line docs (bullets, an ellipsis line, a stopword-rich
+    // sentence — these must clear the stopword rule the flat base docs
+    // fail) and symbol-spam docs (hash runs + lorem ipsum — these must
+    // fail the symbol-ratio and alpha-word rules). Every signal is a
+    // codegen'd Column expression; zero shuffle.
+    QueryDef("t9_gopher_quality",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000,
+             |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+             |    ' to of and that have with.' || chr(10) ||
+             |    'Good sentence with many words written here.' || chr(10) ||
+             |    'this short line mentions javascript libraries.' || chr(10) ||
+             |    'Trailing thought...' || chr(10) ||
+             |    'Another proper sentence ends with five words.'
+             |  FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 400000,
+             |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+             |    len(regexp_extract_all(text, '#')) AS n_hash,
+             |    len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+             |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+             |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+             |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell_end,
+             |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+             |    (CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'the') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'be') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'to') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'of') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'and') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'that') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'have') THEN 1 ELSE 0 END
+             |     + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\s+'), 'with') THEN 1 ELSE 0 END
+             |    ) AS n_stop
+             |  FROM corpus),
+             |q AS (
+             |  SELECT doc_id, n_words,
+             |    floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+             |    floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS symbol_word_ratio,
+             |    floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bullet_line_frac,
+             |    floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS ellipsis_line_frac,
+             |    floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS alpha_word_frac,
+             |    CAST(n_stop AS BIGINT) AS n_stop_distinct
+             |  FROM m)
+             |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+             |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_distinct,
+             |  CAST(n_words BETWEEN 50 AND 100000
+             |    AND mean_word_len BETWEEN 3.0 AND 10.0
+             |    AND symbol_word_ratio <= 0.1
+             |    AND bullet_line_frac <= 0.9
+             |    AND ellipsis_line_frac <= 0.3
+             |    AND alpha_word_frac >= 0.8
+             |    AND n_stop_distinct >= 2 AS INT) AS gopher_pass
+             |FROM q ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = qualityPlantCorpus(load(s, dir, "documents"))
+        graft.operators.QualityRules.gopherQuality(corpus).orderBy("doc_id")
+      }),
+
+    // C4 cleaning (arXiv:1910.10683 §2.2) over the SAME planted corpus
+    // as t9 (row-for-row comparable): line retention runs in the native
+    // codegen'd C4LineClean scan; structured docs keep exactly their
+    // three proper sentences (bullets, the javascript line, and the
+    // short ellipsis line all drop), flat base docs clean to empty, and
+    // the lorem-ipsum/curly-brace plants are page-dropped even though
+    // their lines survive.
+    QueryDef("t10_c4_filter",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000,
+             |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+             |    ' to of and that have with.' || chr(10) ||
+             |    'Good sentence with many words written here.' || chr(10) ||
+             |    'this short line mentions javascript libraries.' || chr(10) ||
+             |    'Trailing thought...' || chr(10) ||
+             |    'Another proper sentence ends with five words.'
+             |  FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 400000,
+             |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |cleaned AS (
+             |  SELECT doc_id, text,
+             |    coalesce(array_to_string(list_filter(string_split(text, chr(10)), l ->
+             |      regexp_matches(l, '[.!?"]$')
+             |      AND len(regexp_extract_all(l, '\S+')) >= 5
+             |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean_text
+             |  FROM corpus)
+             |SELECT doc_id, clean_text,
+             |  CAST(CASE WHEN clean_text = '' THEN 0
+             |       ELSE length(clean_text) - length(replace(clean_text, chr(10), '')) + 1 END AS BIGINT) AS n_lines_kept,
+             |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+             |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+             |    AND NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(text, '{') AS INT) AS c4_keep
+             |FROM cleaned ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = qualityPlantCorpus(load(s, dir, "documents"))
+        graft.operators.QualityRules.c4Filter(corpus).orderBy("doc_id")
       }),
 
     // PII surface counts — emails and long digit runs flagged for the

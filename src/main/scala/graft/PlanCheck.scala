@@ -17,7 +17,8 @@ object PlanCheck {
         "ext_contamination_shuffle", "ext_srp_persisted",
         "ext_repeated_spans", "ext_winnow_persisted", "ext_srp_ingest",
         "ext_semantic_dedup", "ext_shard_assign", "ext_source_token_budget",
-        "ext_ccnet_pipeline", "t7_gopher_repetition")
+        "ext_ccnet_pipeline", "t7_gopher_repetition",
+        "t9_gopher_quality", "t10_c4_filter")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{C4Clean, TextAnalysis}
+
+/** The two published web-corpus filter SUITES, as whole-document rule
+  * evaluations — the deterministic companions of the signal family
+  * t1–t8 (which score; these decide):
+  *
+  *  - Gopher document-quality rules (Rae et al. 2021, public
+  *    arXiv:2112.11446, appendix A1): word-count bounds, mean word
+  *    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+  *    alphabetic-word fraction, and the ≥2-distinct-stopwords check.
+  *  - C4 cleaning (Raffel et al. 2020, public arXiv:1910.10683 §2.2):
+  *    line-level retention (terminal punctuation, ≥5 words, no
+  *    "javascript") plus the page-level drops (lorem ipsum, curly
+  *    brace, fewer than three sentences surviving).
+  *
+  * Scale shape: both are single-pass projections — every rule is a
+  * codegen'd Column expression (regexp_count / array_contains /
+  * length) or the native [[graft.functions.C4LineClean]] scan, so the
+  * suites run inside whole-stage codegen with ZERO shuffle at any
+  * corpus size; a 100 TB filter pass is exactly as parallel as its
+  * scan. Fractions are floor-quantized to 1e-4 (the engine-determinism
+  * doctrine); pass flags compare the QUANTIZED values so the decision
+  * reproduces bit-for-bit in any engine that mirrors the arithmetic.
+  */
+object QualityRules {
+
+  private def quant4(c: Column): Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Gopher appendix-A1 stop set: a doc must contain ≥ 2 distinct. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule evaluation. Emits every measured signal
+    * alongside the composite `gopher_pass` (0/1) so downstream mixing
+    * can re-weight individual rules without re-scanning. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = TextAnalysis.tokens(t)
+    val nWords = TextAnalysis.tokenCount(t).cast("long")
+    // Sum of token lengths == count of non-whitespace characters: one
+    // regexp_replace instead of an interpreted per-token aggregate.
+    val nonWsChars = length(regexp_replace(t, "\\s", "")).cast("double")
+    val meanLenQ = quant4(when(nWords > 0, nonWsChars / nWords).otherwise(0.0))
+    // "either the hash symbol or the ellipsis": the binding ratio is
+    // the worse of the two. Non-overlapping '...' counts agree between
+    // Java regex and RE2 (both leftmost, resume after the match).
+    val nHash = regexp_count(t, lit("#")).cast("double")
+    val nEllipsis = regexp_count(t, lit("\\.\\.\\.")).cast("double")
+    val symRatioQ = quant4(when(nWords > 0,
+      greatest(nHash, nEllipsis) / nWords).otherwise(0.0))
+    val nLines = (regexp_count(t, lit("\n")) + 1).cast("double")
+    val bulletFracQ = quant4(
+      regexp_count(t, lit("(?m)^[ \\t]*[-*•]")).cast("double") / nLines)
+    val ellipsisFracQ = quant4(
+      regexp_count(t, lit("(?m)\\.\\.\\.$")).cast("double") / nLines)
+    // A word "with at least one alphabetic character": greedy \S*
+    // expands to the whole whitespace-delimited run, so each qualifying
+    // token matches exactly once in both Java regex and RE2.
+    val nAlphaWords = regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("double")
+    val alphaFracQ = quant4(when(nWords > 0, nAlphaWords / nWords)
+      .otherwise(0.0))
+    val nStopDistinct = gopherStopwords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      meanLenQ.as("mean_word_len"),
+      symRatioQ.as("symbol_word_ratio"),
+      bulletFracQ.as("bullet_line_frac"),
+      ellipsisFracQ.as("ellipsis_line_frac"),
+      alphaFracQ.as("alpha_word_frac"),
+      nStopDistinct.cast("long").as("n_stop_distinct"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_distinct") >= 2).cast("int"))
+  }
+
+  /** Per-document C4 cleaning: the cleaned text (kept lines re-joined
+    * with '\n'; empty when nothing survives), kept-line and sentence
+    * counts, and the page-level `c4_keep` (0/1). */
+  def c4Filter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol), t,
+      C4Clean.c4LineClean(t, minWords).as("clean_text"))
+      .select(col(idCol), col("clean_text"),
+        when(col("clean_text") === "", 0L)
+          .otherwise((regexp_count(col("clean_text"), lit("\n")) + 1)
+            .cast("long")).as("n_lines_kept"),
+        regexp_count(col("clean_text"), lit("[.!?]")).cast("long")
+          .as("n_sentences"),
+        (regexp_count(col("clean_text"), lit("[.!?]")) >= minSentences &&
+          !lower(t).contains("lorem ipsum") &&
+          !t.contains("{")).cast("int").as("c4_keep"))
+  }
+}
