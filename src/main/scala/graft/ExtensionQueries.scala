@@ -144,21 +144,27 @@ object ExtensionQueries {
     * and symbol-spam variants of every 13th doc (hash runs, lorem
     * ipsum, a curly brace). The raw table is flat single-line word
     * soup — without the plants every line-level rule is degenerate. */
+  private def structuredVariant(text: org.apache.spark.sql.Column) =
+    concat(lit("- item one\n- item two\n"), text,
+      lit(" to of and that have with.\n" +
+        "Good sentence with many words written here.\n" +
+        "this short line mentions javascript libraries.\n" +
+        "Trailing thought...\n" +
+        "Another proper sentence ends with five words."))
+
+  private def spamVariant(text: org.apache.spark.sql.Column) =
+    concat(text,
+      lit(" lorem ipsum dolor { 1234 ### ### ### ### ### ### " +
+        "### ### ### ### ### ..."))
+
   private def qualityPlantCorpus(base: DataFrame): DataFrame = {
     val d = base.select("doc_id", "text")
     d.unionAll(d.where(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
-          concat(lit("- item one\n- item two\n"), col("text"),
-            lit(" to of and that have with.\n" +
-              "Good sentence with many words written here.\n" +
-              "this short line mentions javascript libraries.\n" +
-              "Trailing thought...\n" +
-              "Another proper sentence ends with five words.")).as("text")))
+          structuredVariant(col("text")).as("text")))
       .unionAll(d.where(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 400000).as("doc_id"),
-          concat(col("text"),
-            lit(" lorem ipsum dolor { 1234 ### ### ### ### ### ### " +
-              "### ### ### ### ### ...")).as("text")))
+          spamVariant(col("text")).as("text")))
   }
 
   /** documents ∪ near-dup copies of every 5th doc (two appended
@@ -1498,6 +1504,189 @@ object ExtensionQueries {
             Window.partitionBy("fingerprint")))
           .where(col("doc_id") === col("keeper_id"))
           .select("doc_id", "lang_pred", "quality", "band", "h_milli_tok")
+          .orderBy("doc_id")
+      }),
+
+    // FineWeb-style composed curation: lang-ID → C4 page drops → Gopher
+    // gate → exact-dedup keeper, first-cut attribution — the t9/t10
+    // suites composing with the dedup stack the way ext_ccnet_pipeline
+    // composes the CCNet stages. Four planted classes, each with a
+    // known verdict: flat base docs die at the Gopher gate (one distinct
+    // stopword), structured plants survive to 'kept', their
+    // whitespace-inflated twins lose the fingerprint group to 'dedup',
+    // and symbol-spam plants are attributed to 'c4_page' (the FIRST
+    // cutting stage — they'd fail Gopher too). Fully oracle-checked:
+    // the exact-fingerprint dedup slot keeps the whole composition
+    // SQL-expressible (the MinHash slot is the same keeper choreography
+    // via dedupIngestGate).
+    QueryDef("ext_fineweb_pipeline", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH splants AS (
+              |  SELECT doc_id,
+              |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+              |    ' to of and that have with.' || chr(10) ||
+              |    'Good sentence with many words written here.' || chr(10) ||
+              |    'this short line mentions javascript libraries.' || chr(10) ||
+              |    'Trailing thought...' || chr(10) ||
+              |    'Another proper sentence ends with five words.' AS stext
+              |  FROM documents WHERE doc_id % 11 = 0),
+              |corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 300000, stext FROM splants
+              |  UNION ALL
+              |  SELECT doc_id + 400000,
+              |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
+              |  FROM documents WHERE doc_id % 13 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 500000, ' ' || stext || '  ' FROM splants),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+              |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+              |    len(regexp_extract_all(text, '#')) AS n_hash,
+              |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+              |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+              |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+              |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
+              |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+              |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
+                     s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
+                     .mkString("\n     + ")}) AS n_stop
+              |  FROM corpus),
+              |g AS (
+              |  SELECT doc_id,
+              |    CASE WHEN n_words BETWEEN 50 AND 100000
+              |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
+              |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
+              |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
+              |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
+              |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
+              |      AND n_stop >= 2
+              |    THEN 1 ELSE 0 END AS gopher_pass
+              |  FROM m),
+              |feat AS (
+              |  SELECT doc_id,
+              |    $hits,
+              |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+              |  FROM (SELECT doc_id, text,
+              |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
+              |        FROM corpus)),
+              |staged AS (
+              |  SELECT f.doc_id, f.fingerprint,
+              |    CASE WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
+              |         WHEN f.c4_drop THEN 'c4_page'
+              |         WHEN g.gopher_pass = 0 THEN 'gopher'
+              |         ELSE 'survivor' END AS stage
+              |  FROM feat f JOIN g ON f.doc_id = g.doc_id),
+              |keepers AS (
+              |  SELECT fingerprint, min(doc_id) AS keeper_id
+              |  FROM staged WHERE stage = 'survivor' GROUP BY 1)
+              |SELECT s.doc_id,
+              |  CASE WHEN s.stage <> 'survivor' THEN s.stage
+              |       WHEN s.doc_id = k.keeper_id THEN 'kept'
+              |       ELSE 'dedup' END AS cut_stage
+              |FROM staged s LEFT JOIN keepers k ON s.fingerprint = k.fingerprint
+              |ORDER BY s.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val structured = d.where(col("doc_id") % 11 === 0)
+        val corpus = qualityPlantCorpus(d)
+          .unionAll(structured.select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit(" "), structuredVariant(col("text")), lit("  "))
+              .as("text")))
+        graft.operators.QualityRules.fineWebPipeline(corpus).orderBy("doc_id")
+      }),
+
+    // Distributed BPE vocabulary induction: learn 4 merges from the
+    // corpus. The corpus first collapses to a distinct-word frequency
+    // table (vocabulary-sized, the reason BPE trains at corpus scale);
+    // each merge is one pair-count shuffle + a single-row argmax; the
+    // oracle replays the identical four iterations as chained CTEs —
+    // the double-spaced symbol representation makes BPE's leftmost
+    // non-overlapping merge a literal `replace` both engines share.
+    QueryDef("ext_bpe_merges", {
+      val stages = (1 to 4).map { k =>
+        s"""p$k AS (
+           |  SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split_regex(trim(sym), '\\s+') AS toks, freq FROM v${k - 1}),
+           |       unnest(range(1, len(toks))) AS r(i)
+           |  GROUP BY 1),
+           |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |v$k AS (
+           |  SELECT replace(sym,
+           |           ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
+           |           ' ' || replace(pair, ' ', '') || ' ') AS sym, freq
+           |  FROM v${k - 1}, m$k)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (1 to 4).map(k =>
+        s"  SELECT $k AS merge_rank, string_split(pair, ' ')[1] AS left_sym, string_split(pair, ' ')[2] AS right_sym, cnt AS n_pair FROM m$k")
+        .mkString("\n  UNION ALL\n")
+      Some(s"""WITH w AS (
+              |  SELECT x AS w, count(*) AS freq
+              |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS x
+              |        FROM documents)
+              |  GROUP BY 1),
+              |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS sym, freq FROM w),
+              |$stages
+              |SELECT * FROM (
+              |$ranks
+              |) ORDER BY merge_rank""".stripMargin)
+    },
+      (s, dir) => graft.operators.Bpe.trainMergesDF(s,
+        load(s, dir, "documents"), numMerges = 4)),
+
+    // Segment with the learned table: per-document REAL-BPE symbol
+    // count (t3's `bpeish` column is the heuristic; this is the
+    // trained tokenizer). The merges are driver-held literals, so the
+    // whole segmentation is one codegen'd projection over the corpus.
+    QueryDef("ext_bpe_token_count", {
+      val stages = (1 to 4).map { k =>
+        s"""p$k AS (
+           |  SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split_regex(trim(sym), '\\s+') AS toks, freq FROM v${k - 1}),
+           |       unnest(range(1, len(toks))) AS r(i)
+           |  GROUP BY 1),
+           |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |v$k AS (
+           |  SELECT replace(sym,
+           |           ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
+           |           ' ' || replace(pair, ' ', '') || ' ') AS sym, freq
+           |  FROM v${k - 1}, m$k)""".stripMargin
+      }.mkString(",\n")
+      val applied = (1 to 4).foldLeft(
+        "regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '    ', 'g'), '([^ ])', '  \\1', 'g') || '  '") {
+        (acc, k) =>
+          s"""replace($acc,
+             | ' ' || (SELECT string_split(pair, ' ')[1] FROM m$k) || '  ' || (SELECT string_split(pair, ' ')[2] FROM m$k) || ' ',
+             | ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')""".stripMargin
+      }
+      Some(s"""WITH w AS (
+              |  SELECT x AS w, count(*) AS freq
+              |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS x
+              |        FROM documents)
+              |  GROUP BY 1),
+              |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS sym, freq FROM w),
+              |$stages
+              |SELECT doc_id,
+              |  CASE WHEN trim(lower(text)) = '' THEN 0
+              |       ELSE len(string_split_regex(trim($applied), '\\s+'))
+              |  END AS n_bpe
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 4)
+        docs.select(col("doc_id"),
+          graft.operators.Bpe.bpeTokenCount(col("text"), merges)
+            .as("n_bpe"))
           .orderBy("doc_id")
       }),
 

@@ -36,12 +36,11 @@ object QualityRules {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Per-document Gopher rule evaluation. Emits every measured signal
-    * alongside the composite `gopher_pass` (0/1) so downstream mixing
-    * can re-weight individual rules without re-scanning. */
-  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  /** The seven quantized Gopher signals as named Columns over `t` —
+    * shared by [[gopherQuality]] (which emits them all) and
+    * [[fineWebPipeline]] (which folds just the pass decision into one
+    * projection). */
+  private def gopherSignalCols(t: Column): Seq[(String, Column)] = {
     val toks = TextAnalysis.tokens(t)
     val nWords = TextAnalysis.tokenCount(t).cast("long")
     // Sum of token lengths == count of non-whitespace characters: one
@@ -70,22 +69,36 @@ object QualityRules {
       .map(w => when(array_contains(toks, w), 1).otherwise(0))
       .reduce(_ + _)
 
-    docs.select(col(idCol),
-      nWords.as("n_words"),
-      meanLenQ.as("mean_word_len"),
-      symRatioQ.as("symbol_word_ratio"),
-      bulletFracQ.as("bullet_line_frac"),
-      ellipsisFracQ.as("ellipsis_line_frac"),
-      alphaFracQ.as("alpha_word_frac"),
-      nStopDistinct.cast("long").as("n_stop_distinct"))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLenQ,
+      "symbol_word_ratio" -> symRatioQ,
+      "bullet_line_frac" -> bulletFracQ,
+      "ellipsis_line_frac" -> ellipsisFracQ,
+      "alpha_word_frac" -> alphaFracQ,
+      "n_stop_distinct" -> nStopDistinct.cast("long"))
+  }
+
+  /** The published thresholds over the (quantized) signals. */
+  private def gopherPassExpr(sig: Map[String, Column]): Column =
+    sig("n_words") >= 50 && sig("n_words") <= 100000 &&
+      sig("mean_word_len") >= 3.0 && sig("mean_word_len") <= 10.0 &&
+      sig("symbol_word_ratio") <= 0.1 &&
+      sig("bullet_line_frac") <= 0.9 &&
+      sig("ellipsis_line_frac") <= 0.3 &&
+      sig("alpha_word_frac") >= 0.8 &&
+      sig("n_stop_distinct") >= 2
+
+  /** Per-document Gopher rule evaluation. Emits every measured signal
+    * alongside the composite `gopher_pass` (0/1) so downstream mixing
+    * can re-weight individual rules without re-scanning. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sig = gopherSignalCols(col(textCol))
+    docs.select(col(idCol) +: sig.map { case (n, c) => c.as(n) }: _*)
       .withColumn("gopher_pass",
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_word_ratio") <= 0.1 &&
-          col("bullet_line_frac") <= 0.9 &&
-          col("ellipsis_line_frac") <= 0.3 &&
-          col("alpha_word_frac") >= 0.8 &&
-          col("n_stop_distinct") >= 2).cast("int"))
+        gopherPassExpr(sig.map { case (n, _) => n -> col(n) }.toMap)
+          .cast("int"))
   }
 
   /** Per-document C4 cleaning: the cleaned text (kept lines re-joined
@@ -106,5 +119,52 @@ object QualityRules {
         (regexp_count(col("clean_text"), lit("[.!?]")) >= minSentences &&
           !lower(t).contains("lorem ipsum") &&
           !t.contains("{")).cast("int").as("c4_keep"))
+  }
+
+  /** FineWeb-style composed curation (Penedo et al. 2024, public
+    * arXiv:2406.17557): language-ID → C4 page drops → Gopher quality
+    * gate → exact-dedup keeper, cost-ascending like the ingest gates,
+    * with every document attributed to the FIRST stage that cut it
+    * (`lang` / `c4_page` / `gopher` / `dedup`) or `kept`. FineWeb runs
+    * MinHash at the dedup slot; this composition uses the canonical
+    * exact fingerprint so the WHOLE pipeline is value-checkable against
+    * a SQL oracle — the MinHash slot is the same keeper choreography
+    * (see `IndexStore.dedupIngestGate` for the banded form).
+    *
+    * Scale shape: the three filter stages fold into ONE codegen'd
+    * projection (zero shuffle — cut rows never reach an exchange);
+    * only survivors shuffle, once, on the dedup fingerprint (a groupBy
+    * min + join on the same key — no per-group window, hot boilerplate
+    * fingerprints stay linear). */
+  def fineWebPipeline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val sig = gopherSignalCols(t).toMap
+    // Pin the 3-column decision frame (eager localCheckpoint): three
+    // consumers read it — the cut branch, the survivor branch, and the
+    // keeper aggregate — and without the pin each re-evaluates the full
+    // signal tree over the corpus (measured 3× the query cost). The
+    // pinned frame is (id, fingerprint, stage), NOT the text — tiny at
+    // any corpus size. Same boundary doctrine as the ingest gates:
+    // executor-local blocks; see Dedup.ReliableBoundaryConf for the
+    // durable variant under dynamic allocation.
+    val staged = Ops.checkpointKeepPartitioning(
+      docs.select(col(idCol),
+        TextAnalysis.fingerprintMd5(t).as("fingerprint"),
+        when(TextAnalysis.langId(t) =!= "en", "lang")
+          .when(lower(t).contains("lorem ipsum") || t.contains("{"), "c4_page")
+          .when(!gopherPassExpr(sig), "gopher")
+          .otherwise("survivor").as("stage")),
+      eager = true)
+    val cut = staged.where(col("stage") =!= "survivor")
+      .select(col(idCol), col("stage").as("cut_stage"))
+    val survivors = staged.where(col("stage") === "survivor")
+    val keepers = survivors.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keeper_id"))
+    val attributed = survivors.join(keepers, "fingerprint")
+      .select(col(idCol),
+        when(col(idCol) === col("keeper_id"), "kept")
+          .otherwise("dedup").as("cut_stage"))
+    cut.unionAll(attributed)
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The classic BPE walkthrough corpus: low×3, lower×1, newest×2.
+  private val corpus = Seq(
+    (1L, "low low low lower"),
+    (2L, "newest newest")).toDF("doc_id", "text")
+
+  test("trainMerges learns the hand-computed merge sequence") {
+    val m = Bpe.trainMerges(corpus, numMerges = 4)
+    // pair counts r1: (l,o)=4 (o,w)=4 (w,e)=3 (n,e)=(e,w)=(e,s)=(s,t)=2
+    // (e,r)=1 — ties break to the lexicographically smallest pair.
+    assert(m.map(x => (x.merge_rank, x.left_sym, x.right_sym, x.n_pair)) ==
+      Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+        (3, "e", "s", 2L), (4, "e", "w", 2L)))
+  }
+
+  test("bpeTokenCount applies the merges in rank order") {
+    val merges = Bpe.trainMerges(corpus, numMerges = 4)
+    // low → [low]; lower → [low, e, r]; newest → [n, ew, es, t]
+    val got = Seq((1L, "low lower newest"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Bpe.bpeTokenCount($"text", merges).as("n"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 8), (2L, 0), (3L, 0)))
+  }
+
+  test("merges never cross word boundaries") {
+    // "ab" appears only split across words: 'a' ends word1, 'b' starts
+    // word2 — the only in-word pairs are (x,a) and (b,y).
+    val m = Bpe.trainMerges(
+      Seq((1L, "xa by xa by xa by")).toDF("doc_id", "text"), numMerges = 1)
+    assert(m.head.left_sym == "b" && m.head.right_sym == "y")
+  }
+
+  test("training stops when no pair is left to merge") {
+    val m = Bpe.trainMerges(
+      Seq((1L, "a b c a b")).toDF("doc_id", "text"), numMerges = 5)
+    assert(m.isEmpty)
+  }
+}

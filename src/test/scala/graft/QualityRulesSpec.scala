@@ -107,6 +107,39 @@ class QualityRulesSpec extends SparkSpec {
       r(4).getAs[String]("clean_text") == "")
   }
 
+  test("fineweb pipeline: four planted classes land on four verdicts") {
+    // ids: 1 = English but fails Gopher (short); 2/3 = full survivors
+    // sharing a fingerprint (3 is a whitespace-inflated copy of 2);
+    // 4 = lorem-ipsum page (cut by c4_page BEFORE gopher, though it
+    // would fail gopher too); 5 = Spanish (cut at lang, first stage).
+    val surv = goodText + " more filler words so the count clears fifty"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps with energy"),
+      (2L, surv),
+      (3L, " " + surv.replaceAll(" ", "  ") + "  "),
+      (4L, surv + " lorem ipsum { " + ("### " * 12).trim),
+      (5L, "el perro y la casa de que los " + surv.replace("the", "xx")
+        .replace("with", "yy"))
+    ).toDF("doc_id", "text")
+    val got = QualityRules.fineWebPipeline(corpus).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "gopher", 2L -> "kept", 3L -> "dedup",
+      4L -> "c4_page", 5L -> "lang"))
+  }
+
+  test("fineweb pipeline: cut rows never reach the dedup exchange") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val plan = QualityRules.fineWebPipeline(docs)
+      .queryExecution.executedPlan.toString
+    // Only the dedup stage shuffles, and only on the fingerprint:
+    // every hash exchange must be fingerprint-keyed (the keeper side
+    // broadcasting instead is fine — that's the small-side plan).
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("fingerprint")),
+      s"non-fingerprint shuffle keys $keys in:\n$plan")
+  }
+
   test("both suites are zero-shuffle single-pass projections") {
     val docs = Tables.load(spark, sf0001, "documents")
     Seq(QualityRules.gopherQuality(docs), QualityRules.c4Filter(docs))
