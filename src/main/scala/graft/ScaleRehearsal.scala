@@ -77,6 +77,9 @@ object ScaleRehearsal {
       // separately from the shingle kernels
       graft.operators.NgramLm.scoreMicroBits(
         graft.operators.NgramLm.train(w), w).collect()
+      // the BPE loop and the filter-suite projections JIT separately
+      graft.operators.Bpe.trainMerges(w, numMerges = 1)
+      graft.operators.QualityRules.fineWebPipeline(w).collect()
       // the kmeans/assignment/cosine-join family JITs separately too
       val we = Tables.load(spark, sfDir, "embeddings")
         .where(col("vec_id") < 200)
@@ -196,6 +199,23 @@ object ScaleRehearsal {
       val secSd = (System.nanoTime() - tsd) / 1e9
       println(f"""{"q":"semantic_dedup_lifecycle","scale":$scale,""" +
         f""""kept":$nKept,"k":$kClusters,"sec":$secSd%.2f}""")
+
+      // BPE training (4 merges). Disjoint-vocabulary replication
+      // multiplies the VOCABULARY itself ~linearly — the worst case
+      // for BPE's vocabulary-collapse stage (a same-vocabulary 10×
+      // corpus would leave every iteration's working set UNCHANGED,
+      // only the word-frequency counts would grow); the slope below is
+      // therefore an upper bound on the real-corpus slope.
+      val tbpe = System.nanoTime()
+      val merges = graft.operators.Bpe.trainMerges(corpus, numMerges = 4)
+      val secBpe = (System.nanoTime() - tbpe) / 1e9
+      println(f"""{"q":"bpe_train4","scale":$scale,""" +
+        f""""topPairCnt":${merges.head.n_pair},"sec":$secBpe%.2f}""")
+
+      // FineWeb composed pipeline: one pinned decision projection +
+      // the survivors-only fingerprint shuffle.
+      time("fineweb_pipeline", scale,
+        graft.operators.QualityRules.fineWebPipeline(corpus))
     }
 
     // ---- gate-path ~100× rehearsal ---------------------------------
