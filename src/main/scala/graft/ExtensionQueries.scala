@@ -1690,6 +1690,29 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Token-window chunking (32-token windows, 4-token overlap): splits
+    // documents that exceed the context budget into training-window
+    // pieces — per-row explode + codegen'd slice, zero shuffle. The
+    // ~45-word base docs produce 2–3 windows each; the last window may
+    // be shorter; window 0 of doc k shares its last 4 tokens with
+    // window 1's first 4 (overlap fixtures in ChunkingSpec).
+    QueryDef("ext_doc_chunking",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+             |  FROM d)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |  array_to_string(list_slice(toks, i * 28 + 1, i * 28 + 32), ' ') AS chunk_text,
+             |  CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS INT) AS n_tokens
+             |FROM c, unnest(range(0, n_chunks)) AS r(i)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) => graft.operators.Chunking.tokenChunks(
+          load(s, dir, "documents"), chunkSize = 32, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
     // ── Multimodal columns ───────────────────────────────────────────
 
     QueryDef("mm1_media_metadata",
