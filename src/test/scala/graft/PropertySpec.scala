@@ -147,6 +147,46 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("c4 clean: native ≡ fold over the adversarial corpus") {
+    import graft.functions.C4Clean
+    val bad = df.select(C4Clean.c4LineClean($"s").as("a"),
+        C4Clean.c4LineCleanFold($"s").as("b"))
+      .where($"a" =!= $"b")
+    assert(bad.count() == 0)
+  }
+
+  test("chunking: windows cover every token for arbitrary size/overlap") {
+    import graft.operators.Chunking
+    val docs = df.limit(150).select(
+      monotonically_increasing_id().as("doc_id"), $"s".as("text"))
+      .localCheckpoint()
+    for ((cs, ov) <- Seq((4, 0), (4, 1), (7, 3), (64, 8))) {
+      val chunks = Chunking.tokenChunks(docs, chunkSize = cs, overlap = ov)
+      // token conservation: Σ n_tokens = n + overlap·(chunks − 1)
+      val bad = chunks.groupBy("doc_id")
+        .agg(sum("n_tokens").as("tot"), count(lit(1)).as("c"))
+        .join(docs.select($"doc_id",
+          size(split(trim($"text"), "\\s+")).as("n")), "doc_id")
+        .where($"tot" =!= $"n" + ($"c" - 1) * ov)
+      assert(bad.count() == 0, s"size=$cs overlap=$ov")
+    }
+  }
+
+  test("gopher signals: fractions bounded, counts non-negative") {
+    import graft.operators.QualityRules
+    val docs = df.limit(200).select(
+      monotonically_increasing_id().as("doc_id"), $"s".as("text"))
+    val g = QualityRules.gopherQuality(docs)
+    val bad = g.where(
+      $"mean_word_len" < 0 || $"symbol_word_ratio" < 0 ||
+        $"bullet_line_frac" < 0 || $"bullet_line_frac" > 1 ||
+        $"ellipsis_line_frac" < 0 || $"ellipsis_line_frac" > 1 ||
+        $"alpha_word_frac" < 0 || $"alpha_word_frac" > 1 ||
+        $"n_stop_distinct" < 0 || $"n_stop_distinct" > 8 ||
+        ($"gopher_pass" =!= 0 && $"gopher_pass" =!= 1))
+    assert(bad.count() == 0)
+  }
+
   test("watermark monotonicity: delta of a merge never lowers the watermark") {
     import graft.operators.Incremental
     val base = Tables.load(spark, sf0001, "orders")
