@@ -1811,6 +1811,107 @@ object ExtensionQueries {
           lambda = 1.0)
       }),
 
+    // Serve the trained probe: per-document prediction from the
+    // broadcast one-row weight frame — train (one scan) → apply (one
+    // projection), the whole distill-then-score loop in-engine. The
+    // oracle re-derives the weights through the same CTE chain and
+    // crosses them into the per-doc formula, fixed order end to end.
+    QueryDef("ext_probe_score",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0),
+             |qm AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS DOUBLE) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |      AS n_stop
+             |  FROM corpus),
+             |qual AS (
+             |  SELECT doc_id, n_toks,
+             |    floor((least(1.0, n_toks / 100.0) * 0.5
+             |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+             |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+             |          * 10000.0 + 0.5) / 10000.0 AS quality
+             |  FROM qm),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |rep AS (
+             |  SELECT doc_id,
+             |    floor((CASE WHEN len(shingles) > 1
+             |           THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
+             |           ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep
+             |  FROM sh),
+             |feat AS (
+             |  SELECT q.doc_id,
+             |         CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS x1,
+             |         CAST(q.n_toks AS BIGINT) AS x2,
+             |         CAST(floor(r.rep * 10000.0 + 0.5) AS BIGINT) AS y
+             |  FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+             |mom AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             |    CAST(sum(x2 * y) AS BIGINT) AS s2y, CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM feat),
+             |dd AS (
+             |  SELECT CAST(n AS DOUBLE) AS dn,
+             |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             |    CAST(s11 AS DOUBLE) + 1.0 AS d11, CAST(s12 AS DOUBLE) AS d12,
+             |    CAST(s22 AS DOUBLE) + 1.0 AS d22,
+             |    CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+             |    CAST(s2y AS DOUBLE) AS d2y
+             |  FROM mom),
+             |k AS (
+             |  SELECT *,
+             |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det,
+             |    dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS det0,
+             |    dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS det1,
+             |    dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS det2
+             |  FROM dd),
+             |w AS (
+             |  SELECT floor(det0 / det * 1000000.0 + 0.5) / 1000000.0 AS b0,
+             |         floor(det1 / det * 1000000.0 + 0.5) / 1000000.0 AS b1,
+             |         floor(det2 / det * 1000000.0 + 0.5) / 1000000.0 AS b2
+             |  FROM k)
+             |SELECT f.doc_id, f.y,
+             |  floor((w.b0 + w.b1 * CAST(f.x1 AS DOUBLE) + w.b2 * CAST(f.x2 AS DOUBLE))
+             |        * 1000.0 + 0.5) / 1000.0 AS pred_milli
+             |FROM feat f CROSS JOIN w
+             |ORDER BY f.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        val feats = corpus.select(col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+            .cast("long").as("x1"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("x2"),
+          floor(TextAnalysis.repetitionRatio(col("text")) * 10000.0 + 0.5)
+            .cast("long").as("y"))
+        val w = graft.operators.LinearProbe.ridge2(feats, "x1", "x2", "y",
+          lambda = 1.0).select("b0", "b1", "b2")
+        feats.crossJoin(broadcast(w))
+          .select(col("doc_id"), col("y"),
+            (floor((col("b0") + col("b1") * col("x1").cast("double")
+              + col("b2") * col("x2").cast("double")) * 1000.0 + 0.5)
+              / 1000.0).as("pred_milli"))
+          .orderBy("doc_id")
+      }),
+
     // ── Multimodal columns ───────────────────────────────────────────
 
     QueryDef("mm1_media_metadata",
