@@ -58,6 +58,18 @@ object InventoryQueries {
           .orderBy("doc_id")
       }),
 
+    // ORC interchange roundtrip — the other columnar format Spark ships
+    // natively (warehouse estates mix parquet and ORC); write → read →
+    // values must survive bit-exactly, oracle is the source table.
+    QueryDef("s13_orc_roundtrip",
+      Some("""SELECT doc_id, source, text FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val out = tmpDir("orc", dir)
+        load(s, dir, "documents").select("doc_id", "source", "text")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("doc_id")
+      }),
+
     // S1 (production shape) — DataSource V2 connector with source-side
     // watermark + record-type pushdown and column pruning; rows are
     // deterministic so DuckDB can generate the same relation.
