@@ -125,6 +125,86 @@ object ExtensionQueries {
       |  FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)""".stripMargin +
       (if (moreCtes) ",\n" else "\n") + tail
   }
+  /** Shared oracle for the one-shot AND incremental probe queries:
+    * integer moments are additive, so fold-in + unlearn must equal the
+    * one-shot fit bit-for-bit — one SQL checks every composition (the
+    * same trick as lmOracle). */
+  private[graft] val linearProbeOracle: Option[String] =
+    Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0),
+             |qm AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS DOUBLE) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |      AS n_stop
+             |  FROM corpus),
+             |qual AS (
+             |  SELECT doc_id, n_toks,
+             |    floor((least(1.0, n_toks / 100.0) * 0.5
+             |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+             |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+             |          * 10000.0 + 0.5) / 10000.0 AS quality
+             |  FROM qm),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |rep AS (
+             |  SELECT doc_id,
+             |    floor((CASE WHEN len(shingles) > 1
+             |           THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
+             |           ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep
+             |  FROM sh),
+             |feat AS (
+             |  SELECT CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS x1,
+             |         CAST(q.n_toks AS BIGINT) AS x2,
+             |         CAST(floor(r.rep * 10000.0 + 0.5) AS BIGINT) AS y
+             |  FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+             |mom AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             |    CAST(sum(x2 * y) AS BIGINT) AS s2y, CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM feat),
+             |dd AS (
+             |  SELECT n, CAST(n AS DOUBLE) AS dn,
+             |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             |    CAST(s11 AS DOUBLE) + 1.0 AS d11, CAST(s12 AS DOUBLE) AS d12,
+             |    CAST(s22 AS DOUBLE) + 1.0 AS d22,
+             |    CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+             |    CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
+             |  FROM mom),
+             |k AS (
+             |  SELECT *,
+             |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det,
+             |    dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS det0,
+             |    dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS det1,
+             |    dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS det2
+             |  FROM dd),
+             |w AS (SELECT *, det0 / det AS rb0, det1 / det AS rb1, det2 / det AS rb2 FROM k)
+             |SELECT n,
+             |  floor(rb0 * 1000000.0 + 0.5) / 1000000.0 AS b0,
+             |  floor(rb1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
+             |  floor(rb2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
+             |  floor((1.0 - (dyy - 2.0 * (rb0 * dy + rb1 * d1y + rb2 * d2y)
+             |        + (rb0 * (rb0 * dn + rb1 * d1 + rb2 * d2)
+             |          + rb1 * (rb0 * d1 + rb1 * (d11 - 1.0) + rb2 * d12)
+             |          + rb2 * (rb0 * d2 + rb1 * d12 + rb2 * (d22 - 1.0))))
+             |        / (dyy - dy * dy / dn)) * 1000000.0 + 0.5) / 1000000.0 AS r2
+             |FROM w""".stripMargin)
+
 
   /** documents ∪ perturbed copies of every 5th doc (exact-dup after
     * whitespace normalization). */
@@ -1722,80 +1802,7 @@ object ExtensionQueries {
     // oracle mirrors verbatim — iterative gradient descent could never
     // be value-checked like this.
     QueryDef("ext_linear_probe",
-      Some("""WITH corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0),
-             |qm AS (
-             |  SELECT doc_id,
-             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             |      x -> x <> '')) AS DOUBLE) AS n_toks,
-             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
-             |    CAST(length(text) AS DOUBLE) AS n_chars,
-             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
-             |      AS n_stop
-             |  FROM corpus),
-             |qual AS (
-             |  SELECT doc_id, n_toks,
-             |    floor((least(1.0, n_toks / 100.0) * 0.5
-             |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
-             |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
-             |          * 10000.0 + 0.5) / 10000.0 AS quality
-             |  FROM qm),
-             |sh AS (
-             |  SELECT doc_id,
-             |    CASE WHEN len(toks) >= 3
-             |      THEN list_transform(range(1, len(toks) - 1),
-             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             |      ELSE [array_to_string(toks, ' ')] END AS shingles
-             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-             |        FROM corpus)),
-             |rep AS (
-             |  SELECT doc_id,
-             |    floor((CASE WHEN len(shingles) > 1
-             |           THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
-             |           ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep
-             |  FROM sh),
-             |feat AS (
-             |  SELECT CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS x1,
-             |         CAST(q.n_toks AS BIGINT) AS x2,
-             |         CAST(floor(r.rep * 10000.0 + 0.5) AS BIGINT) AS y
-             |  FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
-             |mom AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n,
-             |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
-             |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
-             |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
-             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * y) AS BIGINT) AS s1y,
-             |    CAST(sum(x2 * y) AS BIGINT) AS s2y, CAST(sum(y * y) AS BIGINT) AS syy
-             |  FROM feat),
-             |dd AS (
-             |  SELECT n, CAST(n AS DOUBLE) AS dn,
-             |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
-             |    CAST(s11 AS DOUBLE) + 1.0 AS d11, CAST(s12 AS DOUBLE) AS d12,
-             |    CAST(s22 AS DOUBLE) + 1.0 AS d22,
-             |    CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
-             |    CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
-             |  FROM mom),
-             |k AS (
-             |  SELECT *,
-             |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det,
-             |    dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS det0,
-             |    dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS det1,
-             |    dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS det2
-             |  FROM dd),
-             |w AS (SELECT *, det0 / det AS rb0, det1 / det AS rb1, det2 / det AS rb2 FROM k)
-             |SELECT n,
-             |  floor(rb0 * 1000000.0 + 0.5) / 1000000.0 AS b0,
-             |  floor(rb1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
-             |  floor(rb2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
-             |  floor((1.0 - (dyy - 2.0 * (rb0 * dy + rb1 * d1y + rb2 * d2y)
-             |        + (rb0 * (rb0 * dn + rb1 * d1 + rb2 * d2)
-             |          + rb1 * (rb0 * d1 + rb1 * (d11 - 1.0) + rb2 * d12)
-             |          + rb2 * (rb0 * d2 + rb1 * d12 + rb2 * (d22 - 1.0))))
-             |        / (dyy - dy * dy / dn)) * 1000000.0 + 0.5) / 1000000.0 AS r2
-             |FROM w""".stripMargin),
+      ExtensionQueries.linearProbeOracle,
       (s, dir) => {
         val d = load(s, dir, "documents").select("doc_id", "text")
         val corpus = d.unionAll(d.where(col("doc_id") % 7 === 0)
@@ -1910,6 +1917,41 @@ object ExtensionQueries {
               + col("b2") * col("x2").cast("double")) * 1000.0 + 0.5)
               / 1000.0).as("pred_milli"))
           .orderBy("doc_id")
+      }),
+
+    // Incremental + unlearned probe training: fold two batch moment
+    // frames together, fold a junk batch in, subtract it back out —
+    // and the fit must equal ext_linear_probe's one-shot EXACTLY
+    // (integer moments are additive model state, the supervised twin
+    // of the LM count table). The oracle is the ONE-SHOT SQL: that the
+    // incremental composition hash-matches it IS the claim.
+    QueryDef("ext_probe_incremental",
+      ExtensionQueries.linearProbeOracle,
+      (s, dir) => {
+        import graft.operators.LinearProbe
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        val feats = corpus.select(col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+            .cast("long").as("x1"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("x2"),
+          floor(TextAnalysis.repetitionRatio(col("text")) * 10000.0 + 0.5)
+            .cast("long").as("y"))
+        val m1 = LinearProbe.moments(
+          feats.where(col("doc_id") % 2 === 0), "x1", "x2", "y")
+        val m2 = LinearProbe.moments(
+          feats.where(col("doc_id") % 2 === 1), "x1", "x2", "y")
+        // a junk batch that must be unlearnable without a trace
+        val junk = LinearProbe.moments(
+          feats.where(col("doc_id") % 7 === 3)
+            .select((col("x1") + 17).as("x1"), (col("x2") * 3).as("x2"),
+              (col("y") + 999).as("y")), "x1", "x2", "y")
+        val total = LinearProbe.addMoments(
+          LinearProbe.addMoments(m1, m2), junk)
+        LinearProbe.ridgeFromMoments(
+          LinearProbe.subtractMoments(total, junk), lambda = 1.0)
       }),
 
     // ── Multimodal columns ───────────────────────────────────────────

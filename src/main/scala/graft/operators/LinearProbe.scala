@@ -29,13 +29,19 @@ object LinearProbe {
   private def quant6(c: Column): Column =
     floor(c * 1000000.0 + 0.5) / 1000000.0
 
-  /** Fit y ≈ b0 + b1·x1 + b2·x2 with ridge strength `lambda` on the
-    * slope terms (intercept unpenalized). Input columns must be
-    * integral (the caller quantizes). Returns one row: n, b0, b1, b2,
-    * r2 (coefficients quantized to 1e-6, r2 to 1e-6). */
-  def ridge2(feats: DataFrame, x1Col: String, x2Col: String,
-      yCol: String, lambda: Double = 1.0): DataFrame = {
-    val m = feats.agg(
+  private val momentCols = Seq("n", "s1", "s2", "s11", "s12", "s22",
+    "sy", "s1y", "s2y", "syy")
+
+  /** The exact integer moment frame of a feature batch (one row) —
+    * ADDITIVE model state, the supervised twin of the LM's count table:
+    * moments(a ∪ b) = moments(a) + moments(b) column-wise, so
+    * incremental training folds a new batch's moments in and EXACT
+    * unlearning subtracts a batch's moments — both bit-identical to a
+    * retrain that saw (or never saw) the batch, because every entry is
+    * an exact integer. */
+  def moments(feats: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame =
+    feats.agg(
       count(lit(1)).as("n"),
       sum(col(x1Col)).as("s1"),
       sum(col(x2Col)).as("s2"),
@@ -46,6 +52,33 @@ object LinearProbe {
       sum(col(x1Col) * col(yCol)).as("s1y"),
       sum(col(x2Col) * col(yCol)).as("s2y"),
       sum(col(yCol) * col(yCol)).as("syy"))
+
+  private def combine(a: DataFrame, b: DataFrame,
+      op: (Column, Column) => Column): DataFrame = {
+    val bb = b.select(momentCols.map(c => col(c).as(s"_b_$c")): _*)
+    a.crossJoin(bb)
+      .select(momentCols.map(c => op(col(c), col(s"_b_$c")).as(c)): _*)
+  }
+
+  /** Fold a batch's moments into the model state (append). */
+  def addMoments(a: DataFrame, b: DataFrame): DataFrame = combine(a, b, _ + _)
+
+  /** Exact unlearning: remove a batch's contribution entirely. */
+  def subtractMoments(a: DataFrame, b: DataFrame): DataFrame =
+    combine(a, b, _ - _)
+
+  /** Fit y ≈ b0 + b1·x1 + b2·x2 with ridge strength `lambda` on the
+    * slope terms (intercept unpenalized). Input columns must be
+    * integral (the caller quantizes). Returns one row: n, b0, b1, b2,
+    * r2 (coefficients quantized to 1e-6, r2 to 1e-6). */
+  def ridge2(feats: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, lambda: Double = 1.0): DataFrame =
+    ridgeFromMoments(moments(feats, x1Col, x2Col, yCol), lambda)
+
+  /** The solve, from a moment frame — shared by one-shot, incremental,
+    * and unlearned training (whose moment frames are bit-identical to
+    * the equivalent one-shot's, so the fits are too). */
+  def ridgeFromMoments(m: DataFrame, lambda: Double = 1.0): DataFrame = {
     // every downstream operation in ONE fixed order, doubles from the
     // exact integer moments — the oracle mirrors this tree verbatim
     val n = col("n").cast("double")

@@ -47,6 +47,32 @@ class LinearProbeSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") > 0.99)
   }
 
+  test("moments are additive: incremental train equals one-shot exactly") {
+    val all = (1 to 120).map(i =>
+      ((i * 13) % 50L, (i * 7) % 30L, (i * 31) % 90L)).toDF("x1", "x2", "y")
+    val b1 = all.where($"x1" % 2 === 0)
+    val b2 = all.where($"x1" % 2 =!= 0)
+    val inc = LinearProbe.ridgeFromMoments(
+      LinearProbe.addMoments(
+        LinearProbe.moments(b1, "x1", "x2", "y"),
+        LinearProbe.moments(b2, "x1", "x2", "y"))).head()
+    val one = LinearProbe.ridge2(all, "x1", "x2", "y").head()
+    assert(inc == one) // bit-identical, not approximately equal
+  }
+
+  test("exact unlearning: subtracting a batch equals never seeing it") {
+    val keep = (1 to 80).map(i =>
+      ((i * 13) % 50L, (i * 7) % 30L, (i * 31) % 90L)).toDF("x1", "x2", "y")
+    val junk = (1 to 40).map(i =>
+      ((i * 5) % 99L, (i * 11) % 44L, (i * 3) % 77L)).toDF("x1", "x2", "y")
+    val mKeep = LinearProbe.moments(keep, "x1", "x2", "y")
+    val mJunk = LinearProbe.moments(junk, "x1", "x2", "y")
+    val unlearned = LinearProbe.ridgeFromMoments(
+      LinearProbe.subtractMoments(
+        LinearProbe.addMoments(mKeep, mJunk), mJunk)).head()
+    assert(unlearned == LinearProbe.ridgeFromMoments(mKeep).head())
+  }
+
   test("training is one aggregate: a single exchange to the combine") {
     val feats = Tables.load(spark, sf0001, "documents")
       .selectExpr("doc_id % 100 as x1", "doc_id % 37 as x2",
