@@ -268,5 +268,19 @@ object StreamingQueries {
         graft.streaming.StreamingCuration.run(s, dir,
           s"/tmp/graft_sccnet/$tag", s"graft_scc_$tag",
           s"/tmp/graft_sccnet/$tag/idx")
+      }),
+
+    // The supervised probe maintained AS a stream (sr8's twin for the
+    // linear model): each micro-batch appends its one-row integer
+    // moment frame to a batch-keyed sink; the final fit solves over one
+    // row per batch. Moments are additive and exact, so the stream is
+    // batch-order independent and checks against the ONE-SHOT SQL —
+    // the fifth fully oracle-checked stream. Replay idempotence
+    // (duplicate batch rows in the sink) is spec'd in StreamingSpec.
+    QueryDef("sr11_streaming_probe",
+      ExtensionQueries.linearProbeOracle,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingProbe.run(s, dir, s"/tmp/graft_sprobe/$tag")
       }))
 }

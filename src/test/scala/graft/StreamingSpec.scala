@@ -663,4 +663,22 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(byShard == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
   }
+
+  test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
+    import graft.streaming.StreamingProbe
+    import graft.operators.LinearProbe
+    val workDir = s"/tmp/graft_sprobe_spec/${System.nanoTime()}"
+    val got = StreamingProbe.run(spark, sf0001, workDir).head()
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val oneShot = LinearProbe.ridge2(StreamingProbe.features(docs),
+      "x1", "x2", "y", lambda = 1.0).head()
+    assert(got == oneShot) // bit-identical: additive integer moments
+    // crash-replay: a batch's moment row lands twice in the sink —
+    // the batch-keyed fold must not double-count it
+    val sink = s"$workDir/moments"
+    val dup = spark.read.parquet(sink).limit(1)
+    dup.write.mode("append").parquet(sink)
+    assert(StreamingProbe.fitFromSink(spark, sink).head() == oneShot)
+  }
 }
