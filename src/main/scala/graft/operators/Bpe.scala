@@ -85,6 +85,9 @@ object Bpe {
         k += 1
       }
     }
+    // the last vocabulary state is dead once the merge table is out —
+    // leave no pinned blocks behind (repeated-runs doctrine, DedupSpec)
+    vocab.unpersist()
     merges.result()
   }
 

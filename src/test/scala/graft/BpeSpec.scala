@@ -44,4 +44,20 @@ class BpeSpec extends SparkSpec {
       Seq((1L, "a b c a b")).toDF("doc_id", "text"), numMerges = 5)
     assert(m.isEmpty)
   }
+
+  test("repeated trainings leave no pinned storage behind") {
+    // the per-iteration vocabulary localCheckpoints unpersist as the
+    // loop advances, and the FINAL state unpersists before return —
+    // a bench rep or a retrain must not leak executor blocks
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    (1 to 2).foreach(_ => Bpe.trainMerges(corpus, numMerges = 2))
+    def leaked = sc.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(leaked.isEmpty,
+      s"vocabulary checkpoint blocks must drain after training: $leaked")
+  }
 }
