@@ -52,14 +52,11 @@ object StreamingProbe {
     LinearProbe.ridgeFromMoments(total, lambda = 1.0)
   }
 
-  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text")
-    val srcDir = s"$workDir/src"
-    val momentsDir = s"$workDir/moments"
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(momentsDir))
-    features(docs).repartition(2).write.mode("overwrite").parquet(srcDir)
+  /** Drain everything currently staged in `srcDir` through the moment
+    * fold, against a caller-owned checkpoint — restartable: a resumed
+    * drain on the same checkpoint folds only files staged since. */
+  private[graft] def runStream(spark: SparkSession, srcDir: String,
+      momentsDir: String, ckpt: String): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -70,9 +67,21 @@ object StreamingProbe {
           .coalesce(1).write.mode("append").parquet(momentsDir)
         (): Unit
       }
-      .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt)
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val srcDir = s"$workDir/src"
+    val momentsDir = s"$workDir/moments"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(momentsDir))
+    features(docs).repartition(2).write.mode("overwrite").parquet(srcDir)
+    runStream(spark, srcDir, momentsDir,
+      s"$workDir/ckpt_${System.nanoTime()}")
     fitFromSink(spark, momentsDir)
   }
 }

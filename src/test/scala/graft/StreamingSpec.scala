@@ -681,4 +681,30 @@ class StreamingSpec extends SparkSpec {
     dup.write.mode("append").parquet(sink)
     assert(StreamingProbe.fitFromSink(spark, sink).head() == oneShot)
   }
+
+  test("streamed probe resumes from its checkpoint without refolding committed batches") {
+    import graft.streaming.{StreamingIndexIngest, StreamingProbe}
+    import graft.operators.LinearProbe
+    val work = s"/tmp/graft_sprobe_resume/${System.nanoTime()}"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val feats = StreamingProbe.features(docs).localCheckpoint()
+    val src = s"$work/src"; val moments = s"$work/moments"
+    val ckpt = s"$work/ckpt"
+    StreamingIndexIngest.stageBatchFile(
+      feats.where($"doc_id" % 2 === 0), work, src, "b1")
+    StreamingProbe.runStream(spark, src, moments, ckpt)
+    val afterFirst = spark.read.parquet(moments).count()
+    assert(afterFirst == 1, "first drain folds exactly one batch row")
+    StreamingIndexIngest.stageBatchFile(
+      feats.where($"doc_id" % 2 =!= 0), work, src, "b2")
+    StreamingProbe.runStream(spark, src, moments, ckpt) // SAME checkpoint
+    assert(spark.read.parquet(moments).count() == 2,
+      "a resumed drain must fold only the new file — a refolded " +
+        "committed batch would append a second keyed row")
+    val got = StreamingProbe.fitFromSink(spark, moments).head()
+    val oneShot = LinearProbe.ridge2(feats, "x1", "x2", "y",
+      lambda = 1.0).head()
+    assert(got == oneShot)
+  }
 }
