@@ -578,6 +578,52 @@ object AnalyticsQueries {
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
         .orderBy("l_returnflag")),
 
+    // Corpus-RELATIVE quality gate: drop the bottom quartile (and its
+    // ties) by quality score. The cutoff is the ⌈n/4⌉-th order
+    // statistic — an exact member of the 1e-4-quantized quality grid
+    // via TakeOrderedAndProject (top-k, no global sort), the sr10
+    // precedent — NOT an interpolated percentile, whose last-ulp
+    // engine differences could flip docs sitting exactly at the
+    // threshold. Strict > makes the tie handling deterministic.
+    QueryDef("ext_quality_percentile_gate",
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS DOUBLE) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |      AS n_stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |    floor((least(1.0, n_toks / 100.0) * 0.5
+             |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+             |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+             |          * 10000.0 + 0.5) / 10000.0 AS quality
+             |  FROM m),
+             |kk AS (SELECT (count(*) + 3) // 4 AS k FROM q),
+             |cut AS (
+             |  SELECT max(quality) AS cutoff
+             |  FROM (SELECT quality FROM q ORDER BY quality, doc_id
+             |        LIMIT (SELECT k FROM kk)))
+             |SELECT q.doc_id, q.quality
+             |FROM q, cut WHERE q.quality > cut.cutoff
+             |ORDER BY q.doc_id""".stripMargin),
+      (s, dir) => {
+        val q = load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.qualityScore(col("text"))
+              .as("quality"))
+          .localCheckpoint() // three consumers: count, cutoff, filter
+        val n = q.count()
+        val k = ((n + 3) / 4).max(1L).toInt
+        val cutoff = q.orderBy(col("quality"), col("doc_id")).limit(k)
+          .agg(max(col("quality"))).head().getDouble(0)
+        q.where(col("quality") > cutoff).orderBy("doc_id")
+      }),
+
     // Sketch percentiles — the at-scale percentile path: approx_percentile
     // aggregates mergeable partials (bounded memory per group, map-side
     // combine) where exact `percentile` buffers whole groups. Approximate
