@@ -1177,6 +1177,44 @@ object ExtensionQueries {
         graft.operators.QualityRules.c4Filter(corpus).orderBy("doc_id")
       }),
 
+    // Flesch-style reading ease over the t9/t10 planted corpus (the
+    // structured plants carry real sentences; flat base docs floor at
+    // one sentence and score deeply negative — both deterministic).
+    // Vowel runs stand in for syllables: pure regex, engine-portable.
+    QueryDef("t11_flesch_readability",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000,
+             |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+             |    ' to of and that have with.' || chr(10) ||
+             |    'Good sentence with many words written here.' || chr(10) ||
+             |    'this short line mentions javascript libraries.' || chr(10) ||
+             |    'Trailing thought...' || chr(10) ||
+             |    'Another proper sentence ends with five words.'
+             |  FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 400000,
+             |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS DOUBLE) AS n_w,
+             |    greatest(1.0, CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE)) AS n_s,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS n_v
+             |  FROM corpus)
+             |SELECT doc_id,
+             |  floor((CASE WHEN n_w > 0
+             |         THEN 206.835 - 1.015 * (n_w / n_s) - 84.6 * (n_v / n_w)
+             |         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS flesch
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = qualityPlantCorpus(load(s, dir, "documents"))
+        corpus.select(col("doc_id"),
+          TextAnalysis.fleschScore(col("text")).as("flesch"))
+          .orderBy("doc_id")
+      }),
+
     // PII surface counts — emails and long digit runs flagged for the
     // redaction router; counting only, values never leave the row.
     QueryDef("t6_pii_flags",

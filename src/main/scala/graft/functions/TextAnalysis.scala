@@ -112,6 +112,22 @@ object TextAnalysis {
       * 10000.0 + 0.5) / 10000.0
   }
 
+  /** Flesch-style reading-ease score (Flesch 1948, public domain
+    * formula): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), with vowel RUNS as the engine-portable syllable proxy
+    * (true syllabification needs a dictionary; vowel-group counting is
+    * the standard cheap stand-in and is pure regex in both engines).
+    * Sentences floor at 1 so punctuation-free text scores rather than
+    * divides by zero. Quantized 1e-4 per the determinism doctrine. */
+  def fleschScore(text: Column): Column = {
+    val nW = tokenCount(text).cast("double")
+    val nS = greatest(lit(1.0), regexp_count(text, lit("[.!?]")).cast("double"))
+    val nV = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    floor(when(nW > 0,
+      lit(206.835) - lit(1.015) * (nW / nS) - lit(84.6) * (nV / nW))
+      .otherwise(0.0) * 10000.0 + 0.5) / 10000.0
+  }
+
   /** Cheap PII surface counts (emails, long digit runs) — the flags a
     * curation pipeline uses to route documents to redaction. Counting,
     * not extraction: the values never leave the row. */

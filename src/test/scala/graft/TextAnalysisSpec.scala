@@ -44,6 +44,22 @@ class TextAnalysisSpec extends SparkSpec {
     r.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
 
+  test("fleschScore: hand-computed value; simple text outscores dense text") {
+    // "The cat. The dog.": 4 words, 2 sentences, 4 vowel runs
+    // → 206.835 − 1.015·2 − 84.6·1 = 120.205
+    assert(one(fleschScore(col("t")), "The cat. The dog.") == 120.205)
+    // punctuation-free text floors at one sentence (no divide-by-zero):
+    // 50 words / 1 sentence, 50 vowel runs → 206.835 − 50.75 − 84.6
+    val flat = one(fleschScore(col("t")), "word " * 50).asInstanceOf[Double]
+    assert(flat == 71.485)
+    val dense = one(fleschScore(col("t")),
+      "Extraordinarily sophisticated terminology necessitates comprehension.")
+      .asInstanceOf[Double]
+    val simple = one(fleschScore(col("t")), "The cat sat. The dog ran.")
+      .asInstanceOf[Double]
+    assert(simple > dense)
+  }
+
   test("qualityScore rewards long alpha-rich stopword-bearing text") {
     val good = ("the quick brown fox jumps over the lazy dog and runs " * 10)
     val bad = "@#$% 123 !!"
