@@ -2214,6 +2214,47 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Temperature-based source mixing (α = 0.5): per-source weights
+    // ∝ n^α — the standard LLM data-mixing knob that upsamples small
+    // sources relative to proportional mixing. α = 0.5 is DELIBERATE:
+    // sqrt is IEEE-correctly-rounded in every engine where a general
+    // pow differs in the last ulp, and each sqrt quantizes to integer
+    // micro-units BEFORE the cross-source sum so the normalizer is
+    // exact and order-independent (the integer-sum doctrine). The
+    // corpus plants a deterministic per-source skew — the raw table is
+    // uniform (25 docs per source), which would make every weight
+    // equal.
+    QueryDef("ext_source_temperature_mix",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, source FROM documents
+             |  WHERE doc_id % 400 < 20 + 19 * (doc_id % 20)),
+             |per AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS isq
+             |  FROM corpus GROUP BY 1),
+             |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS t FROM per)
+             |SELECT per.source, per.n_docs,
+             |  floor(CAST(per.isq AS DOUBLE) / CAST(tot.t AS DOUBLE)
+             |        * 1000000.0 + 0.5) / 1000000.0 AS weight,
+             |  CAST(floor(CAST(per.isq AS DOUBLE) / CAST(tot.t AS DOUBLE)
+             |        * 100000.0 + 0.5) AS BIGINT) AS budget_docs
+             |FROM per, tot ORDER BY per.source""".stripMargin),
+      (s, dir) => {
+        val corpus = load(s, dir, "documents")
+          .where(col("doc_id") % 400 < lit(20) + lit(19) * (col("doc_id") % 20))
+        val per = corpus.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("isq",
+            floor(sqrt(col("n_docs")) * 1000000.0 + 0.5).cast("long"))
+        val tot = per.agg(sum("isq").as("t"))
+        val ratio = col("isq").cast("double") / col("t").cast("double")
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (floor(ratio * 1000000.0 + 0.5) / 1000000.0).as("weight"),
+            floor(ratio * 100000.0 + 0.5).cast("long").as("budget_docs"))
+          .orderBy("source")
+      }),
+
     // Token-BUDGET source mixing (DoReMi/Pile-style): each source keeps
     // docs in deterministic md5 order until its token budget is
     // exhausted — the budget-based companion to the fraction-based
