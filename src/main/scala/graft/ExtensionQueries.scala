@@ -2214,6 +2214,48 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Corpus-level dedup-rate report: the numbers a production dedup
+    // run publishes — group counts, removable docs, removable chars,
+    // and the dup fraction — from one fingerprint aggregation over the
+    // exact-dup planted corpus. The removable side counts every doc
+    // that is NOT its group's min-id keeper.
+    QueryDef("ext_dedup_stats",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+             |fp AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM corpus),
+             |g AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT f.fp) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+             |  CAST(sum(f.n_chars) AS BIGINT) AS chars_total,
+             |  CAST(sum(CASE WHEN f.doc_id <> g.keeper THEN f.n_chars ELSE 0 END) AS BIGINT) AS chars_removable,
+             |  floor(sum(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+             |FROM fp f JOIN g ON f.fp = g.fp""".stripMargin),
+      (s, dir) => {
+        val corpus = docsWithExactDups(s, dir)
+        val fp = corpus.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        val g = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+        fp.join(g, "fp").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_groups"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_removable"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("doc_id") =!= col("keeper"), col("n_chars"))
+            .otherwise(0L)).as("chars_removable"),
+          (floor(sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double") * 10000.0 + 0.5)
+            / 10000.0).as("dup_frac"))
+      }),
+
     // Temperature-based source mixing (α = 0.5): per-source weights
     // ∝ n^α — the standard LLM data-mixing knob that upsamples small
     // sources relative to proportional mixing. α = 0.5 is DELIBERATE:
