@@ -580,11 +580,16 @@ object AnalyticsQueries {
 
     // Corpus-RELATIVE quality gate: drop the bottom quartile (and its
     // ties) by quality score. The cutoff is the ⌈n/4⌉-th order
-    // statistic — an exact member of the 1e-4-quantized quality grid
-    // via TakeOrderedAndProject (top-k, no global sort), the sr10
-    // precedent — NOT an interpolated percentile, whose last-ulp
-    // engine differences could flip docs sitting exactly at the
-    // threshold. Strict > makes the tie handling deterministic.
+    // statistic — an exact member of the 1e-4-quantized quality grid —
+    // NOT an interpolated percentile, whose last-ulp engine differences
+    // could flip docs sitting exactly at the threshold. Strict > makes
+    // the tie handling deterministic. Because k here GROWS with n, the
+    // cutoff goes through Ops.kthOrderedValue (exact rank via the
+    // 3-pass bucketed prefix, then a 1-row max aggregate) and NOT
+    // `orderBy().limit(k)` — TakeOrderedAndProject with k ∝ n merges a
+    // quarter of the corpus's rows on the driver. The oracle keeps the
+    // LIMIT form: value-identical by the rank total order, and DuckDB's
+    // single-node executor has no driver-funnel notion to avoid.
     QueryDef("ext_quality_percentile_gate",
       Some("""WITH m AS (
              |  SELECT doc_id,
@@ -618,10 +623,13 @@ object AnalyticsQueries {
               .as("quality"))
           .localCheckpoint() // three consumers: count, cutoff, filter
         val n = q.count()
-        val k = ((n + 3) / 4).max(1L).toInt
-        val cutoff = q.orderBy(col("quality"), col("doc_id")).limit(k)
-          .agg(max(col("quality"))).head().getDouble(0)
-        q.where(col("quality") > cutoff).orderBy("doc_id")
+        val k = ((n + 3) / 4).max(1L)
+        graft.operators.Ops.kthOrderedValue[Double](q, col("quality"),
+            col("doc_id"), k) match {
+          case None => q.where(lit(false)) // empty corpus → empty gate
+          case Some(cutoff) =>
+            q.where(col("quality") > cutoff).orderBy("doc_id")
+        }
       }),
 
     // Sketch percentiles — the at-scale percentile path: approx_percentile

@@ -28,11 +28,18 @@ object Embeddings {
     override def zero: GramBuf =
       GramBuf(0L, new Array[Double](dim), new Array[Double](dim * dim))
     override def reduce(b: GramBuf, v: Array[Double]): GramBuf = {
+      // fail loudly on ragged input: padding a short vector with zeros
+      // while still counting it would silently bias the mean and
+      // covariance — a malformed embedding must surface as an error,
+      // the same stance fitWhitening takes on bad k/n
+      require(v != null && v.length == dim,
+        s"Gram aggregator expects dim=$dim vectors, got " +
+          (if (v == null) "null" else s"length=${v.length}"))
       var i = 0
-      while (i < dim && i < v.length) {
+      while (i < dim) {
         b.sums(i) += v(i)
         var j = 0
-        while (j < dim && j < v.length) {
+        while (j < dim) {
           b.gram(i * dim + j) += v(i) * v(j); j += 1
         }
         i += 1

@@ -442,4 +442,43 @@ object Ops {
         floor((col("__shrn") - 1) / lit(shardSize.toDouble)).cast("long"))
       .drop("__shx", "__shrn")
   }
+
+  /** The k-th smallest value of `valueCol` under the (valueCol, tieCol)
+    * total order, as a lazy 1-row frame (column `kth_value`) — the
+    * scale-safe exact order statistic for corpus-relative cutoffs
+    * ("drop the bottom quartile", "keep the best two terciles") where
+    * k GROWS WITH n. The tempting `orderBy(value, tie).limit(k)
+    * .agg(max)` form plans as TakeOrderedAndProject, which keeps k rows
+    * per partition and merges k rows on the driver — with k ∝ n that
+    * funnels a constant fraction of the corpus through the driver, a
+    * scale-killer. Here every row instead gets its exact global rank
+    * through the 3-pass bucketed prefix ([[withGlobalRowNumber]]: the
+    * driver only ever sees the nBuckets-row totals table) and the
+    * statistic is a map-side-combined 1-row `max(value) WHERE rank ≤ k`
+    * aggregate. Value-identical to the limit form for every k
+    * (ranks are a total order; ties broken by `tieCol`). If the input
+    * has fewer than k rows the result is the overall max (what
+    * `limit(k)` would also yield); if it is empty the single output row
+    * holds NULL — callers wanting an Option should use
+    * [[kthOrderedValue]]. Same determinism caveat as the other prefix
+    * helpers: three passes re-evaluate `df`'s lineage, so persist
+    * nondeterministic inputs first. */
+  def kthOrderedValueFrame(df: DataFrame, valueCol: Column, tieCol: Column,
+      k: Long, nBuckets: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val slim = df.select(valueCol.as("__ksv"), tieCol.as("__kst"))
+    withGlobalRowNumber(slim, Seq(col("__ksv"), col("__kst")),
+        col("__ksv"), "__ksr", nBuckets)
+      .where(col("__ksr") <= k)
+      .agg(max(col("__ksv")).as("kth_value"))
+  }
+
+  /** Eager typed form of [[kthOrderedValueFrame]]: `Some(kth value)`,
+    * or `None` on an empty input (the aggregate row holds NULL there —
+    * surfaced as None rather than a downstream NPE). */
+  def kthOrderedValue[T](df: DataFrame, valueCol: Column, tieCol: Column,
+      k: Long, nBuckets: Int = 32): Option[T] = {
+    val row = kthOrderedValueFrame(df, valueCol, tieCol, k, nBuckets).head()
+    if (row.isNullAt(0)) None else Some(row.getAs[T](0))
+  }
 }

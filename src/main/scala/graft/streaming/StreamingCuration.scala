@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -21,9 +21,11 @@ import graft.operators.{IndexStore, NgramLm, Ops}
   * slice's own scores, an integer both engines compute identically —
   * which is also the production shape (CCNet computes cutoffs on a
   * reference corpus, then filters the crawl against frozen cutoffs);
-  * (2) staged arrival order is a pure function of the data (parity
-  * files drained in order) and every planted duplicate pair lives in
-  * ONE file, so acceptance is replayable in SQL.
+  * (2) staged arrival order is a pure function of the data AND
+  * monotone in doc_id (id-range files drained in order), so the
+  * stream's first-arriving duplicate keeper IS the oracle's min-id
+  * keeper for every duplicate group — organic ones included — and
+  * acceptance is replayable in SQL.
   */
 object StreamingCuration {
 
@@ -35,8 +37,9 @@ object StreamingCuration {
       .select("doc_id", "text")
     val train = docs.where(col("doc_id") % 10 < 8)
     // the crawl: the held-out slice plus whitespace-perturbed copies of
-    // its % 10 = 8 docs (same fingerprint, larger id, same parity — so
-    // each copy shares a micro-batch with its original)
+    // its % 10 = 8 docs (same fingerprint, id + 100000 — so every copy
+    // arrives in a LATER id-range batch than its original and is cut by
+    // the index probe, the production cross-batch dedup path)
     val crawl = docs.where(col("doc_id") % 10 >= 8)
       .unionByName(docs.where(col("doc_id") % 10 === 8)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -51,9 +54,15 @@ object StreamingCuration {
     val trainScores = NgramLm.scoreMicroBits(model, train)
       .select("doc_id", "h_milli_tok").localCheckpoint()
     val n = trainScores.count()
-    val kOrd = ((2L * n) / 3L).max(1L).toInt
-    val thr = trainScores.orderBy(col("h_milli_tok"), col("doc_id"))
-      .limit(kOrd).agg(max(col("h_milli_tok"))).head().getLong(0)
+    val kOrd = ((2L * n) / 3L).max(1L)
+    // Exact ⌈2n/3⌉-th order statistic via the distributed rank
+    // (Ops.kthOrderedValue), not orderBy().limit(k): CCNet's production
+    // shape computes cutoffs on a bounded reference corpus where a
+    // driver top-k would be defensible, but k ∝ n here and the engine
+    // already owns the scale-safe form — one code path for both.
+    val thr = graft.operators.Ops.kthOrderedValue[Long](trainScores,
+      col("h_milli_tok"), col("doc_id"), kOrd)
+      .getOrElse(sys.error("empty training slice — no perplexity cutoff"))
 
     // the accepted-corpus fingerprint index, pre-seeded with the
     // training slice: crawl docs that duplicate the corpus never
@@ -71,12 +80,27 @@ object StreamingCuration {
     val q = spark.readStream.schema(crawl.schema).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(spark, batch, model, thr, table, sinkDir)
+        curateBatch(batch, model, thr, table, sinkDir)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
-    try (0 until 2).foreach { parity =>
-      crawl.where(col("doc_id") % 2 === parity)
+    // Stage batches in doc_id-RANGE order, so arrival order equals id
+    // order and the stream's first-arriving keeper coincides with the
+    // oracle's min-id keeper for EVERY duplicate group — planted or
+    // organic — with no fixture precondition. (Parity staging would
+    // keep the first-arriving, possibly larger, id of an organic pair
+    // straddling batches, silently diverging from the min-id oracle.)
+    // The crawl's id space is [0, 100000) originals then ≥ 100000
+    // copies; the median split keeps the original slice in two batches
+    // so index-gate acceptance is exercised across arrivals too.
+    val median = crawl.where(col("doc_id") < 100000)
+      .stat.approxQuantile("doc_id", Array(0.5), 0.0).head.toLong
+    val ranges = Seq[Column => Column](
+      id => id <= median,
+      id => id > median && id < 100000,
+      id => id >= 100000)
+    try ranges.foreach { pred =>
+      crawl.where(pred(col("doc_id")))
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
@@ -96,11 +120,22 @@ object StreamingCuration {
     * before index append) costs only future dedup completeness for
     * those fingerprints, never sink rows: the chosen trade, since the
     * sink is the product and the index is an optimization — and the
-    * next enclosing run rebuilds the index from scratch anyway. */
-  def curateBatch(spark: SparkSession, batch: DataFrame,
+    * next enclosing run rebuilds the index from scratch anyway.
+    *
+    * SESSION COHERENCE: every catalog read in here goes through
+    * `batch.sparkSession`, NOT the enclosing stream's outer session.
+    * foreachBatch hands batches bound to the stream's cloned session,
+    * so the index appends (which run on the frames' own session)
+    * invalidate only THAT session's table-relation cache — a probe
+    * through the outer session would keep serving the file listing it
+    * cached on first use and silently miss every fingerprint accepted
+    * by earlier micro-batches (observed: cross-batch duplicates
+    * sailing through the gate). One session for probe + append keeps
+    * the loop read-your-writes. */
+  def curateBatch(batch: DataFrame,
       model: NgramLm.Model, thr: Long, table: String,
       sinkDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
     val feat = batch.select(col("doc_id"), col("text"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -116,10 +151,15 @@ object StreamingCuration {
     val vsIndex = kept.join(
       matches.select(col("query_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    val keeper = vsIndex
+    // within-batch keeper via groupBy(min) + join, the repo's
+    // hot-fingerprint doctrine (fineWebPipeline, ext_ccnet): a
+    // per-fingerprint window would funnel a hot boilerplate
+    // fingerprint's copies through one window partition
+    val fped = vsIndex
       .withColumn("__fp", IndexStore.exactFingerprint(col("text")))
-      .withColumn("__keep", min(col("doc_id")).over(
-        Window.partitionBy("__fp")))
+    val keeper = fped
+      .join(fped.groupBy("__fp").agg(min(col("doc_id")).as("__keep")),
+        "__fp")
       .where(col("doc_id") === col("__keep"))
       .drop("__fp", "__keep")
       .localCheckpoint()

@@ -257,6 +257,11 @@ object StreamingIndexIngest {
       .unionByName(cls(830000, col("nv_text")))
     val b2 = cls(840000, col("p_text"))
       .unionByName(cls(850000, col("wz_text")))
+      // byte-copies of b1's ACCEPTED novel rewrites: their fingerprints
+      // enter the index only via batch 1's append, so this class exists
+      // to prove cross-batch read-your-writes — a gate probing through
+      // a stale session cache would wave every one of them in
+      .unionByName(cls(860000, col("nv_text")))
     (b1, b2)
   }
 
@@ -284,18 +289,24 @@ object StreamingIndexIngest {
         // one surviving window (crash between sink and append) costs
         // future dedup completeness only, same trade as
         // StreamingCuration (the sink is the product).
+        // All catalog reads go through batch.sparkSession (the
+        // stream's clone — the session the appends run on), keeping
+        // the probe read-your-writes across micro-batches; the outer
+        // session's table-relation cache never learns about
+        // clone-side appends (see StreamingCuration.curateBatch).
+        val bs = batch.sparkSession
         val (accepted, decisions) = IndexStore.dedupIngestGateCheck(
-          spark, batch, "doc_id", "text", exactTable, winnowTable,
+          bs, batch, "doc_id", "text", exactTable, winnowTable,
           minhashTable, window = 40, guarantee = 10)
         val rows = decisions
           .unionByName(accepted.select(col("doc_id"),
             lit("accepted").as("gate")))
         val fresh = (if (new java.io.File(sinkDir).exists)
-            rows.join(spark.read.parquet(sinkDir).select("doc_id"),
+            rows.join(bs.read.parquet(sinkDir).select("doc_id"),
               Seq("doc_id"), "left_anti")
           else rows).localCheckpoint()
         fresh.write.mode("append").parquet(sinkDir)
-        IndexStore.dedupIngestGateAppend(spark,
+        IndexStore.dedupIngestGateAppend(bs,
           accepted.join(fresh.where(col("gate") === "accepted")
             .select("doc_id"), Seq("doc_id"), "left_semi"),
           "doc_id", "text", exactTable, winnowTable, minhashTable,
@@ -452,19 +463,23 @@ object StreamingIndexIngest {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // same check → guarded-sink → append ordering as the text gate
+        // same check → guarded-sink → append ordering as the text
+        // gate, and the same session-coherence rule: probe and append
+        // through batch.sparkSession so the clone's relation cache
+        // sees its own appends.
+        val bs = batch.sparkSession
         val (accepted, decisions) = IndexStore.dedupIngestGateVecCheck(
-          spark, batch, exactTable, srpTable, threshold = 0.9999,
+          bs, batch, exactTable, srpTable, threshold = 0.9999,
           ivfTable = Some(ivfTable), ivfThreshold = 0.999)
         val rows = decisions
           .unionByName(accepted.select(col("vec_id"),
             lit("accepted").as("gate")))
         val fresh = (if (new java.io.File(sinkDir).exists)
-            rows.join(spark.read.parquet(sinkDir).select("vec_id"),
+            rows.join(bs.read.parquet(sinkDir).select("vec_id"),
               Seq("vec_id"), "left_anti")
           else rows).localCheckpoint()
         fresh.write.mode("append").parquet(sinkDir)
-        IndexStore.dedupIngestGateVecAppend(spark,
+        IndexStore.dedupIngestGateVecAppend(bs,
           accepted.join(fresh.where(col("gate") === "accepted")
             .select("vec_id"), Seq("vec_id"), "left_semi"),
           exactTable, srpTable,

@@ -53,4 +53,17 @@ class EmbeddingsSpec extends SparkSpec {
       Embeddings.fitWhitening(vecs.limit(1), "vec", k = 2)
     }
   }
+
+  test("a ragged embedding fails the fit loudly, never skews it silently") {
+    // a short row zero-padded but still counted would bias mean and
+    // covariance invisibly — the aggregator must throw instead
+    val ragged = vecs.limit(20).unionByName(
+      vecs.limit(1).select($"vec_id", slice($"vec", 1, 7).as("vec")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Embeddings.fitWhitening(ragged, "vec", k = 2)
+    }
+    assert(e.getMessage.contains("length=7") ||
+      Option(e.getCause).exists(_.getMessage.contains("length=7")),
+      s"expected the ragged-length require to surface, got: ${e.getMessage}")
+  }
 }

@@ -146,6 +146,59 @@ class PlansSpec extends SparkSpec {
         s"grouped prefix grew a global window:\n$w"))
   }
 
+  test("kthOrderedValue: parity with the limit form at sf0.1, ties, empty") {
+    // the form it replaces (TakeOrderedAndProject, k rows on the
+    // driver) is still the cheapest correct oracle for a parity pin
+    val q = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
+    val n = q.count()
+    for (k <- Seq(1L, (n + 3) / 4, (2L * n) / 3L, n, n + 50)) {
+      val old = q.orderBy(col("quality"), col("doc_id")).limit(k.toInt)
+        .agg(max(col("quality"))).head().getDouble(0)
+      val neu = graft.operators.Ops.kthOrderedValue[Double](
+        q, col("quality"), col("doc_id"), k, nBuckets = 7)
+      assert(neu.contains(old), s"k=$k: distributed rank $neu vs limit-form $old")
+    }
+    // quality is heavily tied (1e-4 grid over 5k docs) so the loop above
+    // already exercises tie groups; a long value column takes the other
+    // typed path
+    val ids = q.select(col("doc_id"))
+    val kthId = graft.operators.Ops.kthOrderedValue[Long](
+      ids, col("doc_id"), col("doc_id"), 10L, nBuckets = 7)
+    assert(kthId.contains(
+      ids.orderBy("doc_id").limit(10).agg(max("doc_id")).head().getLong(0)))
+    assert(graft.operators.Ops.kthOrderedValue[Double](
+      q.where(lit(false)), col("quality"), col("doc_id"), 5L).isEmpty,
+      "empty input must surface as None, not an NPE")
+  }
+
+  test("kth-order-statistic plan: no TakeOrderedAndProject, no global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort => LSort, Window => LWindow}
+    val q = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val frame = graft.operators.Ops.kthOrderedValueFrame(
+      q, col("quality"), col("doc_id"), k = 125L)
+    val plan = frame.queryExecution.optimizedPlan
+    // no limit of any kind → nothing for planTakeOrdered to match, and
+    // no k-rows-per-partition driver merge
+    assert(plan.collect { case l: GlobalLimit => l }.isEmpty &&
+      plan.collect { case l: LocalLimit => l }.isEmpty,
+      s"cutoff plan grew a limit (driver funnel):\n$plan")
+    assert(plan.collect { case s: LSort if s.global => s }.isEmpty,
+      s"cutoff plan grew a global sort:\n$plan")
+    plan.collect { case w: LWindow => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"cutoff rank fell back to a global window:\n$w"))
+    // and physically: no TakeOrderedAndProject anywhere
+    frame.collect()
+    val phys = frame.queryExecution.executedPlan.toString
+    assert(!phys.contains("TakeOrderedAndProject"),
+      s"cutoff executed through TakeOrderedAndProject:\n$phys")
+  }
+
   test("w4/b1 plans contain no empty-partition (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("w4_batched_sink", "b1_chunked_ids")) {

@@ -192,6 +192,11 @@ class StreamingSpec extends SparkSpec {
       assert(gateOf(id + 830000) == "exact", s"co-batch copy $id")
       assert(gateOf(id + 820000) == "accepted", s"rewrite $id")
       assert(gateOf(id + 850000) == "accepted", s"rewrite-2 $id")
+      // the batch-2 byte-copy of the batch-1-ACCEPTED rewrite: its
+      // fingerprint is in the index only because batch 1 appended it —
+      // cut here proves the stream's probes see prior batches' appends
+      // (the session-coherence regression)
+      assert(gateOf(id + 860000) == "exact", s"cross-batch copy $id")
     }
     assert(srcIds.exists(id => gateOf(id + 810000) == "winnow"),
       "at least one tail-extension shares an intact 40-token window")
@@ -627,19 +632,19 @@ class StreamingSpec extends SparkSpec {
     val sink = s"/tmp/graft_ccr/$tag/sink"
     // LM gate wide open for the drill — the replay guard is under test
     val b0 = docs.where($"doc_id" % 10 === 8 && $"doc_id" < 300)
-    StreamingCuration.curateBatch(spark, b0, model, Long.MaxValue, table, sink)
+    StreamingCuration.curateBatch(b0, model, Long.MaxValue, table, sink)
     val n1 = spark.read.parquet(sink).count()
     assert(n1 > 0)
     // crash-replay of the SAME batch (checkpoint never committed):
     // probe-before-append recomputes the same accepted set and the
     // sink anti-join must deal no new rows
-    StreamingCuration.curateBatch(spark, b0, model, Long.MaxValue, table, sink)
+    StreamingCuration.curateBatch(b0, model, Long.MaxValue, table, sink)
     assert(spark.read.parquet(sink).count() == n1)
     // a LATER batch duplicating accepted docs is cut by the index
     val dupBatch = b0.limit(3)
       .select(($"doc_id" + 500000).as("doc_id"),
         concat(lit(" "), $"text").as("text"))
-    StreamingCuration.curateBatch(spark, dupBatch, model, Long.MaxValue,
+    StreamingCuration.curateBatch(dupBatch, model, Long.MaxValue,
       table, sink)
     assert(spark.read.parquet(sink).count() == n1)
   }
@@ -650,18 +655,51 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables.load(spark, sf0001, "documents").select("doc_id")
     val b0 = docs.where(col("doc_id") < 100)
     val b1 = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
-    StreamingShards.appendSharded(spark, b0, sink, shardSize = 64)
-    // replay of the SAME batch (crash-after-write, before checkpoint
-    // commit): the anti-join must deal no new cards
-    StreamingShards.appendSharded(spark, b0, sink, shardSize = 64)
-    assert(spark.read.parquet(sink).count() == 100)
+    StreamingShards.appendSharded(spark, b0, 0L, sink, shardSize = 64)
+    // replay of the SAME, already-COMMITTED batch (crash-after-commit,
+    // before checkpoint write): the manifest makes it a no-op
+    StreamingShards.appendSharded(spark, b0, 0L, sink, shardSize = 64)
+    assert(StreamingShards.readSink(spark, sink).count() == 100)
+    // a doc re-delivered in a LATER batch id is dropped by the
+    // committed-sink anti-join, not re-dealt
+    StreamingShards.appendSharded(spark, b0, 1L, sink, shardSize = 64)
+    assert(StreamingShards.readSink(spark, sink).count() == 100)
     // the next arrival resumes at rank 100 → its docs land in shards
     // 1 (ranks 100..127) and 2
-    StreamingShards.appendSharded(spark, b1, sink, shardSize = 64)
-    val byShard = spark.read.parquet(sink).groupBy("shard_id")
+    StreamingShards.appendSharded(spark, b1, 2L, sink, shardSize = 64)
+    val byShard = StreamingShards.readSink(spark, sink).groupBy("shard_id")
       .agg(count(lit(1)).as("c")).orderBy("shard_id")
       .as[(Long, Long)].collect().toSeq
     assert(byShard == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
+  }
+
+  test("streaming shards: a crashed PARTIAL append is invisible; replay is bit-deterministic") {
+    import graft.streaming.StreamingShards
+    val base = s"/tmp/graft_sshards_spec/partial_${System.nanoTime()}"
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id")
+    val b0 = docs.where(col("doc_id") < 100)
+    val b1 = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+    // the clean, never-crashed run is the determinism reference
+    val clean = s"$base/clean"
+    StreamingShards.appendSharded(spark, b0, 0L, clean, shardSize = 64)
+    StreamingShards.appendSharded(spark, b1, 1L, clean, shardSize = 64)
+    val expected = StreamingShards.readSink(spark, clean)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+    // crashed run: batch 1 dies mid-parquet-append — a SUBSET of its
+    // rows (with garbage shard ids) is on disk, no manifest entry
+    val crashed = s"$base/crashed"
+    StreamingShards.appendSharded(spark, b0, 0L, crashed, shardSize = 64)
+    b1.limit(20).withColumn("shard_id", lit(99L))
+      .write.mode("overwrite").parquet(s"$crashed/b1")
+    // uncommitted output is invisible to readers (no torn reads)
+    assert(StreamingShards.readSink(spark, crashed).count() == 100)
+    // replay overwrites the batch WHOLESALE at the committed offset —
+    // not just the missing rows ranked after the surviving subset — so
+    // the deal is identical to the never-crashed run, row for row
+    StreamingShards.appendSharded(spark, b1, 1L, crashed, shardSize = 64)
+    val got = StreamingShards.readSink(spark, crashed)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
   }
 
   test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
