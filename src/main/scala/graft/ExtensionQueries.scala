@@ -307,6 +307,164 @@ object ExtensionQueries {
       s"src$i" -> b
     }
 
+  /** Shared CTE chain for the corpus-build capstone oracles: fixture
+    * corpus (base + structured plants + whitespace twins + eval
+    * rewrites) → the FineWeb curation stages (same SQL as the
+    * ext_fineweb_pipeline oracle) → per-doc attribution → eval-shingle
+    * decontamination → token-budget mixing. Ends with a trailing comma
+    * so consumers append their final CTEs / SELECT. */
+  private lazy val corpusBuildCtes: String = {
+    val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    val values = sourceTokenBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+    val structured =
+      """'- item one' || chr(10) || '- item two' || chr(10) || text ||
+        |    ' to of and that have with.' || chr(10) ||
+        |    'Good sentence with many words written here.' || chr(10) ||
+        |    'this short line mentions javascript libraries.' || chr(10) ||
+        |    'Trailing thought...' || chr(10) ||
+        |    'Another proper sentence ends with five words.'""".stripMargin
+    s"""WITH evals AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |base AS (
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0),
+       |splants AS (
+       |  SELECT doc_id, $structured AS stext, source
+       |  FROM base WHERE doc_id % 11 = 0),
+       |eplants AS (
+       |  SELECT doc_id + 600000 AS doc_id, $structured AS stext, source
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |corpus AS (
+       |  SELECT doc_id, text, source FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 300000, stext, source FROM splants
+       |  UNION ALL
+       |  SELECT doc_id + 500000, ' ' || stext || '  ', source FROM splants
+       |  UNION ALL
+       |  SELECT doc_id, stext, source FROM eplants),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+       |    len(regexp_extract_all(text, '#')) AS n_hash,
+       |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+       |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+       |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
+       |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+       |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
+              s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
+              .mkString("\n     + ")}) AS n_stop
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words BETWEEN 50 AND 100000
+       |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
+       |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
+       |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
+       |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
+       |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
+       |      AND n_stop >= 2
+       |    THEN 1 ELSE 0 END AS gopher_pass
+       |  FROM m),
+       |feat AS (
+       |  SELECT doc_id,
+       |    $hits,
+       |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
+       |        FROM corpus)),
+       |staged AS (
+       |  SELECT f.doc_id, f.fingerprint,
+       |    CASE WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
+       |         WHEN f.c4_drop THEN 'c4_page'
+       |         WHEN g.gopher_pass = 0 THEN 'gopher'
+       |         ELSE 'survivor' END AS stage
+       |  FROM feat f JOIN g ON f.doc_id = g.doc_id),
+       |keepers AS (
+       |  SELECT fingerprint, min(doc_id) AS keeper_id
+       |  FROM staged WHERE stage = 'survivor' GROUP BY 1),
+       |attributed AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.stage <> 'survivor' THEN s.stage
+       |         WHEN s.doc_id = k.keeper_id THEN 'kept'
+       |         ELSE 'dedup' END AS cut_stage
+       |  FROM staged s LEFT JOIN keepers k ON s.fingerprint = k.fingerprint),
+       |cur AS (SELECT doc_id FROM attributed WHERE cut_stage = 'kept'),
+       |csh AS (
+       |  SELECT doc_id, unnest(shingles) AS s
+       |  FROM (SELECT t.doc_id,
+       |          list_distinct(CASE WHEN len(toks) >= 3
+       |            THEN list_transform(range(1, len(toks) - 1),
+       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |            ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |        FROM (SELECT c.doc_id,
+       |                string_split_regex(trim(lower(c.text)), '\\s+') AS toks
+       |              FROM corpus c JOIN cur u ON c.doc_id = u.doc_id) t)),
+       |esh AS (
+       |  SELECT DISTINCT unnest(shingles) AS s
+       |  FROM (SELECT list_distinct(CASE WHEN len(toks) >= 3
+       |            THEN list_transform(range(1, len(toks) - 1),
+       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |            ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |        FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |              FROM evals) t)),
+       |contam AS (
+       |  SELECT c.doc_id FROM csh c JOIN esh b ON c.s = b.s
+       |  GROUP BY c.doc_id HAVING count(*) >= 10),
+       |w(source, budget) AS (VALUES $values),
+       |surv AS (
+       |  SELECT c.doc_id, c.source, c.text
+       |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |bt AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM surv),
+       |bc AS (
+       |  SELECT doc_id, source, n,
+       |    sum(n) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM bt),
+       |final AS (
+       |  SELECT bc.doc_id,
+       |    CASE WHEN bc.cum <= w.budget THEN 'kept' ELSE 'budget' END AS cut_stage
+       |  FROM bc JOIN w ON bc.source = w.source)
+       |""".stripMargin
+  }
+
+  /** Shared Spark side of the capstone (fixture corpus mirrors
+    * [[corpusBuildCtes]] class for class). Package-visible for the
+    * invariant specs in CorpusBuildSpec. */
+  private[graft] def corpusBuildResult(s: SparkSession, dir: String)
+      : graft.operators.CorpusBuild.Result = {
+    import s.implicits._
+    val d = load(s, dir, "documents").select("doc_id", "text", "source")
+    val evals = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val base = d.where(col("doc_id") % 97 =!= 0)
+    val splants = base.where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), structuredVariant(col("text")).as("stext"),
+        col("source"))
+    val corpus = base
+      .unionByName(splants.select((col("doc_id") + 300000).as("doc_id"),
+        col("stext").as("text"), col("source")))
+      .unionByName(splants.select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit(" "), col("stext"), lit("  ")).as("text"), col("source")))
+      .unionByName(d.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          structuredVariant(col("text")).as("text"), col("source")))
+    graft.operators.CorpusBuild.build(corpus, evals,
+      sourceTokenBudgets.toDF("source", "budget"))
+  }
+
   private val duckVecsCte =
     """corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -1722,6 +1880,75 @@ object ExtensionQueries {
               .as("text")))
         graft.operators.QualityRules.fineWebPipeline(corpus).orderBy("doc_id")
       }),
+
+    // ── The corpus-build capstone ────────────────────────────────────
+    // One end-to-end "materialize the training corpus" dataflow:
+    // FineWeb curation → exact dedup → DECONTAMINATION against a
+    // held-out eval set → token-budget source mixing → chunking →
+    // packing → shard assignment (operators.CorpusBuild). Every stage
+    // is individually oracle-green elsewhere; these two queries
+    // value-check the COMPOSITION — the first as per-doc first-cut
+    // attribution over the whole corpus, the second as the chunk-level
+    // shard manifest the trainer would consume. Fixture classes, each
+    // with a known verdict: flat base docs die at 'gopher' (one
+    // distinct stopword); structured plants (+300000) survive all the
+    // way to 'kept' or 'budget'; their whitespace twins (+500000) die
+    // at 'dedup'; structured rewrites of the EVAL docs (+600000) pass
+    // curation but share every raw-text 3-gram with the benchmark and
+    // die at 'decon'.
+    QueryDef("ext_corpus_build",
+      Some(corpusBuildCtes + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
+
+    // The manifest half of the capstone: token-window chunks of the
+    // kept docs, packed into 512-token training sequences (global
+    // 3-pass prefix) and dealt into 4-pack shards by md5 rank over the
+    // DISTINCT pack ids (n/512 rows through the rank, then an equi-join
+    // back — the chunk table itself is never globally ranked). The
+    // every-chunk-in-exactly-one-shard and budget-respected invariants
+    // are spec'd in QualityRulesSpec.
+    QueryDef("ext_corpus_shards",
+      Some(corpusBuildCtes + ",\n" +
+        """kept_ids AS (
+          |  SELECT fn.doc_id FROM final fn
+          |  WHERE fn.cut_stage = 'kept'
+          |    AND fn.doc_id NOT IN (SELECT doc_id FROM contam)),
+          |ch AS (
+          |  SELECT c.doc_id, string_split_regex(trim(c.text), '\s+') AS toks
+          |  FROM corpus c JOIN kept_ids k ON c.doc_id = k.doc_id),
+          |ccc AS (
+          |  SELECT doc_id, toks,
+          |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+          |  FROM ch),
+          |chunks AS (
+          |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |    CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS BIGINT) AS n_tokens
+          |  FROM ccc, unnest(range(0, n_chunks)) AS r(i)),
+          |pk AS (
+          |  SELECT doc_id, chunk_idx, n_tokens,
+          |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM chunks),
+          |pks AS (
+          |  SELECT doc_id, chunk_idx, n_tokens,
+          |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+          |  FROM pk),
+          |pr AS (
+          |  SELECT pack_id,
+          |    row_number() OVER (ORDER BY md5(CAST(pack_id AS VARCHAR)), pack_id) AS rn
+          |  FROM (SELECT DISTINCT pack_id FROM pks)),
+          |ps AS (SELECT pack_id, CAST((rn - 1) // 4 AS BIGINT) AS shard_id FROM pr)
+          |SELECT p.doc_id, p.chunk_idx, p.n_tokens, p.pack_id, s.shard_id
+          |FROM pks p JOIN ps s ON p.pack_id = s.pack_id
+          |ORDER BY p.doc_id, p.chunk_idx""".stripMargin),
+      (s, dir) => corpusBuildResult(s, dir).manifest
+        .orderBy("doc_id", "chunk_idx")),
 
     // Distributed BPE vocabulary induction: learn 4 merges from the
     // corpus. The corpus first collapses to a distinct-word frequency

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end "materialize a training corpus" composition — the
+  * product a pipeline user actually runs, chaining the individually
+  * oracle-checked stages into ONE dataflow with per-stage cut
+  * attribution:
+  *
+  *   raw docs → FineWeb curation (lang / C4 / Gopher / exact-dedup,
+  *   [[QualityRules.fineWebPipeline]]) → decontamination against a
+  *   held-out eval set ([[Contamination.sharedShingleCounts]]) →
+  *   token-budget source mixing (grouped 3-pass prefix) →
+  *   token-window chunking ([[Chunking.tokenChunks]]) → fixed-token
+  *   packing (global 3-pass prefix) → pack-level shard assignment
+  *   ([[Ops.withHashShardId]]).
+  *
+  * Scale stance, stage by stage: curation is a projection + one dedup
+  * shuffle with pinned decisions; decontamination broadcasts the
+  * (distinct-deduped) eval shingles so the corpus never shuffles for
+  * the join; mixing and packing use the bucketed prefix helpers — the
+  * driver only ever sees per-bucket totals, never rows; shard ranks
+  * run over DISTINCT pack ids (corpus tokens / packTokens rows, three
+  * orders below the chunk count) and join back on pack_id. No stage
+  * holds an O(corpus) structure on the driver.
+  *
+  * Cut attribution is FIRST-CUT, in pipeline order: `lang`, `c4_page`,
+  * `gopher`, `dedup`, `decon`, `budget`, `kept` — each surviving doc
+  * carries `kept`, every other doc names the stage that removed it
+  * (the dedupIngestGate convention, extended across the composition).
+  */
+object CorpusBuild {
+
+  /** Everything the build produces: per-input-doc attribution and the
+    * chunk-level shard manifest over the kept docs. `survivors` is the
+    * pinned (doc_id, text, source) frame the manifest derives from. */
+  final case class Result(attribution: DataFrame, manifest: DataFrame,
+      survivors: DataFrame)
+
+  /** Runs the full composition.
+    *
+    * @param corpus   (doc_id, text, source)
+    * @param evalDocs (doc_id, text) — the held-out benchmark; corpus
+    *                 docs sharing ≥ `contamThreshold` distinct word
+    *                 3-grams with it are cut (`decon`)
+    * @param budgets  (source, budget) — per-source token budgets; docs
+    *                 keep in deterministic md5 order until their
+    *                 source's budget is spent (`budget`)
+    */
+  def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
+      contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
+      packTokens: Int = 512, packsPerShard: Int = 4): Result = {
+    require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
+
+    // ── curation + exact dedup (first-cut attribution inside) ──────
+    val staged = QualityRules.fineWebPipeline(corpus) // (doc_id, cut_stage)
+    val curated = corpus.join(
+      staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
+
+    // ── decontamination: distinct shared 3-grams vs the eval set ───
+    val contamIds = Contamination
+      .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
+      .where(col("n_shared") >= contamThreshold)
+      .select("doc_id")
+    val clean = curated.join(contamIds, Seq("doc_id"), "left_anti")
+
+    // ── token-budget source mixing (grouped 3-pass prefix: a plain
+    //    per-source window would funnel the biggest source through one
+    //    task — the straggler the mixer exists to manage) ────────────
+    val toks = clean.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("__n"),
+      md5(col("doc_id").cast("string").cast("binary")).as("__hx"))
+    val withCum = Ops.withGroupedRunningSum(toks, col("source"),
+      Seq(col("__hx"), col("doc_id")),
+      expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
+      col("__n"), "__cum")
+    val budgeted = withCum.join(broadcast(budgets), "source")
+    val keptIds = budgeted.where(col("__cum") <= col("budget"))
+      .select("doc_id")
+    val budgetCutIds = budgeted.where(col("__cum") > col("budget"))
+      .select("doc_id")
+
+    // Pin the survivors: chunking + packing + sharding re-evaluate
+    // lineage across the prefix helpers' three passes, and the full
+    // gate chain above is far too expensive to run thrice.
+    val survivors = Ops.checkpointKeepPartitioning(
+      clean.join(keptIds, "doc_id").select("doc_id", "text", "source"),
+      eager = true)
+
+    // ── attribution: first cut wins, survivors say kept ────────────
+    val attribution = staged.where(col("cut_stage") =!= "kept")
+      .unionByName(contamIds.select(col("doc_id"),
+        lit("decon").as("cut_stage")))
+      .unionByName(budgetCutIds.select(col("doc_id"),
+        lit("budget").as("cut_stage")))
+      .unionByName(survivors.select(col("doc_id"),
+        lit("kept").as("cut_stage")))
+
+    // ── chunk → pack → shard manifest ──────────────────────────────
+    val chunks = Chunking.tokenChunks(survivors, chunkSize = chunkSize,
+        overlap = overlap)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val packed = Ops.withGlobalRunningSum(chunks,
+        Seq(col("doc_id"), col("chunk_idx")), col("doc_id"),
+        col("n_tokens"), "__cum")
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_tokens")) / lit(packTokens.toDouble))
+          .cast("long"))
+      .drop("__cum")
+    // Shards over DISTINCT pack ids: n/packTokens rows through the
+    // md5-rank assigner, then an equi-join back — never a broadcast of
+    // a corpus-sized side, never a rank over the chunk table itself.
+    val packShards = Ops.withHashShardId(
+        packed.select("pack_id").distinct(), col("pack_id"),
+        shardSize = packsPerShard)
+      .withColumnRenamed("shard_id", "shard_id")
+    val manifest = packed.join(packShards, "pack_id")
+      .select("doc_id", "chunk_idx", "n_tokens", "pack_id", "shard_id")
+
+    Result(attribution, manifest, survivors)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Contamination, CorpusBuild}
+
+/** Invariants of the end-to-end corpus-build composition that the
+  * value-level oracles can't see: shard totality, pack-size bounds,
+  * budget respect, and post-decontamination cleanliness. */
+class CorpusBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val result: CorpusBuild.Result =
+    ExtensionQueries.corpusBuildResult(spark, sf0001)
+  private lazy val att = result.attribution.localCheckpoint()
+  private lazy val manifest = result.manifest.localCheckpoint()
+
+  test("attribution covers every corpus doc exactly once, with every stage live") {
+    val n = Tables.load(spark, sf0001, "documents").count()
+    val nEval = Tables.load(spark, sf0001, "documents")
+      .where($"doc_id" % 97 === 0).count()
+    val nSplant = Tables.load(spark, sf0001, "documents")
+      .where($"doc_id" % 97 =!= 0 && $"doc_id" % 11 === 0).count()
+    // corpus = base + structured + ws-twin + eval-rewrites
+    val expected = (n - nEval) + 2 * nSplant + nEval
+    assert(att.count() == expected)
+    assert(att.select("doc_id").distinct().count() == expected,
+      "first-cut attribution must be a function: one stage per doc")
+    val byStage = att.groupBy("cut_stage").count()
+      .as[(String, Long)].collect().toMap
+    // the fixture guarantees these stages fire; budget depends on the
+    // drawn sources so it is asserted separately below
+    Seq("gopher", "dedup", "decon", "kept").foreach(st =>
+      assert(byStage.getOrElse(st, 0L) > 0, s"stage $st never fired: $byStage"))
+    // whitespace twins of structured plants lose their fingerprint
+    // group to the smaller-id original whenever the original itself
+    // cleared curation; a structured variant that organically fails a
+    // curation gate (a couple of base docs push a Gopher ratio over)
+    // takes its twin down at the SAME stage — first-cut consistency
+    val twins = att.where($"doc_id" >= 500000 && $"doc_id" < 600000)
+      .select($"doc_id", $"cut_stage".as("twin_stage"))
+    assert(twins.count() == nSplant)
+    val joined = twins
+      .withColumn("orig_id", $"doc_id" - 200000)
+      .join(att.select($"doc_id".as("orig_id"),
+        $"cut_stage".as("orig_stage")), "orig_id")
+      .localCheckpoint()
+    assert(joined.count() == nSplant)
+    assert(joined.where($"orig_stage".isin("kept", "dedup", "decon", "budget") &&
+      $"twin_stage" =!= "dedup").count() == 0,
+      "a twin whose original cleared curation must cut at dedup")
+    assert(joined.where(!$"orig_stage".isin("kept", "dedup", "decon", "budget") &&
+      $"twin_stage" =!= $"orig_stage").count() == 0,
+      "a twin whose original fell at curation must fall at the same gate")
+    assert(joined.where($"twin_stage" === "dedup").count() > 0,
+      "at least one twin must exercise the dedup stage")
+    // eval rewrites pass curation but die at decontamination
+    val eplants = att.where($"doc_id" >= 600000)
+    assert(eplants.count() == nEval)
+    assert(eplants.where($"cut_stage" =!= "decon").count() == 0,
+      "every +600000 eval rewrite must cut at decon")
+  }
+
+  test("token budgets hold for every source, and some source actually cut") {
+    val kept = att.where($"cut_stage" === "kept").select("doc_id")
+    val perSource = result.survivors
+      .join(kept, "doc_id")
+      .select($"source",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("tok"))
+      .as[(String, Long)].collect().toMap
+    val budgets = (0 until 20).map { i =>
+      val b = i % 4 match {
+        case 0 => 1000000L; case 1 => 2000L; case 2 => 1000L; case _ => 300L
+      }
+      s"src$i" -> b
+    }.toMap
+    perSource.foreach { case (src, tok) =>
+      assert(tok <= budgets(src), s"$src kept $tok tokens over budget ${budgets(src)}")
+    }
+    assert(att.where($"cut_stage" === "budget").count() > 0,
+      "the 300-token sources must cut at least one structured doc")
+  }
+
+  test("every kept doc lands in the manifest; every chunk in exactly one pack and shard") {
+    val keptIds = att.where($"cut_stage" === "kept").select("doc_id")
+    val manifestDocs = manifest.select("doc_id").distinct()
+    assert(keptIds.exceptAll(manifestDocs).isEmpty &&
+      manifestDocs.exceptAll(keptIds).isEmpty,
+      "manifest docs must be exactly the kept docs")
+    assert(manifest.groupBy("doc_id", "chunk_idx").count()
+      .where($"count" > 1).count() == 0,
+      "a chunk must appear exactly once")
+    // packs: the running-sum cut means a pack's token total can exceed
+    // the 512 target only by the tail of its last chunk
+    val packTotals = manifest.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tok")).as[(Long, Long)].collect()
+    assert(packTotals.nonEmpty)
+    packTotals.foreach { case (p, tok) =>
+      assert(tok < 512 + 32, s"pack $p holds $tok tokens")
+    }
+    // shards: fixed packsPerShard with one ragged tail — the
+    // withHashShardId invariant, here over packs
+    val shardPacks = manifest.select("pack_id", "shard_id").distinct()
+      .groupBy("shard_id").count().as[(Long, Long)].collect()
+      .sortBy(_._1)
+    val last = shardPacks.map(_._1).max
+    assert((0L to last).forall(id => shardPacks.exists(_._1 == id)),
+      "shard ids must be dense")
+    shardPacks.filter(_._1 < last).foreach { case (id, c) =>
+      assert(c == 4, s"non-tail shard $id holds $c packs, want 4")
+    }
+    assert(manifest.select("pack_id", "shard_id").distinct().count() ==
+      manifest.select("pack_id").distinct().count(),
+      "every pack must map to exactly one shard")
+  }
+
+  test("the kept corpus is clean: no kept doc shares >= threshold 3-grams with eval") {
+    val evals = Tables.load(spark, sf0001, "documents")
+      .where($"doc_id" % 97 === 0).select("doc_id", "text")
+    val maxShared = Contamination.sharedShingleCounts(
+        result.survivors.select("doc_id", "text"), evals)
+      .agg(max("n_shared")).head()
+    assert(maxShared.isNullAt(0) || maxShared.getLong(0) < 10,
+      s"a kept doc still shares ${maxShared} 3-grams with the eval set")
+  }
+}
