@@ -311,9 +311,14 @@ object ExtensionQueries {
     * corpus (base + structured plants + whitespace twins + eval
     * rewrites) → the FineWeb curation stages (same SQL as the
     * ext_fineweb_pipeline oracle) → per-doc attribution → eval-shingle
-    * decontamination → token-budget mixing. Ends with a trailing comma
-    * so consumers append their final CTEs / SELECT. */
-  private lazy val corpusBuildCtes: String = {
+    * decontamination → token-budget mixing. `budgetOrder` is the
+    * per-source budget window's ORDER BY — the batch form spends in
+    * global (md5, id) order; the streaming twin (sr12) spends in
+    * ARRIVAL order, which its id-range staging makes the SQL-replayable
+    * (range_bucket, md5, id). Consumers append their final CTEs /
+    * SELECT. */
+  private[graft] def corpusBuildCtes(
+      budgetOrder: String = "hx, doc_id"): String = {
     val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
       s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
     }.mkString(",\n       ")
@@ -431,7 +436,7 @@ object ExtensionQueries {
        |  FROM surv),
        |bc AS (
        |  SELECT doc_id, source, n,
-       |    sum(n) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |    sum(n) OVER (PARTITION BY source ORDER BY $budgetOrder
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM bt),
        |final AS (
@@ -444,8 +449,10 @@ object ExtensionQueries {
   /** Shared Spark side of the capstone (fixture corpus mirrors
     * [[corpusBuildCtes]] class for class). Package-visible for the
     * invariant specs in CorpusBuildSpec. */
-  private[graft] def corpusBuildResult(s: SparkSession, dir: String)
-      : graft.operators.CorpusBuild.Result = {
+  /** The capstone's fixture frames: (corpus, evals, budgets) — shared
+    * by the batch build, the streaming twin (sr12) and their specs. */
+  private[graft] def corpusBuildFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val d = load(s, dir, "documents").select("doc_id", "text", "source")
     val evals = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -461,8 +468,13 @@ object ExtensionQueries {
       .unionByName(d.where(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 600000).as("doc_id"),
           structuredVariant(col("text")).as("text"), col("source")))
-    graft.operators.CorpusBuild.build(corpus, evals,
-      sourceTokenBudgets.toDF("source", "budget"))
+    (corpus, evals, sourceTokenBudgets.toDF("source", "budget"))
+  }
+
+  private[graft] def corpusBuildResult(s: SparkSession, dir: String)
+      : graft.operators.CorpusBuild.Result = {
+    val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+    graft.operators.CorpusBuild.build(corpus, evals, budgets)
   }
 
   private val duckVecsCte =
@@ -1897,7 +1909,7 @@ object ExtensionQueries {
     // curation but share every raw-text 3-gram with the benchmark and
     // die at 'decon'.
     QueryDef("ext_corpus_build",
-      Some(corpusBuildCtes + "\n" +
+      Some(corpusBuildCtes() + "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
           |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
@@ -1914,7 +1926,7 @@ object ExtensionQueries {
     // every-chunk-in-exactly-one-shard and budget-respected invariants
     // are spec'd in QualityRulesSpec.
     QueryDef("ext_corpus_shards",
-      Some(corpusBuildCtes + ",\n" +
+      Some(corpusBuildCtes() + ",\n" +
         """kept_ids AS (
           |  SELECT fn.doc_id FROM final fn
           |  WHERE fn.cut_stage = 'kept'

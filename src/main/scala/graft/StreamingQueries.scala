@@ -282,5 +282,34 @@ object StreamingQueries {
       (s, dir) => withStreamingConf(s) {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingProbe.run(s, dir, s"/tmp/graft_sprobe/$tag")
+      }),
+
+    // The corpus-build capstone as a forever-sync (StreamingCorpusBuild):
+    // curation gates per doc, exact-dedup ingest against a persisted
+    // index (cross-batch probes, the production path), decontamination
+    // against the frozen eval set, and a token-budget mixer whose
+    // per-source spend continues across micro-batches from the sink's
+    // ledger. The oracle is the SAME chained SQL as ext_corpus_build
+    // with ONE change: the budget window spends in ARRIVAL order
+    // (range bucket, then md5) — id-range staging makes arrival a pure
+    // function of the data, which is what keeps the stream's ledger
+    // replayable in SQL. Replay and resume drills in StreamingSpec.
+    QueryDef("sr12_streaming_corpus",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id") + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, budgets) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
+          s"/tmp/graft_scorpus/$tag", s"graft_scb_$tag",
+          s"/tmp/graft_scorpus/$tag/idx")
       }))
 }

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Contamination, IndexStore, Ops, QualityRules}
+
+/** The corpus-build composition run as a forever-sync — the streaming
+  * twin of [[graft.operators.CorpusBuild]]: crawl micro-batches flow
+  * through the FineWeb curation gates, exact-dedup ingest against a
+  * PERSISTED fingerprint index (within-batch keeper + cross-batch index
+  * probe, survivors append), decontamination against the static eval
+  * shingle set, and a token-budget source mixer whose per-source spend
+  * CONTINUES across batches — the mixing state is re-derived from the
+  * sink's kept rows, so a restarted stream resumes each source's budget
+  * where it left off instead of re-granting it.
+  *
+  * What keeps the stream fully ORACLE-checkable: (1) batches are staged
+  * in doc_id-RANGE order (a pure, monotone function of the data), so
+  * the first-arriving dedup keeper IS the min-id keeper and the
+  * arrival-order budget spend is replayable in SQL as a window ordered
+  * by (range_bucket, md5, doc_id); (2) every gate is per-doc or
+  * keyed-state — no corpus-relative cutoff is recomputed mid-stream
+  * (budgets and the eval set are frozen batch-side, the CCNet
+  * frozen-cutoff stance).
+  *
+  * Replay contract (the curateBatch doctrine): decisions are computed
+  * BEFORE side effects, the sink anti-join on doc_id makes a replayed
+  * batch's append a no-op, and the index append runs last — a replayed
+  * batch whose append DID run re-derives identical decisions because
+  * the probe filters self-id matches (the ext_srp_ingest convention).
+  */
+object StreamingCorpusBuild {
+
+  /** Stages `corpus` as doc_id-range files, drains after each, returns
+    * the accumulated per-doc attribution (doc_id, cut_stage). `splits`
+    * are the exclusive upper bounds of each arrival range (the last
+    * range is unbounded). */
+  def run(spark: SparkSession, corpus: DataFrame, evalDocs: DataFrame,
+      budgets: DataFrame, workDir: String, table: String, idxPath: String,
+      splits: Seq[Long] = Seq(300000L, 500000L, 600000L),
+      contamThreshold: Int = 10): DataFrame = {
+    val srcDir = s"$workDir/src"
+    val sinkDir = s"$workDir/sink"
+    Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    // empty pre-seed: the corpus dedups against itself, in arrival order
+    IndexStore.buildExactIndex(corpus.where(lit(false)), "doc_id", "text",
+      table, idxPath)
+    new java.io.File(srcDir).mkdirs()
+
+    val evalPinned = evalDocs.localCheckpoint()
+    val budgetsPinned = budgets.localCheckpoint()
+    // One stream START per staged file, all on the SAME checkpoint: the
+    // resume path (process only files the checkpoint hasn't committed)
+    // is exercised structurally on every run, not just in a drill.
+    rangePreds(splits).foreach { pred =>
+      corpus.where(pred(col("doc_id")))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      runStream(spark, srcDir, sinkDir, s"$workDir/ckpt", table,
+        evalPinned, budgetsPinned, contamThreshold)
+    }
+    spark.read.parquet(sinkDir).select("doc_id", "cut_stage")
+      .orderBy("doc_id")
+  }
+
+  /** Starts (or resumes, given the same checkpoint) the curation stream
+    * over the staged files and drains what is currently available —
+    * split out so the recovery spec can crash between staged files
+    * (the runGateStream convention). */
+  def runStream(spark: SparkSession, srcDir: String, sinkDir: String,
+      checkpointDir: String, table: String, evalDocs: DataFrame,
+      budgets: DataFrame, contamThreshold: Int): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, evalDocs, budgets, table, sinkDir,
+          contamThreshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def rangePreds(splits: Seq[Long])
+      : Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    val lows = Long.MinValue +: splits
+    val highs = splits :+ Long.MaxValue
+    lows.zip(highs).map { case (lo, hi) =>
+      (id: org.apache.spark.sql.Column) => id >= lo && id < hi
+    }
+  }
+
+  /** One micro-batch: curation → within-batch dedup (fineWebPipeline) →
+    * cross-batch dedup (index probe) → decontamination → budget gate
+    * with carried per-source spend → guarded sink append → index
+    * append. Exposed for the replay/resume drills in StreamingSpec. */
+  def curateBatch(batch: DataFrame, evalDocs: DataFrame,
+      budgets: DataFrame, table: String, sinkDir: String,
+      contamThreshold: Int): Unit = {
+    val spark = batch.sparkSession // session coherence: see StreamingCuration
+    // per-doc curation + within-batch keeper, decisions pinned
+    val staged = QualityRules.fineWebPipeline(batch)
+    val kept1 = batch.join(
+      staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
+      .localCheckpoint()
+    // cross-batch dedup: fingerprints accepted by EARLIER batches
+    // (self-id matches filtered inside probeExact, so a replay after a
+    // completed index append still derives the same decisions)
+    val crossDup = IndexStore.probeExact(spark,
+        kept1.select("doc_id", "text"), "doc_id", "text", table)
+      .select(col("query_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    val kept2 = kept1.join(crossDup, Seq("doc_id"), "left_anti")
+    // decontamination against the frozen eval set
+    val contam = Contamination
+      .sharedShingleCounts(kept2.select("doc_id", "text"), evalDocs)
+      .where(col("n_shared") >= contamThreshold).select("doc_id")
+      .localCheckpoint()
+    val kept3 = kept2.join(contam, Seq("doc_id"), "left_anti")
+    // budget gate: within-batch grouped prefix + per-source spend
+    // carried from the sink's kept rows (state re-derived, not held in
+    // driver memory — a restarted stream resumes the ledger)
+    val toks = kept3.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n"),
+      md5(col("doc_id").cast("string").cast("binary")).as("__hx"))
+    val withCum = Ops.withGroupedRunningSum(toks, col("source"),
+      Seq(col("__hx"), col("doc_id")),
+      expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
+      col("n"), "__cum")
+    // the carried spend is the PREFIX total — kept AND budget-cut
+    // tokens — because the batch form's rule is "keep while the
+    // running total fits", not a knapsack: once a source's cum passes
+    // its budget, later (larger-hash) docs stay cut even if their own
+    // tokens would fit. Counting only kept tokens here would quietly
+    // re-admit them and diverge from the window oracle.
+    val spent =
+      if (new java.io.File(sinkDir).exists)
+        spark.read.parquet(sinkDir)
+          .where(col("cut_stage").isin("kept", "budget"))
+          .groupBy("source").agg(sum(col("n")).as("__used"))
+      else budgets.select(col("source"), lit(0L).as("__used")).where(lit(false))
+    val budgeted = withCum.join(broadcast(budgets), "source")
+      .join(broadcast(spent), Seq("source"), "left")
+      .withColumn("__used", coalesce(col("__used"), lit(0L)))
+    val keptFinal = budgeted
+      .where(col("__cum") + col("__used") <= col("budget"))
+      .select("doc_id", "source", "n")
+    val overBudget = budgeted
+      .where(col("__cum") + col("__used") > col("budget"))
+      .select("doc_id")
+    // attribution rows for the whole batch, with (source, n) carried so
+    // the sink doubles as the budget ledger
+    val meta = batch.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n"))
+    val att = staged.where(col("cut_stage") =!= "kept")
+      .unionByName(crossDup.select(col("doc_id"),
+        lit("dedup").as("cut_stage")))
+      .unionByName(contam.select(col("doc_id"), lit("decon").as("cut_stage")))
+      .unionByName(overBudget.select(col("doc_id"),
+        lit("budget").as("cut_stage")))
+      .unionByName(keptFinal.select(col("doc_id"),
+        lit("kept").as("cut_stage")))
+      .join(meta, "doc_id")
+      .select("doc_id", "source", "n", "cut_stage")
+    val fresh = (if (new java.io.File(sinkDir).exists)
+        att.join(spark.read.parquet(sinkDir).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else att).localCheckpoint()
+    fresh.write.mode("append").parquet(sinkDir)
+    // index append LAST, and only rows this invocation actually
+    // committed: the new fingerprints' keepers are the curation
+    // survivors that beat the index (kept2) — including those later
+    // cut at decon/budget, because the batch form's keeper groups are
+    // decided BEFORE decontamination
+    IndexStore.appendExactIndex(
+      kept2.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"),
+      "doc_id", "text", table)
+    IndexStore.autoCompact(spark, "exact", table)
+    (): Unit
+  }
+}

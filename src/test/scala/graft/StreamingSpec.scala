@@ -702,6 +702,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming corpus build: classes land on their stages; replay and resume are safe") {
+    import graft.streaming.StreamingCorpusBuild
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val work = s"/tmp/graft_scorpus_spec/${System.nanoTime()}"
+    val out = StreamingCorpusBuild.run(spark, corpus, evals, budgets,
+      work, "graft_t_scb", s"$work/idx").localCheckpoint()
+    // totality: one decision per corpus doc (run() itself already
+    // restarts from the checkpoint per staged file, so this is also
+    // the resume drill: a re-gated file would duplicate rows)
+    assert(out.count() == corpus.count())
+    assert(out.select("doc_id").distinct().count() == corpus.count())
+    // whitespace twins arrive in a LATER range batch than their
+    // originals: every twin whose original cleared curation is cut by
+    // the cross-batch INDEX probe — the production dedup path
+    val stages = out.as[(Long, String)].collect().toMap
+    val twinStages = stages.filter { case (id, _) =>
+      id >= 500000 && id < 600000 }
+    assert(twinStages.nonEmpty)
+    val origStage = (id: Long) => stages(id - 200000)
+    twinStages.foreach { case (id, st) =>
+      if (Set("kept", "dedup", "decon", "budget")(origStage(id)))
+        assert(st == "dedup", s"twin $id: $st (orig ${origStage(id)})")
+    }
+    assert(twinStages.values.exists(_ == "dedup"))
+    // eval rewrites pass curation, die at decontamination
+    val eplants = stages.filter(_._1 >= 600000)
+    assert(eplants.nonEmpty && eplants.values.forall(_ == "decon"))
+    // the mixer fired across batches with a carried ledger
+    assert(stages.values.exists(_ == "budget"))
+
+    // replay drill: re-running an already-committed batch through
+    // curateBatch appends nothing (sink anti-join) and leaves the
+    // index probes unchanged (self-id filtered)
+    val before = spark.read.parquet(s"$work/sink").count()
+    val b0 = corpus.where($"doc_id" < 300000)
+    StreamingCorpusBuild.curateBatch(b0, evals, budgets, "graft_t_scb",
+      s"$work/sink", contamThreshold = 10)
+    assert(spark.read.parquet(s"$work/sink").count() == before,
+      "a replayed batch must not append rows or re-spend budget")
+  }
+
   test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
     import graft.streaming.StreamingProbe
     import graft.operators.LinearProbe
