@@ -632,6 +632,28 @@ object AnalyticsQueries {
         }
       }),
 
+    // Sketch twin of the quartile gate (ext_approx_percentiles twins
+    // ext_percentiles the same way): the cutoff comes from ONE
+    // approx_percentile aggregate — mergeable partials, bounded memory,
+    // no rank pass at all — for pipelines where the exact 3-pass rank's
+    // extra shuffle isn't worth the last ±0.01% of the cutoff.
+    // Approximate by design → rows-only; ≥99% keep/drop agreement with
+    // the exact gate is asserted in PlansSpec.
+    QueryDef("ext_quality_gate_approx", None,
+      (s, dir) => {
+        val q = load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.qualityScore(col("text"))
+              .as("quality"))
+        val cut = q.agg(
+          percentile_approx(col("quality"), lit(0.25), lit(10000))
+            .as("cutoff"))
+        q.crossJoin(broadcast(cut))
+          .where(col("quality") > col("cutoff"))
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      }),
+
     // Sketch percentiles — the at-scale percentile path: approx_percentile
     // aggregates mergeable partials (bounded memory per group, map-side
     // combine) where exact `percentile` buffers whole groups. Approximate

@@ -174,6 +174,19 @@ class PlansSpec extends SparkSpec {
       "empty input must surface as None, not an NPE")
   }
 
+  test("approx quality gate agrees with the exact gate on >= 99% of docs") {
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = SparkEntry.queries("ext_quality_percentile_gate")(spark, sf01)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = SparkEntry.queries("ext_quality_gate_approx")(spark, sf01)
+      .select("doc_id").as[Long].collect().toSet
+    val n = Tables.load(spark, sf01, "documents").count().toDouble
+    val disagree = ((exact diff approx) ++ (approx diff exact)).size
+    assert(disagree / n <= 0.01,
+      s"$disagree of ${n.toLong} docs flip between exact and approx gates")
+    assert(approx.nonEmpty)
+  }
+
   test("kth-order-statistic plan: no TakeOrderedAndProject, no global sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort => LSort, Window => LWindow}
     val q = Tables.load(spark, sf0001, "documents")
