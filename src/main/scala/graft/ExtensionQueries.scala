@@ -2749,5 +2749,25 @@ object ExtensionQueries {
         Similarity.semanticDedup(vecsWithNearDups(s, dir), cent,
             threshold = 0.999)
           .orderBy("vec_id")
+      }),
+
+    // SemDeDup served from int8-QUANTIZED vectors — the storage-cost
+    // twin (ext_ivf/srp_neardup_quant precedent): vectors round-trip
+    // through the codegen'd int8 kernel, the threshold carries a guard
+    // band so grid error never hides a true near-dup. Rows-only
+    // (quantization is engine-specific by design); planted-copy recall
+    // and >= 99% keeper agreement with the fp form in SimilaritySpec.
+    QueryDef("ext_semantic_dedup_quant", None,
+      (s, dir) => {
+        val base = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val cent = IvfIndex.collectCentroids(
+          base.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cluster_id"),
+              col("vec").as("centroid")))
+        Similarity.semanticDedupQuantized(vecsWithNearDups(s, dir), cent,
+            threshold = 0.999)
+          .orderBy("vec_id")
       }))
 }

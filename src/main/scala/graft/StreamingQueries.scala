@@ -311,5 +311,18 @@ object StreamingQueries {
         graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
           s"/tmp/graft_scorpus/$tag", s"graft_scb_$tag",
           s"/tmp/graft_scorpus/$tag/idx")
+      }),
+
+    // SemDeDup as a forever-sync (StreamingSemDedup): pinned centroids,
+    // within-batch kernel + cross-batch near-dup check against the SEEN
+    // cluster members (keepers or not — the batch rule), keepers append.
+    // Rows-only (trained-quantizer cosine ties are not SQL-portable);
+    // exact parity with the batch kernel over the same corpus, plus the
+    // replay drill, are in StreamingSpec.
+    QueryDef("sr13_streaming_semdedup", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingSemDedup.run(s, dir,
+          s"/tmp/graft_ssemded/$tag")
       }))
 }

@@ -244,6 +244,43 @@ object Similarity {
       vecs.join(IvfIndex.assign(vecs, centroids, idCol, vecCol), idCol),
       threshold, idCol, vecCol, hotClusterThreshold)
 
+  /** [[semanticDedup]] served from int8-QUANTIZED vectors — the
+    * read-mostly shape at 100 TB storage cost (4–8× smaller than fp,
+    * the ext_ivf/srp_neardup_quant precedent): vectors round-trip
+    * through the codegen'd int8 scale/code/dequantize kernel before
+    * assignment and the pair checks, and the near-dup threshold gets a
+    * GUARD BAND — quantization grid error moves a cosine by at most a
+    * few 1e-4, so checking `cos ≥ threshold − guardBand` keeps every
+    * TRUE near-dup pair detectable from the quantized codes (erring,
+    * when it errs, toward dropping an extra borderline near-dup — the
+    * safe direction for dedup). Same cluster-keyed shuffle shape and
+    * hot-cluster cap as the fp form. Agreement with the fp keeper set
+    * and planted-copy recall are spec'd in SimilaritySpec. */
+  def semanticDedupQuantized(vecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      guardBand: Double = 0.001, idCol: String = "vec_id",
+      vecCol: String = "vec",
+      hotClusterThreshold: Int = DefaultHotClusterThreshold): DataFrame = {
+    require(guardBand >= 0 && guardBand < threshold,
+      s"guardBand=$guardBand must sit inside [0, threshold=$threshold)")
+    import graft.functions.Quantize
+    val scale = Quantize.int8Scale(col(vecCol))
+    val served = vecs
+      .withColumn("__qsc", scale)
+      .select(col(idCol),
+        Quantize.int8Dequantize(
+          Quantize.int8Codes(col(vecCol), col("__qsc")), col("__qsc"))
+          .as(vecCol))
+      // an all-zeros vector has no scale (null) — it can never near-dup
+      // anything at a positive threshold, so it passes through as kept
+      // rather than poisoning the kernel (the NaN-guard stance)
+      .where(col(vecCol).isNotNull)
+      .unionByName(vecs.withColumn("__qsc", scale)
+        .where(col("__qsc").isNull).select(col(idCol), col(vecCol)))
+    semanticDedup(served, centroids, threshold - guardBand, idCol, vecCol,
+      hotClusterThreshold)
+  }
+
   /** Cluster-population cap above which the within-cluster all-pairs
     * join is replaced by star-checking members against the cluster
     * representative (minimum id) — the same bounded-work trade as

@@ -354,4 +354,32 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.count() == corpus.count() + 1)
     assert(kept.where($"vec_id" === 999999L).count() == 1)
   }
+  test("quantized semdedup: guard band keeps every planted near-dup; keepers agree >= 99%") {
+    import graft.operators.IvfIndex
+    val base = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+    val corpus = base.unionByName(base.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"vec", x => x * 1.001).as("vec")))
+    val cent = IvfIndex.collectCentroids(base.where($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cluster_id"), $"vec".as("centroid")))
+    val fp = Similarity.semanticDedup(corpus, cent, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val q = Similarity.semanticDedupQuantized(corpus, cent, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // recall contract: int8 grid error must never hide a true near-dup —
+    // every planted x1.001 copy (cosine 1.0 with its source) is dropped
+    assert(!q.exists(_ >= 100000),
+      s"quantized path kept planted copies: ${q.filter(_ >= 100000)}")
+    // and the quantized keeper set tracks the fp set
+    val n = corpus.count().toDouble
+    val disagree = ((fp diff q) ++ (q diff fp)).size
+    assert(disagree / n <= 0.01, s"$disagree of ${n.toLong} keepers flip")
+    // guard band sits inside the threshold or the call refuses
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupQuantized(corpus, cent, threshold = 0.5,
+        guardBand = 0.6)
+    }
+  }
+
 }

@@ -744,6 +744,35 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must not append rows or re-spend budget")
   }
 
+  test("streaming semdedup equals the batch kernel exactly; replay appends nothing") {
+    import graft.streaming.StreamingSemDedup
+    import graft.operators.{IvfIndex, Similarity}
+    val work = s"/tmp/graft_ssemded_spec/${System.nanoTime()}"
+    val streamed = StreamingSemDedup.run(spark, sf0001, work)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    val base = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("vec"))
+    val corpus = base.unionByName(base.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"vec", x => x * 1.001).as("vec")))
+    val cent = IvfIndex.collectCentroids(base.where($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cluster_id"), $"vec".as("centroid")))
+    val batch = Similarity.semanticDedup(corpus, cent, threshold = 0.999)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    // the seen-index (not accepted-only) cross-batch check is what
+    // makes this EXACT: a keeper set checked only against keepers
+    // would re-admit later copies of dropped vectors
+    assert(streamed == batch,
+      s"stream/batch diverge: ${(streamed diff batch) ++ (batch diff streamed)}")
+    // every planted x1.001 copy (arriving after its original) was cut
+    assert(!streamed.exists(_._1 >= 100000))
+    // replay drill: re-running the final id-range batch appends nothing
+    val before = spark.read.parquet(s"$work/kept").count()
+    val b2 = corpus.where($"vec_id" >= 100000)
+    StreamingSemDedup.dedupBatch(b2, cent, 0.999, s"$work/seen", s"$work/kept")
+    assert(spark.read.parquet(s"$work/kept").count() == before)
+  }
+
   test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
     import graft.streaming.StreamingProbe
     import graft.operators.LinearProbe
