@@ -1893,6 +1893,58 @@ object ExtensionQueries {
         graft.operators.QualityRules.fineWebPipeline(corpus).orderBy("doc_id")
       }),
 
+    // Paragraph-level dedup — CCNet's actual dedup granularity (Wenzek
+    // et al. arXiv:1911.00359 §3.1 dedups normalized PARAGRAPH hashes,
+    // not whole documents): split docs into lines, keep only the FIRST
+    // occurrence of each normalized line corpus-wide, and re-assemble
+    // the cleaned documents. This is the op that strips boilerplate
+    // ("subscribe…", "all rights reserved…") from every page that
+    // carries it while preserving the first copy. Fixture: every third
+    // doc gains two fixed boilerplate lines — after dedup exactly one
+    // doc still carries them. Scale shape: the keeper is
+    // groupBy(hash).agg(min(struct(doc, idx))) + an equi-join back —
+    // partial-aggregated and NEVER a window over the hash (a hot
+    // boilerplate hash would funnel its millions of copies through one
+    // window task; the hot-fingerprint doctrine); reassembly groups by
+    // doc_id, a uniform key. A doc whose every line is someone else's
+    // duplicate drops out entirely, like its docs-level cousin.
+    QueryDef("ext_paragraph_dedup",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN text || chr(10) || 'Subscribe to our newsletter today!'
+             |           || chr(10) || 'All rights reserved worldwide.'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+             |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
+             |k AS (
+             |  SELECT doc_id, para_idx, para,
+             |    md5(lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS ph
+             |  FROM p),
+             |fst AS (
+             |  SELECT ph, min(doc_id * 1000000 + para_idx) AS first_key
+             |  FROM k GROUP BY ph),
+             |kept AS (
+             |  SELECT k.doc_id, k.para_idx, k.para
+             |  FROM k JOIN fst ON k.ph = fst.ph
+             |  WHERE k.doc_id * 1000000 + k.para_idx = fst.first_key)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |  array_to_string(list(para ORDER BY para_idx), chr(10)) AS clean_text
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit("\nSubscribe to our newsletter today!" +
+                "\nAll rights reserved worldwide.")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Dedup.paragraphDedup(corpus).orderBy("doc_id")
+      }),
+
     // ── The corpus-build capstone ────────────────────────────────────
     // One end-to-end "materialize the training corpus" dataflow:
     // FineWeb curation → exact dedup → DECONTAMINATION against a

@@ -556,4 +556,38 @@ object Dedup {
         round(col("n_repeated").cast("double") / col("n_windows"), 6)
           .as("repeat_frac"))
   }
+
+  /** Paragraph-level exact dedup — CCNet's dedup granularity (Wenzek
+    * et al. arXiv:1911.00359 §3.1: normalized PARAGRAPH hashes, not
+    * whole documents): keep only the corpus-wide FIRST occurrence
+    * (smallest (doc, line) position) of every normalized line, then
+    * re-assemble the surviving lines per document. Returns
+    * (idCol, n_kept, clean_text); a document whose every line is some
+    * earlier document's duplicate drops out entirely.
+    *
+    * Scale shape: the first-occurrence keeper is
+    * groupBy(hash).agg(min(position)) + an equi-join back — partial
+    * aggregation absorbs a boilerplate hash's millions of copies
+    * map-side, where a window over the hash would funnel them through
+    * one task (the hot-fingerprint doctrine). Reassembly groups by the
+    * document id, a uniform key; the per-doc sort happens inside
+    * `array_sort` over that document's own lines, never as a global
+    * sort. Positions encode as doc_id·10⁶ + line_idx, so documents are
+    * limited to a million lines (far past any real page). */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("para_idx", "para")))
+    val keyed = paras
+      .withColumn("ph", graft.functions.TextAnalysis.fingerprintMd5(col("para")))
+      .withColumn("__pk", col(idCol) * 1000000L + col("para_idx"))
+    val fst = keyed.groupBy("ph").agg(min(col("__pk")).as("__first"))
+    keyed.join(fst, "ph")
+      .where(col("__pk") === col("__first"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          s => s.getField("para"))).as("clean_text"))
+  }
 }

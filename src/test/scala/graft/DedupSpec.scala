@@ -582,4 +582,36 @@ class DedupSpec extends SparkSpec {
       .where($"fast" =!= $"ref")
     assert(bad.count() == 0, "band keys must not move a single bit")
   }
+  test("paragraph dedup: boilerplate lines survive on exactly one doc; no hash window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").where($"doc_id" < 200)
+    val corpus = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0,
+        concat($"text", lit("\nSubscribe now!\nAll rights reserved.")))
+        .otherwise($"text").as("text"))
+    val out = Dedup.paragraphDedup(corpus).localCheckpoint()
+    // each boilerplate line survives exactly once, on the smallest
+    // planted doc (0) — every other %3 doc loses both lines
+    val cleaned = out.as[(Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val carriers = cleaned.filter(_._2.contains("Subscribe now!"))
+    assert(carriers.keySet == Set(0L),
+      s"boilerplate must survive only on doc 0, found ${carriers.keySet}")
+    assert(!cleaned.exists(c => c._1 != 0L &&
+      c._2.contains("All rights reserved.")))
+    // a doc whose only line duplicates an earlier doc vanishes; others
+    // keep their own first-occurrence lines in order
+    val organicDup = docs.as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(_.sortBy(_._1).tail.map(_._1)).toSet
+    organicDup.foreach(id => assert(!cleaned.contains(id),
+      s"organic dup doc $id kept a line it should have lost"))
+    // the keeper is groupBy+join, never a window over the line hash
+    val windows = Dedup.paragraphDedup(corpus)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty,
+      "paragraphDedup must not window over the paragraph hash")
+  }
+
 }
