@@ -307,6 +307,37 @@ object ExtensionQueries {
       s"src$i" -> b
     }
 
+  /** Shared oracle for the batch (ext_paragraph_dedup) and streaming
+    * (sr14) paragraph-dedup forms — with id-range staging the stream's
+    * first-arriving line keeper is the global min-(doc,line) keeper,
+    * so ONE SQL checks both. */
+  private[graft] val paragraphDedupOracleSql: String =
+    """WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || chr(10) || 'Subscribe to our newsletter today!'
+         |           || chr(10) || 'All rights reserved worldwide.'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+         |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
+         |k AS (
+         |  SELECT doc_id, para_idx, para,
+         |    md5(lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS ph
+         |  FROM p),
+         |fst AS (
+         |  SELECT ph, min(doc_id * 1000000 + para_idx) AS first_key
+         |  FROM k GROUP BY ph),
+         |kept AS (
+         |  SELECT k.doc_id, k.para_idx, k.para
+         |  FROM k JOIN fst ON k.ph = fst.ph
+         |  WHERE k.doc_id * 1000000 + k.para_idx = fst.first_key)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  array_to_string(list(para ORDER BY para_idx), chr(10)) AS clean_text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared CTE chain for the corpus-build capstone oracles: fixture
     * corpus (base + structured plants + whitespace twins + eval
     * rewrites) → the FineWeb curation stages (same SQL as the
@@ -1909,31 +1940,7 @@ object ExtensionQueries {
     // doc_id, a uniform key. A doc whose every line is someone else's
     // duplicate drops out entirely, like its docs-level cousin.
     QueryDef("ext_paragraph_dedup",
-      Some("""WITH corpus AS (
-             |  SELECT doc_id,
-             |    CASE WHEN doc_id % 3 = 0
-             |      THEN text || chr(10) || 'Subscribe to our newsletter today!'
-             |           || chr(10) || 'All rights reserved worldwide.'
-             |      ELSE text END AS text
-             |  FROM documents),
-             |p AS (
-             |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
-             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
-             |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
-             |k AS (
-             |  SELECT doc_id, para_idx, para,
-             |    md5(lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS ph
-             |  FROM p),
-             |fst AS (
-             |  SELECT ph, min(doc_id * 1000000 + para_idx) AS first_key
-             |  FROM k GROUP BY ph),
-             |kept AS (
-             |  SELECT k.doc_id, k.para_idx, k.para
-             |  FROM k JOIN fst ON k.ph = fst.ph
-             |  WHERE k.doc_id * 1000000 + k.para_idx = fst.first_key)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-             |  array_to_string(list(para ORDER BY para_idx), chr(10)) AS clean_text
-             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Some(paragraphDedupOracleSql),
       (s, dir) => {
         val docs = load(s, dir, "documents").select("doc_id", "text")
         val corpus = docs.select(col("doc_id"),

@@ -216,6 +216,67 @@ object ScaleRehearsal {
       // the survivors-only fingerprint shuffle.
       time("fineweb_pipeline", scale,
         graft.operators.QualityRules.fineWebPipeline(corpus))
+
+      // Full corpus-build lifecycle (curation → dedup → decon →
+      // budget-mix → chunk → pack → shard). Replicas here append ONE
+      // replica-tag token instead of rewriting the vocabulary — the
+      // curation gates (stopword-based lang-ID, Gopher ratios) must
+      // keep behaving like the base corpus or the composed run would
+      // trivially die at 'lang' and measure nothing. The eval set
+      // stays FIXED (production: benchmarks don't grow with the
+      // crawl — the broadcast side is constant); budgets scale with
+      // the corpus so the mixer keeps ~the same cut fraction and the
+      // chunk/pack/shard stages see linearly more survivors.
+      val rawDocs = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text", "source")
+      val docsRep = (1 until scale).foldLeft(rawDocs) { (acc, k) =>
+        acc.unionByName(rawDocs.select(
+          (col("doc_id") + k * 10000000L).as("doc_id"),
+          concat(col("text"), lit(s" replica${k}tag")).as("text"),
+          col("source")))
+      }
+      val evalsCB = rawDocs.where(col("doc_id") % 97 === 0)
+        .select("doc_id", "text")
+      val baseCB = docsRep.where(col("doc_id") % 97 =!= 0)
+      val structuredCB = concat(
+        lit("- item one\n- item two\n"), col("text"),
+        lit(" to of and that have with.\n" +
+          "Good sentence with many words written here.\n" +
+          "this short line mentions javascript libraries.\n" +
+          "Trailing thought...\n" +
+          "Another proper sentence ends with five words."))
+      val splantsCB = baseCB.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), structuredCB.as("stext"), col("source"))
+      val corpusCB = baseCB
+        .unionByName(splantsCB.select((col("doc_id") + 300000).as("doc_id"),
+          col("stext").as("text"), col("source")))
+        .unionByName(splantsCB.select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit(" "), col("stext"), lit("  ")).as("text"),
+          col("source")))
+        .localCheckpoint()
+      val budgetsCB = {
+        import spark.implicits._
+        (0 until 20).map { i =>
+          val b = i % 4 match {
+            case 0 => 1000000L; case 1 => 2000L; case 2 => 1000L
+            case _ => 300L
+          }
+          (s"src$i", b * scale)
+        }.toDF("source", "budget")
+      }
+      val tcb = System.nanoTime()
+      val res = graft.operators.CorpusBuild.build(corpusCB, evalsCB,
+        budgetsCB)
+      val byStage = res.attribution.groupBy("cut_stage").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nChunks = res.manifest.count()
+      val nShards = res.manifest.select("shard_id").distinct().count()
+      val secCb = (System.nanoTime() - tcb) / 1e9
+      println(f"""{"q":"corpus_build_lifecycle","scale":$scale,""" +
+        f""""kept":${byStage.getOrElse("kept", 0L)},""" +
+        f""""budgetCut":${byStage.getOrElse("budget", 0L)},""" +
+        f""""deconCut":${byStage.getOrElse("decon", 0L)},""" +
+        f""""chunks":$nChunks,"shards":$nShards,"sec":$secCb%.2f}""")
     }
 
     // ---- gate-path ~100× rehearsal ---------------------------------

@@ -324,5 +324,21 @@ object StreamingQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingSemDedup.run(s, dir,
           s"/tmp/graft_ssemded/$tag")
+      }),
+
+    // Paragraph-level dedup as a forever-sync (StreamingParagraphDedup):
+    // each batch's lines check within the batch and against the
+    // persisted LINE-fingerprint index (the exact IndexStore kind
+    // reused on (doc·10⁶+line, para) rows); cleaned docs append.
+    // Oracle'd — id-range staging makes the first-arriving line keeper
+    // the global min-(doc,line) keeper, so the stream checks against
+    // the SAME SQL as ext_paragraph_dedup, verbatim.
+    QueryDef("sr14_streaming_paragraph_dedup",
+      Some(ExtensionQueries.paragraphDedupOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingParagraphDedup.run(s, dir,
+          s"/tmp/graft_sparaded/$tag", s"graft_spd_$tag",
+          s"/tmp/graft_sparaded/$tag/idx")
       }))
 }

@@ -773,6 +773,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/kept").count() == before)
   }
 
+  test("streaming paragraph dedup equals the batch form; replay appends nothing") {
+    import graft.streaming.StreamingParagraphDedup
+    import graft.operators.Dedup
+    val work = s"/tmp/graft_sparaded_spec/${System.nanoTime()}"
+    val out = StreamingParagraphDedup.run(spark, sf0001, work,
+      "graft_t_spd", s"$work/idx")
+      .as[(Long, Long, String)].collect().toSet
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat($"text", lit("\nSubscribe to our newsletter today!" +
+            "\nAll rights reserved worldwide.")))
+          .otherwise($"text").as("text"))
+    val batch = Dedup.paragraphDedup(corpus)
+      .as[(Long, Long, String)].collect().toSet
+    // id-range staging makes first-arriving = global min keeper, so the
+    // stream must equal the batch operator row for row — including the
+    // boilerplate lines surviving ONLY on the earliest planted doc,
+    // with the second range batch losing them to the INDEX probe
+    assert(out == batch,
+      s"stream/batch diverge on ${((out diff batch) ++ (batch diff out)).take(3)}")
+    assert(out.count(_._3.contains("Subscribe to our newsletter")) == 1)
+    // replay drill: re-running the final range batch appends nothing
+    val median = corpus.stat.approxQuantile("doc_id", Array(0.5), 0.0)
+      .head.toLong
+    val before = spark.read.parquet(s"$work/sink").count()
+    StreamingParagraphDedup.dedupBatch(
+      corpus.where($"doc_id" > median), "graft_t_spd", s"$work/sink")
+    assert(spark.read.parquet(s"$work/sink").count() == before)
+  }
+
   test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
     import graft.streaming.StreamingProbe
     import graft.operators.LinearProbe
