@@ -1952,6 +1952,142 @@ object ExtensionQueries {
         graft.operators.Dedup.paragraphDedup(corpus).orderBy("doc_id")
       }),
 
+    // Emit the PACKED TRAINING SEQUENCES themselves — ext_token_packing
+    // reports pack sizes; this materializes what the trainer reads: the
+    // corpus chunked into 32-token windows, windows concatenated in
+    // (doc, window) order into 512-token packs with an <eos> separator
+    // at every document boundary. Pack assembly is a per-pack
+    // aggregation (uniform key, bounded group: ≤ 512 tokens of text);
+    // the only global structure is the pack id, which comes from the
+    // scale-safe 3-pass prefix — no global sort, no driver text.
+    QueryDef("ext_pack_sequences",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+             |  FROM d),
+             |chunks AS (
+             |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |    array_to_string(list_slice(toks, i * 28 + 1, i * 28 + 32), ' ') AS chunk_text,
+             |    CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS BIGINT) AS n_tokens
+             |  FROM c, unnest(range(0, n_chunks)) AS r(i)),
+             |pk AS (
+             |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM chunks),
+             |pks AS (
+             |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+             |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+             |  FROM pk),
+             |withsep AS (
+             |  SELECT pack_id, doc_id, chunk_idx, n_tokens,
+             |    CASE WHEN chunk_idx = 0 THEN '<eos> ' || chunk_text
+             |         ELSE chunk_text END AS piece
+             |  FROM pks)
+             |SELECT pack_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             |  array_to_string(list(piece ORDER BY doc_id, chunk_idx), ' ') AS pack_text
+             |FROM withsep GROUP BY pack_id ORDER BY pack_id""".stripMargin),
+      (s, dir) => {
+        val chunks = graft.operators.Chunking.tokenChunks(
+            load(s, dir, "documents"), chunkSize = 32, overlap = 4)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+            col("n_tokens").cast("long").as("n_tokens"))
+        graft.operators.Ops.withGlobalRunningSum(chunks,
+            Seq(col("doc_id"), col("chunk_idx")), col("doc_id"),
+            col("n_tokens"), "cum")
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("long"))
+          .withColumn("piece",
+            when(col("chunk_idx") === 0,
+              concat(lit("<eos> "), col("chunk_text")))
+              .otherwise(col("chunk_text")))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("n_tokens").as("pack_tokens"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                col("chunk_idx"), col("piece")))),
+              sf => sf.getField("piece"))).as("pack_text"))
+          .orderBy("pack_id")
+      }),
+
+    // The corpus DATASHEET in one query: per-source doc/token counts,
+    // exact-dup rate, mean quality (1e-4 grid), and English fraction —
+    // the summary table a data card publishes per mixture source.
+    // One scan computes every per-doc signal in a single projection;
+    // one groupBy(source) aggregates (map-side partials, uniform key).
+    QueryDef("ext_corpus_datacard", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, text,
+              |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS n_toks,
+              |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(len(list_filter(toks,
+              |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+              |      AS n_stop,
+              |    $hits,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+              |  FROM t),
+              |q AS (
+              |  SELECT doc_id, source, n_toks, fp,
+              |    CAST(floor((least(1.0, n_toks / 100.0) * 0.5
+              |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+              |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+              |          * 10000.0 + 0.5) AS BIGINT) AS qm,
+              |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+              |  FROM m),
+              |k AS (SELECT fp, min(doc_id) AS keeper FROM q GROUP BY fp)
+              |SELECT q.source,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(q.n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN q.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+              |  floor(CAST(sum(q.qm) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS mean_quality,
+              |  floor(CAST(sum(CASE WHEN q.lang_pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+              |        / count(*) * 10000.0 + 0.5) / 10000.0 AS en_frac
+              |FROM q JOIN k ON q.fp = k.fp
+              |GROUP BY q.source ORDER BY q.source""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        // integer milli-quality sums: a float avg's partition-order
+        // last-ulp wobble could flip the 1e-4 rounding; exact BIGINT
+        // sums divided once are IEEE-identical on both engines
+        val per = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+          floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+            .cast("long").as("qm"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        val keepers = per.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+        per.join(keepers, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+              .as("n_dups"),
+            (floor(sum(col("qm")).cast("double") / count(lit(1)) + 0.5)
+              / 10000.0).as("mean_quality"),
+            (floor(sum(when(col("lang_pred") === "en", 1L).otherwise(0L))
+              .cast("double") / count(lit(1)) * 10000.0 + 0.5) / 10000.0)
+              .as("en_frac"))
+          .orderBy("source")
+      }),
+
     // ── The corpus-build capstone ────────────────────────────────────
     // One end-to-end "materialize the training corpus" dataflow:
     // FineWeb curation → exact dedup → DECONTAMINATION against a
