@@ -59,24 +59,38 @@ object CorpusBuild {
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
 
     // ── decontamination: distinct shared 3-grams vs the eval set ───
+    // pinned: the id list is tiny and feeds BOTH the anti-join and the
+    // attribution union — unpinned, each consumer re-runs the shingle
+    // join (and everything upstream of it)
     val contamIds = Contamination
       .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
       .where(col("n_shared") >= contamThreshold)
       .select("doc_id")
+      .localCheckpoint()
     val clean = curated.join(contamIds, Seq("doc_id"), "left_anti")
 
     // ── token-budget source mixing (grouped 3-pass prefix: a plain
     //    per-source window would funnel the biggest source through one
     //    task — the straggler the mixer exists to manage) ────────────
+    // toks is pinned BEFORE the prefix: its three passes re-evaluate
+    // lineage, and upstream of here sits the whole curation+decon
+    // chain — unpinned, that chain would run once per pass (measured:
+    // the dominant cost of the composed build). The pinned frame is
+    // (id, source, n, hash) — no text, tiny at any corpus size.
     val toks = clean.select(col("doc_id"), col("source"),
       graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
         .as("__n"),
       md5(col("doc_id").cast("string").cast("binary")).as("__hx"))
+      .localCheckpoint()
     val withCum = Ops.withGroupedRunningSum(toks, col("source"),
       Seq(col("__hx"), col("doc_id")),
       expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
       col("__n"), "__cum")
+    // pinned: two consumers (kept / over-budget) would otherwise each
+    // re-run the full three-pass prefix
     val budgeted = withCum.join(broadcast(budgets), "source")
+      .select("doc_id", "source", "__cum", "budget")
+      .localCheckpoint()
     val keptIds = budgeted.where(col("__cum") <= col("budget"))
       .select("doc_id")
     val budgetCutIds = budgeted.where(col("__cum") > col("budget"))

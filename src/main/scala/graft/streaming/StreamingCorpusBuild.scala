@@ -125,10 +125,14 @@ object StreamingCorpusBuild {
     // budget gate: within-batch grouped prefix + per-source spend
     // carried from the sink's kept rows (state re-derived, not held in
     // driver memory — a restarted stream resumes the ledger)
+    // pinned before the prefix (its three passes re-evaluate lineage —
+    // unpinned, the gate+probe chain above would run once per pass;
+    // same boundary as the batch CorpusBuild)
     val toks = kept3.select(col("doc_id"), col("source"),
       graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
         .as("n"),
       md5(col("doc_id").cast("string").cast("binary")).as("__hx"))
+      .localCheckpoint()
     val withCum = Ops.withGroupedRunningSum(toks, col("source"),
       Seq(col("__hx"), col("doc_id")),
       expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
@@ -145,9 +149,12 @@ object StreamingCorpusBuild {
           .where(col("cut_stage").isin("kept", "budget"))
           .groupBy("source").agg(sum(col("n")).as("__used"))
       else budgets.select(col("source"), lit(0L).as("__used")).where(lit(false))
+    // pinned: kept/over-budget both read it, and the ledger scan plus
+    // the prefix chain should run once per batch, not twice
     val budgeted = withCum.join(broadcast(budgets), "source")
       .join(broadcast(spent), Seq("source"), "left")
       .withColumn("__used", coalesce(col("__used"), lit(0L)))
+      .localCheckpoint()
     val keptFinal = budgeted
       .where(col("__cum") + col("__used") <= col("budget"))
       .select("doc_id", "source", "n")

@@ -123,4 +123,25 @@ class CorpusBuildSpec extends SparkSpec {
     assert(maxShared.isNullAt(0) || maxShared.getLong(0) < 10,
       s"a kept doc still shares ${maxShared} 3-grams with the eval set")
   }
+  test("corpus-build plans: no limits, no global sorts, all windows partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort => LSort, Window => LWindow}
+    // the manifest plan is the live one (chunk -> pack -> shard over the
+    // pinned survivors); the attribution plan unions the pinned stage
+    // decisions. Neither may grow a driver funnel: no limit of any
+    // kind, no global sort, and every window partitioned (the 3-pass
+    // prefix's per-bucket windows) — the 100 TB stance, plan-asserted.
+    for ((df, name) <- Seq((result.attribution, "attribution"),
+        (result.manifest, "manifest"))) {
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case l: GlobalLimit => l }.isEmpty &&
+        plan.collect { case l: LocalLimit => l }.isEmpty,
+        s"$name grew a limit:\n$plan")
+      assert(plan.collect { case so: LSort if so.global => so }.isEmpty,
+        s"$name grew a global sort:\n$plan")
+      plan.collect { case w: LWindow => w }.foreach(w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name has a global window:\n$w"))
+    }
+  }
+
 }
