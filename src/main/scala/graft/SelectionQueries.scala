@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, IvfIndex, Ops, Similarity}
+
+/** Capability registry, batch 7: data SELECTION — the pipeline rung
+  * above filtering and dedup, where a curated corpus is steered toward
+  * a target distribution (DSIR importance resampling) or pruned for
+  * diversity. Every query runs over the synthetic `documents` /
+  * `embeddings` tables; target-vs-raw splits are deterministic column
+  * predicates so the DuckDB oracles replay them exactly.
+  */
+object SelectionQueries {
+  import Tables.load
+
+  /** Shared oracle prelude: hashed unigram+bigram features of every
+    * document, with the 2-hex-char (256-way) bucket — the SQL mirror of
+    * [[Dsir.bucketedFeatures]]. Target = `source='src0'` (the small
+    * Wikipedia-like slice), raw = everything else. */
+  private val dsirFeatureSql =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(
+      |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+      |    END AS toks
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, source, unnest(toks) AS feat FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS feat
+      |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+      |b AS (SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket FROM feat),
+      |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS cr FROM b WHERE source <> 'src0' GROUP BY 1),
+      |tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tn FROM tc),
+      |rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS rn FROM rc),
+      |rat AS (
+      |  SELECT b2.bucket,
+      |    CAST(floor((log2((coalesce(tc.ct, 0) + 1.0) / (tn.tn + 256.0)) -
+      |                log2((coalesce(rc.cr, 0) + 1.0) / (rn.rn + 256.0)))
+      |               * 1000.0 + 0.5) AS BIGINT) AS r_milli
+      |  FROM (SELECT DISTINCT bucket FROM b) b2
+      |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+      |  CROSS JOIN tn CROSS JOIN rn),
+      |sc AS (
+      |  SELECT b.doc_id, count(*) AS n_feats,
+      |         CAST(sum(rat.r_milli) AS BIGINT) AS w_milli
+      |  FROM b JOIN rat USING (bucket)
+      |  WHERE b.source <> 'src0' GROUP BY 1),
+      |w AS (
+      |  SELECT d.doc_id,
+      |         CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |         CAST(coalesce(sc.w_milli, 0) AS BIGINT) AS w_milli
+      |  FROM documents d LEFT JOIN sc USING (doc_id)
+      |  WHERE d.source <> 'src0')
+      |""".stripMargin
+
+  /** DuckDB mirror of the sequential-fold dot product / cosine (the
+    * ExtensionQueries idiom — Spark's native CosineSim is bit-identical
+    * to the three-fold form). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SSL-prototype pruning (Sorscher et al., "Beyond neural scaling
+    // laws", arXiv:2206.14486; the prototypicality half of D4): assign
+    // every embedding to its nearest centroid, score prototypicality as
+    // the cosine TO that centroid, and drop the most prototypical fifth
+    // of the corpus (and its cutoff-value ties) — redundant easy
+    // examples prune first, diverse hard ones survive. Assignment +
+    // scoring is ONE zero-exchange literal-centroid projection
+    // (IvfIndex.withClusterSim); the data-dependent k = ⌈n/5⌉ cutoff
+    // goes through the distributed 3-pass rank (Ops.kthOrderedValue),
+    // never orderBy().limit(k) — the round-10 scale doctrine. The
+    // oracle keeps the LIMIT form (value-identical; DuckDB has no
+    // driver funnel to avoid). proto_micro floors a bit-identical
+    // double, so the hash cannot flip on engine rounding.
+    QueryDef("ext_prototype_prune",
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+              |  FROM embeddings),
+              |c AS (
+              |  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+              |  FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT v.vec_id, c.cluster_id,
+              |         ${duckCosine("v.vec", "c.cvec")} AS sim,
+              |         row_number() OVER (PARTITION BY v.vec_id
+              |           ORDER BY ${duckCosine("v.vec", "c.cvec")} DESC,
+              |                    c.cluster_id ASC) AS rk
+              |  FROM v CROSS JOIN c),
+              |asg AS (SELECT vec_id, cluster_id, sim FROM scored WHERE rk = 1),
+              |kk AS (SELECT CAST((count(*) + 4) // 5 AS BIGINT) AS k
+              |       FROM asg WHERE sim IS NOT NULL),
+              |cut AS (
+              |  SELECT min(sim) AS cutoff
+              |  FROM (SELECT sim FROM asg WHERE sim IS NOT NULL
+              |        ORDER BY -sim, vec_id LIMIT (SELECT k FROM kk)))
+              |SELECT vec_id, cluster_id,
+              |       CAST(floor(sim * 1000000.0) AS BIGINT) AS proto_micro
+              |FROM asg, cut WHERE sim IS NULL OR sim < cut.cutoff
+              |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val cent = IvfIndex.collectCentroids(
+          base.where(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cluster_id"),
+              col("vec").as("centroid")))
+        val asg = IvfIndex.withClusterSim(base, cent)
+          .localCheckpoint() // three consumers: count, rank, filter
+        val real = asg.where(col("proto_sim").isNotNull)
+        val n = real.count()
+        val k = ((n + 4) / 5).max(1L)
+        Ops.kthOrderedValue[Double](real, -col("proto_sim"), col("vec_id"),
+            k) match {
+          case None => // no scorable vectors → nothing prunable, keep all
+            asg.select(col("vec_id"), col("cluster_id"),
+              lit(null).cast("long").as("proto_micro")).orderBy("vec_id")
+          case Some(negCutoff) =>
+            asg.where(col("proto_sim").isNull ||
+                col("proto_sim") < lit(-negCutoff))
+              .select(col("vec_id"), col("cluster_id"),
+                floor(col("proto_sim") * lit(1000000.0)).cast("long")
+                  .as("proto_micro"))
+              .orderBy("vec_id")
+        }
+      }),
+
+    // DSIR importance weights (arXiv:2302.03169): every raw document's
+    // milli-bit log-likelihood ratio under hashed-ngram models of the
+    // target (source='src0') vs the raw corpus. Fit = one tiny
+    // map-side-combined groupBy(bucket) per corpus; score = broadcast
+    // ratio join + one thin doc-keyed shuffle. Integer milli-bit
+    // quantization per BUCKET (before the per-doc sum) keeps the
+    // weights order-independent and engine-portable — the NgramLm
+    // determinism doctrine.
+    QueryDef("ext_dsir_weights",
+      Some(dsirFeatureSql +
+        """SELECT doc_id, n_feats, w_milli FROM w ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val model = Dsir.fit(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"), hexChars = 2)
+        Dsir.scoreWeights(model, docs.where(col("source") =!= "src0"))
+          .orderBy("doc_id")
+      }),
+
+    // DSIR resampling: 64 raw documents drawn without replacement with
+    // probability ∝ exp₂(weight) via deterministic Gumbel top-k — the
+    // uniform is a pure function of md5(doc_id), so the oracle replays
+    // the "randomness" exactly. Constant-k TakeOrderedAndProject, never
+    // a global sort.
+    QueryDef("ext_dsir_select",
+      Some(dsirFeatureSql +
+        """, key AS (
+          |  SELECT doc_id, n_feats, w_milli,
+          |    w_milli + CAST(floor(-log2(-ln(
+          |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+          |              AS BIGINT) + 1.0) / 4503599627370497.0))
+          |      * 1000.0 + 0.5) AS BIGINT) AS key_milli
+          |  FROM w)
+          |SELECT * FROM (
+          |  SELECT doc_id, n_feats, w_milli, key_milli
+          |  FROM key ORDER BY key_milli DESC, doc_id LIMIT 64)
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val model = Dsir.fit(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"), hexChars = 2)
+        Dsir.resample(
+            Dsir.scoreWeights(model, docs.where(col("source") =!= "src0")), 64)
+          .orderBy("doc_id")
+      }))
+}

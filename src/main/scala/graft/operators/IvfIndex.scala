@@ -135,6 +135,22 @@ object IvfIndex {
     vecs.withColumn("cluster_id",
       nearestCandidate(col(vecCol), centroids).getField("cluster_id"))
 
+  /** [[withClusterId]] plus the winning similarity itself —
+    * `(…, cluster_id, proto_sim)` in the same single zero-exchange
+    * projection. `proto_sim` is the cosine to the assigned centroid
+    * (the SSL-prototype "prototypicality" of the vector, cf.
+    * arXiv:2206.14486), null for a degenerate vector whose every
+    * candidate similarity was NaN. */
+  def withClusterSim(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "vec"): DataFrame =
+    vecs.withColumn("__win", nearestCandidate(col(vecCol), centroids))
+      .withColumn("cluster_id", col("__win").getField("cluster_id"))
+      .withColumn("proto_sim",
+        when(col("__win").getField("neg_sim") === lit(Double.PositiveInfinity),
+          lit(null).cast("double"))
+          .otherwise(-col("__win").getField("neg_sim")))
+      .drop("__win")
+
   /** The winning (neg_sim, cluster_id) struct of the nearest literal
     * centroid — shared by [[withClusterId]] (assignment) and
     * [[reseedCentroids]] (farthest-point distance): two hand-copied

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{IvfIndex, Similarity}
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Tables.load(spark, sf0001, "embeddings")
+    .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("vec"))
+
+  private def seeds = IvfIndex.collectCentroids(
+    base.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster_id"),
+        col("vec").as("centroid")))
+
+  test("withClusterSim agrees with assignInline and recomputed cosine") {
+    val got = IvfIndex.withClusterSim(base, seeds)
+      .select("vec_id", "cluster_id", "proto_sim").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+    val asg = IvfIndex.assignInline(base, seeds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == asg)
+    // recompute the similarity independently through the fold form
+    val cent = seeds.toMap
+    val sims = base.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      val nb = math.sqrt(b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      d / (na * nb)
+    }
+    got.foreach { case (id, (cid, sim)) =>
+      assert(math.abs(sim - cos(sims(id), cent(cid))) < 1e-12,
+        s"vec $id sim $sim drifts from recomputed cosine")
+    }
+  }
+
+  test("withClusterSim is a zero-exchange projection") {
+    val df = IvfIndex.withClusterSim(base, seeds)
+      .select("vec_id", "cluster_id", "proto_sim")
+    assert(shuffleCount(df) == 0, "assignment+scoring must not shuffle")
+  }
+
+  test("degenerate vector scores null prototypicality") {
+    val rows = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "vec")
+    val got = IvfIndex.withClusterSim(rows, Seq(0 -> Seq(1.0, 0.0)))
+      .select("vec_id", "proto_sim").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty, "zero vector must score null, not NaN")
+  }
+
+  test("ext_prototype_prune equals the window-form reference, drops ⌈n/5⌉") {
+    val kept = SparkEntry.queries("ext_prototype_prune")(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    // reference: rank by (-sim, vec_id); cutoff value at rank k; keep strictly below
+    val asg = IvfIndex.withClusterSim(base, seeds)
+    val ranked = asg.withColumn("rk",
+      row_number().over(Window.orderBy(col("proto_sim").desc, col("vec_id"))))
+    val n = asg.count()
+    val k = ((n + 4) / 5).max(1L)
+    val cutoff = ranked.where(col("rk") === k).select("proto_sim")
+      .as[Double].head()
+    val expect = asg.where(col("proto_sim") < cutoff)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == expect,
+      s"prune mismatch: kept ${kept.size}, window-form ${expect.size}")
+    assert(kept.size <= n - k, "at least ⌈n/5⌉ rows must drop")
+    assert(kept.nonEmpty, "a prune that empties the corpus is wrong")
+  }
+
+  test("dsir select and weights queries run end-to-end at sf0.001") {
+    val w = SparkEntry.queries("ext_dsir_weights")(spark, sf0001)
+    assert(w.count() > 0)
+    val sel = SparkEntry.queries("ext_dsir_select")(spark, sf0001)
+    val n = sel.count()
+    assert(n > 0 && n <= 64)
+  }
+}
