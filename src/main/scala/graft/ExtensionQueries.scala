@@ -2690,6 +2690,58 @@ object ExtensionQueries {
             / 10000.0).as("dup_frac"))
       }),
 
+    // Fingerprint-RANGE-sampled dedup stats — the 100 TB estimator twin
+    // of ext_dedup_stats. The full report shuffles the whole corpus on
+    // its fingerprint; here the sample predicate (first md5 hex digit
+    // < '4', a deterministic 4/16 slice of fingerprint SPACE) pushes
+    // BELOW the shuffle, so only a quarter of the corpus moves. Sampling
+    // by GROUP KEY keeps duplicate groups whole — a doc-id sample would
+    // shear groups and bias dup_frac down — so the scaled counts
+    // (×16/4) are unbiased and the dup-fraction ratio estimator needs no
+    // scaling at all. Deterministic slice → the oracle replays it
+    // exactly; the estimator-vs-exact tolerance is spec'd in DedupSpec.
+    QueryDef("ext_dedup_stats_sampled",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+             |fp AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM corpus
+             |  WHERE substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 1) < '4'),
+             |g AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled,
+             |  CAST(count(DISTINCT f.fp) AS BIGINT) AS n_groups_sampled,
+             |  CAST(sum(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_removable_sampled,
+             |  CAST(count(*) * 4 AS BIGINT) AS est_n_docs,
+             |  CAST(sum(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END) * 4 AS BIGINT) AS est_n_removable,
+             |  CAST(sum(CASE WHEN f.doc_id <> g.keeper THEN f.n_chars ELSE 0 END) * 4 AS BIGINT) AS est_chars_removable,
+             |  floor(sum(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup_frac_est
+             |FROM fp f JOIN g ON f.fp = g.fp""".stripMargin),
+      (s, dir) => {
+        val corpus = docsWithExactDups(s, dir)
+        val fp = corpus.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+          .where(substring(col("fp"), 1, 1) < "4")
+        val g = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+        fp.join(g, "fp").agg(
+          count(lit(1)).as("n_docs_sampled"),
+          countDistinct(col("fp")).as("n_groups_sampled"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_removable_sampled"),
+          (count(lit(1)) * 4).as("est_n_docs"),
+          (sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)) * 4)
+            .as("est_n_removable"),
+          (sum(when(col("doc_id") =!= col("keeper"), col("n_chars"))
+            .otherwise(0L)) * 4).as("est_chars_removable"),
+          (floor(sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double") * 10000.0 + 0.5)
+            / 10000.0).as("dup_frac_est"))
+      }),
+
     // Temperature-based source mixing (α = 0.5): per-source weights
     // ∝ n^α — the standard LLM data-mixing knob that upsamples small
     // sources relative to proportional mixing. α = 0.5 is DELIBERATE:

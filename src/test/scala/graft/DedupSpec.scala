@@ -614,4 +614,28 @@ class DedupSpec extends SparkSpec {
       "paragraphDedup must not window over the paragraph hash")
   }
 
+  test("sampled dedup stats: group-whole sample, estimator tracks exact") {
+    val sf001 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("ext_dedup_stats")(spark, sf001).head()
+    val got = SparkEntry.queries("ext_dedup_stats_sampled")(spark, sf001).head()
+    val (nS, gS, rS) = (got.getLong(0), got.getLong(1), got.getLong(2))
+    // sampling by fingerprint keeps groups WHOLE, so the full report's
+    // identity removable = docs − groups must hold exactly in-sample
+    assert(rS == nS - gS,
+      s"group-shear: removable $rS != docs $nS - groups $gS")
+    // the slice is ~4/16 of fingerprint space
+    val nExact = exact.getLong(0)
+    assert(nS > nExact / 8 && nS < nExact / 2,
+      s"sample size $nS implausible for a 25% slice of $nExact docs")
+    // ratio estimator: dup_frac within a loose tolerance of the exact
+    val fracExact = exact.getDouble(5)
+    val fracEst = got.getDouble(6)
+    assert(math.abs(fracEst - fracExact) < 0.08,
+      s"dup_frac estimate $fracEst vs exact $fracExact")
+    // scaled count estimator lands within 2x (a 25% group-keyed sample
+    // of 600 docs; the spec guards order-of-magnitude sanity, the
+    // unbiasedness argument lives in the QueryDef comment)
+    assert(got.getLong(3) > nExact / 2 && got.getLong(3) < nExact * 2)
+  }
+
 }
