@@ -18,7 +18,7 @@ object SelectionQueries {
     * document, with the 2-hex-char (256-way) bucket — the SQL mirror of
     * [[Dsir.bucketedFeatures]]. Target = `source='src0'` (the small
     * Wikipedia-like slice), raw = everything else. */
-  private val dsirFeatureSql =
+  private[graft] val dsirFeatureSql =
     """WITH tok AS (
       |  SELECT doc_id, source,
       |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
@@ -61,6 +61,24 @@ object SelectionQueries {
   /** DuckDB mirror of the sequential-fold dot product / cosine (the
     * ExtensionQueries idiom — Spark's native CosineSim is bit-identical
     * to the three-fold form). */
+  /** Shared Spark side of the two DSIR queries: bucket the raw corpus
+    * ONCE behind a pinned boundary and feed the same stream to both the
+    * fit and the scorer — tokenization+hashing is the corpus-sized cost
+    * and an unpinned plan pays it twice (once per consumer). The pinned
+    * frame is (doc_id, 2-char bucket) — about two rows per token,
+    * executor-local, the documented boundary trade. */
+  private def dsirWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, dir, "documents")
+    val raw = docs.where(col("source") =!= "src0")
+    val rawFeats = Ops.checkpointKeepPartitioning(
+      Dsir.bucketedFeatures(raw, hexChars = 2))
+    val model = Dsir.fitBucketed(
+      Dsir.bucketedFeatures(docs.where(col("source") === "src0"), hexChars = 2),
+      rawFeats, hexChars = 2)
+    Dsir.scoreWeightsBucketed(model, rawFeats, raw.select(col("doc_id")))
+  }
+
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -147,14 +165,7 @@ object SelectionQueries {
     QueryDef("ext_dsir_weights",
       Some(dsirFeatureSql +
         """SELECT doc_id, n_feats, w_milli FROM w ORDER BY doc_id""".stripMargin),
-      (s, dir) => {
-        val docs = load(s, dir, "documents")
-        val model = Dsir.fit(
-          docs.where(col("source") === "src0"),
-          docs.where(col("source") =!= "src0"), hexChars = 2)
-        Dsir.scoreWeights(model, docs.where(col("source") =!= "src0"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) => dsirWeights(s, dir).orderBy("doc_id")),
 
     // DSIR resampling: 64 raw documents drawn without replacement with
     // probability ∝ exp₂(weight) via deterministic Gumbel top-k — the
@@ -174,13 +185,5 @@ object SelectionQueries {
           |  SELECT doc_id, n_feats, w_milli, key_milli
           |  FROM key ORDER BY key_milli DESC, doc_id LIMIT 64)
           |ORDER BY doc_id""".stripMargin),
-      (s, dir) => {
-        val docs = load(s, dir, "documents")
-        val model = Dsir.fit(
-          docs.where(col("source") === "src0"),
-          docs.where(col("source") =!= "src0"), hexChars = 2)
-        Dsir.resample(
-            Dsir.scoreWeights(model, docs.where(col("source") =!= "src0")), 64)
-          .orderBy("doc_id")
-      }))
+      (s, dir) => Dsir.resample(dsirWeights(s, dir), 64).orderBy("doc_id")))
 }

@@ -340,5 +340,22 @@ object StreamingQueries {
         graft.streaming.StreamingParagraphDedup.run(s, dir,
           s"/tmp/graft_sparaded/$tag", s"graft_spd_$tag",
           s"/tmp/graft_sparaded/$tag/idx")
+      }),
+
+    // DSIR steering as a stream: the importance model fits once in
+    // batch (pinned ratio table), the raw slice scores as it lands and
+    // gates on w_milli > 0 — keep what looks more target than crawl.
+    // Docs arrive whole and scoring is stateless per feature, so the
+    // drained table equals the batch scorer row-for-row: the same
+    // chained SQL as ext_dsir_weights plus the gate (a featureless doc
+    // emits no stream row, and the w_milli > 0 gate excludes its
+    // zero-weight oracle row the same way).
+    QueryDef("sr15_streaming_dsir",
+      Some(SelectionQueries.dsirFeatureSql +
+        """SELECT doc_id, n_feats, w_milli FROM w
+          |WHERE w_milli > 0 ORDER BY doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingDsir.run(s, dir, s"/tmp/graft_sdsir/$tag")
       }))
 }

@@ -83,10 +83,20 @@ object Dsir {
   final case class Model(ratios: DataFrame, unseen: DataFrame, hexChars: Int)
 
   def fit(target: DataFrame, raw: DataFrame, hexChars: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): Model = {
+      idCol: String = "doc_id", textCol: String = "text"): Model =
+    fitBucketed(bucketedFeatures(target, hexChars, idCol, textCol),
+      bucketedFeatures(raw, hexChars, idCol, textCol), hexChars)
+
+  /** [[fit]] over pre-bucketed feature streams — callers that also
+    * SCORE the raw corpus should bucket it once, pin the stream
+    * ([[Ops.checkpointKeepPartitioning]]), and feed the same frame to
+    * both fit and [[scoreWeightsBucketed]]: tokenization+hashing is the
+    * corpus-sized cost here, and an unpinned plan pays it twice. */
+  def fitBucketed(targetFeats: DataFrame, rawFeats: DataFrame,
+      hexChars: Int): Model = {
     val m = math.pow(16.0, hexChars.toDouble)
-    val (tc, tn) = bucketCounts(bucketedFeatures(target, hexChars, idCol, textCol))
-    val (rc, rn) = bucketCounts(bucketedFeatures(raw, hexChars, idCol, textCol))
+    val (tc, tn) = bucketCounts(targetFeats)
+    val (rc, rn) = bucketCounts(rawFeats)
     // full outer: target-only buckets still need a ratio (a scored doc
     // can hit them), raw-only buckets dominate at crawl scale
     val joined = tc.withColumnRenamed("c", "ct")
@@ -112,20 +122,42 @@ object Dsir {
     * rows by construction); documents with no features are kept at
     * weight 0 so selection ranks every input row. */
   def scoreWeights(model: Model, docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val feats = bucketedFeatures(docs, model.hexChars, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWeightsBucketed(model,
+      bucketedFeatures(docs, model.hexChars, idCol, textCol),
+      docs.select(col(idCol).as("doc_id")))
+
+  /** [[scoreWeights]] over a pre-bucketed feature stream; `ids` is the
+    * (doc_id) universe for the zero-feature backfill. */
+  def scoreWeightsBucketed(model: Model, feats: DataFrame,
+      ids: DataFrame): DataFrame = {
     val scored = feats
       .join(broadcast(model.ratios), Seq("bucket"), "left")
       .crossJoin(broadcast(model.unseen))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("r_milli"), col("r0_milli"))).as("w_milli"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+    ids.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("w_milli"), lit(0L)).as("w_milli"))
   }
+
+  /** Stream-safe scoring: the per-doc weight aggregate WITHOUT the
+    * zero-feature backfill join (a stream cannot join itself past its
+    * own aggregation) and with `r0` resolved to a literal (a stream
+    * cannot cross-join the lazy 1-row unseen frame — the
+    * StreamingLmScore vocab precedent). A featureless document emits no
+    * row; batch/stream parity over feature-bearing docs is spec'd in
+    * StreamingSpec. */
+  def scoreWeightsStream(ratios: DataFrame, r0Milli: Long, hexChars: Int,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bucketedFeatures(docs, hexChars, idCol, textCol)
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("r_milli"), lit(r0Milli))).as("w_milli"))
 
   /** Deterministic Gumbel key for sampling-without-replacement ∝
     * exp₂(w_milli/1000): `w_milli + floor(−log2(−ln u) * 1000 + 0.5)`

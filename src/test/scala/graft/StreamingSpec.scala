@@ -847,4 +847,24 @@ class StreamingSpec extends SparkSpec {
       lambda = 1.0).head()
     assert(got == oneShot)
   }
+
+  test("streamed DSIR scoring equals the batch scorer over the same corpus") {
+    import graft.operators.Dsir
+    import org.apache.spark.sql.functions.col
+    val work = s"/tmp/graft_sdsir_spec/${System.nanoTime()}"
+    val streamed = graft.streaming.StreamingDsir.run(spark, sf0001, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "source")
+    val model = Dsir.fit(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), hexChars = 2)
+    val batch = Dsir
+      .scoreWeights(model, docs.where(col("source") =!= "src0"))
+      .where(col("w_milli") > 0).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"stream/batch DSIR divergence: ${streamed.size} vs ${batch.size} rows")
+    assert(streamed.nonEmpty, "the gate should keep some target-like docs")
+  }
 }
