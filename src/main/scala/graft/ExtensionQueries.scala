@@ -1632,6 +1632,46 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("shard_id")),
 
+    // Per-EPOCH reshuffle: multi-epoch training wants a different
+    // deterministic permutation of the corpus each epoch (same data,
+    // fresh order, zero mutable state) — the epoch number salts the
+    // hash key, so epoch e's deal is md5("e:doc_id") order. Ranks run
+    // through the GROUPED 3-pass prefix (per-(epoch, bucket) windows —
+    // a PARTITION BY epoch window would funnel each epoch through one
+    // task, and at warehouse scale every epoch is corpus-sized).
+    // Output is the per-epoch shard manifest; permutation independence
+    // across epochs is asserted in ShardingSpec.
+    QueryDef("ext_epoch_shuffle",
+      Some("""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+             |x AS (
+             |  SELECT e.epoch, d.doc_id,
+             |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
+             |  FROM documents d CROSS JOIN e),
+             |r AS (
+             |  SELECT epoch, doc_id,
+             |    row_number() OVER (PARTITION BY epoch ORDER BY hx, doc_id) AS rn
+             |  FROM x)
+             |SELECT CAST(epoch AS INT) AS epoch,
+             |  CAST((rn - 1) // 128 AS BIGINT) AS shard_id,
+             |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1, 2 ORDER BY epoch, shard_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id")
+        val epochs = s.range(2).select(col("id").cast("int").as("epoch"))
+        val keyed = docs.crossJoin(broadcast(epochs))
+          .withColumn("__ex", md5(concat(col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string")).cast("binary")))
+        graft.operators.Ops.withGroupedRunningSum(keyed, col("epoch"),
+            Seq(col("__ex"), col("doc_id")),
+            expr("conv(substr(__ex, 1, 13), 16, 10)").cast("double"),
+            lit(1).cast("int"), outCol = "__rn")
+          .withColumn("shard_id",
+            floor((col("__rn") - 1) / lit(128.0)).cast("long"))
+          .groupBy("epoch", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+          .orderBy("epoch", "shard_id")
+      }),
+
     // ── Curation pipeline (composed flagship) ────────────────────────
 
     // The end-to-end training-data curation shape: language-ID +

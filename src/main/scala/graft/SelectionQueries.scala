@@ -85,6 +85,67 @@ object SelectionQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
+  /** Oracle for the prototype prune — shared verbatim by the streaming
+    * twin (sr16): a frozen batch-fit cutoff gating the same corpus
+    * yields the identical final table. The LIMIT form is
+    * value-identical to the Spark side's distributed rank; DuckDB has
+    * no driver funnel to avoid. */
+  private[graft] val prototypePruneOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, c.cluster_id,
+       |         ${duckCosine("v.vec", "c.cvec")} AS sim,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${duckCosine("v.vec", "c.cvec")} DESC,
+       |                    c.cluster_id ASC) AS rk
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cluster_id, sim FROM scored WHERE rk = 1),
+       |kk AS (SELECT CAST((count(*) + 4) // 5 AS BIGINT) AS k
+       |       FROM asg WHERE sim IS NOT NULL),
+       |cut AS (
+       |  SELECT min(sim) AS cutoff
+       |  FROM (SELECT sim FROM asg WHERE sim IS NOT NULL
+       |        ORDER BY -sim, vec_id LIMIT (SELECT k FROM kk)))
+       |SELECT vec_id, cluster_id,
+       |       CAST(floor(sim * 1000000.0) AS BIGINT) AS proto_micro
+       |FROM asg, cut WHERE sim IS NULL OR sim < cut.cutoff
+       |ORDER BY vec_id""".stripMargin
+
+  private def prototypePruneQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("vec"))
+    val cent = IvfIndex.collectCentroids(
+      base.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster_id"),
+          col("vec").as("centroid")))
+    val asg = IvfIndex.withClusterSim(base, cent)
+      .localCheckpoint() // three consumers: count, rank, filter
+    val real = asg.where(col("proto_sim").isNotNull)
+    val n = real.count()
+    val k = ((n + 4) / 5).max(1L)
+    Ops.kthOrderedValue[Double](real, -col("proto_sim"), col("vec_id"),
+        k) match {
+      case None => // no scorable vectors → nothing prunable, keep all
+        asg.select(col("vec_id"), col("cluster_id"),
+          lit(null).cast("long").as("proto_micro")).orderBy("vec_id")
+      case Some(negCutoff) =>
+        asg.where(col("proto_sim").isNull ||
+            col("proto_sim") < lit(-negCutoff))
+          .select(col("vec_id"), col("cluster_id"),
+            floor(col("proto_sim") * lit(1000000.0)).cast("long")
+              .as("proto_micro"))
+          .orderBy("vec_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // SSL-prototype pruning (Sorscher et al., "Beyond neural scaling
@@ -101,58 +162,8 @@ object SelectionQueries {
     // driver funnel to avoid). proto_micro floors a bit-identical
     // double, so the hash cannot flip on engine rounding.
     QueryDef("ext_prototype_prune",
-      Some(s"""WITH v AS (
-              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-              |  FROM embeddings),
-              |c AS (
-              |  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
-              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-              |  FROM embeddings WHERE vec_id < 8),
-              |scored AS (
-              |  SELECT v.vec_id, c.cluster_id,
-              |         ${duckCosine("v.vec", "c.cvec")} AS sim,
-              |         row_number() OVER (PARTITION BY v.vec_id
-              |           ORDER BY ${duckCosine("v.vec", "c.cvec")} DESC,
-              |                    c.cluster_id ASC) AS rk
-              |  FROM v CROSS JOIN c),
-              |asg AS (SELECT vec_id, cluster_id, sim FROM scored WHERE rk = 1),
-              |kk AS (SELECT CAST((count(*) + 4) // 5 AS BIGINT) AS k
-              |       FROM asg WHERE sim IS NOT NULL),
-              |cut AS (
-              |  SELECT min(sim) AS cutoff
-              |  FROM (SELECT sim FROM asg WHERE sim IS NOT NULL
-              |        ORDER BY -sim, vec_id LIMIT (SELECT k FROM kk)))
-              |SELECT vec_id, cluster_id,
-              |       CAST(floor(sim * 1000000.0) AS BIGINT) AS proto_micro
-              |FROM asg, cut WHERE sim IS NULL OR sim < cut.cutoff
-              |ORDER BY vec_id""".stripMargin),
-      (s, dir) => {
-        val base = load(s, dir, "embeddings")
-          .select(col("vec_id"),
-            Similarity.toDoubleArray(col("embedding")).as("vec"))
-        val cent = IvfIndex.collectCentroids(
-          base.where(col("vec_id") < 8)
-            .select(col("vec_id").cast("int").as("cluster_id"),
-              col("vec").as("centroid")))
-        val asg = IvfIndex.withClusterSim(base, cent)
-          .localCheckpoint() // three consumers: count, rank, filter
-        val real = asg.where(col("proto_sim").isNotNull)
-        val n = real.count()
-        val k = ((n + 4) / 5).max(1L)
-        Ops.kthOrderedValue[Double](real, -col("proto_sim"), col("vec_id"),
-            k) match {
-          case None => // no scorable vectors → nothing prunable, keep all
-            asg.select(col("vec_id"), col("cluster_id"),
-              lit(null).cast("long").as("proto_micro")).orderBy("vec_id")
-          case Some(negCutoff) =>
-            asg.where(col("proto_sim").isNull ||
-                col("proto_sim") < lit(-negCutoff))
-              .select(col("vec_id"), col("cluster_id"),
-                floor(col("proto_sim") * lit(1000000.0)).cast("long")
-                  .as("proto_micro"))
-              .orderBy("vec_id")
-        }
-      }),
+      Some(prototypePruneOracleSql),
+      (s, dir) => prototypePruneQuery(s, dir)),
 
     // DSIR importance weights (arXiv:2302.03169): every raw document's
     // milli-bit log-likelihood ratio under hashed-ngram models of the

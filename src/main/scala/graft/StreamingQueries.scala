@@ -357,5 +357,17 @@ object StreamingQueries {
       (s, dir) => withStreamingConf(s) {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         graft.streaming.StreamingDsir.run(s, dir, s"/tmp/graft_sdsir/$tag")
+      }),
+
+    // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
+    // fitted once in batch (the frozen-cutoff discipline — sr10's
+    // pinned reference-corpus statistics), then embeddings gate as they
+    // land through one zero-exchange projection. Stateless per row, so
+    // the drained table IS the batch prune: same oracle verbatim.
+    QueryDef("sr16_streaming_prototype",
+      Some(SelectionQueries.prototypePruneOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingPrototype.run(s, dir, s"/tmp/graft_sproto/$tag")
       }))
 }

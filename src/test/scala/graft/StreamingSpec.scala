@@ -867,4 +867,15 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch DSIR divergence: ${streamed.size} vs ${batch.size} rows")
     assert(streamed.nonEmpty, "the gate should keep some target-like docs")
   }
+
+  test("streamed prototype gate equals the batch prune (frozen cutoff)") {
+    val work = s"/tmp/graft_sproto_spec/${System.nanoTime()}"
+    val streamed = graft.streaming.StreamingPrototype.run(spark, sf0001, work)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("ext_prototype_prune")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"stream/batch prototype divergence: ${streamed.size} vs ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
 }
