@@ -348,8 +348,51 @@ object ExtensionQueries {
     * ARRIVAL order, which its id-range staging makes the SQL-replayable
     * (range_bucket, md5, id). Consumers append their final CTEs /
     * SELECT. */
+  /** DSIR selection stage CTEs for the corpus-build oracle: fit on the
+    * post-decon survivors (target = src0 vs the rest), cut raw docs at
+    * w_milli ≤ 0 — the SQL mirror of `CorpusBuild.build(dsirTarget)`.
+    * Emits `dsircut` (cut ids) and `mixin` (the mixer's input). */
+  private val dsirStageCtes: String =
+    """dtok AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(
+      |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+      |    END AS toks
+      |  FROM surv),
+      |dfeat AS (
+      |  SELECT doc_id, source, unnest(toks) AS feat FROM dtok
+      |  UNION ALL
+      |  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS feat
+      |  FROM dtok, unnest(range(1, len(toks))) AS r(i)),
+      |dbk AS (SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket FROM dfeat),
+      |dtc AS (SELECT bucket, count(*) AS ct FROM dbk WHERE source = 'src0' GROUP BY 1),
+      |drc AS (SELECT bucket, count(*) AS cr FROM dbk WHERE source <> 'src0' GROUP BY 1),
+      |dtn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tn FROM dtc),
+      |drn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS rn FROM drc),
+      |drat AS (
+      |  SELECT b2.bucket,
+      |    CAST(floor((log2((coalesce(dtc.ct, 0) + 1.0) / (dtn.tn + 256.0)) -
+      |                log2((coalesce(drc.cr, 0) + 1.0) / (drn.rn + 256.0)))
+      |               * 1000.0 + 0.5) AS BIGINT) AS r_milli
+      |  FROM (SELECT DISTINCT bucket FROM dbk) b2
+      |  LEFT JOIN dtc USING (bucket) LEFT JOIN drc USING (bucket)
+      |  CROSS JOIN dtn CROSS JOIN drn),
+      |dsc AS (
+      |  SELECT dbk.doc_id, CAST(sum(drat.r_milli) AS BIGINT) AS w_milli
+      |  FROM dbk JOIN drat USING (bucket)
+      |  WHERE dbk.source <> 'src0' GROUP BY 1),
+      |dsircut AS (
+      |  SELECT s.doc_id FROM surv s LEFT JOIN dsc ON s.doc_id = dsc.doc_id
+      |  WHERE s.source <> 'src0' AND coalesce(dsc.w_milli, 0) <= 0),
+      |mixin AS (
+      |  SELECT doc_id, source, text FROM surv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dsircut)),""".stripMargin
+
   private[graft] def corpusBuildCtes(
-      budgetOrder: String = "hx, doc_id"): String = {
+      budgetOrder: String = "hx, doc_id",
+      withDsir: Boolean = false): String = {
     val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
       s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
     }.mkString(",\n       ")
@@ -459,12 +502,14 @@ object ExtensionQueries {
        |  SELECT c.doc_id, c.source, c.text
        |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |${if (withDsir) dsirStageCtes else
+          "mixin AS (SELECT doc_id, source, text FROM surv),"}
        |bt AS (
        |  SELECT doc_id, source,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      x -> x <> '')) AS BIGINT) AS n,
        |    md5(CAST(doc_id AS VARCHAR)) AS hx
-       |  FROM surv),
+       |  FROM mixin),
        |bc AS (
        |  SELECT doc_id, source, n,
        |    sum(n) OVER (PARTITION BY source ORDER BY $budgetOrder
@@ -2196,6 +2241,29 @@ object ExtensionQueries {
           |ORDER BY p.doc_id, p.chunk_idx""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).manifest
         .orderBy("doc_id", "chunk_idx")),
+
+    // The capstone WITH the selection stage: a DSIR gate (target =
+    // src0, fitted on the post-decon survivors, raw docs cut at
+    // w_milli <= 0) runs between decontamination and the budget mixer
+    // — attribution gains a 'dsir' stage and the mixer sees only the
+    // target-steered slice. The oracle splices the DSIR CTE chain into
+    // the shared corpus-build SQL; everything downstream (budgets,
+    // final) re-derives over the gated set.
+    QueryDef("ext_corpus_build_dsir",
+      Some(corpusBuildCtes(withDsir = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM dsircut) THEN 'dsir'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets,
+            dsirTarget = Some("src0"))
+          .attribution.orderBy("doc_id")
+      }),
 
     // Distributed BPE vocabulary induction: learn 4 merges from the
     // corpus. The corpus first collapses to a distinct-word frequency

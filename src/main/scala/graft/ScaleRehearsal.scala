@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity}
+import graft.operators.{Dedup, Dsir, IndexStore, IvfIndex, Ops, Similarity}
 
 /** Dev tool (not part of the driver contract): measures the dedup-path
   * scaling slope by running the inline near-dup kernels and the winnow
@@ -200,6 +200,23 @@ object ScaleRehearsal {
       println(f"""{"q":"semantic_dedup_lifecycle","scale":$scale,""" +
         f""""kept":$nKept,"k":$kClusters,"sec":$secSd%.2f}""")
 
+      // prototype-prune lifecycle over the same embedding corpus and
+      // trained centroids: one zero-exchange assignment+scoring
+      // projection, then the data-dependent ⌈n/5⌉ cutoff through the
+      // 3-pass rank — per-row compute is O(k·dim) and k scales with
+      // the corpus here, so the slope bounds the assignment cost too.
+      val tpp = System.nanoTime()
+      val asgPp = IvfIndex.withClusterSim(embC, cent).localCheckpoint()
+      val realPp = asgPp.where(col("proto_sim").isNotNull)
+      val kPp = ((realPp.count() + 4) / 5).max(1L)
+      val nKeptPp = Ops.kthOrderedValue[Double](realPp,
+          -col("proto_sim"), col("vec_id"), kPp)
+        .map(neg => asgPp.where(col("proto_sim") < -neg).count())
+        .getOrElse(0L)
+      val secPp = (System.nanoTime() - tpp) / 1e9
+      println(f"""{"q":"prototype_prune_lifecycle","scale":$scale,""" +
+        f""""kept":$nKeptPp,"k":$kClusters,"sec":$secPp%.2f}""")
+
       // BPE training (4 merges). Disjoint-vocabulary replication
       // multiplies the VOCABULARY itself ~linearly — the worst case
       // for BPE's vocabulary-collapse stage (a same-vocabulary 10×
@@ -216,6 +233,26 @@ object ScaleRehearsal {
       // the survivors-only fingerprint shuffle.
       time("fineweb_pipeline", scale,
         graft.operators.QualityRules.fineWebPipeline(corpus))
+
+      // DSIR lifecycle (fit both hashed-ngram models, score, Gumbel
+      // top-64). The feature space is FIXED (256 buckets), so the
+      // model tables stay constant-size however the corpus and its
+      // vocabulary scale — disjoint-vocabulary replication is the
+      // worst case for vocabulary-keyed models (cf. the LM above) but
+      // a no-op for bucket-keyed ones; what scales is the one
+      // token-stream pass per corpus and the thin per-doc shuffle.
+      val tds = System.nanoTime()
+      val targetDs = corpus.where(col("doc_id") % 13 === 0)
+      val rawDs = corpus.where(col("doc_id") % 13 =!= 0)
+      val rawFeatsDs = Ops.checkpointKeepPartitioning(
+        Dsir.bucketedFeatures(rawDs, hexChars = 2))
+      val modelDs = Dsir.fitBucketed(
+        Dsir.bucketedFeatures(targetDs, hexChars = 2), rawFeatsDs, 2)
+      val nSelDs = Dsir.resample(Dsir.scoreWeightsBucketed(modelDs,
+        rawFeatsDs, rawDs.select("doc_id")), 64).count()
+      val secDs = (System.nanoTime() - tds) / 1e9
+      println(f"""{"q":"dsir_lifecycle","scale":$scale,""" +
+        f""""selected":$nSelDs,"sec":$secDs%.2f}""")
 
       // Full corpus-build lifecycle (curation → dedup → decon →
       // budget-mix → chunk → pack → shard). Replicas here append ONE

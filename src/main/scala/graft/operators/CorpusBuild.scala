@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * holds an O(corpus) structure on the driver.
   *
   * Cut attribution is FIRST-CUT, in pipeline order: `lang`, `c4_page`,
-  * `gopher`, `dedup`, `decon`, `budget`, `kept` — each surviving doc
-  * carries `kept`, every other doc names the stage that removed it
-  * (the dedupIngestGate convention, extended across the composition).
+  * `gopher`, `dedup`, `decon`, (`dsir` when a selection target is
+  * set,) `budget`, `kept` — each surviving doc carries `kept`, every
+  * other doc names the stage that removed it (the dedupIngestGate
+  * convention, extended across the composition).
   */
 object CorpusBuild {
 
@@ -47,10 +48,18 @@ object CorpusBuild {
     * @param budgets  (source, budget) — per-source token budgets; docs
     *                 keep in deterministic md5 order until their
     *                 source's budget is spent (`budget`)
+    * @param dsirTarget when set, a DSIR selection stage runs between
+    *                 decontamination and mixing: the named source is
+    *                 the target distribution, every OTHER source's
+    *                 surviving docs are importance-weighted against it
+    *                 ([[Dsir]]) and cut (`dsir`) unless w_milli > 0 —
+    *                 keep what looks more target than crawl. Target-
+    *                 source docs pass the gate by definition.
     */
   def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
       contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
-      packTokens: Int = 512, packsPerShard: Int = 4): Result = {
+      packTokens: Int = 512, packsPerShard: Int = 4,
+      dsirTarget: Option[String] = None): Result = {
     require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
 
     // ── curation + exact dedup (first-cut attribution inside) ──────
@@ -67,7 +76,32 @@ object CorpusBuild {
       .where(col("n_shared") >= contamThreshold)
       .select("doc_id")
       .localCheckpoint()
-    val clean = curated.join(contamIds, Seq("doc_id"), "left_anti")
+    val cleanAll = curated.join(contamIds, Seq("doc_id"), "left_anti")
+
+    // ── optional DSIR selection (between decon and mixing): fit the
+    //    hashed-ngram importance model on the target source vs the
+    //    rest OF THE SURVIVORS (the reference corpus a production fit
+    //    would pin), gate raw docs on w_milli > 0. The raw feature
+    //    stream is bucketed once and pinned — it feeds both the fit
+    //    and the scorer. Cut ids are tiny and feed two consumers
+    //    (anti-join + attribution), so they pin too. ────────────────
+    val (clean, dsirCutIds) = dsirTarget match {
+      case None => (cleanAll, None)
+      case Some(t) =>
+        val target = cleanAll.where(col("source") === t)
+          .select("doc_id", "text")
+        val rawDocs = cleanAll.where(col("source") =!= t)
+        val rawFeats = Ops.checkpointKeepPartitioning(
+          Dsir.bucketedFeatures(rawDocs.select("doc_id", "text"),
+            hexChars = 2))
+        val model = Dsir.fitBucketed(
+          Dsir.bucketedFeatures(target, hexChars = 2), rawFeats, 2)
+        val cut = Dsir.scoreWeightsBucketed(model, rawFeats,
+            rawDocs.select("doc_id"))
+          .where(col("w_milli") <= 0).select("doc_id")
+          .localCheckpoint()
+        (cleanAll.join(cut, Seq("doc_id"), "left_anti"), Some(cut))
+    }
 
     // ── token-budget source mixing (grouped 3-pass prefix: a plain
     //    per-source window would funnel the biggest source through one
@@ -107,6 +141,9 @@ object CorpusBuild {
     val attribution = staged.where(col("cut_stage") =!= "kept")
       .unionByName(contamIds.select(col("doc_id"),
         lit("decon").as("cut_stage")))
+      .unionByName(dsirCutIds.fold(
+        contamIds.where(lit(false)))(identity) // no stage → empty slice
+        .select(col("doc_id"), lit("dsir").as("cut_stage")))
       .unionByName(budgetCutIds.select(col("doc_id"),
         lit("budget").as("cut_stage")))
       .unionByName(survivors.select(col("doc_id"),

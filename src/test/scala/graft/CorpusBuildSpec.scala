@@ -144,4 +144,34 @@ class CorpusBuildSpec extends SparkSpec {
     }
   }
 
+  test("dsir-staged build: stage totality, target immunity, gate consistency") {
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val plain = att
+    val dsired = CorpusBuild.build(corpus, evals, budgets,
+        dsirTarget = Some("src0"))
+      .attribution.localCheckpoint()
+    // totality: same universe, one stage per doc
+    assert(dsired.count() == plain.count())
+    assert(dsired.select("doc_id").distinct().count() == plain.count())
+    // the stage is a pure INSERTION between decon and budget: every doc
+    // whose plain verdict is a pre-dsir stage keeps it verbatim
+    val pre = Seq("lang", "c4_page", "gopher", "dedup", "decon")
+    val joined = plain.select($"doc_id", $"cut_stage".as("plain"))
+      .join(dsired.select($"doc_id", $"cut_stage".as("gated")), "doc_id")
+      .localCheckpoint()
+    assert(joined.where($"plain".isin(pre: _*) && $"gated" =!= $"plain")
+      .count() == 0, "a pre-dsir verdict changed under the dsir build")
+    // dsir never cuts a target-source doc
+    val srcOf = corpus.select("doc_id", "source")
+    assert(dsired.join(srcOf, "doc_id")
+      .where($"cut_stage" === "dsir" && $"source" === "src0")
+      .count() == 0, "the target source must pass its own gate")
+    // the gate fired, and whoever it cut was a plain-build survivor
+    val cut = joined.where($"gated" === "dsir")
+    assert(cut.count() > 0, "the dsir stage never fired")
+    assert(cut.where(!$"plain".isin("kept", "budget")).count() == 0,
+      "dsir cut a doc that was not a plain-build mixer candidate")
+  }
+
 }
