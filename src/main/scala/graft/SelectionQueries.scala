@@ -196,5 +196,82 @@ object SelectionQueries {
           |  SELECT doc_id, n_feats, w_milli, key_milli
           |  FROM key ORDER BY key_milli DESC, doc_id LIMIT 64)
           |ORDER BY doc_id""".stripMargin),
-      (s, dir) => Dsir.resample(dsirWeights(s, dir), 64).orderBy("doc_id")))
+      (s, dir) => Dsir.resample(dsirWeights(s, dir), 64).orderBy("doc_id")),
+
+    // Selection-effectiveness report: DID the resample move the corpus
+    // toward the target? One row: KL(raw ‖ target) and
+    // KL(selected ‖ target) over the FULL 256-bucket feature grid
+    // (Laplace-smoothed, so every bucket has mass and the support is
+    // identical on both engines), each term quantized to integer
+    // micro-bits BEFORE the sum. kl_sel < kl_raw is the working-
+    // selection signal (asserted in SelectionSpec); both numbers are
+    // corpus-constant-size aggregates over ≤256-row tables — the
+    // monitoring query a production loop runs per refit.
+    QueryDef("ext_dsir_shift",
+      Some(dsirFeatureSql +
+        """, key AS (
+          |  SELECT doc_id,
+          |    w_milli + CAST(floor(-log2(-ln(
+          |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+          |              AS BIGINT) + 1.0) / 4503599627370497.0))
+          |      * 1000.0 + 0.5) AS BIGINT) AS key_milli
+          |  FROM w),
+          |sel AS (
+          |  SELECT doc_id FROM key ORDER BY key_milli DESC, doc_id LIMIT 64),
+          |grid AS (SELECT printf('%02x', i) AS bucket FROM range(0, 256) r(i)),
+          |tc2 AS (SELECT bucket, count(*) AS c FROM b WHERE source = 'src0' GROUP BY 1),
+          |rc2 AS (SELECT bucket, count(*) AS c FROM b WHERE source <> 'src0' GROUP BY 1),
+          |sc2 AS (
+          |  SELECT bucket, count(*) AS c FROM b JOIN sel USING (doc_id) GROUP BY 1),
+          |tn2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM tc2),
+          |rn2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM rc2),
+          |sn2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM sc2),
+          |terms AS (
+          |  SELECT g.bucket,
+          |    (coalesce(tc2.c, 0) + 1.0) / (tn2.n + 256.0) AS p,
+          |    (coalesce(rc2.c, 0) + 1.0) / (rn2.n + 256.0) AS qr,
+          |    (coalesce(sc2.c, 0) + 1.0) / (sn2.n + 256.0) AS qs
+          |  FROM grid g
+          |  LEFT JOIN tc2 ON g.bucket = tc2.bucket
+          |  LEFT JOIN rc2 ON g.bucket = rc2.bucket
+          |  LEFT JOIN sc2 ON g.bucket = sc2.bucket
+          |  CROSS JOIN tn2 CROSS JOIN rn2 CROSS JOIN sn2)
+          |SELECT
+          |  CAST(sum(CAST(floor(qr * log2(qr / p) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_raw_micro,
+          |  CAST(sum(CAST(floor(qs * log2(qs / p) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_sel_micro
+          |FROM terms""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val raw = docs.where(col("source") =!= "src0")
+        val rawFeats = Ops.checkpointKeepPartitioning(
+          Dsir.bucketedFeatures(raw, hexChars = 2))
+        val tgtFeats = Dsir.bucketedFeatures(
+          docs.where(col("source") === "src0"), hexChars = 2)
+        val model = Dsir.fitBucketed(tgtFeats, rawFeats, 2)
+        val selIds = Dsir.resample(Dsir.scoreWeightsBucketed(model,
+          rawFeats, raw.select(col("doc_id"))), 64).select("doc_id")
+        val selFeats = rawFeats.join(selIds, Seq("doc_id"), "left_semi")
+        def hist(feats: org.apache.spark.sql.DataFrame, tag: String) =
+          feats.groupBy("bucket").agg(count(lit(1)).as(s"c_$tag"))
+        def tot(feats: org.apache.spark.sql.DataFrame, tag: String) =
+          feats.agg(coalesce(count(lit(1)), lit(0L)).as(s"n_$tag"))
+        val grid = s.range(256)
+          .select(format_string("%02x", col("id")).as("bucket"))
+        def dist(tag: String) =
+          (coalesce(col(s"c_$tag"), lit(0L)) + lit(1.0)) /
+            (col(s"n_$tag") + lit(256.0))
+        grid
+          .join(hist(tgtFeats, "t"), Seq("bucket"), "left")
+          .join(hist(rawFeats, "r"), Seq("bucket"), "left")
+          .join(hist(selFeats, "s"), Seq("bucket"), "left")
+          .crossJoin(broadcast(tot(tgtFeats, "t")))
+          .crossJoin(broadcast(tot(rawFeats, "r")))
+          .crossJoin(broadcast(tot(selFeats, "s")))
+          .select(dist("t").as("p"), dist("r").as("qr"), dist("s").as("qs"))
+          .agg(
+            sum(floor(col("qr") * log2(col("qr") / col("p"))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("kl_raw_micro"),
+            sum(floor(col("qs") * log2(col("qs") / col("p"))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("kl_sel_micro"))
+      }))
 }

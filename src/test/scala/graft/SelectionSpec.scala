@@ -75,6 +75,15 @@ class SelectionSpec extends SparkSpec {
     assert(kept.nonEmpty, "a prune that empties the corpus is wrong")
   }
 
+  test("dsir shift report: the resample moves the corpus toward the target") {
+    val row = SparkEntry.queries("ext_dsir_shift")(spark,
+      "/root/testdata/sf0.01").head()
+    val (klRaw, klSel) = (row.getLong(0), row.getLong(1))
+    assert(klRaw > 0, "raw corpus should diverge from the target")
+    assert(klSel < klRaw,
+      s"selection must reduce KL to target: sel $klSel !< raw $klRaw")
+  }
+
   test("dsir select and weights queries run end-to-end at sf0.001") {
     val w = SparkEntry.queries("ext_dsir_weights")(spark, sf0001)
     assert(w.count() > 0)
