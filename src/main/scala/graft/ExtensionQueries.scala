@@ -2101,6 +2101,64 @@ object ExtensionQueries {
           .orderBy("pack_id")
       }),
 
+    // Pack-level DOCUMENT SPANS — the attention-masking metadata packed
+    // training needs: for every (pack, doc), the content-token offset
+    // where the doc's chunks start inside the pack and how many tokens
+    // they span (chunks of one doc are contiguous in (doc, window)
+    // order, so one row per pack×doc suffices; offsets count content
+    // tokens — the trainer adds its own separator positions). The
+    // offsets are FREE: the global 3-pass prefix already yields every
+    // chunk's start, so within-pack position is start minus the pack's
+    // first start — one bounded groupBy(pack) for the origins, one
+    // (pack, doc) aggregation, no new global structure.
+    QueryDef("ext_pack_doc_spans",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+             |  FROM d),
+             |chunks AS (
+             |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |    CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS BIGINT) AS n_tokens
+             |  FROM c, unnest(range(0, n_chunks)) AS r(i)),
+             |pk AS (
+             |  SELECT doc_id, chunk_idx, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+             |  FROM chunks),
+             |pks AS (
+             |  SELECT doc_id, n_tokens, start,
+             |    CAST(floor(start / 512.0) AS BIGINT) AS pack_id
+             |  FROM pk),
+             |org AS (SELECT pack_id, min(start) AS origin FROM pks GROUP BY 1)
+             |SELECT p.pack_id, p.doc_id,
+             |  CAST(min(p.start - o.origin) AS BIGINT) AS span_start,
+             |  CAST(sum(p.n_tokens) AS BIGINT) AS span_tokens
+             |FROM pks p JOIN org o ON p.pack_id = o.pack_id
+             |GROUP BY p.pack_id, p.doc_id
+             |ORDER BY p.pack_id, span_start""".stripMargin),
+      (s, dir) => {
+        val chunks = graft.operators.Chunking.tokenChunks(
+            load(s, dir, "documents"), chunkSize = 32, overlap = 4)
+          .select(col("doc_id"), col("chunk_idx"),
+            col("n_tokens").cast("long").as("n_tokens"))
+        val packed = graft.operators.Ops.withGlobalRunningSum(chunks,
+            Seq(col("doc_id"), col("chunk_idx")), col("doc_id"),
+            col("n_tokens"), "cum")
+          .withColumn("start", col("cum") - col("n_tokens"))
+          .withColumn("pack_id",
+            floor(col("start") / lit(512.0)).cast("long"))
+        val origins = packed.groupBy("pack_id")
+          .agg(min(col("start")).as("origin"))
+        packed.join(origins, "pack_id")
+          .groupBy("pack_id", "doc_id")
+          .agg(min(col("start") - col("origin")).as("span_start"),
+            sum("n_tokens").as("span_tokens"))
+          .orderBy("pack_id", "span_start")
+      }),
+
     // The corpus DATASHEET in one query: per-source doc/token counts,
     // exact-dup rate, mean quality (1e-4 grid), and English fraction —
     // the summary table a data card publishes per mixture source.

@@ -57,4 +57,21 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(plan.contains("Generate"), s"expected Generate in:\n$plan")
   }
+
+  test("pack doc spans tile every pack contiguously from offset zero") {
+    val spans = SparkEntry.queries("ext_pack_doc_spans")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(spans.nonEmpty)
+    spans.foreach { case (pack, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"pack $pack does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) =>
+          assert(s2 == s1 + n1,
+            s"pack $pack has a gap/overlap at offset $s2 (prev $s1+$n1)")
+        case _ =>
+      }
+    }
+  }
 }
