@@ -390,6 +390,40 @@ object ExtensionQueries {
       |  SELECT doc_id, source, text FROM surv
       |  WHERE doc_id NOT IN (SELECT doc_id FROM dsircut)),""".stripMargin
 
+  /** Shared BPE-oracle scaffolding: the 4-merge training CTE chain
+    * (`w`/`v0`/`p_k`/`m_k`/`v_k`) and the chained-replace application
+    * expression — used verbatim by the count and segment oracles. */
+  private val bpeOracleStages: String = (1 to 4).map { k =>
+    s"""p$k AS (
+       |  SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split_regex(trim(sym), '\\s+') AS toks, freq FROM v${k - 1}),
+       |       unnest(range(1, len(toks))) AS r(i)
+       |  GROUP BY 1),
+       |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |v$k AS (
+       |  SELECT replace(sym,
+       |           ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
+       |           ' ' || replace(pair, ' ', '') || ' ') AS sym, freq
+       |  FROM v${k - 1}, m$k)""".stripMargin
+  }.mkString(",\n")
+
+  private val bpeOracleApplied: String = (1 to 4).foldLeft(
+    "regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '    ', 'g'), '([^ ])', '  \\1', 'g') || '  '") {
+    (acc, k) =>
+      s"""replace($acc,
+         | ' ' || (SELECT string_split(pair, ' ')[1] FROM m$k) || '  ' || (SELECT string_split(pair, ' ')[2] FROM m$k) || ' ',
+         | ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')""".stripMargin
+  }
+
+  private val bpeOraclePrelude: String =
+    s"""WITH w AS (
+       |  SELECT x AS w, count(*) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS x
+       |        FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS sym, freq FROM w),
+       |$bpeOracleStages""".stripMargin
+
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
       withDsir: Boolean = false): String = {
@@ -2365,46 +2399,40 @@ object ExtensionQueries {
     // count (t3's `bpeish` column is the heuristic; this is the
     // trained tokenizer). The merges are driver-held literals, so the
     // whole segmentation is one codegen'd projection over the corpus.
-    QueryDef("ext_bpe_token_count", {
-      val stages = (1 to 4).map { k =>
-        s"""p$k AS (
-           |  SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT string_split_regex(trim(sym), '\\s+') AS toks, freq FROM v${k - 1}),
-           |       unnest(range(1, len(toks))) AS r(i)
-           |  GROUP BY 1),
-           |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |v$k AS (
-           |  SELECT replace(sym,
-           |           ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
-           |           ' ' || replace(pair, ' ', '') || ' ') AS sym, freq
-           |  FROM v${k - 1}, m$k)""".stripMargin
-      }.mkString(",\n")
-      val applied = (1 to 4).foldLeft(
-        "regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '    ', 'g'), '([^ ])', '  \\1', 'g') || '  '") {
-        (acc, k) =>
-          s"""replace($acc,
-             | ' ' || (SELECT string_split(pair, ' ')[1] FROM m$k) || '  ' || (SELECT string_split(pair, ' ')[2] FROM m$k) || ' ',
-             | ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')""".stripMargin
-      }
-      Some(s"""WITH w AS (
-              |  SELECT x AS w, count(*) AS freq
-              |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS x
-              |        FROM documents)
-              |  GROUP BY 1),
-              |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS sym, freq FROM w),
-              |$stages
+    QueryDef("ext_bpe_token_count",
+      Some(s"""$bpeOraclePrelude
               |SELECT doc_id,
-              |  CASE WHEN trim(lower(text)) = '' THEN 0
-              |       ELSE len(string_split_regex(trim($applied), '\\s+'))
+              |  CASE WHEN regexp_replace(lower(text), '\\s', '', 'g') = '' THEN 0
+              |       ELSE len(string_split_regex(trim($bpeOracleApplied), '\\s+'))
               |  END AS n_bpe
-              |FROM documents ORDER BY doc_id""".stripMargin)
-    },
+              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = load(s, dir, "documents")
         val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 4)
         docs.select(col("doc_id"),
           graft.operators.Bpe.bpeTokenCount(col("text"), merges)
             .as("n_bpe"))
+          .orderBy("doc_id")
+      }),
+
+    // The segmentation ITSELF — what the encoder emits: each document's
+    // BPE symbol sequence after the 4 learned merges, single-space-
+    // joined (train → segment → ENCODE completes the in-engine
+    // tokenizer story; counts alone can't feed a trainer). Same
+    // codegen'd literal-replace projection as the count.
+    QueryDef("ext_bpe_segment",
+      Some(s"""$bpeOraclePrelude
+              |SELECT doc_id,
+              |  CASE WHEN regexp_replace(lower(text), '\\s', '', 'g') = '' THEN ''
+              |       ELSE regexp_replace(trim($bpeOracleApplied), '\\s+', ' ', 'g')
+              |  END AS bpe_text
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 4)
+        docs.select(col("doc_id"),
+          graft.operators.Bpe.bpeSegment(col("text"), merges)
+            .as("bpe_text"))
           .orderBy("doc_id")
       }),
 

@@ -119,7 +119,28 @@ object Bpe {
       replace(s, lit(s" ${m.left_sym}  ${m.right_sym} "),
         lit(s" ${m.left_sym}${m.right_sym} "))
     }
-    when(trim(lower(text)) === "", 0)
+    // whitespace-ONLY guard via regexp, not trim: trim strips spaces
+    // only, so a tab-only doc would fall through and count one phantom
+    // symbol (caught by the segment-consistency spec)
+    when(regexp_replace(lower(text), "\\s", "") === "", 0)
       .otherwise(size(split(trim(merged), "\\s+")))
+  }
+
+  /** The segmentation itself: the document's BPE symbol sequence after
+    * applying every merge in rank order, single-space-joined (word
+    * boundaries dissolve — the downstream consumer is a token stream).
+    * Same codegen'd literal-replace chain as [[bpeTokenCount]]; an
+    * empty document segments to the empty string. */
+  def bpeSegment(text: org.apache.spark.sql.Column,
+      merges: Seq[BpeMerge]): org.apache.spark.sql.Column = {
+    val docSym = concat(regexp_replace(
+      regexp_replace(trim(lower(text)), "\\s+", "    "),
+      "([^ ])", "  $1"), lit("  "))
+    val merged = merges.foldLeft(docSym) { (s, m) =>
+      replace(s, lit(s" ${m.left_sym}  ${m.right_sym} "),
+        lit(s" ${m.left_sym}${m.right_sym} "))
+    }
+    when(regexp_replace(lower(text), "\\s", "") === "", lit(""))
+      .otherwise(regexp_replace(trim(merged), "\\s+", " "))
   }
 }

@@ -60,4 +60,27 @@ class BpeSpec extends SparkSpec {
     assert(leaked.isEmpty,
       s"vocabulary checkpoint blocks must drain after training: $leaked")
   }
+
+  test("bpeSegment: symbol stream agrees with bpeTokenCount and the merges") {
+    val docs = Seq((1L, "low lower lowest"), (2L, ""), (3L, "  \t "))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, numMerges = 3)
+    val got = docs.select($"doc_id",
+        Bpe.bpeSegment($"text", m).as("seg"),
+        Bpe.bpeTokenCount($"text", m).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // empty/whitespace docs segment to the empty string, count 0
+    assert(got(2L) == ("", 0) && got(3L) == ("", 0))
+    val (seg, n) = got(1L)
+    assert(seg.split(" ").length == n,
+      s"segment '$seg' has ${seg.split(" ").length} symbols, count says $n")
+    // every learned merge's joined symbol appears in the stream
+    m.foreach(mg => assert(seg.contains(mg.left_sym + mg.right_sym)
+      || !seg.contains(s"${mg.left_sym} ${mg.right_sym}"),
+      s"merge ${mg.left_sym}+${mg.right_sym} left an unmerged adjacent pair"))
+    // the most frequent pair ("l","o" in this corpus) merged everywhere:
+    // no adjacent single-symbol 'l o' survives
+    assert(!s" $seg ".contains(s" ${m.head.left_sym} ${m.head.right_sym} "))
+  }
 }
