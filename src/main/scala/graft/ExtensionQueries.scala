@@ -2686,6 +2686,27 @@ object ExtensionQueries {
           .orderBy("pack_id")
       }),
 
+    // NO-TRUNCATION packing (arXiv:2404.10830): whole documents into
+    // 256-token bins by segmented First-Fit-Decreasing — the
+    // zero-truncation trade against ext_token_packing's zero-padding
+    // split-greedy. FFD is not SQL-expressible (a sequential fold over
+    // bins), so this ships rows-only; totality, capacity, the
+    // ≤-one-under-half-bin first-fit property, padding accounting, and
+    // partitioning invariance are spec'd in PackingSpec. Manifest rows
+    // are deterministic (global (size desc, id) rank via the 3-pass
+    // prefix + in-group re-sort).
+    QueryDef("ext_bestfit_packing", None,
+      (s, dir) => {
+        val items = load(s, dir, "documents").select(
+          col("doc_id").as("item_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.BestFitPacking.packBestFit(items, binSize = 256)
+          .groupBy("bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+            sum("item_id").as("id_sum"))
+          .orderBy("bin_id")
+      }),
+
     // Benchmark-contamination check: corpus docs sharing any word
     // 3-gram with the held-out eval set (every 97th doc). Join shapes
     // (broadcast eval / shuffle-by-shingle fallback) live in
