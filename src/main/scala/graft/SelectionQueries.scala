@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dsir, IvfIndex, Ops, Similarity}
+import graft.operators.{Dsir, IndexStore, IvfIndex, Ops, Similarity}
 
 /** Capability registry, batch 7: data SELECTION — the pipeline rung
   * above filtering and dedup, where a curated corpus is steered toward
@@ -197,6 +197,68 @@ object SelectionQueries {
           |  FROM key ORDER BY key_milli DESC, doc_id LIMIT 64)
           |ORDER BY doc_id""".stripMargin),
       (s, dir) => Dsir.resample(dsirWeights(s, dir), 64).orderBy("doc_id")),
+
+    // The DSIR model PERSISTED (eighth IndexStore kind, second holding
+    // model state): per-bucket counts per corpus side as an additive
+    // table — build once, score many, with the full lifecycle. Scoring
+    // from the table must equal the inline fit bit-for-bit: same
+    // oracle as ext_dsir_weights.
+    QueryDef("ext_dsir_persisted",
+      Some(dsirFeatureSql +
+        """SELECT doc_id, n_feats, w_milli FROM w ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_dsirp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents")
+        IndexStore.buildDsirIndex(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.scoreFromDsirIndex(s, tbl,
+            docs.where(col("source") =!= "src0"))
+          .orderBy("doc_id")
+      }),
+
+    // Incremental refit: build on half the raw corpus, append the rest
+    // — counts are additive, so append ≡ one-shot refit bit-for-bit
+    // (the LM-table doctrine on the selection model). Same oracle.
+    QueryDef("ext_dsir_incremental",
+      Some(dsirFeatureSql +
+        """SELECT doc_id, n_feats, w_milli FROM w ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_dsiri_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents")
+        val raw = docs.where(col("source") =!= "src0")
+        IndexStore.buildDsirIndex(
+          docs.where(col("source") === "src0"),
+          raw.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.appendDsirIndex(raw.where(col("doc_id") % 2 =!= 0),
+          "r", "doc_id", "text", tbl)
+        IndexStore.scoreFromDsirIndex(s, tbl, raw).orderBy("doc_id")
+      }),
+
+    // Exact unlearning of the selection model: train with a junk slice
+    // polluting the raw side, take it down by appending its counts
+    // negated — scoring then equals a refit that NEVER saw the junk
+    // (the oracle is exactly that refit). Take-down compliance extends
+    // to the model that decides what enters the corpus.
+    QueryDef("ext_dsir_unlearn",
+      Some(dsirFeatureSql +
+        """SELECT doc_id, n_feats, w_milli FROM w ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_dsiru_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents")
+        val raw = docs.where(col("source") =!= "src0")
+        val junk = raw.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text"))
+        IndexStore.buildDsirIndex(
+          docs.where(col("source") === "src0"),
+          raw.select("doc_id", "text").unionByName(junk),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.unlearnFromDsirIndex(junk, "r", "doc_id", "text", tbl)
+        IndexStore.scoreFromDsirIndex(s, tbl, raw).orderBy("doc_id")
+      }),
 
     // Selection-effectiveness report: DID the resample move the corpus
     // toward the target? One row: KL(raw ‖ target) and

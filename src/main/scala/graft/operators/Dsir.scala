@@ -94,9 +94,22 @@ object Dsir {
     * corpus-sized cost here, and an unpinned plan pays it twice. */
   def fitBucketed(targetFeats: DataFrame, rawFeats: DataFrame,
       hexChars: Int): Model = {
+    val (tc, _) = bucketCounts(targetFeats)
+    val (rc, _) = bucketCounts(rawFeats)
+    modelFromCounts(tc, rc, hexChars)
+  }
+
+  /** [[fitBucketed]] over already-aggregated per-bucket count tables
+    * `(bucket, c)` — the form a PERSISTED model (additive counts, the
+    * LM-table precedent) re-hydrates through. Totals re-derive from
+    * the counts, so folded/negated appends need no side state. */
+  def modelFromCounts(tcIn: DataFrame, rcIn: DataFrame,
+      hexChars: Int): Model = {
     val m = math.pow(16.0, hexChars.toDouble)
-    val (tc, tn) = bucketCounts(targetFeats)
-    val (rc, rn) = bucketCounts(rawFeats)
+    val tc = tcIn.select(col("bucket"), col("c"))
+    val rc = rcIn.select(col("bucket"), col("c"))
+    val tn = tc.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    val rn = rc.agg(coalesce(sum("c"), lit(0L)).as("n"))
     // full outer: target-only buckets still need a ratio (a scored doc
     // can hit them), raw-only buckets dominate at crawl scale
     val joined = tc.withColumnRenamed("c", "ct")

@@ -1637,6 +1637,124 @@ object IndexStore {
   def vacuumLmIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_counts")
 
+  // ---- DSIR importance-model table -----------------------------------
+  // The eighth persisted kind, and the second holding MODEL STATE: the
+  // DSIR importance model's per-bucket feature counts, one row
+  // (bucket, side, c) per hashed-ngram bucket per corpus side
+  // ('t' = target, 'r' = raw). Like the LM's bigram counts these form a
+  // commutative group — merge is summation, unlearning is negation — so
+  // append-then-score equals a one-shot refit bit-for-bit and a
+  // take-down is EXACT (a fully-cancelled bucket is indistinguishable
+  // from one never seen; smoothing re-derives, totals re-derive from
+  // the counts). The table is bounded at 2·16^hexChars rows by
+  // construction — the smallest model state in the store — but the
+  // lifecycle (params validation, folding compaction, vacuum,
+  // auto-compact counters) is the full one, because the value is the
+  // DISCIPLINE: selection models obey the same take-down compliance as
+  // the LM and the probe.
+
+  private def dsirSideCounts(docs: DataFrame, idCol: String,
+      textCol: String, hexChars: Int, side: String): DataFrame =
+    Dsir.bucketedFeatures(docs, hexChars, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("side", lit(side))
+      .select("bucket", "side", "c")
+
+  private def dsirParams(idCol: String, hexChars: Int): Map[String, String] =
+    Map("idCol" -> idCol, "payload" -> "dsir",
+      "hexChars" -> hexChars.toString)
+
+  /** Builds the persisted DSIR model from the two corpora. */
+  def buildDsirIndex(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, table: String, path: String, hexChars: Int = 2,
+      nBuckets: Int = 4): Unit = {
+    val spark = target.sparkSession
+    val counts = dsirSideCounts(target, idCol, textCol, hexChars, "t")
+      .unionByName(dsirSideCounts(raw, idCol, textCol, hexChars, "r"))
+    bucketRouted(counts, "bucket", nBuckets)
+      .write.bucketBy(nBuckets, "bucket")
+      .option("path", s"$path/${table}_counts").mode("overwrite")
+      .saveAsTable(s"${table}_counts")
+    setParams(spark, s"${table}_counts", dsirParams(idCol, hexChars))
+  }
+
+  /** Appends a delta corpus's counts to one side — the nightly refit
+    * reduced to one bounded aggregation over the new slice. */
+  def appendDsirIndex(delta: DataFrame, side: String, idCol: String,
+      textCol: String, table: String): Unit = {
+    require(side == "t" || side == "r", s"side must be 't' or 'r': $side")
+    val spark = delta.sparkSession
+    val hexChars = dsirHexChars(spark, table, idCol, "append")
+    val nb = numBucketsOf(spark, s"${table}_counts")
+    bucketRouted(dsirSideCounts(delta, idCol, textCol, hexChars, side),
+        "bucket", nb)
+      .write.bucketBy(nb, "bucket")
+      .mode("append").saveAsTable(s"${table}_counts")
+    noteAppend(spark, s"${table}_counts")
+  }
+
+  /** Exact unlearning: appends the docs' counts NEGATED on their side.
+    * Same ledger discipline as the LM — only unlearn what was
+    * previously learned. */
+  def unlearnFromDsirIndex(docs: DataFrame, side: String, idCol: String,
+      textCol: String, table: String): Unit = {
+    require(side == "t" || side == "r", s"side must be 't' or 'r': $side")
+    val spark = docs.sparkSession
+    val hexChars = dsirHexChars(spark, table, idCol, "unlearn")
+    val nb = numBucketsOf(spark, s"${table}_counts")
+    bucketRouted(dsirSideCounts(docs, idCol, textCol, hexChars, side)
+        .withColumn("c", -col("c")), "bucket", nb)
+      .write.bucketBy(nb, "bucket")
+      .mode("append").saveAsTable(s"${table}_counts")
+    noteAppend(spark, s"${table}_counts")
+  }
+
+  private def dsirHexChars(spark: SparkSession, table: String,
+      idCol: String, op: String): Int = {
+    val params = getParams(spark, s"${table}_counts")
+    val hexChars = params.getOrElse("hexChars",
+      sys.error(s"$op: ${table}_counts has no hexChars param")).toInt
+    requireParams(spark, s"${table}_counts",
+      dsirParams(idCol, hexChars), op)
+    hexChars
+  }
+
+  /** The live model: count rows merged by summation, non-positive
+    * totals dropped, re-hydrated through [[Dsir.modelFromCounts]] —
+    * co-located by bucket, no exchange before the aggregate. */
+  def dsirModelFromIndex(spark: SparkSession, table: String): Dsir.Model = {
+    val hexChars = getParams(spark, s"${table}_counts")("hexChars").toInt
+    val summed = Ops.checkpointKeepPartitioning(
+      spark.table(s"${table}_counts")
+        .groupBy("bucket", "side").agg(sum(col("c")).as("c"))
+        .where(col("c") > 0))
+    Dsir.modelFromCounts(
+      summed.where(col("side") === "t"),
+      summed.where(col("side") === "r"), hexChars)
+  }
+
+  /** Scores `docs` against the persisted model. */
+  def scoreFromDsirIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dsir.scoreWeights(dsirModelFromIndex(spark, table), docs,
+      idCol, textCol)
+
+  /** Compacts: folds duplicate and cancellation rows into one positive
+    * row per (bucket, side) — row-count-changing, like the LM's. */
+  def compactDsirIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val counts = s"${table}_counts"
+    rewriteInPlace(spark, counts, bucketColOf(spark, counts),
+      s"$newPathBase/${counts}_c", numBucketsOf(spark, counts))(
+      _.groupBy("bucket", "side").agg(sum(col("c")).as("c"))
+        .where(col("c") > 0))
+  }
+
+  /** Vacuums the DSIR table's retired directories. */
+  def vacuumDsirIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_counts")
+
   // ---- batch-KEYED LM lifecycle (replay-exactly-once) ---------------
   // The unkeyed LM append is additive, so a crash-replayed micro-batch
   // double-counts its slice — no ordering fixes that (the bucketed
@@ -1867,9 +1985,10 @@ object IndexStore {
       case "ivf"     => (s"${table}_lists",  compactIvfIndex(spark, table, _))
       case "lm"      => (s"${table}_counts", compactLmIndex(spark, table, _))
       case "lmk"     => (s"${table}_counts", compactLmIndexKeyed(spark, table, _))
+      case "dsir"    => (s"${table}_counts", compactDsirIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }

@@ -1613,6 +1613,66 @@ class IndexStoreSpec extends SparkSpec {
     assert(after == before, "compaction must not change scores")
   }
 
+  // ---- persisted DSIR importance-model table ------------------------
+
+  test("persisted DSIR: append equals one-shot refit; unlearn equals never-seen") {
+    import graft.operators.Dsir
+    val tbl = "graft_spec_dsir"
+    dropTable(s"${tbl}_counts")
+    val target = docs.where(col("doc_id") % 10 < 2)
+    val rawA = docs.where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 < 5)
+    val rawB = docs.where(col("doc_id") % 10 >= 5 && col("doc_id") % 10 < 8)
+    val scoreSet = docs.where(col("doc_id") % 10 >= 8)
+    IndexStore.buildDsirIndex(target, rawA, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendDsirIndex(rawB, "r", "doc_id", "text", tbl)
+    val inc = IndexStore.scoreFromDsirIndex(spark, tbl, scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = Dsir.scoreWeights(
+        Dsir.fit(target, rawA.unionByName(rawB)), scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == oneShot, "append-then-score must equal one-shot refit")
+    // exact unlearning of the rawA slice → the model is (target, rawB)
+    IndexStore.unlearnFromDsirIndex(rawA, "r", "doc_id", "text", tbl)
+    val unlearned = IndexStore.scoreFromDsirIndex(spark, tbl, scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    val retrain = Dsir.scoreWeights(Dsir.fit(target, rawB), scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    assert(unlearned == retrain,
+      "unlearn must equal a refit that never saw the slice")
+  }
+
+  test("persisted DSIR compaction folds; mismatched params rejected; auto-compact fires") {
+    val tbl = "graft_spec_dsirc"
+    dropTable(s"${tbl}_counts")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_counts__compacting")
+    val target = docs.where(col("doc_id") % 10 < 2)
+    val rawA = docs.where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 < 5)
+    val rawB = docs.where(col("doc_id") % 10 >= 5 && col("doc_id") % 10 < 8)
+    val scoreSet = docs.where(col("doc_id") % 10 >= 8)
+    IndexStore.buildDsirIndex(target, rawA, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendDsirIndex(rawB, "r", "doc_id", "text", tbl)
+    IndexStore.unlearnFromDsirIndex(rawA, "r", "doc_id", "text", tbl)
+    val before = IndexStore.scoreFromDsirIndex(spark, tbl, scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    val preRows = spark.table(s"${tbl}_counts").count()
+    assert(IndexStore.autoCompact(spark, "dsir", tbl, every = 1),
+      "appends past the threshold must trigger the dsir auto-compaction")
+    val postRows = spark.table(s"${tbl}_counts").count()
+    assert(postRows < preRows, "compaction must fold rows physically")
+    val after = IndexStore.scoreFromDsirIndex(spark, tbl, scoreSet)
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "compaction must not change scores")
+    // mismatched idCol and illegal side are rejected loudly
+    intercept[IllegalArgumentException] {
+      IndexStore.appendDsirIndex(rawB, "r", "other_id", "text", tbl)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.appendDsirIndex(rawB, "x", "doc_id", "text", tbl)
+    }
+  }
+
   test("the lm kind participates in counter-driven auto-compaction") {
     val tbl = "graft_spec_lma"
     dropTable(s"${tbl}_counts")
