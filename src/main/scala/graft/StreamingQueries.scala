@@ -313,6 +313,35 @@ object StreamingQueries {
           s"/tmp/graft_scorpus/$tag/idx")
       }),
 
+    // The streamed capstone WITH the selection stage: the DSIR model is
+    // fitted batch-side over the reference corpus's post-decon
+    // survivors (frozen-cutoff stance; production reads the persisted
+    // DSIR index) and gates every micro-batch between decon and the
+    // budget ledger. Same withDsir oracle CTEs as the batch
+    // ext_corpus_build_dsir, with the budget window in ARRIVAL order.
+    QueryDef("sr17_streaming_corpus_dsir",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          withDsir = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM dsircut) THEN 'dsir'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, budgets) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        val pinned = graft.streaming.StreamingCorpusBuild
+          .pinnedDsirFromCorpus(corpus, evals, 10, "src0")
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
+          s"/tmp/graft_scorpusd/$tag", s"graft_scbd_$tag",
+          s"/tmp/graft_scorpusd/$tag/idx", dsir = Some(pinned))
+      }),
+
     // SemDeDup as a forever-sync (StreamingSemDedup): pinned centroids,
     // within-batch kernel + cross-batch near-dup check against the SEEN
     // cluster members (keepers or not — the batch rule), keepers append.

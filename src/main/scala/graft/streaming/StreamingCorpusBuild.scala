@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, IndexStore, Ops, QualityRules}
+import graft.operators.{Contamination, Dsir, IndexStore, Ops, QualityRules}
 
 /** The corpus-build composition run as a forever-sync — the streaming
   * twin of [[graft.operators.CorpusBuild]]: crawl micro-batches flow
@@ -32,6 +32,39 @@ import graft.operators.{Contamination, IndexStore, Ops, QualityRules}
   */
 object StreamingCorpusBuild {
 
+  /** A DSIR selection model pinned for the stream (the frozen-cutoff
+    * stance: corpus-relative statistics come from a batch-side fit,
+    * never from the unbounded stream). `ratios` is the eagerly-pinned
+    * bounded bucket table; production reads this from the persisted
+    * DSIR index ([[IndexStore.buildDsirIndex]]) instead. */
+  final case class PinnedDsir(ratios: DataFrame, r0Milli: Long,
+      hexChars: Int, targetSource: String)
+
+  /** Fits the stream's pinned model exactly as the batch capstone
+    * does: over the POST-DECON survivors of the reference corpus
+    * (target source vs the rest) — so the streamed composition checks
+    * against the same withDsir oracle CTEs. */
+  def pinnedDsirFromCorpus(corpus: DataFrame, evalDocs: DataFrame,
+      contamThreshold: Int, targetSource: String): PinnedDsir = {
+    val staged = QualityRules.fineWebPipeline(corpus)
+    val curated = corpus.join(
+      staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
+    val contam = Contamination
+      .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
+      .where(col("n_shared") >= contamThreshold).select("doc_id")
+    val clean = curated.join(contam, Seq("doc_id"), "left_anti")
+    val target = clean.where(col("source") === targetSource)
+      .select("doc_id", "text")
+    val raw = clean.where(col("source") =!= targetSource)
+      .select("doc_id", "text")
+    val rawFeats = Ops.checkpointKeepPartitioning(
+      Dsir.bucketedFeatures(raw, hexChars = 2))
+    val model = Dsir.fitBucketed(
+      Dsir.bucketedFeatures(target, hexChars = 2), rawFeats, 2)
+    PinnedDsir(model.ratios.localCheckpoint(),
+      model.unseen.head().getLong(0), 2, targetSource)
+  }
+
   /** Stages `corpus` as doc_id-range files, drains after each, returns
     * the accumulated per-doc attribution (doc_id, cut_stage). `splits`
     * are the exclusive upper bounds of each arrival range (the last
@@ -39,7 +72,8 @@ object StreamingCorpusBuild {
   def run(spark: SparkSession, corpus: DataFrame, evalDocs: DataFrame,
       budgets: DataFrame, workDir: String, table: String, idxPath: String,
       splits: Seq[Long] = Seq(300000L, 500000L, 600000L),
-      contamThreshold: Int = 10): DataFrame = {
+      contamThreshold: Int = 10,
+      dsir: Option[PinnedDsir] = None): DataFrame = {
     val srcDir = s"$workDir/src"
     val sinkDir = s"$workDir/sink"
     Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
@@ -60,7 +94,7 @@ object StreamingCorpusBuild {
       corpus.where(pred(col("doc_id")))
         .coalesce(1).write.mode("append").parquet(srcDir)
       runStream(spark, srcDir, sinkDir, s"$workDir/ckpt", table,
-        evalPinned, budgetsPinned, contamThreshold)
+        evalPinned, budgetsPinned, contamThreshold, dsir)
     }
     spark.read.parquet(sinkDir).select("doc_id", "cut_stage")
       .orderBy("doc_id")
@@ -72,14 +106,15 @@ object StreamingCorpusBuild {
     * (the runGateStream convention). */
   def runStream(spark: SparkSession, srcDir: String, sinkDir: String,
       checkpointDir: String, table: String, evalDocs: DataFrame,
-      budgets: DataFrame, contamThreshold: Int): Unit = {
+      budgets: DataFrame, contamThreshold: Int,
+      dsir: Option[PinnedDsir] = None): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateBatch(batch, evalDocs, budgets, table, sinkDir,
-          contamThreshold)
+          contamThreshold, dsir)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -101,7 +136,7 @@ object StreamingCorpusBuild {
     * append. Exposed for the replay/resume drills in StreamingSpec. */
   def curateBatch(batch: DataFrame, evalDocs: DataFrame,
       budgets: DataFrame, table: String, sinkDir: String,
-      contamThreshold: Int): Unit = {
+      contamThreshold: Int, dsir: Option[PinnedDsir] = None): Unit = {
     val spark = batch.sparkSession // session coherence: see StreamingCuration
     // per-doc curation + within-batch keeper, decisions pinned
     val staged = QualityRules.fineWebPipeline(batch)
@@ -121,7 +156,23 @@ object StreamingCorpusBuild {
       .sharedShingleCounts(kept2.select("doc_id", "text"), evalDocs)
       .where(col("n_shared") >= contamThreshold).select("doc_id")
       .localCheckpoint()
-    val kept3 = kept2.join(contam, Seq("doc_id"), "left_anti")
+    val kept3all = kept2.join(contam, Seq("doc_id"), "left_anti")
+    // optional DSIR selection against the PINNED model (between decon
+    // and the budget gate, mirroring the batch capstone): raw-source
+    // docs keep only on w_milli > 0; the target source passes its own
+    // gate by definition. A featureless doc emits no weight row and is
+    // cut — the scoreWeightsBucketed zero-backfill convention.
+    val (kept3, dsirCut) = dsir match {
+      case None => (kept3all, kept3all.select("doc_id").where(lit(false)))
+      case Some(p) =>
+        val raw = kept3all.where(col("source") =!= p.targetSource)
+        val keptW = Dsir.scoreWeightsStream(p.ratios, p.r0Milli,
+            p.hexChars, raw.select("doc_id", "text"))
+          .where(col("w_milli") > 0).select("doc_id")
+        val cut = raw.select("doc_id")
+          .join(keptW, Seq("doc_id"), "left_anti").localCheckpoint()
+        (kept3all.join(cut, Seq("doc_id"), "left_anti"), cut)
+    }
     // budget gate: within-batch grouped prefix + per-source spend
     // carried from the sink's kept rows (state re-derived, not held in
     // driver memory — a restarted stream resumes the ledger)
@@ -170,6 +221,8 @@ object StreamingCorpusBuild {
       .unionByName(crossDup.select(col("doc_id"),
         lit("dedup").as("cut_stage")))
       .unionByName(contam.select(col("doc_id"), lit("decon").as("cut_stage")))
+      .unionByName(dsirCut.select(col("doc_id"),
+        lit("dsir").as("cut_stage")))
       .unionByName(overBudget.select(col("doc_id"),
         lit("budget").as("cut_stage")))
       .unionByName(keptFinal.select(col("doc_id"),

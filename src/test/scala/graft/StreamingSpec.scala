@@ -868,6 +868,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "the gate should keep some target-like docs")
   }
 
+  test("streamed dsir-staged corpus build: totality and a live dsir stage") {
+    import graft.streaming.StreamingCorpusBuild
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val work = s"/tmp/graft_scorpusd_spec/${System.nanoTime()}"
+    val tbl = s"graft_scbd_spec_${System.nanoTime()}"
+    val pinned = StreamingCorpusBuild.pinnedDsirFromCorpus(
+      corpus, evals, 10, "src0")
+    val att = StreamingCorpusBuild.run(spark, corpus, evals, budgets,
+        work, tbl, s"$work/idx", dsir = Some(pinned))
+      .localCheckpoint()
+    val n = corpus.count()
+    assert(att.count() == n)
+    assert(att.select("doc_id").distinct().count() == n,
+      "one stage per doc")
+    val byStage = att.groupBy("cut_stage").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStage.getOrElse("dsir", 0L) > 0, s"dsir never fired: $byStage")
+    // the target source never cuts at dsir
+    assert(att.join(corpus.select("doc_id", "source"), "doc_id")
+      .where($"cut_stage" === "dsir" && $"source" === "src0").count() == 0)
+  }
+
   test("streamed prototype gate equals the batch prune (frozen cutoff)") {
     val work = s"/tmp/graft_sproto_spec/${System.nanoTime()}"
     val streamed = graft.streaming.StreamingPrototype.run(spark, sf0001, work)
