@@ -2357,6 +2357,27 @@ object ExtensionQueries {
           .attribution.orderBy("doc_id")
       }),
 
+    // The RELEASE step: materialize the build as the artifact set a
+    // trainer mounts (packs/ partitioned by shard, manifest/, datacard/)
+    // and return the datacard READ BACK from disk — the oracle
+    // value-checks the physically written per-source stats of the kept
+    // corpus against the chained stage SQL. Physical-layout invariants
+    // (one directory per shard, pack-token reconciliation vs the
+    // manifest) are spec'd in CorpusBuildSpec.
+    QueryDef("ext_corpus_release",
+      Some(corpusBuildCtes() + "\n" +
+        """SELECT bc.source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(bc.n) AS BIGINT) AS n_tokens
+          |FROM bc JOIN w ON bc.source = w.source
+          |WHERE bc.cum <= w.budget
+          |GROUP BY bc.source ORDER BY bc.source""".stripMargin),
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.operators.CorpusBuild.release(
+          corpusBuildResult(s, dir), s"/tmp/graft_release/$tag")
+      }),
+
     // Distributed BPE vocabulary induction: learn 4 merges from the
     // corpus. The corpus first collapses to a distinct-word frequency
     // table (vocabulary-sized, the reason BPE trains at corpus scale);

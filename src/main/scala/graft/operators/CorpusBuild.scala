@@ -173,4 +173,55 @@ object CorpusBuild {
 
     Result(attribution, manifest, survivors)
   }
+
+  /** Materializes a [[Result]] as the trainer-facing artifact set under
+    * `outDir` — the step after the manifest, what a release actually
+    * ships:
+    *
+    *   - `packs/`: the packed training sequences (pack_text with
+    *     `<eos>` document separators, chunk/token counts), written
+    *     `partitionBy(shard_id)` so a trainer maps one shard directory
+    *     per reader — the physical layout IS the shard assignment.
+    *   - `manifest/`: the chunk-level manifest as parquet.
+    *   - `datacard/`: per-source doc/token counts of the KEPT corpus —
+    *     the datasheet row set a release publishes (bounded ≤ sources
+    *     rows, `coalesce(1)` is the documented tiny-frame exception).
+    *
+    * Pack assembly is a per-pack aggregation over bounded groups
+    * (≤ packTokens tokens of text each); ids come from the already-
+    * computed manifest, so no rank pass re-runs. Returns the datacard
+    * READ BACK from disk — callers (and the oracle) value-check what
+    * was physically written, not what was about to be. */
+  def release(result: Result, outDir: String, chunkSize: Int = 32,
+      overlap: Int = 4): DataFrame = {
+    val spark = result.survivors.sparkSession
+    val chunks = Chunking.tokenChunks(result.survivors,
+        chunkSize = chunkSize, overlap = overlap)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val withIds = chunks.join(
+      result.manifest.select("doc_id", "chunk_idx", "pack_id", "shard_id"),
+      Seq("doc_id", "chunk_idx"))
+    val packs = withIds
+      .withColumn("piece",
+        when(col("chunk_idx") === 0,
+          concat(lit("<eos> "), col("chunk_text")))
+          .otherwise(col("chunk_text")))
+      .groupBy("shard_id", "pack_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("pack_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"),
+            col("chunk_idx"), col("piece")))),
+          sf => sf.getField("piece"))).as("pack_text"))
+    packs.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$outDir/packs")
+    result.manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    result.survivors
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long")).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/datacard")
+    spark.read.parquet(s"$outDir/datacard").orderBy("source")
+  }
 }

@@ -144,6 +144,34 @@ class CorpusBuildSpec extends SparkSpec {
     }
   }
 
+  test("release: shard-partitioned packs reconcile with the manifest and datacard") {
+    val out = s"/tmp/graft_release_spec/${System.nanoTime()}"
+    val datacard = CorpusBuild.release(result, out).localCheckpoint()
+    // physical layout: exactly one directory per shard in the manifest
+    val shardDirs = new java.io.File(s"$out/packs").listFiles
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("shard_id=")).toSet
+    val shards = manifest.select("shard_id").distinct()
+      .as[Long].collect().map(s => s"shard_id=$s").toSet
+    assert(shardDirs == shards,
+      s"shard layout mismatch: dirs $shardDirs vs manifest $shards")
+    // the written packs reconcile with the manifest token-for-token
+    val packs = spark.read.parquet(s"$out/packs").localCheckpoint()
+    assert(packs.select("pack_id").distinct().count() ==
+      manifest.select("pack_id").distinct().count())
+    assert(packs.agg(sum("pack_tokens")).head().getLong(0) ==
+      manifest.agg(sum("n_tokens")).head().getLong(0))
+    // every pack text carries at least one <eos> document separator
+    assert(packs.where(!$"pack_text".contains("<eos>")).count() == 0)
+    // the datacard covers exactly the surviving sources
+    val cardSources = datacard.select("source").as[String].collect().toSet
+    val survSources = result.survivors.select("source").distinct()
+      .as[String].collect().toSet
+    assert(cardSources == survSources)
+    assert(datacard.agg(sum("n_docs")).head().getLong(0) ==
+      result.survivors.count())
+  }
+
   test("dsir-staged build: stage totality, target immunity, gate consistency") {
     val (corpus, evals, budgets) =
       ExtensionQueries.corpusBuildFixture(spark, sf0001)
