@@ -388,6 +388,23 @@ object StreamingQueries {
         graft.streaming.StreamingDsir.run(s, dir, s"/tmp/graft_sdsir/$tag")
       }),
 
+    // No-truncation packing as a forever-sync: per-batch segmented FFD
+    // with bin numbering continued from the committed sink (the
+    // StreamingShards manifest protocol verbatim — atomic per-batch
+    // commits, replay overwrites wholesale). Bins close at batch end:
+    // the bounded-padding trade for stateless batches. FFD is not
+    // SQL-expressible → rows-only; invariants + replay drill in
+    // StreamingSpec.
+    QueryDef("sr18_streaming_packing", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingPacking
+          .run(s, dir, s"/tmp/graft_spack/$tag")
+          .groupBy("bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+          .orderBy("bin_id")
+      }),
+
     // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
     // fitted once in batch (the frozen-cutoff discipline — sr10's
     // pinned reference-corpus statistics), then embeddings gate as they

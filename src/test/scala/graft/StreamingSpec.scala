@@ -868,6 +868,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "the gate should keep some target-like docs")
   }
 
+  test("streamed packing: totality, capacity, dense continued bins, replay no-op") {
+    import graft.streaming.StreamingPacking
+    val work = s"/tmp/graft_spack_spec/${System.nanoTime()}"
+    val B = 256L
+    val sink = StreamingPacking.run(spark, sf0001, work, binSize = B)
+      .localCheckpoint()
+    val items = Tables.load(spark, sf0001, "documents").select("doc_id")
+    assert(sink.count() == items.count(), "every doc packs exactly once")
+    assert(sink.select("item_id").distinct().count() == items.count())
+    val bins = sink.groupBy("bin_id").agg(sum("n_tokens").as("load"))
+      .as[(Long, Long)].collect()
+    bins.foreach { case (b, load) => assert(load <= B, s"bin $b: $load") }
+    // continued numbering is dense: ids are exactly 0 .. nBins-1
+    val ids = bins.map(_._1).sorted.toSeq
+    assert(ids == (0L until ids.length).toSeq,
+      s"bin ids not dense: ${ids.take(10)}...")
+    // tail bound: four batches, one FFD segment each at this scale
+    assert(bins.count(_._2 <= B / 2) <= 4,
+      "more under-half bins than batches")
+    // replay drill: re-running a committed batch must change nothing
+    val before = StreamingPacking.readSink(spark, s"$work/sink")
+      .orderBy("item_id").collect().toSeq
+    val batch0 = Tables.load(spark, sf0001, "documents")
+      .where($"doc_id" % 4 === 0)
+      .select($"doc_id".as("item_id"),
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+          .as("n_tokens"))
+    StreamingPacking.appendPacked(spark, batch0, 0L, s"$work/sink", B)
+    val after = StreamingPacking.readSink(spark, s"$work/sink")
+      .orderBy("item_id").collect().toSeq
+    assert(after == before, "replaying a committed batch must be a no-op")
+  }
+
   test("streamed dsir-staged corpus build: totality and a live dsir stage") {
     import graft.streaming.StreamingCorpusBuild
     val (corpus, evals, budgets) =
