@@ -1563,6 +1563,100 @@ object ExtensionQueries {
         Dedup.qualityKeepers(corpus)
       }),
 
+    // Source-PRIORITY dedup keeper — the cross-source precedence rule
+    // of multi-source assembly: the curated copy beats the crawl copy
+    // regardless of id. Fixture: every fifth doc gains a whitespace-
+    // variant twin ATTRIBUTED TO src0 (the top-priority source), so
+    // the LARGER-id copy wins its group wherever the original's source
+    // ranks lower — and falls back to min-id when the original is
+    // itself src0. Priority = 100 − numeric source suffix, shared
+    // verbatim by both engines.
+    QueryDef("ext_dedup_keeper_priority",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, ' ' || regexp_replace(text, ' ', '   ', 'g') || '  ',
+             |         'src0'
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |m AS (
+             |  SELECT doc_id, source,
+             |    100 - CAST(substr(source, 4, 10) AS INT) AS priority,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM corpus),
+             |k AS (
+             |  SELECT fp, doc_id AS keeper_id FROM (
+             |    SELECT fp, doc_id,
+             |      row_number() OVER (PARTITION BY fp
+             |        ORDER BY priority DESC, doc_id) AS rn
+             |    FROM m) WHERE rn = 1)
+             |SELECT m.doc_id, m.source, m.priority, k.keeper_id,
+             |  CAST(m.doc_id = k.keeper_id AS INT) AS kept
+             |FROM m JOIN k USING (fp) ORDER BY m.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text", "source")
+        val corpus = d.unionByName(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "), regexp_replace(col("text"), " ", "   "),
+              lit("  ")).as("text"),
+            lit("src0").as("source")))
+        val priorities = d.select("source").distinct()
+          .select(col("source"),
+            (lit(100) - substring(col("source"), 4, 10).cast("int"))
+              .as("priority"))
+        Dedup.priorityKeepers(corpus, priorities)
+      }),
+
+    // Fraction-based contamination report: per doc, the SHARE of its
+    // distinct 3-grams the eval set contains — the PaLM/GPT-4-style
+    // rule (a long doc sharing a few shingles is noise; a short doc
+    // sharing most of itself is a leak), complementing the count
+    // threshold. Fixture plants near-verbatim eval rewrites
+    // (+700000: eval text plus a short tail) that flag at ≥ 0.5 while
+    // organic overlap stays low.
+    QueryDef("ext_contamination_frac",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 700000, text || ' trailing audit tail'
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |b AS (
+             |  SELECT DISTINCT unnest(shingles) AS s
+             |  FROM (SELECT list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+             |          FROM documents WHERE doc_id % 97 = 0) t)),
+             |c AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+             |shared AS (
+             |  SELECT c.doc_id, count(*) AS n_shared
+             |  FROM c JOIN b ON c.s = b.s GROUP BY c.doc_id)
+             |SELECT sh.doc_id, CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+             |  CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared,
+             |  floor(coalesce(shared.n_shared, 0) / CAST(len(sh.shingles) AS DOUBLE)
+             |        * 10000.0 + 0.5) / 10000.0 AS frac,
+             |  CAST(floor(coalesce(shared.n_shared, 0) / CAST(len(sh.shingles) AS DOUBLE)
+             |        * 10000.0 + 0.5) / 10000.0 >= 0.5 AS INT) AS flagged
+             |FROM sh LEFT JOIN shared ON sh.doc_id = shared.doc_id
+             |ORDER BY sh.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+        val corpus = docs.where(col("doc_id") % 97 =!= 0)
+          .unionByName(evals.select((col("doc_id") + 700000).as("doc_id"),
+            concat(col("text"), lit(" trailing audit tail")).as("text")))
+        Contamination.sharedShingleFractions(corpus, evals)
+          .orderBy("doc_id")
+      }),
+
     // Near-dup CLUSTERING: pairs → connected components → one keeper
     // per cluster. Pairwise dedup alone double- or under-drops through
     // chains (a~b, b~c); the component step is what real dedup ships.

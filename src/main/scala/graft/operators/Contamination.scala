@@ -44,4 +44,32 @@ object Contamination {
       else corpusShingles.join(ev.hint("shuffle_merge"), "s")
     joined.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The FRACTION form of the check — per document, what share of its
+    * distinct shingles the eval set contains: `(doc_id, n_shingles,
+    * n_shared, frac, flagged)` for EVERY corpus doc (zero-overlap docs
+    * included). Fraction thresholds are the PaLM/GPT-4-style
+    * contamination rule (a long doc sharing 10 shingles is noise; a
+    * short doc sharing 80% of itself is a leak) — the count form's
+    * complement, not replacement. `frac` floors onto the 1e-4 grid so
+    * the ratio can never hash-flip on engine division order. */
+  def sharedShingleFractions(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, flagAt: Double = 0.5,
+      broadcastEval: Boolean = true): DataFrame = {
+    val ev = evalShingles(evalDocs, n)
+    val withSh = corpus.select(col("doc_id"),
+      array_distinct(Dedup.wordShingles(col("text"), n)).as("sh"))
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val joined =
+      if (broadcastEval) exploded.join(broadcast(ev), "s")
+      else exploded.join(ev.hint("shuffle_merge"), "s")
+    val shared = joined.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("frac",
+        floor(col("n_shared").cast("double") / col("n_shingles")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .withColumn("flagged", (col("frac") >= flagAt).cast("int"))
+  }
 }

@@ -324,6 +324,29 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Source-PRIORITY dedup keeper: within each exact-duplicate group
+    * the copy from the highest-priority source survives (the curated
+    * copy beats the crawl copy — the cross-source precedence rule of
+    * multi-source corpus assembly); ties fall to min id. Same
+    * hot-fingerprint-safe struct-max aggregate as [[qualityKeepers]] —
+    * never a window over the fingerprint. `priorities` is a tiny
+    * (source, priority) table, broadcast. */
+  def priorityKeepers(docs: DataFrame, priorities: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val scored = docs.select(col(idCol), col(srcCol),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .join(broadcast(priorities), srcCol)
+    val keepers = scored.groupBy("fp")
+      .agg(max(struct(col("priority"), (-col(idCol)).as("neg_id"))).as("best"))
+      .select(col("fp"), (-col("best.neg_id")).as("keeper_id"))
+    scored.join(keepers, "fp")
+      .select(col(idCol), col(srcCol), col("priority"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).cast("int").as("kept"))
+      .orderBy(idCol)
+  }
+
   // ---- cross-document repeated substrings (boilerplate spans) -------
   // Document-level near-dup (MinHash/SimHash) misses the other failure
   // mode of crawled training data: long VERBATIM repeats embedded in

@@ -54,4 +54,32 @@ class ContaminationSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       s"fallback must not broadcast either side:\n$plan")
   }
+
+  test("fraction report: verbatim rewrites flag high, organic docs stay low") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val evals = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      .unionByName(evals.select((col("doc_id") + 700000).as("doc_id"),
+        concat(col("text"), lit(" trailing audit tail")).as("text")))
+    val rep = Contamination.sharedShingleFractions(corpus, evals)
+      .localCheckpoint()
+    assert(rep.count() == corpus.count(), "every doc gets a fraction row")
+    // every planted rewrite shares almost all of its shingles
+    val plants = rep.where(col("doc_id") >= 700000)
+    assert(plants.where(col("flagged") === 0).count() == 0,
+      "a near-verbatim eval rewrite must flag")
+    // organic flags exist in this corpus (it contains organic rewrites
+    // of eval texts — true leaks the detector is FOR) but stay rare,
+    // and each one genuinely shares at least half its shingles
+    val organic = rep.where(col("doc_id") < 700000).localCheckpoint()
+    val organicFlagged = organic.where(col("flagged") === 1)
+    assert(organicFlagged.count() < organic.count() / 10,
+      "more than 10% of organic docs flagging means the threshold is noise")
+    assert(organicFlagged
+      .where(col("n_shared") * 2 < col("n_shingles")).count() == 0,
+      "a flagged doc must actually share >= half its shingles")
+    assert(organic.where(col("flagged") === 0).count() > 0)
+  }
 }

@@ -614,6 +614,30 @@ class DedupSpec extends SparkSpec {
       "paragraphDedup must not window over the paragraph hash")
   }
 
+  test("priority keeper: high-priority copy beats min-id; ties fall to min id") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Seq(
+      (1L, "shared body one", "src3"),
+      (9L, " shared   body   one ", "src0"),  // dup of 1, curated source
+      (2L, "shared body two", "src0"),
+      (8L, " shared   body   two ", "src0"),  // dup of 2, same priority
+      (3L, "unique body", "src7"))
+      .toDF("doc_id", "text", "source")
+    val pri = Seq(("src0", 100), ("src3", 97), ("src7", 93))
+      .toDF("source", "priority")
+    val got = Dedup.priorityKeepers(docs, pri)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(got(1L) == (9L, 0) && got(9L) == (9L, 1),
+      "the curated larger-id copy must beat the crawl original")
+    assert(got(2L) == (2L, 1) && got(8L) == (2L, 0),
+      "equal priority falls back to min id")
+    assert(got(3L) == (3L, 1))
+    // keeper is the struct-max aggregate, never a fingerprint window
+    val windows = Dedup.priorityKeepers(docs, pri)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "priorityKeepers must not window over fp")
+  }
+
   test("sampled dedup stats: group-whole sample, estimator tracks exact") {
     val sf001 = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("ext_dedup_stats")(spark, sf001).head()
