@@ -1657,6 +1657,109 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Filter-overlap (Venn) report — the gate-TUNING diagnostic: every
+    // curation rule evaluated INDEPENDENTLY per doc (lang-ID, C4 page
+    // drop, Gopher composite), then doc counts per verdict combination
+    // (≤ 8 rows). A pipeline's first-cut attribution hides overlap —
+    // a doc cut at 'lang' might also fail Gopher — and re-weighting
+    // gates needs exactly this table. One scan, one bounded groupBy.
+    QueryDef("ext_filter_venn", {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 300000,
+              |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+              |    ' to of and that have with.' || chr(10) ||
+              |    'Good sentence with many words written here.' || chr(10) ||
+              |    'this short line mentions javascript libraries.' || chr(10) ||
+              |    'Trailing thought...' || chr(10) ||
+              |    'Another proper sentence ends with five words.'
+              |  FROM documents WHERE doc_id % 11 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 400000, text || ' and also lorem ipsum { here'
+              |  FROM documents WHERE doc_id % 13 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 450000,
+              |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+              |    ' to of and that have with.' || chr(10) ||
+              |    'Good sentence with many words written here.' || chr(10) ||
+              |    'this short line mentions javascript libraries.' || chr(10) ||
+              |    'Trailing thought...' || chr(10) ||
+              |    'Another proper sentence ends with five words.' ||
+              |    ' and also lorem ipsum { here'
+              |  FROM documents WHERE doc_id % 17 = 0),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+              |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+              |    len(regexp_extract_all(text, '#')) AS n_hash,
+              |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+              |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+              |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+              |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
+              |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+              |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
+                     s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
+                     .mkString("\n     + ")}) AS n_stop
+              |  FROM corpus),
+              |g AS (
+              |  SELECT doc_id,
+              |    CASE WHEN n_words BETWEEN 50 AND 100000
+              |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
+              |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
+              |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
+              |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
+              |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
+              |      AND n_stop >= 2
+              |    THEN 1 ELSE 0 END AS gopher_pass
+              |  FROM m),
+              |f AS (
+              |  SELECT doc_id,
+              |    $hits,
+              |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop
+              |  FROM (SELECT doc_id, text,
+              |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
+              |        FROM corpus))
+              |SELECT
+              |  CAST((CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) = 'en' AS INT) AS lang_en,
+              |  CAST(NOT f.c4_drop AS INT) AS c4_ok,
+              |  g.gopher_pass,
+              |  CAST(count(*) AS BIGINT) AS n_docs
+              |FROM f JOIN g USING (doc_id)
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    },
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = d
+          .unionByName(d.where(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              structuredVariant(col("text")).as("text")))
+          .unionByName(d.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 400000).as("doc_id"),
+              concat(col("text"), lit(" and also lorem ipsum { here"))
+                .as("text")))
+          .unionByName(d.where(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 450000).as("doc_id"),
+              concat(structuredVariant(col("text")),
+                lit(" and also lorem ipsum { here")).as("text")))
+        val t = col("text")
+        corpus.select(col("doc_id"),
+            (TextAnalysis.langId(t) === "en").cast("int").as("lang_en"),
+            (!(lower(t).contains("lorem ipsum") || t.contains("{")))
+              .cast("int").as("c4_ok"))
+          .join(graft.operators.QualityRules.gopherQuality(corpus)
+            .select("doc_id", "gopher_pass"), "doc_id")
+          .groupBy("lang_en", "c4_ok", "gopher_pass")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang_en", "c4_ok", "gopher_pass")
+      }),
+
     // Near-dup CLUSTERING: pairs → connected components → one keeper
     // per cluster. Pairwise dedup alone double- or under-drops through
     // chains (a~b, b~c); the component step is what real dedup ships.
