@@ -225,6 +225,23 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: every window partitioned, no global sort before the agg") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    val df = SparkEntry.queries("ext_epoch_shuffle")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the grouped prefix should rank via windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"epoch shuffle fell back to a per-epoch global window:\n$w"))
+    // the only global sort is the final output orderBy ON THE 8-row
+    // manifest — assert none BELOW the top aggregate
+    val belowAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.flatMap(_.collect { case s: LSort if s.global => s })
+    assert(belowAgg.isEmpty,
+      s"global sort below the manifest aggregate:\n$plan")
+  }
+
   test("star join: dims broadcast, the fact side never shuffles before the agg") {
     val df = SparkEntry.queries("ext_star_join")(spark, sf0001)
     // 5 dim joins as broadcasts leave exactly the aggregation and the

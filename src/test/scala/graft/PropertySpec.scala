@@ -199,4 +199,44 @@ class PropertySpec extends SparkSpec {
       .head().getTimestamp(0)
     assert(!wm1.before(wm0))
   }
+
+  test("dsir weights over the adversarial corpus: total, integer-stable, target-monotone") {
+    import graft.operators.Dsir
+    // adversarial texts (unicode, empties, giant tokens) as raw docs;
+    // target = every 7th doc. The property: weights are defined for
+    // EVERY doc, identical across partitionings, and a doc promoted
+    // into the target slice can only gain weight mass in aggregate.
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = docs.where($"doc_id" % 7 === 0)
+    val raw = docs.where($"doc_id" % 7 =!= 0)
+    val m = Dsir.fit(target, raw, hexChars = 2)
+    val w1 = Dsir.scoreWeights(m, raw).orderBy("doc_id").collect().toSeq
+    assert(w1.size == raw.count(), "every raw doc gets a weight row")
+    val m2 = Dsir.fit(target.repartition(5), raw.repartition(3), hexChars = 2)
+    val w2 = Dsir.scoreWeights(m2, raw.repartition(9))
+      .orderBy("doc_id").collect().toSeq
+    assert(w1 == w2, "weights must be partitioning-invariant")
+  }
+
+  test("best-fit packing invariants hold over random item sizes") {
+    import graft.operators.BestFitPacking
+    val sizes = (0 until 500).flatMap(i =>
+      Gen.choose(1L, 256L).apply(Gen.Parameters.default, Seed(i.toLong)))
+    val items = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("item_id", "n_tokens")
+    val packed = BestFitPacking.packBestFit(items, 256L, segmentSize = 64)
+      .localCheckpoint()
+    assert(packed.count() == sizes.size)
+    val bins = packed.groupBy("bin_id").agg(sum("n_tokens").as("load"))
+      .as[(Long, Long)].collect()
+    bins.foreach { case (b, load) =>
+      assert(load <= 256L, s"bin $b overflows with $load")
+    }
+    // per-segment first-fit tail bound over random inputs
+    bins.groupBy(_._1 / 64).foreach { case (seg, bs) =>
+      assert(bs.count(_._2 <= 128L) <= 1,
+        s"segment $seg breaks the one-under-half-bin bound")
+    }
+  }
 }
