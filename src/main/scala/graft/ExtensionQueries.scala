@@ -224,6 +224,60 @@ object ExtensionQueries {
     * and symbol-spam variants of every 13th doc (hash runs, lorem
     * ipsum, a curly brace). The raw table is flat single-line word
     * soup — without the plants every line-level rule is degenerate. */
+  /** Independent gate-flag CTEs over `$from(doc_id, text)` — the SQL
+    * mirror of [[graft.operators.QualityRules.gateFlags]]: Gopher
+    * signals (`m`), the composite pass (`g`), lang-ID hits + the C4
+    * page-drop (`f`), folded to `flags(doc_id, lang_en, c4_ok,
+    * gopher_pass)`. Shared by the filter-Venn report and its streaming
+    * drift monitor. */
+  private[graft] def gateFlagsCtes(from: String): String = {
+    val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    val stop = graft.operators.QualityRules.gopherStopwords.map(w =>
+      s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
+      .mkString("\n     + ")
+    s"""m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+       |    len(regexp_extract_all(text, '#')) AS n_hash,
+       |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+       |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+       |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
+       |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+       |    ($stop) AS n_stop
+       |  FROM $from),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words BETWEEN 50 AND 100000
+       |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
+       |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
+       |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
+       |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
+       |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
+       |      AND n_stop >= 2
+       |    THEN 1 ELSE 0 END AS gopher_pass
+       |  FROM m),
+       |f AS (
+       |  SELECT doc_id,
+       |    $hits,
+       |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
+       |        FROM $from)),
+       |flags AS (
+       |  SELECT f.doc_id,
+       |    CAST((CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) = 'en' AS INT) AS lang_en,
+       |    CAST(NOT f.c4_drop AS INT) AS c4_ok,
+       |    g.gopher_pass
+       |  FROM f JOIN g USING (doc_id))""".stripMargin
+  }
+
   private def structuredVariant(text: org.apache.spark.sql.Column) =
     concat(lit("- item one\n- item two\n"), text,
       lit(" to of and that have with.\n" +
@@ -1663,13 +1717,7 @@ object ExtensionQueries {
     // (≤ 8 rows). A pipeline's first-cut attribution hides overlap —
     // a doc cut at 'lang' might also fail Gopher — and re-weighting
     // gates needs exactly this table. One scan, one bounded groupBy.
-    QueryDef("ext_filter_venn", {
-      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
-        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
-      }.mkString(",\n       ")
-      val langs = TextAnalysis.stopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    QueryDef("ext_filter_venn",
       Some(s"""WITH corpus AS (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL
@@ -1694,46 +1742,11 @@ object ExtensionQueries {
               |    'Another proper sentence ends with five words.' ||
               |    ' and also lorem ipsum { here'
               |  FROM documents WHERE doc_id % 17 = 0),
-              |m AS (
-              |  SELECT doc_id,
-              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
-              |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
-              |    len(regexp_extract_all(text, '#')) AS n_hash,
-              |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
-              |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
-              |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
-              |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
-              |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
-              |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
-                     s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
-                     .mkString("\n     + ")}) AS n_stop
-              |  FROM corpus),
-              |g AS (
-              |  SELECT doc_id,
-              |    CASE WHEN n_words BETWEEN 50 AND 100000
-              |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
-              |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
-              |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
-              |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
-              |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
-              |      AND n_stop >= 2
-              |    THEN 1 ELSE 0 END AS gopher_pass
-              |  FROM m),
-              |f AS (
-              |  SELECT doc_id,
-              |    $hits,
-              |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop
-              |  FROM (SELECT doc_id, text,
-              |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
-              |        FROM corpus))
-              |SELECT
-              |  CAST((CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) = 'en' AS INT) AS lang_en,
-              |  CAST(NOT f.c4_drop AS INT) AS c4_ok,
-              |  g.gopher_pass,
+              |${gateFlagsCtes("corpus")}
+              |SELECT lang_en, c4_ok, gopher_pass,
               |  CAST(count(*) AS BIGINT) AS n_docs
-              |FROM f JOIN g USING (doc_id)
-              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
-    },
+              |FROM flags
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
       (s, dir) => {
         val d = load(s, dir, "documents").select("doc_id", "text")
         val corpus = d
@@ -1748,13 +1761,7 @@ object ExtensionQueries {
             .select((col("doc_id") + 450000).as("doc_id"),
               concat(structuredVariant(col("text")),
                 lit(" and also lorem ipsum { here")).as("text")))
-        val t = col("text")
-        corpus.select(col("doc_id"),
-            (TextAnalysis.langId(t) === "en").cast("int").as("lang_en"),
-            (!(lower(t).contains("lorem ipsum") || t.contains("{")))
-              .cast("int").as("c4_ok"))
-          .join(graft.operators.QualityRules.gopherQuality(corpus)
-            .select("doc_id", "gopher_pass"), "doc_id")
+        graft.operators.QualityRules.gateFlags(corpus)
           .groupBy("lang_en", "c4_ok", "gopher_pass")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("lang_en", "c4_ok", "gopher_pass")
@@ -2389,6 +2396,31 @@ object ExtensionQueries {
             sum("n_tokens").as("span_tokens"))
           .orderBy("pack_id", "span_start")
       }),
+
+    // Per-source token-LENGTH histogram (log2 buckets) — the datacard's
+    // distribution slice: mixing and packing decisions read length
+    // shape, not just totals. The bucket is the exact integer
+    // floor(log2 n) via binary-representation width (length(bin(n))−1)
+    // — never a float log whose last-ulp at 2^k could flip the floor
+    // across engines. One scan, one bounded groupBy.
+    QueryDef("ext_token_histogram",
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(length(bin(greatest(n, 1))) - 1 AS INT) AS bucket_log2,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => load(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("bucket_log2",
+          (length(bin(greatest(col("n"), lit(1)))) - 1).cast("int"))
+        .groupBy("source", "bucket_log2")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .orderBy("source", "bucket_log2")),
 
     // The corpus DATASHEET in one query: per-source doc/token counts,
     // exact-dup rate, mean quality (1e-4 grid), and English fraction —

@@ -388,6 +388,25 @@ object StreamingQueries {
         graft.streaming.StreamingDsir.run(s, dir, s"/tmp/graft_sdsir/$tag")
       }),
 
+    // Gate-drift monitoring as a stream: every micro-batch's
+    // independent verdict-combination counts land keyed by arrival
+    // batch — the dashboard that catches a crawl-mix shift before the
+    // composed kept-rate moves. Batch counts are a pure function of
+    // the batch's rows (overwrite-mode per-batch dirs, replay
+    // idempotent), and arrival is the doc_id residue — fully
+    // SQL-replayable.
+    QueryDef("sr19_streaming_venn",
+      Some("WITH " + ExtensionQueries.gateFlagsCtes("documents") + "\n" +
+        """SELECT CAST(doc_id % 4 AS INT) AS batch_res,
+          |  lang_en, c4_ok, gopher_pass,
+          |  CAST(count(*) AS BIGINT) AS n_docs
+          |FROM flags
+          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingVenn.run(s, dir, s"/tmp/graft_svenn/$tag")
+      }),
+
     // No-truncation packing as a forever-sync: per-batch segmented FFD
     // with bin numbering continued from the committed sink (the
     // StreamingShards manifest protocol verbatim — atomic per-batch

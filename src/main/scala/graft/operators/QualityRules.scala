@@ -101,6 +101,22 @@ object QualityRules {
           .cast("int"))
   }
 
+  /** Every curation gate evaluated INDEPENDENTLY per document —
+    * `(id, lang_en, c4_ok, gopher_pass)` as 0/1 flags. First-cut
+    * attribution hides overlap; this is the raw material for the
+    * filter-Venn report (`ext_filter_venn`) and its streaming drift
+    * monitor. One scan, zero shuffles before the caller's aggregate. */
+  def gateFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        (TextAnalysis.langId(t) === "en").cast("int").as("lang_en"),
+        (!(lower(t).contains("lorem ipsum") || t.contains("{")))
+          .cast("int").as("c4_ok"))
+      .join(gopherQuality(docs, idCol, textCol)
+        .select(col(idCol), col("gopher_pass")), idCol)
+  }
+
   /** Per-document C4 cleaning: the cleaned text (kept lines re-joined
     * with '\n'; empty when nothing survives), kept-line and sentence
     * counts, and the page-level `c4_keep` (0/1). */
