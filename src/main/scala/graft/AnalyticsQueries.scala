@@ -943,6 +943,95 @@ object AnalyticsQueries {
              |FROM terms GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => NgramLm.sourceTokenKl(load(s, dir, "documents"))),
 
+    // Quality-vs-perplexity CALIBRATION matrix: the held-out slice
+    // banded into terciles by BOTH quality models — the heuristic
+    // score and the corpus-trained LM — with doc counts per cell. A
+    // diagonal-heavy matrix means the cheap heuristic agrees with the
+    // statistical model; off-diagonal mass is where one filter would
+    // cut what the other keeps — the tuning read before swapping
+    // filters on a corpus. The tercile ntiles run over the held-out
+    // PER-DOC aggregate (one row per doc) — the documented
+    // verify-scale trade; at warehouse scale both cutoffs go through
+    // the exact 3-pass rank (Ops.kthOrderedValue) or approx bands
+    // (NgramLm.withApproxBands), as the quality gate already does.
+    QueryDef("ext_quality_lm_matrix",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_prepend('<s>',
+             |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+             |           THEN CAST([] AS VARCHAR[])
+             |           ELSE string_split_regex(
+             |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+             |      END) AS toks
+             |  FROM documents),
+             |big AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+             |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+             |bc AS (
+             |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+             |cc AS (
+             |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+             |  FROM bc GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT t) + 1 AS vsize
+             |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+             |scored AS (
+             |  SELECT e.doc_id,
+             |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+             |                     (coalesce(cc.cctx, 0) + v.vsize))
+             |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+             |  FROM big e
+             |  LEFT JOIN bc ON e.bg = bc.bg
+             |  LEFT JOIN cc ON e.prev = cc.prev
+             |  CROSS JOIN v
+             |  WHERE e.doc_id % 10 >= 8),
+             |hm AS (
+             |  SELECT doc_id,
+             |    CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT) AS h_milli_tok
+             |  FROM scored GROUP BY 1),
+             |qm AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '')) AS DOUBLE) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+             |      AS n_stop
+             |  FROM documents WHERE doc_id % 10 >= 8),
+             |q AS (
+             |  SELECT doc_id,
+             |    floor((least(1.0, n_toks / 100.0) * 0.5
+             |          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+             |          + least(1.0, (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 4.0) * 0.2)
+             |          * 10000.0 + 0.5) / 10000.0 AS quality
+             |  FROM qm),
+             |lb AS (SELECT doc_id, ntile(3) OVER (ORDER BY h_milli_tok, doc_id) AS lm_band FROM hm),
+             |qb AS (SELECT doc_id, ntile(3) OVER (ORDER BY quality DESC, doc_id) AS q_band FROM q)
+             |SELECT qb.q_band, lb.lm_band, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM qb JOIN lb ON qb.doc_id = lb.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val docs = load(s, dir, "documents")
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val held = docs.where(col("doc_id") % 10 >= 8)
+        val lb = NgramLm.scoreMicroBits(model, held)
+          .withColumn("lm_band",
+            ntile(3).over(W.orderBy(col("h_milli_tok"), col("doc_id"))))
+          .select("doc_id", "lm_band")
+        val qb = held.select(col("doc_id"),
+            graft.functions.TextAnalysis.qualityScore(col("text"))
+              .as("quality"))
+          .withColumn("q_band",
+            ntile(3).over(W.orderBy(col("quality").desc, col("doc_id"))))
+          .select("doc_id", "q_band")
+        qb.join(lb, "doc_id")
+          .groupBy("q_band", "lm_band")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("q_band", "lm_band")
+      }),
+
     // Skew-mitigated salted join: results must equal the plain join.
     QueryDef("ext_salted_join",
       Some("""SELECT l_orderkey, l_linenumber, o_totalprice
