@@ -254,6 +254,21 @@ object ScaleRehearsal {
       println(f"""{"q":"dsir_lifecycle","scale":$scale,""" +
         f""""selected":$nSelDs,"sec":$secDs%.2f}""")
 
+      // best-fit packing lifecycle: rank + segment + per-segment FFD.
+      // Items and segments both scale linearly; the per-item work is
+      // constant (bounded in-memory FFD per 4096-item segment), so the
+      // slope measures the 3-pass rank + the mapGroups shuffle.
+      val tbf = System.nanoTime()
+      val itemsBf = corpus.select(col("doc_id").as("item_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      val nBins = graft.operators.BestFitPacking
+        .packBestFit(itemsBf, binSize = 256L)
+        .select("bin_id").distinct().count()
+      val secBf = (System.nanoTime() - tbf) / 1e9
+      println(f"""{"q":"bestfit_packing_lifecycle","scale":$scale,""" +
+        f""""bins":$nBins,"sec":$secBf%.2f}""")
+
       // Full corpus-build lifecycle (curation → dedup → decon →
       // budget-mix → chunk → pack → shard). Replicas here append ONE
       // replica-tag token instead of rewriting the vocabulary — the

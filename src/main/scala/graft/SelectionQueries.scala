@@ -198,6 +198,45 @@ object SelectionQueries {
           |ORDER BY doc_id""".stripMargin),
       (s, dir) => Dsir.resample(dsirWeights(s, dir), 64).orderBy("doc_id")),
 
+    // STRATIFIED DSIR selection: the Gumbel top-8 PER SOURCE — fair
+    // target-steering that no single source can monopolize (plain
+    // top-k lets one dominant source fill the draw). Per-source ranking
+    // rides the mergeable bounded-heap TopK aggregator (score desc,
+    // id asc — exactly the oracle's window order), so each partition
+    // forwards ≤ 8 rows per source and NO per-source window exists —
+    // the balanced-class-cap doctrine applied to selection.
+    QueryDef("ext_dsir_select_stratified",
+      Some(dsirFeatureSql +
+        """, key AS (
+          |  SELECT w.doc_id, d.source, w.w_milli,
+          |    w_milli + CAST(floor(-log2(-ln(
+          |        (CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 13))
+          |              AS BIGINT) + 1.0) / 4503599627370497.0))
+          |      * 1000.0 + 0.5) AS BIGINT) AS key_milli
+          |  FROM w JOIN documents d ON w.doc_id = d.doc_id),
+          |r AS (
+          |  SELECT source, doc_id, key_milli,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY key_milli DESC, doc_id) AS rk
+          |  FROM key)
+          |SELECT source, doc_id, key_milli FROM r WHERE rk <= 8
+          |ORDER BY source, doc_id""".stripMargin),
+      (s, dir) => {
+        val keyed = dsirWeights(s, dir)
+          .join(load(s, dir, "documents").select("doc_id", "source"),
+            "doc_id")
+          .withColumn("key_milli",
+            Dsir.gumbelKey(col("doc_id"), col("w_milli")))
+          .localCheckpoint() // two consumers: the heap + the key re-join
+        keyed.groupBy("source")
+          .agg(graft.operators.VectorAgg.topK(col("doc_id"),
+            col("key_milli").cast("double"), 8).as("top"))
+          .select(col("source"), explode(col("top.neighbor_id")).as("doc_id"))
+          .join(keyed.select("doc_id", "key_milli"), "doc_id")
+          .select("source", "doc_id", "key_milli")
+          .orderBy("source", "doc_id")
+      }),
+
     // The DSIR model PERSISTED (eighth IndexStore kind, second holding
     // model state): per-bucket counts per corpus side as an additive
     // table — build once, score many, with the full lifecycle. Scoring
