@@ -91,4 +91,30 @@ class SelectionSpec extends SparkSpec {
     val n = sel.count()
     assert(n > 0 && n <= 64)
   }
+
+  test("stratified select caps every source at 8 and matches the window form") {
+    val got = SparkEntry.queries("ext_dsir_select_stratified")(spark, sf0001)
+      .localCheckpoint()
+    val perSource = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (s, n) =>
+      assert(n <= 8, s"source $s drew $n > 8")
+    }
+    // window-form parity on the picked ids
+    val keyed = got.sparkSession.createDataFrame(
+      got.select("doc_id").collect().map(r => Tuple1(r.getLong(0))))
+      .toDF("picked") // just the id set; recompute the reference below
+    val ref = SparkEntry.queries("ext_dsir_weights")(spark, sf0001)
+      .join(Tables.load(spark, sf0001, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .withColumn("key_milli",
+        graft.operators.Dsir.gumbelKey(col("doc_id"), col("w_milli")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("key_milli").desc, col("doc_id"))))
+      .where(col("rk") <= 8).select("doc_id").as[Long].collect().toSet
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == ref, s"heap/window divergence: ${gotIds.size} vs ${ref.size}")
+  }
 }
