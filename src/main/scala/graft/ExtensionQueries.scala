@@ -2957,6 +2957,32 @@ object ExtensionQueries {
           .orderBy("bin_id")
       }),
 
+    // Johnson–Lindenstrauss sign projection 64→16 (Achlioptas 2001) —
+    // the DIMENSION-reduction companion to ext_embedding_quantize's
+    // precision reduction. The ±1 matrix derives from md5("j:i"), so
+    // the oracle replays it exactly; components fold left from 0.0 in
+    // index order (bit-identical to list_reduce) and quantize to
+    // micro-units. Zero shuffle — one codegen'd literal-signed
+    // projection; norm-preservation in EmbeddingsSpec.
+    QueryDef("ext_jl_project",
+      Some("""SELECT vec_id, CAST(j AS INT) AS j,
+             |  CAST(floor(list_reduce(list_transform(range(1, 65), i ->
+             |    (CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+             |          THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+             |    (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS comp_micro
+             |FROM embeddings, unnest(range(0, 16)) AS r(j)
+             |ORDER BY vec_id, j""".stripMargin),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        graft.operators.Embeddings.jlProject(base, dimIn = 64, dimOut = 16)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "c")))
+          .select(col("vec_id"), col("j").cast("int").as("j"),
+            floor(col("c") * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("comp_micro"))
+          .orderBy("vec_id", "j")
+      }),
+
     // Benchmark-contamination check: corpus docs sharing any word
     // 3-gram with the held-out eval set (every 97th doc). Join shapes
     // (broadcast eval / shuffle-by-shingle fallback) live in

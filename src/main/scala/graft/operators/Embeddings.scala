@@ -107,4 +107,35 @@ object Embeddings {
       Similarity.dot(centered, array(r.map(lit(_)): _*)))
     vecs.withColumn(outCol, array(comps: _*))
   }
+
+  /** Deterministic Johnson–Lindenstrauss SIGN projection (Achlioptas,
+    * "Database-friendly random projections", PODS 2001): dimOut
+    * components, each the ±1-signed sum of the input dims, with the
+    * sign of (j, i) derived from the first hex digit of md5("j:i") —
+    * engine-portable, so the DuckDB oracle replays the "random" matrix
+    * exactly (the Gumbel-uniform doctrine applied to a projection).
+    * The DIMENSION-reduction companion to int8 quantization's
+    * precision reduction: 64→16 dims is 4× smaller ANN storage and 4×
+    * cheaper dot products at JL-bounded distance distortion. Zero
+    * shuffle — one codegen'd projection of dimIn·dimOut literal-signed
+    * adds; each component folds LEFT from 0.0 in index order so the
+    * double sum is bit-identical to the oracle's sequential
+    * list_reduce. E‖proj‖²/dimOut = ‖x‖², spec'd in EmbeddingsSpec. */
+  def jlProject(vecs: DataFrame, dimIn: Int, dimOut: Int,
+      vecCol: String = "vec", outCol: String = "proj"): DataFrame = {
+    require(dimIn > 0 && dimOut > 0)
+    val comps: Seq[Column] = (0 until dimOut).map { j =>
+      (0 until dimIn).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + lit(jlSign(j, i)) * element_at(col(vecCol), i + 1)
+      }
+    }
+    vecs.withColumn(outCol, array(comps: _*))
+  }
+
+  /** The (j, i) projection sign: +1 when md5("j:i") opens below '8'. */
+  def jlSign(j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+  }
 }

@@ -66,4 +66,26 @@ class EmbeddingsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("length=7")),
       s"expected the ragged-length require to surface, got: ${e.getMessage}")
   }
+
+  test("jl projection preserves norms in expectation, signs engine-stable") {
+    val base = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        graft.operators.Similarity.toDoubleArray($"embedding").as("vec"))
+    val proj = Embeddings.jlProject(base, dimIn = 64, dimOut = 16)
+    // inputs are unit vectors → E[||proj||^2 / 16] = 1; per-vector
+    // concentration is loose at k = 16, the corpus MEAN is tight
+    val ratios = proj.select(
+        (graft.operators.Similarity.dot($"proj", $"proj") / 16.0).as("r"))
+      .as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.18, s"mean norm ratio $mean off unity")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"per-vector distortion out of JL range: ${ratios.min}..${ratios.max}")
+    // the sign matrix is a pure md5 function — spot-check the JVM side
+    // against independently computed hex digits
+    assert(Embeddings.jlSign(0, 0) == 1.0)  // md5("0:0") = 3...
+    assert(Embeddings.jlSign(0, 1) == -1.0) // md5("0:1") = 8...
+    // zero shuffle: one literal-signed projection
+    assert(shuffleCount(proj.select("proj")) == 0)
+  }
 }
