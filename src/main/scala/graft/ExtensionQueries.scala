@@ -2983,6 +2983,51 @@ object ExtensionQueries {
           .orderBy("vec_id", "j")
       }),
 
+    // Exact top-k ANN served from the JL-PROJECTED space — what the
+    // 64→16 reduction buys: the same brute-force kernel at a quarter
+    // of the dot-product cost and storage. Fully oracle'd because the
+    // projection itself is SQL-replayable (unlike the SRP/IVF paths,
+    // whose banding is not); recall vs the fp64 space is measured in
+    // EmbeddingsSpec. The projected table pins once — its 16×64-node
+    // expression tree would otherwise inline into BOTH join sides.
+    QueryDef("ext_jl_topk",
+      Some("""WITH p AS (
+             |  SELECT vec_id,
+             |    list_transform(range(0, 16), j ->
+             |      list_reduce(list_transform(range(1, 65), i ->
+             |        (CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+             |              THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+             |        (a, b) -> a + b)) AS vec
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_reduce(list_transform(range(1, len(q.vec) + 1),
+             |        i -> CAST(q.vec[i] AS DOUBLE) * CAST(c.vec[i] AS DOUBLE)), (acc, x) -> acc + x)
+             |      / (sqrt(list_reduce(list_transform(range(1, len(q.vec) + 1),
+             |          i -> CAST(q.vec[i] AS DOUBLE) * CAST(q.vec[i] AS DOUBLE)), (acc, x) -> acc + x))
+             |        * sqrt(list_reduce(list_transform(range(1, len(c.vec) + 1),
+             |          i -> CAST(c.vec[i] AS DOUBLE) * CAST(c.vec[i] AS DOUBLE)), (acc, x) -> acc + x)))
+             |      AS cos_raw
+             |  FROM p q JOIN p c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos_raw,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cos_sim
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val proj = graft.operators.Embeddings
+          .jlProject(base, dimIn = 64, dimOut = 16)
+          .select(col("vec_id"), col("proj").as("vec"))
+          .localCheckpoint()
+        Similarity.cosineTopK(proj, proj.where(col("vec_id") < 8), k = 10)
+          .orderBy("query_id", "rank")
+      }),
+
     // Benchmark-contamination check: corpus docs sharing any word
     // 3-gram with the held-out eval set (every 97th doc). Join shapes
     // (broadcast eval / shuffle-by-shingle fallback) live in

@@ -88,4 +88,46 @@ class EmbeddingsSpec extends SparkSpec {
     // zero shuffle: one literal-signed projection
     assert(shuffleCount(proj.select("proj")) == 0)
   }
+
+  test("jl space: near-dups survive as top-1, cosine error JL-bounded") {
+    import graft.operators.Similarity
+    // What 64→16 JL honestly preserves on a RANDOM corpus: coarse
+    // distances and near-duplicates — NOT fine rankings (measured
+    // recall@10 vs fp64 is ~0.08 here because the true rank-10..50
+    // cosine gaps (~0.05) sit far under the k=16 distortion ~1/√16;
+    // that is the JL bound talking, not a defect). The serving claims:
+    // a planted cos≈1.0 copy is its original's projected top-1, and
+    // per-pair cosine error stays within the JL envelope in RMS.
+    val base = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        Similarity.toDoubleArray($"embedding").as("vec"))
+    val planted = base.unionByName(base.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"vec", x => x * 1.001)
+          .as("vec")))
+    val proj = graft.operators.Embeddings.jlProject(planted, 64, 16)
+      .select($"vec_id", $"proj".as("vec")).localCheckpoint()
+    val top1 = Similarity.cosineTopK(proj,
+        proj.where($"vec_id" >= 100000), k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, n) =>
+      assert(n == q - 100000,
+        s"planted copy $q lost its original in the projected space (got $n)")
+    }
+    // RMS cosine error across random query-corpus pairs ≤ the k=16
+    // JL envelope (~1/√16 = 0.25, with slack)
+    def cosines(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("query_id", "neighbor_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fp = cosines(Similarity.cosineTopK(base,
+      base.where($"vec_id" < 8), k = 50))
+    val jl = cosines(Similarity.cosineTopK(proj.where($"vec_id" < 100000),
+      proj.where($"vec_id" < 8), k = 50))
+    val shared = fp.keySet & jl.keySet
+    assert(shared.nonEmpty)
+    val rms = math.sqrt(shared.toSeq
+      .map(k => math.pow(fp(k) - jl(k), 2)).sum / shared.size)
+    assert(rms < 0.3, f"RMS cosine error $rms%.3f beyond the JL envelope")
+  }
 }
