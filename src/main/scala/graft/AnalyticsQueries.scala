@@ -949,11 +949,10 @@ object AnalyticsQueries {
     // diagonal-heavy matrix means the cheap heuristic agrees with the
     // statistical model; off-diagonal mass is where one filter would
     // cut what the other keeps — the tuning read before swapping
-    // filters on a corpus. The tercile ntiles run over the held-out
-    // PER-DOC aggregate (one row per doc) — the documented
-    // verify-scale trade; at warehouse scale both cutoffs go through
-    // the exact 3-pass rank (Ops.kthOrderedValue) or approx bands
-    // (NgramLm.withApproxBands), as the quality gate already does.
+    // filters on a corpus. Both terciles are the exact DISTRIBUTED
+    // ntile (Ops.withGlobalNtile over the 3-pass bucketed rank) —
+    // value-identical to the windowed ntile the oracle runs, with no
+    // single-task global sort in the plan.
     QueryDef("ext_quality_lm_matrix",
       Some("""WITH tok AS (
              |  SELECT doc_id,
@@ -1012,19 +1011,23 @@ object AnalyticsQueries {
              |FROM qb JOIN lb ON qb.doc_id = lb.doc_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.{Window => W}
         val docs = load(s, dir, "documents")
         val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
         val held = docs.where(col("doc_id") % 10 >= 8)
-        val lb = NgramLm.scoreMicroBits(model, held)
-          .withColumn("lm_band",
-            ntile(3).over(W.orderBy(col("h_milli_tok"), col("doc_id"))))
+        // both terciles via the exact distributed ntile (Ops
+        // .withGlobalNtile) — no partitionBy-less window anywhere;
+        // q_band's DESC leading key negates into the bucket key
+        val lb = Ops.withGlobalNtile(
+            NgramLm.scoreMicroBits(model, held),
+            Seq(col("h_milli_tok"), col("doc_id")), col("h_milli_tok"),
+            k = 3, outCol = "lm_band")
           .select("doc_id", "lm_band")
-        val qb = held.select(col("doc_id"),
-            graft.functions.TextAnalysis.qualityScore(col("text"))
-              .as("quality"))
-          .withColumn("q_band",
-            ntile(3).over(W.orderBy(col("quality").desc, col("doc_id"))))
+        val qb = Ops.withGlobalNtile(
+            held.select(col("doc_id"),
+              graft.functions.TextAnalysis.qualityScore(col("text"))
+                .as("quality")),
+            Seq(col("quality").desc, col("doc_id")), -col("quality"),
+            k = 3, outCol = "q_band")
           .select("doc_id", "q_band")
         qb.join(lb, "doc_id")
           .groupBy("q_band", "lm_band")

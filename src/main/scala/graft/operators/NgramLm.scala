@@ -206,16 +206,23 @@ object NgramLm {
       .select(col("doc_id"),
         hMilli(col("cb"), col("cctx"), lit(vocabSize)).as("h_milli")))
 
-  /** Exact CCNet-style tercile banding (head = lowest cross-entropy).
-    * The ntile runs over a GLOBAL order — correct and cheap on the
-    * per-doc aggregate at verify scale, but a single-partition sort of
-    * one-row-per-document at warehouse scale: that is what
-    * [[withApproxBands]] is for. Ties are broken by doc_id so the
-    * assignment is a pure function of the data. */
+  /** Exact CCNet-style tercile banding (head = lowest cross-entropy),
+    * without the global sort: [[Ops.withGlobalNtile]] computes the
+    * tile from the 3-pass bucketed global rank — value-identical to
+    * `ntile(3) OVER (ORDER BY h_milli_tok, doc_id)` for every input
+    * including ties, with no single-task funnel anywhere in the plan
+    * (the straggler the old windowed form carried; [[withApproxBands]]
+    * remains as the cheaper threshold-based alternative). */
   def withBands(scored: DataFrame): DataFrame = {
-    val nt = ntile(3).over(Window.orderBy(col("h_milli_tok"), col("doc_id")))
-    scored.withColumn("band",
-      when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+    require(!scored.columns.contains("__band_t"),
+      "withBands reserves __band_t")
+    Ops.withGlobalNtile(scored,
+        Seq(col("h_milli_tok"), col("doc_id")), col("h_milli_tok"),
+        k = 3, outCol = "__band_t")
+      .withColumn("band",
+        when(col("__band_t") === 1, "head")
+          .when(col("__band_t") === 2, "middle").otherwise("tail"))
+      .drop("__band_t")
   }
 
   /** Corpus token heavy hitters with cumulative coverage — the

@@ -303,6 +303,46 @@ object Ops {
     bucketedPrefix(df, orderCols, leadingNumeric, nBuckets,
       perRow = lit(1L), outCol = outCol)
 
+  /** Exact `ntile(k) OVER (ORDER BY orderCols)` without the global
+    * sort. The windowed ntile is a pure function of (global rank, n):
+    * the first `n mod k` tiles hold `ceil(n/k)` rows, the rest
+    * `floor(n/k)` — so once every row carries its exact global rank
+    * (the 3-pass bucketed prefix of [[withGlobalRowNumber]]; the
+    * driver only ever sees the nBuckets totals table) the tile is
+    * closed-form integer arithmetic against a broadcast 1-row count.
+    * Value-identical to the single-task window for every input
+    * including ties (same total order over `orderCols` — pass a tie
+    * column). The input's lineage is consumed by four jobs (quantiles,
+    * bucket totals, the count, the final pass), so it is pinned with a
+    * lazy localCheckpoint first — which also satisfies the prefix
+    * helpers' determinism contract. For a DESCENDING leading key pass
+    * `orderCols.head = col.desc` and `leadingNumeric = -col`. */
+  def withGlobalNtile(df: DataFrame, orderCols: Seq[Column],
+      leadingNumeric: Column, k: Int, outCol: String = "tile",
+      nBuckets: Int = 32): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    Seq("__nt_rn", "__nt_n").foreach(c =>
+      require(!df.columns.contains(c), s"withGlobalNtile reserves $c"))
+    val pinned = checkpointKeepPartitioning(df)
+    val n = pinned.agg(count(lit(1)).as("__nt_n"))
+    withGlobalRowNumber(pinned, orderCols, leadingNumeric, "__nt_rn",
+        nBuckets)
+      .crossJoin(broadcast(n))
+      // base = n DIV k, rem = n mod k; tiles 1..rem are (base+1)-sized.
+      // Integer ceil via (a + d - 1) DIV d; the ELSE branch (base = 0
+      // only when n < k) is unreachable then because every rank falls
+      // inside the first n one-row tiles — CASE evaluates lazily.
+      .withColumn(outCol, expr(
+        s"""CAST(CASE
+           |  WHEN __nt_rn <= (__nt_n % $k) * ((__nt_n DIV $k) + 1)
+           |  THEN (__nt_rn + (__nt_n DIV $k)) DIV ((__nt_n DIV $k) + 1)
+           |  ELSE (__nt_n % $k) +
+           |       (__nt_rn - (__nt_n % $k) * ((__nt_n DIV $k) + 1)
+           |        + (__nt_n DIV $k) - 1) DIV (__nt_n DIV $k)
+           |END AS INT)""".stripMargin))
+      .drop("__nt_rn", "__nt_n")
+  }
+
   /** Exact global running (inclusive prefix) sum of `valueCol` in
     * `orderCols` order — the same three-pass shape as
     * [[withGlobalRowNumber]], because `sum(...).over(Window.orderBy(...))`

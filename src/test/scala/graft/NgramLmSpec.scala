@@ -82,6 +82,24 @@ class NgramLmSpec extends SparkSpec {
     assert(byBand("middle").max <= byBand("tail").min)
   }
 
+  test("rank-range banding is value-identical to windowed ntile(3), ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy fixture: many docs share the same h_milli_tok, and
+    // n mod 3 covers 0/1/2 across the three sliced sizes
+    val base = (1L to 100L).map(i => (i, (i % 7) * 100L, i))
+      .toDF("doc_id", "h_milli_tok", "n_bigrams")
+    for (n <- Seq(100, 99, 98, 1, 2, 3)) {
+      val scored = base.where($"doc_id" <= n)
+      val got = NgramLm.withBands(scored)
+        .select("doc_id", "band").as[(Long, String)].collect().toMap
+      val nt = ntile(3).over(Window.orderBy($"h_milli_tok", $"doc_id"))
+      val want = scored.withColumn("band",
+          when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+        .select("doc_id", "band").as[(Long, String)].collect().toMap
+      assert(got == want, s"band mismatch at n=$n")
+    }
+  }
+
   test("interpolated scoring: hand-computed mixture, exact to the milli-bit") {
     // train "x y x y": bc as in the bigram test; unigram rollup by the
     // SECOND endpoint: cur(x)=2 (<s>-x, y-x), cur(y)=2; ntok=4; V=4

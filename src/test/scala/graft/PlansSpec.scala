@@ -225,6 +225,24 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("ccnet/lm-matrix banding plans have no partitionBy-less window") {
+    // withBands used to run ntile(3) over a global order — one task
+    // sorting one-row-per-scored-doc. Now banding is a rank-range test
+    // over the 3-pass bucketed prefix: every window in both registered
+    // plans must be partitioned (the only global sorts allowed are the
+    // queries' own final output orderBy).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("ext_ccnet_pipeline", "ext_quality_lm_matrix")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.nonEmpty, s"$name should still rank via windows")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has a global Window.orderBy (single-task straggler):\n$w"))
+    }
+  }
+
   test("epoch shuffle: every window partitioned, no global sort before the agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
     val df = SparkEntry.queries("ext_epoch_shuffle")(spark, sf0001)
