@@ -1,5 +1,9 @@
 package graft.streaming
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,9 +15,21 @@ import graft.operators.{Contamination, Dsir, IndexStore, Ops, QualityRules}
   * PERSISTED fingerprint index (within-batch keeper + cross-batch index
   * probe, survivors append), decontamination against the static eval
   * shingle set, and a token-budget source mixer whose per-source spend
-  * CONTINUES across batches — the mixing state is re-derived from the
-  * sink's kept rows, so a restarted stream resumes each source's budget
-  * where it left off instead of re-granting it.
+  * CONTINUES across batches.
+  *
+  * Per-batch work is O(batch), not O(history): the spend ledger is NOT
+  * re-aggregated from the sink's rows — each committed batch's manifest
+  * entry carries its own per-source (kept+budget) token delta, and the
+  * continuation spend is the fold of those tiny entries (#batches ×
+  * #sources values, read driver-side; the [[StreamingPacking]]
+  * continuation discipline). Replay safety likewise never rescans the
+  * sink: each batch writes its own `b<id>/` directory and commits a
+  * one-line manifest by atomic rename — a replayed COMMITTED batch
+  * short-circuits on its manifest entry, a replayed UNCOMMITTED batch
+  * re-derives identical decisions (inputs frozen, index probes
+  * self-id-filtered, the index re-append guarded by a bucket-local
+  * self-probe) and overwrites its directory wholesale. Readers union
+  * committed directories only, so partial writes are never visible.
   *
   * What keeps the stream fully ORACLE-checkable: (1) batches are staged
   * in doc_id-RANGE order (a pure, monotone function of the data), so
@@ -23,12 +39,6 @@ import graft.operators.{Contamination, Dsir, IndexStore, Ops, QualityRules}
   * keyed-state — no corpus-relative cutoff is recomputed mid-stream
   * (budgets and the eval set are frozen batch-side, the CCNet
   * frozen-cutoff stance).
-  *
-  * Replay contract (the curateBatch doctrine): decisions are computed
-  * BEFORE side effects, the sink anti-join on doc_id makes a replayed
-  * batch's append a no-op, and the index append runs last — a replayed
-  * batch whose append DID run re-derives identical decisions because
-  * the probe filters self-id matches (the ext_srp_ingest convention).
   */
 object StreamingCorpusBuild {
 
@@ -77,13 +87,13 @@ object StreamingCorpusBuild {
     val srcDir = s"$workDir/src"
     val sinkDir = s"$workDir/sink"
     Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(d)))
     spark.sql(s"DROP TABLE IF EXISTS ${table}_fps")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(idxPath))
     // empty pre-seed: the corpus dedups against itself, in arrival order
     IndexStore.buildExactIndex(corpus.where(lit(false)), "doc_id", "text",
       table, idxPath)
-    new java.io.File(srcDir).mkdirs()
+    new File(srcDir).mkdirs()
 
     val evalPinned = evalDocs.localCheckpoint()
     val budgetsPinned = budgets.localCheckpoint()
@@ -96,7 +106,7 @@ object StreamingCorpusBuild {
       runStream(spark, srcDir, sinkDir, s"$workDir/ckpt", table,
         evalPinned, budgetsPinned, contamThreshold, dsir)
     }
-    spark.read.parquet(sinkDir).select("doc_id", "cut_stage")
+    readSink(spark, sinkDir).select("doc_id", "cut_stage")
       .orderBy("doc_id")
   }
 
@@ -112,8 +122,8 @@ object StreamingCorpusBuild {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, evalDocs, budgets, table, sinkDir,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, evalDocs, budgets, table, sinkDir,
           contamThreshold, dsir)
       }
       .option("checkpointLocation", checkpointDir)
@@ -130,22 +140,59 @@ object StreamingCorpusBuild {
     }
   }
 
+  /** Committed (batchId → per-source spend delta) entries, smallest
+    * batchId first. One tiny file per batch; reading them is
+    * O(#batches × #sources) driver work — never a sink data scan. */
+  private def committedEntries(sinkDir: String)
+      : Seq[(Long, Map[String, Long])] = {
+    val dir = new File(s"$sinkDir/_manifest")
+    if (!dir.exists) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .map { f =>
+        val spend = Files.readString(f.toPath).linesIterator
+          .filter(_.nonEmpty).map { line =>
+            val Array(src, n) = line.split('\t')
+            src -> n.toLong
+          }.toMap
+        (f.getName.toLong, spend)
+      }
+      .sortBy(_._1)
+  }
+
+  /** The committed sink — (doc_id, source, n, cut_stage); uncommitted
+    * partial batch directories are invisible (no torn reads). */
+  def readSink(spark: SparkSession, sinkDir: String): DataFrame = {
+    val dirs = committedEntries(sinkDir).map { case (id, _) =>
+      s"$sinkDir/b$id"
+    }
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("n"), lit("").as("cut_stage"))
+    else spark.read.parquet(dirs: _*)
+  }
+
   /** One micro-batch: curation → within-batch dedup (fineWebPipeline) →
     * cross-batch dedup (index probe) → decontamination → budget gate
-    * with carried per-source spend → guarded sink append → index
-    * append. Exposed for the replay/resume drills in StreamingSpec. */
-  def curateBatch(batch: DataFrame, evalDocs: DataFrame,
+    * with the manifest-carried per-source spend → per-batch directory
+    * write → guarded index append → atomic manifest commit. Exposed for
+    * the replay/resume drills in StreamingSpec. */
+  def curateBatch(batch: DataFrame, batchId: Long, evalDocs: DataFrame,
       budgets: DataFrame, table: String, sinkDir: String,
       contamThreshold: Int, dsir: Option[PinnedDsir] = None): Unit = {
     val spark = batch.sparkSession // session coherence: see StreamingCuration
+    val committed = committedEntries(sinkDir)
+    // a replayed COMMITTED batch is a no-op — its decisions, rows, and
+    // spend delta are already durable
+    if (committed.exists(_._1 == batchId)) return
     // per-doc curation + within-batch keeper, decisions pinned
     val staged = QualityRules.fineWebPipeline(batch)
     val kept1 = batch.join(
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
       .localCheckpoint()
     // cross-batch dedup: fingerprints accepted by EARLIER batches
-    // (self-id matches filtered inside probeExact, so a replay after a
-    // completed index append still derives the same decisions)
+    // (self-id matches filtered inside probeExact, so a replay whose
+    // index append DID run still derives the same decisions)
     val crossDup = IndexStore.probeExact(spark,
         kept1.select("doc_id", "text"), "doc_id", "text", table)
       .select(col("query_id").as("doc_id")).distinct()
@@ -174,8 +221,8 @@ object StreamingCorpusBuild {
         (kept3all.join(cut, Seq("doc_id"), "left_anti"), cut)
     }
     // budget gate: within-batch grouped prefix + per-source spend
-    // carried from the sink's kept rows (state re-derived, not held in
-    // driver memory — a restarted stream resumes the ledger)
+    // carried from the committed manifests (one tiny entry per batch —
+    // a restarted stream resumes the ledger without scanning the sink)
     // pinned before the prefix (its three passes re-evaluate lineage —
     // unpinned, the gate+probe chain above would run once per pass;
     // same boundary as the batch CorpusBuild)
@@ -194,14 +241,14 @@ object StreamingCorpusBuild {
     // its budget, later (larger-hash) docs stay cut even if their own
     // tokens would fit. Counting only kept tokens here would quietly
     // re-admit them and diverge from the window oracle.
+    val spentMap = committed.flatMap(_._2).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
     val spent =
-      if (new java.io.File(sinkDir).exists)
-        spark.read.parquet(sinkDir)
-          .where(col("cut_stage").isin("kept", "budget"))
-          .groupBy("source").agg(sum(col("n")).as("__used"))
-      else budgets.select(col("source"), lit(0L).as("__used")).where(lit(false))
-    // pinned: kept/over-budget both read it, and the ledger scan plus
-    // the prefix chain should run once per batch, not twice
+      if (spentMap.isEmpty)
+        budgets.select(col("source"), lit(0L).as("__used")).where(lit(false))
+      else spark.createDataFrame(spentMap.toSeq).toDF("source", "__used")
+    // pinned: kept/over-budget both read it, and the prefix chain
+    // should run once per batch, not twice
     val budgeted = withCum.join(broadcast(budgets), "source")
       .join(broadcast(spent), Seq("source"), "left")
       .withColumn("__used", coalesce(col("__used"), lit(0L)))
@@ -213,7 +260,8 @@ object StreamingCorpusBuild {
       .where(col("__cum") + col("__used") > col("budget"))
       .select("doc_id")
     // attribution rows for the whole batch, with (source, n) carried so
-    // the sink doubles as the budget ledger
+    // the sink doubles as the corpus ledger; pinned — three consumers
+    // (the directory write, the spend delta, the index-append guard)
     val meta = batch.select(col("doc_id"), col("source"),
       graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
         .as("n"))
@@ -229,21 +277,41 @@ object StreamingCorpusBuild {
         lit("kept").as("cut_stage")))
       .join(meta, "doc_id")
       .select("doc_id", "source", "n", "cut_stage")
-    val fresh = (if (new java.io.File(sinkDir).exists)
-        att.join(spark.read.parquet(sinkDir).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else att).localCheckpoint()
-    fresh.write.mode("append").parquet(sinkDir)
-    // index append LAST, and only rows this invocation actually
-    // committed: the new fingerprints' keepers are the curation
-    // survivors that beat the index (kept2) — including those later
-    // cut at decon/budget, because the batch form's keeper groups are
-    // decided BEFORE decontamination
+      .localCheckpoint()
+    // batch directory overwrite: an uncommitted replay re-derives the
+    // identical frame, so partial output from a crash is simply
+    // replaced (and invisible to readSink until the manifest lands)
+    att.write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+    // index append next-to-last: the new fingerprints' keepers are the
+    // curation survivors that beat the index (kept2) — including those
+    // later cut at decon/budget, because the batch form's keeper groups
+    // are decided BEFORE decontamination. Guarded by a bucket-local
+    // SELF-probe (did a crashed replay already append exactly this
+    // (fp, doc_id)?): the index side stays put in its fp buckets, only
+    // the batch-sized probe moves — O(batch), never an index rescan.
+    val kfps = kept2.select(col("doc_id").as("query_id"),
+      IndexStore.exactFingerprint(col("text")).as("fp"))
+    val alreadyIndexed = spark.table(s"${table}_fps")
+      .select(col("doc_id").as("__ix_id"), col("fp"))
+      .join(kfps, "fp")
+      .where(col("__ix_id") === col("query_id"))
+      .select(col("query_id").as("doc_id"))
     IndexStore.appendExactIndex(
-      kept2.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+      kept2.join(alreadyIndexed, Seq("doc_id"), "left_anti")
         .select("doc_id", "text"),
       "doc_id", "text", table)
     IndexStore.autoCompact(spark, "exact", table)
+    // manifest commit LAST (atomic rename): the entry carries this
+    // batch's per-source spend delta, so the next batch's ledger is a
+    // tiny fold, not a sink aggregation
+    val delta = att.where(col("cut_stage").isin("kept", "budget"))
+      .groupBy("source").agg(sum(col("n")).as("d"))
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+    new File(s"$sinkDir/_manifest").mkdirs()
+    val tmp = Paths.get(s"$sinkDir/_manifest/.tmp-$batchId")
+    Files.write(tmp, delta.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$sinkDir/_manifest/$batchId"),
+      StandardCopyOption.ATOMIC_MOVE)
     (): Unit
   }
 }

@@ -733,15 +733,45 @@ class StreamingSpec extends SparkSpec {
     // the mixer fired across batches with a carried ledger
     assert(stages.values.exists(_ == "budget"))
 
-    // replay drill: re-running an already-committed batch through
-    // curateBatch appends nothing (sink anti-join) and leaves the
-    // index probes unchanged (self-id filtered)
-    val before = spark.read.parquet(s"$work/sink").count()
+    // replay drill: re-running an already-COMMITTED batch through
+    // curateBatch is a manifest-detected no-op — no rows, no re-spent
+    // budget, no index growth
+    val sink = s"$work/sink"
+    val before = StreamingCorpusBuild.readSink(spark, sink).count()
+    val idxBefore = spark.table("graft_t_scb_fps").count()
     val b0 = corpus.where($"doc_id" < 300000)
-    StreamingCorpusBuild.curateBatch(b0, evals, budgets, "graft_t_scb",
-      s"$work/sink", contamThreshold = 10)
-    assert(spark.read.parquet(s"$work/sink").count() == before,
-      "a replayed batch must not append rows or re-spend budget")
+    StreamingCorpusBuild.curateBatch(b0, 0L, evals, budgets, "graft_t_scb",
+      sink, contamThreshold = 10)
+    assert(StreamingCorpusBuild.readSink(spark, sink).count() == before,
+      "a replayed committed batch must not append rows or re-spend budget")
+    assert(spark.table("graft_t_scb_fps").count() == idxBefore,
+      "a replayed committed batch must not grow the index")
+
+    // O(batch) sink I/O drill: curating a batch must never read the
+    // committed batch DIRECTORIES (the ledger lives in the tiny
+    // manifests). Hide every committed directory — if curateBatch
+    // scanned the sink, the read would throw — and gate id-shifted
+    // text twins of the b0 docs under a fresh batchId: every twin whose
+    // original fingerprint reached the index (stages kept/decon/budget
+    // — keeper groups are decided before those gates — plus dedup,
+    // whose keeper is indexed) dies at the index probe.
+    val bdirs = new java.io.File(sink).listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("b"))
+    bdirs.foreach(d => assert(
+      d.renameTo(new java.io.File(d.getParent, "hidden_" + d.getName))))
+    val twins = b0.withColumn("doc_id", $"doc_id" + 900000)
+    StreamingCorpusBuild.curateBatch(twins, 99L, evals, budgets,
+      "graft_t_scb", sink, contamThreshold = 10)
+    val twinRows = spark.read.parquet(s"$sink/b99")
+      .select("doc_id", "cut_stage").as[(Long, String)].collect().toMap
+    assert(twinRows.size == b0.count(),
+      "the hidden-sink batch must still decide every doc")
+    twinRows.foreach { case (id, st) =>
+      if (Set("kept", "decon", "budget", "dedup")(stages(id - 900000)))
+        assert(st == "dedup", s"twin $id: $st (orig ${stages(id - 900000)})")
+    }
+    bdirs.foreach(d => assert(new java.io.File(d.getParent,
+      "hidden_" + d.getName).renameTo(d)))
   }
 
   test("streaming semdedup equals the batch kernel exactly; replay appends nothing") {
