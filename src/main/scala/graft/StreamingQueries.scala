@@ -342,6 +342,42 @@ object StreamingQueries {
           s"/tmp/graft_scorpusd/$tag/idx", dsir = Some(pinned))
       }),
 
+    // sr17's PRODUCTION hydration path: the pinned DSIR model comes
+    // from the PERSISTED index (IndexStore.buildDsirIndex over the same
+    // post-decon split — the nightly-amortized fit production appends
+    // to) instead of a per-run batch-side refit. Same oracle SQL as
+    // sr17: both paths re-hydrate through Dsir.modelFromCounts over
+    // identical per-bucket counts, so the streamed decisions are
+    // bit-identical — the ARCHITECTURE claim, now hash-proven.
+    QueryDef("sr20_streaming_corpus_dsir_idx",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          withDsir = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM dsircut) THEN 'dsir'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, budgets) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        val (target, raw) = graft.streaming.StreamingCorpusBuild
+          .postDeconSplit(corpus, evals, 10, "src0")
+        s.sql(s"DROP TABLE IF EXISTS graft_scbdx_${tag}_counts")
+        graft.operators.IndexStore.buildDsirIndex(target, raw,
+          "doc_id", "text", s"graft_scbdx_$tag",
+          s"/tmp/graft_scorpusdx/$tag/dsiridx")
+        val pinned = graft.streaming.StreamingCorpusBuild
+          .pinnedDsirFromIndex(s, s"graft_scbdx_$tag", "src0")
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
+          s"/tmp/graft_scorpusdx/$tag", s"graft_scbdx_$tag",
+          s"/tmp/graft_scorpusdx/$tag/idx", dsir = Some(pinned))
+      }),
+
     // SemDeDup as a forever-sync (StreamingSemDedup): pinned centroids,
     // within-batch kernel + cross-batch near-dup check against the SEEN
     // cluster members (keepers or not — the batch rule), keepers append.

@@ -50,12 +50,13 @@ object StreamingCorpusBuild {
   final case class PinnedDsir(ratios: DataFrame, r0Milli: Long,
       hexChars: Int, targetSource: String)
 
-  /** Fits the stream's pinned model exactly as the batch capstone
-    * does: over the POST-DECON survivors of the reference corpus
-    * (target source vs the rest) — so the streamed composition checks
-    * against the same withDsir oracle CTEs. */
-  def pinnedDsirFromCorpus(corpus: DataFrame, evalDocs: DataFrame,
-      contamThreshold: Int, targetSource: String): PinnedDsir = {
+  /** The reference corpus's POST-DECON survivors split into (target
+    * source, rest) — the two corpora every DSIR form (ad-hoc fit or
+    * persisted index) models, factored out so both paths provably
+    * start from the same frames. */
+  def postDeconSplit(corpus: DataFrame, evalDocs: DataFrame,
+      contamThreshold: Int, targetSource: String)
+      : (DataFrame, DataFrame) = {
     val staged = QualityRules.fineWebPipeline(corpus)
     val curated = corpus.join(
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
@@ -63,16 +64,39 @@ object StreamingCorpusBuild {
       .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
       .where(col("n_shared") >= contamThreshold).select("doc_id")
     val clean = curated.join(contam, Seq("doc_id"), "left_anti")
-    val target = clean.where(col("source") === targetSource)
-      .select("doc_id", "text")
-    val raw = clean.where(col("source") =!= targetSource)
-      .select("doc_id", "text")
+    (clean.where(col("source") === targetSource).select("doc_id", "text"),
+      clean.where(col("source") =!= targetSource).select("doc_id", "text"))
+  }
+
+  /** Fits the stream's pinned model exactly as the batch capstone
+    * does: over the POST-DECON survivors of the reference corpus
+    * (target source vs the rest) — so the streamed composition checks
+    * against the same withDsir oracle CTEs. */
+  def pinnedDsirFromCorpus(corpus: DataFrame, evalDocs: DataFrame,
+      contamThreshold: Int, targetSource: String): PinnedDsir = {
+    val (target, raw) =
+      postDeconSplit(corpus, evalDocs, contamThreshold, targetSource)
     val rawFeats = Ops.checkpointKeepPartitioning(
       Dsir.bucketedFeatures(raw, hexChars = 2))
     val model = Dsir.fitBucketed(
       Dsir.bucketedFeatures(target, hexChars = 2), rawFeats, 2)
     PinnedDsir(model.ratios.localCheckpoint(),
       model.unseen.head().getLong(0), 2, targetSource)
+  }
+
+  /** The PRODUCTION hydration path: the pinned model read back from
+    * the persisted DSIR index ([[IndexStore.buildDsirIndex]] /
+    * `appendDsirIndex` — the nightly-amortized fit) instead of a
+    * batch-side refit per run. Both paths re-hydrate through
+    * [[Dsir.modelFromCounts]] over identical per-bucket counts, so the
+    * ratios are bit-identical — proven by the sr20 oracle sharing
+    * sr17's hash. The ratio table is ≤16^hexChars rows by
+    * construction; pinning it is a bounded localCheckpoint. */
+  def pinnedDsirFromIndex(spark: SparkSession, table: String,
+      targetSource: String): PinnedDsir = {
+    val model = IndexStore.dsirModelFromIndex(spark, table)
+    PinnedDsir(model.ratios.localCheckpoint(),
+      model.unseen.head().getLong(0), model.hexChars, targetSource)
   }
 
   /** Stages `corpus` as doc_id-range files, drains after each, returns

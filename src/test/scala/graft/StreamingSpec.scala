@@ -954,6 +954,27 @@ class StreamingSpec extends SparkSpec {
       .where($"cut_stage" === "dsir" && $"source" === "src0").count() == 0)
   }
 
+  test("persisted-index DSIR hydration is bit-identical to the batch-side fit") {
+    import graft.streaming.StreamingCorpusBuild
+    import graft.operators.IndexStore
+    val (corpus, evals, _) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val fit = StreamingCorpusBuild.pinnedDsirFromCorpus(
+      corpus, evals, 10, "src0")
+    val tbl = s"graft_scbdx_spec_${System.nanoTime()}"
+    val (target, raw) = StreamingCorpusBuild.postDeconSplit(
+      corpus, evals, 10, "src0")
+    IndexStore.buildDsirIndex(target, raw, "doc_id", "text", tbl,
+      s"/tmp/graft_scbdx_spec/$tbl")
+    val hydrated = StreamingCorpusBuild.pinnedDsirFromIndex(
+      spark, tbl, "src0")
+    assert(hydrated.r0Milli == fit.r0Milli)
+    assert(hydrated.hexChars == fit.hexChars)
+    val a = fit.ratios.as[(String, Long)].collect().toMap
+    val b = hydrated.ratios.as[(String, Long)].collect().toMap
+    assert(a == b, "persisted-index ratios diverge from the ad-hoc fit")
+  }
+
   test("streamed prototype gate equals the batch prune (frozen cutoff)") {
     val work = s"/tmp/graft_sproto_spec/${System.nanoTime()}"
     val streamed = graft.streaming.StreamingPrototype.run(spark, sf0001, work)
