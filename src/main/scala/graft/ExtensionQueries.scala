@@ -406,15 +406,15 @@ object ExtensionQueries {
     * post-decon survivors (target = src0 vs the rest), cut raw docs at
     * w_milli ≤ 0 — the SQL mirror of `CorpusBuild.build(dsirTarget)`.
     * Emits `dsircut` (cut ids) and `mixin` (the mixer's input). */
-  private val dsirStageCtes: String =
-    """dtok AS (
+  private def dsirStageCtes(src: String): String =
+    s"""dtok AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+      |    CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
       |         THEN CAST([] AS VARCHAR[])
       |         ELSE string_split_regex(
-      |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+      |                regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
       |    END AS toks
-      |  FROM surv),
+      |  FROM $src),
       |dfeat AS (
       |  SELECT doc_id, source, unnest(toks) AS feat FROM dtok
       |  UNION ALL
@@ -438,11 +438,61 @@ object ExtensionQueries {
       |  FROM dbk JOIN drat USING (bucket)
       |  WHERE dbk.source <> 'src0' GROUP BY 1),
       |dsircut AS (
-      |  SELECT s.doc_id FROM surv s LEFT JOIN dsc ON s.doc_id = dsc.doc_id
+      |  SELECT s.doc_id FROM $src s LEFT JOIN dsc ON s.doc_id = dsc.doc_id
       |  WHERE s.source <> 'src0' AND coalesce(dsc.w_milli, 0) <= 0),
       |mixin AS (
-      |  SELECT doc_id, source, text FROM surv
+      |  SELECT doc_id, source, text FROM $src
       |  WHERE doc_id NOT IN (SELECT doc_id FROM dsircut)),""".stripMargin
+
+  /** The D4 embedding-stage CTEs (SemDeDup → prototype prune, between
+    * decon and selection), chaining the ext_semantic_dedup and
+    * ext_prototype_prune oracle kernels over the post-decon survivors'
+    * vectors. The fixture embedding store keys vec_id+300000 onto the
+    * structured plants (the only docs that survive curation), and
+    * every third plant carries a ×1.001 copy of its predecessor's
+    * vector — a guaranteed within-cluster cosine-1.0 near-dup whose
+    * larger id must cut at `semdedup`. */
+  private def d4StageCtes: String =
+    s"""embv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |qc AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cluster_id, vec AS cvec
+      |  FROM embv WHERE vec_id < 8),
+      |dvec AS (
+      |  SELECT e.vec_id + 300000 AS doc_id,
+      |         CASE WHEN e.vec_id % 33 = 0 AND e.vec_id > 0
+      |              THEN list_transform(p.vec, x -> x * 1.001)
+      |              ELSE e.vec END AS vec
+      |  FROM embv e LEFT JOIN embv p ON p.vec_id = e.vec_id - 11
+      |  WHERE e.vec_id % 11 = 0),
+      |dv AS (SELECT d.doc_id, d.vec FROM dvec d JOIN surv s ON d.doc_id = s.doc_id),
+      |d4sc AS (
+      |  SELECT v.doc_id, v.vec, q.cluster_id,
+      |         ${duckCosine("v.vec", "q.cvec")} AS sim,
+      |         row_number() OVER (PARTITION BY v.doc_id
+      |           ORDER BY ${duckCosine("v.vec", "q.cvec")} DESC,
+      |                    q.cluster_id ASC) AS rk
+      |  FROM dv v CROSS JOIN qc q),
+      |dasg AS (SELECT doc_id, vec, cluster_id, sim FROM d4sc WHERE rk = 1),
+      |semdrop AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM dasg a JOIN dasg b
+      |    ON a.cluster_id = b.cluster_id AND b.doc_id < a.doc_id
+      |  WHERE ${duckCosine("a.vec", "b.vec")} >= 0.999),
+      |pv AS (SELECT * FROM dasg WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+      |pknum AS (SELECT CAST((count(*) + 4) // 5 AS BIGINT) AS k
+      |          FROM pv WHERE sim IS NOT NULL),
+      |pcut AS (
+      |  SELECT min(sim) AS cutoff
+      |  FROM (SELECT sim FROM pv WHERE sim IS NOT NULL
+      |        ORDER BY -sim, doc_id LIMIT (SELECT k FROM pknum))),
+      |protodrop AS (
+      |  SELECT doc_id FROM pv, pcut WHERE sim IS NOT NULL AND sim >= pcut.cutoff),
+      |d4surv AS (
+      |  SELECT * FROM surv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)
+      |    AND doc_id NOT IN (SELECT doc_id FROM protodrop)),""".stripMargin
 
   /** Shared BPE-oracle scaffolding: the 4-merge training CTE chain
     * (`w`/`v0`/`p_k`/`m_k`/`v_k`) and the chained-replace application
@@ -480,7 +530,9 @@ object ExtensionQueries {
 
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
-      withDsir: Boolean = false): String = {
+      withDsir: Boolean = false,
+      withD4: Boolean = false): String = {
+    val selSrc = if (withD4) "d4surv" else "surv"
     val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
       s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
     }.mkString(",\n       ")
@@ -590,8 +642,9 @@ object ExtensionQueries {
        |  SELECT c.doc_id, c.source, c.text
        |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
-       |${if (withDsir) dsirStageCtes else
-          "mixin AS (SELECT doc_id, source, text FROM surv),"}
+       |${if (withD4) d4StageCtes + "\n" else ""}${
+          if (withDsir) dsirStageCtes(selSrc)
+          else s"mixin AS (SELECT doc_id, source, text FROM $selSrc),"}
        |bt AS (
        |  SELECT doc_id, source,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -639,6 +692,31 @@ object ExtensionQueries {
       : graft.operators.CorpusBuild.Result = {
     val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
     graft.operators.CorpusBuild.build(corpus, evals, budgets)
+  }
+
+  /** The D4 fixture's embedding store + frozen quantizer (mirrors
+    * [[d4StageCtes]] class for class): vec_id+300000 keys each vector
+    * onto its structured plant, every third plant carries a ×1.001
+    * copy of its predecessor's vector (a guaranteed within-cluster
+    * near-dup), and the quantizer is the 8 lowest-id raw embeddings —
+    * the ext_semantic_dedup seed convention. */
+  private[graft] def d4EmbeddingStages(s: SparkSession, dir: String)
+      : graft.operators.CorpusBuild.EmbeddingStages = {
+    val embv = load(s, dir, "embeddings").select(col("vec_id"),
+      Similarity.toDoubleArray(col("embedding")).as("vec"))
+    val cent = IvfIndex.collectCentroids(embv.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster_id"),
+        col("vec").as("centroid")))
+    val prev = embv.select((col("vec_id") + 11).as("vec_id"),
+      col("vec").as("pvec"))
+    val vectors = embv.where(col("vec_id") % 11 === 0)
+      .join(prev, Seq("vec_id"), "left")
+      .select((col("vec_id") + 300000).as("doc_id"),
+        when(col("vec_id") % 33 === 0 && col("vec_id") > 0,
+          transform(col("pvec"), x => x * 1.001))
+          .otherwise(col("vec")).as("vec"))
+    graft.operators.CorpusBuild.EmbeddingStages(vectors, cent,
+      semThreshold = 0.999)
   }
 
   private val duckVecsCte =
@@ -2518,6 +2596,55 @@ object ExtensionQueries {
           |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
+
+    // The capstone WITH the D4 embedding stages (SemDeDup → prototype
+    // prune between decon and mixing): the planted ×1.001 vector
+    // twins die at 'semdedup' (larger id cuts, the within-cluster
+    // rule), the most-prototypical fifth of the scorable remainder
+    // dies at 'proto' (cutoff via the distributed 3-pass rank), and
+    // everything else flows on to the budget mixer unchanged. The
+    // oracle chains the ext_semantic_dedup and ext_prototype_prune
+    // kernels into the build CTEs — one hash over the whole D4
+    // dataflow.
+    QueryDef("ext_corpus_build_d4",
+      Some(corpusBuildCtes(withD4 = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semdedup'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM protodrop) THEN 'proto'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets,
+            embedStages = Some(d4EmbeddingStages(s, dir)))
+          .attribution.orderBy("doc_id")
+      }),
+
+    // Every selection stage at once — D4 embedding stages THEN DSIR
+    // then the budget mixer: the full curate→decon→semdedup→proto→
+    // dsir→mix composition as one hash-checked dataflow, the deepest
+    // attribution chain the engine ships (8 cut classes + kept).
+    QueryDef("ext_corpus_build_full",
+      Some(corpusBuildCtes(withDsir = true, withD4 = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semdedup'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM protodrop) THEN 'proto'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM dsircut) THEN 'dsir'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets,
+            dsirTarget = Some("src0"),
+            embedStages = Some(d4EmbeddingStages(s, dir)))
+          .attribution.orderBy("doc_id")
+      }),
 
     // The manifest half of the capstone: token-window chunks of the
     // kept docs, packed into 512-token training sequences (global

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * holds an O(corpus) structure on the driver.
   *
   * Cut attribution is FIRST-CUT, in pipeline order: `lang`, `c4_page`,
-  * `gopher`, `dedup`, `decon`, (`dsir` when a selection target is
+  * `gopher`, `dedup`, `decon`, (`semdedup`, `proto` when the D4
+  * embedding stages are set,) (`dsir` when a selection target is
   * set,) `budget`, `kept` — each surviving doc carries `kept`, every
   * other doc names the stage that removed it (the dedupIngestGate
   * convention, extended across the composition).
@@ -38,6 +39,26 @@ object CorpusBuild {
     * pinned (doc_id, text, source) frame the manifest derives from. */
   final case class Result(attribution: DataFrame, manifest: DataFrame,
       survivors: DataFrame)
+
+  /** The D4-style embedding stages (Tirumala et al., arXiv:2308.12284:
+    * SemDeDup then SSL-prototype pruning, run between decontamination
+    * and selection/mixing):
+    *
+    * @param vectors   (doc_id, vec: array&lt;double&gt;) — the corpus
+    *                  embedding store; docs WITHOUT a vector pass both
+    *                  gates (the null-keep stance)
+    * @param centroids the frozen quantizer (literal k×dim seq — the
+    *                  [[IvfIndex.collectCentroids]] shape)
+    * @param semThreshold within-cluster cosine at or above which the
+    *                  larger-id doc is cut (`semdedup`)
+    * @param pruneDen  prototype-prune the most-prototypical
+    *                  ⌈n/pruneDen⌉ of the remaining scorable docs
+    *                  (`proto`) — cutoff via the distributed 3-pass
+    *                  rank, cutoff-value ties drop too
+    */
+  final case class EmbeddingStages(vectors: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], semThreshold: Double,
+      pruneDen: Int = 5)
 
   /** Runs the full composition.
     *
@@ -55,11 +76,16 @@ object CorpusBuild {
     *                 ([[Dsir]]) and cut (`dsir`) unless w_milli > 0 —
     *                 keep what looks more target than crawl. Target-
     *                 source docs pass the gate by definition.
+    * @param embedStages when set, the D4 embedding stages run between
+    *                 decontamination and DSIR/mixing — SemDeDup
+    *                 (`semdedup`) then prototype pruning (`proto`);
+    *                 see [[EmbeddingStages]]
     */
   def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
       contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
       packTokens: Int = 512, packsPerShard: Int = 4,
-      dsirTarget: Option[String] = None): Result = {
+      dsirTarget: Option[String] = None,
+      embedStages: Option[EmbeddingStages] = None): Result = {
     require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
 
     // ── curation + exact dedup (first-cut attribution inside) ──────
@@ -78,6 +104,46 @@ object CorpusBuild {
       .localCheckpoint()
     val cleanAll = curated.join(contamIds, Seq("doc_id"), "left_anti")
 
+    // ── optional D4 embedding stages (between decon and selection):
+    //    SemDeDup cuts the larger-id member of every within-cluster
+    //    near-dup pair (`semdedup`), then prototype pruning drops the
+    //    most-prototypical ⌈n/pruneDen⌉ scorable survivors (`proto`,
+    //    cutoff via the distributed 3-pass rank). Both stages run over
+    //    the pinned survivors⋈vectors frame — centroid assignment is a
+    //    zero-exchange literal projection, near-dup checks stay inside
+    //    cluster buckets (hot-cluster capped), and docs without a
+    //    vector (or with a degenerate null-sim one) pass both gates:
+    //    an embedding gap must never silently delete text. ───────────
+    val (cleanD4, semCutIds, protoCutIds) = embedStages match {
+      case None => (cleanAll, None, None)
+      case Some(es) =>
+        val vecs = Ops.checkpointKeepPartitioning(
+          es.vectors.join(cleanAll.select("doc_id"), "doc_id"))
+        val keepers = Similarity.semanticDedup(vecs, es.centroids,
+          es.semThreshold, idCol = "doc_id")
+        val semCut = vecs.select("doc_id")
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val asg = IvfIndex.withClusterSim(
+            vecs.join(semCut, Seq("doc_id"), "left_anti"), es.centroids)
+          .localCheckpoint() // three consumers: count, rank, filter
+        val real = asg.where(col("proto_sim").isNotNull)
+        val n = real.count()
+        val k = ((n + es.pruneDen - 1) / es.pruneDen).max(1L)
+        val protoCut = (if (n == 0) None
+          else Ops.kthOrderedValue[Double](real, -col("proto_sim"),
+            col("doc_id"), k)) match {
+          case None => semCut.where(lit(false))
+          case Some(negCutoff) =>
+            asg.where(col("proto_sim").isNotNull &&
+                col("proto_sim") >= lit(-negCutoff))
+              .select("doc_id").localCheckpoint()
+        }
+        (cleanAll.join(semCut, Seq("doc_id"), "left_anti")
+            .join(protoCut, Seq("doc_id"), "left_anti"),
+          Some(semCut), Some(protoCut))
+    }
+
     // ── optional DSIR selection (between decon and mixing): fit the
     //    hashed-ngram importance model on the target source vs the
     //    rest OF THE SURVIVORS (the reference corpus a production fit
@@ -86,11 +152,11 @@ object CorpusBuild {
     //    and the scorer. Cut ids are tiny and feed two consumers
     //    (anti-join + attribution), so they pin too. ────────────────
     val (clean, dsirCutIds) = dsirTarget match {
-      case None => (cleanAll, None)
+      case None => (cleanD4, None)
       case Some(t) =>
-        val target = cleanAll.where(col("source") === t)
+        val target = cleanD4.where(col("source") === t)
           .select("doc_id", "text")
-        val rawDocs = cleanAll.where(col("source") =!= t)
+        val rawDocs = cleanD4.where(col("source") =!= t)
         val rawFeats = Ops.checkpointKeepPartitioning(
           Dsir.bucketedFeatures(rawDocs.select("doc_id", "text"),
             hexChars = 2))
@@ -100,7 +166,7 @@ object CorpusBuild {
             rawDocs.select("doc_id"))
           .where(col("w_milli") <= 0).select("doc_id")
           .localCheckpoint()
-        (cleanAll.join(cut, Seq("doc_id"), "left_anti"), Some(cut))
+        (cleanD4.join(cut, Seq("doc_id"), "left_anti"), Some(cut))
     }
 
     // ── token-budget source mixing (grouped 3-pass prefix: a plain
@@ -141,8 +207,14 @@ object CorpusBuild {
     val attribution = staged.where(col("cut_stage") =!= "kept")
       .unionByName(contamIds.select(col("doc_id"),
         lit("decon").as("cut_stage")))
-      .unionByName(dsirCutIds.fold(
+      .unionByName(semCutIds.fold(
         contamIds.where(lit(false)))(identity) // no stage → empty slice
+        .select(col("doc_id"), lit("semdedup").as("cut_stage")))
+      .unionByName(protoCutIds.fold(
+        contamIds.where(lit(false)))(identity)
+        .select(col("doc_id"), lit("proto").as("cut_stage")))
+      .unionByName(dsirCutIds.fold(
+        contamIds.where(lit(false)))(identity)
         .select(col("doc_id"), lit("dsir").as("cut_stage")))
       .unionByName(budgetCutIds.select(col("doc_id"),
         lit("budget").as("cut_stage")))

@@ -202,4 +202,55 @@ class CorpusBuildSpec extends SparkSpec {
       "dsir cut a doc that was not a plain-build mixer candidate")
   }
 
+  test("d4-staged build: insertion accounting, no-vector and null-sim docs pass") {
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val es = ExtensionQueries.d4EmbeddingStages(spark, sf0001)
+    val plain = att
+    val d4 = CorpusBuild.build(corpus, evals, budgets,
+        embedStages = Some(es))
+      .attribution.localCheckpoint()
+    // totality + function
+    assert(d4.count() == plain.count())
+    assert(d4.select("doc_id").distinct().count() == plain.count())
+    // pure insertion between decon and the mixer: pre-D4 verdicts
+    // unchanged; both new stages fire; whoever they cut was a
+    // plain-build mixer candidate
+    val pre = Seq("lang", "c4_page", "gopher", "dedup", "decon")
+    val joined = plain.select($"doc_id", $"cut_stage".as("plain"))
+      .join(d4.select($"doc_id", $"cut_stage".as("gated")), "doc_id")
+      .localCheckpoint()
+    assert(joined.where($"plain".isin(pre: _*) && $"gated" =!= $"plain")
+      .count() == 0, "a pre-d4 verdict changed under the d4 build")
+    val byStage = d4.groupBy("cut_stage").count()
+      .as[(String, Long)].collect().toMap
+    Seq("semdedup", "proto").foreach(st =>
+      assert(byStage.getOrElse(st, 0L) > 0, s"stage $st never fired: $byStage"))
+    assert(joined.where($"gated".isin("semdedup", "proto") &&
+      !$"plain".isin("kept", "budget")).count() == 0,
+      "an embedding stage cut a doc that was not a mixer candidate")
+    // every planted x1.001 vector twin whose doc survives to the
+    // embedding gates cuts at semdedup (its smaller-id source wins)
+    val planted = d4.where($"doc_id" > 300000 && $"doc_id" < 500000 &&
+      ($"doc_id" - 300000) % 33 === 0)
+    assert(planted.where($"cut_stage" === "semdedup").count() > 0,
+      "no planted vector twin exercised the semdedup stage")
+
+    // an embedding GAP must never delete text: hide the vectors of
+    // half the plants and give one doc a zero (null-sim) vector —
+    // those docs must pass both embedding gates (though downstream
+    // stages may still cut them)
+    val holey = es.vectors.where($"doc_id" % 2 === 0)
+      .unionByName(es.vectors.where($"doc_id" === 300033)
+        .select($"doc_id", transform($"vec", _ => lit(0.0)).as("vec")))
+    val d4h = CorpusBuild.build(corpus, evals, budgets,
+        embedStages = Some(CorpusBuild.EmbeddingStages(
+          holey, es.centroids, es.semThreshold)))
+      .attribution.localCheckpoint()
+    assert(d4h.count() == plain.count())
+    assert(d4h.where(($"doc_id" % 2 =!= 0 || $"doc_id" === 300033) &&
+      $"cut_stage".isin("semdedup", "proto")).count() == 0,
+      "a doc with no vector (or a degenerate one) was cut by an embedding gate")
+  }
+
 }
