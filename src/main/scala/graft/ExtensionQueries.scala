@@ -2734,6 +2734,63 @@ object ExtensionQueries {
           corpusBuildResult(s, dir), s"/tmp/graft_release/$tag")
       }),
 
+    // The release's packing-efficiency report, value-checked from the
+    // packstats artifact on disk: per shard, pack/chunk/token counts,
+    // pad_tokens (capacity minus tokens landed) and n_boundary_splits
+    // (chunks straddling a pack window — what a fixed-window trainer
+    // would truncate; the FFD packer's count is 0 by construction, so
+    // this column is the two packers' trade made user-visible). The
+    // oracle replays the build CTEs' chunk/pack/shard chain with the
+    // running cum carried through.
+    QueryDef("ext_corpus_packstats",
+      Some(corpusBuildCtes() + ",\n" +
+        """kept_ids AS (
+          |  SELECT fn.doc_id FROM final fn
+          |  WHERE fn.cut_stage = 'kept'
+          |    AND fn.doc_id NOT IN (SELECT doc_id FROM contam)),
+          |ch AS (
+          |  SELECT c.doc_id, string_split_regex(trim(c.text), '\s+') AS toks
+          |  FROM corpus c JOIN kept_ids k ON c.doc_id = k.doc_id),
+          |ccc AS (
+          |  SELECT doc_id, toks,
+          |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+          |  FROM ch),
+          |chunks AS (
+          |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |    CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS BIGINT) AS n_tokens
+          |  FROM ccc, unnest(range(0, n_chunks)) AS r(i)),
+          |pk AS (
+          |  SELECT doc_id, chunk_idx, n_tokens,
+          |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM chunks),
+          |pks AS (
+          |  SELECT doc_id, chunk_idx, n_tokens, cum,
+          |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+          |  FROM pk),
+          |pr AS (
+          |  SELECT pack_id,
+          |    row_number() OVER (ORDER BY md5(CAST(pack_id AS VARCHAR)), pack_id) AS rn
+          |  FROM (SELECT DISTINCT pack_id FROM pks)),
+          |ps AS (SELECT pack_id, CAST((rn - 1) // 4 AS BIGINT) AS shard_id FROM pr)
+          |SELECT s.shard_id,
+          |  CAST(count(DISTINCT p.pack_id) AS BIGINT) AS n_packs,
+          |  count(*) AS n_chunks,
+          |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT p.pack_id) * 512 - sum(p.n_tokens) AS BIGINT) AS pad_tokens,
+          |  CAST(sum(CASE WHEN (p.cum - p.n_tokens) // 512 <> (p.cum - 1) // 512
+          |                     AND p.n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_boundary_splits
+          |FROM pks p JOIN ps s ON p.pack_id = s.pack_id
+          |GROUP BY s.shard_id ORDER BY s.shard_id""".stripMargin),
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.operators.CorpusBuild.release(
+          corpusBuildResult(s, dir), s"/tmp/graft_release_ps/$tag")
+        s.read.parquet(s"/tmp/graft_release_ps/$tag/packstats")
+          .orderBy("shard_id")
+      }),
+
     // Distributed BPE vocabulary induction: learn 4 merges from the
     // corpus. The corpus first collapses to a distinct-word frequency
     // table (vocabulary-sized, the reason BPE trains at corpus scale);

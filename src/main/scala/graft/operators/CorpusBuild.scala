@@ -258,6 +258,17 @@ object CorpusBuild {
     *   - `datacard/`: per-source doc/token counts of the KEPT corpus —
     *     the datasheet row set a release publishes (bounded ≤ sources
     *     rows, `coalesce(1)` is the documented tiny-frame exception).
+    *   - `packstats/`: per-shard packing-efficiency report — pack and
+    *     chunk counts, token totals, `pad_tokens` (shard capacity
+    *     `n_packs × packTokens` minus tokens landed; negative means
+    *     the shard's packs overflow their window) and
+    *     `n_boundary_splits` (chunks straddling a pack boundary — the
+    *     tokens a fixed-window trainer would truncate; 0 by
+    *     construction for [[BestFitPacking]], nonzero for this
+    *     splitting packer — the user-visible face of the two packers'
+    *     trade). Chunk starts re-derive through the same 3-pass global
+    *     running sum the packer used, so the report is exact at any
+    *     corpus size.
     *
     * Pack assembly is a per-pack aggregation over bounded groups
     * (≤ packTokens tokens of text each); ids come from the already-
@@ -265,7 +276,7 @@ object CorpusBuild {
     * READ BACK from disk — callers (and the oracle) value-check what
     * was physically written, not what was about to be. */
   def release(result: Result, outDir: String, chunkSize: Int = 32,
-      overlap: Int = 4): DataFrame = {
+      overlap: Int = 4, packTokens: Int = 512): DataFrame = {
     val spark = result.survivors.sparkSession
     val chunks = Chunking.tokenChunks(result.survivors,
         chunkSize = chunkSize, overlap = overlap)
@@ -294,6 +305,33 @@ object CorpusBuild {
         sum(graft.functions.TextAnalysis.tokenCount(col("text"))
           .cast("long")).as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/datacard")
+    packStats(result.manifest, packTokens)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/packstats")
     spark.read.parquet(s"$outDir/datacard").orderBy("source")
   }
+
+  /** The per-shard packing-efficiency report (see [[release]]): chunk
+    * starts re-derive from the manifest through the same 3-pass global
+    * running sum the packer used (identical (doc_id, chunk_idx) order
+    * → identical cums), boundary straddles are exact integer window
+    * tests, and the aggregate is one bounded groupBy(shard). */
+  def packStats(manifest: DataFrame, packTokens: Int): DataFrame =
+    Ops.withGlobalRunningSum(
+        manifest.select(col("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("pack_id"), col("shard_id")),
+        Seq(col("doc_id"), col("chunk_idx")), col("doc_id"),
+        col("n_tokens"), "__cum")
+      .withColumn("__split",
+        expr(s"(__cum - n_tokens) DIV $packTokens") =!=
+          expr(s"(__cum - 1) DIV $packTokens") && col("n_tokens") > 0)
+      .groupBy("shard_id")
+      .agg(countDistinct("pack_id").as("n_packs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("__split"), 1L).otherwise(0L))
+          .as("n_boundary_splits"))
+      .withColumn("pad_tokens",
+        col("n_packs") * packTokens - col("n_tokens"))
+      .select("shard_id", "n_packs", "n_chunks", "n_tokens",
+        "pad_tokens", "n_boundary_splits")
 }

@@ -170,6 +170,19 @@ class CorpusBuildSpec extends SparkSpec {
     assert(cardSources == survSources)
     assert(datacard.agg(sum("n_docs")).head().getLong(0) ==
       result.survivors.count())
+    // the packstats report conserves the manifest exactly: chunk,
+    // pack, and token totals add up; capacity accounting is the
+    // closed-form identity; and the splitting packer's straddle count
+    // is visible (> 0 on this fixture — the FFD packer's is 0)
+    val stats = spark.read.parquet(s"$out/packstats").localCheckpoint()
+    assert(stats.agg(sum("n_chunks")).head().getLong(0) == manifest.count())
+    assert(stats.agg(sum("n_packs")).head().getLong(0) ==
+      manifest.select("pack_id").distinct().count())
+    assert(stats.agg(sum("n_tokens")).head().getLong(0) ==
+      manifest.agg(sum("n_tokens")).head().getLong(0))
+    assert(stats.where($"pad_tokens" =!=
+      $"n_packs" * 512 - $"n_tokens").count() == 0)
+    assert(stats.agg(sum("n_boundary_splits")).head().getLong(0) > 0)
   }
 
   test("dsir-staged build: stage totality, target immunity, gate consistency") {
