@@ -209,9 +209,13 @@ object ScaleRehearsal {
       val asgPp = IvfIndex.withClusterSim(embC, cent).localCheckpoint()
       val realPp = asgPp.where(col("proto_sim").isNotNull)
       val kPp = ((realPp.count() + 4) / 5).max(1L)
+      // same null-keep predicate as ext_prototype_prune: degenerate
+      // (null-sim) vectors are kept, so the rehearsal metric counts
+      // exactly the set the oracle-checked query would
       val nKeptPp = Ops.kthOrderedValue[Double](realPp,
           -col("proto_sim"), col("vec_id"), kPp)
-        .map(neg => asgPp.where(col("proto_sim") < -neg).count())
+        .map(neg => asgPp.where(col("proto_sim").isNull ||
+          col("proto_sim") < -neg).count())
         .getOrElse(0L)
       val secPp = (System.nanoTime() - tpp) / 1e9
       println(f"""{"q":"prototype_prune_lifecycle","scale":$scale,""" +

@@ -57,8 +57,12 @@ object Contamination {
       n: Int = 3, flagAt: Double = 0.5,
       broadcastEval: Boolean = true): DataFrame = {
     val ev = evalShingles(evalDocs, n)
-    val withSh = corpus.select(col("doc_id"),
-      array_distinct(Dedup.wordShingles(col("text"), n)).as("sh"))
+    // pinned: TWO consumers (the exploded join and the per-doc size
+    // projection) — unpinned, the corpus-sized tokenize+shingle pass
+    // would run twice (the rawFeats doctrine from the DSIR path)
+    val withSh = Ops.checkpointKeepPartitioning(
+      corpus.select(col("doc_id"),
+        array_distinct(Dedup.wordShingles(col("text"), n)).as("sh")))
     val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val joined =
       if (broadcastEval) exploded.join(broadcast(ev), "s")

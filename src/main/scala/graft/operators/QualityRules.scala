@@ -109,12 +109,16 @@ object QualityRules {
   def gateFlags(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    // gopher_pass inline over the signal columns (the fineWebPipeline
+    // staging convention) — a join against gopherQuality(docs) here
+    // would scan the corpus twice and pay a corpus-sized exchange, per
+    // micro-batch in the streaming Venn monitor
     docs.select(col(idCol),
-        (TextAnalysis.langId(t) === "en").cast("int").as("lang_en"),
-        (!(lower(t).contains("lorem ipsum") || t.contains("{")))
-          .cast("int").as("c4_ok"))
-      .join(gopherQuality(docs, idCol, textCol)
-        .select(col(idCol), col("gopher_pass")), idCol)
+      (TextAnalysis.langId(t) === "en").cast("int").as("lang_en"),
+      (!(lower(t).contains("lorem ipsum") || t.contains("{")))
+        .cast("int").as("c4_ok"),
+      gopherPassExpr(gopherSignalCols(t).toMap).cast("int")
+        .as("gopher_pass"))
   }
 
   /** Per-document C4 cleaning: the cleaned text (kept lines re-joined

@@ -56,23 +56,47 @@ class SelectionSpec extends SparkSpec {
     assert(got(2L).isEmpty, "zero vector must score null, not NaN")
   }
 
-  test("ext_prototype_prune equals the window-form reference, drops ⌈n/5⌉") {
+  test("ext_prototype_prune equals the window-form reference, drops ⌈n/5⌉, keeps null-sim") {
     val kept = SparkEntry.queries("ext_prototype_prune")(spark, sf0001)
       .select("vec_id").as[Long].collect().toSet
-    // reference: rank by (-sim, vec_id); cutoff value at rank k; keep strictly below
+    // reference: rank by (-sim, vec_id) with NULLS LAST; k over the
+    // SCORABLE rows; keep strictly below the cutoff OR null-sim (the
+    // query's own null-keep disjunct — a reference that filtered
+    // `sim < cutoff` alone would silently drop null rows)
     val asg = IvfIndex.withClusterSim(base, seeds)
     val ranked = asg.withColumn("rk",
       row_number().over(Window.orderBy(col("proto_sim").desc, col("vec_id"))))
-    val n = asg.count()
+    val n = asg.where(col("proto_sim").isNotNull).count()
     val k = ((n + 4) / 5).max(1L)
     val cutoff = ranked.where(col("rk") === k).select("proto_sim")
       .as[Double].head()
-    val expect = asg.where(col("proto_sim") < cutoff)
+    val expect = asg.where(col("proto_sim").isNull ||
+        col("proto_sim") < cutoff)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == expect,
       s"prune mismatch: kept ${kept.size}, window-form ${expect.size}")
     assert(kept.size <= n - k, "at least ⌈n/5⌉ rows must drop")
     assert(kept.nonEmpty, "a prune that empties the corpus is wrong")
+
+    // null-keep exercised END TO END: plant one zero-norm vector and
+    // run the same kernel chain the query uses — the degenerate row
+    // survives (null prototypicality is not prunable) and the scorable
+    // verdicts are unchanged (the cutoff ignores null rows)
+    val dim = base.head().getSeq[Double](1).length
+    val planted = base.unionByName(
+      Seq((999999L, Seq.fill(dim)(0.0))).toDF("vec_id", "vec"))
+    val asgP = IvfIndex.withClusterSim(planted, seeds).localCheckpoint()
+    val realP = asgP.where(col("proto_sim").isNotNull)
+    val kP = ((realP.count() + 4) / 5).max(1L)
+    val negCut = graft.operators.Ops.kthOrderedValue[Double](
+      realP, -col("proto_sim"), col("vec_id"), kP).get
+    val keptP = asgP.where(col("proto_sim").isNull ||
+        col("proto_sim") < lit(-negCut))
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptP.contains(999999L),
+      "the zero-norm (null-sim) vector must survive the prune")
+    assert(keptP - 999999L == expect,
+      "planting a degenerate vector must not change scorable verdicts")
   }
 
   test("dsir shift report: the resample moves the corpus toward the target") {

@@ -702,6 +702,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming venn: uncommitted batches invisible, committed replay a no-op") {
+    import graft.streaming.StreamingVenn
+    val work = s"/tmp/graft_svenn_spec/${System.nanoTime()}"
+    val full = StreamingVenn.run(spark, sf0001, work)
+      .collect().map(_.toSeq).toSeq
+    val sink = s"$work/sink"
+    // a torn write (directory present, no manifest entry) never
+    // reaches readers
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    docs.limit(7).write.mode("overwrite").parquet(s"$sink/b99")
+    assert(StreamingVenn.readSink(spark, sink)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      full.sortBy(_.toString),
+      "an uncommitted batch directory leaked into the committed view")
+    // replaying a committed batch changes nothing
+    StreamingVenn.appendVenn(docs.where($"doc_id" % 4 === 0), 0L, sink, 4)
+    assert(StreamingVenn.readSink(spark, sink).count() == full.size)
+  }
+
   test("streaming corpus build: classes land on their stages; replay and resume are safe") {
     import graft.streaming.StreamingCorpusBuild
     val (corpus, evals, budgets) =
