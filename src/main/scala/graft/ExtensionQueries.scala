@@ -3212,6 +3212,23 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // IVF trained, assigned, and probed in the JL-projected space with
+    // a full-dimension re-rank over the overfetched candidates — the
+    // two ANN cost levers composed: 16-dim centroids (4× cheaper
+    // assignment, 4× smaller lists) pick candidates, the exact 64-dim
+    // cosine decides the final order. Rows-only (trained k-means is
+    // fp-order-sensitive); the recall floor vs exact full-dim top-k is
+    // spec'd in EmbeddingsSpec.
+    QueryDef("ext_ivf_jl", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        graft.operators.IvfIndex.topKJlServed(corpus,
+            corpus.where(col("vec_id") < 10), dimIn = 64, dimOut = 16,
+            k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // Benchmark-contamination check: corpus docs sharing any word
     // 3-gram with the held-out eval set (every 97th doc). Join shapes
     // (broadcast eval / shuffle-by-shingle fallback) live in

@@ -187,6 +187,46 @@ object IvfIndex {
     topKFromLists(withClusterId(corpus, collectCentroids(centroids), vecCol),
       queries, centroids, k, nprobe, idCol, vecCol)
 
+  /** IVF served entirely in the JL-PROJECTED space with a full-dim
+    * re-rank — the composition of the engine's two ANN cost levers:
+    * training, list assignment, and probe selection all run over
+    * `dimOut`-dim [[Embeddings.jlProject]] projections (64→16 is 4×
+    * cheaper per dot product and 4× smaller index storage), the probe
+    * overfetches `k × overfetch` candidates per query in the projected
+    * metric (the guard band: JL distortion at the k boundary must not
+    * drop a true neighbor), and the FINAL order is the exact
+    * full-dimension cosine over that bounded candidate set — quality
+    * decided by the true metric, paid only on candidates. The
+    * projected corpus pins once (each Lloyd iteration re-evaluates its
+    * input; unpinned, the projection would recompute per step), and
+    * the re-rank joins broadcast the candidate set against the corpus
+    * — the corpus never shuffles. Recall floor vs the full-dim exact
+    * top-k is spec'd in EmbeddingsSpec. */
+  def topKJlServed(corpus: DataFrame, queries: DataFrame, dimIn: Int,
+      dimOut: Int, k: Int, nprobe: Int, kClusters: Int = 16,
+      overfetch: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame = {
+    val projC = Ops.checkpointKeepPartitioning(
+      Embeddings.jlProject(corpus, dimIn, dimOut, vecCol, "proj")
+        .select(col(idCol), col("proj").as(vecCol)))
+    val centroids = trainCentroids(projC, kClusters, iters = 2,
+      idCol, vecCol, dim = dimOut)
+    val lists = withClusterId(projC, collectCentroids(centroids), vecCol)
+    val projQ = Embeddings.jlProject(queries, dimIn, dimOut, vecCol, "proj")
+      .select(col(idCol), col("proj").as(vecCol))
+    val cand = topKFromLists(lists, projQ, centroids,
+      k * overfetch, nprobe, idCol, vecCol)
+    val withQ = cand.select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qf")), "query_id")
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nf"))
+      .join(broadcast(withQ), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qf"), col("__nf")).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** The nprobe nearest inverted lists per query: (q_<idCol>, q_vec,
     * cluster_id) — shared probe-selection step of [[topKFromLists]] and
     * [[topKFromQuantizedLists]]. Centroids broadcast; the per-query

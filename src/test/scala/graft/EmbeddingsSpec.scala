@@ -130,4 +130,42 @@ class EmbeddingsSpec extends SparkSpec {
       .map(k => math.pow(fp(k) - jl(k), 2)).sum / shared.size)
     assert(rms < 0.3, f"RMS cosine error $rms%.3f beyond the JL envelope")
   }
+
+  test("jl-served IVF: planted near-dups surface top-1; full probe equals exact") {
+    import graft.operators.{IvfIndex, Similarity}
+    val base = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        Similarity.toDoubleArray($"embedding").as("vec"))
+    // the guard-band serving claim: a cos≈1.0 planted copy — signal
+    // far above the JL distortion floor — must find its original
+    // through the whole projected path (16-dim lists, nprobe 4/16,
+    // overfetched candidates, full-dim re-rank)
+    val planted = base.unionByName(base.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"vec", x => x * 1.001)
+          .as("vec")))
+    val top1 = IvfIndex.topKJlServed(planted,
+        planted.where($"vec_id" >= 100000), dimIn = 64, dimOut = 16,
+        k = 1, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, n) =>
+      assert(n == q - 100000,
+        s"planted copy $q lost its original through the JL-served IVF (got $n)")
+    }
+    // exactness when nothing is approximated: probing every list with
+    // corpus-covering overfetch must reproduce the exact full-dim
+    // top-k row for row (the re-rank IS the exact metric)
+    val served = IvfIndex.topKJlServed(base, base.where($"vec_id" < 8),
+        dimIn = 64, dimOut = 16, k = 5, nprobe = 16, kClusters = 16,
+        overfetch = 200)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.cosineTopK(base, base.where($"vec_id" < 8), k = 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact,
+      s"full-probe JL serving diverged from exact: ${(served diff exact) ++ (exact diff served)}")
+  }
 }
