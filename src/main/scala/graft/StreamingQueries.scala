@@ -460,6 +460,36 @@ object StreamingQueries {
           .orderBy("bin_id")
       }),
 
+    // The forever-sync emitting TRAINER-READY packs: the streamed
+    // corpus build (sr12) chained into the streamed FFD packer (sr18)
+    // inside one micro-batch transaction — each batch's KEPT docs pack
+    // into fixed-budget bins, bin numbering continued via the same
+    // atomic manifest that carries the budget ledger. The pack
+    // COVERAGE is fully oracle-checked (every packed doc is a
+    // budget-window survivor with its exact token count, and nothing
+    // else); bin geometry is FFD (not SQL-expressible) — overflow/
+    // exactly-once/density/replay invariants are spec'd in
+    // StreamingSpec.
+    QueryDef("sr21_streaming_corpus_pack",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id") + "\n" +
+        """SELECT bc.doc_id, bc.n AS n_tokens
+          |FROM bc JOIN w ON bc.source = w.source
+          |WHERE bc.cum <= w.budget
+          |ORDER BY bc.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, budgets) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
+          s"/tmp/graft_scpack/$tag", s"graft_scp_$tag",
+          s"/tmp/graft_scpack/$tag/idx", packBinSize = Some(256L))
+        graft.streaming.StreamingCorpusBuild
+          .readPacks(s, s"/tmp/graft_scpack/$tag/sink")
+          .select("doc_id", "n_tokens").orderBy("doc_id")
+      }),
+
     // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
     // fitted once in batch (the frozen-cutoff discipline — sr10's
     // pinned reference-corpus statistics), then embeddings gate as they

@@ -7,15 +7,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, Dsir, IndexStore, Ops, QualityRules}
+import graft.operators.{BestFitPacking, Contamination, Dsir, IndexStore, Ops, QualityRules}
 
 /** The corpus-build composition run as a forever-sync — the streaming
   * twin of [[graft.operators.CorpusBuild]]: crawl micro-batches flow
   * through the FineWeb curation gates, exact-dedup ingest against a
   * PERSISTED fingerprint index (within-batch keeper + cross-batch index
   * probe, survivors append), decontamination against the static eval
-  * shingle set, and a token-budget source mixer whose per-source spend
-  * CONTINUES across batches.
+  * shingle set, a token-budget source mixer whose per-source spend
+  * CONTINUES across batches, and (optionally, `packBinSize`) a chained
+  * [[BestFitPacking]] stage that turns each batch's kept docs into
+  * trainer-ready fixed-budget bins — bin numbering continued across
+  * batches by the same manifest entry that carries the spend delta.
   *
   * Per-batch work is O(batch), not O(history): the spend ledger is NOT
   * re-aggregated from the sink's rows — each committed batch's manifest
@@ -107,7 +110,8 @@ object StreamingCorpusBuild {
       budgets: DataFrame, workDir: String, table: String, idxPath: String,
       splits: Seq[Long] = Seq(300000L, 500000L, 600000L),
       contamThreshold: Int = 10,
-      dsir: Option[PinnedDsir] = None): DataFrame = {
+      dsir: Option[PinnedDsir] = None,
+      packBinSize: Option[Long] = None): DataFrame = {
     val srcDir = s"$workDir/src"
     val sinkDir = s"$workDir/sink"
     Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
@@ -128,7 +132,7 @@ object StreamingCorpusBuild {
       corpus.where(pred(col("doc_id")))
         .coalesce(1).write.mode("append").parquet(srcDir)
       runStream(spark, srcDir, sinkDir, s"$workDir/ckpt", table,
-        evalPinned, budgetsPinned, contamThreshold, dsir)
+        evalPinned, budgetsPinned, contamThreshold, dsir, packBinSize)
     }
     readSink(spark, sinkDir).select("doc_id", "cut_stage")
       .orderBy("doc_id")
@@ -141,14 +145,15 @@ object StreamingCorpusBuild {
   def runStream(spark: SparkSession, srcDir: String, sinkDir: String,
       checkpointDir: String, table: String, evalDocs: DataFrame,
       budgets: DataFrame, contamThreshold: Int,
-      dsir: Option[PinnedDsir] = None): Unit = {
+      dsir: Option[PinnedDsir] = None,
+      packBinSize: Option[Long] = None): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, evalDocs, budgets, table, sinkDir,
-          contamThreshold, dsir)
+          contamThreshold, dsir, packBinSize)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -164,35 +169,56 @@ object StreamingCorpusBuild {
     }
   }
 
-  /** Committed (batchId → per-source spend delta) entries, smallest
-    * batchId first. One tiny file per batch; reading them is
-    * O(#batches × #sources) driver work — never a sink data scan. */
-  private def committedEntries(sinkDir: String)
-      : Seq[(Long, Map[String, Long])] = {
+  /** One committed batch's manifest entry: the per-source spend delta
+    * plus (when the pack stage is on) the batch's BIN count — the
+    * continuation offset for cross-batch bin numbering, carried the
+    * same way [[StreamingPacking]] carries it. */
+  private final case class Committed(batchId: Long,
+      spend: Map[String, Long], bins: Long)
+
+  /** Committed manifest entries, smallest batchId first. One tiny file
+    * per batch; reading them is O(#batches × #sources) driver work —
+    * never a sink data scan. The reserved `__bins` line (never a
+    * source name) carries the pack-stage bin count. */
+  private def committedEntries(sinkDir: String): Seq[Committed] = {
     val dir = new File(s"$sinkDir/_manifest")
     if (!dir.exists) Seq.empty
     else dir.listFiles().toSeq
       .filter(f => f.isFile && f.getName.forall(_.isDigit))
       .map { f =>
-        val spend = Files.readString(f.toPath).linesIterator
+        val lines = Files.readString(f.toPath).linesIterator
           .filter(_.nonEmpty).map { line =>
             val Array(src, n) = line.split('\t')
             src -> n.toLong
-          }.toMap
-        (f.getName.toLong, spend)
+          }.toSeq
+        Committed(f.getName.toLong,
+          lines.filter(_._1 != "__bins").toMap,
+          lines.collectFirst { case ("__bins", n) => n }.getOrElse(0L))
       }
-      .sortBy(_._1)
+      .sortBy(_.batchId)
   }
 
   /** The committed sink — (doc_id, source, n, cut_stage); uncommitted
     * partial batch directories are invisible (no torn reads). */
   def readSink(spark: SparkSession, sinkDir: String): DataFrame = {
-    val dirs = committedEntries(sinkDir).map { case (id, _) =>
-      s"$sinkDir/b$id"
-    }
+    val dirs = committedEntries(sinkDir).map(c => s"$sinkDir/b${c.batchId}")
     if (dirs.isEmpty)
       spark.range(0).select(col("id").as("doc_id"),
         lit("").as("source"), col("id").as("n"), lit("").as("cut_stage"))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** The committed trainer-ready packs — (doc_id, n_tokens, bin_id) —
+    * when the stream ran with `packBinSize` set; bin ids are dense and
+    * globally unique across batches (each batch's count rides its
+    * manifest entry). Uncommitted partials invisible, as [[readSink]]. */
+  def readPacks(spark: SparkSession, sinkDir: String): DataFrame = {
+    val dirs = committedEntries(sinkDir)
+      .map(c => s"$sinkDir/packs/b${c.batchId}")
+      .filter(d => new File(d).exists)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_tokens"), col("id").as("bin_id"))
     else spark.read.parquet(dirs: _*)
   }
 
@@ -203,12 +229,13 @@ object StreamingCorpusBuild {
     * the replay/resume drills in StreamingSpec. */
   def curateBatch(batch: DataFrame, batchId: Long, evalDocs: DataFrame,
       budgets: DataFrame, table: String, sinkDir: String,
-      contamThreshold: Int, dsir: Option[PinnedDsir] = None): Unit = {
+      contamThreshold: Int, dsir: Option[PinnedDsir] = None,
+      packBinSize: Option[Long] = None): Unit = {
     val spark = batch.sparkSession // session coherence: see StreamingCuration
     val committed = committedEntries(sinkDir)
     // a replayed COMMITTED batch is a no-op — its decisions, rows, and
     // spend delta are already durable
-    if (committed.exists(_._1 == batchId)) return
+    if (committed.exists(_.batchId == batchId)) return
     // per-doc curation + within-batch keeper, decisions pinned
     val staged = QualityRules.fineWebPipeline(batch)
     val kept1 = batch.join(
@@ -265,7 +292,7 @@ object StreamingCorpusBuild {
     // its budget, later (larger-hash) docs stay cut even if their own
     // tokens would fit. Counting only kept tokens here would quietly
     // re-admit them and diverge from the window oracle.
-    val spentMap = committed.flatMap(_._2).groupBy(_._1)
+    val spentMap = committed.flatMap(_.spend).groupBy(_._1)
       .view.mapValues(_.map(_._2).sum).toMap
     val spent =
       if (spentMap.isEmpty)
@@ -306,6 +333,33 @@ object StreamingCorpusBuild {
     // identical frame, so partial output from a crash is simply
     // replaced (and invisible to readSink until the manifest lands)
     att.write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+    // optional trainer-ready pack stage: the batch's KEPT docs FFD-pack
+    // into fixed-budget bins (the StreamingPacking kernel verbatim —
+    // densify the segment-sparse bin ids via the 3-pass rank over the
+    // DISTINCT bin table, shift by the committed bin total carried in
+    // the manifests). Bins close at batch end; a replayed uncommitted
+    // batch re-derives the identical pack rows (same kept set, same
+    // offset) and overwrites wholesale, invisible until the manifest
+    // lands — so the chained build+pack stays crash-replay
+    // deterministic end to end.
+    val nBins = packBinSize.fold(0L) { binSize =>
+      val binOffset = committed.map(_.bins).sum
+      val packed = BestFitPacking.packBestFit(
+          keptFinal.select(col("doc_id").as("item_id"),
+            col("n").as("n_tokens")), binSize)
+        .withColumnRenamed("bin_id", "__raw_bin")
+        .localCheckpoint() // two consumers: densify + join
+      val dense = Ops.withGlobalRowNumber(
+          packed.select("__raw_bin").distinct(),
+          Seq(col("__raw_bin")), col("__raw_bin").cast("double"), "__dn")
+        .localCheckpoint() // two consumers: join + bin count
+      val n = dense.count()
+      packed.join(dense, "__raw_bin")
+        .select(col("item_id").as("doc_id"), col("n_tokens"),
+          (col("__dn") - 1 + binOffset).cast("long").as("bin_id"))
+        .write.mode("overwrite").parquet(s"$sinkDir/packs/b$batchId")
+      n
+    }
     // index append next-to-last: the new fingerprints' keepers are the
     // curation survivors that beat the index (kept2) — including those
     // later cut at decon/budget, because the batch form's keeper groups
@@ -330,7 +384,8 @@ object StreamingCorpusBuild {
     // tiny fold, not a sink aggregation
     val delta = att.where(col("cut_stage").isin("kept", "budget"))
       .groupBy("source").agg(sum(col("n")).as("d"))
-      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}") ++
+      packBinSize.map(_ => s"__bins\t$nBins")
     new File(s"$sinkDir/_manifest").mkdirs()
     val tmp = Paths.get(s"$sinkDir/_manifest/.tmp-$batchId")
     Files.write(tmp, delta.mkString("\n").getBytes(StandardCharsets.UTF_8))

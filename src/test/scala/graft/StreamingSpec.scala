@@ -794,6 +794,66 @@ class StreamingSpec extends SparkSpec {
       "hidden_" + d.getName).renameTo(d)))
   }
 
+  test("streamed corpus packs cover exactly the kept docs, FFD-valid; replay appends nothing") {
+    import graft.streaming.StreamingCorpusBuild
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val work = s"/tmp/graft_scpack_spec/${System.nanoTime()}"
+    val binSize = 256L
+    StreamingCorpusBuild.run(spark, corpus, evals, budgets,
+      work, "graft_t_scp", s"$work/idx", packBinSize = Some(binSize))
+    val sink = s"$work/sink"
+    val packs = StreamingCorpusBuild.readPacks(spark, sink).localCheckpoint()
+
+    // coverage: the packed doc set IS the stream's kept set (itself
+    // oracle-checked via sr12's CTEs), token counts riding intact
+    val kept = StreamingCorpusBuild.readSink(spark, sink)
+      .where($"cut_stage" === "kept").select("doc_id", "n")
+    assert(packs.count() > 0 && packs.count() == kept.count())
+    assert(packs.join(kept,
+      packs("doc_id") === kept("doc_id") &&
+        packs("n_tokens") === kept("n")).count() == kept.count())
+
+    // FFD invariants: exactly-once, no bin overflows, dense global ids
+    assert(packs.select("doc_id").distinct().count() == packs.count())
+    val binAgg = packs.groupBy("bin_id")
+      .agg(sum($"n_tokens").as("load")).localCheckpoint()
+    assert(binAgg.where($"load" > binSize).count() == 0,
+      "a bin exceeds its token budget")
+    val nBins = binAgg.count()
+    assert(binAgg.agg(min($"bin_id"), max($"bin_id"))
+      .as[(Long, Long)].head() == ((0L, nBins - 1)),
+      "bin ids must be dense across batches")
+
+    // bins never span micro-batches: each committed batch's pack dir
+    // owns a contiguous bin range, and consecutive batches abut (the
+    // manifest-carried offset leaves no gaps)
+    val ranges = new java.io.File(s"$sink/packs").listFiles().toSeq
+      .filter(_.isDirectory)
+      .map(d => spark.read.parquet(d.getPath))
+      .filter(_.count() > 0)
+      .map(_.agg(min($"bin_id"), max($"bin_id"), countDistinct($"bin_id"))
+        .as[(Long, Long, Long)].head())
+      .sortBy(_._1)
+    ranges.foreach { case (lo, hi, n) =>
+      assert(hi - lo + 1 == n, "a batch's bin range has holes") }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi, _), (lo2, _, _)) =>
+        assert(lo2 == hi + 1, "batches' bin ranges must abut")
+      case _ =>
+    }
+
+    // replay drill: a committed batch replay leaves the packs alone
+    val before = packs.orderBy("doc_id", "bin_id").collect().toSeq
+    StreamingCorpusBuild.curateBatch(corpus.where($"doc_id" < 300000), 0L,
+      evals, budgets, "graft_t_scp", sink, contamThreshold = 10,
+      packBinSize = Some(binSize))
+    val after = StreamingCorpusBuild.readPacks(spark, sink)
+      .orderBy("doc_id", "bin_id").collect().toSeq
+    assert(after == before,
+      "a replayed committed batch must not change the packs")
+  }
+
   test("streaming semdedup equals the batch kernel exactly; replay appends nothing") {
     import graft.streaming.StreamingSemDedup
     import graft.operators.{IvfIndex, Similarity}
