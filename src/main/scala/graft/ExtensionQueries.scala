@@ -361,6 +361,28 @@ object ExtensionQueries {
       s"src$i" -> b
     }
 
+  /** Shared CTE prelude for the cross-document span-dedup oracles
+    * (ext_crossdoc_spans / ext_crossdoc_clean): tokenize, emit 8-gram
+    * starts, flag shingles in ≥2 distinct docs, expand to extents —
+    * mirrors [[graft.operators.SpanDedup]] stage for stage. */
+  private val crossDocCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS s0,
+      |    array_to_string(t[i:i+7], ' ') AS s
+      |  FROM tok, unnest(range(1, len(t) - 6)) AS r(i)
+      |  WHERE len(t) >= 8),
+      |hot AS (
+      |  SELECT s FROM st GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |fl AS (
+      |  SELECT st.doc_id, st.s0, st.s0 + 7 AS e0
+      |  FROM st JOIN hot ON st.s = hot.s),
+      |""".stripMargin
+
   /** Shared oracle for the batch (ext_paragraph_dedup) and streaming
     * (sr14) paragraph-dedup forms — with id-range staging the stream's
     * first-arriving line keeper is the global min-(doc,line) keeper,
@@ -2352,6 +2374,70 @@ object ExtensionQueries {
             .otherwise(col("text")).as("text"))
         graft.operators.Dedup.paragraphDedup(corpus).orderBy("doc_id")
       }),
+
+    // Cross-document repeated-SPAN removal (ExactSubstr, Lee et al.
+    // arXiv:2107.06499) at 8-gram granularity: the maximal extents of
+    // every word 8-gram appearing verbatim in ≥2 distinct docs — the
+    // boilerplate/quotation catch between whole-doc and line dedup.
+    // One shingle-keyed shuffle (count-distinct docs), one shuffle
+    // join back (flagged side can be corpus-scale — never broadcast),
+    // one per-doc window for the interval merge. The fixture corpus
+    // has ~1k organic cross-doc repeats (shared synthetic sentences),
+    // so nothing is planted.
+    QueryDef("ext_crossdoc_spans",
+      Some(crossDocCtes +
+        """m AS (
+          |  SELECT doc_id, s0, e0,
+          |    CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id
+          |        ORDER BY s0, e0
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          |      THEN 1 ELSE 0 END AS nw
+          |  FROM fl),
+          |sp AS (
+          |  SELECT doc_id, s0, e0,
+          |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s0, e0
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          |  FROM m)
+          |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
+          |  CAST(max(e0) AS BIGINT) AS span_end,
+          |  CAST(max(e0) - min(s0) + 1 AS BIGINT) AS n_tokens
+          |FROM sp GROUP BY doc_id, grp
+          |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => graft.operators.SpanDedup
+        .removalSpans(load(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id", "span_start")),
+
+    // The transform form: every doc with its flagged spans cut —
+    // per-doc token accounting plus the whitespace-normalized cleaned
+    // text itself (hash-checked byte-for-byte). Docs without a flagged
+    // span pass through whole; the removal is a bounded per-doc
+    // span-array lookup, never a second corpus pass.
+    QueryDef("ext_crossdoc_clean",
+      Some(crossDocCtes +
+        """pos AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+          |  FROM tok, unnest(range(1, len(t) + 1)) AS r(i)),
+          |cov AS (
+          |  SELECT DISTINCT pos.doc_id, pos.p
+          |  FROM pos JOIN fl ON pos.doc_id = fl.doc_id
+          |    AND pos.p BETWEEN fl.s0 AND fl.e0),
+          |kp AS (
+          |  SELECT pos.doc_id, pos.p, pos.tok
+          |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+          |    AND pos.p = cov.p
+          |  WHERE cov.p IS NULL),
+          |kc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |    string_agg(tok, ' ' ORDER BY p) AS ct
+          |  FROM kp GROUP BY doc_id)
+          |SELECT tok.doc_id AS doc_id, CAST(len(tok.t) AS BIGINT) AS n_before,
+          |  CAST(len(tok.t) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_removed,
+          |  coalesce(kc.ct, '') AS clean_text
+          |FROM tok LEFT JOIN kc ON tok.doc_id = kc.doc_id
+          |ORDER BY tok.doc_id""".stripMargin),
+      (s, dir) => graft.operators.SpanDedup
+        .cleanedDocs(load(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id")),
 
     // Emit the PACKED TRAINING SEQUENCES themselves — ext_token_packing
     // reports pack sizes; this materializes what the trainer reads: the

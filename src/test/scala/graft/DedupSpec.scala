@@ -662,4 +662,48 @@ class DedupSpec extends SparkSpec {
     assert(got.getLong(3) > nExact / 2 && got.getLong(3) < nExact * 2)
   }
 
+  test("cross-doc span dedup: shared runs flagged everywhere, merged, sub-k ignored") {
+    import graft.operators.SpanDedup
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8" // exactly k=8 tokens
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),            // span 4..11
+      (2L, s"b1 $shared b2 b3 b4 b5 b6 b7"),      // span 2..9
+      (3L, s"$shared c1 c2 c3"),                  // span 1..8
+      (4L, "d1 d2 s1 s2 s3 s4 s5 s6 s7 d3"),      // 7-token run: below k
+      (5L, s"e1 $shared $shared e2")              // adjacent: merge 2..17
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.removalSpans(corpus, k = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(spans == Seq((1L, 4L, 11L, 8L), (2L, 2L, 9L, 8L),
+      (3L, 1L, 8L, 8L), (5L, 2L, 17L, 16L)),
+      s"got $spans")
+
+    // the transform form: spans cut in place, clean docs pass whole
+    val cleaned = SpanDedup.cleanedDocs(corpus, k = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(cleaned == Seq(
+      (1L, 13L, 8L, "a1 a2 a3 a4 a5"),
+      (2L, 15L, 8L, "b1 b2 b3 b4 b5 b6 b7"),
+      (3L, 11L, 8L, "c1 c2 c3"),
+      (4L, 10L, 0L, "d1 d2 s1 s2 s3 s4 s5 s6 s7 d3"),
+      (5L, 18L, 16L, "e1 e2")),
+      s"got $cleaned")
+  }
+
+  test("cross-doc span dedup plan: every window is doc-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.operators.SpanDedup
+    val spans = SpanDedup.removalSpans(docs, k = 8, minDocs = 2)
+    // the interval merge must stay keyed by doc — a partitionBy-less
+    // window would funnel every flagged extent through one task. (The
+    // starts⋈hot join is written without a broadcast hint: the planner
+    // sees two corpus-scale sides and plans a shuffle join; AQE may
+    // legitimately convert it when the runtime hot set is tiny.)
+    spans.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"span merge fell back to a global window:\n$w"))
+    // organic cross-doc repeats exist even at sf0.001
+    assert(spans.count() > 0)
+  }
+
 }
