@@ -1,5 +1,9 @@
 package graft.streaming
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +16,7 @@ import graft.operators.{IvfIndex, Similarity}
   * cluster member seen by earlier batches, and the keepers append to
   * the accepted sink.
   *
-  * The cross-batch check runs against a SEEN index (all previously
+  * The cross-batch check runs against a SEEN store (all previously
   * arrived vectors, keepers or not), not the accepted sink: the batch
   * kernel drops a vector when ANY smaller-id cluster-mate near-dups it,
   * including mates that were themselves dropped — checking only
@@ -22,11 +26,26 @@ import graft.operators.{IvfIndex, Similarity}
   * equal [[Similarity.semanticDedup]] over the whole corpus EXACTLY —
   * parity spec'd in StreamingSpec.
   *
+  * Commit protocol: the [[StreamingPacking]] manifest discipline — each
+  * batch writes its own `b<id>/` directory under both stores and
+  * commits a one-line manifest by atomic rename; readers union
+  * committed directories only. A replayed COMMITTED batch
+  * short-circuits on its manifest entry; an uncommitted one re-derives
+  * identical decisions against the same committed prefix and
+  * overwrites wholesale — so replay safety costs ZERO history reads
+  * (the old form anti-joined every batch against both full sinks).
+  *
   * Scale shape: assignment is map-only; the seen join is cluster-keyed
-  * (never all-pairs) and column-pruned. A production deployment would
-  * persist `seen` as a cluster-bucketed IndexStore kind and add the
-  * hot-cluster star cap to the cross-batch join; at the staged batch
-  * sizes here the plain parquet sink keeps the drill exact.
+  * (never all-pairs). The seen store is written
+  * `partitionBy(cluster_id)` and read back filtered to the BATCH's
+  * clusters — an `isin` over a list bounded by the quantizer size, so
+  * a batch touching few clusters prunes the others' partitions at the
+  * scan (at production k ~ 10⁵ lists this is the difference between
+  * reading the history and reading the batch's slice of it; the
+  * history-∩-batch-clusters read itself is inherent to exact SemDeDup
+  * semantics). A production deployment would add the hot-cluster star
+  * cap to the cross-batch join; at the staged batch sizes here the
+  * exact join keeps the drill value-checkable.
   */
 object StreamingSemDedup {
 
@@ -35,7 +54,7 @@ object StreamingSemDedup {
     * accepted (vec_id, cluster_id) sink. */
   def run(spark: SparkSession, sfDir: String, workDir: String,
       threshold: Double = 0.999): DataFrame = {
-    Seq("src", "seen", "kept", "ckpt").foreach(d =>
+    Seq("src", "seen", "kept", "ckpt", "_manifest").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$workDir/$d")))
     val base = graft.Tables.load(spark, sfDir, "embeddings")
@@ -54,9 +73,8 @@ object StreamingSemDedup {
       .head.toLong
     val q = spark.readStream.schema(corpus.schema).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, centroids, threshold,
-          s"$workDir/seen", s"$workDir/kept")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, centroids, threshold, workDir)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
@@ -69,31 +87,65 @@ object StreamingSemDedup {
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(s"$workDir/kept").orderBy("vec_id")
+    readKept(spark, workDir).orderBy("vec_id")
+  }
+
+  /** Committed batch ids, smallest first (one empty marker file per
+    * batch — driver-side O(#batches), never a store scan). */
+  private def committedIds(workDir: String): Seq[Long] = {
+    val dir = new File(s"$workDir/_manifest")
+    if (!dir.exists) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .map(_.getName.toLong).sorted
+  }
+
+  /** The committed accepted sink — (vec_id, cluster_id); uncommitted
+    * partial batch directories are invisible. */
+  def readKept(spark: SparkSession, workDir: String): DataFrame = {
+    val dirs = committedIds(workDir).map(id => s"$workDir/kept/b$id")
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"),
+        col("id").cast("int").as("cluster_id"))
+    else spark.read.parquet(dirs: _*).select("vec_id", "cluster_id")
   }
 
   /** One micro-batch: within-batch kernel + cross-batch seen check →
-    * guarded appends. Replay-safe: both sinks anti-join on vec_id, so
-    * a replayed batch re-derives identical decisions (the seen rows it
-    * already appended are EARLIER-id by staging and self-matches are
-    * excluded by the id inequality) and appends nothing new. Exposed
-    * for the drills in StreamingSpec. */
-  def dedupBatch(batch: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      threshold: Double, seenDir: String, keptDir: String): Unit = {
+    * per-batch directory writes → atomic manifest commit. A replayed
+    * committed batch is a manifest-detected no-op; an uncommitted one
+    * re-derives identical frames against the same committed prefix and
+    * overwrites wholesale. Exposed for the drills in StreamingSpec. */
+  def dedupBatch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      workDir: String): Unit = {
     val spark = batch.sparkSession // session coherence (StreamingCuration)
+    val committed = committedIds(workDir)
+    if (committed.contains(batchId)) return
     val assigned = IvfIndex.withClusterId(batch, centroids, "vec")
       .localCheckpoint()
     // within-batch: the exact batch kernel over this batch alone
     val withinKept = Similarity
       .semanticDedup(batch, centroids, threshold)
       .select("vec_id")
-    // cross-batch: any seen cluster-mate near-dup kills (seen ids are
-    // strictly earlier arrivals; self-id guard for replays)
-    val seenExists = new java.io.File(seenDir).exists
+    // cross-batch: any seen cluster-mate near-dup kills. The seen scan
+    // unions committed batch dirs only and filters to this batch's
+    // clusters — a bounded isin (≤ quantizer size) that prunes the
+    // partitioned store to the slice the join can touch.
+    val seenDirs = committed.map(id => s"$workDir/seen/b$id")
     val crossKilled =
-      if (!seenExists) assigned.select("vec_id").where(lit(false))
+      if (seenDirs.isEmpty) assigned.select("vec_id").where(lit(false))
       else {
-        val seen = spark.read.parquet(seenDir)
+        val batchClusters = assigned.select("cluster_id").distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded by the literal quantizer
+        // one read per committed dir (each root runs its own partition
+        // discovery — a shared multi-root read can't infer cluster_id
+        // under the b<id>/cluster_id=N layout); the isin prunes each
+        // scan to the batch's clusters. Production compacts the seen
+        // store periodically (the IndexStore discipline), bounding the
+        // union width.
+        val seen = seenDirs.map(d => spark.read.parquet(d))
+          .reduce(_ unionByName _)
+          .where(col("cluster_id").isin(batchClusters: _*))
           .select(col("vec_id").as("__sid"),
             col("cluster_id").as("__scl"), col("vec").as("__svec"))
         assigned.join(seen,
@@ -104,21 +156,22 @@ object StreamingSemDedup {
             col("__cos") >= threshold)
           .select("vec_id").distinct()
       }
-    val kept = assigned.select("vec_id", "cluster_id")
+    assigned.select("vec_id", "cluster_id")
       .join(withinKept, "vec_id")
       .join(crossKilled, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    val freshKept = (if (new java.io.File(keptDir).exists)
-        kept.join(spark.read.parquet(keptDir).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else kept).localCheckpoint()
-    freshKept.write.mode("append").parquet(keptDir)
-    val freshSeen = (if (seenExists)
-        assigned.join(spark.read.parquet(seenDir).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else assigned).localCheckpoint()
-    freshSeen.select("vec_id", "cluster_id", "vec")
-      .write.mode("append").parquet(seenDir)
+      .write.mode("overwrite").parquet(s"$workDir/kept/b$batchId")
+    // the seen store is the cross-batch join's right side: partitioned
+    // by cluster so future batches' isin prunes at the scan
+    assigned.select("vec_id", "vec", "cluster_id")
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$workDir/seen/b$batchId")
+    // manifest commit LAST (atomic rename): both directories become
+    // visible together or not at all
+    new File(s"$workDir/_manifest").mkdirs()
+    val tmp = Paths.get(s"$workDir/_manifest/.tmp-$batchId")
+    Files.write(tmp, "".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$workDir/_manifest/$batchId"),
+      StandardCopyOption.ATOMIC_MOVE)
     (): Unit
   }
 }

@@ -876,11 +876,31 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch diverge: ${(streamed diff batch) ++ (batch diff streamed)}")
     // every planted x1.001 copy (arriving after its original) was cut
     assert(!streamed.exists(_._1 >= 100000))
-    // replay drill: re-running the final id-range batch appends nothing
-    val before = spark.read.parquet(s"$work/kept").count()
+    // replay drill: re-running the final id-range batch (committed →
+    // manifest-detected no-op) appends nothing
+    val before = StreamingSemDedup.readKept(spark, work).count()
     val b2 = corpus.where($"vec_id" >= 100000)
-    StreamingSemDedup.dedupBatch(b2, cent, 0.999, s"$work/seen", s"$work/kept")
-    assert(spark.read.parquet(s"$work/kept").count() == before)
+    StreamingSemDedup.dedupBatch(b2, 2L, cent, 0.999, work)
+    assert(StreamingSemDedup.readKept(spark, work).count() == before)
+
+    // O(batch) accepted-sink I/O: deciding a batch must never read the
+    // kept directories (replay safety lives in the manifests, and the
+    // cross-batch check reads the SEEN store only). Hide every kept
+    // dir — a sink scan would throw — and gate id-shifted copies of
+    // already-seen vectors under a fresh batchId: all are cut by the
+    // seen join.
+    val keptDirs = new java.io.File(s"$work/kept").listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("b"))
+    keptDirs.foreach(d => assert(
+      d.renameTo(new java.io.File(d.getParent, "hidden_" + d.getName))))
+    val copies = corpus.where($"vec_id" < 100000 && $"vec_id" % 7 === 0)
+      .select(($"vec_id" + 500000).as("vec_id"), $"vec")
+    StreamingSemDedup.dedupBatch(copies, 99L, cent, 0.999, work)
+    keptDirs.foreach(d => assert(new java.io.File(d.getParent,
+      "hidden_" + d.getName).renameTo(d)))
+    val b99 = spark.read.parquet(s"$work/kept/b99")
+    assert(b99.count() == 0,
+      "exact copies of seen vectors must all be cut by the seen join")
   }
 
   test("streaming paragraph dedup equals the batch form; replay appends nothing") {
