@@ -383,6 +383,53 @@ object ExtensionQueries {
       |  FROM st JOIN hot ON st.s = hot.s),
       |""".stripMargin
 
+  /** The span-merge tail shared by every crossdoc span oracle (inline,
+    * persisted, incremental, unlearn — all must equal the same SQL). */
+  private val crossDocSpanSelect: String =
+    """m AS (
+      |  SELECT doc_id, s0, e0,
+      |    CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id
+      |        ORDER BY s0, e0
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS nw
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, s0, e0,
+      |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s0, e0
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM m)
+      |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
+      |  CAST(max(e0) AS BIGINT) AS span_end,
+      |  CAST(max(e0) - min(s0) + 1 AS BIGINT) AS n_tokens
+      |FROM sp GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Shared oracle for the batch (ext_crossdoc_clean) and streaming
+    * (sr22) span-removal transforms — cleaning is stateless per doc
+    * against the hot set, so ONE SQL checks both. */
+  private[graft] val crossDocCleanOracleSql: String = crossDocCtes +
+    """pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+      |  FROM tok, unnest(range(1, len(t) + 1)) AS r(i)),
+      |cov AS (
+      |  SELECT DISTINCT pos.doc_id, pos.p
+      |  FROM pos JOIN fl ON pos.doc_id = fl.doc_id
+      |    AND pos.p BETWEEN fl.s0 AND fl.e0),
+      |kp AS (
+      |  SELECT pos.doc_id, pos.p, pos.tok
+      |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+      |    AND pos.p = cov.p
+      |  WHERE cov.p IS NULL),
+      |kc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS ct
+      |  FROM kp GROUP BY doc_id)
+      |SELECT tok.doc_id AS doc_id, CAST(len(tok.t) AS BIGINT) AS n_before,
+      |  CAST(len(tok.t) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(kc.ct, '') AS clean_text
+      |FROM tok LEFT JOIN kc ON tok.doc_id = kc.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
   /** Shared oracle for the batch (ext_paragraph_dedup) and streaming
     * (sr14) paragraph-dedup forms — with id-range staging the stream's
     * first-arriving line keeper is the global min-(doc,line) keeper,
@@ -2385,24 +2432,7 @@ object ExtensionQueries {
     // has ~1k organic cross-doc repeats (shared synthetic sentences),
     // so nothing is planted.
     QueryDef("ext_crossdoc_spans",
-      Some(crossDocCtes +
-        """m AS (
-          |  SELECT doc_id, s0, e0,
-          |    CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id
-          |        ORDER BY s0, e0
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-          |      THEN 1 ELSE 0 END AS nw
-          |  FROM fl),
-          |sp AS (
-          |  SELECT doc_id, s0, e0,
-          |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s0, e0
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-          |  FROM m)
-          |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
-          |  CAST(max(e0) AS BIGINT) AS span_end,
-          |  CAST(max(e0) - min(s0) + 1 AS BIGINT) AS n_tokens
-          |FROM sp GROUP BY doc_id, grp
-          |ORDER BY doc_id, span_start""".stripMargin),
+      Some(crossDocCtes + crossDocSpanSelect),
       (s, dir) => graft.operators.SpanDedup
         .removalSpans(load(s, dir, "documents").select("doc_id", "text"))
         .orderBy("doc_id", "span_start")),
@@ -2413,31 +2443,63 @@ object ExtensionQueries {
     // span pass through whole; the removal is a bounded per-doc
     // span-array lookup, never a second corpus pass.
     QueryDef("ext_crossdoc_clean",
-      Some(crossDocCtes +
-        """pos AS (
-          |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
-          |  FROM tok, unnest(range(1, len(t) + 1)) AS r(i)),
-          |cov AS (
-          |  SELECT DISTINCT pos.doc_id, pos.p
-          |  FROM pos JOIN fl ON pos.doc_id = fl.doc_id
-          |    AND pos.p BETWEEN fl.s0 AND fl.e0),
-          |kp AS (
-          |  SELECT pos.doc_id, pos.p, pos.tok
-          |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
-          |    AND pos.p = cov.p
-          |  WHERE cov.p IS NULL),
-          |kc AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-          |    string_agg(tok, ' ' ORDER BY p) AS ct
-          |  FROM kp GROUP BY doc_id)
-          |SELECT tok.doc_id AS doc_id, CAST(len(tok.t) AS BIGINT) AS n_before,
-          |  CAST(len(tok.t) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_removed,
-          |  coalesce(kc.ct, '') AS clean_text
-          |FROM tok LEFT JOIN kc ON tok.doc_id = kc.doc_id
-          |ORDER BY tok.doc_id""".stripMargin),
+      Some(crossDocCleanOracleSql),
       (s, dir) => graft.operators.SpanDedup
         .cleanedDocs(load(s, dir, "documents").select("doc_id", "text"))
         .orderBy("doc_id")),
+
+    // The shingle document-frequency counts PERSISTED as the ninth
+    // IndexStore kind (third holding model state): build once, serve
+    // span removal many. Serving from the table must equal the inline
+    // operator bit-for-bit — same oracle as ext_crossdoc_spans.
+    QueryDef("ext_crossdoc_persisted",
+      Some(crossDocCtes + crossDocSpanSelect),
+      (s, dir) => {
+        val tbl = "graft_sdfp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        graft.operators.IndexStore.buildSpanIndex(docs, "doc_id", "text",
+          tbl, s"/tmp/graft_index/$tbl")
+        graft.operators.IndexStore.removalSpansFromIndex(s, tbl, docs)
+          .orderBy("doc_id", "span_start")
+      }),
+
+    // Incremental maintenance: build on even ids, append odd ids — the
+    // per-shingle doc counts are additive over document sets, so
+    // append ≡ one-shot rebuild bit-for-bit. Same oracle.
+    QueryDef("ext_crossdoc_incremental",
+      Some(crossDocCtes + crossDocSpanSelect),
+      (s, dir) => {
+        val tbl = "graft_sdfi_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        graft.operators.IndexStore.buildSpanIndex(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          tbl, s"/tmp/graft_index/$tbl")
+        graft.operators.IndexStore.appendSpanIndex(
+          docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text", tbl)
+        graft.operators.IndexStore.removalSpansFromIndex(s, tbl, docs)
+          .orderBy("doc_id", "span_start")
+      }),
+
+    // Exact take-down: index the corpus PLUS full-text junk copies
+    // (which make every copied doc's whole text "hot"), unlearn the
+    // junk by negated indicator rows, serve — the spans must equal the
+    // never-saw-junk build exactly, so the oracle is the PLAIN
+    // corpus SQL. The strongest demonstration in the store: a
+    // take-down here un-flags entire documents, not just rows.
+    QueryDef("ext_crossdoc_unlearn",
+      Some(crossDocCtes + crossDocSpanSelect),
+      (s, dir) => {
+        val tbl = "graft_sdfu_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        val junk = docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+        graft.operators.IndexStore.buildSpanIndex(docs.unionByName(junk),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        graft.operators.IndexStore.unlearnFromSpanIndex(junk,
+          "doc_id", "text", tbl)
+        graft.operators.IndexStore.removalSpansFromIndex(s, tbl, docs)
+          .orderBy("doc_id", "span_start")
+      }),
 
     // Emit the PACKED TRAINING SEQUENCES themselves — ext_token_packing
     // reports pack sizes; this materializes what the trainer reads: the

@@ -490,6 +490,21 @@ object StreamingQueries {
           .select("doc_id", "n_tokens").orderBy("doc_id")
       }),
 
+    // Cross-document span removal as a forever-sync: the shingle-DF
+    // index (ninth persisted kind) is built once over the reference
+    // corpus, arriving docs clean against it statelessly — each batch's
+    // shingles probe the bucketed table in place, the span merge
+    // windows per doc. Drained sink ≡ batch cleaner row-for-row: the
+    // SAME SQL as ext_crossdoc_clean. Replay drill in StreamingSpec.
+    QueryDef("sr22_streaming_crossdoc",
+      Some(ExtensionQueries.crossDocCleanOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingCrossDoc.run(s, dir,
+          s"/tmp/graft_scrossdoc/$tag", s"graft_scd_$tag",
+          s"/tmp/graft_scrossdoc/$tag/idx")
+      }),
+
     // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
     // fitted once in batch (the frozen-cutoff discipline — sr10's
     // pinned reference-corpus statistics), then embeddings gate as they

@@ -1755,6 +1755,112 @@ object IndexStore {
   def vacuumDsirIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_counts")
 
+  // ---- cross-doc shingle document-frequency table --------------------
+  // The ninth persisted kind, third holding MODEL STATE: the per-
+  // shingle distinct-document counts behind [[SpanDedup]] (ExactSubstr
+  // span removal). Each document contributes +1 to every DISTINCT
+  // k-gram it contains, so the rows form the same commutative group as
+  // the LM's bigram counts over DOCUMENT SETS: append-then-serve
+  // equals a one-shot rebuild bit-for-bit, and a take-down appends the
+  // docs' indicator rows NEGATED — after which a span that only the
+  // removed docs made "hot" stops being flagged anywhere, exactly as
+  // if the docs were never indexed (the serving threshold reads the
+  // summed count). Same ledger discipline as the LM: only unlearn
+  // documents previously learned. Bucketed by shingle so the hot-set
+  // derivation and the probe join read the table co-located.
+
+  private def spanDfCounts(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    SpanDedup.shingleStarts(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+      .select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+
+  private def spanParams(idCol: String, k: Int): Map[String, String] =
+    Map("idCol" -> idCol, "payload" -> "text", "k" -> k.toString)
+
+  /** Builds the persisted shingle-DF table: (s, nd) bucketed by s. */
+  def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, k: Int = 8, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    bucketRouted(spanDfCounts(docs, idCol, textCol, k), "s", nBuckets)
+      .write.bucketBy(nBuckets, "s")
+      .option("path", s"$path/${table}_sdf").mode("overwrite")
+      .saveAsTable(s"${table}_sdf")
+    setParams(spark, s"${table}_sdf", spanParams(idCol, k))
+  }
+
+  /** Appends delta docs' indicator rows in place — the nightly rebuild
+    * reduced to one aggregation over the new slice. */
+  def appendSpanIndex(delta: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    val k = spanK(spark, table, idCol, "append")
+    val nb = numBucketsOf(spark, s"${table}_sdf")
+    bucketRouted(spanDfCounts(delta, idCol, textCol, k), "s", nb)
+      .write.bucketBy(nb, "s")
+      .mode("append").saveAsTable(s"${table}_sdf")
+    noteAppend(spark, s"${table}_sdf")
+  }
+
+  /** Exact unlearning: appends the docs' indicator rows NEGATED. */
+  def unlearnFromSpanIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = docs.sparkSession
+    val k = spanK(spark, table, idCol, "unlearn")
+    val nb = numBucketsOf(spark, s"${table}_sdf")
+    bucketRouted(spanDfCounts(docs, idCol, textCol, k)
+        .withColumn("nd", -col("nd")), "s", nb)
+      .write.bucketBy(nb, "s")
+      .mode("append").saveAsTable(s"${table}_sdf")
+    noteAppend(spark, s"${table}_sdf")
+  }
+
+  private def spanK(spark: SparkSession, table: String, idCol: String,
+      op: String): Int = {
+    val params = getParams(spark, s"${table}_sdf")
+    val k = params.getOrElse("k",
+      sys.error(s"$op: ${table}_sdf has no k param")).toInt
+    requireParams(spark, s"${table}_sdf", spanParams(idCol, k), op)
+    k
+  }
+
+  /** The live hot-shingle set at `minDocs`: appended (and negated)
+    * rows merged by summation over the co-located bucketed scan. */
+  def spanHotFromIndex(spark: SparkSession, table: String,
+      minDocs: Int = 2): DataFrame =
+    spark.table(s"${table}_sdf")
+      .groupBy("s").agg(sum(col("nd")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("s")
+
+  /** Serves [[SpanDedup.removalSpans]] for `docs` from the persisted
+    * counts: identical output to the inline form whenever `docs` IS
+    * the indexed corpus (oracle-proven), and the cross-corpus serving
+    * shape otherwise (clean a crawl against a frozen reference). */
+  def removalSpansFromIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDocs: Int = 2): DataFrame = {
+    val k = spanK(spark, table, idCol, "probe")
+    SpanDedup.removalSpansAgainst(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      spanHotFromIndex(spark, table, minDocs), k)
+  }
+
+  /** Compacts: folds duplicate and cancellation rows into one positive
+    * row per shingle — row-count-changing, like the LM's. */
+  def compactSpanIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val sdf = s"${table}_sdf"
+    rewriteInPlace(spark, sdf, bucketColOf(spark, sdf),
+      s"$newPathBase/${sdf}_c", numBucketsOf(spark, sdf))(
+      _.groupBy("s").agg(sum(col("nd")).as("nd")).where(col("nd") > 0))
+  }
+
+  /** Vacuums the shingle-DF table's retired directories. */
+  def vacuumSpanIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_sdf")
+
   // ---- batch-KEYED LM lifecycle (replay-exactly-once) ---------------
   // The unkeyed LM append is additive, so a crash-replayed micro-batch
   // double-counts its slice — no ordering fixes that (the bucketed
@@ -1986,9 +2092,10 @@ object IndexStore {
       case "lm"      => (s"${table}_counts", compactLmIndex(spark, table, _))
       case "lmk"     => (s"${table}_counts", compactLmIndexKeyed(spark, table, _))
       case "dsir"    => (s"${table}_counts", compactDsirIndex(spark, table, _))
+      case "span"    => (s"${table}_sdf",    compactSpanIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }

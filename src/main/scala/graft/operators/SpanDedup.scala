@@ -75,11 +75,26 @@ object SpanDedup {
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select("s")
-    val flagged = starts.join(hot, "s")
+    mergeExtents(starts.join(hot, "s")
       .select(col("doc_id"), col("start"),
-        (col("start") + (k - 1)).as("end"))
-    // merge overlapping-or-adjacent extents into maximal spans: a new
-    // span opens where this start clears every previous end + 1
+        (col("start") + (k - 1)).as("end")))
+  }
+
+  /** Spans of `docs` flagged against an EXTERNAL hot-shingle set —
+    * the serving half of [[removalSpans]], reused by the persisted
+    * document-frequency index ([[IndexStore.removalSpansFromIndex]])
+    * and the frozen-reference streaming twin. */
+  def removalSpansAgainst(docs: DataFrame, hot: DataFrame,
+      k: Int): DataFrame =
+    mergeExtents(shingleStarts(docs, k).join(hot, "s")
+      .select(col("doc_id"), col("start"),
+        (col("start") + (k - 1)).as("end")))
+
+  /** Merges flagged `(doc_id, start, end)` extents (inclusive) into
+    * maximal spans: a new span opens where this start clears every
+    * previous end + 1 (overlap AND adjacency both merge). The only
+    * window is per doc — bounded by document length. */
+  private def mergeExtents(flagged: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("start", "end")
     val prevMax = Window.partitionBy("doc_id").orderBy("start", "end")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -103,8 +118,13 @@ object SpanDedup {
     * filter is one positional `exists` over it — no corpus-wide second
     * pass, no window. */
   def cleanedDocs(docs: DataFrame, k: Int = 8, minDocs: Int = 2)
-      : DataFrame = {
-    val spans = removalSpans(docs, k, minDocs)
+      : DataFrame =
+    cleanedDocsWith(docs, removalSpans(docs, k, minDocs))
+
+  /** [[cleanedDocs]] with the span table supplied — the serving form
+    * for index-backed and streaming callers. */
+  def cleanedDocsWith(docs: DataFrame, spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

@@ -1797,4 +1797,66 @@ class IndexStoreSpec extends SparkSpec {
     // only that the probe itself pins nothing new
     assert(after <= before, s"probe leaked ${after - before} cached RDDs")
   }
+
+  // ---- persisted shingle-DF (cross-doc span) table -------------------
+
+  test("persisted span index: append equals one-shot build; unlearn un-flags whole docs") {
+    import graft.operators.SpanDedup
+    val tbl = "graft_spec_sdf"
+    dropTable(s"${tbl}_sdf")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 =!= 0)
+    IndexStore.buildSpanIndex(evens, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendSpanIndex(odds, "doc_id", "text", tbl)
+    val served = IndexStore.removalSpansFromIndex(spark, tbl, docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val inline = SpanDedup.removalSpans(docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(served == inline,
+      "append-then-serve must equal the inline operator bit-for-bit")
+
+    // take-down: full-text junk copies make their originals' whole
+    // text hot; exact unlearning must restore the never-saw-junk spans
+    val junk = docs.where(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+    IndexStore.appendSpanIndex(junk, "doc_id", "text", tbl)
+    val polluted = IndexStore.removalSpansFromIndex(spark, tbl, docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(polluted != inline,
+      "the junk copies must visibly widen the flagged spans")
+    IndexStore.unlearnFromSpanIndex(junk, "doc_id", "text", tbl)
+    val unlearned = IndexStore.removalSpansFromIndex(spark, tbl, docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(unlearned == inline,
+      "unlearn must equal a build that never saw the junk")
+  }
+
+  test("span index compaction folds; mismatched params rejected; auto-compact fires") {
+    val tbl = "graft_spec_sdfc"
+    dropTable(s"${tbl}_sdf")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sdf__compacting")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 =!= 0)
+    IndexStore.buildSpanIndex(evens, "doc_id", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendSpanIndex(odds, "doc_id", "text", tbl)
+    IndexStore.unlearnFromSpanIndex(odds, "doc_id", "text", tbl)
+    val before = IndexStore.removalSpansFromIndex(spark, tbl, docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val preRows = spark.table(s"${tbl}_sdf").count()
+    assert(IndexStore.autoCompact(spark, "span", tbl, every = 1),
+      "appends past the threshold must trigger the span auto-compaction")
+    val postRows = spark.table(s"${tbl}_sdf").count()
+    assert(postRows < preRows,
+      "compaction must fold duplicate and cancellation rows physically")
+    val after = IndexStore.removalSpansFromIndex(spark, tbl, docs)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(after == before, "compaction must not change served spans")
+    // a mismatched idCol is rejected loudly (k can't drift by
+    // construction: append/serve read it from the persisted params)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendSpanIndex(odds, "other_id", "text", tbl)
+    }
+  }
 }

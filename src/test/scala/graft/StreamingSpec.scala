@@ -903,6 +903,31 @@ class StreamingSpec extends SparkSpec {
       "exact copies of seen vectors must all be cut by the seen join")
   }
 
+  test("streaming crossdoc clean equals the batch cleaner; replay appends nothing") {
+    import graft.streaming.StreamingCrossDoc
+    import graft.operators.SpanDedup
+    val work = s"/tmp/graft_scrossdoc_spec/${System.nanoTime()}"
+    val out = StreamingCrossDoc.run(spark, sf0001, work,
+        "graft_t_scd", s"$work/idx")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val batch = SpanDedup.cleanedDocs(docs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // stateless per-doc cleaning against the frozen index: the drained
+    // sink IS the batch cleaner, byte-for-byte
+    assert(out == batch,
+      s"stream/batch diverge on ${(out diff batch) ++ (batch diff out)}")
+    // something actually got cut (organic cross-doc repeats at sf0.001)
+    assert(out.exists(_._3 > 0))
+    // replay drill: a committed batch is a manifest-detected no-op
+    val sink = s"$work/sink"
+    val before = StreamingCrossDoc.readSink(spark, sink).count()
+    StreamingCrossDoc.cleanBatch(docs, 0L, "graft_t_scd", sink)
+    assert(StreamingCrossDoc.readSink(spark, sink).count() == before,
+      "a replayed committed batch must not append rows")
+  }
+
   test("streaming paragraph dedup equals the batch form; replay appends nothing") {
     import graft.streaming.StreamingParagraphDedup
     import graft.operators.Dedup
