@@ -1,8 +1,7 @@
 package graft.streaming
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -386,11 +385,6 @@ object StreamingCorpusBuild {
       .groupBy("source").agg(sum(col("n")).as("d"))
       .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}") ++
       packBinSize.map(_ => s"__bins\t$nBins")
-    new File(s"$sinkDir/_manifest").mkdirs()
-    val tmp = Paths.get(s"$sinkDir/_manifest/.tmp-$batchId")
-    Files.write(tmp, delta.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$sinkDir/_manifest/$batchId"),
-      StandardCopyOption.ATOMIC_MOVE)
-    (): Unit
+    BatchManifest.commit(sinkDir, batchId, delta.mkString("\n"))
   }
 }

@@ -1,8 +1,6 @@
 package graft.streaming
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -59,38 +57,22 @@ object StreamingCrossDoc {
     readSink(spark, sinkDir).orderBy("doc_id")
   }
 
-  private def committedIds(sinkDir: String): Seq[Long] = {
-    val dir = new File(s"$sinkDir/_manifest")
-    if (!dir.exists) Seq.empty
-    else dir.listFiles().toSeq
-      .filter(f => f.isFile && f.getName.forall(_.isDigit))
-      .map(_.getName.toLong).sorted
-  }
-
   /** The committed sink; uncommitted partial batch dirs invisible. */
-  def readSink(spark: SparkSession, sinkDir: String): DataFrame = {
-    val dirs = committedIds(sinkDir).map(id => s"$sinkDir/b$id")
-    if (dirs.isEmpty)
+  def readSink(spark: SparkSession, sinkDir: String): DataFrame =
+    BatchManifest.readCommitted(spark, sinkDir)(
       spark.range(0).select(col("id").as("doc_id"),
         col("id").as("n_before"), col("id").as("n_removed"),
-        lit("").as("clean_text"))
-    else spark.read.parquet(dirs: _*)
-  }
+        lit("").as("clean_text")))
 
   /** One micro-batch: probe the frozen index, cut the flagged spans,
     * commit atomically. Exposed for the replay drill in StreamingSpec. */
   def cleanBatch(batch: DataFrame, batchId: Long, table: String,
       sinkDir: String): Unit = {
     val spark = batch.sparkSession // session coherence (StreamingCuration)
-    if (committedIds(sinkDir).contains(batchId)) return
+    if (BatchManifest.committedIds(sinkDir).contains(batchId)) return
     SpanDedup.cleanedDocsWith(batch,
         IndexStore.removalSpansFromIndex(spark, table, batch))
       .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
-    new File(s"$sinkDir/_manifest").mkdirs()
-    val tmp = Paths.get(s"$sinkDir/_manifest/.tmp-$batchId")
-    Files.write(tmp, "".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$sinkDir/_manifest/$batchId"),
-      StandardCopyOption.ATOMIC_MOVE)
-    (): Unit
+    BatchManifest.commit(sinkDir, batchId)
   }
 }

@@ -79,8 +79,8 @@ object StreamingCuration {
 
     val q = spark.readStream.schema(crawl.schema).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, model, thr, table, sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, model, thr, table, sinkDir)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
@@ -104,23 +104,32 @@ object StreamingCuration {
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(sinkDir).orderBy("doc_id")
+    readSink(spark, sinkDir).orderBy("doc_id")
   }
 
+  /** The committed accepted sink — uncommitted partial batch
+    * directories are invisible (no torn reads). */
+  def readSink(spark: SparkSession, sinkDir: String): DataFrame =
+    BatchManifest.readCommitted(spark, sinkDir)(
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("lang_pred"), col("id").cast("double").as("quality"),
+        col("id").as("h_milli_tok")))
+
   /** One micro-batch of the loop: gates → dedup-CHECK against the
-    * index → sink append → index append, in exactly that order, with a
-    * doc_id anti-join against the sink as the replay guard. A crash
-    * anywhere inside the batch replays it wholesale (the file-source
-    * checkpoint commits only after this returns); the ordering decides
-    * what a replay can damage. Probe-before-append means the replayed
-    * batch recomputes the SAME accepted set (nothing of this batch is
-    * in the index yet if the append never ran), and the sink guard
-    * turns the re-append into a no-op — so the SINK is exactly-once
-    * under replay. The one remaining window (crash after sink append,
-    * before index append) costs only future dedup completeness for
-    * those fingerprints, never sink rows: the chosen trade, since the
-    * sink is the product and the index is an optimization — and the
-    * next enclosing run rebuilds the index from scratch anyway.
+    * index → per-batch sink directory → guarded index append → atomic
+    * manifest commit, in exactly that order (the StreamingPacking
+    * protocol — replay safety costs ZERO history reads). A replayed
+    * COMMITTED batch short-circuits on its manifest entry. A replayed
+    * UNCOMMITTED batch re-derives the identical accepted set — the
+    * index probes self-id-filter, so even a replay whose index append
+    * DID run sees the same decisions (its own fingerprints match only
+    * themselves; a duplicate-group copy is cut by the index instead of
+    * the within-batch keeper rule, the same verdict) — and overwrites
+    * its directory wholesale, invisible to readers until the manifest
+    * lands. The index append is guarded by a bucket-local SELF-probe
+    * (did a crashed replay already append exactly this (fp, doc_id)?),
+    * so the fingerprint table is exactly-once too: the index side
+    * stays put in its fp buckets, only the batch-sized probe moves.
     *
     * SESSION COHERENCE: every catalog read in here goes through
     * `batch.sparkSession`, NOT the enclosing stream's outer session.
@@ -132,10 +141,11 @@ object StreamingCuration {
     * by earlier micro-batches (observed: cross-batch duplicates
     * sailing through the gate). One session for probe + append keeps
     * the loop read-your-writes. */
-  def curateBatch(batch: DataFrame,
+  def curateBatch(batch: DataFrame, batchId: Long,
       model: NgramLm.Model, thr: Long, table: String,
       sinkDir: String): Unit = {
     val spark = batch.sparkSession
+    if (BatchManifest.committedIds(sinkDir).contains(batchId)) return
     val feat = batch.select(col("doc_id"), col("text"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -163,15 +173,22 @@ object StreamingCuration {
       .where(col("doc_id") === col("__keep"))
       .drop("__fp", "__keep")
       .localCheckpoint()
-    val fresh = (if (new java.io.File(sinkDir).exists)
-        keeper.join(spark.read.parquet(sinkDir).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else keeper).localCheckpoint()
-    fresh.select("doc_id", "lang_pred", "quality", "h_milli_tok")
-      .write.mode("append").parquet(sinkDir)
-    IndexStore.appendExactIndex(fresh.select("doc_id", "text"),
+    keeper.select("doc_id", "lang_pred", "quality", "h_milli_tok")
+      .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+    // index append guarded by the bucket-local self-probe: a crashed
+    // replay whose append already ran must not double-add fingerprints
+    val kfps = keeper.select(col("doc_id").as("query_id"),
+      IndexStore.exactFingerprint(col("text")).as("fp"))
+    val alreadyIndexed = spark.table(s"${table}_fps")
+      .select(col("doc_id").as("__ix_id"), col("fp"))
+      .join(kfps, "fp")
+      .where(col("__ix_id") === col("query_id"))
+      .select(col("query_id").as("doc_id"))
+    IndexStore.appendExactIndex(
+      keeper.join(alreadyIndexed, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text"),
       "doc_id", "text", table)
     IndexStore.autoCompact(spark, "exact", table)
-    (): Unit
+    BatchManifest.commit(sinkDir, batchId)
   }
 }

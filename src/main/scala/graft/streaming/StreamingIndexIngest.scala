@@ -201,7 +201,7 @@ object StreamingIndexIngest {
     val sinkDir = s"$workDir/sink"
     runGateStream(spark, srcDir, sinkDir, s"$workDir/ckpt_${System.nanoTime()}",
       exactTable, winnowTable, minhashTable, autoCompactAppends)
-    spark.read.parquet(sinkDir).orderBy("doc_id")
+    readGateSink(spark, sinkDir).orderBy("doc_id")
   }
 
   /** Stages `df` as ONE flat parquet file `srcDir/<name>.parquet` — the
@@ -280,44 +280,73 @@ object StreamingIndexIngest {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // check → sink (replay-guarded) → append, in that order: a
-        // crash-replayed batch re-derives the SAME decisions (its
-        // appends never ran), the sink anti-join deals no duplicate
-        // rows, and re-attribution after a post-append crash is
-        // filtered by the same guard — the sink is exactly-once; the
-        // one surviving window (crash between sink and append) costs
-        // future dedup completeness only, same trade as
-        // StreamingCuration (the sink is the product).
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // check → per-batch sink dir → guarded appends → atomic
+        // manifest commit (the BatchManifest protocol — replay safety
+        // costs zero history reads). A committed replay short-circuits;
+        // an uncommitted one re-derives IDENTICAL decisions even when
+        // its appends already ran (every probe self-id-filters, and a
+        // duplicate-group copy cut within-batch on the first run is cut
+        // by the index on the replay — same first gate, because the
+        // index gained only this batch's keepers, whose matches the
+        // within-batch rule already counted). Appends run exact LAST
+        // with a bucket-local self-probe guard: "in the exact index"
+        // therefore means ALL kinds completed, so a replay re-appends
+        // only winnow/minhash rows for docs whose exact append never
+        // landed — bounded duplication that probes can't see
+        // (countDistinct + self-filters), never a completeness loss.
         // All catalog reads go through batch.sparkSession (the
         // stream's clone — the session the appends run on), keeping
         // the probe read-your-writes across micro-batches; the outer
         // session's table-relation cache never learns about
         // clone-side appends (see StreamingCuration.curateBatch).
         val bs = batch.sparkSession
-        val (accepted, decisions) = IndexStore.dedupIngestGateCheck(
-          bs, batch, "doc_id", "text", exactTable, winnowTable,
-          minhashTable, window = 40, guarantee = 10)
-        val rows = decisions
-          .unionByName(accepted.select(col("doc_id"),
-            lit("accepted").as("gate")))
-        val fresh = (if (new java.io.File(sinkDir).exists)
-            rows.join(bs.read.parquet(sinkDir).select("doc_id"),
-              Seq("doc_id"), "left_anti")
-          else rows).localCheckpoint()
-        fresh.write.mode("append").parquet(sinkDir)
-        IndexStore.dedupIngestGateAppend(bs,
-          accepted.join(fresh.where(col("gate") === "accepted")
-            .select("doc_id"), Seq("doc_id"), "left_semi"),
-          "doc_id", "text", exactTable, winnowTable, minhashTable,
-          window = 40, guarantee = 10,
-          autoCompactAppends = autoCompactAppends)
+        if (!BatchManifest.committedIds(sinkDir).contains(batchId)) {
+          val (accepted, decisions) = IndexStore.dedupIngestGateCheck(
+            bs, batch, "doc_id", "text", exactTable, winnowTable,
+            minhashTable, window = 40, guarantee = 10)
+          val acceptedP = accepted.localCheckpoint()
+          decisions
+            .unionByName(acceptedP.select(col("doc_id"),
+              lit("accepted").as("gate")))
+            .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+          val kfps = acceptedP.select(col("doc_id").as("query_id"),
+            IndexStore.exactFingerprint(col("text")).as("fp"))
+          val alreadyIndexed = bs.table(s"${exactTable}_fps")
+            .select(col("doc_id").as("__ix_id"), col("fp"))
+            .join(kfps, "fp")
+            .where(col("__ix_id") === col("query_id"))
+            .select(col("query_id").as("doc_id"))
+          val toAppend = acceptedP
+            .join(alreadyIndexed, Seq("doc_id"), "left_anti")
+            .localCheckpoint() // three consumers below
+          IndexStore.appendWinnowIndex(toAppend, "doc_id", "text",
+            winnowTable, window = 40, guarantee = 10)
+          IndexStore.appendMinhashIndex(toAppend, "doc_id", "text",
+            minhashTable)
+          IndexStore.appendExactIndex(toAppend, "doc_id", "text",
+            exactTable)
+          IndexStore.autoCompact(bs, "winnow", winnowTable,
+            autoCompactAppends)
+          IndexStore.autoCompact(bs, "minhash", minhashTable,
+            autoCompactAppends)
+          IndexStore.autoCompact(bs, "exact", exactTable,
+            autoCompactAppends)
+          BatchManifest.commit(sinkDir, batchId)
+        }
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** The committed gate sink — (id, gate) attribution rows; uncommitted
+    * partial batch directories are invisible. */
+  def readGateSink(spark: SparkSession, sinkDir: String,
+      idCol: String = "doc_id"): DataFrame =
+    BatchManifest.readCommitted(spark, sinkDir)(
+      spark.range(0).select(col("id").as(idCol), lit("").as("gate")))
 
   /** Resumable LM-ingest drain over a staged source directory (shared
     * checkpoint across calls — a re-drain processes only files staged
@@ -392,7 +421,7 @@ object StreamingIndexIngest {
     runGateVecStream(spark, srcDir, sinkDir,
       s"$workDir/ckpt_${System.nanoTime()}", exactTable, srpTable,
       ivfTable, autoCompactAppends)
-    spark.read.parquet(sinkDir).orderBy("vec_id")
+    readGateSink(spark, sinkDir, idCol = "vec_id").orderBy("vec_id")
   }
 
   /** The two staged batch frames [[runGateVec]] streams. Per class, one
@@ -462,29 +491,42 @@ object StreamingIndexIngest {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // same check → guarded-sink → append ordering as the text
-        // gate, and the same session-coherence rule: probe and append
-        // through batch.sparkSession so the clone's relation cache
-        // sees its own appends.
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same manifest protocol and append ordering as the text gate
+        // (exact-vec LAST behind its self-probe guard), and the same
+        // session-coherence rule: probe and append through
+        // batch.sparkSession so the clone's relation cache sees its
+        // own appends.
         val bs = batch.sparkSession
-        val (accepted, decisions) = IndexStore.dedupIngestGateVecCheck(
-          bs, batch, exactTable, srpTable, threshold = 0.9999,
-          ivfTable = Some(ivfTable), ivfThreshold = 0.999)
-        val rows = decisions
-          .unionByName(accepted.select(col("vec_id"),
-            lit("accepted").as("gate")))
-        val fresh = (if (new java.io.File(sinkDir).exists)
-            rows.join(bs.read.parquet(sinkDir).select("vec_id"),
-              Seq("vec_id"), "left_anti")
-          else rows).localCheckpoint()
-        fresh.write.mode("append").parquet(sinkDir)
-        IndexStore.dedupIngestGateVecAppend(bs,
-          accepted.join(fresh.where(col("gate") === "accepted")
-            .select("vec_id"), Seq("vec_id"), "left_semi"),
-          exactTable, srpTable,
-          autoCompactAppends = autoCompactAppends,
-          ivfTable = Some(ivfTable))
+        if (!BatchManifest.committedIds(sinkDir).contains(batchId)) {
+          val (accepted, decisions) = IndexStore.dedupIngestGateVecCheck(
+            bs, batch, exactTable, srpTable, threshold = 0.9999,
+            ivfTable = Some(ivfTable), ivfThreshold = 0.999)
+          val acceptedP = accepted.localCheckpoint()
+          decisions
+            .unionByName(acceptedP.select(col("vec_id"),
+              lit("accepted").as("gate")))
+            .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+          val kfps = acceptedP.select(col("vec_id").as("query_id"),
+            IndexStore.vecFingerprint(col("vec")).as("fp"))
+          val alreadyIndexed = bs.table(s"${exactTable}_fps")
+            .select(col("vec_id").as("__ix_id"), col("fp"))
+            .join(kfps, "fp")
+            .where(col("__ix_id") === col("query_id"))
+            .select(col("query_id").as("vec_id"))
+          val toAppend = acceptedP
+            .join(alreadyIndexed, Seq("vec_id"), "left_anti")
+            .localCheckpoint() // three consumers below
+          IndexStore.appendSrpIndex(toAppend, srpTable)
+          IndexStore.appendIvfIndex(bs, toAppend, ivfTable)
+          IndexStore.appendExactVecIndex(toAppend, "vec_id", "vec",
+            exactTable)
+          IndexStore.autoCompact(bs, "srp", srpTable, autoCompactAppends)
+          IndexStore.autoCompact(bs, "ivf", ivfTable, autoCompactAppends)
+          IndexStore.autoCompact(bs, "exact", exactTable,
+            autoCompactAppends)
+          BatchManifest.commit(sinkDir, batchId)
+        }
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)

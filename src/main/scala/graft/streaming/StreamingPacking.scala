@@ -89,6 +89,11 @@ object StreamingPacking {
     val committed = committedBatches(sinkDir)
     if (committed.exists(_._1 == batchId)) return
     val binOffset = committed.map(_._2).sum
+    // Cross-batch duplicate arrivals drop against the committed sink's
+    // pruned item_id column — the StreamingShards note applies: a
+    // deployment whose source re-delivers at scale would gate on the
+    // persisted exact-fingerprint index instead; this anti-join is the
+    // id-keyed form of the same check.
     val existing = readSink(spark, sinkDir)
     val fresh = (if (committed.isEmpty) batch
       else batch.join(existing.select("item_id"), Seq("item_id"),

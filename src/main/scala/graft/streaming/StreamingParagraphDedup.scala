@@ -11,7 +11,11 @@ import graft.operators.IndexStore
   * once): each micro-batch's lines are checked within the batch
   * (first-occurrence keeper) and against the PERSISTED line-fingerprint
   * index of every earlier batch; surviving lines append to the index,
-  * cleaned documents append to the sink.
+  * cleaned documents land in per-batch sink directories under the
+  * [[StreamingPacking]] manifest protocol (atomic commits, replay a
+  * zero-history-read no-op, the index append guarded by a bucket-local
+  * self-probe so fingerprints stay exactly-once even when a crash
+  * lands between the append and the manifest).
   *
   * The line index REUSES the exact IndexStore kind wholesale — a line
   * is just a tiny document keyed by its (doc, line) position — so the
@@ -54,8 +58,8 @@ object StreamingParagraphDedup {
       .head.toLong
     val q = spark.readStream.schema(corpus.schema).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, table, s"$workDir/sink")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, table, s"$workDir/sink")
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
@@ -66,16 +70,25 @@ object StreamingParagraphDedup {
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(s"$workDir/sink").orderBy("doc_id")
+    readSink(spark, s"$workDir/sink").orderBy("doc_id")
   }
+
+  /** The committed cleaned sink; uncommitted partials invisible. */
+  def readSink(spark: SparkSession, sinkDir: String): DataFrame =
+    BatchManifest.readCommitted(spark, sinkDir)(
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_kept"), lit("").as("clean_text")))
 
   /** One micro-batch: explode lines → within-batch first-occurrence
     * keeper (groupBy+join, never a hash window) → cross-batch probe of
     * the line index (self-id filtered, so replays after a completed
-    * append re-derive the same decisions) → guarded sink append →
-    * index append. Exposed for the drills in StreamingSpec. */
-  def dedupBatch(batch: DataFrame, table: String, sinkDir: String): Unit = {
+    * append re-derive the same decisions) → per-batch directory write →
+    * self-probe-guarded index append → atomic manifest commit. Exposed
+    * for the drills in StreamingSpec. */
+  def dedupBatch(batch: DataFrame, batchId: Long, table: String,
+      sinkDir: String): Unit = {
     val spark = batch.sparkSession // session coherence (StreamingCuration)
+    if (BatchManifest.committedIds(sinkDir).contains(batchId)) return
     val paras = batch.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("para_idx", "para")))
       .withColumn("pid", col("doc_id") * 1000000L + col("para_idx"))
@@ -92,21 +105,26 @@ object StreamingParagraphDedup {
     val keptLines = withinFirst
       .join(crossSeen, Seq("pid"), "left_anti")
       .localCheckpoint()
-    val cleaned = keptLines.groupBy("doc_id")
+    keptLines.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws("\n", transform(
           array_sort(collect_list(struct(col("para_idx"), col("para")))),
           s => s.getField("para"))).as("clean_text"))
-    val fresh = (if (new java.io.File(sinkDir).exists)
-        cleaned.join(spark.read.parquet(sinkDir).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else cleaned).localCheckpoint()
-    fresh.write.mode("append").parquet(sinkDir)
+      .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+    // line-index append guarded by the bucket-local self-probe: a
+    // crashed replay whose append already ran must not double-add
+    val kfps = keptLines.select(col("pid").as("query_id"),
+      IndexStore.exactFingerprint(col("para")).as("fp"))
+    val alreadyIndexed = spark.table(s"${table}_fps")
+      .select(col("pid").as("__ix_id"), col("fp"))
+      .join(kfps, "fp")
+      .where(col("__ix_id") === col("query_id"))
+      .select(col("query_id").as("pid"))
     IndexStore.appendExactIndex(
-      keptLines.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+      keptLines.join(alreadyIndexed, Seq("pid"), "left_anti")
         .select("pid", "para"),
       "pid", "para", table)
     IndexStore.autoCompact(spark, "exact", table)
-    (): Unit
+    BatchManifest.commit(sinkDir, batchId)
   }
 }

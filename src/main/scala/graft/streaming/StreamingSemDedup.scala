@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,20 +86,12 @@ object StreamingSemDedup {
     readKept(spark, workDir).orderBy("vec_id")
   }
 
-  /** Committed batch ids, smallest first (one empty marker file per
-    * batch — driver-side O(#batches), never a store scan). */
-  private def committedIds(workDir: String): Seq[Long] = {
-    val dir = new File(s"$workDir/_manifest")
-    if (!dir.exists) Seq.empty
-    else dir.listFiles().toSeq
-      .filter(f => f.isFile && f.getName.forall(_.isDigit))
-      .map(_.getName.toLong).sorted
-  }
-
   /** The committed accepted sink — (vec_id, cluster_id); uncommitted
-    * partial batch directories are invisible. */
+    * partial batch directories are invisible. (The manifest lives at
+    * the workDir root because one commit covers BOTH stores.) */
   def readKept(spark: SparkSession, workDir: String): DataFrame = {
-    val dirs = committedIds(workDir).map(id => s"$workDir/kept/b$id")
+    val dirs = BatchManifest.committedIds(workDir)
+      .map(id => s"$workDir/kept/b$id")
     if (dirs.isEmpty)
       spark.range(0).select(col("id").as("vec_id"),
         col("id").cast("int").as("cluster_id"))
@@ -119,7 +107,7 @@ object StreamingSemDedup {
       centroids: Seq[(Int, Seq[Double])], threshold: Double,
       workDir: String): Unit = {
     val spark = batch.sparkSession // session coherence (StreamingCuration)
-    val committed = committedIds(workDir)
+    val committed = BatchManifest.committedIds(workDir)
     if (committed.contains(batchId)) return
     val assigned = IvfIndex.withClusterId(batch, centroids, "vec")
       .localCheckpoint()
@@ -167,11 +155,6 @@ object StreamingSemDedup {
       .parquet(s"$workDir/seen/b$batchId")
     // manifest commit LAST (atomic rename): both directories become
     // visible together or not at all
-    new File(s"$workDir/_manifest").mkdirs()
-    val tmp = Paths.get(s"$workDir/_manifest/.tmp-$batchId")
-    Files.write(tmp, "".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$workDir/_manifest/$batchId"),
-      StandardCopyOption.ATOMIC_MOVE)
-    (): Unit
+    BatchManifest.commit(workDir, batchId)
   }
 }

@@ -227,12 +227,12 @@ class StreamingSpec extends SparkSpec {
 
     StreamingIndexIngest.stageBatchFile(b1, work, src, "b1")
     drain()
-    assert(spark.read.parquet(sink).count() == b1.count(),
+    assert(StreamingIndexIngest.readGateSink(spark, sink).count() == b1.count(),
       "first drain must decide exactly the first staged batch")
 
     StreamingIndexIngest.stageBatchFile(b2, work, src, "b2")
     drain() // restart on the SAME checkpoint
-    val fin = spark.read.parquet(sink)
+    val fin = StreamingIndexIngest.readGateSink(spark, sink)
     assert(fin.count() == b1.count() + b2.count(),
       "a resumed gate stream must gate only the new file — a re-gated " +
         "committed batch would append duplicate decision rows")
@@ -283,7 +283,8 @@ class StreamingSpec extends SparkSpec {
     StreamingIndexIngest.stageBatchFile(
       copyOf(a, 1000000).unionByName(copyOf(b, 2000000)), work, src, "b1")
     drain()
-    assert(spark.read.parquet(sink).where($"gate" =!= "exact").count() == 0,
+    assert(StreamingIndexIngest.readGateSink(spark, sink)
+      .where($"gate" =!= "exact").count() == 0,
       "pre-take-down, both byte-copies must cut at the exact gate")
 
     IndexStore.deleteFromGateIndexes(spark, Seq(a).toDF("doc_id"),
@@ -292,7 +293,7 @@ class StreamingSpec extends SparkSpec {
     StreamingIndexIngest.stageBatchFile(
       copyOf(a, 3000000).unionByName(copyOf(b, 4000000)), work, src, "b2")
     drain() // SAME checkpoint — only the new file is gated
-    val fin = spark.read.parquet(sink)
+    val fin = StreamingIndexIngest.readGateSink(spark, sink)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fin(a + 3000000) == "accepted",
       "a taken-down doc must stop gating the stream's next batch")
@@ -380,12 +381,12 @@ class StreamingSpec extends SparkSpec {
 
     StreamingIndexIngest.stageBatchFile(b1, work, src, "b1")
     drain()
-    assert(spark.read.parquet(sink).count() == b1.count(),
+    assert(StreamingIndexIngest.readGateSink(spark, sink).count() == b1.count(),
       "first drain must decide exactly the first staged batch")
 
     StreamingIndexIngest.stageBatchFile(b2, work, src, "b2")
     drain() // restart on the SAME checkpoint
-    val fin = spark.read.parquet(sink)
+    val fin = StreamingIndexIngest.readGateSink(spark, sink)
     assert(fin.count() == b1.count() + b2.count(),
       "a resumed vec-gate stream must gate only the new file")
     // b2's sign-flips were accepted and appended; had b2 been re-gated
@@ -393,7 +394,8 @@ class StreamingSpec extends SparkSpec {
     // themselves. Drain a third time with nothing new staged: the sink
     // must not grow.
     drain()
-    assert(spark.read.parquet(sink).count() == b1.count() + b2.count(),
+    assert(StreamingIndexIngest.readGateSink(spark, sink).count()
+      == b1.count() + b2.count(),
       "an idle resume must not re-gate or re-append anything")
     val flips = fin.where($"vec_id" >= 830000 && $"vec_id" < 840000)
     assert(flips.count() > 0)
@@ -632,21 +634,31 @@ class StreamingSpec extends SparkSpec {
     val sink = s"/tmp/graft_ccr/$tag/sink"
     // LM gate wide open for the drill — the replay guard is under test
     val b0 = docs.where($"doc_id" % 10 === 8 && $"doc_id" < 300)
-    StreamingCuration.curateBatch(b0, model, Long.MaxValue, table, sink)
-    val n1 = spark.read.parquet(sink).count()
+    StreamingCuration.curateBatch(b0, 0L, model, Long.MaxValue, table, sink)
+    val n1 = StreamingCuration.readSink(spark, sink).count()
+    val idx1 = spark.table(s"${table}_fps").count()
     assert(n1 > 0)
-    // crash-replay of the SAME batch (checkpoint never committed):
-    // probe-before-append recomputes the same accepted set and the
-    // sink anti-join must deal no new rows
-    StreamingCuration.curateBatch(b0, model, Long.MaxValue, table, sink)
-    assert(spark.read.parquet(sink).count() == n1)
+    // crash-replay of the SAME, already-committed batch: the manifest
+    // makes it a no-op — no sink rows, no index growth
+    StreamingCuration.curateBatch(b0, 0L, model, Long.MaxValue, table, sink)
+    assert(StreamingCuration.readSink(spark, sink).count() == n1)
+    assert(spark.table(s"${table}_fps").count() == idx1)
+    // an UNCOMMITTED replay whose index append already ran: delete the
+    // manifest entry — the batch re-derives the identical accepted set
+    // (probes self-id-filter) and the self-probe guard keeps the
+    // fingerprint table exactly-once
+    assert(new java.io.File(s"$sink/_manifest/0").delete())
+    StreamingCuration.curateBatch(b0, 0L, model, Long.MaxValue, table, sink)
+    assert(StreamingCuration.readSink(spark, sink).count() == n1)
+    assert(spark.table(s"${table}_fps").count() == idx1,
+      "a replayed index append must not double-add fingerprints")
     // a LATER batch duplicating accepted docs is cut by the index
     val dupBatch = b0.limit(3)
       .select(($"doc_id" + 500000).as("doc_id"),
         concat(lit(" "), $"text").as("text"))
-    StreamingCuration.curateBatch(dupBatch, model, Long.MaxValue,
+    StreamingCuration.curateBatch(dupBatch, 1L, model, Long.MaxValue,
       table, sink)
-    assert(spark.read.parquet(sink).count() == n1)
+    assert(StreamingCuration.readSink(spark, sink).count() == n1)
   }
 
   test("streaming shards: a replayed micro-batch is idempotent, a resumed deal continues") {
@@ -950,13 +962,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch,
       s"stream/batch diverge on ${((out diff batch) ++ (batch diff out)).take(3)}")
     assert(out.count(_._3.contains("Subscribe to our newsletter")) == 1)
-    // replay drill: re-running the final range batch appends nothing
+    // replay drill: re-running the final, committed range batch is a
+    // manifest-detected no-op; an UNCOMMITTED replay (manifest entry
+    // deleted) re-derives identical rows and the self-probe keeps the
+    // line index exactly-once
     val median = corpus.stat.approxQuantile("doc_id", Array(0.5), 0.0)
       .head.toLong
-    val before = spark.read.parquet(s"$work/sink").count()
-    StreamingParagraphDedup.dedupBatch(
-      corpus.where($"doc_id" > median), "graft_t_spd", s"$work/sink")
-    assert(spark.read.parquet(s"$work/sink").count() == before)
+    val sink = s"$work/sink"
+    val before = StreamingParagraphDedup.readSink(spark, sink).count()
+    val idx1 = spark.table("graft_t_spd_fps").count()
+    val b1 = corpus.where($"doc_id" > median)
+    StreamingParagraphDedup.dedupBatch(b1, 1L, "graft_t_spd", sink)
+    assert(StreamingParagraphDedup.readSink(spark, sink).count() == before)
+    assert(spark.table("graft_t_spd_fps").count() == idx1)
+    assert(new java.io.File(s"$sink/_manifest/1").delete())
+    StreamingParagraphDedup.dedupBatch(b1, 1L, "graft_t_spd", sink)
+    val replayed = StreamingParagraphDedup.readSink(spark, sink)
+      .as[(Long, Long, String)].collect().toSet
+    assert(replayed == out, "uncommitted replay must rebuild identically")
+    assert(spark.table("graft_t_spd_fps").count() == idx1,
+      "a replayed index append must not double-add line fingerprints")
   }
 
   test("streamed probe: equals the one-shot fit; replayed moment rows are idempotent") {
