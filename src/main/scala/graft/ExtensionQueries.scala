@@ -365,7 +365,7 @@ object ExtensionQueries {
     * (ext_crossdoc_spans / ext_crossdoc_clean): tokenize, emit 8-gram
     * starts, flag shingles in ≥2 distinct docs, expand to extents —
     * mirrors [[graft.operators.SpanDedup]] stage for stage. */
-  private val crossDocCtes: String =
+  private val crossDocBaseCtes: String =
     """WITH tok AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -376,11 +376,26 @@ object ExtensionQueries {
       |    array_to_string(t[i:i+7], ' ') AS s
       |  FROM tok, unnest(range(1, len(t) - 6)) AS r(i)
       |  WHERE len(t) >= 8),
-      |hot AS (
+      |""".stripMargin
+
+  private val crossDocCtes: String = crossDocBaseCtes +
+    """hot AS (
       |  SELECT s FROM st GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
       |fl AS (
       |  SELECT st.doc_id, st.s0, st.s0 + 7 AS e0
       |  FROM st JOIN hot ON st.s = hot.s),
+      |""".stripMargin
+
+  /** Keep-one variant: the globally-FIRST occurrence (min encoded
+    * (doc_id, start)) of each hot shingle is exempt from flagging. */
+  private val crossDocKeepOneCtes: String = crossDocBaseCtes +
+    """hotk AS (
+      |  SELECT s, min(doc_id * 1000000 + s0) AS kk
+      |  FROM st GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |fl AS (
+      |  SELECT st.doc_id, st.s0, st.s0 + 7 AS e0
+      |  FROM st JOIN hotk ON st.s = hotk.s
+      |  WHERE st.doc_id * 1000000 + st.s0 <> hotk.kk),
       |""".stripMargin
 
   /** The span-merge tail shared by every crossdoc span oracle (inline,
@@ -2447,6 +2462,19 @@ object ExtensionQueries {
       (s, dir) => graft.operators.SpanDedup
         .cleanedDocs(load(s, dir, "documents").select("doc_id", "text"))
         .orderBy("doc_id")),
+
+    // The paper's stated dedup semantic — remove all but ONE occurrence
+    // of each duplicated substring: the globally-first (min (doc_id,
+    // start), long-encoded identically on both engines) occurrence per
+    // hot shingle is exempt, so one copy of every repeated run
+    // survives. Same plan shape as ext_crossdoc_spans plus a min()
+    // riding the existing hot-shingle aggregate — no extra pass.
+    QueryDef("ext_crossdoc_keepone",
+      Some(crossDocKeepOneCtes + crossDocSpanSelect),
+      (s, dir) => graft.operators.SpanDedup
+        .removalSpansKeepFirst(
+          load(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id", "span_start")),
 
     // The shingle document-frequency counts PERSISTED as the ninth
     // IndexStore kind (third holding model state): build once, serve

@@ -273,6 +273,18 @@ object ScaleRehearsal {
       println(f"""{"q":"bestfit_packing_lifecycle","scale":$scale,""" +
         f""""bins":$nBins,"sec":$secBf%.2f}""")
 
+      // cross-doc span-removal lifecycle (ExactSubstr k-gram cover):
+      // positional shingle explode → hot-shingle count-distinct →
+      // flag join → per-doc interval merge. Disjoint-vocabulary
+      // replicas keep each replica's repeats identical to the base
+      // corpus's, so flagged spans scale linearly and the slope
+      // measures the shingle-keyed shuffle + join.
+      val tcd = System.nanoTime()
+      val nSpans = graft.operators.SpanDedup.removalSpans(corpus).count()
+      val secCd = (System.nanoTime() - tcd) / 1e9
+      println(f"""{"q":"crossdoc_span_lifecycle","scale":$scale,""" +
+        f""""spans":$nSpans,"sec":$secCd%.2f}""")
+
       // Full corpus-build lifecycle (curation → dedup → decon →
       // budget-mix → chunk → pack → shard). Replicas here append ONE
       // replica-tag token instead of rewriting the vocabulary — the

@@ -80,6 +80,31 @@ object SpanDedup {
         (col("start") + (k - 1)).as("end")))
   }
 
+  /** The KEEP-ONE form (the paper's stated semantic: "remove all but
+    * one occurrence of each duplicated substring"): per hot shingle,
+    * the globally-FIRST occurrence — min (doc_id, start), encoded as
+    * `doc_id·10⁶ + start` exactly as the oracle replays it — is exempt
+    * from flagging, so one copy of every repeated run survives where
+    * [[removalSpans]] cuts them all. Exemption is shingle-granular: a
+    * keeper occurrence can still lose FLANKING tokens to overlapping
+    * hot shingles whose own keepers live elsewhere — inherent to the
+    * k-gram cover (the suffix-array tool has the same edge at run
+    * boundaries). */
+  def removalSpansKeepFirst(docs: DataFrame, k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val starts = Ops.checkpointKeepPartitioning(
+      shingleStarts(docs, k))
+    val hot = starts.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("__nd"),
+        min(col("doc_id") * 1000000L + col("start")).as("__kk"))
+      .where(col("__nd") >= minDocs)
+      .select("s", "__kk")
+    mergeExtents(starts.join(hot, "s")
+      .where(col("doc_id") * 1000000L + col("start") =!= col("__kk"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + (k - 1)).as("end")))
+  }
+
   /** Spans of `docs` flagged against an EXTERNAL hot-shingle set —
     * the serving half of [[removalSpans]], reused by the persisted
     * document-frequency index ([[IndexStore.removalSpansFromIndex]])

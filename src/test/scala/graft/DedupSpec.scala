@@ -678,6 +678,15 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 8L, 8L), (5L, 2L, 17L, 16L)),
       s"got $spans")
 
+    // keep-one: the globally-first occurrence (doc 1, start 4) is
+    // exempt; every other copy still cuts, merges included
+    val keepOne = SpanDedup.removalSpansKeepFirst(corpus, k = 8,
+        minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(keepOne == Seq((2L, 2L, 9L, 8L),
+      (3L, 1L, 8L, 8L), (5L, 2L, 17L, 16L)),
+      s"got $keepOne")
+
     // the transform form: spans cut in place, clean docs pass whole
     val cleaned = SpanDedup.cleanedDocs(corpus, k = 8, minDocs = 2)
       .as[(Long, Long, Long, String)].collect().sorted.toSeq
