@@ -536,6 +536,52 @@ object ExtensionQueries {
     * every third plant carries a ×1.001 copy of its predecessor's
     * vector — a guaranteed within-cluster cosine-1.0 near-dup whose
     * larger id must cut at `semdedup`. */
+  /** The ExactSubstr span-clean stage CTEs (between decon and the
+    * mixer): cross-doc repeated 8-gram extents measured WITHIN the
+    * post-decon survivors, cut from every doc (the ext_crossdoc_clean
+    * kernel over `surv`); docs whose every token is covered cut at
+    * `spancut`, the rest flow on with the CLEANED canonical text —
+    * the budget mixer, chunker, and packer all count post-clean
+    * tokens. */
+  private def spanCleanStageCtes: String =
+    """sct AS (
+      |  SELECT s.doc_id, s.source,
+      |    list_filter(string_split_regex(trim(lower(s.text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM surv s),
+      |sst AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS s0,
+      |    array_to_string(t[i:i+7], ' ') AS s
+      |  FROM sct, unnest(range(1, len(t) - 6)) AS r(i)
+      |  WHERE len(t) >= 8),
+      |shot AS (
+      |  SELECT s FROM sst GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |sfl AS (
+      |  SELECT sst.doc_id, sst.s0, sst.s0 + 7 AS e0
+      |  FROM sst JOIN shot ON sst.s = shot.s),
+      |spos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+      |  FROM sct, unnest(range(1, len(t) + 1)) AS r(i)),
+      |scov AS (
+      |  SELECT DISTINCT spos.doc_id, spos.p
+      |  FROM spos JOIN sfl ON spos.doc_id = sfl.doc_id
+      |    AND spos.p BETWEEN sfl.s0 AND sfl.e0),
+      |skp AS (
+      |  SELECT spos.doc_id, spos.p, spos.tok
+      |  FROM spos LEFT JOIN scov ON spos.doc_id = scov.doc_id
+      |    AND spos.p = scov.p
+      |  WHERE scov.p IS NULL),
+      |skc AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS ct
+      |  FROM skp GROUP BY doc_id),
+      |spancut AS (
+      |  SELECT sct.doc_id FROM sct LEFT JOIN skc ON sct.doc_id = skc.doc_id
+      |  WHERE coalesce(skc.n_kept, 0) = 0),
+      |spansurv AS (
+      |  SELECT sct.doc_id, sct.source, skc.ct AS text
+      |  FROM sct JOIN skc ON sct.doc_id = skc.doc_id),""".stripMargin
+
   private def d4StageCtes: String =
     s"""embv AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -615,8 +661,13 @@ object ExtensionQueries {
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
       withDsir: Boolean = false,
-      withD4: Boolean = false): String = {
-    val selSrc = if (withD4) "d4surv" else "surv"
+      withD4: Boolean = false,
+      withSpanClean: Boolean = false,
+      budgetDiv: Int = 1): String = {
+    require(!(withD4 && withSpanClean),
+      "the oracle chains spanclean XOR the D4 stages") // Scala composes both
+    val selSrc = if (withD4) "d4surv"
+      else if (withSpanClean) "spansurv" else "surv"
     val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
       s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
     }.mkString(",\n       ")
@@ -624,7 +675,7 @@ object ExtensionQueries {
     val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
     val values = sourceTokenBudgets
-      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      .map { case (src, b) => s"('$src', ${b / budgetDiv})" }.mkString(", ")
     val structured =
       """'- item one' || chr(10) || '- item two' || chr(10) || text ||
         |    ' to of and that have with.' || chr(10) ||
@@ -726,7 +777,8 @@ object ExtensionQueries {
        |  SELECT c.doc_id, c.source, c.text
        |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
-       |${if (withD4) d4StageCtes + "\n" else ""}${
+       |${if (withSpanClean) spanCleanStageCtes + "\n" else ""}${
+          if (withD4) d4StageCtes + "\n" else ""}${
           if (withDsir) dsirStageCtes(selSrc)
           else s"mixin AS (SELECT doc_id, source, text FROM $selSrc),"}
        |bt AS (
@@ -2772,6 +2824,34 @@ object ExtensionQueries {
           |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
+
+    // The capstone WITH the ExactSubstr span-clean stage: cross-doc
+    // repeated extents measured within the post-decon survivors are
+    // cut from every doc, a fully-covered doc cuts at 'spanclean'
+    // (drilled with planted sub-documents in CorpusBuildSpec — the
+    // fixture's organic repeats only TRIM), and the mixer budgets the
+    // CLEANED token counts. Budgets run at a QUARTER of the standard
+    // fixture's so the trimmed counts are decision-relevant — the
+    // budget verdicts in the hash flip if the stage miscounts by even
+    // one token. One hash over curation → dedup → decon → span-clean
+    // → budget.
+    QueryDef("ext_corpus_build_spanclean",
+      Some(corpusBuildCtes(withSpanClean = true, budgetDiv = 4) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM spancut) THEN 'spanclean'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        graft.operators.CorpusBuild.build(corpus, evals,
+            budgets.select(col("source"),
+              (col("budget") / 4).cast("long").as("budget")),
+            spanCleanK = Some(8))
+          .attribution.orderBy("doc_id")
+      }),
 
     // The capstone WITH the D4 embedding stages (SemDeDup → prototype
     // prune between decon and mixing): the planted ×1.001 vector

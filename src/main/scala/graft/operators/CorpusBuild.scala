@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   * holds an O(corpus) structure on the driver.
   *
   * Cut attribution is FIRST-CUT, in pipeline order: `lang`, `c4_page`,
-  * `gopher`, `dedup`, `decon`, (`semdedup`, `proto` when the D4
-  * embedding stages are set,) (`dsir` when a selection target is
-  * set,) `budget`, `kept` — each surviving doc carries `kept`, every
-  * other doc names the stage that removed it (the dedupIngestGate
-  * convention, extended across the composition).
+  * `gopher`, `dedup`, `decon`, (`spanclean` when the ExactSubstr
+  * stage is set,) (`semdedup`, `proto` when the D4 embedding stages
+  * are set,) (`dsir` when a selection target is set,) `budget`,
+  * `kept` — each surviving doc carries `kept`, every other doc names
+  * the stage that removed it (the dedupIngestGate convention,
+  * extended across the composition).
   */
 object CorpusBuild {
 
@@ -80,12 +81,23 @@ object CorpusBuild {
     *                 decontamination and DSIR/mixing — SemDeDup
     *                 (`semdedup`) then prototype pruning (`proto`);
     *                 see [[EmbeddingStages]]
+    * @param spanCleanK when set, the ExactSubstr span-clean stage
+    *                 ([[SpanDedup.cleanedDocs]] at k-gram size
+    *                 `spanCleanK`) runs FIRST after decontamination:
+    *                 cross-doc repeated extents measured within the
+    *                 survivors are cut from every doc, a doc whose
+    *                 whole text is covered cuts at `spanclean`, and
+    *                 every downstream stage — DSIR features, the
+    *                 budget mixer's token counts, chunking, packing,
+    *                 the release packs — reads the CLEANED canonical
+    *                 (lowercased, whitespace-normalized) text
     */
   def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
       contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
       packTokens: Int = 512, packsPerShard: Int = 4,
       dsirTarget: Option[String] = None,
-      embedStages: Option[EmbeddingStages] = None): Result = {
+      embedStages: Option[EmbeddingStages] = None,
+      spanCleanK: Option[Int] = None): Result = {
     require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
 
     // ── curation + exact dedup (first-cut attribution inside) ──────
@@ -102,7 +114,31 @@ object CorpusBuild {
       .where(col("n_shared") >= contamThreshold)
       .select("doc_id")
       .localCheckpoint()
-    val cleanAll = curated.join(contamIds, Seq("doc_id"), "left_anti")
+    val cleanPreSpan = curated.join(contamIds, Seq("doc_id"), "left_anti")
+
+    // ── optional ExactSubstr span-clean (first after decon): repeats
+    //    are measured WITHIN the survivors (the corpus a release would
+    //    ship), covered extents cut in place, fully-covered docs cut
+    //    at `spanclean`. The survivor frame is pinned first — the
+    //    cleaner consumes it for the shingle pass AND the text
+    //    rewrite join, and the curation+decon chain above must not
+    //    run once per consumer. ────────────────────────────────────
+    val (cleanAll, spanCutIds) = spanCleanK match {
+      case None => (cleanPreSpan, None)
+      case Some(k) =>
+        val base = Ops.checkpointKeepPartitioning(
+          cleanPreSpan.select("doc_id", "text", "source"), eager = true)
+        val cleaned = Ops.checkpointKeepPartitioning(
+          SpanDedup.cleanedDocs(base.select("doc_id", "text"), k))
+        val cut = cleaned
+          .where(col("n_before") - col("n_removed") === 0)
+          .select("doc_id").localCheckpoint()
+        val rewritten = base.select("doc_id", "source")
+          .join(cleaned.where(col("n_before") - col("n_removed") > 0)
+            .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+          .select("doc_id", "text", "source")
+        (rewritten, Some(cut))
+    }
 
     // ── optional D4 embedding stages (between decon and selection):
     //    SemDeDup cuts the larger-id member of every within-cluster
@@ -207,6 +243,9 @@ object CorpusBuild {
     val attribution = staged.where(col("cut_stage") =!= "kept")
       .unionByName(contamIds.select(col("doc_id"),
         lit("decon").as("cut_stage")))
+      .unionByName(spanCutIds.fold(
+        contamIds.where(lit(false)))(identity)
+        .select(col("doc_id"), lit("spanclean").as("cut_stage")))
       .unionByName(semCutIds.fold(
         contamIds.where(lit(false)))(identity) // no stage → empty slice
         .select(col("doc_id"), lit("semdedup").as("cut_stage")))

@@ -266,4 +266,80 @@ class CorpusBuildSpec extends SparkSpec {
       "a doc with no vector (or a degenerate one) was cut by an embedding gate")
   }
 
+  test("spanclean-staged build: insertion accounting, cleaned tokens drive the budget") {
+    import graft.operators.SpanDedup
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val plain = att
+    val res = CorpusBuild.build(corpus, evals, budgets,
+      spanCleanK = Some(8))
+    val sc = res.attribution.localCheckpoint()
+    // totality + function
+    assert(sc.count() == plain.count())
+    assert(sc.select("doc_id").distinct().count() == plain.count())
+    // pure insertion after decon: pre-spanclean verdicts unchanged,
+    // the stage fires, and whoever it cut was a plain-build mixer
+    // candidate
+    val pre = Seq("lang", "c4_page", "gopher", "dedup", "decon")
+    val joined = plain.select($"doc_id", $"cut_stage".as("plain"))
+      .join(sc.select($"doc_id", $"cut_stage".as("gated")), "doc_id")
+      .localCheckpoint()
+    assert(joined.where($"plain".isin(pre: _*) && $"gated" =!= $"plain")
+      .count() == 0, "a pre-spanclean verdict changed under the build")
+    assert(joined.where($"gated" === "spanclean" &&
+      !$"plain".isin("kept", "budget")).count() == 0,
+      "spanclean cut a doc that was not a mixer candidate")
+    // the stage visibly CUT tokens from boilerplate-sharing survivors
+    // even when no doc was fully covered (sf0.001 has none)
+    val plainKept = plain.where($"cut_stage".isin("kept", "budget"))
+      .select("doc_id")
+    assert(SpanDedup.cleanedDocs(
+        corpus.join(plainKept, "doc_id").select("doc_id", "text"), k = 8)
+      .where($"n_removed" > 0).count() > 0,
+      "no mixer candidate lost a repeated span")
+
+    // full-coverage drill: plant a doc that IS a sub-document of a
+    // larger plant (distinct fingerprints, both clear curation) — the
+    // contained doc's every 8-gram repeats in its container, so it
+    // must cut at the NEW stage while the container merely loses the
+    // shared run and keeps its unique tail
+    val passage = "the ancient library stood near the river and held " +
+      "many thousand books about science history and art travelers " +
+      "came from distant towns to read them each morning the keeper " +
+      "opened heavy doors and greeted every visitor with quiet warmth " +
+      "scholars spent long hours copying notes while students studied " +
+      "maps charts and letters from faraway lands"
+    val plants = Seq(
+      (900001L, passage, "src0"),
+      (900002L, passage + " plus uncommon trailing tokens appended here",
+        "src0")).toDF("doc_id", "text", "source")
+    val att3 = CorpusBuild.build(corpus.unionByName(plants), evals,
+        budgets, spanCleanK = Some(8))
+      .attribution.where($"doc_id" >= 900000L)
+      .as[(Long, String)].collect().toMap
+    assert(att3(900001L) == "spanclean",
+      s"the fully-covered sub-document must cut at spanclean: $att3")
+    assert(att3(900002L) == "kept",
+      s"the container keeps its unique tail: $att3")
+    // survivors' text is the CLEANED canonical form: re-cleaning the
+    // survivor set against itself removes nothing new only for spans
+    // the first pass already cut — i.e. every survivor's token count
+    // matches the cleaner's post-clean count for that doc
+    val surv = res.survivors.localCheckpoint()
+    val recount = surv.select($"doc_id",
+      graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+        .as("n_now"))
+    // the build's survivors joined back to a fresh clean of the same
+    // post-decon frame must agree token-for-token
+    val pds = plain.where($"cut_stage".isin("kept", "budget"))
+      .select("doc_id")
+    val freshClean = SpanDedup.cleanedDocs(
+        corpus.join(pds, "doc_id").select("doc_id", "text"), k = 8)
+      .select($"doc_id",
+        ($"n_before" - $"n_removed").as("n_expected"))
+    assert(recount.join(freshClean, "doc_id")
+      .where($"n_now" =!= $"n_expected").count() == 0,
+      "survivor text is not the cleaner's output")
+  }
+
 }
