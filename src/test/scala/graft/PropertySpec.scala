@@ -239,4 +239,79 @@ class PropertySpec extends SparkSpec {
         s"segment $seg breaks the one-under-half-bin bound")
     }
   }
+
+  test("span dedup equals a brute-force reference over phrase-collage corpora") {
+    import graft.operators.SpanDedup
+    // docs are random collages from a phrase pool, so cross-doc
+    // repeats of every shape arise organically: whole-phrase shares,
+    // multi-phrase runs (adjacent merges), junction 8-grams unique to
+    // one doc, and sub-k phrases that must never flag
+    val phrases = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "red green blue", "cat dog",
+      "north south east west up down",
+      "pack my box with five dozen liquor jugs now",
+      "jump high run fast swim deep",
+      "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10",
+      "solo", "tiny pair",
+      "lorem tokens for testing only here",
+      "qq ww ee rr tt yy uu ii oo")
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 40).map { i =>
+      val nPh = 1 + rnd.nextInt(4)
+      (i.toLong,
+        Seq.fill(nPh)(phrases(rnd.nextInt(phrases.size))).mkString(" "))
+    }
+    val k = 8
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").toVector }.toMap
+    val occ = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.length - k)
+      occ.getOrElseUpdate(ts.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val coveredOf: Map[Long, Array[Boolean]] = toks.map { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (i <- 0 to ts.length - k
+           if occ(ts.slice(i, i + k).mkString(" ")).size >= 2;
+           j <- i until i + k) covered(j) = true
+      id -> covered
+    }
+    val expected = coveredOf.toSeq.flatMap { case (id, covered) =>
+      val spans =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var p = 0
+      while (p < covered.length) {
+        if (covered(p)) {
+          var q = p
+          while (q + 1 < covered.length && covered(q + 1)) q += 1
+          spans += ((id, (p + 1).toLong, (q + 1).toLong, (q - p + 1).toLong))
+          p = q + 1
+        } else p += 1
+      }
+      spans
+    }.sorted
+    val got = SpanDedup
+      .removalSpans(docs.toDF("doc_id", "text"), k = k, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      s"spans diverge from brute force: ${got.diff(expected).take(3)} vs " +
+        s"${expected.diff(got).take(3)}")
+    // the transform form: removal counts and the surviving token
+    // stream both equal the brute-force coverage, doc for doc
+    val cleaned = SpanDedup
+      .cleanedDocs(docs.toDF("doc_id", "text"), k = k)
+      .as[(Long, Long, Long, String)].collect()
+    assert(cleaned.length == docs.length)
+    cleaned.foreach { case (id, nb, nr, ct) =>
+      val ts = toks(id)
+      val covered = coveredOf(id)
+      assert(nb == ts.length, s"doc $id n_before")
+      assert(nr == covered.count(identity), s"doc $id n_removed")
+      val keptExpected = ts.indices.filterNot(covered).map(ts)
+      assert(ct.split(" ").filter(_.nonEmpty).toSeq == keptExpected,
+        s"doc $id cleaned stream diverges")
+    }
+  }
 }
