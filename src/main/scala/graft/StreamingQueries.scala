@@ -460,6 +460,45 @@ object StreamingQueries {
           .orderBy("bin_id")
       }),
 
+    // The streamed capstone WITH the ExactSubstr span-clean stage: the
+    // shingle-DF index (ninth persisted kind) is built batch-side over
+    // the reference corpus's POST-DECON survivors — so its hot set
+    // equals the batch ext_corpus_build_spanclean's measured-within-
+    // survivors set exactly — and every micro-batch's survivors clean
+    // against it between decon and the budget ledger, which counts
+    // CLEANED tokens (quarter budgets, the decision-relevance
+    // tightening). Same CTEs as the batch spanclean build with the
+    // budget window in ARRIVAL order.
+    QueryDef("sr23_streaming_corpus_spanclean",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          withSpanClean = true, budgetDiv = 4) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       WHEN a.doc_id IN (SELECT doc_id FROM spancut) THEN 'spanclean'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, budgets) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        val surv = graft.streaming.StreamingCorpusBuild
+          .postDeconSurvivors(corpus, evals, 10)
+        s.sql(s"DROP TABLE IF EXISTS graft_scbsp_${tag}_sdf")
+        graft.operators.IndexStore.buildSpanIndex(
+          surv.select("doc_id", "text"), "doc_id", "text",
+          s"graft_scbsp_$tag", s"/tmp/graft_scorpuss/$tag/sdfidx")
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals,
+          budgets.select(col("source"),
+            (col("budget") / 4).cast("long").as("budget")),
+          s"/tmp/graft_scorpuss/$tag", s"graft_scbs_$tag",
+          s"/tmp/graft_scorpuss/$tag/idx",
+          spanTable = Some(s"graft_scbsp_$tag"))
+      }),
+
     // The forever-sync emitting TRAINER-READY packs: the streamed
     // corpus build (sr12) chained into the streamed FFD packer (sr18)
     // inside one micro-batch transaction — each batch's KEPT docs pack

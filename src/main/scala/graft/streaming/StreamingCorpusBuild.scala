@@ -6,7 +6,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BestFitPacking, Contamination, Dsir, IndexStore, Ops, QualityRules}
+import graft.operators.{BestFitPacking, Contamination, Dsir, IndexStore, Ops, QualityRules, SpanDedup}
 
 /** The corpus-build composition run as a forever-sync — the streaming
   * twin of [[graft.operators.CorpusBuild]]: crawl micro-batches flow
@@ -59,15 +59,25 @@ object StreamingCorpusBuild {
   def postDeconSplit(corpus: DataFrame, evalDocs: DataFrame,
       contamThreshold: Int, targetSource: String)
       : (DataFrame, DataFrame) = {
+    val clean = postDeconSurvivors(corpus, evalDocs, contamThreshold)
+    (clean.where(col("source") === targetSource).select("doc_id", "text"),
+      clean.where(col("source") =!= targetSource).select("doc_id", "text"))
+  }
+
+  /** ALL post-decon survivors (doc_id, text, source) of the reference
+    * corpus — what the nightly batch job feeds the frozen model/index
+    * builds (the DSIR fit via [[postDeconSplit]]; the span-DF index
+    * for the sr23 cleaning stage, whose hot set must equal the batch
+    * capstone's measured-within-survivors set). */
+  def postDeconSurvivors(corpus: DataFrame, evalDocs: DataFrame,
+      contamThreshold: Int): DataFrame = {
     val staged = QualityRules.fineWebPipeline(corpus)
     val curated = corpus.join(
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
     val contam = Contamination
       .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
       .where(col("n_shared") >= contamThreshold).select("doc_id")
-    val clean = curated.join(contam, Seq("doc_id"), "left_anti")
-    (clean.where(col("source") === targetSource).select("doc_id", "text"),
-      clean.where(col("source") =!= targetSource).select("doc_id", "text"))
+    curated.join(contam, Seq("doc_id"), "left_anti")
   }
 
   /** Fits the stream's pinned model exactly as the batch capstone
@@ -110,7 +120,8 @@ object StreamingCorpusBuild {
       splits: Seq[Long] = Seq(300000L, 500000L, 600000L),
       contamThreshold: Int = 10,
       dsir: Option[PinnedDsir] = None,
-      packBinSize: Option[Long] = None): DataFrame = {
+      packBinSize: Option[Long] = None,
+      spanTable: Option[String] = None): DataFrame = {
     val srcDir = s"$workDir/src"
     val sinkDir = s"$workDir/sink"
     Seq(srcDir, sinkDir, s"$workDir/ckpt").foreach(d =>
@@ -131,7 +142,8 @@ object StreamingCorpusBuild {
       corpus.where(pred(col("doc_id")))
         .coalesce(1).write.mode("append").parquet(srcDir)
       runStream(spark, srcDir, sinkDir, s"$workDir/ckpt", table,
-        evalPinned, budgetsPinned, contamThreshold, dsir, packBinSize)
+        evalPinned, budgetsPinned, contamThreshold, dsir, packBinSize,
+        spanTable)
     }
     readSink(spark, sinkDir).select("doc_id", "cut_stage")
       .orderBy("doc_id")
@@ -145,14 +157,15 @@ object StreamingCorpusBuild {
       checkpointDir: String, table: String, evalDocs: DataFrame,
       budgets: DataFrame, contamThreshold: Int,
       dsir: Option[PinnedDsir] = None,
-      packBinSize: Option[Long] = None): Unit = {
+      packBinSize: Option[Long] = None,
+      spanTable: Option[String] = None): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, evalDocs, budgets, table, sinkDir,
-          contamThreshold, dsir, packBinSize)
+          contamThreshold, dsir, packBinSize, spanTable)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -229,7 +242,8 @@ object StreamingCorpusBuild {
   def curateBatch(batch: DataFrame, batchId: Long, evalDocs: DataFrame,
       budgets: DataFrame, table: String, sinkDir: String,
       contamThreshold: Int, dsir: Option[PinnedDsir] = None,
-      packBinSize: Option[Long] = None): Unit = {
+      packBinSize: Option[Long] = None,
+      spanTable: Option[String] = None): Unit = {
     val spark = batch.sparkSession // session coherence: see StreamingCuration
     val committed = committedEntries(sinkDir)
     // a replayed COMMITTED batch is a no-op — its decisions, rows, and
@@ -253,7 +267,33 @@ object StreamingCorpusBuild {
       .sharedShingleCounts(kept2.select("doc_id", "text"), evalDocs)
       .where(col("n_shared") >= contamThreshold).select("doc_id")
       .localCheckpoint()
-    val kept3all = kept2.join(contam, Seq("doc_id"), "left_anti")
+    val kept3pre = kept2.join(contam, Seq("doc_id"), "left_anti")
+    // optional frozen-reference span cleaning (first after decon,
+    // mirroring the batch capstone): the batch's survivors probe the
+    // PERSISTED shingle-DF index — built batch-side over the reference
+    // corpus's post-decon survivors, so the hot set equals the batch
+    // build's exactly — covered extents cut in place, fully-covered
+    // docs cut at 'spanclean', and the budget ledger counts CLEANED
+    // tokens. Per-batch work is O(batch): only the batch's shingles
+    // move against the bucketed index.
+    val (kept3all, spanCut, cleanedN) = spanTable match {
+      case None => (kept3pre, None, None)
+      case Some(t) =>
+        val cleaned = Ops.checkpointKeepPartitioning(
+          SpanDedup.cleanedDocsWith(kept3pre.select("doc_id", "text"),
+            IndexStore.removalSpansFromIndex(spark, t,
+              kept3pre.select("doc_id", "text"))))
+        val cut = cleaned
+          .where(col("n_before") - col("n_removed") === 0)
+          .select("doc_id").localCheckpoint()
+        val rewritten = kept3pre.select("doc_id", "source")
+          .join(cleaned.where(col("n_before") - col("n_removed") > 0)
+            .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+          .select("doc_id", "text", "source")
+        (rewritten, Some(cut),
+          Some(cleaned.select(col("doc_id"),
+            (col("n_before") - col("n_removed")).as("__cn"))))
+    }
     // optional DSIR selection against the PINNED model (between decon
     // and the budget gate, mirroring the batch capstone): raw-source
     // docs keep only on w_milli > 0; the target source passes its own
@@ -312,13 +352,23 @@ object StreamingCorpusBuild {
     // attribution rows for the whole batch, with (source, n) carried so
     // the sink doubles as the corpus ledger; pinned — three consumers
     // (the directory write, the spend delta, the index-append guard)
-    val meta = batch.select(col("doc_id"), col("source"),
+    val meta0 = batch.select(col("doc_id"), col("source"),
       graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
         .as("n"))
+    // with the span stage on, the sink's ledger column carries the
+    // CLEANED count for every doc the cleaner saw — the spend deltas
+    // must sum the tokens the mixer actually budgeted
+    val meta = cleanedN.fold(meta0)(cn =>
+      meta0.join(cn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("__cn"), col("n")).as("n")))
     val att = staged.where(col("cut_stage") =!= "kept")
       .unionByName(crossDup.select(col("doc_id"),
         lit("dedup").as("cut_stage")))
       .unionByName(contam.select(col("doc_id"), lit("decon").as("cut_stage")))
+      .unionByName(spanCut.fold(
+        contam.select("doc_id").where(lit(false)))(identity)
+        .select(col("doc_id"), lit("spanclean").as("cut_stage")))
       .unionByName(dsirCut.select(col("doc_id"),
         lit("dsir").as("cut_stage")))
       .unionByName(overBudget.select(col("doc_id"),

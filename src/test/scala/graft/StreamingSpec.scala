@@ -806,6 +806,51 @@ class StreamingSpec extends SparkSpec {
       "hidden_" + d.getName).renameTo(d)))
   }
 
+  test("streamed spanclean corpus build: totality; every non-budget verdict equals the batch stage") {
+    import graft.streaming.StreamingCorpusBuild
+    import graft.operators.{CorpusBuild, IndexStore}
+    val (corpus, evals, budgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val b4 = budgets.select($"source",
+      ($"budget" / 4).cast("long").as("budget"))
+    val surv = StreamingCorpusBuild.postDeconSurvivors(corpus, evals, 10)
+    spark.sql("DROP TABLE IF EXISTS graft_t_scbsp_sdf")
+    val work = s"/tmp/graft_scbs_spec/${System.nanoTime()}"
+    IndexStore.buildSpanIndex(surv.select("doc_id", "text"),
+      "doc_id", "text", "graft_t_scbsp", s"$work/sdfidx")
+    val out = StreamingCorpusBuild.run(spark, corpus, evals, b4,
+        work, "graft_t_scbs", s"$work/idx",
+        spanTable = Some("graft_t_scbsp"))
+      .localCheckpoint()
+    assert(out.count() == corpus.count())
+    assert(out.select("doc_id").distinct().count() == corpus.count())
+    // the frozen index was built over the SAME post-decon survivor set
+    // the batch capstone measures within, so every verdict except the
+    // budget partition (arrival vs hash spend order, by design) must
+    // equal the batch spanclean build's — spanclean cuts included
+    val batch = CorpusBuild.build(corpus, evals, b4, spanCleanK = Some(8))
+      .attribution
+    val j = out.select($"doc_id", $"cut_stage".as("streamed"))
+      .join(batch.select($"doc_id", $"cut_stage".as("batch")), "doc_id")
+      .localCheckpoint()
+    val mixerStages = Seq("kept", "budget")
+    assert(j.where($"streamed" =!= $"batch" &&
+        !($"streamed".isin(mixerStages: _*) &&
+          $"batch".isin(mixerStages: _*))).count() == 0,
+      "a non-budget verdict diverged between stream and batch")
+    // the cleaner visibly trimmed: kept docs' ledger n is below the
+    // raw token count for at least one boilerplate-sharing survivor
+    val sink = StreamingCorpusBuild.readSink(spark, s"$work/sink")
+      .where($"cut_stage" === "kept")
+      .join(corpus.select($"doc_id",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+          .as("raw_n")), "doc_id")
+    assert(sink.where($"n" < $"raw_n").count() > 0,
+      "no kept doc's ledger count reflects a trimmed span")
+    assert(sink.where($"n" > $"raw_n").count() == 0,
+      "a ledger count exceeds the raw token count")
+  }
+
   test("streamed corpus packs cover exactly the kept docs, FFD-valid; replay appends nothing") {
     import graft.streaming.StreamingCorpusBuild
     val (corpus, evals, budgets) =
