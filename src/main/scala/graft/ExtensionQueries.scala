@@ -2825,6 +2825,35 @@ object ExtensionQueries {
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
 
+    // The capstone's ATTRITION FUNNEL: per stage, documents and raw
+    // tokens cut (kept included, so the table totals to the input) —
+    // the first diagnostic anyone runs on a curation configuration.
+    // One join + one ≤9-row groupBy over the already-computed
+    // attribution.
+    QueryDef("ext_corpus_funnel",
+      Some(corpusBuildCtes() + ",\n" +
+        """alln AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n
+          |  FROM corpus),
+          |fatt AS (
+          |  SELECT a.doc_id,
+          |    CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |         WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |         ELSE fn.cut_stage END AS cut_stage
+          |  FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id)
+          |SELECT f.cut_stage, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n.n) AS BIGINT) AS n_tokens
+          |FROM fatt f JOIN alln n ON f.doc_id = n.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val (corpus, _, _) = corpusBuildFixture(s, dir)
+        graft.operators.CorpusBuild.funnel(
+            corpusBuildResult(s, dir).attribution, corpus)
+          .orderBy("cut_stage")
+      }),
+
     // The capstone WITH the ExactSubstr span-clean stage: cross-doc
     // repeated extents measured within the post-decon survivors are
     // cut from every doc, a fully-covered doc cuts at 'spanclean'

@@ -349,6 +349,19 @@ object CorpusBuild {
     spark.read.parquet(s"$outDir/datacard").orderBy("source")
   }
 
+  /** The ATTRITION FUNNEL — per pipeline stage, how many documents and
+    * how many (raw) tokens it cost: the one-table answer to "where did
+    * my corpus go", the first diagnostic anyone runs on a curation
+    * configuration (kept row included, so the table totals to the
+    * input corpus). One broadcast-free join on doc_id + one bounded
+    * groupBy — stage cardinality ≤ 9. */
+  def funnel(attribution: DataFrame, corpus: DataFrame): DataFrame =
+    attribution.join(corpus.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("__n")), "doc_id")
+      .groupBy("cut_stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+
   /** The per-shard packing-efficiency report (see [[release]]): chunk
     * starts re-derive from the manifest through the same 3-pass global
     * running sum the packer used (identical (doc_id, chunk_idx) order
