@@ -2515,6 +2515,66 @@ object ExtensionQueries {
         .cleanedDocs(load(s, dir, "documents").select("doc_id", "text"))
         .orderBy("doc_id")),
 
+    // Per-source repeated-span EXPOSURE report — the datacard slice the
+    // span-dedup decision reads: how much of each source sits inside
+    // cross-doc repeats (docs touched, tokens flagged, 1e-4-grid
+    // fraction). Rides the same merged spans as ext_crossdoc_spans;
+    // one bounded groupBy(source) on top.
+    QueryDef("ext_crossdoc_stats",
+      Some(crossDocCtes +
+        """m AS (
+          |  SELECT doc_id, s0, e0,
+          |    CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id
+          |        ORDER BY s0, e0
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          |      THEN 1 ELSE 0 END AS nw
+          |  FROM fl),
+          |sp AS (
+          |  SELECT doc_id, s0, e0,
+          |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s0, e0
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          |  FROM m),
+          |spd AS (
+          |  SELECT doc_id, grp, max(e0) - min(s0) + 1 AS stoks
+          |  FROM sp GROUP BY doc_id, grp),
+          |perdoc AS (
+          |  SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS fl2
+          |  FROM spd GROUP BY 1),
+          |base AS (
+          |  SELECT d.source, t.doc_id, CAST(len(t.t) AS BIGINT) AS n,
+          |    coalesce(p.fl2, 0) AS fl2
+          |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+          |  LEFT JOIN perdoc p ON t.doc_id = p.doc_id)
+          |SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN fl2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_docs_flagged,
+          |  CAST(sum(n) AS BIGINT) AS n_tokens,
+          |  CAST(sum(fl2) AS BIGINT) AS n_tokens_flagged,
+          |  floor(sum(fl2) * 10000.0 / sum(n) + 0.5) / 10000.0
+          |    AS frac_flagged
+          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val perDoc = graft.operators.SpanDedup
+          .removalSpans(docs.select("doc_id", "text"))
+          .groupBy("doc_id").agg(sum("n_tokens").as("__fl"))
+        docs.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("__fl", coalesce(col("__fl"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__fl") > 0, 1L).otherwise(0L))
+              .as("n_docs_flagged"),
+            sum(col("__n")).as("n_tokens"),
+            sum(col("__fl")).as("n_tokens_flagged"),
+            (floor(sum(col("__fl")) * lit(10000.0) / sum(col("__n"))
+              + lit(0.5)) / lit(10000.0)).as("frac_flagged"))
+          .orderBy("source")
+      }),
+
     // The paper's stated dedup semantic — remove all but ONE occurrence
     // of each duplicated substring: the globally-first (min (doc_id,
     // start), long-encoded identically on both engines) occurrence per
