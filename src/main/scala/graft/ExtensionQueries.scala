@@ -3557,6 +3557,40 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Product-quantization serving (Jégou et al., TPAMI 2011) — the
+    // final rung of the embedding-memory ladder: 8 one-byte codes per
+    // vector (64× under the compute-side doubles), queries answered by
+    // asymmetric distance computation over the code scan (m array
+    // lookups per candidate, never a 64-dim float pass). Rows-only
+    // (8 chained Lloyd trainings); codebook/code invariants,
+    // planted-copy top-1 at 25/25, and the measured recall/error pins
+    // live in PqSpec.
+    QueryDef("ext_pq_topk", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val books = graft.operators.Pq.trainCodebooks(corpus, dim = 64)
+        val codes = graft.operators.Pq.encode(corpus, books, dim = 64)
+        graft.operators.Pq.adcTopK(codes,
+            corpus.where(col("vec_id") < 10), books, dim = 64, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    // PQ candidates re-ranked by the EXACT cosine (the JL guard-band
+    // pattern on the code scan): ADC overfetches 4k, the full vectors
+    // join back candidate-sized, precision decides the order.
+    QueryDef("ext_pq_topk_rerank", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+          .localCheckpoint()
+        val books = graft.operators.Pq.trainCodebooks(corpus, dim = 64)
+        val codes = graft.operators.Pq.encode(corpus, books, dim = 64)
+        graft.operators.Pq.adcTopKReranked(codes, corpus,
+            corpus.where(col("vec_id") < 10), books, dim = 64, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
     // IVF trained, assigned, and probed in the JL-projected space with
     // a full-dimension re-rank over the overfetched candidates — the
     // two ANN cost levers composed: 16-dim centroids (4× cheaper
