@@ -3591,6 +3591,22 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // IVFADC — the FAISS production serving shape, both candidate
+    // levers composed: the coarse quantizer routes each query to
+    // nprobe inverted lists, ADC scans only those lists' 8-byte code
+    // words. Rows-only; copy-through-the-quantizer and recall-vs-full-
+    // scan pins in PqSpec.
+    QueryDef("ext_ivfpq_topk", None,
+      (s, dir) => {
+        val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        val books = graft.operators.Pq.trainCodebooks(corpus, dim = 64)
+        graft.operators.Pq.adcTopKIvf(corpus,
+            corpus.where(col("vec_id") < 10), books, dim = 64, k = 5,
+            nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // IVF trained, assigned, and probed in the JL-projected space with
     // a full-dimension re-rank over the overfetched candidates — the
     // two ANN cost levers composed: 16-dim centroids (4× cheaper

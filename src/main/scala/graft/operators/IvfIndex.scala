@@ -231,7 +231,7 @@ object IvfIndex {
     * cluster_id) — shared probe-selection step of [[topKFromLists]] and
     * [[topKFromQuantizedLists]]. Centroids broadcast; the per-query
     * window is over an unbounded-cardinality key. */
-  private def probedClusters(queries: DataFrame, centroids: DataFrame,
+  private[operators] def probedClusters(queries: DataFrame, centroids: DataFrame,
       nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val probeW = Window.partitionBy(col(s"q_$idCol"))
       .orderBy(col("__sim").desc, col("cluster_id").asc)

@@ -101,29 +101,71 @@ object Pq {
     * array lookups. Output shape matches [[Similarity.cosineTopK]]
     * (`query_id, rank, neighbor_id, cos_sim`), scores being the ADC
     * approximation of the cosine. */
-  def adcTopK(codes: DataFrame, queries: DataFrame,
-      books: Seq[(Int, Int, Seq[Double])], dim: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+  /** The per-query m×ksub partial-product table: `(query_id, __lut)` —
+    * one literal-codebook projection per query row. */
+  private def lutFor(queries: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], dim: Int, idCol: String,
+      vecCol: String): DataFrame = {
     val m = books.map(_._1).max + 1
     val dsub = dim / m
-    val lut = normalized(queries, idCol, vecCol)
-      .select(col(idCol), array((0 until m).map { s =>
+    normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), array((0 until m).map { s =>
         val qs = slice(col(vecCol), s * dsub + 1, dsub)
         array(books.filter(_._1 == s).sortBy(_._2).map { case (_, _, c) =>
           Similarity.dot(qs, array(c.map(lit): _*))
         }: _*)
       }: _*).as("__lut"))
+  }
+
+  /** The ADC score: m lookups of `codes` into the query's `__lut`. */
+  private def adcScore(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(
+        element_at(col("__lut"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")) + 1))
+
+  def adcTopK(codes: DataFrame, queries: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], dim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val lut = lutFor(queries, books, dim, idCol, vecCol)
     val par = codes.sparkSession.sparkContext.defaultParallelism
-    val scored = codes.repartition(par).alias("c")
-      .join(broadcast(lut.alias("q")),
-        col(s"c.$idCol") =!= col(s"q.$idCol"))
-      .select(col(s"q.$idCol").as("query_id"),
-        col(s"c.$idCol").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + element_at(
-            element_at(col("__lut"), (s + 1).cast("int")),
-            element_at(col("codes"), (s + 1).cast("int")) + 1))
-          .as("cos_raw"))
+    val scored = codes.repartition(par)
+      .join(broadcast(lut), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        adcScore(m).as("cos_raw"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** IVFADC — the FAISS production shape, this engine's two candidate
+    * levers composed: the coarse quantizer (the deterministic Lloyd
+    * loop again) routes each query to its `nprobe` nearest inverted
+    * lists, and ADC scores ONLY those lists' code words — candidate
+    * volume drops ~nprobe/kClusters before the first lookup, and the
+    * scan that remains is m bytes per candidate. The code lists stay
+    * put keyed by cluster; only the broadcast (query, LUT) rows move. */
+  def adcTopKIvf(corpus: DataFrame, queries: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], dim: Int, k: Int,
+      nprobe: Int, kClusters: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "vec"): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val pinned = Ops.checkpointKeepPartitioning(
+      corpus.select(col(idCol), col(vecCol)))
+    val cent = IvfIndex.trainCentroids(pinned, kClusters, iters,
+      idCol, vecCol, dim)
+    val lists = IvfIndex
+      .withClusterId(pinned, IvfIndex.collectCentroids(cent), vecCol)
+      .select(col(idCol), col("cluster_id"))
+      .join(encode(pinned, books, dim, idCol, vecCol), idCol)
+    val probes = IvfIndex
+      .probedClusters(queries, cent, nprobe, idCol, vecCol)
+      .select(col(s"q_$idCol").as("query_id"), col("cluster_id"))
+    val lut = lutFor(queries, books, dim, idCol, vecCol)
+    val scored = lists
+      .join(broadcast(probes.join(lut, "query_id")), Seq("cluster_id"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        adcScore(m).as("cos_raw"))
     Similarity.rankTopK(scored, k)
   }
 

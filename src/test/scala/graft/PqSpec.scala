@@ -92,6 +92,37 @@ class PqSpec extends SparkSpec {
       f"ADC drifted from cosine: mean $meanErr%.4f max $maxErr%.4f")
   }
 
+  test("IVFADC: scaled copies still rank top-1 through the coarse quantizer; recall tracks the full scan") {
+    val copies = corpus.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"vec", x => x * 2.0d).as("vec"))
+    val store = corpus.unionByName(copies).localCheckpoint()
+    val queries = corpus.where($"vec_id" % 20 === 0)
+    // identical normalized vectors assign to the same list and encode
+    // to the same codes, so every copy survives the nprobe cut and
+    // scores the query's own-codeword maximum — deterministic, 25/25
+    val top = Pq.adcTopKIvf(store, queries, books, dim, k = 1,
+      nprobe = 2)
+    val hits = top.where($"rank" === 1 &&
+      $"neighbor_id" === $"query_id" + 100000).count()
+    assert(hits == queries.count(),
+      s"only $hits/${queries.count()} copies ranked top-1 through IVFADC")
+    // the nprobe cut costs bounded recall vs the full ADC scan
+    val queries10 = corpus.where($"vec_id" < 10)
+    val full = Pq.adcTopK(codes, queries10, books, dim, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Pq.adcTopKIvf(corpus, queries10, books, dim, k = 10,
+        nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rec = full.map { case (q, f) =>
+      f.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / f.size
+    }.sum / full.size
+    // measured on the RNG-free path; floor with jitter headroom only
+    assert(rec >= 0.6, f"IVFADC@nprobe=8 recall $rec%.3f vs full ADC")
+  }
+
   test("exact re-rank over ADC candidates: recall never below the raw scan, ordering exact") {
     val queries = corpus.where($"vec_id" < 10)
     val k = 10
