@@ -3591,6 +3591,26 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // The PQ code store PERSISTED as the tenth IndexStore kind: frozen
+    // codebooks (`_books`, bounded model state) + id-bucketed 8-byte
+    // code words (`_codes`, the erasure unit) — build once, append
+    // against the frozen books, serve many, take down by bucket-
+    // preserving rewrite. Rows-only; serve≡inline bit-parity, frozen-
+    // book appends, erasure, and auto-compaction in IndexStoreSpec.
+    QueryDef("ext_pq_persisted", None,
+      (s, dir) => {
+        val tbl = "graft_pqp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        Seq(s"${tbl}_books", s"${tbl}_codes").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+        val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("vec"))
+        graft.operators.IndexStore.buildPqIndex(corpus, tbl,
+          s"/tmp/graft_index/$tbl")
+        graft.operators.IndexStore.probePqTopK(s,
+            corpus.where(col("vec_id") < 10), tbl, k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
     // IVFADC — the FAISS production serving shape, both candidate
     // levers composed: the coarse quantizer routes each query to
     // nprobe inverted lists, ADC scans only those lists' 8-byte code

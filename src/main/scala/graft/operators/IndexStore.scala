@@ -1861,6 +1861,109 @@ object IndexStore {
   def vacuumSpanIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_sdf")
 
+  // ---- PQ code store -------------------------------------------------
+  // The tenth persisted kind: the product-quantization serving store
+  // ([[Pq]]) — a `_books` table holding the m×ksub×(d/m) codebooks
+  // (bounded model state, FROZEN at build: appends encode against the
+  // build-time codebooks, which is what makes append ≡ rebuild for the
+  // code rows and keeps every historical code word decodable) and a
+  // `_codes` table of m-int code words bucketed by id (the take-down
+  // unit). Serving reads the codebooks once (driver-side, bounded) and
+  // ADC-scans the code table; deletion is the standard bucket-
+  // preserving rewrite — erasure compliance at 8 bytes per vector.
+
+  private def pqParams(idCol: String, dim: Int, m: Int,
+      ksub: Int): Map[String, String] =
+    Map("idCol" -> idCol, "payload" -> "pq", "dim" -> dim.toString,
+      "m" -> m.toString, "ksub" -> ksub.toString)
+
+  /** Trains codebooks over `vecs` and persists books + codes. */
+  def buildPqIndex(vecs: DataFrame, table: String, path: String,
+      dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      nBuckets: Int = 8): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val pinned = Ops.checkpointKeepPartitioning(
+      vecs.select(col(idCol), col(vecCol)))
+    val books = Pq.trainCodebooks(pinned, dim, m, ksub, iters,
+      idCol, vecCol)
+    books.toDF("subspace", "code", "centroid")
+      .coalesce(1) // bounded model table — the documented exception
+      .write.option("path", s"$path/${table}_books").mode("overwrite")
+      .saveAsTable(s"${table}_books")
+    bucketRouted(Pq.encode(pinned, books, dim, idCol, vecCol),
+        idCol, nBuckets)
+      .write.bucketBy(nBuckets, idCol)
+      .option("path", s"$path/${table}_codes").mode("overwrite")
+      .saveAsTable(s"${table}_codes")
+    Seq(s"${table}_books", s"${table}_codes").foreach(t =>
+      setParams(spark, t, pqParams(idCol, dim, m, ksub)))
+  }
+
+  /** The persisted codebooks, driver-side (m×ksub rows — bounded). */
+  def pqBooksFromIndex(spark: SparkSession, table: String)
+      : Seq[(Int, Int, Seq[Double])] = {
+    import spark.implicits._
+    spark.table(s"${table}_books")
+      .as[(Int, Int, Seq[Double])].collect().sortBy(b => (b._1, b._2))
+      .toIndexedSeq
+  }
+
+  /** Appends delta vectors encoded against the FROZEN build-time
+    * codebooks — the nightly ingest, no retraining. */
+  def appendPqIndex(delta: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "vec"): Unit = {
+    val spark = delta.sparkSession
+    val params = getParams(spark, s"${table}_codes")
+    requireParams(spark, s"${table}_codes",
+      pqParams(idCol, params("dim").toInt, params("m").toInt,
+        params("ksub").toInt), "append")
+    val nb = numBucketsOf(spark, s"${table}_codes")
+    bucketRouted(Pq.encode(delta, pqBooksFromIndex(spark, table),
+        params("dim").toInt, idCol, vecCol), idCol, nb)
+      .write.bucketBy(nb, idCol)
+      .mode("append").saveAsTable(s"${table}_codes")
+    noteAppend(spark, s"${table}_codes")
+  }
+
+  /** ADC top-k served from the persisted store — value-identical to
+    * the inline [[Pq.adcTopK]] over the same corpus (spec-pinned). */
+  def probePqTopK(spark: SparkSession, queries: DataFrame, table: String,
+      k: Int, idCol: String = "vec_id", vecCol: String = "vec")
+      : DataFrame = {
+    val params = getParams(spark, s"${table}_codes")
+    requireParams(spark, s"${table}_codes",
+      pqParams(idCol, params("dim").toInt, params("m").toInt,
+        params("ksub").toInt), "probe")
+    Pq.adcTopK(spark.table(s"${table}_codes"), queries,
+      pqBooksFromIndex(spark, table), params("dim").toInt, k,
+      idCol, vecCol)
+  }
+
+  /** Deletes vectors from the code store — the take-down path (the
+    * codebooks are aggregate model state with no per-vector provenance,
+    * the LM-table stance; the code ROWS are the erasure unit). */
+  def deleteFromPqIndex(spark: SparkSession, table: String,
+      ids: DataFrame, newPathBase: String,
+      idCol: String = "vec_id"): Unit = {
+    val codes = s"${table}_codes"
+    deleteFromTable(spark, codes, bucketColOf(spark, codes), idCol, ids,
+      s"$newPathBase/${codes}_d", numBucketsOf(spark, codes))
+  }
+
+  /** Compacts the code table's files (content unchanged). */
+  def compactPqIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val codes = s"${table}_codes"
+    compactTable(spark, codes, bucketColOf(spark, codes),
+      s"$newPathBase/${codes}_c", numBucketsOf(spark, codes))
+  }
+
+  /** Vacuums the code table's retired directories. */
+  def vacuumPqIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_codes")
+
   // ---- batch-KEYED LM lifecycle (replay-exactly-once) ---------------
   // The unkeyed LM append is additive, so a crash-replayed micro-batch
   // double-counts its slice — no ordering fixes that (the bucketed
@@ -2093,9 +2196,10 @@ object IndexStore {
       case "lmk"     => (s"${table}_counts", compactLmIndexKeyed(spark, table, _))
       case "dsir"    => (s"${table}_counts", compactDsirIndex(spark, table, _))
       case "span"    => (s"${table}_sdf",    compactSpanIndex(spark, table, _))
+      case "pq"      => (s"${table}_codes",  compactPqIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }

@@ -1859,4 +1859,64 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.appendSpanIndex(odds, "other_id", "text", tbl)
     }
   }
+
+  // ---- persisted PQ code store ---------------------------------------
+
+  test("persisted PQ: serve equals inline; frozen-book appends land; take-down erases") {
+    import graft.operators.{Pq, Similarity}
+    val tbl = "graft_spec_pq"
+    Seq(s"${tbl}_books", s"${tbl}_codes").foreach(dropTable)
+    val evens = corpusVecs.where(col("vec_id") % 2 === 0)
+    val odds = corpusVecs.where(col("vec_id") % 2 =!= 0)
+    IndexStore.buildPqIndex(evens, tbl, s"$idxPath/$tbl")
+    // serve-from-store ≡ inline operator, bit for bit (same books —
+    // the Lloyd loop is deterministic over the same frame)
+    val queries = corpusVecs.where(col("vec_id") < 10)
+    val books = IndexStore.pqBooksFromIndex(spark, tbl)
+    val served = IndexStore.probePqTopK(spark, queries, tbl, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inline = Pq.adcTopK(Pq.encode(evens, books, dim = 64), queries,
+        books, dim = 64, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == inline, "store-served ADC diverged from inline")
+    // frozen-book append: odd ids encode against the BUILD codebooks
+    // and immediately serve; a ×2 copy of an indexed vector ranks
+    // top-1 for its source (scale-invariant codes)
+    IndexStore.appendPqIndex(odds, tbl)
+    assert(spark.table(s"${tbl}_codes").count() == corpusVecs.count())
+    val copies = corpusVecs.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("vec"),
+          x => x * 2.0d).as("vec"))
+    IndexStore.appendPqIndex(copies, tbl)
+    val top = IndexStore.probePqTopK(spark,
+        corpusVecs.where(col("vec_id") % 20 === 0), tbl, k = 1)
+    assert(top.where(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id") + 100000).count()
+      == copies.count(),
+      "an appended scaled copy must rank top-1 for its source")
+    // params validation + counter-driven auto-compaction (before the
+    // take-down: its rewrite starts a fresh file generation and resets
+    // the append counter, like every kind's)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendPqIndex(odds, tbl, idCol = "other_id")
+    }
+    assert(IndexStore.autoCompact(spark, "pq", tbl, every = 1),
+      "appends past the threshold must trigger the pq auto-compaction")
+    val afterCompact = IndexStore.probePqTopK(spark,
+        corpusVecs.where(col("vec_id") % 20 === 0), tbl, k = 1)
+    assert(afterCompact.where(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id") + 100000).count()
+      == copies.count(), "compaction changed served results")
+    // take-down: erased ids vanish from the store and from every
+    // subsequent probe
+    val toErase = copies.select("vec_id")
+    IndexStore.deleteFromPqIndex(spark, tbl, toErase, s"$idxPath/${tbl}_td")
+    assert(spark.table(s"${tbl}_codes")
+      .where(col("vec_id") >= 100000).count() == 0)
+    assert(IndexStore.probePqTopK(spark,
+        corpusVecs.where(col("vec_id") % 20 === 0), tbl, k = 1)
+      .where(col("neighbor_id") >= 100000).count() == 0,
+      "an erased vector surfaced in a probe")
+  }
 }
