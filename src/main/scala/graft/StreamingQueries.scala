@@ -544,6 +544,20 @@ object StreamingQueries {
           s"/tmp/graft_scrossdoc/$tag/idx")
       }),
 
+    // The PQ code store maintained AS a stream (the tenth kind's sr4
+    // twin): codebooks train on the first micro-batch (frozen-book
+    // stance — retraining would orphan stored codes), later batches
+    // encode-and-append frozen, and the finished store answers ADC
+    // top-1 for ×2-scaled copies of the whole corpus. Rows-only
+    // (Lloyd training); every-copy-resolves + one-shot-parity bounds
+    // in StreamingSpec.
+    QueryDef("sr24_streaming_pq_ingest", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runPq(s, dir, s"/tmp/graft_spq/$tag",
+          s"graft_spq_$tag", s"/tmp/graft_spq/$tag/idx")
+      }),
+
     // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
     // fitted once in batch (the frozen-cutoff discipline — sr10's
     // pinned reference-corpus statistics), then embeddings gate as they

@@ -558,4 +558,39 @@ object StreamingIndexIngest {
           table, k = 5)
         .orderBy("query_id", "rank"))
   }
+
+  /** PQ (tenth kind) instance — the code store maintained as a stream:
+    * codebooks train on the FIRST batch only (the frozen-book stance —
+    * production trains books on a reference slice and encodes the
+    * firehose against them; retraining mid-stream would orphan every
+    * stored code word), later batches encode-and-append frozen with
+    * the pq auto-compaction counter live. The finished store answers
+    * ADC top-1 for planted ×2-scaled copies of the whole corpus
+    * (scale-invariant codes) — the probe contract of the other vector
+    * kinds. Batch-order independent: codes are a pure per-vector
+    * function of the frozen books, wherever a vector lands. */
+  def runPq(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    import graft.operators.Similarity
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("vec"))
+    ingestFrames(spark, vecs, workDir,
+      Seq(s"${table}_books", s"${table}_codes"), idxPath,
+      (batch, first, _) =>
+        if (first) IndexStore.buildPqIndex(batch, table, idxPath)
+        else {
+          IndexStore.appendPqIndex(batch, table)
+          IndexStore.autoCompact(spark, "pq", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.probePqTopK(spark,
+          vecs.where(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("vec"), x => x * 2.0d).as("vec")),
+          table, k = 1)
+        .orderBy("query_id", "rank"))
+  }
 }

@@ -139,6 +139,23 @@ class StreamingSpec extends SparkSpec {
       "SRP index from streamed micro-batches must probe like the inline pipeline")
   }
 
+  test("streaming PQ ingest: every scaled copy resolves to its source through the streamed store") {
+    val streamed = graft.streaming.StreamingIndexIngest.runPq(spark,
+        sf0001, "/tmp/graft_ingest_pq", "graft_test_pq",
+        "/tmp/graft_ingest_pq/idx")
+      .localCheckpoint()
+    val nCopies = Tables.load(spark, sf0001, "embeddings")
+      .where($"vec_id" % 20 === 0).count()
+    // the probe queries are ×2-scaled copies of indexed vectors:
+    // scale-invariant codes make the source the ADC maximum, batch
+    // order notwithstanding (codes are a pure per-vector function of
+    // the frozen first-batch books)
+    assert(streamed.count() == nCopies)
+    assert(streamed.where($"rank" === 1 &&
+      $"neighbor_id" =!= $"query_id" - 100000).count() == 0,
+      "a streamed-store copy resolved to something other than its source")
+  }
+
   test("streaming composed gate equals sequential batch gates over the same frames") {
     import graft.operators.IndexStore
     val streamed = graft.streaming.StreamingIndexIngest.runGate(spark,
