@@ -663,7 +663,8 @@ object ExtensionQueries {
       withDsir: Boolean = false,
       withD4: Boolean = false,
       withSpanClean: Boolean = false,
-      budgetDiv: Int = 1): String = {
+      budgetDiv: Int = 1,
+      budgetCte: Option[String] = None): String = {
     require(!(withD4 && withSpanClean),
       "the oracle chains spanclean XOR the D4 stages") // Scala composes both
     val selSrc = if (withD4) "d4surv"
@@ -772,7 +773,7 @@ object ExtensionQueries {
        |contam AS (
        |  SELECT c.doc_id FROM csh c JOIN esh b ON c.s = b.s
        |  GROUP BY c.doc_id HAVING count(*) >= 10),
-       |w(source, budget) AS (VALUES $values),
+       |${budgetCte.getOrElse(s"w(source, budget) AS (VALUES $values)")},
        |surv AS (
        |  SELECT c.doc_id, c.source, c.text
        |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
@@ -2884,6 +2885,34 @@ object ExtensionQueries {
           |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
+
+    // The capstone with LEARNED budgets: DoReMi domain reweighting
+    // (operators.Doremi, arXiv:2305.10429) fits mixture weights on the
+    // fixture corpus itself — per-source excess loss vs the own-model
+    // floor, then the linearized-EG loop — and the mixer spends
+    // w·200k tokens per source instead of the hand-set table. The
+    // oracle chains the dm_-prefixed weight CTEs (over the SAME
+    // `corpus` CTE) into the standard capstone CTEs as its `w` table,
+    // so the whole learn→budget→build path is one hash-checked query.
+    QueryDef("ext_corpus_build_doremi",
+      Some(corpusBuildCtes(budgetCte = Some(
+          SelectionQueries.doremiWeightCtes(5, 200000L, 100000L,
+            docsRel = "corpus") + ",\n" +
+          "w(source, budget) AS (SELECT source, (w * 200000) // 1000000 AS budget FROM dm_w5)")) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, _) = corpusBuildFixture(s, dir)
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.weights(corpus), 200000L)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+          .attribution.orderBy("doc_id")
+      }),
 
     // The capstone's ATTRITION FUNNEL: per stage, documents and raw
     // tokens cut (kept included, so the table totals to the input) —

@@ -374,5 +374,118 @@ object SelectionQueries {
               * lit(1000000.0) + lit(0.5)).cast("long")).as("kl_raw_micro"),
             sum(floor(col("qs") * log2(col("qs") / col("p"))
               * lit(1000000.0) + lit(0.5)).cast("long")).as("kl_sel_micro"))
-      }))
+      }),
+
+    // DoReMi-style domain reweighting (arXiv:2305.10429 re-expressed
+    // deterministically — operators.Doremi): per-source excess loss
+    // (generalist bigram LM minus the domain's own-model floor, integer
+    // milli-bits) drives T linearized-EG steps to mixture weights. One
+    // corpus bigram pass; the loop runs on the #domains-bounded table.
+    // The oracle replays the whole thing — both LM families as count
+    // rollups of ONE per-(source,bigram) table, then the EG chain
+    // unrolled CTE-per-step in the same integer micro arithmetic.
+    QueryDef("ext_doremi_weights",
+      Some(doremiWeightsSql(steps = 5, etaMicro = 200000L,
+        smoothMicro = 100000L)),
+      (s, dir) => graft.operators.Doremi.weights(load(s, dir, "documents"))
+        .select("source", "n_docs", "ref_milli", "own_milli",
+          "excess_milli", "w_micro")
+        .orderBy("source")))
+
+  /** Embeddable `dm_`-prefixed CTE chain ending at `dm_w<steps>`
+    * (source, w): pure-bigram scoring CTEs — both LM families derived
+    * from one (source, bg) count table, mirroring
+    * [[graft.operators.Doremi.domainSignals]] — plus the EG loop
+    * unrolled one CTE pair per step in the exact integer/double
+    * arithmetic of [[graft.operators.Doremi.egWeights]]. The prefix
+    * keeps the chain composable into the corpus-build capstone's
+    * oracle, whose own CTEs it must not shadow. */
+  private[graft] def doremiWeightCtes(steps: Int, etaMicro: Long,
+      smoothMicro: Long, docsRel: String = "documents"): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""dm_u$i AS (
+         |  SELECT e.source, w.w * (1000000 + ($etaMicro * e.excess_milli) // 1000) AS u
+         |  FROM dm_ex2 e JOIN dm_w${i - 1} w ON e.source = w.source),
+         |dm_z$i AS (SELECT CAST(sum(u) AS BIGINT) AS z FROM dm_u$i),
+         |dm_w$i AS (
+         |  SELECT source,
+         |    ((1000000 - $smoothMicro) * CAST(floor(u * 1000000.0 / z + 0.5) AS BIGINT)) // 1000000
+         |      + $smoothMicro // k AS w
+         |  FROM dm_u$i, dm_z$i, dm_kc)""".stripMargin
+    }.mkString(",\n")
+    s"""dm_tok AS (
+       |  SELECT doc_id, source,
+       |    list_prepend('<s>',
+       |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+       |           THEN CAST([] AS VARCHAR[])
+       |           ELSE string_split_regex(
+       |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+       |      END) AS toks
+       |  FROM $docsRel),
+       |dm_big AS (
+       |  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+       |  FROM dm_tok, unnest(range(1, len(toks))) AS r(i)),
+       |dm_sbc AS (SELECT source, bg, count(*) AS cb FROM dm_big GROUP BY 1, 2),
+       |dm_scc AS (
+       |  SELECT source, string_split(bg, ' ')[1] AS prev,
+       |         CAST(sum(cb) AS BIGINT) AS cctx_own
+       |  FROM dm_sbc GROUP BY 1, 2),
+       |dm_sv AS (
+       |  SELECT source, count(DISTINCT t) + 1 AS vsize_own
+       |  FROM (SELECT source, string_split(bg, ' ')[1] AS t FROM dm_sbc
+       |        UNION ALL
+       |        SELECT source, string_split(bg, ' ')[2] AS t FROM dm_sbc) u
+       |  GROUP BY 1),
+       |dm_bc AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb_ref FROM dm_sbc GROUP BY 1),
+       |dm_cc AS (
+       |  SELECT string_split(bg, ' ')[1] AS prev,
+       |         CAST(sum(cb_ref) AS BIGINT) AS cctx_ref
+       |  FROM dm_bc GROUP BY 1),
+       |dm_v AS (
+       |  SELECT count(DISTINCT t) + 1 AS vsize_ref
+       |  FROM (SELECT string_split(bg, ' ')[1] AS t FROM dm_bc
+       |        UNION ALL
+       |        SELECT string_split(bg, ' ')[2] AS t FROM dm_bc) u),
+       |dm_scored AS (
+       |  SELECT e.doc_id, e.source,
+       |    CAST(floor(-log2((coalesce(bc.cb_ref, 0) + 1.0) /
+       |                     (coalesce(cc.cctx_ref, 0) + v.vsize_ref))
+       |               * 1000.0 + 0.5) AS BIGINT) AS h_ref,
+       |    CAST(floor(-log2((coalesce(sbc.cb, 0) + 1.0) /
+       |                     (coalesce(scc.cctx_own, 0) + sv.vsize_own))
+       |               * 1000.0 + 0.5) AS BIGINT) AS h_own
+       |  FROM dm_big e
+       |  LEFT JOIN dm_bc bc ON e.bg = bc.bg
+       |  LEFT JOIN dm_cc cc ON e.prev = cc.prev
+       |  LEFT JOIN dm_sbc sbc ON e.source = sbc.source AND e.bg = sbc.bg
+       |  LEFT JOIN dm_scc scc ON e.source = scc.source AND e.prev = scc.prev
+       |  JOIN dm_sv sv ON e.source = sv.source
+       |  CROSS JOIN dm_v v),
+       |dm_pd AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(CAST(sum(h_ref) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_tok,
+       |    CAST(floor(CAST(sum(h_own) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_tok
+       |  FROM dm_scored GROUP BY 1, 2),
+       |dm_ex AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(floor(CAST(sum(ref_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_milli,
+       |    CAST(floor(CAST(sum(own_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_milli
+       |  FROM dm_pd GROUP BY 1),
+       |dm_ex2 AS (
+       |  SELECT source, n_docs, ref_milli, own_milli,
+       |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
+       |  FROM dm_ex),
+       |dm_kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dm_ex2),
+       |dm_w0 AS (SELECT source, CAST(1000000 // k AS BIGINT) AS w FROM dm_ex2, dm_kc),
+       |$stepCtes""".stripMargin
+  }
+
+  /** The standalone `ext_doremi_weights` oracle. */
+  private[graft] def doremiWeightsSql(steps: Int, etaMicro: Long,
+      smoothMicro: Long): String =
+    s"""WITH ${doremiWeightCtes(steps, etaMicro, smoothMicro)}
+       |SELECT e.source, e.n_docs, e.ref_milli, e.own_milli,
+       |       e.excess_milli, wf.w AS w_micro
+       |FROM dm_ex2 e JOIN dm_w$steps wf ON e.source = wf.source
+       |ORDER BY e.source""".stripMargin
 }

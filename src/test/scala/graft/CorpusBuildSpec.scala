@@ -342,4 +342,39 @@ class CorpusBuildSpec extends SparkSpec {
       "survivor text is not the cleaner's output")
   }
 
+  test("doremi-budgeted build: the learned mix is live and totals to the spend") {
+    import graft.operators.Doremi
+    val (corpus, evals, fixedBudgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val w = Doremi.weights(corpus).localCheckpoint()
+    val budgets = Doremi.budgets(w, totalTokens = 200000L)
+      .localCheckpoint()
+    // every fixture source gets a weight, and the spend allocation is
+    // the exact integer share of the 200k total
+    assert(w.count() == corpus.select("source").distinct().count())
+    val learned = CorpusBuild
+      .build(corpus, evals, budgets).attribution.localCheckpoint()
+    assert(learned.count() ==
+      ExtensionQueries.corpusBuildResult(spark, sf0001)
+        .attribution.count(),
+      "learned budgets must not change attribution totality")
+    // the stage is LIVE: the learned mix must disagree with the
+    // hand-set table on at least one doc's kept/budget verdict (the
+    // fixture's fixed budgets are deliberately lopsided; a learned
+    // near-uniform mix reallocates)
+    val fixed = CorpusBuild
+      .build(corpus, evals, fixedBudgets).attribution
+    val diff = learned.withColumnRenamed("cut_stage", "a")
+      .join(fixed.withColumnRenamed("cut_stage", "b"), "doc_id")
+      .where($"a" =!= $"b").count()
+    assert(diff > 0, "learned budgets produced the identical mix — stage inert?")
+    // only budget-stage verdicts may move between the two runs
+    val moved = learned.withColumnRenamed("cut_stage", "a")
+      .join(fixed.withColumnRenamed("cut_stage", "b"), "doc_id")
+      .where($"a" =!= $"b" &&
+        !($"a".isin("kept", "budget") && $"b".isin("kept", "budget")))
+      .count()
+    assert(moved == 0, "non-budget stages must be immune to the mixer's table")
+  }
+
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Doremi
+
+class DoremiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("egWeights: equal excess stays uniform, step after step") {
+    val w = Doremi.egWeights(
+      Seq("a" -> 500L, "b" -> 500L, "c" -> 500L), Doremi.Config())
+    assert(w.map(_._2).distinct.size == 1,
+      s"equal-excess domains diverged: $w")
+    // factors cancel in the normalize, so uniform is the fixed point
+    // each domain can lose up to 2 micro across the two floor
+    // divisions of a step, so the quantization slack is 2k
+    assert(math.abs(w.map(_._2).sum - 1000000L) <= 2L * w.size,
+      "weights must quantize to ~1e6 micro total")
+  }
+
+  test("egWeights: weight order follows excess order, smoothing floors the losers") {
+    val cfg = Doremi.Config()
+    val w = Doremi.egWeights(
+      Seq("hard" -> 8000L, "mid" -> 2000L, "easy" -> 0L), cfg).toMap
+    assert(w("hard") > w("mid") && w("mid") > w("easy"),
+      s"weights must be monotone in excess: $w")
+    // the uniform-smoothing mix guarantees every domain at least c/k
+    w.values.foreach(v =>
+      assert(v >= cfg.smoothMicro / 3, s"smoothing floor violated: $w"))
+  }
+
+  test("egWeights: one hand-computed step matches the integer arithmetic exactly") {
+    val cfg = Doremi.Config(etaMicro = 200000L, smoothMicro = 100000L,
+      steps = 1)
+    val w = Doremi.egWeights(Seq("a" -> 1000L, "b" -> 0L), cfg).toMap
+    // w0 = 500000 each; factors 1e6 + 200000*1000/1000 = 1200000 vs 1e6
+    // u = (6e11, 5e11), z = 1.1e12
+    // raw_a = floor(6e11*1e6/1.1e12 + .5) = 545455, raw_b = 454545
+    // w = 900000*raw // 1e6 + 100000 // 2
+    assert(w("a") == 900000L * 545455L / 1000000L + 50000L)
+    assert(w("b") == 900000L * 454545L / 1000000L + 50000L)
+  }
+
+  test("domainSignals: a domain-coherent slice shows positive excess against a mixed reference") {
+    // two domains with disjoint, internally repetitive phrase
+    // distributions: each own-model fits its domain far better than
+    // the pooled generalist, so excess must be positive for both
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta alpha beta gamma", "legal")
+      else (i.toLong, "omega psi chi phi omega psi chi", "chat")
+    }.toDF("doc_id", "text", "source")
+    val sig = Doremi.domainSignals(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    sig.foreach { case (src, (refM, ownM, ex)) =>
+      assert(ownM < refM, s"$src own-model must beat the generalist")
+      assert(ex == refM - ownM && ex > 0, s"$src excess wrong: $sig")
+    }
+  }
+
+  test("weights: end-to-end on sf0.001 — deterministic, floored, and ~1e6 total") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val cfg = Doremi.Config()
+    val a = Doremi.weights(docs, cfg).collect()
+    val b = Doremi.weights(docs, cfg).collect()
+    assert(a.toSeq == b.toSeq, "the learned mixture must be bit-deterministic")
+    val ws = a.map(_.getAs[Long]("w_micro"))
+    val k = ws.length
+    assert(k > 1)
+    ws.foreach(w => assert(w >= cfg.smoothMicro / k))
+    assert(math.abs(ws.sum - 1000000L) <= 2L * k,
+      s"total weight ${ws.sum} drifted past quantization slack")
+    // budgets derive proportionally
+    val bud = Doremi.budgets(Doremi.weights(docs, cfg), 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      val expect = r.getAs[Long]("w_micro") * 100000L / 1000000L
+      assert(bud(r.getString(0)) == expect)
+    }
+  }
+}
