@@ -491,6 +491,51 @@ object AnalyticsQueries {
           df
         }),
 
+    // Bloom MEMBERSHIP gate (operators.BloomGate, the Dolma-style
+    // dedup accelerator): "which incoming docs duplicate the accepted
+    // corpus?" answered as broadcast-local bloom bit-test →
+    // exact-confirm semi join. Value-identical to the plain semi join
+    // (no false negatives; the confirm removes false positives), which
+    // is exactly what the oracle checks — while the plan answers the
+    // negative majority inside the scan with NO shuffle. Superset/fpp/
+    // empty-reference drills in BloomGateSpec.
+    QueryDef("ext_bloom_dedup_probe",
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |cand AS (
+             |  SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 700000, ' ' || text || '  '
+             |  FROM base WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
+             |ref AS (
+             |  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM base WHERE doc_id % 3 = 0),
+             |cfp AS (
+             |  SELECT doc_id,
+             |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM cand)
+             |SELECT c.doc_id FROM cfp c JOIN ref r ON c.fp = r.fp
+             |ORDER BY c.doc_id""".stripMargin),
+      (s, dir) => {
+        val base = load(s, dir, "documents").select("doc_id", "text")
+        // incoming stream = the non-accepted slice plus whitespace
+        // twins of accepted docs — the planted known duplicates
+        val cand = base.where(col("doc_id") % 3 =!= 0)
+          .unionByName(base
+            .where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 700000).as("doc_id"),
+              concat(lit(" "), col("text"), lit("  ")).as("text")))
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+              .as("fp"))
+        val ref = base.where(col("doc_id") % 3 === 0)
+          .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+            .as("fp"))
+        graft.operators.BloomGate.memberProbe(cand, ref,
+            col("fp"), col("fp"),
+            expectedItems = math.max(1L, ref.count()))
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // As-of join (composed: union-tag + running last-ignoring-nulls):
     // each purchase gets the most recent error at-or-before it per user.
     // Verified against DuckDB's native ASOF LEFT JOIN.

@@ -1299,6 +1299,51 @@ object ExtensionQueries {
           .orderBy("query_id", "match_id")
       }),
 
+    // The exact index behind its Bloom SIDECAR, full lifecycle
+    // value-checked: build over half the corpus + refresh the sidecar,
+    // append the other half + OR the batch into the persisted filter
+    // (O(batch) work — the stamp protocol keeps a crash between the
+    // two appends safe by degrading to the plain probe), then probe
+    // planted twins of BOTH halves plus guaranteed-novel variants.
+    // The result must equal the plain normalized-text join — the
+    // filter only answers the novel majority inside the probe's own
+    // projection instead of the index join. Staleness/fallback/fpp
+    // drills in BloomGateSpec. Rebuilt per invocation (the
+    // ext_lm_incremental stance: appending onto a previous rep's
+    // table would duplicate rows).
+    QueryDef("ext_bloom_sidecar_probe",
+      Some("""WITH norm AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS c
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id + 900000 AS query_id, c FROM norm WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 950000, c || ' zmod' FROM norm WHERE doc_id % 7 = 3)
+        |SELECT q.query_id, n.doc_id AS match_id
+        |FROM q JOIN norm n ON q.c = n.c
+        |ORDER BY query_id, match_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_blsc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        Seq(s"${tbl}_fps", s"${tbl}_fpbloom").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+        val d = load(s, dir, "documents").select("doc_id", "text")
+        IndexStore.buildExactIndex(d.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.refreshBloomSidecar(s, tbl)
+        val newHalf = d.where(col("doc_id") % 2 === 1)
+        IndexStore.appendExactIndex(newHalf, "doc_id", "text", tbl)
+        IndexStore.appendBloomSidecar(s, tbl, newHalf, "doc_id", "text")
+        val probes = d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            concat(lit(" "), col("text"), lit("  ")).as("text"))
+          .unionByName(d.where(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 950000).as("doc_id"),
+              concat(col("text"), lit(" zmod")).as("text")))
+        IndexStore.probeExactBloomed(s, probes, "doc_id", "text", tbl)
+          .orderBy("query_id", "match_id")
+      }),
+
     // Persisted-LM incremental maintenance, value-checked end-to-end:
     // build the count table from half the train slice, APPEND the other
     // half, score the held-out 20% — counts are additive, so the oracle

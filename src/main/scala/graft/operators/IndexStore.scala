@@ -822,6 +822,129 @@ object IndexStore {
   def vacuumExactIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_fps")
 
+  // ---- Bloom sidecar over the exact kind ---------------------------
+  //
+  // The Dolma-style accelerator ([[BloomGate]]) persisted beside the
+  // fingerprint table: a serialized filter covering every indexed fp,
+  // so the ingest gate's most common outcome — "never seen" — is
+  // answered inside the probe batch's own projection with NO join
+  // against the index. Correctness hinges on ONE invariant: the filter
+  // must be a SUPERSET of the table's fingerprints (bloom false
+  // negatives are the only wrong answer; false positives just proceed
+  // to the exact join, which removes them). The sidecar therefore
+  // stamps the index's monotone append-total at write time, and the
+  // probe uses the filter ONLY when the stamp matches the index's
+  // current state — an append without the matching sidecar update
+  // (e.g. a crash between the two writes) degrades to the plain probe,
+  // never to a wrong one. Deletes and compactions only REMOVE rows, so
+  // a matching-gen filter stays a superset through them; appends bump
+  // the stamp and must OR the batch in ([[appendBloomSidecar]] — O(batch)
+  // work plus a numBits/8-byte rewrite, preserving the streaming
+  // doctrine). Capacity is sized ahead (`capacityFactor`× current
+  // items) so OR-appends degrade fpp gracefully, never correctness.
+
+  private def bloomSidecarTable(table: String) = s"${table}_fpbloom"
+
+  private def bloomBytes(fps: DataFrame, capacityItems: Long,
+      numBits: Long): Array[Byte] = {
+    val f = BloomGate.buildFilterSized(fps, col("fp"), capacityItems,
+      numBits)
+    if (f != null) f
+    else { // empty reference: a fresh filter with the same layout
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(capacityItems, numBits).writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  private def writeBloomSidecar(spark: SparkSession, table: String,
+      bytes: Array[Byte], capacityItems: Long, numBits: Long,
+      gen: String): Unit = {
+    import spark.implicits._
+    val sc = bloomSidecarTable(table)
+    val base = new org.apache.hadoop.fs.Path(
+      tableMeta(spark, s"${table}_fps").location).getParent
+    Seq((bytes, capacityItems, numBits, gen))
+      .toDF("filter", "capacity_items", "num_bits", "gen")
+      .coalesce(1) // one row by construction
+      .write.option("path", s"$base/${sc}_g$gen")
+      .mode("overwrite").saveAsTable(sc)
+  }
+
+  /** (Re)builds the sidecar from the CURRENT fingerprint table —
+    * called at index build time and again after compactions or
+    * whenever fpp has degraded past taste. Capacity is
+    * `capacityFactor`× the current distinct-fp count so subsequent
+    * OR-appends stay within the sized fpp for a while. */
+  def refreshBloomSidecar(spark: SparkSession, table: String,
+      fpp: Double = 0.01, capacityFactor: Int = 4): Unit = {
+    val fps = s"${table}_fps"
+    val distinctFps = spark.table(fps).select("fp").distinct()
+    val cap = math.max(1L, distinctFps.count()) * capacityFactor
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(cap, fpp)
+    writeBloomSidecar(spark, table, bloomBytes(distinctFps, cap, numBits),
+      cap, numBits, genOfFps(spark, fps))
+  }
+
+  private def genOfFps(spark: SparkSession, fps: String): String =
+    getParams(spark, fps).getOrElse(AppendsTotalParam, "0")
+
+  /** ORs an appended batch's fingerprints into the persisted filter
+    * and restamps — call right AFTER [[appendExactIndex]] on the SAME
+    * delta. The batch filter is built with the sidecar's exact layout
+    * (capacity and bit count fix the hash family), so the merge is a
+    * pure bitwise OR. */
+  def appendBloomSidecar(spark: SparkSession, table: String,
+      delta: DataFrame, idCol: String, textCol: String): Unit = {
+    val sc = bloomSidecarTable(table)
+    val row = spark.table(sc).head()
+    val (bytes, cap, numBits, _) = (row.getAs[Array[Byte]]("filter"),
+      row.getAs[Long]("capacity_items"), row.getAs[Long]("num_bits"),
+      row.getAs[String]("gen"))
+    val batch = bloomBytes(
+      exactFps(delta, idCol, textCol).select("fp"), cap, numBits)
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+      .mergeInPlace(
+        org.apache.spark.util.sketch.BloomFilter.readFrom(batch))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    writeBloomSidecar(spark, table, bos.toByteArray, cap, numBits,
+      genOfFps(spark, s"${table}_fps"))
+  }
+
+  /** [[probeExact]] behind the sidecar: when the sidecar's stamp
+    * matches the index's current append-total, the query side drops
+    * its never-seen majority via the broadcast-local bit test BEFORE
+    * the index join; otherwise (no sidecar, stale stamp) the plain
+    * probe runs. Value-identical to [[probeExact]] in every case. */
+  def probeExactBloomed(spark: SparkSession, queries: DataFrame,
+      idCol: String, textCol: String, table: String,
+      hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
+    requireParams(spark, s"${table}_fps",
+      Map("idCol" -> idCol, "payload" -> "text"), "probe")
+    val qf = exactFps(queries, idCol, textCol)
+      .select(col(idCol).as("query_id"), col("fp"))
+    val fresh: Option[Array[Byte]] =
+      if (!spark.catalog.tableExists(bloomSidecarTable(table))) None
+      else {
+        val row = spark.table(bloomSidecarTable(table)).head()
+        if (row.getAs[String]("gen") == genOfFps(spark, s"${table}_fps"))
+          Some(row.getAs[Array[Byte]]("filter"))
+        else None
+      }
+    val pre = fresh match {
+      case Some(f) => qf.where(BloomGate.mightContain(f, col("fp")))
+      case None    => qf
+    }
+    capHotBuckets(spark.table(s"${table}_fps"), "fp", idCol, hotFpThreshold)
+      .join(pre, "fp")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("match_id"))
+      .distinct()
+  }
+
   // ---- exact-fingerprint index, embedding payload -------------------
   // The same cheapest-gate idea for EMBEDDING streams: an embedding
   // pipeline re-fetching content it already embedded produces
