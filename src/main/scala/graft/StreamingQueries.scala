@@ -558,6 +558,34 @@ object StreamingQueries {
           s"graft_spq_$tag", s"/tmp/graft_spq/$tag/idx")
       }),
 
+    // The exact dedup gate as an ACCELERATED forever-sync: every
+    // micro-batch appends the fingerprint index and ORs its batch
+    // filter into the persisted Bloom sidecar (both O(batch)), so the
+    // finished store answers planted whitespace twins through the
+    // broadcast-local bit test before the index join ever runs —
+    // value-identical to the plain probe, which is what the oracle's
+    // normalized-text join checks. Stamp-protocol crash drills in
+    // BloomGateSpec; stream parity + live-prefilter assertion in
+    // StreamingSpec.
+    QueryDef("sr25_streaming_bloom_gate",
+      Some("""WITH norm AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS c
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id + 900000 AS query_id, c FROM norm WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 950000, c || ' zmod' FROM norm WHERE doc_id % 5 = 2)
+        |SELECT q.query_id, n.doc_id AS match_id
+        |FROM q JOIN norm n ON q.c = n.c
+        |ORDER BY query_id, match_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runExactBloomed(s, dir,
+          s"/tmp/graft_sbloom/$tag", s"graft_sbloom_$tag",
+          s"/tmp/graft_sbloom/$tag/idx")
+      }),
+
     // Prototype pruning as a stream: centroids + the ⌈n/5⌉ cutoff are
     // fitted once in batch (the frozen-cutoff discipline — sr10's
     // pinned reference-corpus statistics), then embeddings gate as they

@@ -880,6 +880,10 @@ object IndexStore {
   def refreshBloomSidecar(spark: SparkSession, table: String,
       fpp: Double = 0.01, capacityFactor: Int = 4): Unit = {
     val fps = s"${table}_fps"
+    // another session (a streaming clone) may have appended since this
+    // session last resolved the table — a stale file listing here would
+    // build a filter MISSING those fps, the one wrong direction
+    spark.catalog.refreshTable(fps)
     val distinctFps = spark.table(fps).select("fp").distinct()
     val cap = math.max(1L, distinctFps.count()) * capacityFactor
     val numBits = org.apache.spark.util.sketch.BloomFilter
@@ -899,6 +903,9 @@ object IndexStore {
   def appendBloomSidecar(spark: SparkSession, table: String,
       delta: DataFrame, idCol: String, textCol: String): Unit = {
     val sc = bloomSidecarTable(table)
+    // stale-read hazard mirrors refreshBloomSidecar's: ORing into an
+    // OLD filter while stamping the new gen would fabricate freshness
+    spark.catalog.refreshTable(sc)
     val row = spark.table(sc).head()
     val (bytes, cap, numBits, _) = (row.getAs[Array[Byte]]("filter"),
       row.getAs[Long]("capacity_items"), row.getAs[Long]("num_bits"),
@@ -924,6 +931,12 @@ object IndexStore {
       hotFpThreshold: Int = Dedup.DefaultHotBandThreshold): DataFrame = {
     requireParams(spark, s"${table}_fps",
       Map("idCol" -> idCol, "payload" -> "text"), "probe")
+    // the store may have been appended by another session (the
+    // streaming foreachBatch clone) since this session cached either
+    // relation — refresh both before trusting listing or stamp
+    spark.catalog.refreshTable(s"${table}_fps")
+    if (spark.catalog.tableExists(bloomSidecarTable(table)))
+      spark.catalog.refreshTable(bloomSidecarTable(table))
     val qf = exactFps(queries, idCol, textCol)
       .select(col(idCol).as("query_id"), col("fp"))
     val fresh: Option[Array[Byte]] =

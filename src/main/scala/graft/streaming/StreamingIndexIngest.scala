@@ -101,6 +101,57 @@ object StreamingIndexIngest {
       probes => IndexStore.probeSimhash(spark, probes, "doc_id", "text", table)
         .orderBy("query_id", "match_id"))
 
+  /** Exact instance WITH the Bloom sidecar maintained per micro-batch —
+    * the accelerated forever-sync gate shape: the first batch builds
+    * the fingerprint index and sizes+writes the sidecar; every later
+    * batch appends the index THEN ORs its fingerprints into the
+    * persisted filter (O(batch) work each — the stamp protocol makes a
+    * crash between the two writes degrade the next probe to the plain
+    * join, never a false negative). Compactions re-refresh the sidecar
+    * (they may reset the stamp, and the refresh also restores the
+    * sized fpp). The finished store answers planted whitespace-twin
+    * probes THROUGH the bloom prefilter, value-identical to the plain
+    * probe — which is exactly what the oracle checks. */
+  def runExactBloomed(spark: SparkSession, sfDir: String,
+      workDir: String, table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    ingestFrames(spark, docs, workDir,
+      Seq(s"${table}_fps", s"${table}_fpbloom"), idxPath,
+      (batch, first, _) => {
+        // all maintenance through the BATCH's session (the stream's
+        // clone) — it is the session whose caches the appends
+        // invalidate; mixing in the outer session here is how a stale
+        // file listing once fed the sidecar (see probeExactBloomed's
+        // refresh note)
+        val bs = batch.sparkSession
+        if (first) {
+          IndexStore.buildExactIndex(batch, "doc_id", "text", table,
+            idxPath)
+          IndexStore.refreshBloomSidecar(bs, table)
+        } else {
+          IndexStore.appendExactIndex(batch, "doc_id", "text", table)
+          IndexStore.appendBloomSidecar(bs, table, batch,
+            "doc_id", "text")
+          if (IndexStore.autoCompact(bs, "exact", table,
+              autoCompactAppends))
+            IndexStore.refreshBloomSidecar(bs, table)
+          (): Unit
+        }
+      },
+      () => IndexStore.probeExactBloomed(spark,
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 900000).as("doc_id"),
+              concat(lit(" "), col("text"), lit("  ")).as("text"))
+            .unionByName(docs.where(col("doc_id") % 5 === 2)
+              .select((col("doc_id") + 950000).as("doc_id"),
+                concat(col("text"), lit(" zmod")).as("text"))),
+          "doc_id", "text", table)
+        .orderBy("query_id", "match_id"))
+  }
+
   /** Winnow (exact-substring) instance — same contract over the
     * fingerprint table: the finished index reports verbatim overlaps
     * for the planted perturbed docs. One-shot parity in StreamingSpec. */

@@ -156,6 +156,37 @@ class StreamingSpec extends SparkSpec {
       "a streamed-store copy resolved to something other than its source")
   }
 
+  test("streaming bloom gate: the sidecar is FRESH after the stream and the probe equals the plain probe") {
+    import graft.operators.IndexStore
+    val tbl = "graft_test_sbloom"
+    val streamed = graft.streaming.StreamingIndexIngest.runExactBloomed(
+        spark, sf0001, "/tmp/graft_ingest_sbloom", tbl,
+        "/tmp/graft_ingest_sbloom/idx")
+      .localCheckpoint()
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val probes = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 900000).as("doc_id"),
+        concat(lit(" "), $"text", lit("  ")).as("text"))
+      .unionByName(docs.where($"doc_id" % 5 === 2)
+        .select(($"doc_id" + 950000).as("doc_id"),
+          concat($"text", lit(" zmod")).as("text")))
+    // per-batch OR-appends must leave the sidecar stamped CURRENT:
+    // the probe must actually run behind the bloom prefilter
+    val bloomed = IndexStore.probeExactBloomed(spark, probes,
+      "doc_id", "text", tbl)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "sidecar went stale across the streamed appends")
+    // and be value-identical to the plain probe over the same store
+    val plain = IndexStore.probeExact(spark, probes, "doc_id", "text", tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == plain,
+      "bloomed streaming probe diverged from the plain probe")
+    assert(plain.nonEmpty, "whitespace twins must match their sources")
+  }
+
   test("streaming composed gate equals sequential batch gates over the same frames") {
     import graft.operators.IndexStore
     val streamed = graft.streaming.StreamingIndexIngest.runGate(spark,
