@@ -258,6 +258,50 @@ object ScaleRehearsal {
       println(f"""{"q":"dsir_lifecycle","scale":$scale,""" +
         f""""selected":$nSelDs,"sec":$secDs%.2f}""")
 
+      // DoReMi lifecycle (both LM families from one per-(source,bg)
+      // count pass + the bounded EG loop). Like the LM above,
+      // disjoint-vocabulary replication multiplies the MODEL tables
+      // ~linearly — the worst case for a vocabulary-keyed model — so
+      // this slope upper-bounds the real-corpus one; the EG loop is
+      // #domains-bounded and invisible at any scale. Synthetic
+      // doc-stable domains (doc_id % 8) keep k fixed across scales so
+      // the slope isolates the corpus pass.
+      val tdm = System.nanoTime()
+      val dmDocs = corpus.withColumn("source",
+        concat(lit("dom"), (col("doc_id") % 8).cast("string")))
+      val wSum = graft.operators.Doremi.weights(dmDocs)
+        .agg(sum(col("w_micro"))).head().getLong(0)
+      val secDm = (System.nanoTime() - tdm) / 1e9
+      println(f"""{"q":"doremi_lifecycle","scale":$scale,""" +
+        f""""w_total":$wSum,"sec":$secDm%.2f}""")
+
+      // Bloom-gate lifecycle (build index over half + size the
+      // sidecar, O(batch) OR-append the other half, probe planted
+      // twins through the prefilter). The filter is numBits/8 bytes —
+      // corpus-proportional at fixed fpp — and both the build and the
+      // probe-side bit test are single corpus passes; the slope
+      // measures those plus the confirm join's positive sliver.
+      val tbl2 = s"graft_rehearsal_bloom_$scale"
+      Seq(s"${tbl2}_fps", s"${tbl2}_fpbloom").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val tbg = System.nanoTime()
+      val oldHalf = corpus.where(col("doc_id") % 2 === 0)
+      val newHalf = corpus.where(col("doc_id") % 2 === 1)
+      IndexStore.buildExactIndex(oldHalf, "doc_id", "text", tbl2,
+        s"/tmp/graft_rehearsal_bloom/$tbl2")
+      IndexStore.refreshBloomSidecar(spark, tbl2)
+      IndexStore.appendExactIndex(newHalf, "doc_id", "text", tbl2)
+      IndexStore.appendBloomSidecar(spark, tbl2, newHalf, "doc_id", "text")
+      val nBloomed = IndexStore.probeExactBloomed(spark,
+          corpus.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(lit(" "), col("text"), lit("  ")).as("text")),
+          "doc_id", "text", tbl2)
+        .count()
+      val secBg = (System.nanoTime() - tbg) / 1e9
+      println(f"""{"q":"bloom_gate_lifecycle","scale":$scale,""" +
+        f""""matches":$nBloomed,"sec":$secBg%.2f}""")
+
       // best-fit packing lifecycle: rank + segment + per-segment FFD.
       // Items and segments both scale linearly; the per-item work is
       // constant (bounded in-memory FFD per 4096-item segment), so the

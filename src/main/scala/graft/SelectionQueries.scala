@@ -390,7 +390,82 @@ object SelectionQueries {
       (s, dir) => graft.operators.Doremi.weights(load(s, dir, "documents"))
         .select("source", "n_docs", "ref_milli", "own_milli",
           "excess_milli", "w_micro")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // The mixture model PERSISTED (11th IndexStore kind, 4th holding
+    // model state): the per-(source,bigram) count table IS both LM
+    // families, and weights recompute from it in O(vocab) with zero
+    // corpus re-read (per-bigram-instance means — Σc·h/Σc — need no
+    // doc boundaries). The oracle recomputes the same token-level
+    // semantics from the raw corpus.
+    QueryDef("ext_doremi_persisted",
+      Some(doremiTokenWeightsSql(5, 200000L, 100000L)),
+      (s, dir) => {
+        val tbl = "graft_dmp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+        IndexStore.buildDoremiIndex(load(s, dir, "documents"),
+          "doc_id", "source", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.doremiWeightsFromIndex(s, tbl)
+          .select("source", "n_bigrams", "ref_milli", "own_milli",
+            "excess_milli", "w_micro")
+          .orderBy("source")
+      }),
+
+    // Incremental maintenance: build over half the corpus, APPEND the
+    // other half — counts are additive, so the oracle is "count the
+    // whole corpus at once". Rebuilt per invocation (the
+    // ext_lm_incremental stance).
+    QueryDef("ext_doremi_incremental",
+      Some(doremiTokenWeightsSql(5, 200000L, 100000L)),
+      (s, dir) => {
+        val tbl = "graft_dmi_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+        val d = load(s, dir, "documents")
+        IndexStore.buildDoremiIndex(d.where(col("doc_id") % 2 === 0),
+          "doc_id", "source", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.appendDoremiIndex(d.where(col("doc_id") % 2 === 1),
+          "doc_id", "source", "text", tbl)
+        IndexStore.doremiWeightsFromIndex(s, tbl)
+          .select("source", "n_bigrams", "ref_milli", "own_milli",
+            "excess_milli", "w_micro")
+          .orderBy("source")
+      }),
+
+    // Exact unlearning: junk docs (spam planted into every source) are
+    // learned then taken down by negated-count append — the mixture a
+    // compliance request reshapes must equal the never-polluted one
+    // bit-for-bit, which is exactly what the never-saw-junk oracle
+    // hashes.
+    QueryDef("ext_doremi_unlearn",
+      Some(doremiTokenWeightsSql(5, 200000L, 100000L)),
+      (s, dir) => {
+        val tbl = "graft_dmu_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+        val d = load(s, dir, "documents")
+        val junk = d.where(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(col("text"), lit(" zspam zspam buy now")).as("text"),
+            col("source"))
+        IndexStore.buildDoremiIndex(
+          d.select("doc_id", "text", "source").unionByName(junk),
+          "doc_id", "source", "text", tbl, s"/tmp/graft_index/$tbl")
+        IndexStore.unlearnFromDoremiIndex(junk, "doc_id", "source",
+          "text", tbl)
+        IndexStore.doremiWeightsFromIndex(s, tbl)
+          .select("source", "n_bigrams", "ref_milli", "own_milli",
+            "excess_milli", "w_micro")
+          .orderBy("source")
+      }))
+
+  /** The standalone per-token oracle (persisted-model serving
+    * semantics). */
+  private[graft] def doremiTokenWeightsSql(steps: Int, etaMicro: Long,
+      smoothMicro: Long, docsRel: String = "documents"): String =
+    s"""WITH ${doremiTokenWeightCtes(steps, etaMicro, smoothMicro, docsRel)}
+       |SELECT e.source, e.n_bigrams, e.ref_milli, e.own_milli,
+       |       e.excess_milli, wf.w AS w_micro
+       |FROM dm_ex2 e JOIN dm_w$steps wf ON e.source = wf.source
+       |ORDER BY e.source""".stripMargin
 
   /** Embeddable `dm_`-prefixed CTE chain ending at `dm_w<steps>`
     * (source, w): pure-bigram scoring CTEs — both LM families derived
@@ -401,18 +476,21 @@ object SelectionQueries {
     * keeps the chain composable into the corpus-build capstone's
     * oracle, whose own CTEs it must not shadow. */
   private[graft] def doremiWeightCtes(steps: Int, etaMicro: Long,
-      smoothMicro: Long, docsRel: String = "documents"): String = {
-    val stepCtes = (1 to steps).map { i =>
-      s"""dm_u$i AS (
-         |  SELECT e.source, w.w * (1000000 + ($etaMicro * e.excess_milli) // 1000) AS u
-         |  FROM dm_ex2 e JOIN dm_w${i - 1} w ON e.source = w.source),
-         |dm_z$i AS (SELECT CAST(sum(u) AS BIGINT) AS z FROM dm_u$i),
-         |dm_w$i AS (
-         |  SELECT source,
-         |    ((1000000 - $smoothMicro) * CAST(floor(u * 1000000.0 / z + 0.5) AS BIGINT)) // 1000000
-         |      + $smoothMicro // k AS w
-         |  FROM dm_u$i, dm_z$i, dm_kc)""".stripMargin
-    }.mkString(",\n")
+      smoothMicro: Long, docsRel: String = "documents"): String =
+    doremiCorpusCtes(docsRel) + ",\n" + doremiDocExcessCtes + ",\n" +
+      doremiEgCtes(steps, etaMicro, smoothMicro)
+
+  /** Per-TOKEN variant of [[doremiWeightCtes]] — the persisted-model
+    * serving semantics ([[graft.operators.Doremi.tokenSignalsFromCounts]]:
+    * per-bigram-instance means, Σc·h / Σc, no doc boundaries). */
+  private[graft] def doremiTokenWeightCtes(steps: Int, etaMicro: Long,
+      smoothMicro: Long, docsRel: String = "documents"): String =
+    doremiCorpusCtes(docsRel) + ",\n" + doremiTokenExcessCtes + ",\n" +
+      doremiEgCtes(steps, etaMicro, smoothMicro)
+
+  /** The shared corpus-side CTEs: tokenize, bigrams, the per-(source,
+    * bigram) count table and its rollups (both LM families). */
+  private def doremiCorpusCtes(docsRel: String): String =
     s"""dm_tok AS (
        |  SELECT doc_id, source,
        |    list_prepend('<s>',
@@ -445,37 +523,87 @@ object SelectionQueries {
        |  SELECT count(DISTINCT t) + 1 AS vsize_ref
        |  FROM (SELECT string_split(bg, ' ')[1] AS t FROM dm_bc
        |        UNION ALL
-       |        SELECT string_split(bg, ' ')[2] AS t FROM dm_bc) u),
-       |dm_scored AS (
-       |  SELECT e.doc_id, e.source,
-       |    CAST(floor(-log2((coalesce(bc.cb_ref, 0) + 1.0) /
-       |                     (coalesce(cc.cctx_ref, 0) + v.vsize_ref))
-       |               * 1000.0 + 0.5) AS BIGINT) AS h_ref,
-       |    CAST(floor(-log2((coalesce(sbc.cb, 0) + 1.0) /
-       |                     (coalesce(scc.cctx_own, 0) + sv.vsize_own))
-       |               * 1000.0 + 0.5) AS BIGINT) AS h_own
-       |  FROM dm_big e
-       |  LEFT JOIN dm_bc bc ON e.bg = bc.bg
-       |  LEFT JOIN dm_cc cc ON e.prev = cc.prev
-       |  LEFT JOIN dm_sbc sbc ON e.source = sbc.source AND e.bg = sbc.bg
-       |  LEFT JOIN dm_scc scc ON e.source = scc.source AND e.prev = scc.prev
-       |  JOIN dm_sv sv ON e.source = sv.source
-       |  CROSS JOIN dm_v v),
-       |dm_pd AS (
-       |  SELECT doc_id, source,
-       |    CAST(floor(CAST(sum(h_ref) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_tok,
-       |    CAST(floor(CAST(sum(h_own) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_tok
-       |  FROM dm_scored GROUP BY 1, 2),
-       |dm_ex AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(floor(CAST(sum(ref_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_milli,
-       |    CAST(floor(CAST(sum(own_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_milli
-       |  FROM dm_pd GROUP BY 1),
-       |dm_ex2 AS (
-       |  SELECT source, n_docs, ref_milli, own_milli,
-       |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
-       |  FROM dm_ex),
-       |dm_kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dm_ex2),
+       |        SELECT string_split(bg, ' ')[2] AS t FROM dm_bc) u)""".stripMargin
+
+  /** Per-DOC excess (the inline `ext_doremi_weights` semantics):
+    * doc-mean milli-bits, then the domain mean of doc means. Ends at
+    * `dm_ex2` (source, n_docs, ref_milli, own_milli, excess_milli). */
+  private def doremiDocExcessCtes: String =
+    """dm_scored AS (
+      |  SELECT e.doc_id, e.source,
+      |    CAST(floor(-log2((coalesce(bc.cb_ref, 0) + 1.0) /
+      |                     (coalesce(cc.cctx_ref, 0) + v.vsize_ref))
+      |               * 1000.0 + 0.5) AS BIGINT) AS h_ref,
+      |    CAST(floor(-log2((coalesce(sbc.cb, 0) + 1.0) /
+      |                     (coalesce(scc.cctx_own, 0) + sv.vsize_own))
+      |               * 1000.0 + 0.5) AS BIGINT) AS h_own
+      |  FROM dm_big e
+      |  LEFT JOIN dm_bc bc ON e.bg = bc.bg
+      |  LEFT JOIN dm_cc cc ON e.prev = cc.prev
+      |  LEFT JOIN dm_sbc sbc ON e.source = sbc.source AND e.bg = sbc.bg
+      |  LEFT JOIN dm_scc scc ON e.source = scc.source AND e.prev = scc.prev
+      |  JOIN dm_sv sv ON e.source = sv.source
+      |  CROSS JOIN dm_v v),
+      |dm_pd AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(CAST(sum(h_ref) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_tok,
+      |    CAST(floor(CAST(sum(h_own) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_tok
+      |  FROM dm_scored GROUP BY 1, 2),
+      |dm_ex AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(floor(CAST(sum(ref_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_milli,
+      |    CAST(floor(CAST(sum(own_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_milli
+      |  FROM dm_pd GROUP BY 1),
+      |dm_ex2 AS (
+      |  SELECT source, n_docs, ref_milli, own_milli,
+      |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
+      |  FROM dm_ex)""".stripMargin
+
+  /** Per-TOKEN excess from the count table alone — Σc·h / Σc per
+    * domain. Ends at `dm_ex2` (source, n_bigrams, ref_milli,
+    * own_milli, excess_milli). */
+  private def doremiTokenExcessCtes: String =
+    """dm_wsum AS (
+      |  SELECT s.source, s.cb,
+      |    s.cb * CAST(floor(-log2((coalesce(bc.cb_ref, 0) + 1.0) /
+      |                            (coalesce(cc.cctx_ref, 0) + v.vsize_ref))
+      |                      * 1000.0 + 0.5) AS BIGINT) AS whr,
+      |    s.cb * CAST(floor(-log2((s.cb + 1.0) /
+      |                            (coalesce(scc.cctx_own, 0) + sv.vsize_own))
+      |                      * 1000.0 + 0.5) AS BIGINT) AS who
+      |  FROM dm_sbc s
+      |  LEFT JOIN dm_bc bc ON s.bg = bc.bg
+      |  LEFT JOIN dm_cc cc ON string_split(s.bg, ' ')[1] = cc.prev
+      |  LEFT JOIN dm_scc scc ON s.source = scc.source
+      |    AND string_split(s.bg, ' ')[1] = scc.prev
+      |  JOIN dm_sv sv ON s.source = sv.source
+      |  CROSS JOIN dm_v v),
+      |dm_ex AS (
+      |  SELECT source, CAST(sum(cb) AS BIGINT) AS n_bigrams,
+      |    CAST(floor(CAST(sum(whr) AS BIGINT) * 1.0 / CAST(sum(cb) AS BIGINT) + 0.5) AS BIGINT) AS ref_milli,
+      |    CAST(floor(CAST(sum(who) AS BIGINT) * 1.0 / CAST(sum(cb) AS BIGINT) + 0.5) AS BIGINT) AS own_milli
+      |  FROM dm_wsum GROUP BY 1),
+      |dm_ex2 AS (
+      |  SELECT source, n_bigrams, ref_milli, own_milli,
+      |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
+      |  FROM dm_ex)""".stripMargin
+
+  /** The EG loop, unrolled one CTE pair per step over whatever
+    * prelude defined `dm_ex2`. */
+  private def doremiEgCtes(steps: Int, etaMicro: Long,
+      smoothMicro: Long): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""dm_u$i AS (
+         |  SELECT e.source, w.w * (1000000 + ($etaMicro * e.excess_milli) // 1000) AS u
+         |  FROM dm_ex2 e JOIN dm_w${i - 1} w ON e.source = w.source),
+         |dm_z$i AS (SELECT CAST(sum(u) AS BIGINT) AS z FROM dm_u$i),
+         |dm_w$i AS (
+         |  SELECT source,
+         |    ((1000000 - $smoothMicro) * CAST(floor(u * 1000000.0 / z + 0.5) AS BIGINT)) // 1000000
+         |      + $smoothMicro // k AS w
+         |  FROM dm_u$i, dm_z$i, dm_kc)""".stripMargin
+    }.mkString(",\n")
+    s"""dm_kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dm_ex2),
        |dm_w0 AS (SELECT source, CAST(1000000 // k AS BIGINT) AS w FROM dm_ex2, dm_kc),
        |$stepCtes""".stripMargin
   }

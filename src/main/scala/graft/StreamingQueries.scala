@@ -313,6 +313,55 @@ object StreamingQueries {
           s"/tmp/graft_scorpus/$tag/idx")
       }),
 
+    // The streamed capstone with the LEARNED mixture: DoReMi weights
+    // fit batch-side over the reference corpus (the sr17 pinned-model
+    // stance — a forever-sync freezes its mixture per release window)
+    // and their budgets drive the stream's per-source spend ledger.
+    // Same dm_ weight CTEs as the batch ext_corpus_build_doremi, with
+    // the budget window in ARRIVAL order.
+    QueryDef("sr26_streaming_corpus_doremi",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          budgetCte = Some(
+            SelectionQueries.doremiWeightCtes(5, 200000L, 100000L,
+              docsRel = "corpus") + ",\n" +
+            "w(source, budget) AS (SELECT source, (w * 2000) // 1000000 AS budget FROM dm_w5)")) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, _) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        // tight 2k pool — see ext_corpus_build_doremi: the ledger must
+        // actually cut for the arrival-order spend to be value-checked
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.weights(corpus), 2000L)
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals,
+          budgets, s"/tmp/graft_scorpus_dm/$tag", s"graft_scbdm_$tag",
+          s"/tmp/graft_scorpus_dm/$tag/idx")
+      }),
+
+    // Continuous mixture-model maintenance: micro-batches append into
+    // the persisted DoReMi count table (keyed replay-exactly-once
+    // lifecycle), weights re-derive from the table alone at stream end.
+    // Counts are additive, so the stream equals a one-shot fit over the
+    // same slice — the token-level serving oracle, fully hash-checked.
+    QueryDef("sr27_streaming_doremi_ingest",
+      Some(SelectionQueries.doremiTokenWeightsSql(5, 200000L, 100000L,
+        docsRel = "(SELECT * FROM documents WHERE doc_id % 10 < 8) d8")),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runDoremiIngest(s, dir,
+          s"/tmp/graft_dmingest/$tag", s"graft_sdm_$tag",
+          s"/tmp/graft_dmingest/$tag/idx")
+      }),
+
     // The streamed capstone WITH the selection stage: the DSIR model is
     // fitted batch-side over the reference corpus's post-decon
     // survivors (frozen-cutoff stance; production reads the persisted

@@ -193,4 +193,84 @@ object Doremi {
     weightsDf.select(col("source"),
       ((col("w_micro") * lit(totalTokens)) / lit(1000000L))
         .cast("long").as("budget"))
+
+  /** Per-domain signals from a per-(source, bigram) COUNT table alone
+    * — no text, no corpus re-read: (source, n_bigrams, ref_milli,
+    * own_milli, excess_milli) with the means per BIGRAM INSTANCE
+    * (token-level), not per doc. The per-doc form ([[domainSignals]])
+    * needs doc boundaries, which a count table deliberately forgets;
+    * the per-instance mean is the same expectation re-weighted by doc
+    * length, computable EXACTLY from counts: Σ c·h / Σ c with h the
+    * usual integer milli-bits. This is what makes the persisted model
+    * ([[IndexStore.buildDoremiIndex]]) servable: mixture weights
+    * recompute from the vocab-bounded table in O(vocab), while the
+    * corpus-sized pass happens once at count time and O(batch) on
+    * appends. The c·h products are exact longs (h < 2^15 milli-bits,
+    * so counts up to ~2^48 instances per (source, bigram) stay exact
+    * — beyond that swap the sum to decimal, the sourceTokenKl
+    * caveat). */
+  def tokenSignalsFromCounts(sbc: DataFrame): DataFrame = {
+    val pinned = Ops.checkpointKeepPartitioning(sbc)
+    val scc = pinned.groupBy(col("source"),
+        substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cctx_own"))
+    val sv = pinned.select(col("source"),
+        substring_index(col("bg"), " ", 1).as("t"))
+      .union(pinned.select(col("source"),
+        substring_index(col("bg"), " ", -1).as("t")))
+      .groupBy("source").agg((countDistinct(col("t")) + 1).as("vsize_own"))
+    val bc = pinned.groupBy("bg").agg(sum(col("cb")).as("cb_ref"))
+    val cc = bc.groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb_ref")).as("cctx_ref"))
+    val v = bc.select(substring_index(col("bg"), " ", 1).as("t"))
+      .union(bc.select(substring_index(col("bg"), " ", -1).as("t")))
+      .agg((countDistinct(col("t")) + 1).as("vsize_ref"))
+
+    def hMilli(cb: org.apache.spark.sql.Column,
+        cctx: org.apache.spark.sql.Column,
+        vsize: org.apache.spark.sql.Column) =
+      floor(-log2((coalesce(cb, lit(0L)) + lit(1.0)) /
+          (coalesce(cctx, lit(0L)) + vsize)) * lit(1000.0) + lit(0.5))
+        .cast("long")
+
+    pinned
+      .join(bc.withColumnRenamed("bg", "bgr"),
+        col("bg") === col("bgr"), "left").drop("bgr")
+      .join(cc.withColumnRenamed("prev", "pr"),
+        substring_index(col("bg"), " ", 1) === col("pr"), "left").drop("pr")
+      .join(scc.withColumnRenamed("source", "sc")
+          .withColumnRenamed("prev", "pc"),
+        col("source") === col("sc") &&
+          substring_index(col("bg"), " ", 1) === col("pc"), "left")
+      .drop("sc", "pc")
+      .join(sv, "source")
+      .crossJoin(broadcast(v))
+      .select(col("source"), col("cb"),
+        (col("cb") * hMilli(col("cb_ref"), col("cctx_ref"),
+          col("vsize_ref"))).as("whr"),
+        (col("cb") * hMilli(col("cb"), col("cctx_own"),
+          col("vsize_own"))).as("who"))
+      .groupBy("source")
+      .agg(sum(col("cb")).as("n_bigrams"),
+        floor(sum(col("whr")) * lit(1.0) / sum(col("cb")) + lit(0.5))
+          .cast("long").as("ref_milli"),
+        floor(sum(col("who")) * lit(1.0) / sum(col("cb")) + lit(0.5))
+          .cast("long").as("own_milli"))
+      .withColumn("excess_milli",
+        greatest(lit(0L), col("ref_milli") - col("own_milli")))
+  }
+
+  /** [[weights]] over a count table — the persisted-model serving
+    * path. */
+  def tokenWeightsFromCounts(sbc: DataFrame, cfg: Config = Config())
+      : DataFrame = {
+    val spark = sbc.sparkSession
+    val sig = tokenSignalsFromCounts(sbc).localCheckpoint()
+    val ex = sig.select("source", "excess_milli").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val w = egWeights(ex, cfg)
+    import spark.implicits._
+    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+      .orderBy("source")
+  }
 }

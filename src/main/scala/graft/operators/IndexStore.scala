@@ -1891,6 +1891,190 @@ object IndexStore {
   def vacuumDsirIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_counts")
 
+  // ---- DoReMi mixture-model table ------------------------------------
+  // The eleventh persisted kind, fourth holding MODEL STATE: the
+  // per-(source, bigram) counts behind [[Doremi]] domain reweighting.
+  // One table carries BOTH LM families — the per-domain models are its
+  // rows, the generalist reference is its rollup over source — and the
+  // rows form the usual commutative count group (merge = sum, unlearn
+  // = negate), so append-then-serve equals a one-shot refit bit-for-
+  // bit and take-down of a source's documents is EXACT. The serving
+  // win is the shape: mixture weights recompute from this vocab-
+  // bounded table in O(vocab) ([[Doremi.tokenWeightsFromCounts]] —
+  // per-bigram-instance means need no doc boundaries), so the
+  // corpus-sized tokenize+count pass is paid once at build and
+  // O(batch) per append, never again at re-weighting time.
+
+  private def doremiCounts(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String): DataFrame =
+    NgramLm.bigrams(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source")), "doc_id")
+      .groupBy("source", "bg").agg(count(lit(1)).as("cb"))
+
+  private def doremiParams(idCol: String, srcCol: String)
+      : Map[String, String] =
+    Map("idCol" -> idCol, "payload" -> "doremi", "srcCol" -> srcCol)
+
+  /** Builds the persisted mixture model. */
+  def buildDoremiIndex(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, table: String, path: String,
+      nBuckets: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    bucketRouted(doremiCounts(docs, idCol, srcCol, textCol), "bg",
+        nBuckets)
+      .write.bucketBy(nBuckets, "bg")
+      .option("path", s"$path/${table}_dmc").mode("overwrite")
+      .saveAsTable(s"${table}_dmc")
+    setParams(spark, s"${table}_dmc", doremiParams(idCol, srcCol))
+  }
+
+  /** Appends a delta corpus's counts — additive, batch-order
+    * independent. */
+  def appendDoremiIndex(delta: DataFrame, idCol: String, srcCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_dmc", doremiParams(idCol, srcCol),
+      "append")
+    val nb = numBucketsOf(spark, s"${table}_dmc")
+    bucketRouted(doremiCounts(delta, idCol, srcCol, textCol), "bg", nb)
+      .write.bucketBy(nb, "bg")
+      .mode("append").saveAsTable(s"${table}_dmc")
+    noteAppend(spark, s"${table}_dmc")
+  }
+
+  /** Exact unlearning: appends the docs' counts negated. Only unlearn
+    * what was previously learned (the LM's ledger discipline). */
+  def unlearnFromDoremiIndex(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, table: String): Unit = {
+    val spark = docs.sparkSession
+    requireParams(spark, s"${table}_dmc", doremiParams(idCol, srcCol),
+      "unlearn")
+    val nb = numBucketsOf(spark, s"${table}_dmc")
+    bucketRouted(doremiCounts(docs, idCol, srcCol, textCol)
+        .withColumn("cb", -col("cb")), "bg", nb)
+      .write.bucketBy(nb, "bg")
+      .mode("append").saveAsTable(s"${table}_dmc")
+    noteAppend(spark, s"${table}_dmc")
+  }
+
+  /** Mixture weights from the persisted model — O(vocab), zero corpus
+    * read: count rows merged by summation, cancellations dropped,
+    * through [[Doremi.tokenWeightsFromCounts]]. Co-located by bg, no
+    * exchange before the merge. */
+  def doremiWeightsFromIndex(spark: SparkSession, table: String,
+      cfg: Doremi.Config = Doremi.Config()): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_dmc")
+    Doremi.tokenWeightsFromCounts(
+      spark.table(s"${table}_dmc")
+        .groupBy("source", "bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0), cfg)
+  }
+
+  /** Compacts: folds duplicate and cancellation rows into one positive
+    * row per (source, bg). */
+  def compactDoremiIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val dmc = s"${table}_dmc"
+    rewriteInPlace(spark, dmc, bucketColOf(spark, dmc),
+      s"$newPathBase/${dmc}_c", numBucketsOf(spark, dmc))(
+      _.groupBy("source", "bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0))
+  }
+
+  /** Vacuums the DoReMi table's retired directories. */
+  def vacuumDoremiIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_dmc")
+
+  // ---- batch-KEYED DoReMi lifecycle (replay-exactly-once) -------------
+  // The keyed-LM discipline applied to the mixture model's count table:
+  // a streaming maintainer's crash-replayed micro-batch must not
+  // double-count its slice, so every row carries its writer's batch key
+  // and (source, bg, bk) is the row's IDENTITY — pre-compaction replays
+  // write byte-identical rows the read-side dedup cancels, compaction
+  // raises the high-water mark BEFORE its atomic swap so post-fold
+  // replays are skipped outright. Same key discipline as the LM
+  // (in-band appends = the stream's monotone batch ids; the fold
+  // sentinel is never a legal caller key).
+
+  private def doremiKeyedParams(idCol: String, srcCol: String) =
+    doremiParams(idCol, srcCol) + ("keyed" -> "true")
+
+  /** Builds the keyed mixture-model table; `batchKey` becomes the
+    * initial high-water mark (a crash-replay of the building batch
+    * falls through to the append path and is skipped). */
+  def buildDoremiIndexKeyed(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, table: String, path: String,
+      batchKey: Long = 0L, nBuckets: Int = 4): Unit = {
+    require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
+    val spark = docs.sparkSession
+    bucketRouted(doremiCounts(docs, idCol, srcCol, textCol)
+        .withColumn("bk", lit(batchKey)), "bg", nBuckets)
+      .write.bucketBy(nBuckets, "bg")
+      .option("path", s"$path/${table}_dmc").mode("overwrite")
+      .saveAsTable(s"${table}_dmc")
+    setParams(spark, s"${table}_dmc",
+      doremiKeyedParams(idCol, srcCol) +
+        (LmBkHighWaterParam -> batchKey.toString))
+  }
+
+  /** Replay-idempotent append; returns whether the batch was APPLIED
+    * (false = at/below the high-water mark, a post-compaction replay). */
+  def appendDoremiIndexKeyed(delta: DataFrame, idCol: String,
+      srcCol: String, textCol: String, table: String,
+      batchKey: Long): Boolean = {
+    require(batchKey >= 0 && batchKey != LmFoldedBk,
+      s"append batchKey must be in-band (>= 0), got $batchKey")
+    val spark = delta.sparkSession
+    val dmc = s"${table}_dmc"
+    requireParams(spark, dmc, doremiKeyedParams(idCol, srcCol), "append")
+    if (batchKey <= lmWaterMark(spark, dmc, LmBkHighWaterParam, -1L))
+      false
+    else {
+      val nb = numBucketsOf(spark, dmc)
+      bucketRouted(doremiCounts(delta, idCol, srcCol, textCol)
+          .withColumn("bk", lit(batchKey)), "bg", nb)
+        .write.bucketBy(nb, "bg").mode("append").saveAsTable(dmc)
+      noteAppend(spark, dmc)
+      true
+    }
+  }
+
+  /** Mixture weights from the keyed table: (source, bg, bk)
+    * row-identity dedup — cancelling pre-compaction replay duplicates —
+    * then the same merge-and-serve as the unkeyed form. Both steps
+    * cluster on bg, so the bucketed scan feeds them exchange-free. */
+  def doremiWeightsFromIndexKeyed(spark: SparkSession, table: String,
+      cfg: Doremi.Config = Doremi.Config()): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_dmc")
+    Doremi.tokenWeightsFromCounts(
+      spark.table(s"${table}_dmc")
+        .dropDuplicates("source", "bg", "bk")
+        .groupBy("source", "bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0), cfg)
+  }
+
+  /** Compacts the keyed table: the high-water mark rises FIRST (the
+    * keyed-LM crash argument), then the fold dedups row identities,
+    * sums, drops cancellations, and stamps survivors with the fold
+    * sentinel. */
+  def compactDoremiIndexKeyed(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val dmc = s"${table}_dmc"
+    val hi = spark.table(dmc).where(col("bk") =!= LmFoldedBk)
+      .agg(max(when(col("bk") >= 0, col("bk"))).as("hi")).head()
+    if (!hi.isNullAt(0))
+      setLmWaterMark(spark, dmc, LmBkHighWaterParam,
+        math.max(hi.getLong(0),
+          lmWaterMark(spark, dmc, LmBkHighWaterParam, -1L)))
+    rewriteInPlace(spark, dmc, bucketColOf(spark, dmc),
+      s"$newPathBase/${dmc}_c", numBucketsOf(spark, dmc))(
+      _.dropDuplicates("source", "bg", "bk")
+        .groupBy("source", "bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0)
+        .withColumn("bk", lit(LmFoldedBk)))
+  }
+
   // ---- cross-doc shingle document-frequency table --------------------
   // The ninth persisted kind, third holding MODEL STATE: the per-
   // shingle distinct-document counts behind [[SpanDedup]] (ExactSubstr
@@ -2331,6 +2515,8 @@ object IndexStore {
       case "lm"      => (s"${table}_counts", compactLmIndex(spark, table, _))
       case "lmk"     => (s"${table}_counts", compactLmIndexKeyed(spark, table, _))
       case "dsir"    => (s"${table}_counts", compactDsirIndex(spark, table, _))
+      case "doremi"  => (s"${table}_dmc",    compactDoremiIndex(spark, table, _))
+      case "doremik" => (s"${table}_dmc",    compactDoremiIndexKeyed(spark, table, _))
       case "span"    => (s"${table}_sdf",    compactSpanIndex(spark, table, _))
       case "pq"      => (s"${table}_codes",  compactPqIndex(spark, table, _))
       case other => throw new IllegalArgumentException(

@@ -205,6 +205,39 @@ object StreamingIndexIngest {
         .orderBy("doc_id"))
   }
 
+  /** Continuous MIXTURE-MODEL maintenance: document micro-batches
+    * stream into the persisted DoReMi count table (keyed lifecycle —
+    * same crash-replay argument as [[runLmIngest]]), and at any point
+    * the serving path recomputes the learned source weights from the
+    * table alone, O(vocab), zero corpus re-read. This is the
+    * production cadence ARCHITECTURE.md claims for the mixer: the
+    * corpus pass rides the ingest, re-weighting is free. Counts are
+    * additive, so the final weights equal a one-shot fit over the
+    * streamed slice — the oracle. */
+  def runDoremiIngest(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    ingestFrames(spark, docs.where(col("doc_id") % 10 < 8), workDir,
+      Seq(s"${table}_dmc"), idxPath,
+      (batch, first, batchId) =>
+        if (first) IndexStore.buildDoremiIndexKeyed(batch, "doc_id",
+          "source", "text", table, idxPath, batchKey = batchId)
+        else {
+          IndexStore.appendDoremiIndexKeyed(batch, "doc_id", "source",
+            "text", table, batchId)
+          IndexStore.autoCompact(spark, "doremik", table,
+            autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.doremiWeightsFromIndexKeyed(spark, table)
+        .select("source", "n_bigrams", "ref_milli", "own_milli",
+          "excess_milli", "w_micro")
+        .orderBy("source"))
+  }
+
   /** The COMPOSED multi-gate ingest, run as a stream — the reference's
     * cron loop (`/root/reference/README.md:11`, `partial-update.sh`) is
     * exactly "the composed sync, run forever": each arriving micro-batch

@@ -59,6 +59,39 @@ class DoremiSpec extends SparkSpec {
     }
   }
 
+  test("tokenSignalsFromCounts: coherent domains show positive token-level excess; serving weights quantize") {
+    import graft.operators.NgramLm
+    // same two-domain fixture as domainSignals — but scored from the
+    // per-(source, bigram) COUNT table alone (the persisted-model
+    // serving path): doc boundaries are gone, yet the per-instance
+    // means must still put each own-model under the pooled generalist
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta alpha beta gamma", "legal")
+      else (i.toLong, "omega psi chi phi omega psi chi", "chat")
+    }.toDF("doc_id", "text", "source")
+    val sbc = NgramLm.bigrams(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy("source", "bg").agg(count(lit(1)).as("cb"))
+    val sig = Doremi.tokenSignalsFromCounts(sbc).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(sig.keySet == Set("legal", "chat"))
+    sig.foreach { case (src, (nBg, refM, ownM, ex)) =>
+      // 7 tokens + the <s> start marker = 7 bigrams per doc, 20 docs
+      assert(nBg == 20L * 7L,
+        s"$src must count every bigram instance: $sig")
+      assert(ownM < refM, s"$src own-model must beat the generalist")
+      assert(ex == refM - ownM && ex > 0, s"$src excess wrong: $sig")
+    }
+    val w = Doremi.tokenWeightsFromCounts(sbc).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+    assert(w.toSeq == Doremi.tokenWeightsFromCounts(sbc).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro")).toSeq,
+      "serving weights must be bit-deterministic")
+    assert(math.abs(w.map(_._2).sum - 1000000L) <= 2L * w.length)
+  }
+
   test("weights: end-to-end on sf0.001 — deterministic, floored, and ~1e6 total") {
     val docs = Tables.load(spark, sf0001, "documents")
     val cfg = Doremi.Config()

@@ -1673,6 +1673,112 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  // ---- persisted DoReMi mixture-model table --------------------------
+
+  private def srcDocs: DataFrame =
+    Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "source")
+
+  test("persisted DoReMi: append equals one-shot refit; unlearn equals never-seen") {
+    val tbl = "graft_spec_dm"
+    val tblOne = "graft_spec_dm1"
+    Seq(tbl, tblOne).foreach(t => dropTable(s"${t}_dmc"))
+    val a = srcDocs.where(col("doc_id") % 2 === 0)
+    val b = srcDocs.where(col("doc_id") % 2 === 1)
+    IndexStore.buildDoremiIndex(a, "doc_id", "source", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendDoremiIndex(b, "doc_id", "source", "text", tbl)
+    val inc = IndexStore.doremiWeightsFromIndex(spark, tbl)
+      .collect().toSeq
+    IndexStore.buildDoremiIndex(a.unionByName(b), "doc_id", "source",
+      "text", tblOne, s"$idxPath/$tblOne")
+    val oneShot = IndexStore.doremiWeightsFromIndex(spark, tblOne)
+      .collect().toSeq
+    assert(inc == oneShot,
+      "append-then-serve must equal a one-shot build bit-for-bit")
+    // exact unlearning: take down b → the mixture a never-polluted
+    // build would have learned
+    IndexStore.unlearnFromDoremiIndex(b, "doc_id", "source", "text", tbl)
+    val unlearned = IndexStore.doremiWeightsFromIndex(spark, tbl)
+      .collect().toSeq
+    IndexStore.buildDoremiIndex(a, "doc_id", "source", "text", tblOne,
+      s"$idxPath/$tblOne")
+    val neverSaw = IndexStore.doremiWeightsFromIndex(spark, tblOne)
+      .collect().toSeq
+    assert(unlearned == neverSaw,
+      "unlearn must equal a refit that never saw the slice")
+  }
+
+  test("persisted DoReMi: compaction folds physically without moving weights; bad params rejected") {
+    val tbl = "graft_spec_dmc"
+    dropTable(s"${tbl}_dmc")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc__compacting")
+    val a = srcDocs.where(col("doc_id") % 2 === 0)
+    val b = srcDocs.where(col("doc_id") % 2 === 1)
+    IndexStore.buildDoremiIndex(a, "doc_id", "source", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendDoremiIndex(b, "doc_id", "source", "text", tbl)
+    IndexStore.unlearnFromDoremiIndex(b, "doc_id", "source", "text", tbl)
+    val before = IndexStore.doremiWeightsFromIndex(spark, tbl)
+      .collect().toSeq
+    val preRows = spark.table(s"${tbl}_dmc").count()
+    assert(IndexStore.autoCompact(spark, "doremi", tbl, every = 1),
+      "appends past the threshold must trigger the doremi auto-compaction")
+    val postRows = spark.table(s"${tbl}_dmc").count()
+    assert(postRows < preRows, "compaction must fold rows physically")
+    // folded state == a's live (source, bigram) pairs, nothing more:
+    // b's rows cancelled exactly
+    val after = IndexStore.doremiWeightsFromIndex(spark, tbl)
+      .collect().toSeq
+    assert(after == before, "compaction must not change the mixture")
+    intercept[IllegalArgumentException] {
+      IndexStore.appendDoremiIndex(b, "doc_id", "other_src", "text", tbl)
+    }
+  }
+
+  test("keyed DoReMi: a crash-replayed append cannot double-count, before or after compaction") {
+    val tbl = "graft_spec_dmk"
+    dropTable(s"${tbl}_dmc")
+    val a = srcDocs.where(col("doc_id") % 3 === 0)
+    val b = srcDocs.where(col("doc_id") % 3 === 1)
+    def weights() = IndexStore.doremiWeightsFromIndexKeyed(spark, tbl)
+      .collect().toSeq
+    IndexStore.buildDoremiIndexKeyed(a, "doc_id", "source", "text", tbl,
+      s"$idxPath/$tbl", batchKey = 0L)
+    assert(IndexStore.appendDoremiIndexKeyed(b, "doc_id", "source",
+      "text", tbl, 1L))
+    val once = weights()
+    // parity with an unkeyed one-shot build over both slices
+    val tblOne = "graft_spec_dmk1"
+    dropTable(s"${tblOne}_dmc")
+    IndexStore.buildDoremiIndex(a.unionByName(b), "doc_id", "source",
+      "text", tblOne, s"$idxPath/$tblOne")
+    assert(once == IndexStore.doremiWeightsFromIndex(spark, tblOne)
+      .collect().toSeq)
+    // replay BEFORE compaction: rows land but share (source, bg, bk)
+    // identity, so the read-side dedup cancels them
+    assert(IndexStore.appendDoremiIndexKeyed(b, "doc_id", "source",
+      "text", tbl, 1L))
+    assert(weights() == once, "pre-compaction replay double-counted")
+    IndexStore.compactDoremiIndexKeyed(spark, tbl, s"$idxPath/${tbl}_c1")
+    assert(weights() == once, "compaction changed the mixture")
+    // replay AFTER compaction: skipped outright by the high-water mark
+    assert(!IndexStore.appendDoremiIndexKeyed(b, "doc_id", "source",
+      "text", tbl, 1L))
+    assert(!IndexStore.appendDoremiIndexKeyed(a, "doc_id", "source",
+      "text", tbl, 0L),
+      "the replayed BUILD batch must be skipped too")
+    assert(weights() == once, "post-compaction replay double-counted")
+    // and genuinely new batches still land
+    val c = srcDocs.where(col("doc_id") % 3 === 2)
+    assert(IndexStore.appendDoremiIndexKeyed(c, "doc_id", "source",
+      "text", tbl, 2L))
+    IndexStore.buildDoremiIndex(a.unionByName(b).unionByName(c),
+      "doc_id", "source", "text", tblOne, s"$idxPath/$tblOne")
+    assert(weights() == IndexStore.doremiWeightsFromIndex(spark, tblOne)
+      .collect().toSeq)
+  }
+
   test("the lm kind participates in counter-driven auto-compaction") {
     val tbl = "graft_spec_lma"
     dropTable(s"${tbl}_counts")

@@ -539,6 +539,35 @@ class StreamingSpec extends SparkSpec {
       "the final append's compaction must have reset the counter")
   }
 
+  test("streamed DoReMi ingest equals a one-shot fit; threshold-1 compaction is value-neutral") {
+    import graft.operators.{Doremi, IndexStore, NgramLm}
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "source")
+    val slice = docs.where($"doc_id" % 10 < 8)
+    val sbc = NgramLm.bigrams(slice, "doc_id", "text")
+      .join(slice.select($"doc_id", $"source"), "doc_id")
+      .groupBy("source", "bg").agg(count(lit(1)).as("cb"))
+    val oneShot = Doremi.tokenWeightsFromCounts(sbc)
+      .select("source", "n_bigrams", "ref_milli", "own_milli",
+        "excess_milli", "w_micro")
+      .collect().toSeq
+    val streamed = graft.streaming.StreamingIndexIngest.runDoremiIngest(
+        spark, sf0001, "/tmp/graft_dmingest_test", "graft_test_dmi",
+        "/tmp/graft_dmingest_test/idx")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot,
+      "streamed count appends must reproduce the one-shot mixture exactly")
+    val compacted = graft.streaming.StreamingIndexIngest.runDoremiIngest(
+        spark, sf0001, "/tmp/graft_dmingest_ac", "graft_test_dmiac",
+        "/tmp/graft_dmingest_ac/idx", autoCompactAppends = 1)
+      .collect().toSeq
+    assert(compacted == oneShot,
+      "mid-stream count folding must not change the mixture")
+    assert(IndexStore.appendsSinceCompact(spark, "graft_test_dmiac_dmc") == 0,
+      "the final append's compaction must have reset the counter")
+  }
+
   test("an LM take-down between micro-batches equals a retrain that never saw the doc") {
     // the gate take-down's MODEL-state twin: drain one staged file into
     // the count table, unlearn a doc from it while the checkpoint is
@@ -852,6 +881,35 @@ class StreamingSpec extends SparkSpec {
     }
     bdirs.foreach(d => assert(new java.io.File(d.getParent,
       "hidden_" + d.getName).renameTo(d)))
+  }
+
+  test("streamed doremi corpus build: totality; non-budget verdicts equal the batch build's") {
+    import graft.streaming.StreamingCorpusBuild
+    import graft.operators.{CorpusBuild, Doremi}
+    val (corpus, evals, _) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    // a deliberately tight pool: the sf0.001 fixture is small enough
+    // that the registered query's 200k pool never cuts, and a ledger
+    // that never says 'budget' is untested
+    val budgets = Doremi.budgets(Doremi.weights(corpus), 5000L)
+      .localCheckpoint()
+    val work = s"/tmp/graft_scorpus_dm_spec/${System.nanoTime()}"
+    val streamed = StreamingCorpusBuild.run(spark, corpus, evals, budgets,
+      work, "graft_t_scbdm", s"$work/idx").localCheckpoint()
+    assert(streamed.count() == corpus.count())
+    val batch = CorpusBuild.build(corpus, evals, budgets).attribution
+    // the learned budget table is FROZEN, so every verdict except the
+    // arrival-order-dependent kept/budget pair must agree with the
+    // batch build under the same budgets
+    val disagree = streamed.withColumnRenamed("cut_stage", "a")
+      .join(batch.withColumnRenamed("cut_stage", "b"), "doc_id")
+      .where($"a" =!= $"b" &&
+        !($"a".isin("kept", "budget") && $"b".isin("kept", "budget")))
+      .count()
+    assert(disagree == 0,
+      "a non-budget verdict moved between the streamed and batch doremi builds")
+    assert(streamed.where($"cut_stage" === "budget").count() > 0,
+      "the learned mixture must actually cut somewhere")
   }
 
   test("streamed spanclean corpus build: totality; every non-budget verdict equals the batch stage") {
