@@ -2939,11 +2939,16 @@ object ExtensionQueries {
     // oracle chains the dm_-prefixed weight CTEs (over the SAME
     // `corpus` CTE) into the standard capstone CTEs as its `w` table,
     // so the whole learn→budget→build path is one hash-checked query.
+    // The pool is deliberately TIGHT (2k tokens): at the verify scale a
+    // 200k pool exceeds every source's surviving token mass, and a
+    // budget ledger that never says 'budget' is hash-checked but
+    // vacuous — the tight pool makes the learned arrival-order spend a
+    // value-bearing part of the oracle.
     QueryDef("ext_corpus_build_doremi",
       Some(corpusBuildCtes(budgetCte = Some(
           SelectionQueries.doremiWeightCtes(5, 200000L, 100000L,
             docsRel = "corpus") + ",\n" +
-          "w(source, budget) AS (SELECT source, (w * 200000) // 1000000 AS budget FROM dm_w5)")) +
+          "w(source, budget) AS (SELECT source, (w * 2000) // 1000000 AS budget FROM dm_w5)")) +
         "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
@@ -2954,7 +2959,39 @@ object ExtensionQueries {
       (s, dir) => {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
         val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.weights(corpus), 200000L)
+          graft.operators.Doremi.weights(corpus), 2000L)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+          .attribution.orderBy("doc_id")
+      }),
+
+    // The mixer's PRODUCTION path: the capstone's budget table hydrated
+    // from the PERSISTED DoReMi index (the sr20 stance applied to the
+    // mixture model) — the corpus pass happened at index-build time,
+    // re-weighting reads the vocab-bounded count table alone. Serving
+    // semantics are token-level (per-instance means, no doc
+    // boundaries), so the oracle swaps in the token CTE chain; same
+    // tight 2k pool as the fit-based twin.
+    QueryDef("ext_corpus_build_doremi_idx",
+      Some(corpusBuildCtes(budgetCte = Some(
+          SelectionQueries.doremiTokenWeightCtes(5, 200000L, 100000L,
+            docsRel = "corpus") + ",\n" +
+          "w(source, budget) AS (SELECT source, (w * 2000) // 1000000 AS budget FROM dm_w5)")) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_cbdmx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+        val (corpus, evals, _) = corpusBuildFixture(s, dir)
+        graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
+          "source", "text", tbl, s"/tmp/graft_index/$tbl")
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
+          2000L)
         graft.operators.CorpusBuild.build(corpus, evals, budgets)
           .attribution.orderBy("doc_id")
       }),
