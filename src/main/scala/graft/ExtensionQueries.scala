@@ -350,7 +350,7 @@ object ExtensionQueries {
     * fraction-based sampler's companion): spread so some budgets
     * swallow a source whole and others cut mid-source. One shared
     * table drives both engines. */
-  private val sourceTokenBudgets: Seq[(String, Long)] =
+  private[graft] val sourceTokenBudgets: Seq[(String, Long)] =
     (0 until 20).map { i =>
       val b = i % 4 match {
         case 0 => 1000000L // effectively unlimited at verify scale
@@ -4088,6 +4088,64 @@ object ExtensionQueries {
           .where(col("cum") <= col("budget"))
           .select("doc_id", "source")
           .orderBy("doc_id")
+      }),
+
+    // The TRAINING MANIFEST: the multi-epoch order a trainer actually
+    // consumes. Each epoch deals the corpus a fresh deterministic hand
+    // (md5 salted by the epoch number), draws per-source docs in that
+    // order until the source's token budget is spent — sampling
+    // without replacement within an epoch, with replacement across
+    // epochs — and numbers the epoch's survivors with their exact
+    // global consumption step. Every random choice is a pure function
+    // of (epoch, doc_id), so the manifest is byte-reproducible and
+    // diffable across reruns/engines. Scale shape: the per-source
+    // spend rides the GROUPED 3-pass prefix and the step the global
+    // 3-pass rank — the epoch loop is a bounded constant, and no
+    // partitionBy-less window appears anywhere (plan-asserted in
+    // SelectionSpec).
+    QueryDef("ext_training_manifest", {
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      Some(s"""WITH w(source, budget) AS (VALUES $values),
+              |t AS (
+              |  SELECT e.epoch, d.doc_id, d.source,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n,
+              |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
+              |  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) e(epoch)),
+              |c AS (
+              |  SELECT epoch, doc_id, source, n, hx,
+              |    sum(n) OVER (PARTITION BY epoch, source ORDER BY hx, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t),
+              |sel AS (
+              |  SELECT c.epoch, c.doc_id, c.hx FROM c JOIN w ON c.source = w.source
+              |  WHERE c.cum <= w.budget)
+              |SELECT CAST(epoch AS BIGINT) AS epoch,
+              |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY hx, doc_id) AS BIGINT) AS step,
+              |  doc_id
+              |FROM sel ORDER BY epoch, step""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val budgets = sourceTokenBudgets.toDF("source", "budget")
+        val docs = load(s, dir, "documents")
+        val hxNum = expr("conv(substr(hx, 1, 13), 16, 10)").cast("double")
+        (1 to 3).map { e =>
+          val t = docs.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
+              .cast("binary")).as("hx"))
+          val sel = graft.operators.Ops.withGroupedRunningSum(t,
+              col("source"), Seq(col("hx"), col("doc_id")), hxNum,
+              col("n"), "cum")
+            .join(broadcast(budgets), "source")
+            .where(col("cum") <= col("budget"))
+            .select("doc_id", "hx")
+          graft.operators.Ops.withGlobalRowNumber(sel,
+              Seq(col("hx"), col("doc_id")), hxNum, "step")
+            .select(lit(e.toLong).as("epoch"), col("step"), col("doc_id"))
+        }.reduce(_ unionByName _).orderBy("epoch", "step")
       }),
 
     // TF-IDF top terms per document (keyword extraction / doc

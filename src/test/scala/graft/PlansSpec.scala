@@ -243,6 +243,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("training manifest: every window partitioned (grouped spend + 3-pass step rank)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("ext_training_manifest")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty, "the manifest should rank via windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"manifest has a global Window.orderBy (single-task straggler):\n$w"))
+  }
+
   test("epoch shuffle: every window partitioned, no global sort before the agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
     val df = SparkEntry.queries("ext_epoch_shuffle")(spark, sf0001)

@@ -82,4 +82,50 @@ class ShardingSpec extends SparkSpec {
       assert(got(k) == v, s"epoch-0 shard $k size ${got(k)} != $v")
     }
   }
+
+  test("training manifest: window-form parity, dense steps, budgets bite, fresh deal per epoch") {
+    import graft.functions.TextAnalysis
+    val m = SparkEntry.queries("ext_training_manifest")(spark, sf0001)
+      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense 1..n steps per epoch
+    m.groupBy(_._1).foreach { case (e, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length),
+        s"epoch $e steps not dense")
+    }
+    // parity with the single-task window reference (small fixture only)
+    val full = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val budgets = ExtensionQueries.sourceTokenBudgets.toMap
+    val ref = (1 to 3).flatMap { e =>
+      val byDoc = full.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val hx = byDoc.map { case (id, src, n) =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$e:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, src, n, h)
+      }
+      val sel = hx.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budgets(src)) Some(r) else None
+        }
+      }
+      sel.sortBy(r => (r._4, r._1)).zipWithIndex
+        .map { case (r, i) => (e.toLong, i + 1L, r._1) }
+    }
+    assert(m.toSeq.sorted == ref.sorted,
+      "manifest must equal the per-source greedy prefix in md5 order")
+    // budgets actually cut, and the deal changes across epochs
+    val perEpoch = m.groupBy(_._1).map { case (e, rows) =>
+      e -> rows.map(r => r._2 -> r._3).toSeq.sortBy(_._1).map(_._2)
+    }
+    assert(perEpoch(1L) != perEpoch(2L),
+      "the epoch salt must change the consumption order")
+    assert(m.length < 3 * full.count(),
+      "at least one source's budget must cut docs")
+  }
 }
