@@ -2996,6 +2996,39 @@ object ExtensionQueries {
           .attribution.orderBy("doc_id")
       }),
 
+    // The MIXER-CHANGE AUDIT: swapping the hand-set budget table for
+    // the learned DoReMi mixture — exactly which docs' kept/budget
+    // verdict moves, with both verdicts. One shared curation+decon
+    // pass, the cum prefix computed once, both budget tables broadcast
+    // against the thin entrants frame (NOT two full builds diffed).
+    // Stage immunity makes the diff exact: everything upstream of the
+    // ledger is budget-blind by construction.
+    QueryDef("ext_mixer_diff", {
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      Some(corpusBuildCtes(budgetCte = Some(
+          SelectionQueries.doremiWeightCtes(5, 200000L, 100000L,
+            docsRel = "corpus") + ",\n" +
+          "w(source, budget) AS (SELECT source, (w * 2000) // 1000000 AS budget FROM dm_w5)")) +
+        "\n" +
+        s"""SELECT b.doc_id,
+           |  CASE WHEN b.cum <= wf.budget THEN 'kept' ELSE 'budget' END AS stage_a,
+           |  CASE WHEN b.cum <= w.budget THEN 'kept' ELSE 'budget' END AS stage_b
+           |FROM bc b
+           |JOIN w ON b.source = w.source
+           |JOIN (VALUES $values) wf(source, budget) ON b.source = wf.source
+           |WHERE (b.cum <= wf.budget) <> (b.cum <= w.budget)
+           |ORDER BY b.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val (corpus, evals, fixed) = corpusBuildFixture(s, dir)
+        val learned = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.weights(corpus), 2000L)
+        graft.operators.CorpusBuild.mixerDiff(corpus, evals, fixed,
+            learned)
+          .orderBy("doc_id")
+      }),
+
     // The capstone's ATTRITION FUNNEL: per stage, documents and raw
     // tokens cut (kept included, so the table totals to the input) —
     // the first diagnostic anyone runs on a curation configuration.

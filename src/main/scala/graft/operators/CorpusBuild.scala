@@ -349,6 +349,49 @@ object CorpusBuild {
     spark.read.parquet(s"$outDir/datacard").orderBy("source")
   }
 
+  /** The MIXER-CHANGE AUDIT — what would swapping budget table A for
+    * budget table B do to the release? Exactly the docs whose
+    * kept/budget verdict moves, with both verdicts. The earlier stages
+    * are immune to the budget table by construction (drilled in
+    * CorpusBuildSpec), so the diff is a pure function of the budget
+    * entrants' cum prefix — which this computes ONCE over one shared
+    * curation+decon pass and joins against BOTH broadcast budget
+    * tables, instead of running two full builds and diffing their
+    * attributions. The text never rides past the token count: the
+    * diff'd frame is (id, source, n, hash), tiny at any corpus size. */
+  def mixerDiff(corpus: DataFrame, evalDocs: DataFrame,
+      budgetsA: DataFrame, budgetsB: DataFrame,
+      contamThreshold: Int = 10): DataFrame = {
+    val staged = QualityRules.fineWebPipeline(corpus)
+    val curated = corpus.join(
+      staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
+    val contamIds = Contamination
+      .sharedShingleCounts(curated.select("doc_id", "text"), evalDocs)
+      .where(col("n_shared") >= contamThreshold)
+      .select("doc_id")
+    val clean = curated.join(contamIds, Seq("doc_id"), "left_anti")
+    // pinned for the prefix's three passes (the build's own stance)
+    val toks = clean.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("__n"),
+      md5(col("doc_id").cast("string").cast("binary")).as("__hx"))
+      .localCheckpoint()
+    val withCum = Ops.withGroupedRunningSum(toks, col("source"),
+      Seq(col("__hx"), col("doc_id")),
+      expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
+      col("__n"), "__cum")
+    def verdict(b: Column): Column =
+      when(col("__cum") <= b, "kept").otherwise("budget")
+    withCum
+      .join(broadcast(budgetsA.select(col("source"),
+        col("budget").as("__ba"))), "source")
+      .join(broadcast(budgetsB.select(col("source"),
+        col("budget").as("__bb"))), "source")
+      .select(col("doc_id"), verdict(col("__ba")).as("stage_a"),
+        verdict(col("__bb")).as("stage_b"))
+      .where(col("stage_a") =!= col("stage_b"))
+  }
+
   /** The ATTRITION FUNNEL — per pipeline stage, how many documents and
     * how many (raw) tokens it cost: the one-table answer to "where did
     * my corpus go", the first diagnostic anyone runs on a curation

@@ -377,4 +377,31 @@ class CorpusBuildSpec extends SparkSpec {
     assert(moved == 0, "non-budget stages must be immune to the mixer's table")
   }
 
+  test("mixer diff: the one-pass audit equals diffing two full builds") {
+    import graft.operators.{CorpusBuild, Doremi}
+    val (corpus, evals, fixedBudgets) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001)
+    val learned = Doremi.budgets(Doremi.weights(corpus), 2000L)
+      .localCheckpoint()
+    val diff = CorpusBuild.mixerDiff(corpus, evals, fixedBudgets, learned)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    // the expensive reference: two complete builds, attribution joined
+    val a = CorpusBuild.build(corpus, evals, fixedBudgets).attribution
+    val b = CorpusBuild.build(corpus, evals, learned).attribution
+    val want = a.withColumnRenamed("cut_stage", "sa")
+      .join(b.withColumnRenamed("cut_stage", "sb"), "doc_id")
+      .where($"sa" =!= $"sb")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(diff == want,
+      "the shared-pass diff must equal the two-build diff exactly")
+    assert(diff.nonEmpty,
+      "the lopsided fixture tables must actually disagree somewhere")
+    diff.values.foreach { case (sa, sb) =>
+      assert(Set("kept", "budget")(sa) && Set("kept", "budget")(sb),
+        "only ledger verdicts may appear in the audit")
+    }
+  }
+
 }
