@@ -3179,6 +3179,57 @@ object ExtensionQueries {
       (s, dir) => corpusBuildResult(s, dir).manifest
         .orderBy("doc_id", "chunk_idx")),
 
+    // Per-shard release INTEGRITY FINGERPRINTS: md5 of the shard's
+    // manifest rows in canonical order + chunk/token totals — releases
+    // become shard-diffable by 64-char rows, and a trainer verifies a
+    // mounted shard before consuming it. The per-shard collect is
+    // bounded by the shard's pack capacity, so the hash is constant
+    // work per group at any corpus size.
+    QueryDef("ext_release_fingerprint",
+      Some(corpusBuildCtes() + ",\n" +
+        """kept_ids AS (
+          |  SELECT fn.doc_id FROM final fn
+          |  WHERE fn.cut_stage = 'kept'
+          |    AND fn.doc_id NOT IN (SELECT doc_id FROM contam)),
+          |ch AS (
+          |  SELECT c.doc_id, string_split_regex(trim(c.text), '\s+') AS toks
+          |  FROM corpus c JOIN kept_ids k ON c.doc_id = k.doc_id),
+          |ccc AS (
+          |  SELECT doc_id, toks,
+          |    greatest(1, CAST(floor((len(toks) + 23) / 28.0) AS INT)) AS n_chunks
+          |  FROM ch),
+          |chunks AS (
+          |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |    CAST(len(list_slice(toks, i * 28 + 1, i * 28 + 32)) AS BIGINT) AS n_tokens
+          |  FROM ccc, unnest(range(0, n_chunks)) AS r(i)),
+          |pk AS (
+          |  SELECT doc_id, chunk_idx, n_tokens,
+          |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM chunks),
+          |pks AS (
+          |  SELECT doc_id, chunk_idx, n_tokens,
+          |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+          |  FROM pk),
+          |pr AS (
+          |  SELECT pack_id,
+          |    row_number() OVER (ORDER BY md5(CAST(pack_id AS VARCHAR)), pack_id) AS rn
+          |  FROM (SELECT DISTINCT pack_id FROM pks)),
+          |ps AS (SELECT pack_id, CAST((rn - 1) // 4 AS BIGINT) AS shard_id FROM pr)
+          |SELECT s.shard_id,
+          |  md5(string_agg(
+          |    CAST(p.pack_id AS VARCHAR) || ':' || CAST(p.doc_id AS VARCHAR)
+          |      || ':' || CAST(p.chunk_idx AS VARCHAR)
+          |      || ':' || CAST(p.n_tokens AS VARCHAR), '|'
+          |    ORDER BY p.pack_id, p.doc_id, p.chunk_idx, p.n_tokens)) AS fingerprint,
+          |  CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens
+          |FROM pks p JOIN ps s ON p.pack_id = s.pack_id
+          |GROUP BY s.shard_id
+          |ORDER BY s.shard_id""".stripMargin),
+      (s, dir) => graft.operators.CorpusBuild.shardFingerprints(
+        corpusBuildResult(s, dir).manifest)),
+
     // The capstone WITH the selection stage: a DSIR gate (target =
     // src0, fitted on the post-decon survivors, raw docs cut at
     // w_milli <= 0) runs between decontamination and the budget mixer

@@ -349,6 +349,31 @@ object CorpusBuild {
     spark.read.parquet(s"$outDir/datacard").orderBy("source")
   }
 
+  /** Per-shard INTEGRITY FINGERPRINTS over the release manifest: the
+    * md5 of the shard's (pack, doc, chunk, tokens) rows in a canonical
+    * total order, plus chunk/token totals. Two releases are
+    * shard-diffable by comparing 64-hex-char rows instead of data, and
+    * a trainer can verify a mounted shard against its manifest line
+    * before consuming it. The per-shard collect is BOUNDED by
+    * construction — a shard holds at most packsPerShard·packTokens
+    * tokens' worth of chunks — so the sort-and-hash is constant work
+    * per group no matter the corpus size, and the row order inside the
+    * group is canonicalized (array_sort) so the fingerprint is a pure
+    * function of the shard's content, not of task scheduling. */
+  def shardFingerprints(manifest: DataFrame): DataFrame =
+    manifest.groupBy("shard_id")
+      .agg(
+        md5(concat_ws("|", expr(
+          "transform(array_sort(collect_list(struct(pack_id, doc_id, chunk_idx, n_tokens))), " +
+            "r -> concat(cast(r.pack_id as string), ':', " +
+            "cast(r.doc_id as string), ':', " +
+            "cast(r.chunk_idx as string), ':', " +
+            "cast(r.n_tokens as string)))"))
+          .cast("binary")).as("fingerprint"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard_id")
+
   /** The MIXER-CHANGE AUDIT — what would swapping budget table A for
     * budget table B do to the release? Exactly the docs whose
     * kept/budget verdict moves, with both verdicts. The earlier stages

@@ -377,6 +377,30 @@ class CorpusBuildSpec extends SparkSpec {
     assert(moved == 0, "non-budget stages must be immune to the mixer's table")
   }
 
+  test("shard fingerprints: canonical (order-blind), content-sensitive, shard-local") {
+    import graft.operators.CorpusBuild
+    val manifest = ExtensionQueries.corpusBuildResult(spark, sf0001)
+      .manifest.localCheckpoint()
+    def fps(m: org.apache.spark.sql.DataFrame) =
+      CorpusBuild.shardFingerprints(m)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = fps(manifest)
+    assert(base.nonEmpty)
+    // task scheduling / row order must not move a single hash
+    assert(fps(manifest.repartition(7).sortWithinPartitions("n_tokens"))
+      == base, "fingerprints must be canonical under any row order")
+    // dropping one chunk changes ITS shard's hash and no other
+    val victim = manifest.orderBy("doc_id", "chunk_idx").head()
+    val vShard = victim.getAs[Long]("shard_id")
+    val cut = fps(manifest.where(!($"doc_id" === victim.getAs[Long]("doc_id")
+      && $"chunk_idx" === victim.getAs[Int]("chunk_idx"))))
+    assert(cut(vShard) != base(vShard),
+      "removing a chunk must change its shard's fingerprint")
+    (base.keySet - vShard).foreach(sid =>
+      assert(cut(sid) == base(sid),
+        s"shard $sid's fingerprint moved without its content changing"))
+  }
+
   test("mixer diff: the one-pass audit equals diffing two full builds") {
     import graft.operators.{CorpusBuild, Doremi}
     val (corpus, evals, fixedBudgets) =
