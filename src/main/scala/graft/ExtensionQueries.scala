@@ -2996,6 +2996,75 @@ object ExtensionQueries {
           .attribution.orderBy("doc_id")
       }),
 
+    // The CORPUS-QUALITY EVAL HARNESS: train the bigram LM on exactly
+    // the release's budget-kept docs and score the FROZEN eval set —
+    // the "did this curation configuration help" number, per eval doc
+    // in deterministic integer milli-bits, fully hash-checked through
+    // the whole build→train→score chain. Model tables are
+    // vocab-bounded broadcasts; the eval side never shuffles.
+    QueryDef("ext_corpus_eval",
+      Some(corpusBuildCtes() + ",\n" +
+        """keptc AS (
+          |  SELECT c.doc_id, c.text FROM corpus c
+          |  JOIN bc ON c.doc_id = bc.doc_id
+          |  JOIN w ON bc.source = w.source
+          |  WHERE bc.cum <= w.budget),
+          |tokt AS (
+          |  SELECT doc_id,
+          |    list_prepend('<s>',
+          |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+          |           THEN CAST([] AS VARCHAR[])
+          |           ELSE string_split_regex(
+          |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+          |      END) AS toks
+          |  FROM keptc),
+          |bigt AS (
+          |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+          |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
+          |bctr AS (SELECT bg, count(*) AS cb FROM bigt GROUP BY 1),
+          |cctr AS (
+          |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+          |  FROM bctr GROUP BY 1),
+          |vtr AS (
+          |  SELECT count(DISTINCT t) + 1 AS vsize
+          |  FROM (SELECT unnest(toks) AS t FROM tokt)),
+          |toke AS (
+          |  SELECT doc_id,
+          |    list_prepend('<s>',
+          |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+          |           THEN CAST([] AS VARCHAR[])
+          |           ELSE string_split_regex(
+          |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
+          |      END) AS toks
+          |  FROM evals),
+          |bige AS (
+          |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+          |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
+          |sce AS (
+          |  SELECT e.doc_id,
+          |    CAST(floor(-log2((coalesce(b.cb, 0) + 1.0) /
+          |                     (coalesce(c.cctx, 0) + v.vsize))
+          |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+          |  FROM bige e
+          |  LEFT JOIN bctr b ON e.bg = b.bg
+          |  LEFT JOIN cctr c ON e.prev = c.prev
+          |  CROSS JOIN vtr v),
+          |age AS (
+          |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+          |  FROM sce GROUP BY 1)
+          |SELECT doc_id, n_bigrams,
+          |  CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+          |FROM age ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        val res = graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        graft.operators.NgramLm.scoreMicroBits(
+            graft.operators.NgramLm.train(
+              res.survivors.select("doc_id", "text")),
+            evals)
+          .orderBy("doc_id")
+      }),
+
     // The MIXER-CHANGE AUDIT: swapping the hand-set budget table for
     // the learned DoReMi mixture — exactly which docs' kept/budget
     // verdict moves, with both verdicts. One shared curation+decon
