@@ -427,6 +427,43 @@ object StreamingQueries {
           s"/tmp/graft_scorpusdx/$tag/idx", dsir = Some(pinned))
       }),
 
+    // sr26's PRODUCTION hydration path: the frozen mixture comes from
+    // the PERSISTED DoReMi index (built once over the reference
+    // corpus; appends amortize the corpus pass) instead of a per-run
+    // batch-side fit. Serving semantics are token-level, so the
+    // oracle's budget chain swaps in the token CTEs — the streamed
+    // ledger then pays the index-served budgets out in arrival order.
+    QueryDef("sr28_streaming_corpus_doremi_idx",
+      Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
+          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
+          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          budgetCte = Some(
+            SelectionQueries.doremiTokenWeightCtes(5, 200000L, 100000L,
+              docsRel = "corpus") + ",\n" +
+            "w(source, budget) AS (SELECT source, (w * 2000) // 1000000 AS budget FROM dm_w5)")) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (corpus, evals, _) =
+          ExtensionQueries.corpusBuildFixture(s, dir)
+        val tbl = s"graft_scbdmx_$tag"
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+        graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
+          "source", "text", tbl, s"/tmp/graft_scorpus_dmx/$tag/dmidx")
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
+          2000L)
+        graft.streaming.StreamingCorpusBuild.run(s, corpus, evals,
+          budgets, s"/tmp/graft_scorpus_dmx/$tag", tbl,
+          s"/tmp/graft_scorpus_dmx/$tag/idx")
+      }),
+
     // SemDeDup as a forever-sync (StreamingSemDedup): pinned centroids,
     // within-batch kernel + cross-batch near-dup check against the SEEN
     // cluster members (keepers or not — the batch rule), keepers append.
