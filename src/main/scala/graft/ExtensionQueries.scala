@@ -1809,6 +1809,59 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // CHARSET QUARANTINE: encoding-damage triage before any text stage
+    // — raw control bytes (plain text never contains them), U+FFFD
+    // replacement chars (a decoder already gave up), and the
+    // non-ASCII-printable mass (binary spill / wrong-charset decodes;
+    // kept as a separate signal because legitimate non-Latin text
+    // trips only this one). Verdict by integer cross-multiplication —
+    // exact, engine-portable, pure codegen'd regexp counts. Plants:
+    // control-byte, replacement-char, and high-codepoint-mass docs.
+    QueryDef("t12_charset_quarantine",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 700000, substr(text, 1, 40) || chr(8) || 'x' || chr(1)
+             |  FROM documents WHERE doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 710000, 'good text then ' || chr(65533) || chr(65533) || ' tail'
+             |  FROM documents WHERE doc_id % 19 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 720000, repeat(chr(955) || chr(960), 30) || ' tiny ascii'
+             |  FROM documents WHERE doc_id % 23 = 0),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+             |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
+             |    CAST(len(regexp_extract_all(text, '[^\x09\x0A\x0D\x20-\x7E]')) AS BIGINT) AS n_nonascii,
+             |    CAST(length(text) AS BIGINT) AS n_chars
+             |  FROM corpus)
+             |SELECT doc_id, n_ctrl, n_repl, n_nonascii,
+             |  CAST(n_ctrl > 0 OR n_repl > 0 OR n_nonascii * 5 > n_chars AS INT) AS quarantine
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = d
+          .unionByName(d.where(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 700000).as("doc_id"),
+              concat(substring(col("text"), 1, 40), lit("\u0008x\u0001"))
+                .as("text")))
+          .unionByName(d.where(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 710000).as("doc_id"),
+              lit("good text then �� tail").as("text")))
+          .unionByName(d.where(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 720000).as("doc_id"),
+              lit("λπ" * 30 + " tiny ascii").as("text")))
+        corpus.select(col("doc_id"),
+            TextAnalysis.ctrlCharCount(col("text")).cast("long").as("n_ctrl"),
+            TextAnalysis.replacementCharCount(col("text")).cast("long")
+              .as("n_repl"),
+            TextAnalysis.nonAsciiCount(col("text")).cast("long")
+              .as("n_nonascii"),
+            TextAnalysis.charsetQuarantine(col("text")).as("quarantine"))
+          .orderBy("doc_id")
+      }),
+
     // PII surface counts — emails and long digit runs flagged for the
     // redaction router; counting only, values never leave the row.
     QueryDef("t6_pii_flags",

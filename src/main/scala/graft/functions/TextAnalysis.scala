@@ -137,4 +137,34 @@ object TextAnalysis {
     regexp_count(text, lit(emailPattern))
   def piiLongDigitCount(text: Column): Column =
     regexp_count(text, lit(longDigitPattern))
+
+  // ---- charset quarantine (encoding-damage triage) --------------------
+  // Mojibake and binary spill show up as three integer surface signals:
+  // raw control bytes (anything below 0x20 except tab/newline/CR —
+  // plain text never contains them), U+FFFD replacement characters (a
+  // decoder already gave up), and the non-ASCII-printable mass (high
+  // ratios flag binary spill or wrong-charset decodes; legitimate
+  // non-Latin text trips this one ONLY, which is why the gate keeps the
+  // signals separate instead of folding them into one score). All three
+  // are pure regexp counts — codegen'd, engine-portable, no UDF.
+
+  /** Control characters other than tab/newline/CR. */
+  def ctrlCharCount(text: Column): Column =
+    regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+
+  /** U+FFFD replacement characters (upstream decode failures). */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(text, lit("�"))
+
+  /** Characters outside tab/newline/CR/printable-ASCII. */
+  def nonAsciiCount(text: Column): Column =
+    regexp_count(text, lit("[^\\x09\\x0A\\x0D\\x20-\\x7E]"))
+
+  /** The quarantine verdict (1 = route to the damage queue): any raw
+    * control byte, any replacement char, or non-ASCII mass above 1/5
+    * of the text — the ratio tested by integer cross-multiplication so
+    * the verdict is exact and engine-portable. */
+  def charsetQuarantine(text: Column): Column =
+    (ctrlCharCount(text) > 0 || replacementCharCount(text) > 0 ||
+      nonAsciiCount(text) * lit(5) > length(text)).cast("int")
 }

@@ -119,6 +119,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2)._3 >= 0 && r(2)._4 == 1.0)
   }
 
+  test("charset quarantine: each damage class trips its own signal; clean text passes") {
+    import graft.functions.TextAnalysis._
+    val rows = Seq(
+      "perfectly ordinary ascii text with numbers 123 and, punctuation!",
+      "tab\tand\nnewline and\r cr are fine",
+      "control byte here \u0001 breaks it",
+      "decoder gave up �� on this one",
+      "λπλπλπλπλπλπλπλπλπλπ tiny ascii",   // high non-ASCII mass
+      "naïve café résumé — light diacritics in long enough ascii text")
+      .toDF("text")
+      .select(ctrlCharCount($"text").as("c"),
+        replacementCharCount($"text").as("r"),
+        nonAsciiCount($"text").as("n"),
+        charsetQuarantine($"text").as("q"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    assert(rows(0) == ((0, 0, 0, 0)))
+    assert(rows(1) == ((0, 0, 0, 0)), "tab/newline/CR must not count as control")
+    assert(rows(2)._1 == 1 && rows(2)._4 == 1)
+    assert(rows(3)._2 == 2 && rows(3)._4 == 1)
+    assert(rows(4)._3 >= 20 && rows(4)._4 == 1, "codepoint mass must quarantine")
+    assert(rows(5)._1 == 0 && rows(5)._2 == 0 && rows(5)._4 == 0,
+      "light diacritics in mostly-ascii text must pass")
+  }
+
   test("native stopword hits equal the filter-tree formulation") {
     val docs = Tables.load(spark, sf0001, "documents").select("text")
       .unionByName(Seq("", "the the THE the", "el que de y", "   ", "xyzzy")
