@@ -4335,13 +4335,18 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val budgets = sourceTokenBudgets.toDF("source", "budget")
-        val docs = load(s, dir, "documents")
+        // tokenize ONCE into a thin pinned (id, source, n) frame — the
+        // regex-heavy count must not re-run per epoch, and the text
+        // never rides the per-epoch passes
+        val base = load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+          .localCheckpoint()
         val hxNum = expr("conv(substr(hx, 1, 13), 16, 10)").cast("double")
         (1 to 3).map { e =>
-          val t = docs.select(col("doc_id"), col("source"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          val t = base.withColumn("hx",
             md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
-              .cast("binary")).as("hx"))
+              .cast("binary")))
           val sel = graft.operators.Ops.withGroupedRunningSum(t,
               col("source"), Seq(col("hx"), col("doc_id")), hxNum,
               col("n"), "cum")

@@ -302,6 +302,40 @@ object ScaleRehearsal {
       println(f"""{"q":"bloom_gate_lifecycle","scale":$scale,""" +
         f""""matches":$nBloomed,"sec":$secBg%.2f}""")
 
+      // training-manifest lifecycle (3 salted epochs: per-source spend
+      // prefix + global step rank per epoch). The epoch loop is a
+      // constant ×3 on the two 3-pass primitives, and per-source
+      // budgets scale WITH the corpus so the kept fraction stays
+      // fixed — the slope isolates the prefix machinery itself.
+      val ttm = System.nanoTime()
+      val dmSrc = corpus.withColumn("source",
+        concat(lit("dom"), (col("doc_id") % 8).cast("string")))
+      val tmBudgets = broadcast(dmSrc
+        .groupBy("source")
+        .agg((sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long")) / 2).cast("long").as("budget")))
+      val hxNum = expr("conv(substr(hx, 1, 13), 16, 10)").cast("double")
+      val tmBase = dmSrc.select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n"))
+        .localCheckpoint()
+      val nManifest = (1 to 3).map { e =>
+        val t = tmBase.withColumn("hx",
+          md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
+            .cast("binary")))
+        val sel = Ops.withGroupedRunningSum(t, col("source"),
+            Seq(col("hx"), col("doc_id")), hxNum, col("n"), "cum")
+          .join(tmBudgets, "source")
+          .where(col("cum") <= col("budget"))
+          .select("doc_id", "hx")
+        Ops.withGlobalRowNumber(sel, Seq(col("hx"), col("doc_id")),
+            hxNum, "step")
+          .select(lit(e.toLong).as("epoch"), col("step"), col("doc_id"))
+      }.reduce(_ unionByName _).count()
+      val secTm = (System.nanoTime() - ttm) / 1e9
+      println(f"""{"q":"training_manifest_lifecycle","scale":$scale,""" +
+        f""""rows":$nManifest,"sec":$secTm%.2f}""")
+
       // best-fit packing lifecycle: rank + segment + per-segment FFD.
       // Items and segments both scale linearly; the per-item work is
       // constant (bounded in-memory FFD per 4096-item segment), so the
