@@ -80,6 +80,24 @@ object ScaleRehearsal {
       // the BPE loop and the filter-suite projections JIT separately
       graft.operators.Bpe.trainMerges(w, numMerges = 1)
       graft.operators.QualityRules.fineWebPipeline(w).collect()
+      // the grouped-prefix / global-rank family (manifest, mixer,
+      // packing ledgers) JITs separately from the kernels above —
+      // without this the 1× manifest lifecycle embeds ~2s of codegen
+      val wm = w.select(col("doc_id"), lit("s").as("source"),
+        (col("doc_id") % 7 + 1).as("n"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hx"))
+      Ops.withGlobalRowNumber(
+        Ops.withGroupedRunningSum(wm, col("source"),
+            Seq(col("hx"), col("doc_id")),
+            expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
+            col("n"), "cum")
+          .select("doc_id", "hx"),
+        Seq(col("hx"), col("doc_id")),
+        expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"), "step")
+        .collect()
+      // the DoReMi count/rollup/EG path too
+      graft.operators.Doremi.weights(w.withColumn("source",
+        concat(lit("dom"), (col("doc_id") % 2).cast("string")))).collect()
       // the kmeans/assignment/cosine-join family JITs separately too
       val we = Tables.load(spark, sfDir, "embeddings")
         .where(col("vec_id") < 200)
