@@ -4296,6 +4296,70 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // BUDGET OVERSAMPLING: the mixer's missing half. A learned mixture
+    // routinely asks a small domain for MORE tokens than it has; the
+    // prefix ledger can only downsample. This emits per-doc repeat
+    // counts that spend the whole budget: every doc repeats
+    // budget div mass times (full passes), and the remainder is the
+    // usual md5-order prefix — deterministic, engine-portable, exactly
+    // one grouped 3-pass prefix plus a broadcast per-source mass join
+    // (no per-row blowup: repeats ship as a count, the trainer's
+    // sampler materializes them). Sources at or under budget reduce to
+    // the plain ledger (n_reps ∈ {0,1}).
+    QueryDef("ext_source_oversample", {
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', ${b * 3})" }.mkString(", ")
+      Some(s"""WITH w(source, budget) AS (VALUES $values),
+              |t AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n,
+              |    md5(CAST(doc_id AS VARCHAR)) AS hx
+              |  FROM documents),
+              |mass AS (
+              |  SELECT source, CAST(sum(n) AS BIGINT) AS m FROM t GROUP BY 1),
+              |c AS (
+              |  SELECT t.doc_id, t.source, t.n,
+              |    sum(t.n) OVER (PARTITION BY t.source ORDER BY t.hx, t.doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t),
+              |r AS (
+              |  SELECT c.doc_id, c.source,
+              |    CAST(w.budget // mass.m AS BIGINT)
+              |      + CASE WHEN c.cum <= w.budget % mass.m THEN 1 ELSE 0 END AS n_reps
+              |  FROM c
+              |  JOIN w ON c.source = w.source
+              |  JOIN mass ON c.source = mass.source)
+              |SELECT doc_id, source, n_reps FROM r
+              |WHERE n_reps > 0
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val budgets = sourceTokenBudgets.map { case (src, b) =>
+          (src, b * 3) }.toDF("source", "budget")
+        val t = load(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hx"))
+          .localCheckpoint() // three consumers: mass, the prefix, reps
+        val mass = t.groupBy("source").agg(sum(col("n")).as("m"))
+        graft.operators.Ops.withGroupedRunningSum(t, col("source"),
+            Seq(col("hx"), col("doc_id")),
+            expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
+            col("n"), "cum")
+          .join(broadcast(budgets), "source")
+          .join(broadcast(mass), "source")
+          .select(col("doc_id"), col("source"),
+            // integral DIV, not floor(double-divide): exact at any
+            // budget/mass magnitude
+            (expr("budget DIV m") +
+              when(col("cum") <= col("budget") % col("m"), 1L)
+                .otherwise(0L)).as("n_reps"))
+          .where(col("n_reps") > 0)
+          .orderBy("doc_id")
+      }),
+
     // The TRAINING MANIFEST: the multi-epoch order a trainer actually
     // consumes. Each epoch deals the corpus a fresh deterministic hand
     // (md5 salted by the epoch number), draws per-source docs in that

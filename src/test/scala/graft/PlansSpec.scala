@@ -243,15 +243,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
-  test("training manifest: every window partitioned (grouped spend + 3-pass step rank)") {
+  test("manifest/oversample plans: every window partitioned (grouped spend + 3-pass rank)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val df = SparkEntry.queries("ext_training_manifest")(spark, sf0001)
-    val windows = df.queryExecution.optimizedPlan.collect {
-      case w: LWindow => w
+    for (name <- Seq("ext_training_manifest", "ext_source_oversample")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.nonEmpty, s"$name should rank via windows")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has a global Window.orderBy (single-task straggler):\n$w"))
     }
-    assert(windows.nonEmpty, "the manifest should rank via windows")
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"manifest has a global Window.orderBy (single-task straggler):\n$w"))
   }
 
   test("epoch shuffle: every window partitioned, no global sort before the agg") {

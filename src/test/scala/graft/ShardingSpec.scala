@@ -83,6 +83,36 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("oversample: spends the whole budget to within one doc; both regimes exercised") {
+    import graft.functions.TextAnalysis
+    val reps = SparkEntry.queries("ext_source_oversample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nById = toks.map(t => t._1 -> t._3).toMap
+    val budgets = ExtensionQueries.sourceTokenBudgets
+      .map { case (s, b) => s -> b * 3 }.toMap
+    val bySrc = reps.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val spend = rows.map(r => r._3 * nById(r._1)).sum
+      val budget = budgets(src)
+      assert(spend <= budget, s"$src overspent: $spend > $budget")
+      val maxN = toks.filter(_._2 == src).map(_._3).max
+      assert(budget - spend < maxN,
+        s"$src left more than one doc's tokens unspent: ${budget - spend}")
+    }
+    // both regimes must be live on the fixture: some source repeats
+    // every doc (true oversampling), some source cuts (plain ledger)
+    assert(bySrc.exists { case (_, rows) => rows.forall(_._3 >= 2) },
+      "no source oversampled")
+    val perSrcDocs = toks.groupBy(_._2).map { case (s, r) => s -> r.size }
+    assert(bySrc.exists { case (src, rows) =>
+      rows.forall(_._3 == 1) && rows.size < perSrcDocs(src)
+    }, "no source downsampled to the plain ledger")
+  }
+
   test("training manifest: window-form parity, dense steps, budgets bite, fresh deal per epoch") {
     import graft.functions.TextAnalysis
     val m = SparkEntry.queries("ext_training_manifest")(spark, sf0001)
