@@ -4360,6 +4360,98 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // The OVERSAMPLING MANIFEST: manifest × oversample composed — the
+    // trainer's exact consumption order when the learned mixture
+    // UPSAMPLES. Per epoch, each source spends its whole budget: full
+    // passes repeat every doc budget-div-mass times, the remainder is
+    // the epoch-salted md5 prefix, and every (doc, repeat) instance
+    // gets its own position in the epoch's global step order (repeat
+    // index in the salt, so a doc's copies scatter through the epoch
+    // instead of clumping). Output is thin (epoch, step, doc_id, rep)
+    // and its SIZE is ∝ the budget — the trainer's consumption — not
+    // the corpus. Same 3-pass primitives; the epoch loop and the
+    // explode width are budget-bounded constants.
+    QueryDef("ext_training_manifest_oversampled", {
+      // cap the fixture's "effectively unlimited" budgets: instance
+      // count is proportional to the budget, and a 3M-token pool would
+      // make the fixture emit ~875k instance rows at verify scale for
+      // no extra semantic coverage — capped, both regimes still occur
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', ${math.min(b, 2000L) * 3})" }
+        .mkString(", ")
+      Some(s"""WITH w(source, budget) AS (VALUES $values),
+              |t0 AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n
+              |  FROM documents),
+              |mass AS (
+              |  SELECT source, CAST(sum(n) AS BIGINT) AS m FROM t0 GROUP BY 1),
+              |t AS (
+              |  SELECT e.epoch, t0.doc_id, t0.source, t0.n,
+              |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(t0.doc_id AS VARCHAR)) AS hx
+              |  FROM t0 CROSS JOIN (VALUES (1), (2), (3)) e(epoch)),
+              |c AS (
+              |  SELECT epoch, doc_id, source, n,
+              |    sum(n) OVER (PARTITION BY epoch, source ORDER BY hx, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t),
+              |reps AS (
+              |  SELECT c.epoch, c.doc_id,
+              |    CAST(w.budget // mass.m AS BIGINT)
+              |      + CASE WHEN c.cum <= w.budget % mass.m THEN 1 ELSE 0 END AS n_reps
+              |  FROM c
+              |  JOIN w ON c.source = w.source
+              |  JOIN mass ON c.source = mass.source),
+              |inst AS (
+              |  SELECT epoch, doc_id, CAST(rr.r AS BIGINT) AS rep,
+              |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(rr.r AS VARCHAR)
+              |      || ':' || CAST(doc_id AS VARCHAR)) AS hx2
+              |  FROM reps, unnest(range(0, n_reps)) AS rr(r)
+              |  WHERE n_reps > 0)
+              |SELECT CAST(epoch AS BIGINT) AS epoch,
+              |  CAST(row_number() OVER (PARTITION BY epoch
+              |    ORDER BY hx2, doc_id, rep) AS BIGINT) AS step,
+              |  doc_id, rep
+              |FROM inst ORDER BY epoch, step""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val budgets = sourceTokenBudgets.map { case (src, b) =>
+          (src, math.min(b, 2000L) * 3) }.toDF("source", "budget")
+        val base = load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+          .localCheckpoint()
+        val mass = base.groupBy("source").agg(sum(col("n")).as("m"))
+        val hxNum = expr("conv(substr(hx, 1, 13), 16, 10)").cast("double")
+        val hx2Num = expr("conv(substr(hx2, 1, 13), 16, 10)").cast("double")
+        (1 to 3).map { e =>
+          val t = base.withColumn("hx",
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
+              .cast("binary")))
+          val inst = graft.operators.Ops.withGroupedRunningSum(t,
+              col("source"), Seq(col("hx"), col("doc_id")), hxNum,
+              col("n"), "cum")
+            .join(broadcast(budgets), "source")
+            .join(broadcast(mass), "source")
+            .select(col("doc_id"),
+              (expr("budget DIV m") +
+                when(col("cum") <= col("budget") % col("m"), 1L)
+                  .otherwise(0L)).as("n_reps"))
+            .where(col("n_reps") > 0)
+            .select(col("doc_id"),
+              explode(sequence(lit(0L), col("n_reps") - 1)).as("rep"))
+            .withColumn("hx2",
+              md5(concat(lit(s"$e:"), col("rep").cast("string"), lit(":"),
+                col("doc_id").cast("string")).cast("binary")))
+          graft.operators.Ops.withGlobalRowNumber(inst,
+              Seq(col("hx2"), col("doc_id"), col("rep")), hx2Num, "step")
+            .select(lit(e.toLong).as("epoch"), col("step"),
+              col("doc_id"), col("rep"))
+        }.reduce(_ unionByName _).orderBy("epoch", "step")
+      }),
+
     // The TRAINING MANIFEST: the multi-epoch order a trainer actually
     // consumes. Each epoch deals the corpus a fresh deterministic hand
     // (md5 salted by the epoch number), draws per-source docs in that

@@ -113,6 +113,49 @@ class ShardingSpec extends SparkSpec {
     }, "no source downsampled to the plain ledger")
   }
 
+  test("oversampled manifest: dense steps, per-epoch spend accounting, copies scatter") {
+    import graft.functions.TextAnalysis
+    val m = SparkEntry.queries("ext_training_manifest_oversampled")(
+        spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcById = toks.map(t => t._1 -> t._2).toMap
+    val nById = toks.map(t => t._1 -> t._3).toMap
+    val maxN = toks.groupBy(_._2).map { case (s, r) => s -> r.map(_._3).max }
+    val budgets = ExtensionQueries.sourceTokenBudgets
+      .map { case (s, b) => s -> math.min(b, 2000L) * 3 }.toMap
+    m.groupBy(_._1).foreach { case (e, rows) =>
+      // steps dense 1..n within the epoch
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length),
+        s"epoch $e steps not dense")
+      // each source spends its budget to within one doc, every epoch
+      rows.groupBy(r => srcById(r._3)).foreach { case (src, inst) =>
+        val spend = inst.map(r => nById(r._3)).sum
+        assert(spend <= budgets(src), s"epoch $e $src overspent")
+        assert(budgets(src) - spend < maxN(src),
+          s"epoch $e $src left more than one doc unspent")
+      }
+      // a repeated doc's copies scatter through the epoch (the repeat
+      // index is in the salt): pick the doc with the most instances
+      val byDoc = rows.groupBy(_._3).maxBy(_._2.size)
+      if (byDoc._2.size >= 3) {
+        val steps = byDoc._2.map(_._2).sorted
+        val span = steps.last - steps.head
+        assert(span > byDoc._2.size,
+          s"epoch $e doc ${byDoc._1}'s ${byDoc._2.size} copies clumped")
+      }
+    }
+    // rep indexes are 0..n_reps-1 per (epoch, doc)
+    m.groupBy(r => (r._1, r._3)).foreach { case ((e, d), inst) =>
+      assert(inst.map(_._4).sorted.toSeq == (0L until inst.size),
+        s"epoch $e doc $d rep indexes not dense")
+    }
+  }
+
   test("training manifest: window-form parity, dense steps, budgets bite, fresh deal per epoch") {
     import graft.functions.TextAnalysis
     val m = SparkEntry.queries("ext_training_manifest")(spark, sf0001)
