@@ -3991,6 +3991,51 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Leak FORENSICS: the per-doc count says "contaminated"; this says
+    // by WHAT — (corpus doc, eval doc, shared-shingle count) pairs at
+    // ≥ 3 shared, the table a leak postmortem starts from. Same
+    // explode+equi-join shape, never all-pairs; output bounded by
+    // actual leakage.
+    QueryDef("ext_contamination_pairs",
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 800000, 'leaked verbatim: ' || text
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+             |shc AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM raw)),
+             |she AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM ev)),
+             |b AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM she),
+             |c AS (SELECT doc_id, unnest(shingles) AS s FROM shc)
+             |SELECT c.doc_id, b.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+             |FROM c JOIN b ON c.s = b.s
+             |GROUP BY c.doc_id, b.eval_id
+             |HAVING count(*) >= 3
+             |ORDER BY c.doc_id, b.eval_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+        val corpus = docs.where(col("doc_id") % 97 =!= 0)
+          .unionByName(evals.select((col("doc_id") + 800000).as("doc_id"),
+            concat(lit("leaked verbatim: "), col("text")).as("text")))
+        Contamination.sharedShinglePairs(corpus, evals, minShared = 3L)
+          .orderBy("doc_id", "eval_id")
+      }),
+
     // PII redaction — t6 counts what the router flags; this is the
     // redaction itself: emails then long digit runs replaced in one
     // projection pass (both regexes codegen'd, no UDF, no shuffle).

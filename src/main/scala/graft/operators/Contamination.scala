@@ -45,6 +45,31 @@ object Contamination {
     joined.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Leak FORENSICS — which eval document leaked into which corpus
+    * document: `(doc_id, eval_id, n_shared)` with the count of
+    * distinct shingles the pair shares, at or above `minShared`. The
+    * per-doc count answers "is this doc contaminated"; this answers
+    * the decon reviewer's next question, "by WHAT" — the table a leak
+    * postmortem or an eval-suite fix starts from. Still never an
+    * all-pairs document comparison: one explode per side, one
+    * equi-join on the shingle, one (doc, eval) count — output is
+    * bounded by actual leakage, and the eval side (now per-eval-doc
+    * rather than globally distinct) remains broadcast-sized for any
+    * real eval suite. */
+  def sharedShinglePairs(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, minShared: Long = 1L,
+      broadcastEval: Boolean = true): DataFrame = {
+    val ev = evalDocs.select(col("doc_id").as("eval_id"),
+      explode(array_distinct(Dedup.wordShingles(col("text"), n))).as("s"))
+    val corpusShingles = corpus.select(col("doc_id"),
+      explode(array_distinct(Dedup.wordShingles(col("text"), n))).as("s"))
+    val joined =
+      if (broadcastEval) corpusShingles.join(broadcast(ev), "s")
+      else corpusShingles.join(ev.hint("shuffle_merge"), "s")
+    joined.groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** The FRACTION form of the check — per document, what share of its
     * distinct shingles the eval set contains: `(doc_id, n_shingles,
     * n_shared, frac, flagged)` for EVERY corpus doc (zero-overlap docs

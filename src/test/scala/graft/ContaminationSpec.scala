@@ -82,4 +82,33 @@ class ContaminationSpec extends SparkSpec {
       "a flagged doc must actually share >= half its shingles")
     assert(organic.where(col("flagged") === 0).count() > 0)
   }
+
+  test("pair forensics: every planted leak attributes to exactly its eval source; join shapes agree") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val evals = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      .unionByName(evals.select((col("doc_id") + 800000).as("doc_id"),
+        concat(lit("leaked verbatim: "), col("text")).as("text")))
+    val pairs = Contamination.sharedShinglePairs(corpus, evals,
+        minShared = 3L)
+      .localCheckpoint()
+    // each planted doc's STRONGEST pair is its own eval source
+    val planted = pairs.where(col("doc_id") >= 800000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nEvals = evals.count()
+    assert(planted.map(_._1).distinct.length == nEvals,
+      "every planted leak must surface at least one pair")
+    planted.groupBy(_._1).foreach { case (d, rows) =>
+      val top = rows.maxBy(_._3)
+      assert(top._2 == d - 800000,
+        s"planted $d attributed to eval ${top._2}, not its source")
+    }
+    // the shuffle fallback is value-identical
+    val shuffled = Contamination.sharedShinglePairs(corpus, evals,
+        minShared = 3L, broadcastEval = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shuffled == pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
