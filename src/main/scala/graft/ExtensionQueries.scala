@@ -1265,6 +1265,36 @@ object ExtensionQueries {
     // and internal-whitespace-run variants MUST match their source doc
     // (canonicalization collapses both), appended-token variants must
     // match nothing.
+    // The index fleet's OPS dashboard: per (kind, table) — live rows,
+    // physical files (what append-then-compact actually manages),
+    // buckets, the auto-compact clock, monotone total appends, retired
+    // dirs awaiting vacuum. Rows-only (table properties and file
+    // listings are not DuckDB-visible); counter/compaction/vacuum
+    // movement is drilled in IndexStoreSpec. Exercises a build+append
+    // lifecycle on three kinds so the counters are live.
+    QueryDef("ext_index_health", None,
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val d = load(s, dir, "documents").select("doc_id", "text", "source")
+        val half = d.where(col("doc_id") % 2 === 0)
+        val rest = d.where(col("doc_id") % 2 === 1)
+        val (ex, lm, dm) = (s"graft_hlx_$tag", s"graft_hll_$tag",
+          s"graft_hld_$tag")
+        Seq(s"${ex}_fps", s"${lm}_counts", s"${dm}_dmc")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        IndexStore.buildExactIndex(half.select("doc_id", "text"),
+          "doc_id", "text", ex, s"/tmp/graft_index/$ex")
+        IndexStore.appendExactIndex(rest.select("doc_id", "text"),
+          "doc_id", "text", ex)
+        IndexStore.buildLmIndex(half.select("doc_id", "text"),
+          "doc_id", "text", lm, s"/tmp/graft_index/$lm")
+        IndexStore.buildDoremiIndex(d, "doc_id", "source", "text", dm,
+          s"/tmp/graft_index/$dm")
+        IndexStore.healthReport(s,
+            Seq(("exact", ex), ("lm", lm), ("doremi", dm)))
+          .orderBy("table")
+      }),
+
     QueryDef("ext_exact_persisted",
       Some("""WITH norm AS (
         |  SELECT doc_id,

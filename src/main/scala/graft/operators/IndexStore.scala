@@ -2526,6 +2526,42 @@ object IndexStore {
     maybeAutoCompact(spark, primary, every)(compact)
   }
 
+  /** One-table OPS dashboard over a fleet of persisted indexes: per
+    * (kind, table) — live row count, physical file count (what the
+    * append-then-compact lifecycle actually manages), bucket count,
+    * appends since the last compaction (the auto-compact clock),
+    * monotone total appends, and retired directories awaiting vacuum.
+    * This is the "is maintenance keeping up" glance a long-lived
+    * forever-sync needs: files growing without appends_since resetting
+    * means compaction stopped firing; retired_dirs climbing means
+    * nobody vacuums. The listing work is per-index metadata plus one
+    * count job each — the report is driver-assembled because the index
+    * FLEET is bounded (tens), never the data. */
+  def healthReport(spark: SparkSession,
+      indexes: Seq[(String, String)]): DataFrame = {
+    val suffix = Map("exact" -> "_fps", "minhash" -> "_bands",
+      "simhash" -> "_chunks", "srp" -> "_bands", "winnow" -> "_wins",
+      "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
+      "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
+      "span" -> "_sdf", "pq" -> "_codes")
+    val rows = indexes.map { case (kind, table) =>
+      val primary = table + suffix.getOrElse(kind,
+        throw new IllegalArgumentException(s"unknown index kind '$kind'"))
+      spark.catalog.refreshTable(primary)
+      val df = spark.table(primary)
+      (kind, table, primary, df.count(), df.inputFiles.length.toLong,
+        numBucketsOf(spark, primary).toLong,
+        appendsSinceCompact(spark, primary).toLong,
+        getParams(spark, primary).get(AppendsTotalParam)
+          .map(_.toLong).getOrElse(0L),
+        supersededOf(spark, primary).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("kind", "table", "primary_table", "rows", "files",
+      "n_buckets", "appends_since_compact", "appends_total",
+      "retired_dirs")
+  }
+
   private val SupersededKey = "graft.vacuum.superseded"
 
   /** , not ',': commas are legal in S3/HDFS paths, and a comma

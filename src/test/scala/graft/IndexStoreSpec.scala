@@ -1779,6 +1779,41 @@ class IndexStoreSpec extends SparkSpec {
       .collect().toSeq)
   }
 
+  test("health report: counters, files, and retired dirs track the append/compact/vacuum lifecycle") {
+    val tbl = "graft_spec_health"
+    dropTable(s"${tbl}_fps")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    def report() = IndexStore.healthReport(spark, Seq(("exact", tbl)))
+      .head()
+    IndexStore.buildExactIndex(a, "doc_id", "text", tbl, s"$idxPath/$tbl")
+    val fresh = report()
+    assert(fresh.getAs[String]("primary_table") == s"${tbl}_fps")
+    assert(fresh.getAs[Long]("rows") == a.count())
+    assert(fresh.getAs[Long]("appends_since_compact") == 0L &&
+      fresh.getAs[Long]("appends_total") == 0L &&
+      fresh.getAs[Long]("retired_dirs") == 0L)
+    IndexStore.appendExactIndex(b, "doc_id", "text", tbl)
+    val appended = report()
+    assert(appended.getAs[Long]("rows") == a.count() + b.count())
+    assert(appended.getAs[Long]("appends_since_compact") == 1L &&
+      appended.getAs[Long]("appends_total") == 1L)
+    assert(appended.getAs[Long]("files") > fresh.getAs[Long]("files"),
+      "an append must add physical files")
+    IndexStore.compactExactIndex(spark, tbl, s"$idxPath/${tbl}_c1")
+    val compacted = report()
+    assert(compacted.getAs[Long]("rows") == a.count() + b.count())
+    assert(compacted.getAs[Long]("appends_since_compact") == 0L,
+      "compaction must reset the auto-compact clock")
+    assert(compacted.getAs[Long]("retired_dirs") == 1L,
+      "the swapped-out directory must show as awaiting vacuum")
+    assert(IndexStore.vacuumExactIndex(spark, tbl).nonEmpty)
+    assert(report().getAs[Long]("retired_dirs") == 0L)
+    intercept[IllegalArgumentException] {
+      IndexStore.healthReport(spark, Seq(("nosuch", tbl)))
+    }
+  }
+
   test("the lm kind participates in counter-driven auto-compaction") {
     val tbl = "graft_spec_lma"
     dropTable(s"${tbl}_counts")
