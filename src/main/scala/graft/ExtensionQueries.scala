@@ -278,7 +278,7 @@ object ExtensionQueries {
        |  FROM f JOIN g USING (doc_id))""".stripMargin
   }
 
-  private def structuredVariant(text: org.apache.spark.sql.Column) =
+  private[graft] def structuredVariant(text: org.apache.spark.sql.Column) =
     concat(lit("- item one\n- item two\n"), text,
       lit(" to of and that have with.\n" +
         "Good sentence with many words written here.\n" +
@@ -657,6 +657,69 @@ object ExtensionQueries {
        |  GROUP BY 1),
        |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS sym, freq FROM w),
        |$bpeOracleStages""".stripMargin
+
+  /** Shared quarantine+FineWeb stage CTE chain over `$corpusRel`
+    * (must expose doc_id, text): qg (charset quarantine), m/g (Gopher),
+    * feat (lang hits, C4 markers, fingerprint), staged — the stage
+    * CASE with 'charset' outranking every text heuristic. Callers add
+    * their own keeper/dedup tail. */
+  private[graft] def quarantineStageCtes(corpusRel: String): String = {
+    val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""qg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0
+       |      OR len(regexp_extract_all(text, chr(65533))) > 0
+       |      OR len(regexp_extract_all(text, '[^\\x09\\x0A\\x0D\\x20-\\x7E]')) * 5 > length(text)
+       |    THEN 1 ELSE 0 END AS quarantine
+       |  FROM $corpusRel),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+       |    len(regexp_extract_all(text, '#')) AS n_hash,
+       |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+       |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+       |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
+       |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+       |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
+              s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
+              .mkString("\n     + ")}) AS n_stop
+       |  FROM $corpusRel),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words BETWEEN 50 AND 100000
+       |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
+       |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
+       |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
+       |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
+       |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
+       |      AND n_stop >= 2
+       |    THEN 1 ELSE 0 END AS gopher_pass
+       |  FROM m),
+       |feat AS (
+       |  SELECT doc_id,
+       |    $hits,
+       |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
+       |        FROM $corpusRel)),
+       |staged AS (
+       |  SELECT f.doc_id, f.fingerprint,
+       |    CASE WHEN qg.quarantine = 1 THEN 'charset'
+       |         WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
+       |         WHEN f.c4_drop THEN 'c4_page'
+       |         WHEN g.gopher_pass = 0 THEN 'gopher'
+       |         ELSE 'survivor' END AS stage
+       |  FROM feat f JOIN g ON f.doc_id = g.doc_id
+       |  JOIN qg ON f.doc_id = qg.doc_id)""".stripMargin
+  }
 
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
@@ -2598,13 +2661,7 @@ object ExtensionQueries {
     // charset, never counted as a dedup keeper. Damage plants: a
     // control byte on the structured (survivor-class) variant, U+FFFD
     // on base docs, and a high-codepoint-mass doc.
-    QueryDef("ext_quarantine_pipeline", {
-      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
-        s"len(list_filter(toks2, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
-      }.mkString(",\n       ")
-      val langs = TextAnalysis.stopwords.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    QueryDef("ext_quarantine_pipeline",
       Some(s"""WITH splants AS (
               |  SELECT doc_id,
               |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
@@ -2632,55 +2689,7 @@ object ExtensionQueries {
               |  UNION ALL
               |  SELECT doc_id + 720000, repeat(chr(955) || chr(960), 30) || ' tiny ascii'
               |  FROM documents WHERE doc_id % 23 = 0),
-              |qg AS (
-              |  SELECT doc_id,
-              |    CASE WHEN len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0
-              |      OR len(regexp_extract_all(text, chr(65533))) > 0
-              |      OR len(regexp_extract_all(text, '[^\\x09\\x0A\\x0D\\x20-\\x7E]')) * 5 > length(text)
-              |    THEN 1 ELSE 0 END AS quarantine
-              |  FROM corpus),
-              |m AS (
-              |  SELECT doc_id,
-              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
-              |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
-              |    len(regexp_extract_all(text, '#')) AS n_hash,
-              |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
-              |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
-              |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
-              |    len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS n_ell_end,
-              |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
-              |    (${graft.operators.QualityRules.gopherStopwords.map(w =>
-                     s"CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END")
-                     .mkString("\n     + ")}) AS n_stop
-              |  FROM corpus),
-              |g AS (
-              |  SELECT doc_id,
-              |    CASE WHEN n_words BETWEEN 50 AND 100000
-              |      AND floor((CASE WHEN n_words > 0 THEN nonws / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 BETWEEN 3.0 AND 10.0
-              |      AND floor((CASE WHEN n_words > 0 THEN greatest(n_hash, n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 <= 0.1
-              |      AND floor((n_bullet / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.9
-              |      AND floor((n_ell_end / CAST(n_lines AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 <= 0.3
-              |      AND floor((CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 >= 0.8
-              |      AND n_stop >= 2
-              |    THEN 1 ELSE 0 END AS gopher_pass
-              |  FROM m),
-              |feat AS (
-              |  SELECT doc_id,
-              |    $hits,
-              |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
-              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-              |  FROM (SELECT doc_id, text,
-              |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
-              |        FROM corpus)),
-              |staged AS (
-              |  SELECT f.doc_id, f.fingerprint,
-              |    CASE WHEN qg.quarantine = 1 THEN 'charset'
-              |         WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
-              |         WHEN f.c4_drop THEN 'c4_page'
-              |         WHEN g.gopher_pass = 0 THEN 'gopher'
-              |         ELSE 'survivor' END AS stage
-              |  FROM feat f JOIN g ON f.doc_id = g.doc_id
-              |  JOIN qg ON f.doc_id = qg.doc_id),
+              |${quarantineStageCtes("corpus")},
               |keepers AS (
               |  SELECT fingerprint, min(doc_id) AS keeper_id
               |  FROM staged WHERE stage = 'survivor' GROUP BY 1)
@@ -2689,8 +2698,7 @@ object ExtensionQueries {
               |       WHEN s.doc_id = k.keeper_id THEN 'kept'
               |       ELSE 'dedup' END AS cut_stage
               |FROM staged s LEFT JOIN keepers k ON s.fingerprint = k.fingerprint
-              |ORDER BY s.doc_id""".stripMargin)
-    },
+              |ORDER BY s.doc_id""".stripMargin),
       (s, dir) => {
         val d = load(s, dir, "documents").select("doc_id", "text")
         val structured = d.where(col("doc_id") % 11 === 0)
@@ -2702,10 +2710,10 @@ object ExtensionQueries {
             concat(col("stext"), lit("\u0001")).as("text")))
           .unionAll(d.where(col("doc_id") % 19 === 0)
             .select((col("doc_id") + 710000).as("doc_id"),
-              concat(col("text"), lit(" ��")).as("text")))
+              concat(col("text"), lit(" \ufffd\ufffd")).as("text")))
           .unionAll(d.where(col("doc_id") % 23 === 0)
             .select((col("doc_id") + 720000).as("doc_id"),
-              lit("λπ" * 30 + " tiny ascii").as("text")))
+              lit("\u03bb\u03c0" * 30 + " tiny ascii").as("text")))
         val q = TextAnalysis.charsetQuarantine(col("text"))
         graft.operators.QualityRules.fineWebPipeline(corpus.where(q === 0))
           .unionByName(corpus.where(q === 1)

@@ -464,6 +464,58 @@ object StreamingQueries {
           s"/tmp/graft_scorpus_dmx/$tag/idx")
       }),
 
+    // The quarantine-staged curation as a forever-sync: charset triage
+    // at stage zero of every micro-batch, the FineWeb gates as one
+    // projection, survivors dedup'd against an exact index pre-seeded
+    // with the lake (nothing seen before is ever re-accepted) with the
+    // BatchManifest replay protocol. Fully oracle-checked: staged
+    // arrival order equals id order, so the stream's first-arriving
+    // keeper IS the oracle's min-id keeper; the index preseed makes
+    // 'dedup' for any doc whose fingerprint the lake already holds.
+    QueryDef("sr29_streaming_quarantine",
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+              |crawl AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+              |  UNION ALL
+              |  SELECT doc_id + 100000, ' ' || text || '  '
+              |  FROM documents WHERE doc_id % 10 = 8
+              |  UNION ALL
+              |  SELECT doc_id + 200000, ' ' || text || ' '
+              |  FROM documents WHERE doc_id % 10 = 2
+              |  UNION ALL
+              |  SELECT doc_id + 700000,
+              |    '- item one' || chr(10) || '- item two' || chr(10) || text ||
+              |    ' to of and that have with.' || chr(10) ||
+              |    'Good sentence with many words written here.' || chr(10) ||
+              |    'this short line mentions javascript libraries.' || chr(10) ||
+              |    'Trailing thought...' || chr(10) ||
+              |    'Another proper sentence ends with five words.' || chr(1)
+              |  FROM documents WHERE doc_id % 10 = 9),
+              |bfp AS (
+              |  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+              |  FROM base),
+              |${ExtensionQueries.quarantineStageCtes("crawl")},
+              |keepers AS (
+              |  SELECT fingerprint, min(doc_id) AS keeper_id
+              |  FROM staged
+              |  WHERE stage = 'survivor'
+              |    AND fingerprint NOT IN (SELECT fingerprint FROM bfp)
+              |  GROUP BY 1)
+              |SELECT s.doc_id,
+              |  CASE WHEN s.stage <> 'survivor' THEN s.stage
+              |       WHEN s.fingerprint IN (SELECT fingerprint FROM bfp) THEN 'dedup'
+              |       WHEN s.doc_id = k.keeper_id THEN 'kept'
+              |       ELSE 'dedup' END AS cut_stage
+              |FROM staged s LEFT JOIN keepers k ON s.fingerprint = k.fingerprint
+              |ORDER BY s.doc_id""".stripMargin),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingQuarantineCuration.run(s, dir,
+          s"/tmp/graft_squar/$tag", s"graft_squar_$tag",
+          s"/tmp/graft_squar/$tag/idx")
+      }),
+
     // SemDeDup as a forever-sync (StreamingSemDedup): pinned centroids,
     // within-batch kernel + cross-batch near-dup check against the SEEN
     // cluster members (keepers or not — the batch rule), keepers append.

@@ -156,10 +156,19 @@ object QualityRules {
     * only survivors shuffle, once, on the dedup fingerprint (a groupBy
     * min + join on the same key — no per-group window, hot boilerplate
     * fingerprints stay linear). */
+  /** The per-doc FineWeb stage verdict as one codegen'd expression —
+    * 'lang' / 'c4_page' / 'gopher' / 'survivor' in cut order. Public so
+    * streaming twins compose additional gates (e.g. the charset
+    * quarantine) AHEAD of it without re-deriving the rule set. */
+  def fineWebStageExpr(t: Column): Column =
+    when(TextAnalysis.langId(t) =!= "en", "lang")
+      .when(lower(t).contains("lorem ipsum") || t.contains("{"), "c4_page")
+      .when(!gopherPassExpr(gopherSignalCols(t).toMap), "gopher")
+      .otherwise("survivor")
+
   def fineWebPipeline(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val sig = gopherSignalCols(t).toMap
     // Pin the 3-column decision frame (eager localCheckpoint): three
     // consumers read it — the cut branch, the survivor branch, and the
     // keeper aggregate — and without the pin each re-evaluates the full
@@ -171,10 +180,7 @@ object QualityRules {
     val staged = Ops.checkpointKeepPartitioning(
       docs.select(col(idCol),
         TextAnalysis.fingerprintMd5(t).as("fingerprint"),
-        when(TextAnalysis.langId(t) =!= "en", "lang")
-          .when(lower(t).contains("lorem ipsum") || t.contains("{"), "c4_page")
-          .when(!gopherPassExpr(sig), "gopher")
-          .otherwise("survivor").as("stage")),
+        fineWebStageExpr(t).as("stage")),
       eager = true)
     val cut = staged.where(col("stage") =!= "survivor")
       .select(col(idCol), col("stage").as("cut_stage"))

@@ -539,6 +539,40 @@ class StreamingSpec extends SparkSpec {
       "the final append's compaction must have reset the counter")
   }
 
+  test("streamed quarantine curation: totality, damage cut at charset, nothing seen twice is kept") {
+    import graft.streaming.StreamingQuarantineCuration
+    val work = s"/tmp/graft_squar_spec/${System.nanoTime()}"
+    val got = StreamingQuarantineCuration.run(spark, sf0001, work,
+        "graft_t_squar", s"$work/idx")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byId = got.toMap
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id")
+      .as[Long].collect()
+    // totality: every crawl doc (originals + three plant bands) verdicts
+    val expectN = docs.count(_ % 10 >= 8) + docs.count(_ % 10 == 8) +
+      docs.count(_ % 10 == 2) + docs.count(_ % 10 == 9)
+    assert(got.length == expectN, s"${got.length} != $expectN")
+    // every damaged structured plant is cut at charset — BEFORE the
+    // gates that its survivor-class text would have cleared
+    val damaged = got.filter(_._1 >= 700000)
+    assert(damaged.nonEmpty && damaged.forall(_._2 == "charset"))
+    // a whitespace twin of a doc the lake already holds is never kept
+    got.filter(kv => kv._1 >= 200000 && kv._1 < 700000).foreach {
+      case (id, st) => assert(st != "kept", s"lake twin $id re-accepted")
+    }
+    // a later-arriving twin of a crawl doc is never kept either (its
+    // original claimed the fingerprint first, whatever its verdict)
+    got.filter(kv => kv._1 >= 100000 && kv._1 < 200000).foreach {
+      case (id, st) => assert(st != "kept", s"crawl twin $id kept")
+    }
+    // the stream is reproducible end to end
+    val work2 = s"/tmp/graft_squar_spec/${System.nanoTime()}_b"
+    val again = StreamingQuarantineCuration.run(spark, sf0001, work2,
+        "graft_t_squar2", s"$work2/idx")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byId, "re-run diverged")
+  }
+
   test("streamed DoReMi ingest equals a one-shot fit; threshold-1 compaction is value-neutral") {
     import graft.operators.{Doremi, IndexStore, NgramLm}
     val docs = Tables.load(spark, sf0001, "documents")
