@@ -314,4 +314,99 @@ class PropertySpec extends SparkSpec {
         s"doc $id cleaned stream diverges")
     }
   }
+
+  test("oversample repeat counts equal a brute-force reference over random budgets and masses") {
+    import graft.operators.Ops
+    val rnd = new scala.util.Random(7)
+    val items = (0 until 400).map(i =>
+      (i.toLong, s"src${i % 7}", 1L + rnd.nextInt(120)))
+    // budgets span both regimes: below a source's mass (downsample),
+    // above it (full passes), and far above (many passes)
+    val budgets = (0 until 7).map(k =>
+      (s"src$k", 1L + rnd.nextInt(40000))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute force: per source, md5 order, k full passes + prefix rule
+    val expected = items.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val mass = rows.map(_._3).sum
+      val k = budgets(src) / mass
+      val rem = budgets(src) % mass
+      var cum = 0L
+      rows.sortBy(r => (md5hex(r._1.toString), r._1)).flatMap { r =>
+        cum += r._3
+        val reps = k + (if (cum <= rem) 1L else 0L)
+        if (reps > 0) Some(r._1 -> reps) else None
+      }
+    }.toMap
+    val t = items.toDF("doc_id", "source", "n")
+      .withColumn("hx", md5($"doc_id".cast("string").cast("binary")))
+    val got = Ops.withGroupedRunningSum(t, $"source",
+        Seq($"hx", $"doc_id"),
+        expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
+        $"n", "cum")
+      .join(broadcast(budgets.toSeq.toDF("source", "budget")), "source")
+      .join(broadcast(items.toDF("doc_id", "source", "n")
+        .groupBy("source").agg(sum($"n").as("m"))), "source")
+      .select($"doc_id", (expr("budget DIV m") +
+        when($"cum" <= $"budget" % $"m", 1L).otherwise(0L)).as("n_reps"))
+      .where($"n_reps" > 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, "distributed repeat counts diverge from brute force")
+    // structural invariants: within a source n_reps ∈ {k, k+1}, spend
+    // fits the budget to within one doc
+    items.groupBy(_._2).foreach { case (src, rows) =>
+      val mass = rows.map(_._3).sum
+      val k = budgets(src) / mass
+      rows.foreach { r =>
+        val reps = got.getOrElse(r._1, 0L)
+        assert(reps == k || reps == k + 1, s"$src doc ${r._1} reps $reps")
+      }
+      val spend = rows.map(r => got.getOrElse(r._1, 0L) * r._3).sum
+      assert(spend <= budgets(src))
+      assert(budgets(src) - spend < rows.map(_._3).max)
+    }
+  }
+
+  test("charset quarantine is total, binary, and monotone in damage over arbitrary strings") {
+    import graft.functions.TextAnalysis._
+    val bad = df.select(charsetQuarantine($"s").as("q"),
+        charsetQuarantine(concat($"s", lit("\u0001"))).as("qd"),
+        charsetQuarantine(concat($"s", lit("�"))).as("qr"))
+      .where($"q".isNull || !$"q".isin(0, 1) ||
+        $"qd" =!= 1 || $"qr" =!= 1)
+    assert(bad.count() == 0,
+      "quarantine must be total, 0/1, and certain once damage is appended")
+    // pure printable-ASCII strings (plus tab/newline/CR) always pass
+    val clean = df
+      .where($"s".rlike("^[\\x09\\x0A\\x0D\\x20-\\x7E]*$"))
+      .where(charsetQuarantine($"s") =!= 0)
+    assert(clean.count() == 0, "clean ASCII must never quarantine")
+  }
+
+  test("doremi serving weights quantize and floor over random count tables") {
+    import graft.operators.Doremi
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val sbc = (0 until 600).map { _ =>
+      (s"dom${rnd.nextInt(5)}",
+        s"${vocab(rnd.nextInt(30))} ${vocab(rnd.nextInt(30))}",
+        1L + rnd.nextInt(50))
+    }.groupBy(r => (r._1, r._2)).map { case ((s, b), rs) =>
+      (s, b, rs.map(_._3).sum)
+    }.toSeq.toDF("source", "bg", "cb")
+    val cfg = Doremi.Config()
+    val w = Doremi.tokenWeightsFromCounts(sbc, cfg).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+    val k = w.length
+    assert(k == 5)
+    assert(math.abs(w.map(_._2).sum - 1000000L) <= 2L * k,
+      s"weights must quantize to ~1e6 micro: ${w.toSeq}")
+    w.foreach { case (s, v) =>
+      assert(v >= cfg.smoothMicro / k, s"smoothing floor violated for $s")
+    }
+    val again = Doremi.tokenWeightsFromCounts(sbc, cfg).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+    assert(w.toSeq == again.toSeq, "serving weights must be deterministic")
+  }
 }
