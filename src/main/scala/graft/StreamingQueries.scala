@@ -362,6 +362,20 @@ object StreamingQueries {
           s"/tmp/graft_dmingest/$tag/idx")
       }),
 
+    // Continuous maintenance MONITORING: the doremi ingest with the
+    // index-fleet health row captured after every micro-batch — the
+    // live time series of the is-maintenance-keeping-up glance.
+    // Rows-only (table properties / file listings are not
+    // DuckDB-visible); the clock-resets / monotonicity invariants are
+    // drilled in StreamingSpec.
+    QueryDef("sr30_streaming_index_health", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runDoremiIngestMonitored(s, dir,
+          s"/tmp/graft_dmhealth/$tag", s"graft_sdmh_$tag",
+          s"/tmp/graft_dmhealth/$tag/idx")
+      }),
+
     // The streamed capstone WITH the selection stage: the DSIR model is
     // fitted batch-side over the reference corpus's post-decon
     // survivors (frozen-cutoff stance; production reads the persisted

@@ -238,6 +238,44 @@ object StreamingIndexIngest {
         .orderBy("source"))
   }
 
+  /** [[runDoremiIngest]] with CONTINUOUS MAINTENANCE MONITORING: after
+    * every appending micro-batch (and its auto-compact check) the
+    * index-fleet health row lands in a telemetry sink keyed by batch —
+    * the live time series of [[IndexStore.healthReport]]'s
+    * is-maintenance-keeping-up glance. Watching it mid-stream is the
+    * point: the appends_since_compact clock must tick up and RESET
+    * when compaction fires, while live rows only grow. The telemetry
+    * append is fire-and-forget (a replayed batch may duplicate a
+    * health row — monitoring tolerates that; the INDEX side stays
+    * exactly-once via the keyed lifecycle). */
+  def runDoremiIngestMonitored(spark: SparkSession, sfDir: String,
+      workDir: String, table: String, idxPath: String,
+      autoCompactAppends: Int = 1): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val healthDir = s"$workDir/health"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(healthDir))
+    ingestFrames(spark, docs.where(col("doc_id") % 10 < 8), workDir,
+      Seq(s"${table}_dmc"), idxPath,
+      (batch, first, batchId) => {
+        val s = batch.sparkSession
+        if (first) IndexStore.buildDoremiIndexKeyed(batch, "doc_id",
+          "source", "text", table, idxPath, batchKey = batchId)
+        else {
+          IndexStore.appendDoremiIndexKeyed(batch, "doc_id", "source",
+            "text", table, batchId)
+          IndexStore.autoCompact(s, "doremik", table,
+            autoCompactAppends)
+          (): Unit
+        }
+        IndexStore.healthReport(s, Seq(("doremik", table)))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(healthDir)
+      },
+      () => spark.read.parquet(healthDir).orderBy("batch_id"))
+  }
+
   /** The COMPOSED multi-gate ingest, run as a stream — the reference's
     * cron loop (`/root/reference/README.md:11`, `partial-update.sh`) is
     * exactly "the composed sync, run forever": each arriving micro-batch

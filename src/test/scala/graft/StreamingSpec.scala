@@ -573,6 +573,32 @@ class StreamingSpec extends SparkSpec {
     assert(again == byId, "re-run diverged")
   }
 
+  test("streamed health telemetry: the auto-compact clock ticks and resets mid-stream, rows only grow") {
+    import graft.streaming.StreamingIndexIngest
+    val work = s"/tmp/graft_dmhealth_spec/${System.nanoTime()}"
+    val h = StreamingIndexIngest.runDoremiIngestMonitored(spark, sf0001,
+        work, "graft_t_sdmh", s"$work/idx", autoCompactAppends = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("rows"),
+        r.getAs[Long]("appends_since_compact"),
+        r.getAs[Long]("appends_total")))
+      .sortBy(_._1)
+    assert(h.length >= 2, "one health row per micro-batch")
+    // live rows never shrink as batches land
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"live rows shrank between ${a._1} and ${b._1}")
+      assert(b._4 >= a._4, "appends_total must be monotone")
+    }
+    // with threshold 1, every appending batch compacts: the clock is
+    // observed RESET (0) on each post-append row, and the total still
+    // advanced — maintenance demonstrably kept up mid-stream
+    val appending = h.drop(1)
+    assert(appending.nonEmpty && appending.forall(_._3 == 0L),
+      s"the auto-compact clock failed to reset mid-stream: ${h.toSeq}")
+    assert(appending.last._4 >= appending.length.toLong,
+      "the monotone total must record every append")
+  }
+
   test("streamed DoReMi ingest equals a one-shot fit; threshold-1 compaction is value-neutral") {
     import graft.operators.{Doremi, IndexStore, NgramLm}
     val docs = Tables.load(spark, sf0001, "documents")
