@@ -254,6 +254,15 @@ class PlansSpec extends SparkSpec {
       windows.foreach(w => assert(w.partitionSpec.nonEmpty,
         s"$name has a global Window.orderBy (single-task straggler):\n$w"))
     }
+    // the oversample's budget and mass joins must be broadcasts — a
+    // shuffled join on `source` would move the corpus for two tiny
+    // tables and concentrate each source in one task
+    val phys = SparkEntry.queries("ext_source_oversample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"oversample lost its broadcast joins:\n$phys")
+    assert(!phys.contains("SortMergeJoin"),
+      s"oversample shuffles the corpus for a bounded table:\n$phys")
   }
 
   test("epoch shuffle: every window partitioned, no global sort before the agg") {
