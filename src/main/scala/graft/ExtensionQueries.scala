@@ -1955,6 +1955,57 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Per-SOURCE damage rates: which feed is shipping broken encodings
+    // — the first question after the quarantine fires. One aggregation
+    // over the t12 verdict projection: per source, docs, quarantined
+    // docs, and per-class damage counts (a feed whose n_ctrl dominates
+    // has a different bug than one shipping U+FFFD). Fixture plants
+    // damage into a deterministic subset of sources.
+    QueryDef("t13_damage_by_source",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 700000, source, substr(text, 1, 40) || chr(8) || 'x'
+             |  FROM documents WHERE doc_id % 17 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 710000, source, 'good text then ' || chr(65533) || ' tail'
+             |  FROM documents WHERE doc_id % 19 = 0),
+             |m AS (
+             |  SELECT source,
+             |    CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+             |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
+             |    CAST(CASE WHEN len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0
+             |      OR len(regexp_extract_all(text, chr(65533))) > 0
+             |      OR len(regexp_extract_all(text, '[^\x09\x0A\x0D\x20-\x7E]')) * 5 > length(text)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS q
+             |  FROM corpus)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(q) AS BIGINT) AS n_quarantined,
+             |  CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_docs,
+             |  CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repl_docs
+             |FROM m GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val d = load(s, dir, "documents").select("doc_id", "source", "text")
+        val corpus = d
+          .unionByName(d.where(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+              concat(substring(col("text"), 1, 40), lit("\u0008x"))
+                .as("text")))
+          .unionByName(d.where(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 710000).as("doc_id"), col("source"),
+              lit("good text then � tail").as("text")))
+        corpus.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.charsetQuarantine(col("text")).cast("long"))
+              .as("n_quarantined"),
+            sum((TextAnalysis.ctrlCharCount(col("text")) > 0).cast("long"))
+              .as("n_ctrl_docs"),
+            sum((TextAnalysis.replacementCharCount(col("text")) > 0)
+              .cast("long")).as("n_repl_docs"))
+          .orderBy("source")
+      }),
+
     // PII surface counts — emails and long digit runs flagged for the
     // redaction router; counting only, values never leave the row.
     QueryDef("t6_pii_flags",
