@@ -2075,6 +2075,86 @@ object IndexStore {
         .withColumn("bk", lit(LmFoldedBk)))
   }
 
+  // ---- HLL distinct-count sketch store -------------------------------
+  // The twelfth persisted kind, and the first whose append algebra is
+  // IDEMPOTENT rather than additive: rows are observed lower bounds on
+  // a register's value and serving folds with max, so a crash-replayed
+  // append writes rows the fold absorbs with NO batch-key discipline
+  // (contrast the LM/DoReMi count tables, which need row identities to
+  // cancel replayed +1s). The flip side, stated once: max has no
+  // inverse, so this kind CANNOT unlearn — retiring a slice means
+  // rebuilding its group's sketch from the surviving corpus. The table
+  // is bounded by construction (≤ 512 rows per group, [[Hll]]), so the
+  // store's value is purely temporal: distinct-cardinality questions
+  // over any past-or-present union of ingested groups are answered
+  // from the sketch in O(registers), never by rescanning a corpus.
+
+  private def hllParams(grpCol: String, itemCol: String)
+      : Map[String, String] =
+    Map("payload" -> "hll", "grpCol" -> grpCol, "itemCol" -> itemCol)
+
+  private def hllRegs(items: DataFrame, grpCol: String,
+      itemCol: String): DataFrame =
+    Hll.registers(items, itemCol, Seq(grpCol))
+      .withColumnRenamed(grpCol, "grp")
+
+  /** Builds the persisted sketch store: `(grp, idx, r)` bucketed by
+    * idx. `items` is the exploded item frame (one row per occurrence —
+    * the registers aggregation absorbs duplicates). */
+  def buildHllIndex(items: DataFrame, grpCol: String, itemCol: String,
+      table: String, path: String, nBuckets: Int = 4): Unit = {
+    val spark = items.sparkSession
+    bucketRouted(hllRegs(items, grpCol, itemCol), "idx", nBuckets)
+      .write.bucketBy(nBuckets, "idx")
+      .option("path", s"$path/${table}_hregs").mode("overwrite")
+      .saveAsTable(s"${table}_hregs")
+    setParams(spark, s"${table}_hregs", hllParams(grpCol, itemCol))
+  }
+
+  /** Appends a delta corpus's registers — order-independent and
+    * replay-idempotent by the max algebra. */
+  def appendHllIndex(delta: DataFrame, grpCol: String, itemCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_hregs", hllParams(grpCol, itemCol),
+      "append")
+    val nb = numBucketsOf(spark, s"${table}_hregs")
+    bucketRouted(hllRegs(delta, grpCol, itemCol), "idx", nb)
+      .write.bucketBy(nb, "idx")
+      .mode("append").saveAsTable(s"${table}_hregs")
+    noteAppend(spark, s"${table}_hregs")
+  }
+
+  /** Folded per-group registers from the store — O(registers), zero
+    * corpus read. */
+  def hllRegistersFromIndex(spark: SparkSession, table: String)
+      : DataFrame = {
+    spark.catalog.refreshTable(s"${table}_hregs")
+    Hll.fold(spark.table(s"${table}_hregs"), Seq("grp"))
+  }
+
+  /** Per-group cardinality estimates served from the store. `grps`
+    * optionally restricts (and merges) the groups first: passing
+    * several groups under one output label answers "distinct items
+    * across these sources" from registers alone. */
+  def hllEstimateFromIndex(spark: SparkSession, table: String)
+      : DataFrame =
+    Hll.estimate(hllRegistersFromIndex(spark, table), Seq("grp"))
+
+  /** Compacts: folds duplicate register rows to one row per
+    * (grp, idx). */
+  def compactHllIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val hr = s"${table}_hregs"
+    rewriteInPlace(spark, hr, bucketColOf(spark, hr),
+      s"$newPathBase/${hr}_c", numBucketsOf(spark, hr))(
+      Hll.fold(_, Seq("grp")))
+  }
+
+  /** Vacuums the sketch table's retired directories. */
+  def vacuumHllIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_hregs")
+
   // ---- cross-doc shingle document-frequency table --------------------
   // The ninth persisted kind, third holding MODEL STATE: the per-
   // shingle distinct-document counts behind [[SpanDedup]] (ExactSubstr
@@ -2519,9 +2599,10 @@ object IndexStore {
       case "doremik" => (s"${table}_dmc",    compactDoremiIndexKeyed(spark, table, _))
       case "span"    => (s"${table}_sdf",    compactSpanIndex(spark, table, _))
       case "pq"      => (s"${table}_codes",  compactPqIndex(spark, table, _))
+      case "hll"     => (s"${table}_hregs",  compactHllIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq/hll)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }
@@ -2543,7 +2624,7 @@ object IndexStore {
       "simhash" -> "_chunks", "srp" -> "_bands", "winnow" -> "_wins",
       "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
-      "span" -> "_sdf", "pq" -> "_codes")
+      "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))
