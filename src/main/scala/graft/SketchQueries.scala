@@ -48,6 +48,16 @@ object SketchQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         explode(Dedup.wordShingles(col("text"))).as("item"))
 
+  /** Direct per-lang register sketch of the full corpus — shared by the
+    * persisted-store query and the streaming maintainer (`sr31`): both
+    * must land exactly here whatever the batch slicing, by the max
+    * algebra. */
+  private[graft] val langRegistersOracleSql: String =
+    shingleItemsSql +
+      s"""regs AS (${Hll.registersSql("items", "item",
+           Seq("lang" -> "grp"))})
+         |SELECT grp, idx, r FROM regs ORDER BY grp, idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // The corpus-wide register table itself, oracle-checked value by
@@ -140,10 +150,7 @@ object SketchQueries {
     // (the oracle computes the direct form; no replay/batch-key
     // discipline exists to get wrong, by design).
     QueryDef("ext_hll_persisted",
-      Some(shingleItemsSql +
-        s"""regs AS (${Hll.registersSql("items", "item",
-             Seq("lang" -> "grp"))})
-           |SELECT grp, idx, r FROM regs ORDER BY grp, idx""".stripMargin),
+      Some(langRegistersOracleSql),
       (s, dir) => {
         val tbl = "graft_hllp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         val items = shingleItems(s, dir)

@@ -376,6 +376,21 @@ object StreamingQueries {
           s"/tmp/graft_dmhealth/$tag/idx")
       }),
 
+    // Sketch-store forever-sync: per-lang HLL registers max-merged per
+    // micro-batch (O(batch) scan + a ≤ m-row append — per-batch cost
+    // pinned regardless of how long the stream has run). The oracle is
+    // the DIRECT one-shot sketch of the whole corpus: equality is the
+    // max algebra's batch-slicing invariance, value-checked register
+    // by register.
+    QueryDef("sr31_streaming_hll",
+      Some(SketchQueries.langRegistersOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runHllIngest(s, dir,
+          s"/tmp/graft_hllingest/$tag", s"graft_shll_$tag",
+          s"/tmp/graft_hllingest/$tag/idx")
+      }),
+
     // The streamed capstone WITH the selection stage: the DSIR model is
     // fitted batch-side over the reference corpus's post-decon
     // survivors (frozen-cutoff stance; production reads the persisted

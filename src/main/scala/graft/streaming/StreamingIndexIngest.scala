@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.IndexStore
+import graft.operators.{Dedup, IndexStore}
 
 /** Continuous dedup-ingest — the streaming form of the persisted
   * indexes' incremental-maintenance path: document micro-batches stream
@@ -714,5 +714,34 @@ object StreamingIndexIngest {
               transform(col("vec"), x => x * 2.0d).as("vec")),
           table, k = 1)
         .orderBy("query_id", "rank"))
+  }
+
+  /** HLL sketch-store instance: document micro-batches stream in, each
+    * one's shingle registers are max-merged into the persisted sketch
+    * (O(batch) scan + a ≤ m-row append — per-batch cost never grows
+    * with stream lifetime), and the finished store serves the per-lang
+    * registers. The oracle computes the DIRECT one-shot sketch of the
+    * whole corpus; equality is the max algebra's batch-slicing
+    * invariance, and the same algebra makes crash-replayed appends
+    * free (no batch keys anywhere in this kind). */
+  def runHllIngest(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    def itemsOf(d: DataFrame): DataFrame = d.select(col("lang"),
+      explode(Dedup.wordShingles(col("text"))).as("item"))
+    ingestFrames(spark, docs, workDir, Seq(s"${table}_hregs"), idxPath,
+      (batch, first, _) =>
+        if (first) IndexStore.buildHllIndex(itemsOf(batch), "lang",
+          "item", table, idxPath)
+        else {
+          IndexStore.appendHllIndex(itemsOf(batch), "lang", "item", table)
+          IndexStore.autoCompact(spark, "hll", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.hllRegistersFromIndex(spark, table)
+        .orderBy("grp", "idx"))
   }
 }
