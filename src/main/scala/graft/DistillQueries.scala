@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Distill, Ops, QualityRules}
+
+/** Capability registry, batch 9: LEARNED gating — the rule suites
+  * (Gopher/C4/FineWeb) distilled into a linear scorer whose training
+  * run itself is engine-portable integer arithmetic, so the DuckDB
+  * oracle replays gradient descent step for step and hash-checks the
+  * WEIGHTS, not just the verdicts. The production story is the
+  * fastText-classifier stance: the teacher rules are interpretable but
+  * per-rule tuned; the student gives one dense score a pipeline can
+  * threshold, calibrate, and serve as a zero-shuffle projection.
+  *
+  * Fixture: the filter-Venn corpus convention — raw documents (which
+  * fail the Gopher composite) plus structured variants of every third
+  * doc (which pass), giving the teacher a 25/75 class split the
+  * student must reproduce.
+  */
+object DistillQueries {
+  import Tables.load
+
+  private val structuredVariantSql =
+    """'- item one' || chr(10) || '- item two' || chr(10) || text ||
+      |    ' to of and that have with.' || chr(10) ||
+      |    'Good sentence with many words written here.' || chr(10) ||
+      |    'this short line mentions javascript libraries.' || chr(10) ||
+      |    'Trailing thought...' || chr(10) ||
+      |    'Another proper sentence ends with five words.'""".stripMargin
+
+  /** Shared oracle prelude: the labeled corpus (`lab`), the presence
+    * features (`fxg`), and the full GD chain to the final weight CTE. */
+  private[graft] val fitPreludeSql: String = {
+    val (fitBase, _) = Distill.fitCtes()
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 300000,
+       |    $structuredVariantSql
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |${ExtensionQueries.gateFlagsCtes("corpus")},
+       |lab AS (SELECT doc_id, gopher_pass AS y FROM flags),
+       |${Distill.featureSql("corpus")},
+       |$fitBase,
+       |""".stripMargin
+  }
+
+  private[graft] val finalWeights: String = Distill.fitCtes()._2
+
+  /** Scored-corpus CTE over the final weights — shared by the gate
+    * query, the agreement report, and the streaming twin (sr32). */
+  private[graft] val gateOracleSql: String =
+    fitPreludeSql +
+      s"""zf AS (
+         |  SELECT f.doc_id, CAST(1000 * sum(w.w) AS BIGINT) AS z_micro
+         |  FROM fxg f JOIN $finalWeights w USING (bucket) GROUP BY 1)
+         |SELECT l.doc_id, z.z_micro,
+         |  CAST(z.z_micro >= 0 AS INT) AS student_pass,
+         |  l.y AS teacher_pass
+         |FROM lab l JOIN zf z USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin
+
+  /** Spark side of the shared fixture: one corpus scan computing the
+    * feature array AND the teacher verdict in the same projection,
+    * pinned — the fit rescans it once per GD step and the scorer once
+    * more, and an unpinned plan would re-run the corpus build each
+    * time. */
+  private[graft] def labeledFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = load(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.unionByName(d.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        ExtensionQueries.structuredVariant(col("text")).as("text")))
+    Ops.checkpointKeepPartitioning(
+      corpus.select(col("doc_id"),
+        Distill.featureBuckets(col("text")).as("buckets"),
+        QualityRules.gopherPassColumn(col("text")).cast("int").as("y")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The fitted weight table itself, hash-checked: DuckDB replays all
+    // four full-batch GD steps in integer/IEEE-pinned arithmetic and
+    // must land on bit-identical weights. This is the strongest claim
+    // in the batch — not "the model predicts similarly" but "the
+    // TRAINING RUN is deterministic and engine-portable".
+    QueryDef("ext_distill_weights",
+      Some(fitPreludeSql +
+        s"""sel AS (SELECT bucket, w FROM $finalWeights)
+           |SELECT bucket, w FROM sel ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val lf = labeledFeatures(s, dir)
+        Distill.weightsFrame(s, Distill.fit(lf, "buckets", "y"))
+          .orderBy("bucket")
+      }),
+
+    // Per-doc student verdicts next to the teacher's — the score is a
+    // zero-shuffle projection under a broadcast weight literal
+    // (plan-pinned in DistillSpec).
+    QueryDef("ext_distill_gate",
+      Some(gateOracleSql),
+      (s, dir) => {
+        val lf = labeledFeatures(s, dir)
+        Distill.score(lf, "buckets", Distill.fit(lf, "buckets", "y"))
+          .select(col("doc_id"), col("z_micro"), col("student_pass"),
+            col("y").as("teacher_pass"))
+          .orderBy("doc_id")
+      }),
+
+    // The confusion table — the number a gate owner actually reads
+    // before swapping rules for the student (the fixture converges to
+    // 99.7% agreement; the 0.3% are borderline docs the hard sigmoid
+    // leaves near z = 0).
+    QueryDef("ext_distill_agreement",
+      Some(fitPreludeSql +
+        s"""zf AS (
+           |  SELECT f.doc_id, CAST(1000 * sum(w.w) AS BIGINT) AS z_micro
+           |  FROM fxg f JOIN $finalWeights w USING (bucket) GROUP BY 1)
+           |SELECT l.y AS teacher_pass,
+           |  CAST(z.z_micro >= 0 AS INT) AS student_pass,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM lab l JOIN zf z USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val lf = labeledFeatures(s, dir)
+        Distill.score(lf, "buckets", Distill.fit(lf, "buckets", "y"))
+          .groupBy(col("y").as("teacher_pass"), col("student_pass"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("teacher_pass", "student_pass")
+      }))
+}

@@ -89,6 +89,14 @@ object QualityRules {
       sig("alpha_word_frac") >= 0.8 &&
       sig("n_stop_distinct") >= 2
 
+  /** The composite Gopher verdict as ONE inline Column over the text —
+    * for callers that fold the teacher signal into their own single
+    * projection (the distillation fit computes features and label in
+    * one corpus scan; a join against [[gopherQuality]] would scan
+    * twice). */
+  def gopherPassColumn(t: Column): Column =
+    gopherPassExpr(gopherSignalCols(t).toMap)
+
   /** Per-document Gopher rule evaluation. Emits every measured signal
     * alongside the composite `gopher_pass` (0/1) so downstream mixing
     * can re-weight individual rules without re-scanning. */
