@@ -66,12 +66,19 @@ object DistillQueries {
     * pinned — the fit rescans it once per GD step and the scorer once
     * more, and an unpinned plan would re-run the corpus build each
     * time. */
-  private[graft] def labeledFeatures(s: org.apache.spark.sql.SparkSession,
+  /** The fixture corpus (raw docs + passing structured variants) —
+    * shared with the streaming twin's staged source. */
+  private[graft] def corpusOf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val d = load(s, dir, "documents").select("doc_id", "text")
-    val corpus = d.unionByName(d.where(col("doc_id") % 3 === 0)
+    d.unionByName(d.where(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 300000).as("doc_id"),
         ExtensionQueries.structuredVariant(col("text")).as("text")))
+  }
+
+  private[graft] def labeledFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val corpus = corpusOf(s, dir)
     Ops.checkpointKeepPartitioning(
       corpus.select(col("doc_id"),
         Distill.featureBuckets(col("text")).as("buckets"),

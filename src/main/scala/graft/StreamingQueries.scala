@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingDedup, StreamingIndexIngest, StreamingLmScore, StreamingShards, StreamingSync}
+import graft.streaming.{StreamingDedup, StreamingDistill, StreamingIndexIngest, StreamingLmScore, StreamingShards, StreamingSync}
 
 /** Capability registry, batch 4: Structured Streaming formulations of the
   * incremental-sync semantics (SURVEY §2.10). The streams run
@@ -389,6 +389,19 @@ object StreamingQueries {
         StreamingIndexIngest.runHllIngest(s, dir,
           s"/tmp/graft_hllingest/$tag", s"graft_shll_$tag",
           s"/tmp/graft_hllingest/$tag/idx")
+      }),
+
+    // The distilled quality gate as a forever-sync: weights fit
+    // batch-side (nightly-fit stance), every micro-batch scored under
+    // the weight LITERAL — a stateless zero-shuffle projection per
+    // batch, the cheapest serving shape a gate can have. Whole docs per
+    // file ⇒ the appended table equals the batch gate row-for-row,
+    // which is the oracle's check.
+    QueryDef("sr32_streaming_distill",
+      Some(DistillQueries.gateOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingDistill.run(s, dir, s"/tmp/graft_distill/$tag")
       }),
 
     // The streamed capstone WITH the selection stage: the DSIR model is
