@@ -4772,6 +4772,124 @@ object ExtensionQueries {
         }.reduce(_ unionByName _).orderBy("epoch", "step")
       }),
 
+    // CURRICULUM manifest — the competence-based schedule (easy-first,
+    // Bengio'09 / Platanios'19) over the same budget machinery: docs
+    // band into exact LM-perplexity terciles (head = most predictable
+    // = easiest), and epoch e may only draw from bands ≤ e — epoch 1
+    // trains on the easy third, epoch 2 adds the middle, epoch 3 sees
+    // everything; within the eligible set the deal is the standard
+    // salted-hash hand under the per-source token budgets. Every
+    // choice stays a pure function of (epoch, doc_id, corpus scores),
+    // so the schedule is byte-reproducible. Scale shape inherits the
+    // manifest family's: banding via the 3-pass global ntile, spend
+    // via the grouped prefix, steps via the global rank — no
+    // partitionBy-less window, text rides nothing but the one scoring
+    // pass. Docs with zero bigrams have no perplexity and are outside
+    // the curriculum by construction.
+    QueryDef("ext_training_manifest_curriculum", {
+      val values = sourceTokenBudgets
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      Some(s"""WITH w(source, budget) AS (VALUES $values),
+              |tok AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents),
+              |big AS (
+              |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
+              |bc AS (
+              |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
+              |cc AS (
+              |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+              |  FROM bc GROUP BY 1),
+              |v AS (
+              |  SELECT count(DISTINCT t) + 1 AS vsize
+              |  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 < 8)),
+              |scored AS (
+              |  SELECT e.doc_id,
+              |    CAST(floor(-log2((coalesce(bc.cb, 0) + 1.0) /
+              |                     (coalesce(cc.cctx, 0) + v.vsize))
+              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+              |  FROM big e
+              |  LEFT JOIN bc ON e.bg = bc.bg
+              |  LEFT JOIN cc ON e.prev = cc.prev
+              |  CROSS JOIN v),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(h_milli) AS BIGINT) AS h_total
+              |  FROM scored GROUP BY 1),
+              |o AS (
+              |  SELECT doc_id,
+              |    CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
+              |  FROM agg),
+              |b AS (
+              |  SELECT doc_id,
+              |    CAST(ntile(3) OVER (ORDER BY h_milli_tok, doc_id) AS BIGINT) AS band_ord
+              |  FROM o),
+              |t AS (
+              |  SELECT e.epoch, d.doc_id, d.source, b.band_ord,
+              |    CAST(len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n,
+              |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
+              |  FROM documents d JOIN b USING (doc_id)
+              |  CROSS JOIN (VALUES (1), (2), (3)) e(epoch)
+              |  WHERE b.band_ord <= e.epoch),
+              |c AS (
+              |  SELECT epoch, doc_id, band_ord, source, n, hx,
+              |    sum(n) OVER (PARTITION BY epoch, source ORDER BY hx, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t),
+              |sel AS (
+              |  SELECT c.epoch, c.doc_id, c.band_ord, c.hx
+              |  FROM c JOIN w ON c.source = w.source
+              |  WHERE c.cum <= w.budget)
+              |SELECT CAST(epoch AS BIGINT) AS epoch,
+              |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY hx, doc_id) AS BIGINT) AS step,
+              |  doc_id, band_ord
+              |FROM sel ORDER BY epoch, step""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val budgets = sourceTokenBudgets.toDF("source", "budget")
+        val docs = load(s, dir, "documents")
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val banded = NgramLm.withBands(
+            NgramLm.scoreMicroBits(model, docs))
+          .select(col("doc_id"),
+            when(col("band") === "head", 1L)
+              .when(col("band") === "middle", 2L).otherwise(3L)
+              .as("band_ord"))
+        // thin pinned frame: (id, source, n, band_ord) — the scoring
+        // pass and the tokenize both run once, the epoch loop reads
+        // only this
+        val base = docs
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+          .join(banded, "doc_id")
+          .localCheckpoint()
+        val hxNum = expr("conv(substr(hx, 1, 13), 16, 10)").cast("double")
+        (1 to 3).map { e =>
+          val t = base.where(col("band_ord") <= e)
+            .withColumn("hx",
+              md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
+                .cast("binary")))
+          val sel = graft.operators.Ops.withGroupedRunningSum(t,
+              col("source"), Seq(col("hx"), col("doc_id")), hxNum,
+              col("n"), "cum")
+            .join(broadcast(budgets), "source")
+            .where(col("cum") <= col("budget"))
+            .select("doc_id", "band_ord", "hx")
+          graft.operators.Ops.withGlobalRowNumber(sel,
+              Seq(col("hx"), col("doc_id")), hxNum, "step")
+            .select(lit(e.toLong).as("epoch"), col("step"),
+              col("doc_id"), col("band_ord"))
+        }.reduce(_ unionByName _).orderBy("epoch", "step")
+      }),
+
     // TF-IDF top terms per document (keyword extraction / doc
     // representation); integer scoring + skew-safe join shapes in
     // operators.Tfidf. Registered with the broadcast-vocab path — the

@@ -243,6 +243,29 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("curriculum manifest: competence property holds and every window partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("ext_training_manifest_curriculum")(
+      spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"curriculum manifest has a global Window.orderBy:\n$w"))
+    // epoch e draws ONLY from perplexity bands ≤ e, and each epoch
+    // actually uses its newly-unlocked band on this fixture
+    val rows = df.select("epoch", "band_ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, b) =>
+      assert(b <= e, s"epoch $e drew a band-$b doc — competence violated")
+    }
+    for (e <- 1L to 3L)
+      assert(rows.contains((e, e)),
+        s"epoch $e never used its newly-unlocked band $e — fixture degenerate")
+  }
+
   test("manifest/oversample plans: every window partitioned (grouped spend + 3-pass rank)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("ext_training_manifest", "ext_source_oversample")) {
