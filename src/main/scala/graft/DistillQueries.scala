@@ -115,6 +115,25 @@ object DistillQueries {
           .orderBy("doc_id")
       }),
 
+    // The nightly-fit production path: weights persisted as the
+    // thirteenth index kind (refit-only — GD has no mergeable count
+    // table to append to; the artifact IS the bounded weight table,
+    // swapped atomically), hydrated back and served. Same oracle as
+    // the inline gate: persistence must be value-invisible.
+    QueryDef("ext_distill_persisted",
+      Some(gateOracleSql),
+      (s, dir) => {
+        val tbl = "graft_dstp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val lf = labeledFeatures(s, dir)
+        graft.operators.IndexStore.buildDistillIndex(lf, "buckets", "y",
+          tbl, s"/tmp/graft_index/$tbl")
+        graft.operators.IndexStore.scoreFromDistillIndex(s, tbl, lf,
+            "buckets")
+          .select(col("doc_id"), col("z_micro"), col("student_pass"),
+            col("y").as("teacher_pass"))
+          .orderBy("doc_id")
+      }),
+
     // The confusion table — the number a gate owner actually reads
     // before swapping rules for the student (the fixture converges to
     // 99.7% agreement; the 0.3% are borderline docs the hard sigmoid

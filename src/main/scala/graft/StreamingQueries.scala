@@ -404,6 +404,19 @@ object StreamingQueries {
         StreamingDistill.run(s, dir, s"/tmp/graft_distill/$tag")
       }),
 
+    // sr32's amortized twin: the gate hydrates its weights from the
+    // persisted distill index (built here for the drill; production
+    // builds nightly) — per-launch model load is one bounded table
+    // read instead of four corpus-scanning GD steps. Same oracle:
+    // the serving path must be value-invisible.
+    QueryDef("sr33_streaming_distill_idx",
+      Some(DistillQueries.gateOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingDistill.runFromIndex(s, dir,
+          s"/tmp/graft_distill_idx/$tag", s"graft_sdst_$tag")
+      }),
+
     // The streamed capstone WITH the selection stage: the DSIR model is
     // fitted batch-side over the reference corpus's post-decon
     // survivors (frozen-cutoff stance; production reads the persisted

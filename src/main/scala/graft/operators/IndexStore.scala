@@ -2155,6 +2155,51 @@ object IndexStore {
   def vacuumHllIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_hregs")
 
+  // ---- distilled linear-gate weight table ----------------------------
+  // The thirteenth persisted kind, and the first REFIT-ONLY one:
+  // gradient descent has no mergeable sufficient statistic over
+  // document sets (unlike the LM/DSIR/DoReMi count models), so there
+  // is no append or unlearn — the persisted artifact is the fitted
+  // weight TABLE itself (≤ 257 rows), rebuilt by the nightly fit and
+  // swapped atomically by the overwrite. Serving collects the bounded
+  // table into the broadcast literal [[Distill.score]] compiles into a
+  // zero-shuffle projection — the cheapest gate a 100 TB scorer can
+  // run, with zero corpus reads at model-load time.
+
+  private def distillParams(cfg: Distill.Config): Map[String, String] =
+    Map("payload" -> "distill", "iters" -> cfg.iters.toString,
+      "etaMilli" -> cfg.etaMilli.toString)
+
+  /** Fits on `labeled(…, bucketsCol, labelCol)` (pin it first — the fit
+    * rescans per GD step) and persists the weights. */
+  def buildDistillIndex(labeled: DataFrame, bucketsCol: String,
+      labelCol: String, table: String, path: String,
+      cfg: Distill.Config = Distill.Config()): Unit = {
+    val spark = labeled.sparkSession
+    val w = Distill.fit(labeled, bucketsCol, labelCol, cfg)
+    Distill.weightsFrame(spark, w)
+      .coalesce(1) // bounded ≤ 257 rows — the 1-row/datacard exception
+      .write.bucketBy(1, "bucket") // keeps the health/catalog contract
+      .option("path", s"$path/${table}_lw").mode("overwrite")
+      .saveAsTable(s"${table}_lw")
+    setParams(spark, s"${table}_lw", distillParams(cfg))
+  }
+
+  /** The persisted weights as the bounded driver map serving needs. */
+  def distillWeightsFromIndex(spark: SparkSession, table: String)
+      : Map[String, Long] = {
+    spark.catalog.refreshTable(s"${table}_lw")
+    spark.table(s"${table}_lw")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Scores docs under the persisted model — one bounded metadata read,
+    * then a pure projection over the corpus. */
+  def scoreFromDistillIndex(spark: SparkSession, table: String,
+      docs: DataFrame, bucketsCol: String): DataFrame =
+    Distill.score(docs, bucketsCol,
+      distillWeightsFromIndex(spark, table))
+
   // ---- cross-doc shingle document-frequency table --------------------
   // The ninth persisted kind, third holding MODEL STATE: the per-
   // shingle distinct-document counts behind [[SpanDedup]] (ExactSubstr
@@ -2624,7 +2669,8 @@ object IndexStore {
       "simhash" -> "_chunks", "srp" -> "_bands", "winnow" -> "_wins",
       "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
-      "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs")
+      "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs",
+      "distill" -> "_lw")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))

@@ -17,10 +17,29 @@ import graft.operators.{Distill, QualityRules}
   */
 object StreamingDistill {
 
-  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame =
+    runWith(spark, sfDir, workDir,
+      Distill.fit(
+        graft.DistillQueries.labeledFeatures(spark, sfDir), "buckets", "y"))
+
+  /** The amortized variant (`sr33`): weights HYDRATED from the
+    * persisted index — the fit's corpus scans are paid at build time,
+    * not per stream launch; model load is one bounded table read. */
+  def runFromIndex(spark: SparkSession, sfDir: String, workDir: String,
+      table: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_lw")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$workDir/idx"))
+    graft.operators.IndexStore.buildDistillIndex(
+      graft.DistillQueries.labeledFeatures(spark, sfDir), "buckets", "y",
+      table, s"$workDir/idx")
+    runWith(spark, sfDir, workDir,
+      graft.operators.IndexStore.distillWeightsFromIndex(spark, table))
+  }
+
+  private def runWith(spark: SparkSession, sfDir: String, workDir: String,
+      w: Map[String, Long]): DataFrame = {
     val corpus = graft.DistillQueries.corpusOf(spark, sfDir)
-    val w = Distill.fit(
-      graft.DistillQueries.labeledFeatures(spark, sfDir), "buckets", "y")
 
     val srcDir = s"$workDir/src_${System.nanoTime()}"
     corpus.repartition(2).write.mode("overwrite").parquet(srcDir)

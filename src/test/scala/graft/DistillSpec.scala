@@ -57,6 +57,23 @@ class DistillSpec extends SparkSpec {
     assert(shuffleCount(Distill.score(lf, "buckets", w)) == 0)
   }
 
+  test("persisted weights hydrate bit-identically and report health") {
+    import graft.operators.IndexStore
+    val tbl = "graft_distill_spec"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_lw")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/tmp/graft_index/$tbl"))
+    val lf = labeled
+    IndexStore.buildDistillIndex(lf, "buckets", "y", tbl,
+      s"/tmp/graft_index/$tbl")
+    val hydrated = IndexStore.distillWeightsFromIndex(spark, tbl)
+    assert(hydrated == Distill.fit(lf, "buckets", "y"))
+    assert(hydrated.size <= 257)
+    val health = IndexStore.healthReport(spark, Seq("distill" -> tbl))
+      .collect()
+    assert(health.length == 1 && health.head.getString(0) == "distill")
+  }
+
   test("fit on an empty frame fails loudly") {
     val empty = Seq.empty[(Long, Seq[String], Int)]
       .toDF("doc_id", "buckets", "y")
