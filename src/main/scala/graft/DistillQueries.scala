@@ -134,6 +134,42 @@ object DistillQueries {
           .orderBy("doc_id")
       }),
 
+    // Calibration/reliability table — the threshold-tuning artifact: z
+    // deciles (exact global ntile via the 3-pass prefix, no
+    // single-task sort) against the teacher's pass rate per decile. A
+    // monotone table means the score RANKS quality even where the
+    // 0-threshold verdict disagrees, which is what lets an operator
+    // trade recall for precision by moving the cut.
+    QueryDef("ext_distill_calibration",
+      Some(fitPreludeSql +
+        s"""zf AS (
+           |  SELECT f.doc_id, CAST(1000 * sum(w.w) AS BIGINT) AS z_micro
+           |  FROM fxg f JOIN $finalWeights w USING (bucket) GROUP BY 1),
+           |dec AS (
+           |  SELECT l.doc_id, l.y, z.z_micro,
+           |    CAST(ntile(10) OVER (ORDER BY z.z_micro, l.doc_id) AS BIGINT)
+           |      AS decile
+           |  FROM lab l JOIN zf z USING (doc_id))
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(y) AS BIGINT) AS n_teacher_pass,
+           |  CAST(floor(sum(y) * 1000.0 / count(*)) AS BIGINT)
+           |    AS pass_rate_milli
+           |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val lf = labeledFeatures(s, dir)
+        val scored = Distill.score(lf, "buckets",
+          Distill.fit(lf, "buckets", "y"))
+        Ops.withGlobalNtile(scored,
+            Seq(col("z_micro"), col("doc_id")), col("z_micro"),
+            k = 10, outCol = "decile")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y")).cast("long").as("n_teacher_pass"),
+            floor(sum(col("y")) * lit(1000.0) / count(lit(1)))
+              .cast("long").as("pass_rate_milli"))
+          .orderBy("decile")
+      }),
+
     // The confusion table — the number a gate owner actually reads
     // before swapping rules for the student (the fixture converges to
     // 99.7% agreement; the 0.3% are borderline docs the hard sigmoid

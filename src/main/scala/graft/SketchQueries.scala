@@ -144,6 +144,32 @@ object SketchQueries {
             .select("idx", "r"))
           .orderBy("idx")),
 
+    // The store's serving question: "how many distinct shingles across
+    // THESE five sources?" answered by folding five register rows sets
+    // from the persisted store — zero corpus reads at query time. The
+    // oracle computes the direct sketch over the restricted corpus;
+    // equality is again the merge theorem, now on a proper subset of
+    // groups.
+    QueryDef("ext_hll_union_sources",
+      Some(shingleItemsSql.replace("FROM documents",
+          "FROM documents WHERE source IN ('src0','src1','src2','src3','src4')") +
+        s"""regs AS (${Hll.registersSql("items", "item")}),
+           |e AS (${Hll.estimateSql("regs")})
+           |SELECT n_regs, t_scaled, est FROM e""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_hllu_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val items = shingleItems(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_hregs")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_index/$tbl"))
+        IndexStore.buildHllIndex(items, "source", "item", tbl,
+          s"/tmp/graft_index/$tbl")
+        val five = (0 to 4).map(i => s"src$i")
+        Hll.estimate(Hll.fold(
+          IndexStore.hllRegistersFromIndex(s, tbl)
+            .where(col("grp").isin(five: _*)).select("idx", "r")))
+      }),
+
     // Persisted sketch store (12th index kind): build on the even-id
     // half, append the odd half, serve per-lang registers from the
     // table — equal to the one-shot direct sketch by the max algebra
