@@ -170,6 +170,64 @@ object DistillQueries {
           .orderBy("decile")
       }),
 
+    // The student gate COMPOSED: the fitted scorer (nightly fit on the
+    // reference fixture) gating a LIVE corpus that additionally
+    // carries whitespace twins of the passing variants, then
+    // exact-dedup keepers among the gate's survivors — first-cut
+    // attribution per doc ('distill' | 'dup' | 'kept'). The twins must
+    // pass the gate (same canonical tokens ⇒ same features ⇒ same z)
+    // and die at dedup; the base docs die at the gate and never reach
+    // the fingerprint exchange — the gate-before-shuffle ordering that
+    // makes a cheap learned gate worth serving first at 100 TB.
+    QueryDef("ext_distill_pipeline",
+      Some(fitPreludeSql +
+        s"""live AS (
+           |  SELECT doc_id, text FROM corpus
+           |  UNION ALL
+           |  SELECT doc_id + 600000, ' ' || text || '  '
+           |  FROM corpus WHERE doc_id >= 300000),
+           |${Distill.featureSql("live", "fxl")},
+           |zl AS (
+           |  SELECT f.doc_id, CAST(1000 * sum(w.w) AS BIGINT) AS z_micro
+           |  FROM fxl f JOIN $finalWeights w USING (bucket) GROUP BY 1),
+           |gl AS (
+           |  SELECT l.doc_id,
+           |    CAST(z.z_micro >= 0 AS INT) AS student_pass,
+           |    md5(lower(regexp_replace(trim(l.text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM live l JOIN zl z USING (doc_id)),
+           |kl AS (
+           |  SELECT fp, min(doc_id) AS keeper_id FROM gl
+           |  WHERE student_pass = 1 GROUP BY 1)
+           |SELECT gl.doc_id,
+           |  CASE WHEN gl.student_pass = 0 THEN 'distill'
+           |       WHEN gl.doc_id <> kl.keeper_id THEN 'dup'
+           |       ELSE 'kept' END AS cut_stage
+           |FROM gl LEFT JOIN kl USING (fp)
+           |ORDER BY gl.doc_id""".stripMargin),
+      (s, dir) => {
+        val w = Distill.fit(labeledFeatures(s, dir), "buckets", "y")
+        val c = corpusOf(s, dir)
+        val live = c.unionByName(c.where(col("doc_id") >= 300000)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(lit(" "), col("text"), lit("  ")).as("text")))
+        val scored = Distill.score(
+          live.select(col("doc_id"),
+            Distill.featureBuckets(col("text")).as("buckets"),
+            graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+              .as("fp")),
+          "buckets", w)
+        // keeper via a partition-only window over the gate's survivors
+        // — one fingerprint exchange, paid only by passing docs
+        val keeper = min(when(col("student_pass") === 1, col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))
+        scored.withColumn("keeper_id", keeper)
+          .select(col("doc_id"),
+            when(col("student_pass") === 0, "distill")
+              .when(col("doc_id") =!= col("keeper_id"), "dup")
+              .otherwise("kept").as("cut_stage"))
+          .orderBy("doc_id")
+      }),
+
     // The confusion table — the number a gate owner actually reads
     // before swapping rules for the student (the fixture converges to
     // 99.7% agreement; the 0.3% are borderline docs the hard sigmoid

@@ -121,8 +121,8 @@ object Distill {
 
   /** Feature CTEs over `corpus(doc_id, text)`: `fxg(doc_id, bucket)`
     * distinct presence rows, bias included. */
-  def featureSql(corpusRel: String): String =
-    s"""fxg AS (
+  def featureSql(corpusRel: String, outName: String = "fxg"): String =
+    s"""$outName AS (
        |  SELECT DISTINCT doc_id, bucket FROM (
        |    SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
        |    FROM (SELECT doc_id,
