@@ -170,6 +170,71 @@ object SketchQueries {
             .where(col("grp").isin(five: _*)).select("idx", "r")))
       }),
 
+    // Pairwise source-vocabulary OVERLAP from sketches alone —
+    // inclusion-exclusion over the register table: |A∩B| ≈ est(A) +
+    // est(B) − est(A∪B), with the union estimated by register-wise max
+    // (never touching the corpus again). The whole computation after
+    // the one register pass is sources²-bounded — the "which feeds
+    // share boilerplate" diagnostic at sketch cost. Estimates can
+    // disagree by a few percent each, so the overlap clamps at 0;
+    // everything stays integer-deterministic, hence oracle-hashable.
+    QueryDef("ext_hll_source_overlap", {
+      val five = "('src0','src1','src2','src3','src4')"
+      Some(shingleItemsSql.replace("FROM documents",
+          s"FROM documents WHERE source IN $five") +
+        s"""regs AS (${Hll.registersSql("items", "item",
+             Seq("source" -> "source"))}),
+           |e1 AS (${Hll.estimateSql("regs", Seq("source"))}),
+           |pairs AS (
+           |  SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM regs) a
+           |  JOIN (SELECT DISTINCT source FROM regs) b
+           |    ON a.source < b.source),
+           |pregs AS (
+           |  SELECT p.src_a, p.src_b, r.idx, max(r.r) AS r
+           |  FROM pairs p JOIN regs r
+           |    ON r.source = p.src_a OR r.source = p.src_b
+           |  GROUP BY 1, 2, 3),
+           |eu AS (${Hll.estimateSql("pregs", Seq("src_a", "src_b"))})
+           |SELECT eu.src_a, eu.src_b,
+           |  ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           |  greatest(0, ea.est + eb.est - eu.est) AS overlap_est,
+           |  CAST(floor(greatest(0, ea.est + eb.est - eu.est) * 1000.0
+           |       / eu.est) AS BIGINT) AS jaccard_milli
+           |FROM eu
+           |JOIN e1 ea ON eu.src_a = ea.source
+           |JOIN e1 eb ON eu.src_b = eb.source
+           |ORDER BY eu.src_a, eu.src_b""".stripMargin)
+    },
+      (s, dir) => {
+        val five = (0 to 4).map(i => s"src$i")
+        val regs = graft.operators.Ops.checkpointKeepPartitioning(
+          Hll.registers(
+            shingleItems(s, dir).where(col("source").isin(five: _*)),
+            "item", Seq("source")))
+        val e1 = Hll.estimate(regs, Seq("source")).select("source", "est")
+        val srcs = regs.select("source").distinct()
+        val pairs = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .where(col("src_a") < col("src_b"))
+        val pregs = pairs.join(regs,
+            col("source") === col("src_a") ||
+              col("source") === col("src_b"))
+          .groupBy("src_a", "src_b", "idx").agg(max(col("r")).as("r"))
+        val eu = Hll.estimate(pregs, Seq("src_a", "src_b"))
+        eu.join(e1.select(col("source").as("src_a"),
+            col("est").as("est_a")), "src_a")
+          .join(e1.select(col("source").as("src_b"),
+            col("est").as("est_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+            col("est").as("est_union"),
+            greatest(lit(0L), col("est_a") + col("est_b") - col("est"))
+              .as("overlap_est"),
+            floor(greatest(lit(0L), col("est_a") + col("est_b") - col("est"))
+              * lit(1000.0) / col("est")).cast("long").as("jaccard_milli"))
+          .orderBy("src_a", "src_b")
+      }),
+
     // Persisted sketch store (12th index kind): build on the even-id
     // half, append the odd half, serve per-lang registers from the
     // table — equal to the one-shot direct sketch by the max algebra
