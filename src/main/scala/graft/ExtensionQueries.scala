@@ -3330,6 +3330,193 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Leave-one-source-out ABLATION — "which feed is actually helping":
+    // for each source in a bounded panel, retrain the bigram LM on the
+    // corpus WITHOUT it and score the frozen eval set, next to the
+    // all-sources baseline. The eval metric rounds ONCE at corpus
+    // grain (milli-bits per bigram over all eval rows), so ablation
+    // deltas are exact integers. Scale shape: one train+score pass per
+    // panel member — the panel is a bounded operator parameter (the
+    // production form trains the 6 models from per-source count-table
+    // slices of the persisted keyed LM, paying the corpus read once);
+    // the eval side stays a fixed broadcast.
+    QueryDef("ext_source_ablation", {
+      val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+      val toksOf = (rel: String, extra: String, name: String) =>
+        s"""$name AS (
+           |  SELECT doc_id,
+           |    list_prepend('<s>',
+           |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+           |           THEN CAST([] AS VARCHAR[])
+           |           ELSE string_split_regex(
+           |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+           |      END) AS toks
+           |  FROM $rel WHERE doc_id % 97 <> 0$extra)""".stripMargin
+      val blocks = panel.zipWithIndex.map { case (src, k) =>
+        val cond = if (src == "none") "" else s" AND source <> '$src'"
+        s"""${toksOf("documents", cond, s"tok$k")},
+           |big$k AS (
+           |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+           |  FROM tok$k, unnest(range(1, len(toks))) AS r(i)),
+           |bc$k AS (SELECT bg, count(*) AS cb FROM big$k GROUP BY 1),
+           |cc$k AS (
+           |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
+           |  FROM bc$k GROUP BY 1),
+           |v$k AS (
+           |  SELECT count(DISTINCT t) + 1 AS vsize
+           |  FROM (SELECT unnest(toks) AS t FROM tok$k)),
+           |sce$k AS (
+           |  SELECT CAST(floor(-log2((coalesce(b.cb, 0) + 1.0) /
+           |                   (coalesce(c.cctx, 0) + v.vsize))
+           |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+           |  FROM bige e
+           |  LEFT JOIN bc$k b ON e.bg = b.bg
+           |  LEFT JOIN cc$k c ON e.prev = c.prev
+           |  CROSS JOIN v$k v),
+           |res$k AS (
+           |  SELECT '$src' AS held_out,
+           |    CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
+           |      AS h_milli_tok
+           |  FROM sce$k)""".stripMargin
+      }
+      Some(s"""WITH toke AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents WHERE doc_id % 97 = 0),
+              |bige AS (
+              |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
+              |${blocks.mkString(",\n")}
+              |${panel.indices.map(k => s"SELECT * FROM res$k")
+                 .mkString("\nUNION ALL\n")}
+              |ORDER BY held_out""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val docs = load(s, dir, "documents")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+          .select("doc_id", "text").localCheckpoint()
+        val train0 = docs.where(col("doc_id") % 97 =!= 0)
+        val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+        panel.map { src =>
+          val tr = if (src == "none") train0
+            else train0.where(col("source") =!= src)
+          NgramLm.scoreBigramMillis(NgramLm.train(tr), evals)
+            .agg(count(lit(1)).cast("long").as("n_bigrams"),
+              floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+                + lit(0.5)).cast("long").as("h_milli_tok"))
+            .select(lit(src).as("held_out"), col("n_bigrams"),
+              col("h_milli_tok"))
+        }.reduce(_ unionByName _).orderBy("held_out")
+      }),
+
+    // The SLICED ablation — same answer, one corpus pass: the panel
+    // models derive from per-source COUNT-TABLE slices
+    // (NgramLm.keyedBigramCounts, the keyed-LM discipline) instead of
+    // re-tokenizing the corpus per panel member. totals − slice is
+    // row-for-row equal to a retrain-without-the-source (counts form a
+    // group; exhausted bigrams drop, context counts and vocabulary
+    // re-derive from the survivors), so this hash-matches
+    // ext_source_ablation while its corpus cost is panel-size-
+    // INDEPENDENT: one tokenize+count scan, then P vocabulary-sized
+    // joins. This is the form that survives a 100-source panel at
+    // 100 TB.
+    QueryDef("ext_source_ablation_sliced", {
+      Some(s"""WITH tokt AS (
+              |  SELECT source,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents WHERE doc_id % 97 <> 0),
+              |bigt AS (
+              |  SELECT source, toks[i] || ' ' || toks[i+1] AS bg
+              |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
+              |sbc AS (
+              |  SELECT source AS src, bg, CAST(count(*) AS BIGINT) AS cb
+              |  FROM bigt GROUP BY 1, 2),
+              |tot AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
+              |        FROM sbc GROUP BY 1),
+              |panel AS (
+              |  SELECT unnest(['none','src0','src1','src2','src3','src4'])
+              |    AS held_out),
+              |abl AS (
+              |  SELECT p.held_out, t.bg, t.cb - coalesce(s.cb, 0) AS cb
+              |  FROM panel p CROSS JOIN tot t
+              |  LEFT JOIN sbc s ON s.src = p.held_out AND s.bg = t.bg
+              |  WHERE t.cb - coalesce(s.cb, 0) > 0),
+              |acc AS (
+              |  SELECT held_out, string_split(bg, ' ')[1] AS prev,
+              |    CAST(sum(cb) AS BIGINT) AS cctx
+              |  FROM abl GROUP BY 1, 2),
+              |av AS (
+              |  SELECT held_out, count(DISTINCT t) + 1 AS vsize
+              |  FROM (SELECT held_out,
+              |          unnest([string_split(bg, ' ')[1],
+              |                  string_split(bg, ' ')[2]]) AS t
+              |        FROM abl)
+              |  GROUP BY 1),
+              |toke AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents WHERE doc_id % 97 = 0),
+              |bige AS (
+              |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
+              |sce AS (
+              |  SELECT p.held_out,
+              |    CAST(floor(-log2((coalesce(ab.cb, 0) + 1.0) /
+              |                     (coalesce(ac.cctx, 0) + v.vsize))
+              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+              |  FROM bige e
+              |  CROSS JOIN panel p
+              |  LEFT JOIN abl ab ON ab.held_out = p.held_out AND ab.bg = e.bg
+              |  LEFT JOIN acc ac ON ac.held_out = p.held_out
+              |    AND ac.prev = e.prev
+              |  JOIN av v ON v.held_out = p.held_out)
+              |SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
+              |    AS h_milli_tok
+              |FROM sce GROUP BY 1 ORDER BY held_out""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val docs = load(s, dir, "documents")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+          .select("doc_id", "text").localCheckpoint()
+        val train0 = docs.where(col("doc_id") % 97 =!= 0)
+        val slices = graft.operators.Ops.checkpointKeepPartitioning(
+          NgramLm.keyedBigramCounts(train0, "source"))
+        val tot = graft.operators.Ops.checkpointKeepPartitioning(
+          slices.groupBy("bg").agg(sum(col("cb")).as("cb")))
+        val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+        panel.map { src =>
+          val model =
+            if (src == "none") NgramLm.modelFromCounts(tot)
+            else NgramLm.modelFromCounts(graft.operators.Ops.checkpointKeepPartitioning(
+              NgramLm.ablatedCounts(tot, slices, "source", src)))
+          NgramLm.scoreBigramMillis(model, evals)
+            .agg(count(lit(1)).cast("long").as("n_bigrams"),
+              floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+                + lit(0.5)).cast("long").as("h_milli_tok"))
+            .select(lit(src).as("held_out"), col("n_bigrams"),
+              col("h_milli_tok"))
+        }.reduce(_ unionByName _).orderBy("held_out")
+      }),
+
     // The MIXER-CHANGE AUDIT: swapping the hand-set budget table for
     // the learned DoReMi mixture — exactly which docs' kept/budget
     // verdict moves, with both verdicts. One shared curation+decon

@@ -104,6 +104,38 @@ object NgramLm {
     bigrams(docs, idCol, textCol)
       .groupBy("bg").agg(count(lit(1)).as("cb"))
 
+  /** Per-`keyCol` bigram-count SLICES `(keyCol, bg, cb)` — the keyed
+    * form of [[bigramCounts]], ONE corpus tokenize+explode pass that
+    * every leave-one-key-out consumer reads instead of re-scanning the
+    * corpus per panel member. The global table is this one's rollup
+    * (sum over keys), so a keyed build subsumes the unkeyed one; the
+    * slices inherit the counts' group structure (merge = sum, ablate =
+    * subtract), which is what makes [[ablatedCounts]] EXACT. */
+  def keyedBigramCounts(docs: DataFrame, keyCol: String,
+      textCol: String = "text"): DataFrame =
+    bigrams(docs, keyCol, textCol)
+      .groupBy(col("doc_id").as(keyCol), col("bg"))
+      .agg(count(lit(1)).as("cb"))
+
+  /** Leave-one-key-out count table derived WITHOUT re-reading the
+    * corpus: totals minus the held-out key's slice, exhausted bigrams
+    * (count fully owned by the held-out key) dropped — row-for-row
+    * equal to retraining on `docs.where(key =!= heldOut)`, because
+    * counts subtract exactly and [[modelFromCounts]] re-derives the
+    * context counts and vocabulary from whatever bigrams survive.
+    * Both inputs are count tables (vocabulary-sized, not
+    * corpus-sized), so a P-member ablation panel pays the corpus scan
+    * once plus P count-table joins. */
+  def ablatedCounts(totals: DataFrame, slices: DataFrame,
+      keyCol: String, heldOut: String): DataFrame =
+    totals.join(
+        slices.where(col(keyCol) === heldOut)
+          .select(col("bg"), col("cb").as("cb_out")),
+        Seq("bg"), "left")
+      .select(col("bg"),
+        (col("cb") - coalesce(col("cb_out"), lit(0L))).as("cb"))
+      .where(col("cb") > 0)
+
   /** Derives the full model from a (bg, cb) count frame: context counts
     * as a second-level rollup, vocabulary as the distinct endpoints of
     * the counted bigrams. The caller supplies the frame already behind
@@ -145,14 +177,25 @@ object NgramLm {
           .as("h_milli_tok"))
 
   def scoreMicroBits(model: Model, docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame =
+    perDoc(scoreBigramMillis(model, docs, idCol, textCol, broadcastModel))
+
+  /** The per-bigram quantized scores BEFORE the per-doc rollup —
+    * `(doc_id, h_milli)` one row per bigram occurrence. Callers that
+    * aggregate at a different grain (a corpus-level eval, a per-source
+    * ablation) consume this so their rounding happens exactly once, at
+    * their own grain, instead of averaging already-rounded per-doc
+    * means. */
+  def scoreBigramMillis(model: Model, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
     def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
-    perDoc(bigrams(docs, idCol, textCol)
+    bigrams(docs, idCol, textCol)
       .join(side(model.bigramCounts), Seq("bg"), "left")
       .join(side(model.contextCounts), Seq("prev"), "left")
       .crossJoin(broadcast(model.vocabSize))
       .select(col("doc_id"),
-        hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli")))
+        hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli"))
   }
 
   /** Interpolated (Jelinek-Mercer, equal-weight) scoring:

@@ -260,4 +260,44 @@ class NgramLmSpec extends SparkSpec {
     // (band/lang/quality) cut them — so kept ids are unique
     assert(rows.map(_._1).distinct.length == rows.length)
   }
+
+  test("sliced ablation equals a retrain that never saw the source") {
+    val base = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val heldOutSrc = base.select("source").distinct()
+      .as[String].collect().sorted.head
+    // plant one doc whose bigrams only the held-out source owns, so the
+    // exhausted-bigram (cb fully cancelled) branch provably fires
+    val corpus = base.unionByName(Seq(
+      (900001L, heldOutSrc, "zzquniq zzwuniq zzquniq"))
+      .toDF("doc_id", "source", "text"))
+    val slices = graft.operators.Ops.checkpointKeepPartitioning(
+      NgramLm.keyedBigramCounts(corpus, "source"))
+    val tot = graft.operators.Ops.checkpointKeepPartitioning(
+      slices.groupBy("bg").agg(sum($"cb").as("cb")))
+    val heldOut = heldOutSrc
+    // count-table identity: totals − slice == retrain-without-source
+    val sliced = NgramLm.ablatedCounts(tot, slices, "source", heldOut)
+      .as[(String, Long)].collect().toMap
+    val retrain = NgramLm
+      .bigramCounts(corpus.where($"source" =!= heldOut))
+      .as[(String, Long)].collect().toMap
+    assert(sliced == retrain)
+    // and the exhausted-bigram drop actually fires on this fixture —
+    // otherwise the cb>0 filter is untested
+    val totMap = tot.as[(String, Long)].collect().toMap
+    assert(totMap.keySet.diff(sliced.keySet).nonEmpty,
+      "fixture has no bigram wholly owned by the held-out source")
+    // model-level parity: eval scores match to the milli-bit
+    val evals = corpus.where($"doc_id" % 7 === 0).select("doc_id", "text")
+    val mSliced = NgramLm.modelFromCounts(
+      graft.operators.Ops.checkpointKeepPartitioning(
+        NgramLm.ablatedCounts(tot, slices, "source", heldOut)))
+    val mRetrain = NgramLm.train(corpus.where($"source" =!= heldOut))
+    val a = NgramLm.scoreMicroBits(mSliced, evals)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = NgramLm.scoreMicroBits(mRetrain, evals)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
