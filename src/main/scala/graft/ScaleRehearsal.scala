@@ -106,6 +106,18 @@ object ScaleRehearsal {
         .localCheckpoint()
       Similarity.semanticDedup(we, IvfIndex.collectCentroids(
         IvfIndex.trainCentroids(we, k = 4, iters = 1)), 0.999).collect()
+      // the HLL register expressions and the distill GD loop
+      // (HOF aggregate over a map literal) JIT separately
+      graft.operators.Hll.estimate(graft.operators.Hll.registers(
+        w.select(explode(Dedup.wordShingles(col("text"))).as("item")),
+        "item")).collect()
+      val wl = w.select(col("doc_id"),
+        graft.operators.Distill.featureBuckets(col("text")).as("buckets"),
+        graft.operators.QualityRules.gopherPassColumn(col("text"))
+          .cast("int").as("y")).localCheckpoint()
+      graft.operators.Distill.score(wl, "buckets",
+        graft.operators.Distill.fit(wl, "buckets", "y",
+          graft.operators.Distill.Config(iters = 1))).collect()
       (): Unit
     }
     def time(name: String, scale: Int, df: => DataFrame): Unit = {
@@ -441,6 +453,55 @@ object ScaleRehearsal {
         f""""budgetCut":${byStage.getOrElse("budget", 0L)},""" +
         f""""deconCut":${byStage.getOrElse("decon", 0L)},""" +
         f""""chunks":$nChunks,"shards":$nShards,"sec":$secCb%.2f}""")
+
+      // HLL sketch lifecycle: shingle-explode → 512-register partial
+      // agg per group (grp = doc_id % 4 — a stand-in source key), then
+      // the persisted build + an estimate served from the store. The
+      // register table is bounded, so the slope is the one corpus
+      // scan; disjoint-vocabulary replicas make the distinct count
+      // (and thus t_scaled) actually move with scale.
+      val thl = System.nanoTime()
+      val itemsHl = corpus.select(
+        (col("doc_id") % 4).cast("string").as("grp"),
+        explode(Dedup.wordShingles(col("text"))).as("item"))
+      val tblHl = s"graft_rh_hll_s$scale"
+      spark.sql(s"DROP TABLE IF EXISTS ${tblHl}_hregs")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_rehearsal/$tblHl"))
+      IndexStore.buildHllIndex(itemsHl, "grp", "item", tblHl,
+        s"/tmp/graft_rehearsal/$tblHl")
+      val estHl = IndexStore.hllEstimateFromIndex(spark, tblHl)
+        .agg(sum(col("est"))).head().getLong(0)
+      val secHl = (System.nanoTime() - thl) / 1e9
+      println(f"""{"q":"hll_lifecycle","scale":$scale,""" +
+        f""""est_sum":$estHl,"sec":$secHl%.2f}""")
+
+      // Distill lifecycle: labeled-feature projection (teacher verdict
+      // + hashed presence buckets in one scan, pinned) → 4 full-batch
+      // GD steps (each one corpus scan partial-aggregated to ≤257
+      // gradient rows) → the zero-shuffle scoring pass. Structured
+      // variants keep the teacher's classes non-degenerate at every
+      // scale; the weight table stays bounded, so the slope is
+      // 5 corpus scans flat.
+      val tdl = System.nanoTime()
+      val variantDl = corpus.where(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 40000000L).as("doc_id"),
+        concat(lit("- item one\n- item two\n"), col("text"),
+          lit(" to of and that have with.\n" +
+            "Good sentence with many words written here.\n" +
+            "Trailing thought...\n" +
+            "Another proper sentence ends with five words.")).as("text"))
+      val labeledDl = Ops.checkpointKeepPartitioning(
+        corpus.unionByName(variantDl).select(col("doc_id"),
+          graft.operators.Distill.featureBuckets(col("text")).as("buckets"),
+          graft.operators.QualityRules.gopherPassColumn(col("text"))
+            .cast("int").as("y")))
+      val wDl = graft.operators.Distill.fit(labeledDl, "buckets", "y")
+      val nPass = graft.operators.Distill.score(labeledDl, "buckets", wDl)
+        .where(col("student_pass") === 1).count()
+      val secDl = (System.nanoTime() - tdl) / 1e9
+      println(f"""{"q":"distill_lifecycle","scale":$scale,""" +
+        f""""pass":$nPass,"weights":${wDl.size},"sec":$secDl%.2f}""")
     }
 
     // ---- gate-path ~100× rehearsal ---------------------------------
