@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Hll, IndexStore}
+import graft.operators.{CountMin, Dedup, Hll, IndexStore}
 
 /** Capability registry, batch 8: mergeable SKETCHES — bounded-state
   * summaries a 100 TB corpus can afford to keep per source, per
@@ -250,5 +250,122 @@ object SketchQueries {
         IndexStore.appendHllIndex(items.where(col("doc_id") % 2 =!= 0),
           "lang", "item", tbl)
         IndexStore.hllRegistersFromIndex(s, tbl).orderBy("grp", "idx")
+      }),
+
+    // Second sketch family: Count-Min FREQUENCY registers
+    // ([[graft.operators.CountMin]]) — 768 rows whatever the corpus
+    // size, value-by-value oracle-checked like the HLL table. Where
+    // HLL answers "how many distinct", this answers "how often does
+    // THIS item occur" without the distinct-item shuffle.
+    QueryDef("ext_cms_registers",
+      Some(shingleItemsSql +
+        s"""regs AS (${CountMin.registersSql("items", "item")})
+           |SELECT row_j, idx, c FROM regs
+           |ORDER BY row_j, idx""".stripMargin),
+      (s, dir) =>
+        CountMin.registers(shingleItems(s, dir), "item")
+          .orderBy("row_j", "idx")),
+
+    // The estimate AUDITED against the exact count for a bounded probe
+    // candidate set — est, exact, and the overcount all inside the
+    // oracle hash, which also proves the e ≥ exact guarantee on every
+    // row (overcount can never go negative; the spec asserts it, the
+    // hash would catch it). Candidates come from a hash-sampled probe
+    // slice: at 100 TB candidate DISCOVERY cannot be a corpus-wide
+    // distinct, but any decently heavy item appears in a 0.5% sample
+    // whp — the honest scale shape. (The exact side re-scans the
+    // corpus by construction; production keeps only the register
+    // pass.)
+    QueryDef("ext_cms_estimate_audit",
+      Some(shingleItemsSql +
+        s"""regs AS (${CountMin.registersSql("items", "item")}),
+           |cands AS (SELECT DISTINCT item FROM items
+           |          WHERE doc_id % 199 = 0),
+           |e AS (${CountMin.estimateSql("regs", "cands")}),
+           |x AS (SELECT item, CAST(count(*) AS BIGINT) AS exact
+           |      FROM items GROUP BY 1)
+           |SELECT e.item, e.est, x.exact, e.est - x.exact AS overcount
+           |FROM e JOIN x USING (item) ORDER BY e.item""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        val regs = CountMin.registers(items, "item")
+        val cands = items.where(col("doc_id") % 199 === 0)
+          .select("item").distinct()
+        val exact = items.groupBy("item")
+          .agg(count(lit(1)).cast("long").as("exact"))
+        CountMin.estimate(regs, cands)
+          .join(exact, "item")
+          .select(col("item"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy("item")
+      }),
+
+    // Sketch-gated HEAVY HITTERS with exact confirmation — the
+    // two-phase shape that scales: (1) probe-slice candidates are
+    // gated by the sketch (est ≥ T; no false negatives, since
+    // est ≥ exact), (2) only the gated survivors pay an exact
+    // count — a broadcast semi-join against the corpus, never a
+    // corpus-wide groupBy over all distinct items. T is mass-relative
+    // (0.01% of stream occurrences, floor 2), so the query means the
+    // same thing at every scale factor.
+    QueryDef("ext_cms_heavy_hitters",
+      Some(shingleItemsSql +
+        s"""regs AS (${CountMin.registersSql("items", "item")}),
+           |thr AS (SELECT greatest(2, count(*) // 10000) AS t
+           |        FROM items),
+           |cands AS (SELECT DISTINCT item FROM items
+           |          WHERE doc_id % 199 = 0),
+           |e AS (${CountMin.estimateSql("regs", "cands")}),
+           |gated AS (SELECT e.item, e.est FROM e CROSS JOIN thr
+           |          WHERE e.est >= thr.t),
+           |x AS (SELECT i.item, CAST(count(*) AS BIGINT) AS exact
+           |      FROM items i JOIN gated g ON i.item = g.item
+           |      GROUP BY 1)
+           |SELECT g.item, g.est, x.exact
+           |FROM gated g JOIN x USING (item) CROSS JOIN thr
+           |WHERE x.exact >= thr.t
+           |ORDER BY g.item""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        val regs = CountMin.registers(items, "item")
+        val thr = items.agg(greatest(lit(2L),
+          floor(count(lit(1)) / lit(10000)).cast("long")).as("t"))
+        val cands = items.where(col("doc_id") % 199 === 0)
+          .select("item").distinct()
+        val gated = CountMin.estimate(regs, cands)
+          .crossJoin(broadcast(thr))
+          .where(col("est") >= col("t"))
+        val exact = items
+          .join(broadcast(gated.select("item")), Seq("item"))
+          .groupBy("item").agg(count(lit(1)).cast("long").as("exact"))
+        gated.join(exact, "item")
+          .where(col("exact") >= col("t"))
+          .select(col("item"), col("est"), col("exact"))
+          .orderBy("item")
+      }),
+
+    // The group-algebra half HLL cannot have, as a hash check: Spark
+    // computes sketch(corpus) MINUS sketch(src0's slice) by register
+    // subtraction; the oracle only ever computes the direct sketch of
+    // the corpus WITHOUT src0. Equal hashes ⇒ counts subtract exactly
+    // ⇒ the persisted store's unlearn-by-negation is a rebuild,
+    // row-for-row — take-down compliance at sketch cost.
+    QueryDef("ext_cms_unlearn",
+      Some(shingleItemsSql.replace("FROM documents",
+          "FROM documents WHERE source <> 'src0'") +
+        s"""regs AS (${CountMin.registersSql("items", "item")})
+           |SELECT row_j, idx, c FROM regs
+           |ORDER BY row_j, idx""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        val total = CountMin.registers(items, "item")
+        val slice = CountMin.registers(
+            items.where(col("source") === "src0"), "item")
+          .withColumn("c", -col("c"))
+        CountMin.fold(total.unionByName(slice))
+          .orderBy("row_j", "idx")
       }))
 }

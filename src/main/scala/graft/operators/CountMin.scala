@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min frequency sketches (Cormode & Muthukrishnan 2005) — the
+  * COUNTING sibling of the [[Hll]] cardinality sketch, built for the
+  * same 100 TB reporting stance: an exact per-item frequency table
+  * over a corpus-sized stream shuffles every distinct item once, while
+  * the CM register table is a FIXED `depth × width = 768` rows per
+  * group — the corpus pays one scan with a map-side partial `sum` per
+  * register, and every downstream frequency question (is this shingle
+  * boilerplate-hot? how often does this n-gram occur per source?) is
+  * answered from the bounded table. The reference pipeline's row-count
+  * bookkeeping (SURVEY §2 A4/S4) asks "how many rows"; this is the
+  * sketch that still answers "how many of EACH" when the item space is
+  * a hundred-billion-shingle stream.
+  *
+  * Engine-portable register computation — every step replays
+  * bit-for-bit in DuckDB so the register CONTENT is oracle-checkable:
+  *   - row `j`'s hash of an item is the integer value of the first 13
+  *     hex digits of `md5(j || ':' || item)` (52 bits of the repo's
+  *     standard replayable hash, salted per row so the `depth` hash
+  *     functions are independent);
+  *   - `idx = h mod 256` picks the register; the register value is the
+  *     plain occurrence count — integer arithmetic end to end.
+  *
+  * Estimation: `est(item) = min_j c[j][h_j(item)]` over the `depth`
+  * rows, with an absent register reading 0. The classic guarantees
+  * hold: `est ≥ exact` ALWAYS (collisions only add), and
+  * `est ≤ exact + εN` with probability `1 − δ` for `ε = e/width ≈
+  * 1.06%`, `δ = e^−depth ≈ 5%` — and because both sides are integers
+  * the overestimate property is spec-assertable exactly, not
+  * approximately.
+  *
+  * Merge/unlearn algebra — the part [[Hll]] cannot do: registers are
+  * SUMS, a commutative group. sketch(A) + sketch(B) = sketch(A ⊎ B)
+  * EXACTLY (not just approximately — the register tables are equal
+  * row-for-row), and sketch(total) − sketch(slice) = sketch(rest)
+  * exactly, so a persisted sketch store supports the same
+  * append-by-delta / unlearn-by-negation lifecycle as the LM and DSIR
+  * count models ([[IndexStore]]), with compaction folding cancellation
+  * pairs away. The flip side of additivity: a crash-REPLAYED append
+  * double-counts (max would absorb it, sum does not), so the persisted
+  * kind needs the keyed-batch replay discipline where a stream feeds
+  * it.
+  */
+object CountMin {
+  /** Independent hash rows. δ = e^−3 ≈ 5%. */
+  val depth = 3
+  /** Registers per row (power of two). ε = e/256 ≈ 1.06% of stream
+    * mass. */
+  val width = 256
+
+  /** 52-bit replayable item hash for row `j`: md5 of `"j:item"`. */
+  def hash52(row: Int, item: Column): Column =
+    conv(substring(md5(concat(lit(s"$row:"), item.cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+
+  private def idxFor(row: Int, item: Column): Column =
+    pmod(hash52(row, item), lit(width.toLong)).cast("int")
+
+  /** Per-group register table `(groupCols…, row_j, idx, c)` over
+    * `itemCol` — one corpus scan, each occurrence routed to `depth`
+    * registers, partial-aggregated to ≤ `depth·width` rows per group
+    * before the (bounded) exchange. */
+  def registers(items: DataFrame, itemCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val routed = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_j"), idxFor(j, col(itemCol)).as("idx"))): _*))
+    items
+      .select(groupCols.map(col) :+ routed.as("reg"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("reg.row_j").as("row_j"), col("reg.idx").as("idx")): _*)
+      .groupBy((groupCols ++ Seq("row_j", "idx")).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Register-wise fold of (possibly repeated, possibly negated)
+    * register rows — the merge of any number of sketches over the same
+    * grouping, and the compaction of an append-only sketch store.
+    * Zero rows are DROPPED so an exactly-cancelled register is
+    * indistinguishable from one never touched — that is what makes
+    * subtract-unlearn equal a rebuild row-for-row. */
+  def fold(regs: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    regs.groupBy((groupCols ++ Seq("row_j", "idx")).map(col): _*)
+      .agg(sum(col("c")).as("c"))
+      .where(col("c") =!= 0L)
+
+  /** Point estimates for a bounded candidate frame `cands(itemCol)`:
+    * `(itemCol, est)` with `est = min_j c[j][h_j(item)]`, absent
+    * registers reading 0. The register side is ≤ `depth·width` rows —
+    * broadcast by construction — so estimation is a map-side join over
+    * the candidates, never a corpus operation. */
+  def estimate(regs: DataFrame, cands: DataFrame,
+      itemCol: String = "item"): DataFrame = {
+    val routed = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_j"), idxFor(j, col(itemCol)).as("idx"))): _*))
+    cands
+      .select(col(itemCol), routed.as("reg"))
+      .select(col(itemCol), col("reg.row_j").as("row_j"),
+        col("reg.idx").as("idx"))
+      .join(broadcast(regs.select("row_j", "idx", "c")),
+        Seq("row_j", "idx"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** DuckDB mirror of [[registers]] over `$from((grpExpr) AS grp…,
+    * (itemExpr) AS item)` rows — callers splice it as a CTE body. */
+  def registersSql(from: String, itemExpr: String,
+      grpExprs: Seq[(String, String)] = Nil): String = {
+    val grpSel = grpExprs.map { case (e, n) => s"$e AS $n, " }.mkString
+    val grpRef = grpExprs.map(_._2 + ", ").mkString
+    val by = (grpExprs.map(_._2) ++ Seq("row_j", "idx"))
+      .zipWithIndex.map(_._2 + 1).mkString(", ")
+    s"""SELECT ${grpRef}row_j, idx, CAST(count(*) AS BIGINT) AS c FROM (
+       |  SELECT ${grpSel}j AS row_j,
+       |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |           $itemExpr), 1, 13)) AS BIGINT) % $width AS idx
+       |  FROM $from, unnest(${(0 until depth).mkString("[", ", ", "]")})
+       |    AS t(j))
+       |GROUP BY $by""".stripMargin
+  }
+
+  /** DuckDB mirror of [[estimate]] over a folded register CTE
+    * `$regs(row_j, idx, c)` and candidates `$cands($itemCol)`. */
+  def estimateSql(regs: String, cands: String,
+      itemCol: String = "item"): String =
+    s"""SELECT $itemCol, min(coalesce(r.c, 0)) AS est FROM (
+       |  SELECT $itemCol, j AS row_j,
+       |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |           $itemCol), 1, 13)) AS BIGINT) % $width AS idx
+       |  FROM $cands, unnest(${(0 until depth).mkString("[", ", ", "]")})
+       |    AS t(j)) q
+       |LEFT JOIN $regs r ON q.row_j = r.row_j AND q.idx = r.idx
+       |GROUP BY 1""".stripMargin
+}
