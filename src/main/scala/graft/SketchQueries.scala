@@ -367,5 +367,41 @@ object SketchQueries {
           .withColumn("c", -col("c"))
         CountMin.fold(total.unionByName(slice))
           .orderBy("row_j", "idx")
+      }),
+
+    // Persisted frequency-sketch store (14th index kind), full
+    // lifecycle in one query: build per-source registers on the
+    // even-id half (bk=0), append the odd half (bk=1), UNLEARN src0's
+    // whole slice (bk=-1, negated registers), compact (water marks
+    // rise, cancellation pairs fold away physically), then serve.
+    // The oracle only ever computes the direct per-source sketch of
+    // the corpus WITHOUT src0 — equal hashes prove the additive
+    // algebra end to end: batch-sliced appends sum to the one-shot
+    // sketch, and a take-down is a rebuild, row-for-row (src0's group
+    // vanishes entirely: every one of its registers cancels to zero).
+    QueryDef("ext_cms_persisted",
+      Some(shingleItemsSql.replace("FROM documents",
+          "FROM documents WHERE source <> 'src0'") +
+        s"""regs AS (${CountMin.registersSql("items", "item",
+             Seq("source" -> "grp"))})
+           |SELECT grp, row_j, idx, c FROM regs
+           |ORDER BY grp, row_j, idx""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_cmsp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_cregs")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_index/$tbl"))
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        IndexStore.buildCmsIndex(items.where(col("doc_id") % 2 === 0),
+          "source", "item", tbl, s"/tmp/graft_index/$tbl", batchKey = 0L)
+        IndexStore.appendCmsIndex(items.where(col("doc_id") % 2 =!= 0),
+          "source", "item", tbl, batchKey = 1L)
+        IndexStore.unlearnFromCmsIndex(
+          items.where(col("source") === "src0"),
+          "source", "item", tbl, batchKey = -1L)
+        IndexStore.compactCmsIndex(s, tbl, s"/tmp/graft_index/${tbl}_c")
+        IndexStore.cmsRegistersFromIndex(s, tbl)
+          .orderBy("grp", "row_j", "idx")
       }))
 }

@@ -93,16 +93,18 @@ object CountMin {
     * broadcast by construction — so estimation is a map-side join over
     * the candidates, never a corpus operation. */
   def estimate(regs: DataFrame, cands: DataFrame,
-      itemCol: String = "item"): DataFrame = {
+      itemCol: String = "item", groupCols: Seq[String] = Nil): DataFrame = {
     val routed = explode(array((0 until depth).map(j =>
       struct(lit(j).as("row_j"), idxFor(j, col(itemCol)).as("idx"))): _*))
+    val keep = groupCols :+ itemCol
     cands
-      .select(col(itemCol), routed.as("reg"))
-      .select(col(itemCol), col("reg.row_j").as("row_j"),
-        col("reg.idx").as("idx"))
-      .join(broadcast(regs.select("row_j", "idx", "c")),
-        Seq("row_j", "idx"), "left")
-      .groupBy(itemCol)
+      .select(keep.map(col) :+ routed.as("reg"): _*)
+      .select(keep.map(col) ++ Seq(col("reg.row_j").as("row_j"),
+        col("reg.idx").as("idx")): _*)
+      .join(broadcast(
+          regs.select((groupCols ++ Seq("row_j", "idx", "c")).map(col): _*)),
+        groupCols ++ Seq("row_j", "idx"), "left")
+      .groupBy(keep.map(col): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 

@@ -2554,6 +2554,164 @@ object IndexStore {
         .withColumn("bk", lit(LmFoldedBk)))
   }
 
+  // ---- Count-Min frequency sketch store ------------------------------
+  // The fourteenth persisted kind: [[CountMin]] registers per group —
+  // bounded like the HLL store (≤ depth·width = 768 rows per group)
+  // but ADDITIVE, which buys what the HLL kind explicitly cannot have:
+  // exact unlearn (append the slice's registers negated; compaction
+  // folds the cancellation pairs away, and a fully-cancelled register
+  // is indistinguishable from one never touched). The price of
+  // additivity is replay sensitivity — sum double-counts where max
+  // absorbs — so this kind carries the keyed-batch discipline of the
+  // keyed LM verbatim: every appended register row is stamped with its
+  // writer's batch key, (grp, row_j, idx, bk) is the row's IDENTITY
+  // (per-batch register rows are deterministic aggregates, so a
+  // pre-compaction replay writes byte-identical rows the read-side
+  // dedup cancels), compaction raises the water marks BEFORE its
+  // atomic swap, and appends at or below the high-water mark are
+  // skipped entirely. In-band appends use monotone non-negative batch
+  // ids; out-of-band unlearns use strictly decreasing negative keys;
+  // Long.MinValue is the folded row's sentinel.
+
+  private val CmsBkHighWaterParam = "cmsBkHighWater"
+  private val CmsBkNegLowWaterParam = "cmsBkNegLowWater"
+  private val CmsFoldedBk = Long.MinValue
+
+  private def cmsParams(grpCol: String, itemCol: String)
+      : Map[String, String] =
+    Map("payload" -> "cms", "grpCol" -> grpCol, "itemCol" -> itemCol,
+      "keyed" -> "true")
+
+  private def cmsRegs(items: DataFrame, grpCol: String, itemCol: String,
+      batchKey: Long): DataFrame =
+    CountMin.registers(items, itemCol, Seq(grpCol))
+      .withColumnRenamed(grpCol, "grp")
+      .withColumn("bk", lit(batchKey))
+
+  /** Builds the persisted frequency-sketch store: `(grp, row_j, idx,
+    * c, bk)` bucketed by idx. `items` is the exploded item frame (one
+    * row per occurrence). `batchKey` becomes the initial high-water
+    * mark, so a crash-replay of the building batch — which finds the
+    * table existing and falls through to the append path — is skipped
+    * rather than re-counted. */
+  def buildCmsIndex(items: DataFrame, grpCol: String, itemCol: String,
+      table: String, path: String, batchKey: Long = 0L,
+      nBuckets: Int = 4): Unit = {
+    require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
+    val spark = items.sparkSession
+    bucketRouted(cmsRegs(items, grpCol, itemCol, batchKey), "idx", nBuckets)
+      .write.bucketBy(nBuckets, "idx")
+      .option("path", s"$path/${table}_cregs").mode("overwrite")
+      .saveAsTable(s"${table}_cregs")
+    setParams(spark, s"${table}_cregs",
+      cmsParams(grpCol, itemCol) +
+        (CmsBkHighWaterParam -> batchKey.toString))
+  }
+
+  /** Replay-idempotent append of a delta corpus's registers. Returns
+    * whether the batch was APPLIED — false means the key sits at or
+    * below the high-water mark (a replay of a batch some compaction
+    * already folded). Pre-compaction replays DO write duplicate rows;
+    * the (grp, row_j, idx, bk) dedup in [[cmsRegistersFromIndex]]
+    * cancels them. */
+  def appendCmsIndex(delta: DataFrame, grpCol: String, itemCol: String,
+      table: String, batchKey: Long): Boolean = {
+    require(batchKey >= 0 && batchKey != CmsFoldedBk,
+      s"append batchKey must be in-band (>= 0), got $batchKey")
+    val spark = delta.sparkSession
+    val cregs = s"${table}_cregs"
+    requireParams(spark, cregs, cmsParams(grpCol, itemCol), "append")
+    if (batchKey <= lmWaterMark(spark, cregs, CmsBkHighWaterParam, -1L))
+      false
+    else {
+      val nb = numBucketsOf(spark, cregs)
+      bucketRouted(cmsRegs(delta, grpCol, itemCol, batchKey), "idx", nb)
+        .write.bucketBy(nb, "idx").mode("append").saveAsTable(cregs)
+      noteAppend(spark, cregs)
+      true
+    }
+  }
+
+  /** Replay-idempotent exact unlearning: the slice's registers negated
+    * under a strictly-negative key below every key previously used
+    * (first unlearn -1, then -2, …). Returns whether applied. */
+  def unlearnFromCmsIndex(slice: DataFrame, grpCol: String,
+      itemCol: String, table: String, batchKey: Long): Boolean = {
+    require(batchKey < 0 && batchKey != CmsFoldedBk,
+      s"unlearn batchKey must be negative (out-of-band), got $batchKey")
+    val spark = slice.sparkSession
+    val cregs = s"${table}_cregs"
+    requireParams(spark, cregs, cmsParams(grpCol, itemCol), "unlearn")
+    val low = lmWaterMark(spark, cregs, CmsBkNegLowWaterParam, 0L)
+    if (batchKey >= low) false
+    else {
+      val nb = numBucketsOf(spark, cregs)
+      bucketRouted(cmsRegs(slice, grpCol, itemCol, batchKey)
+          .withColumn("c", -col("c")), "idx", nb)
+        .write.bucketBy(nb, "idx").mode("append").saveAsTable(cregs)
+      noteAppend(spark, cregs)
+      true
+    }
+  }
+
+  /** Folded per-group registers from the store: (grp, row_j, idx, bk)
+    * row-identity dedup — which cancels pre-compaction replay
+    * duplicates — then the additive fold (exactly-cancelled registers
+    * drop). O(registers), zero corpus read. */
+  def cmsRegistersFromIndex(spark: SparkSession, table: String)
+      : DataFrame = {
+    spark.catalog.refreshTable(s"${table}_cregs")
+    CountMin.fold(
+      spark.table(s"${table}_cregs")
+        .dropDuplicates("grp", "row_j", "idx", "bk"),
+      Seq("grp"))
+  }
+
+  /** Point estimates served from the store for a bounded candidate
+    * frame: `(grp, itemCol, est)` for every group in the store — the
+    * group list and the register table are both bounded, so the whole
+    * computation is candidates × depth joined against a broadcast. */
+  def cmsEstimateFromIndex(spark: SparkSession, table: String,
+      cands: DataFrame, itemCol: String = "item"): DataFrame = {
+    val regs = Ops.checkpointKeepPartitioning(
+      cmsRegistersFromIndex(spark, table))
+    val grps = regs.select("grp").distinct()
+    CountMin.estimate(regs, cands.crossJoin(broadcast(grps)), itemCol,
+      groupCols = Seq("grp"))
+  }
+
+  /** Compacts the sketch table, keyed-LM discipline: water marks move
+    * FIRST (a crash between the marks and the swap leaves un-folded
+    * rows in place, where replay duplicates are still cancelled
+    * row-wise), then the fold dedups row identities, sums, drops
+    * cancelled registers, and stamps survivors with the fold
+    * sentinel. */
+  def compactCmsIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val cregs = s"${table}_cregs"
+    val marks = spark.table(cregs).where(col("bk") =!= CmsFoldedBk)
+      .agg(max(when(col("bk") >= 0, col("bk"))).as("hi"),
+        min(when(col("bk") < 0, col("bk"))).as("lo")).head()
+    if (!marks.isNullAt(0))
+      setLmWaterMark(spark, cregs, CmsBkHighWaterParam,
+        math.max(marks.getLong(0),
+          lmWaterMark(spark, cregs, CmsBkHighWaterParam, -1L)))
+    if (!marks.isNullAt(1))
+      setLmWaterMark(spark, cregs, CmsBkNegLowWaterParam,
+        math.min(marks.getLong(1),
+          lmWaterMark(spark, cregs, CmsBkNegLowWaterParam, 0L)))
+    rewriteInPlace(spark, cregs, bucketColOf(spark, cregs),
+      s"$newPathBase/${cregs}_c", numBucketsOf(spark, cregs))(
+      _.dropDuplicates("grp", "row_j", "idx", "bk")
+        .groupBy("grp", "row_j", "idx").agg(sum(col("c")).as("c"))
+        .where(col("c") =!= 0L)
+        .withColumn("bk", lit(CmsFoldedBk)))
+  }
+
+  /** Vacuums the sketch table's retired directories. */
+  def vacuumCmsIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_cregs")
+
   // ---- append accounting + auto-compaction --------------------------
   // Every bucketed append leaves one new file set per bucket, so a
   // long-lived index's scan cost grows linearly with appends until
@@ -2645,9 +2803,10 @@ object IndexStore {
       case "span"    => (s"${table}_sdf",    compactSpanIndex(spark, table, _))
       case "pq"      => (s"${table}_codes",  compactPqIndex(spark, table, _))
       case "hll"     => (s"${table}_hregs",  compactHllIndex(spark, table, _))
+      case "cms"     => (s"${table}_cregs",  compactCmsIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq/hll)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq/hll/cms)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }
@@ -2670,7 +2829,7 @@ object IndexStore {
       "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
       "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs",
-      "distill" -> "_lw")
+      "cms" -> "_cregs", "distill" -> "_lw")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))

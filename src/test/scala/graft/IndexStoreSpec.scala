@@ -2060,4 +2060,71 @@ class IndexStoreSpec extends SparkSpec {
       .where(col("neighbor_id") >= 100000).count() == 0,
       "an erased vector surfaced in a probe")
   }
+
+  test("persisted CMS: keyed replays cancel; unlearn equals rebuild; estimates serve") {
+    import graft.operators.{CountMin, Dedup}
+    val tbl = "graft_spec_cms"
+    dropTable(s"${tbl}_cregs")
+    val itemsAll = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.wordShingles(col("text"))).as("item"))
+      .localCheckpoint()
+    val a = itemsAll.where(col("doc_id") % 2 === 0)
+    val b = itemsAll.where(col("doc_id") % 2 =!= 0)
+    def served() = IndexStore.cmsRegistersFromIndex(spark, tbl)
+      .orderBy("grp", "row_j", "idx").collect().toSeq
+    IndexStore.buildCmsIndex(a, "source", "item", tbl,
+      s"$idxPath/$tbl", batchKey = 0L)
+    assert(IndexStore.appendCmsIndex(b, "source", "item", tbl, 1L))
+    val once = served()
+    // parity with the direct one-shot sketch
+    val direct = CountMin.registers(itemsAll, "item", Seq("source"))
+      .withColumnRenamed("source", "grp")
+      .orderBy("grp", "row_j", "idx").collect().toSeq
+    assert(once == direct)
+    // pre-compaction replay: rows are written but the (grp,row_j,idx,bk)
+    // dedup cancels them — sums must NOT double
+    assert(IndexStore.appendCmsIndex(b, "source", "item", tbl, 1L))
+    assert(served() == once, "pre-compaction replay double-counted")
+    IndexStore.compactCmsIndex(spark, tbl, s"$idxPath/${tbl}_c1")
+    assert(served() == once, "compaction changed the sketch")
+    // post-compaction replay: skipped by the high-water mark
+    assert(!IndexStore.appendCmsIndex(b, "source", "item", tbl, 1L))
+    assert(!IndexStore.appendCmsIndex(a, "source", "item", tbl, 0L))
+    assert(served() == once)
+    // exact unlearn: subtracting src0's slice equals a rebuild without it
+    assert(IndexStore.unlearnFromCmsIndex(
+      itemsAll.where(col("source") === "src0"), "source", "item", tbl, -1L))
+    val rebuilt = CountMin.registers(
+        itemsAll.where(col("source") =!= "src0"), "item", Seq("source"))
+      .withColumnRenamed("source", "grp")
+      .orderBy("grp", "row_j", "idx").collect().toSeq
+    assert(served() == rebuilt,
+      "unlearn-by-negation must equal a rebuild row-for-row")
+    // a crash-REPLAYED unlearn pre-compaction writes byte-identical
+    // rows the (grp,row_j,idx,bk) dedup cancels — serving unchanged
+    assert(IndexStore.unlearnFromCmsIndex(
+      itemsAll.where(col("source") === "src0"), "source", "item", tbl, -1L))
+    assert(served() == rebuilt, "replayed unlearn double-subtracted")
+    // compaction folds the cancellation pairs physically, same serving;
+    // the low-water mark then skips the stale key outright
+    IndexStore.compactCmsIndex(spark, tbl, s"$idxPath/${tbl}_c2")
+    assert(served() == rebuilt)
+    assert(!IndexStore.unlearnFromCmsIndex(
+      itemsAll.where(col("source") === "src0"), "source", "item", tbl, -1L))
+    assert(served() == rebuilt)
+    // estimates served from the store: est >= exact per (grp, item)
+    val cands = itemsAll.where(col("doc_id") % 31 === 0)
+      .select("item").distinct()
+    val est = IndexStore.cmsEstimateFromIndex(spark, tbl, cands)
+      .collect().map(r => (r.getAs[String]("grp"),
+        r.getAs[String]("item")) -> r.getAs[Long]("est")).toMap
+    assert(est.nonEmpty)
+    val exact = itemsAll.where(col("source") =!= "src0")
+      .groupBy("source", "item").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("x")).toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact.getOrElse(k, 0L), s"underestimate at $k") }
+  }
 }
