@@ -58,6 +58,17 @@ object SketchQueries {
            Seq("lang" -> "grp"))})
          |SELECT grp, idx, r FROM regs ORDER BY grp, idx""".stripMargin
 
+  /** Direct per-source Count-Min register sketch of the full corpus —
+    * shared with the streaming maintainer (`sr34`): batch-sliced sums
+    * must land exactly here whatever the slicing, by the additive
+    * algebra. */
+  private[graft] val sourceCmsRegistersOracleSql: String =
+    shingleItemsSql +
+      s"""regs AS (${CountMin.registersSql("items", "item",
+           Seq("source" -> "grp"))})
+         |SELECT grp, row_j, idx, c FROM regs
+         |ORDER BY grp, row_j, idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // The corpus-wide register table itself, oracle-checked value by

@@ -417,6 +417,22 @@ object StreamingQueries {
           s"/tmp/graft_distill_idx/$tag", s"graft_sdst_$tag")
       }),
 
+    // Frequency-sketch-store forever-sync: per-source Count-Min
+    // registers summed per micro-batch. Same pinned per-batch cost
+    // shape as sr31, but the registers are additive, so every append
+    // rides the stream's batch id through the keyed replay discipline
+    // (a replayed batch cannot double-count — drills in
+    // IndexStoreSpec). The oracle is the direct one-shot per-source
+    // sketch of the whole corpus, value-checked register by register.
+    QueryDef("sr34_streaming_cms",
+      Some(SketchQueries.sourceCmsRegistersOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runCmsIngest(s, dir,
+          s"/tmp/graft_cmsingest/$tag", s"graft_scms_$tag",
+          s"/tmp/graft_cmsingest/$tag/idx")
+      }),
+
     // The streamed capstone WITH the selection stage: the DSIR model is
     // fitted batch-side over the reference corpus's post-decon
     // survivors (frozen-cutoff stance; production reads the persisted

@@ -744,4 +744,34 @@ object StreamingIndexIngest {
       () => IndexStore.hllRegistersFromIndex(spark, table)
         .orderBy("grp", "idx"))
   }
+
+  /** Count-Min sketch-store instance: per-source frequency registers
+    * summed per micro-batch (O(batch) scan + a bounded append — the
+    * [[runHllIngest]] cost shape), but the registers are ADDITIVE, so
+    * unlike the HLL kind every append rides the stream's batch id
+    * through the keyed replay discipline — the crash-replay argument
+    * is [[runLmIngest]]'s, applied to a sketch. The oracle is the
+    * direct one-shot per-source sketch of the whole corpus: equality
+    * is the sum algebra's batch-slicing invariance. */
+  def runCmsIngest(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    def itemsOf(d: DataFrame): DataFrame = d.select(col("source"),
+      explode(Dedup.wordShingles(col("text"))).as("item"))
+    ingestFrames(spark, docs, workDir, Seq(s"${table}_cregs"), idxPath,
+      (batch, first, batchId) =>
+        if (first) IndexStore.buildCmsIndex(itemsOf(batch), "source",
+          "item", table, idxPath, batchKey = batchId)
+        else {
+          IndexStore.appendCmsIndex(itemsOf(batch), "source", "item",
+            table, batchId)
+          IndexStore.autoCompact(spark, "cms", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.cmsRegistersFromIndex(spark, table)
+        .orderBy("grp", "row_j", "idx"))
+  }
 }
