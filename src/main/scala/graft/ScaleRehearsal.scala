@@ -111,6 +111,10 @@ object ScaleRehearsal {
       graft.operators.Hll.estimate(graft.operators.Hll.registers(
         w.select(explode(Dedup.wordShingles(col("text"))).as("item")),
         "item")).collect()
+      val wi = w.select(explode(Dedup.wordShingles(col("text"))).as("item"))
+      graft.operators.CountMin.estimate(
+        graft.operators.CountMin.registers(wi, "item"),
+        wi.select("item").distinct()).collect()
       val wl = w.select(col("doc_id"),
         graft.operators.Distill.featureBuckets(col("text")).as("buckets"),
         graft.operators.QualityRules.gopherPassColumn(col("text"))
@@ -475,6 +479,31 @@ object ScaleRehearsal {
       val secHl = (System.nanoTime() - thl) / 1e9
       println(f"""{"q":"hll_lifecycle","scale":$scale,""" +
         f""""est_sum":$estHl,"sec":$secHl%.2f}""")
+
+      // Count-Min lifecycle: the additive sibling — registers summed
+      // per group (768 rows/group), persisted build, then a
+      // sketch-gated heavy-hitter probe served from the store
+      // (candidates from a 1/32 probe slice; est ≥ floor-2 threshold).
+      // Bounded table again, so the slope is the one corpus scan; the
+      // replicas multiply every item's exact count, so the estimates
+      // (and hit count) genuinely move with scale.
+      val tcm = System.nanoTime()
+      val itemsCm = corpus.select(
+        (col("doc_id") % 4).cast("string").as("grp"), col("doc_id"),
+        explode(Dedup.wordShingles(col("text"))).as("item"))
+      val tblCm = s"graft_rh_cms_s$scale"
+      spark.sql(s"DROP TABLE IF EXISTS ${tblCm}_cregs")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_rehearsal/$tblCm"))
+      IndexStore.buildCmsIndex(itemsCm, "grp", "item", tblCm,
+        s"/tmp/graft_rehearsal/$tblCm")
+      val candsCm = itemsCm.where(col("doc_id") % 32 === 0)
+        .select("item").distinct()
+      val hitsCm = IndexStore.cmsEstimateFromIndex(spark, tblCm, candsCm)
+        .where(col("est") >= 2L).count()
+      val secCm = (System.nanoTime() - tcm) / 1e9
+      println(f"""{"q":"cms_lifecycle","scale":$scale,""" +
+        f""""hot_candidates":$hitsCm,"sec":$secCm%.2f}""")
 
       // Distill lifecycle: labeled-feature projection (teacher verdict
       // + hashed presence buckets in one scan, pinned) → 4 full-batch
