@@ -935,6 +935,74 @@ object ExtensionQueries {
       |    AS block
       |  FROM corpus)""".stripMargin
 
+  /** Sliced-ablation oracle — shared with the persisted-slice serving
+    * form (`ext_source_ablation_persisted`): both must land on exactly
+    * the answer the one-pass count-table derivation produces. */
+  private val sourceAblationSlicedOracleSql: String =
+    s"""WITH tokt AS (
+              |  SELECT source,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents WHERE doc_id % 97 <> 0),
+              |bigt AS (
+              |  SELECT source, toks[i] || ' ' || toks[i+1] AS bg
+              |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
+              |sbc AS (
+              |  SELECT source AS src, bg, CAST(count(*) AS BIGINT) AS cb
+              |  FROM bigt GROUP BY 1, 2),
+              |tot AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
+              |        FROM sbc GROUP BY 1),
+              |panel AS (
+              |  SELECT unnest(['none','src0','src1','src2','src3','src4'])
+              |    AS held_out),
+              |abl AS (
+              |  SELECT p.held_out, t.bg, t.cb - coalesce(s.cb, 0) AS cb
+              |  FROM panel p CROSS JOIN tot t
+              |  LEFT JOIN sbc s ON s.src = p.held_out AND s.bg = t.bg
+              |  WHERE t.cb - coalesce(s.cb, 0) > 0),
+              |acc AS (
+              |  SELECT held_out, string_split(bg, ' ')[1] AS prev,
+              |    CAST(sum(cb) AS BIGINT) AS cctx
+              |  FROM abl GROUP BY 1, 2),
+              |av AS (
+              |  SELECT held_out, count(DISTINCT t) + 1 AS vsize
+              |  FROM (SELECT held_out,
+              |          unnest([string_split(bg, ' ')[1],
+              |                  string_split(bg, ' ')[2]]) AS t
+              |        FROM abl)
+              |  GROUP BY 1),
+              |toke AS (
+              |  SELECT doc_id,
+              |    list_prepend('<s>',
+              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+              |           THEN CAST([] AS VARCHAR[])
+              |           ELSE string_split_regex(
+              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+              |      END) AS toks
+              |  FROM documents WHERE doc_id % 97 = 0),
+              |bige AS (
+              |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+              |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
+              |sce AS (
+              |  SELECT p.held_out,
+              |    CAST(floor(-log2((coalesce(ab.cb, 0) + 1.0) /
+              |                     (coalesce(ac.cctx, 0) + v.vsize))
+              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+              |  FROM bige e
+              |  CROSS JOIN panel p
+              |  LEFT JOIN abl ab ON ab.held_out = p.held_out AND ab.bg = e.bg
+              |  LEFT JOIN acc ac ON ac.held_out = p.held_out
+              |    AND ac.prev = e.prev
+              |  JOIN av v ON v.held_out = p.held_out)
+              |SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
+              |    AS h_milli_tok
+              |FROM sce GROUP BY 1 ORDER BY held_out""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Deduplication ────────────────────────────────────────────────
@@ -3427,71 +3495,8 @@ object ExtensionQueries {
     // INDEPENDENT: one tokenize+count scan, then P vocabulary-sized
     // joins. This is the form that survives a 100-source panel at
     // 100 TB.
-    QueryDef("ext_source_ablation_sliced", {
-      Some(s"""WITH tokt AS (
-              |  SELECT source,
-              |    list_prepend('<s>',
-              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
-              |           THEN CAST([] AS VARCHAR[])
-              |           ELSE string_split_regex(
-              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
-              |      END) AS toks
-              |  FROM documents WHERE doc_id % 97 <> 0),
-              |bigt AS (
-              |  SELECT source, toks[i] || ' ' || toks[i+1] AS bg
-              |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
-              |sbc AS (
-              |  SELECT source AS src, bg, CAST(count(*) AS BIGINT) AS cb
-              |  FROM bigt GROUP BY 1, 2),
-              |tot AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
-              |        FROM sbc GROUP BY 1),
-              |panel AS (
-              |  SELECT unnest(['none','src0','src1','src2','src3','src4'])
-              |    AS held_out),
-              |abl AS (
-              |  SELECT p.held_out, t.bg, t.cb - coalesce(s.cb, 0) AS cb
-              |  FROM panel p CROSS JOIN tot t
-              |  LEFT JOIN sbc s ON s.src = p.held_out AND s.bg = t.bg
-              |  WHERE t.cb - coalesce(s.cb, 0) > 0),
-              |acc AS (
-              |  SELECT held_out, string_split(bg, ' ')[1] AS prev,
-              |    CAST(sum(cb) AS BIGINT) AS cctx
-              |  FROM abl GROUP BY 1, 2),
-              |av AS (
-              |  SELECT held_out, count(DISTINCT t) + 1 AS vsize
-              |  FROM (SELECT held_out,
-              |          unnest([string_split(bg, ' ')[1],
-              |                  string_split(bg, ' ')[2]]) AS t
-              |        FROM abl)
-              |  GROUP BY 1),
-              |toke AS (
-              |  SELECT doc_id,
-              |    list_prepend('<s>',
-              |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
-              |           THEN CAST([] AS VARCHAR[])
-              |           ELSE string_split_regex(
-              |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
-              |      END) AS toks
-              |  FROM documents WHERE doc_id % 97 = 0),
-              |bige AS (
-              |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
-              |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
-              |sce AS (
-              |  SELECT p.held_out,
-              |    CAST(floor(-log2((coalesce(ab.cb, 0) + 1.0) /
-              |                     (coalesce(ac.cctx, 0) + v.vsize))
-              |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
-              |  FROM bige e
-              |  CROSS JOIN panel p
-              |  LEFT JOIN abl ab ON ab.held_out = p.held_out AND ab.bg = e.bg
-              |  LEFT JOIN acc ac ON ac.held_out = p.held_out
-              |    AND ac.prev = e.prev
-              |  JOIN av v ON v.held_out = p.held_out)
-              |SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
-              |  CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
-              |    AS h_milli_tok
-              |FROM sce GROUP BY 1 ORDER BY held_out""".stripMargin)
-    },
+    QueryDef("ext_source_ablation_sliced",
+      Some(sourceAblationSlicedOracleSql),
       (s, dir) => {
         import s.implicits._
         val docs = load(s, dir, "documents")
@@ -3508,6 +3513,41 @@ object ExtensionQueries {
             if (src == "none") NgramLm.modelFromCounts(tot)
             else NgramLm.modelFromCounts(graft.operators.Ops.checkpointKeepPartitioning(
               NgramLm.ablatedCounts(tot, slices, "source", src)))
+          NgramLm.scoreBigramMillis(model, evals)
+            .agg(count(lit(1)).cast("long").as("n_bigrams"),
+              floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+                + lit(0.5)).cast("long").as("h_milli_tok"))
+            .select(lit(src).as("held_out"), col("n_bigrams"),
+              col("h_milli_tok"))
+        }.reduce(_ unionByName _).orderBy("held_out")
+      }),
+
+    // The PERSISTED serving form: the slice table
+    // (IndexStore.buildLmSliceIndex — NgramLm.keyedBigramCounts
+    // bucketed by bg) is built once, and every panel model is a
+    // filtered rollup of that bounded table, co-located on bg. An
+    // ablation panel of any size rescans the corpus zero times after
+    // the build; the nightly append/unlearn lifecycle keeps the
+    // slices current. Same oracle as the sliced form — the serving
+    // path must be value-invisible.
+    QueryDef("ext_source_ablation_persisted",
+      Some(sourceAblationSlicedOracleSql),
+      (s, dir) => {
+        import s.implicits._
+        val tbl = "graft_lms_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_slices")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_index/$tbl"))
+        val docs = load(s, dir, "documents")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+          .select("doc_id", "text").localCheckpoint()
+        val train0 = docs.where(col("doc_id") % 97 =!= 0)
+        IndexStore.buildLmSliceIndex(train0, "source", "text", tbl,
+          s"/tmp/graft_index/$tbl")
+        val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+        panel.map { src =>
+          val model = IndexStore.lmModelFromSliceIndex(s, tbl,
+            if (src == "none") None else Some(src))
           NgramLm.scoreBigramMillis(model, evals)
             .agg(count(lit(1)).cast("long").as("n_bigrams"),
               floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))

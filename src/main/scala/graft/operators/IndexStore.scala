@@ -2554,6 +2554,95 @@ object IndexStore {
         .withColumn("bk", lit(LmFoldedBk)))
   }
 
+  // ---- source-SLICED LM table (ablation serving) ---------------------
+  // A layout variant of the LM kind: (grp, bg, cb) — the per-source
+  // bigram-count slices of [[NgramLm.keyedBigramCounts]] persisted,
+  // bucketed by bg. The global model is the table's rollup (sum over
+  // grp), and a leave-one-source-out model is the rollup with one grp
+  // FILTERED — both read the bounded count table co-located on bg, so
+  // an ablation panel of ANY size rescans the corpus exactly zero
+  // times (one corpus pass happened at build). Slices inherit the
+  // counts' group structure: append deltas grouped by source, unlearn
+  // by negation, compaction folds — same merge algebra as the LM kind
+  // with grp in every row identity.
+
+  private def lmSliceParams(srcCol: String): Map[String, String] =
+    Map("payload" -> "text", "ngram" -> "2", "sliced" -> srcCol)
+
+  private def lmSliceRows(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame =
+    NgramLm.keyedBigramCounts(docs, srcCol, textCol)
+      .withColumnRenamed(srcCol, "grp")
+
+  /** Builds the persisted slice table — ONE corpus pass for every
+    * future panel member. */
+  def buildLmSliceIndex(docs: DataFrame, srcCol: String, textCol: String,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    bucketRouted(lmSliceRows(docs, srcCol, textCol), "bg", nBuckets)
+      .write.bucketBy(nBuckets, "bg")
+      .option("path", s"$path/${table}_slices").mode("overwrite")
+      .saveAsTable(s"${table}_slices")
+    setParams(spark, s"${table}_slices", lmSliceParams(srcCol))
+  }
+
+  /** Appends delta docs' slice rows (their own sources ride along). */
+  def appendLmSliceIndex(delta: DataFrame, srcCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = delta.sparkSession
+    requireParams(spark, s"${table}_slices", lmSliceParams(srcCol),
+      "append")
+    val nb = numBucketsOf(spark, s"${table}_slices")
+    bucketRouted(lmSliceRows(delta, srcCol, textCol), "bg", nb)
+      .write.bucketBy(nb, "bg").mode("append")
+      .saveAsTable(s"${table}_slices")
+    noteAppend(spark, s"${table}_slices")
+  }
+
+  /** Exact unlearning: negated slice rows; the next compaction folds
+    * the cancellation pairs away physically. */
+  def unlearnFromLmSliceIndex(docs: DataFrame, srcCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = docs.sparkSession
+    requireParams(spark, s"${table}_slices", lmSliceParams(srcCol),
+      "unlearn")
+    val nb = numBucketsOf(spark, s"${table}_slices")
+    bucketRouted(lmSliceRows(docs, srcCol, textCol)
+        .withColumn("cb", -col("cb")), "bg", nb)
+      .write.bucketBy(nb, "bg").mode("append")
+      .saveAsTable(s"${table}_slices")
+    noteAppend(spark, s"${table}_slices")
+  }
+
+  /** The live model with `excludeGrp`'s slice held out (None = the
+    * full model). The rollup clusters on bg over the bucketed scan —
+    * no exchange — and exhausted bigrams drop, so the held-out model
+    * equals a retrain that never saw the source, row-for-row
+    * ([[NgramLm.ablatedCounts]]'s argument applied at the table). */
+  def lmModelFromSliceIndex(spark: SparkSession, table: String,
+      excludeGrp: Option[String] = None): NgramLm.Model = {
+    spark.catalog.refreshTable(s"${table}_slices")
+    val rows = spark.table(s"${table}_slices")
+    val kept = excludeGrp.fold(rows)(g => rows.where(col("grp") =!= g))
+    NgramLm.modelFromCounts(Ops.checkpointKeepPartitioning(
+      kept.groupBy("bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0)))
+  }
+
+  /** Compacts: folds duplicate (grp, bg) rows and cancellation pairs. */
+  def compactLmSliceIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val slices = s"${table}_slices"
+    rewriteInPlace(spark, slices, bucketColOf(spark, slices),
+      s"$newPathBase/${slices}_c", numBucketsOf(spark, slices))(
+      _.groupBy("grp", "bg").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") =!= 0L))
+  }
+
+  /** Vacuums the slice table's retired directories. */
+  def vacuumLmSliceIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_slices")
+
   // ---- Count-Min frequency sketch store ------------------------------
   // The fourteenth persisted kind: [[CountMin]] registers per group —
   // bounded like the HLL store (≤ depth·width = 768 rows per group)
@@ -2804,9 +2893,10 @@ object IndexStore {
       case "pq"      => (s"${table}_codes",  compactPqIndex(spark, table, _))
       case "hll"     => (s"${table}_hregs",  compactHllIndex(spark, table, _))
       case "cms"     => (s"${table}_cregs",  compactCmsIndex(spark, table, _))
+      case "lms"     => (s"${table}_slices", compactLmSliceIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/dsir/span/pq/hll/cms)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/lms/dsir/span/pq/hll/cms)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }
@@ -2829,7 +2919,7 @@ object IndexStore {
       "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
       "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs",
-      "cms" -> "_cregs", "distill" -> "_lw")
+      "cms" -> "_cregs", "lms" -> "_slices", "distill" -> "_lw")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))

@@ -2061,6 +2061,50 @@ class IndexStoreSpec extends SparkSpec {
       "an erased vector surfaced in a probe")
   }
 
+  test("sliced LM table: held-out serving equals retrain; append/unlearn stay exact") {
+    import graft.operators.NgramLm
+    val tbl = "graft_spec_lms"
+    dropTable(s"${tbl}_slices")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val a = corpus.where(col("doc_id") % 2 === 0)
+    val b = corpus.where(col("doc_id") % 2 =!= 0)
+    val eval_ = corpus.where(col("doc_id") % 7 === 0)
+      .select("doc_id", "text")
+    def scoreHeldOut(x: Option[String]) =
+      NgramLm.scoreMicroBits(
+          IndexStore.lmModelFromSliceIndex(spark, tbl, x), eval_)
+        .orderBy("doc_id").collect().toSeq
+    IndexStore.buildLmSliceIndex(a, "source", "text", tbl,
+      s"$idxPath/$tbl")
+    IndexStore.appendLmSliceIndex(b, "source", "text", tbl)
+    // full model == a one-shot train over both halves
+    assert(scoreHeldOut(None) ==
+      NgramLm.scoreMicroBits(NgramLm.train(corpus), eval_)
+        .orderBy("doc_id").collect().toSeq)
+    // held-out serving == a retrain that never saw the source
+    val want = NgramLm.scoreMicroBits(
+        NgramLm.train(corpus.where(col("source") =!= "src0")), eval_)
+      .orderBy("doc_id").collect().toSeq
+    assert(scoreHeldOut(Some("src0")) == want)
+    // compaction folds the appended file sets; serving unchanged
+    IndexStore.compactLmSliceIndex(spark, tbl, s"$idxPath/${tbl}_c1")
+    assert(scoreHeldOut(Some("src0")) == want)
+    // unlearning src1's docs entirely: the full model now equals a
+    // retrain without src1, and holding out src0 excludes both
+    IndexStore.unlearnFromLmSliceIndex(
+      corpus.where(col("source") === "src1"), "source", "text", tbl)
+    assert(scoreHeldOut(None) ==
+      NgramLm.scoreMicroBits(
+          NgramLm.train(corpus.where(col("source") =!= "src1")), eval_)
+        .orderBy("doc_id").collect().toSeq)
+    assert(scoreHeldOut(Some("src0")) ==
+      NgramLm.scoreMicroBits(
+          NgramLm.train(corpus.where(
+            col("source") =!= "src1" && col("source") =!= "src0")), eval_)
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   test("persisted CMS: keyed replays cancel; unlearn equals rebuild; estimates serve") {
     import graft.operators.{CountMin, Dedup}
     val tbl = "graft_spec_cms"
