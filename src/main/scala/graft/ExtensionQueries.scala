@@ -3505,21 +3505,16 @@ object ExtensionQueries {
         val train0 = docs.where(col("doc_id") % 97 =!= 0)
         val slices = graft.operators.Ops.checkpointKeepPartitioning(
           NgramLm.keyedBigramCounts(train0, "source"))
-        val tot = graft.operators.Ops.checkpointKeepPartitioning(
-          slices.groupBy("bg").agg(sum(col("cb")).as("cb")))
+        val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
         val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
-        panel.map { src =>
-          val model =
-            if (src == "none") NgramLm.modelFromCounts(tot)
-            else NgramLm.modelFromCounts(graft.operators.Ops.checkpointKeepPartitioning(
-              NgramLm.ablatedCounts(tot, slices, "source", src)))
-          NgramLm.scoreBigramMillis(model, evals)
-            .agg(count(lit(1)).cast("long").as("n_bigrams"),
-              floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
-                + lit(0.5)).cast("long").as("h_milli_tok"))
-            .select(lit(src).as("held_out"), col("n_bigrams"),
-              col("h_milli_tok"))
-        }.reduce(_ unionByName _).orderBy("held_out")
+        val abl = graft.operators.Ops.checkpointKeepPartitioning(
+          NgramLm.panelAblatedCounts(tot, slices, "source", panel))
+        NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
+          .groupBy("held_out")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+              + lit(0.5)).cast("long").as("h_milli_tok"))
+          .orderBy("held_out")
       }),
 
     // The PERSISTED serving form: the slice table
@@ -3545,16 +3540,20 @@ object ExtensionQueries {
         IndexStore.buildLmSliceIndex(train0, "source", "text", tbl,
           s"/tmp/graft_index/$tbl")
         val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
-        panel.map { src =>
-          val model = IndexStore.lmModelFromSliceIndex(s, tbl,
-            if (src == "none") None else Some(src))
-          NgramLm.scoreBigramMillis(model, evals)
-            .agg(count(lit(1)).cast("long").as("n_bigrams"),
-              floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
-                + lit(0.5)).cast("long").as("h_milli_tok"))
-            .select(lit(src).as("held_out"), col("n_bigrams"),
-              col("h_milli_tok"))
-        }.reduce(_ unionByName _).orderBy("held_out")
+        // served entirely from the bounded table: slice fold and total
+        // rollup are co-located scans of the bg-bucketed slices
+        val slices = s.table(s"${tbl}_slices")
+          .groupBy("grp", "bg").agg(sum(col("cb")).as("cb"))
+          .where(col("cb") =!= 0L)
+        val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
+        val abl = graft.operators.Ops.checkpointKeepPartitioning(
+          NgramLm.panelAblatedCounts(tot, slices, "grp", panel))
+        NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
+          .groupBy("held_out")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+              + lit(0.5)).cast("long").as("h_milli_tok"))
+          .orderBy("held_out")
       }),
 
     // The MIXER-CHANGE AUDIT: swapping the hand-set budget table for

@@ -136,6 +136,61 @@ object NgramLm {
         (col("cb") - coalesce(col("cb_out"), lit(0L))).as("cb"))
       .where(col("cb") > 0)
 
+  /** The whole ablation PANEL's count tables in one keyed frame
+    * `(panelCol, bg, cb)`: for each panel member, totals minus that
+    * member's slice ([[ablatedCounts]] semantics), with a member
+    * matching no slice key (conventionally `"none"`) yielding the
+    * full model. One broadcast-joined pass over two vocabulary-sized
+    * tables builds ALL the panel's models — paired with
+    * [[scoreKeyedBigramMillis]], a P-member ablation costs one corpus
+    * pass (the slices) plus bounded-table work, independent of P. */
+  def panelAblatedCounts(totals: DataFrame, slices: DataFrame,
+      keyCol: String, panel: Seq[String],
+      panelCol: String = "held_out"): DataFrame = {
+    val spark = totals.sparkSession
+    import spark.implicits._
+    totals.select(col("bg"), col("cb").as("cb_tot"))
+      .crossJoin(broadcast(panel.toDF(panelCol)))
+      .join(slices.select(col(keyCol).as(panelCol), col("bg"),
+          col("cb").as("cb_out")),
+        Seq(panelCol, "bg"), "left")
+      .select(col(panelCol), col("bg"),
+        (col("cb_tot") - coalesce(col("cb_out"), lit(0L))).as("cb"))
+      .where(col("cb") > 0)
+  }
+
+  /** Scores `docs` under EVERY model of a keyed count frame
+    * `(keyCol, bg, cb)` in one dataflow — the ablation-panel (or any
+    * model-ensemble) form: per-key context counts and vocabularies
+    * derive from the keyed counts exactly as [[modelFromCounts]] does
+    * per model, the eval bigram stream crosses the (bounded) key list
+    * once, and all three model tables join as broadcasts. Output
+    * `(keyCol, doc_id, h_milli)` — same integers, P models for the
+    * price of one scoring pass and ZERO per-model jobs (the per-model
+    * loop pays a materialization and three aggregations per member;
+    * this pays them once for the whole panel). The caller supplies
+    * `keyedCounts` behind a materialization boundary. */
+  def scoreKeyedBigramMillis(keyedCounts: DataFrame, keyCol: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keys = keyedCounts.select(keyCol).distinct()
+    val cc = keyedCounts
+      .groupBy(col(keyCol), substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cctx"))
+    val v = keyedCounts
+      .select(col(keyCol), substring_index(col("bg"), " ", 1).as("t"))
+      .union(keyedCounts
+        .select(col(keyCol), substring_index(col("bg"), " ", -1).as("t")))
+      .groupBy(keyCol).agg((countDistinct(col("t")) + 1).as("vsize"))
+    bigrams(docs, idCol, textCol)
+      .crossJoin(broadcast(keys))
+      .join(broadcast(keyedCounts), Seq(keyCol, "bg"), "left")
+      .join(broadcast(cc), Seq(keyCol, "prev"), "left")
+      .join(broadcast(v), Seq(keyCol), "left")
+      .select(col(keyCol), col("doc_id"),
+        hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli"))
+  }
+
   /** Derives the full model from a (bg, cb) count frame: context counts
     * as a second-level rollup, vocabulary as the distinct endpoints of
     * the counted bigrams. The caller supplies the frame already behind

@@ -299,5 +299,23 @@ class NgramLmSpec extends SparkSpec {
     val b = NgramLm.scoreMicroBits(mRetrain, evals)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(a.sameElements(b))
+    // the one-dataflow panel scorer lands on the same integers as the
+    // per-member loop, member by member, bigram sum by bigram sum
+    val tot2 = slices.groupBy("bg").agg(sum($"cb").as("cb"))
+    val panel = Seq("none", heldOut)
+    val abl = graft.operators.Ops.checkpointKeepPartitioning(
+      NgramLm.panelAblatedCounts(tot2, slices, "source", panel))
+    val keyed = NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
+      .groupBy("held_out")
+      .agg(sum($"h_milli").as("h"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val wantHeld = NgramLm.scoreBigramMillis(mRetrain, evals)
+      .agg(sum($"h_milli"), count(lit(1))).as[(Long, Long)].head()
+    val wantFull = NgramLm.scoreBigramMillis(
+        NgramLm.train(corpus), evals)
+      .agg(sum($"h_milli"), count(lit(1))).as[(Long, Long)].head()
+    assert(keyed(heldOut) == wantHeld)
+    assert(keyed("none") == wantFull)
   }
 }
