@@ -414,5 +414,78 @@ object SketchQueries {
         IndexStore.compactCmsIndex(s, tbl, s"/tmp/graft_index/${tbl}_c")
         IndexStore.cmsRegistersFromIndex(s, tbl)
           .orderBy("grp", "row_j", "idx")
+      }),
+
+    // The sketch COMPOSED into curation: boilerplate-line removal
+    // where "is this line hot" is a per-row PREDICATE inside the scan
+    // — CountMin.withEstimate appends the frequency estimate via
+    // depth broadcast joins against the 768-row register table, so
+    // the whole clean is two corpus passes (count lines, gate lines)
+    // with NO corpus-wide line groupBy and no join keyed on line
+    // text. Contrast ext_paragraph_dedup / the winnow drop-list,
+    // whose state is proportional to distinct lines: the sketch
+    // prices the same verdict at fixed state, and the overestimate
+    // guarantee means no hot line ever escapes (false drops are
+    // bounded by eps·N stream mass; the threshold floor keeps them
+    // rare). The planted newsletter/rights lines (the paragraph-dedup
+    // fixture) are hot at every scale factor; empty lines are
+    // structural and never dropped.
+    QueryDef("ext_boilerplate_cms",
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+              |    THEN text || chr(10) || 'Subscribe to our newsletter today!'
+              |         || chr(10) || 'All rights reserved worldwide.'
+              |    ELSE text END AS text
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
+              |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
+              |kd AS (
+              |  SELECT doc_id, para_idx, para,
+              |    lower(regexp_replace(trim(para), '\\s+', ' ', 'g')) AS k
+              |  FROM p),
+              |items AS (SELECT k AS item FROM kd WHERE k <> ''),
+              |regs AS (${CountMin.registersSql("items", "item")}),
+              |thr AS (SELECT greatest(16, count(*) // 1000) AS t
+              |        FROM items),
+              |le AS (${CountMin.withEstimateSql("kd", "k",
+                 "doc_id, para_idx, para, k")}),
+              |kept AS (
+              |  SELECT le.doc_id, le.para_idx, le.para
+              |  FROM le CROSS JOIN thr
+              |  WHERE le.k = '' OR le.est < thr.t)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |  array_to_string(list(para ORDER BY para_idx), chr(10))
+              |    AS clean_text
+              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit("\nSubscribe to our newsletter today!" +
+                "\nAll rights reserved worldwide.")))
+            .otherwise(col("text")).as("text"))
+        val lines = graft.operators.Ops.checkpointKeepPartitioning(
+          corpus.select(col("doc_id"),
+              posexplode(split(col("text"), "\n"))
+                .as(Seq("para_idx", "para")))
+            .withColumn("k",
+              lower(regexp_replace(trim(col("para")), "\\s+", " "))))
+        val items = lines.where(col("k") =!= "")
+          .select(col("k").as("item"))
+        val regs = CountMin.registers(items, "item")
+        val thr = items.agg(greatest(lit(16L),
+          floor(count(lit(1)) / lit(1000)).cast("long")).as("t"))
+        CountMin.withEstimate(lines, "k", regs)
+          .crossJoin(broadcast(thr))
+          .where(col("k") === "" || col("est") < col("t"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_kept"),
+            concat_ws("\n", transform(
+              array_sort(collect_list(struct(col("para_idx"), col("para")))),
+              x => x.getField("para"))).as("clean_text"))
+          .orderBy("doc_id")
       }))
 }

@@ -108,6 +108,29 @@ object CountMin {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Per-OCCURRENCE estimates as a zero-shuffle projection: appends
+    * `outCol` = the sketch estimate of `itemCol`'s frequency to every
+    * row of a corpus-sized frame via `depth` BROADCAST joins against
+    * the per-row register slices (≤ width rows each) + `least()` —
+    * no explode, no re-aggregation, no exchange on the corpus side.
+    * This is the serving shape that makes the sketch a per-row
+    * PREDICATE ("is this line boilerplate-hot?") inside a scan,
+    * where [[estimate]] answers for a bounded candidate list. */
+  def withEstimate(df: DataFrame, itemCol: String, regs: DataFrame,
+      outCol: String = "est"): DataFrame = {
+    val joined = (0 until depth).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"__cms_i$j", idxFor(j, col(itemCol)))
+        .join(broadcast(regs.where(col("row_j") === j)
+            .select(col("idx").as(s"__cms_i$j"), col("c").as(s"__cms_c$j"))),
+          Seq(s"__cms_i$j"), "left")
+    }
+    joined
+      .withColumn(outCol, least((0 until depth)
+        .map(j => coalesce(col(s"__cms_c$j"), lit(0L))): _*))
+      .drop((0 until depth)
+        .flatMap(j => Seq(s"__cms_i$j", s"__cms_c$j")): _*)
+  }
+
   /** DuckDB mirror of [[registers]] over `$from((grpExpr) AS grp…,
     * (itemExpr) AS item)` rows — callers splice it as a CTE body. */
   def registersSql(from: String, itemExpr: String,
@@ -123,6 +146,23 @@ object CountMin {
        |  FROM $from, unnest(${(0 until depth).mkString("[", ", ", "]")})
        |    AS t(j))
        |GROUP BY $by""".stripMargin
+  }
+
+  /** DuckDB mirror of [[withEstimate]] over a register CTE named
+    * `regs(row_j, idx, c)`: selects `$selectCols` plus `est` from
+    * `$from`, chaining one LEFT JOIN per hash row. */
+  def withEstimateSql(from: String, itemExpr: String,
+      selectCols: String): String = {
+    val joins = (0 until depth).map(j =>
+      s"""LEFT JOIN (SELECT idx, c FROM regs WHERE row_j = $j) r$j
+         |  ON CAST(('0x' || substr(md5('$j:' || $itemExpr), 1, 13))
+         |     AS BIGINT) % $width = r$j.idx""".stripMargin)
+      .mkString("\n")
+    val le = (0 until depth).map(j => s"coalesce(r$j.c, 0)")
+      .mkString(", ")
+    s"""SELECT $selectCols, least($le) AS est
+       |FROM $from
+       |$joins""".stripMargin
   }
 
   /** DuckDB mirror of [[estimate]] over a folded register CTE
