@@ -212,6 +212,34 @@ class PlansSpec extends SparkSpec {
       s"cutoff executed through TakeOrderedAndProject:\n$phys")
   }
 
+  test("ablation-panel and cms-gate plans: broadcasts stay broadcast, no global windows") {
+    // the panel dataflow: every model-table join must be a broadcast
+    // (the corpus-sized side is the eval bigram stream), and nothing
+    // may fall into a partitionBy-less window or global sort before
+    // the final presentation orderBy
+    val panelDf = SparkEntry.queries("ext_source_ablation_sliced")(
+      spark, sf0001)
+    val panelPhys = panelDf.queryExecution.executedPlan.toString
+    assert(panelPhys.contains("BroadcastHashJoin") ||
+      panelPhys.contains("BroadcastNestedLoopJoin"),
+      s"panel joins lost their broadcast:\n$panelPhys")
+    assert(!panelPhys.contains("SortMergeJoin"),
+      s"a panel model join degraded to SMJ:\n$panelPhys")
+    // the per-row sketch gate: the three register joins are broadcasts
+    // over a corpus that never exchanges before the per-doc regroup
+    val gateDf = SparkEntry.queries("ext_boilerplate_cms")(spark, sf0001)
+    val gatePhys = gateDf.queryExecution.executedPlan.toString
+    assert(gatePhys.contains("BroadcastHashJoin"),
+      s"cms register joins lost their broadcast:\n$gatePhys")
+    assert(!gatePhys.contains("SortMergeJoin"),
+      s"a cms register join degraded to SMJ:\n$gatePhys")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq(panelDf, gateDf).foreach(df =>
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        .foreach(w => assert(w.partitionSpec.nonEmpty,
+          s"partitionBy-less window in:\n$w")))
+  }
+
   test("w4/b1 plans contain no empty-partition (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("w4_batched_sink", "b1_chunked_ids")) {
