@@ -69,6 +69,41 @@ object SketchQueries {
          |SELECT grp, row_j, idx, c FROM regs
          |ORDER BY grp, row_j, idx""".stripMargin
 
+  /** Sketch-gated boilerplate-clean oracle — shared with the streaming
+    * twin (`sr35`): register table and threshold are functions of the
+    * whole corpus, the clean of each doc is local to its own lines, so
+    * the streamed clean against the frozen store lands exactly here.
+    */
+  private[graft] val boilerplateCmsOracleSql: String =
+    s"""WITH corpus AS (
+              |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+              |    THEN text || chr(10) || 'Subscribe to our newsletter today!'
+              |         || chr(10) || 'All rights reserved worldwide.'
+              |    ELSE text END AS text
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
+              |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
+              |kd AS (
+              |  SELECT doc_id, para_idx, para,
+              |    lower(regexp_replace(trim(para), '\\s+', ' ', 'g')) AS k
+              |  FROM p),
+              |items AS (SELECT k AS item FROM kd WHERE k <> ''),
+              |regs AS (${CountMin.registersSql("items", "item")}),
+              |thr AS (SELECT greatest(16, count(*) // 1000) AS t
+              |        FROM items),
+              |le AS (${CountMin.withEstimateSql("kd", "k",
+                 "doc_id, para_idx, para, k")}),
+              |kept AS (
+              |  SELECT le.doc_id, le.para_idx, le.para
+              |  FROM le CROSS JOIN thr
+              |  WHERE le.k = '' OR le.est < thr.t)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |  array_to_string(list(para ORDER BY para_idx), chr(10))
+              |    AS clean_text
+              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // The corpus-wide register table itself, oracle-checked value by
@@ -431,34 +466,7 @@ object SketchQueries {
     // fixture) are hot at every scale factor; empty lines are
     // structural and never dropped.
     QueryDef("ext_boilerplate_cms",
-      Some(s"""WITH corpus AS (
-              |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
-              |    THEN text || chr(10) || 'Subscribe to our newsletter today!'
-              |         || chr(10) || 'All rights reserved worldwide.'
-              |    ELSE text END AS text
-              |  FROM documents),
-              |p AS (
-              |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
-              |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
-              |        FROM corpus), unnest(range(1, len(parts) + 1)) AS r(i)),
-              |kd AS (
-              |  SELECT doc_id, para_idx, para,
-              |    lower(regexp_replace(trim(para), '\\s+', ' ', 'g')) AS k
-              |  FROM p),
-              |items AS (SELECT k AS item FROM kd WHERE k <> ''),
-              |regs AS (${CountMin.registersSql("items", "item")}),
-              |thr AS (SELECT greatest(16, count(*) // 1000) AS t
-              |        FROM items),
-              |le AS (${CountMin.withEstimateSql("kd", "k",
-                 "doc_id, para_idx, para, k")}),
-              |kept AS (
-              |  SELECT le.doc_id, le.para_idx, le.para
-              |  FROM le CROSS JOIN thr
-              |  WHERE le.k = '' OR le.est < thr.t)
-              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-              |  array_to_string(list(para ORDER BY para_idx), chr(10))
-              |    AS clean_text
-              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Some(boilerplateCmsOracleSql),
       (s, dir) => {
         val docs = load(s, dir, "documents").select("doc_id", "text")
         val corpus = docs.select(col("doc_id"),

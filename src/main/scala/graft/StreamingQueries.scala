@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingDedup, StreamingDistill, StreamingIndexIngest, StreamingLmScore, StreamingShards, StreamingSync}
+import graft.streaming.{StreamingBoilerplate, StreamingDedup, StreamingDistill, StreamingIndexIngest, StreamingLmScore, StreamingShards, StreamingSync}
 
 /** Capability registry, batch 4: Structured Streaming formulations of the
   * incremental-sync semantics (SURVEY §2.10). The streams run
@@ -431,6 +431,21 @@ object StreamingQueries {
         StreamingIndexIngest.runCmsIngest(s, dir,
           s"/tmp/graft_cmsingest/$tag", s"graft_scms_$tag",
           s"/tmp/graft_cmsingest/$tag/idx")
+      }),
+
+    // The sketch composed into a streamed CLEANER: boilerplate-line
+    // removal per micro-batch against the FROZEN persisted Count-Min
+    // store (nightly-sketch stance — register table and threshold
+    // built batch-side, per-batch gating is depth broadcast joins).
+    // Docs arrive whole and the sketch never moves mid-stream, so the
+    // appended sink equals the batch clean row-for-row — the same
+    // oracle as ext_boilerplate_cms.
+    QueryDef("sr35_streaming_boilerplate",
+      Some(SketchQueries.boilerplateCmsOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingBoilerplate.run(s, dir,
+          s"/tmp/graft_boiler/$tag", s"graft_sboil_$tag")
       }),
 
     // The streamed capstone WITH the selection stage: the DSIR model is
