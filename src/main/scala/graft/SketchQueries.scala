@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CountMin, Dedup, Hll, IndexStore}
+import graft.operators.{CountMin, Dedup, Hll, IndexStore, Qhist}
 
 /** Capability registry, batch 8: mergeable SKETCHES — bounded-state
   * summaries a 100 TB corpus can afford to keep per source, per
@@ -103,6 +103,23 @@ object SketchQueries {
               |  array_to_string(list(para ORDER BY para_idx), chr(10))
               |    AS clean_text
               |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared metric CTE for the quantile-histogram family: exact
+    * whitespace token counts per doc (the t3 statistic), the metric a
+    * length gate would cut on. */
+  private val tokenMetricSql =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS v
+      |  FROM documents),
+      |""".stripMargin
+
+  private def tokenMetric(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    load(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("v"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -494,6 +511,110 @@ object SketchQueries {
             concat_ws("\n", transform(
               array_sort(collect_list(struct(col("para_idx"), col("para")))),
               x => x.getField("para"))).as("clean_text"))
+          .orderBy("doc_id")
+      }),
+
+    // Third sketch family: mergeable log-bucketed QUANTILE histograms
+    // ([[graft.operators.Qhist]]) — ≤ 976 rows per group, 1/16
+    // relative bucket width, content oracle-checked like the other
+    // two register tables. Where the exact-percentile machinery pays
+    // a 3-pass corpus rank PER cutoff question, the histogram pays
+    // one corpus scan ever.
+    QueryDef("ext_qhist_registers",
+      Some(tokenMetricSql +
+        s"""regs AS (${Qhist.registersSql("m", "v",
+             Seq("source" -> "source"))})
+           |SELECT source, bucket, cnt FROM regs
+           |ORDER BY source, bucket""".stripMargin),
+      (s, dir) =>
+        Qhist.registers(tokenMetric(s, dir), "v", Seq("source"))
+          .orderBy("source", "bucket")),
+
+    // Served cutoffs AUDITED against the exact order statistic: for
+    // p50/p90/p99 the sketch cutoff (first bucket whose cumulative
+    // count covers the rank, reported at the bucket's upper bound)
+    // next to the exact k-th value via the 3-pass bucketed prefix —
+    // coverage is guaranteed (cutoff >= exact, overshoot >= 0 in the
+    // hash) and tightness is one bucket width. The exact side re-ranks
+    // the corpus by construction; production keeps only the bounded
+    // table.
+    QueryDef("ext_qhist_cutoff_audit",
+      Some(tokenMetricSql +
+        s"""regs AS (${Qhist.registersSql("m", "v")}),
+           |cum AS (
+           |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+           |         sum(cnt) OVER () AS total
+           |  FROM regs),
+           |p AS (SELECT unnest([500, 900, 990]) AS p_permille),
+           |srv AS (
+           |  SELECT p.p_permille, min(c.bucket) AS bucket
+           |  FROM p, cum c
+           |  WHERE c.cum * 1000 >= p.p_permille * c.total GROUP BY 1),
+           |srvv AS (
+           |  SELECT p_permille,
+           |    ${Qhist.bucketUpperSql("bucket")} AS cutoff
+           |  FROM srv),
+           |ranked AS (
+           |  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn,
+           |         count(*) OVER () AS n
+           |  FROM m),
+           |ex AS (
+           |  SELECT p.p_permille, min(r.v) AS exact
+           |  FROM p, ranked r
+           |  WHERE r.rn * 1000 >= p.p_permille * r.n GROUP BY 1)
+           |SELECT s.p_permille, s.cutoff, e.exact,
+           |  s.cutoff - e.exact AS overshoot
+           |FROM srvv s JOIN ex e USING (p_permille)
+           |ORDER BY p_permille""".stripMargin),
+      (s, dir) => {
+        val m = graft.operators.Ops.checkpointKeepPartitioning(
+          tokenMetric(s, dir))
+        val regs = Qhist.fold(Qhist.registers(m, "v"))
+        val srv = Qhist.cutoffs(regs, Seq(500, 900, 990))
+        val n = m.count()
+        val ex = Seq(500, 900, 990).map { p =>
+          val k = (p.toLong * n + 999L) / 1000L
+          graft.operators.Ops.kthOrderedValueFrame(
+              m, col("v"), col("doc_id"), k)
+            .select(lit(p).as("p_permille"),
+              col("kth_value").as("exact"))
+        }.reduce(_ unionByName _)
+        srv.join(ex, "p_permille")
+          .select(col("p_permille"), col("cutoff"), col("exact"),
+            (col("cutoff") - col("exact")).as("overshoot"))
+          .orderBy("p_permille")
+      }),
+
+    // The AMORTIZED length gate: keep docs at or under the p90 cutoff
+    // SERVED FROM THE HISTOGRAM — per-gate cost is a broadcast of one
+    // cutoff row against the corpus scan, where the exact form
+    // (ext_quality_percentile_gate) pays a fresh 3-pass corpus rank
+    // per gate run. Coverage >= 90% by the sketch guarantee; the
+    // verdict set is deterministic, hence hash-checked.
+    QueryDef("ext_qhist_gate",
+      Some(tokenMetricSql +
+        s"""regs AS (${Qhist.registersSql("m", "v")}),
+           |cum AS (
+           |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+           |         sum(cnt) OVER () AS total
+           |  FROM regs),
+           |srv AS (
+           |  SELECT min(bucket) AS bucket FROM cum
+           |  WHERE cum * 1000 >= 900 * total),
+           |c AS (SELECT ${Qhist.bucketUpperSql("bucket")} AS cutoff
+           |      FROM srv)
+           |SELECT m.doc_id, m.v
+           |FROM m CROSS JOIN c WHERE m.v <= c.cutoff
+           |ORDER BY m.doc_id""".stripMargin),
+      (s, dir) => {
+        val m = graft.operators.Ops.checkpointKeepPartitioning(
+          tokenMetric(s, dir))
+        val cut = Qhist.cutoffs(
+          Qhist.fold(Qhist.registers(m, "v")), Seq(900))
+          .select("cutoff")
+        m.crossJoin(broadcast(cut))
+          .where(col("v") <= col("cutoff"))
+          .select("doc_id", "v")
           .orderBy("doc_id")
       }))
 }
