@@ -616,5 +616,48 @@ object SketchQueries {
           .where(col("v") <= col("cutoff"))
           .select("doc_id", "v")
           .orderBy("doc_id")
+      }),
+
+    // Persisted histogram store (15th index kind), full lifecycle:
+    // build per-source histograms on the even half, append the odd
+    // half, unlearn src0's whole slice, compact (CMS water-mark
+    // discipline), serve per-source MEDIAN cutoffs from the bounded
+    // table. The oracle computes the direct per-source histogram of
+    // the corpus WITHOUT src0 and reads the same cutoff — additive
+    // algebra end to end, zero corpus reads at serving time.
+    QueryDef("ext_qhist_persisted",
+      Some(tokenMetricSql.replace("FROM documents",
+          "FROM documents WHERE source <> 'src0'") +
+        s"""regs AS (${Qhist.registersSql("m", "v",
+             Seq("source" -> "grp"))}),
+           |cum AS (
+           |  SELECT grp, bucket,
+           |         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+           |           AS cum,
+           |         sum(cnt) OVER (PARTITION BY grp) AS total
+           |  FROM regs),
+           |srv AS (
+           |  SELECT grp, min(bucket) AS bucket FROM cum
+           |  WHERE cum * 1000 >= 500 * total GROUP BY 1)
+           |SELECT grp, ${Qhist.bucketUpperSql("bucket")} AS cutoff
+           |FROM srv ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val tbl = "graft_qhp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_qregs")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_index/$tbl"))
+        val m = graft.operators.Ops.checkpointKeepPartitioning(
+          tokenMetric(s, dir))
+        IndexStore.buildQhistIndex(m.where(col("doc_id") % 2 === 0),
+          "source", "v", tbl, s"/tmp/graft_index/$tbl", batchKey = 0L)
+        IndexStore.appendQhistIndex(m.where(col("doc_id") % 2 =!= 0),
+          "source", "v", tbl, batchKey = 1L)
+        IndexStore.unlearnFromQhistIndex(
+          m.where(col("source") === "src0"), "source", "v", tbl,
+          batchKey = -1L)
+        IndexStore.compactQhistIndex(s, tbl,
+          s"/tmp/graft_index/${tbl}_c")
+        IndexStore.qhistCutoffsFromIndex(s, tbl, Seq(500))
+          .select("grp", "cutoff").orderBy("grp")
       }))
 }

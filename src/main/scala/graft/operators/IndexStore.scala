@@ -2801,6 +2801,128 @@ object IndexStore {
   def vacuumCmsIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_cregs")
 
+  // ---- quantile-histogram store --------------------------------------
+  // The fifteenth persisted kind: [[Qhist]] log-bucketed histograms per
+  // group (≤ ~976 rows each) — the store that makes every future
+  // percentile question O(registers). Counts again, so the full
+  // additive lifecycle (append deltas, unlearn by negation, compaction
+  // folds) under the same keyed-batch replay discipline as the
+  // Count-Min kind — the crash-replay argument transfers verbatim,
+  // (grp, bucket, bk) being the row identity.
+
+  private val QhBkHighWaterParam = "qhBkHighWater"
+  private val QhBkNegLowWaterParam = "qhBkNegLowWater"
+  private val QhFoldedBk = Long.MinValue
+
+  private def qhParams(grpCol: String, valueCol: String)
+      : Map[String, String] =
+    Map("payload" -> "qhist", "grpCol" -> grpCol, "valueCol" -> valueCol,
+      "keyed" -> "true")
+
+  private def qhRegs(df: DataFrame, grpCol: String, valueCol: String,
+      batchKey: Long): DataFrame =
+    Qhist.registers(df, valueCol, Seq(grpCol))
+      .withColumnRenamed(grpCol, "grp")
+      .withColumn("bk", lit(batchKey))
+
+  /** Builds the persisted histogram store: `(grp, bucket, cnt, bk)`
+    * bucketed by bucket. */
+  def buildQhistIndex(df: DataFrame, grpCol: String, valueCol: String,
+      table: String, path: String, batchKey: Long = 0L,
+      nBuckets: Int = 4): Unit = {
+    require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
+    val spark = df.sparkSession
+    bucketRouted(qhRegs(df, grpCol, valueCol, batchKey), "bucket", nBuckets)
+      .write.bucketBy(nBuckets, "bucket")
+      .option("path", s"$path/${table}_qregs").mode("overwrite")
+      .saveAsTable(s"${table}_qregs")
+    setParams(spark, s"${table}_qregs",
+      qhParams(grpCol, valueCol) +
+        (QhBkHighWaterParam -> batchKey.toString))
+  }
+
+  /** Replay-idempotent append — the CMS kind's contract verbatim. */
+  def appendQhistIndex(delta: DataFrame, grpCol: String, valueCol: String,
+      table: String, batchKey: Long): Boolean = {
+    require(batchKey >= 0 && batchKey != QhFoldedBk,
+      s"append batchKey must be in-band (>= 0), got $batchKey")
+    val spark = delta.sparkSession
+    val qregs = s"${table}_qregs"
+    requireParams(spark, qregs, qhParams(grpCol, valueCol), "append")
+    if (batchKey <= lmWaterMark(spark, qregs, QhBkHighWaterParam, -1L))
+      false
+    else {
+      val nb = numBucketsOf(spark, qregs)
+      bucketRouted(qhRegs(delta, grpCol, valueCol, batchKey), "bucket", nb)
+        .write.bucketBy(nb, "bucket").mode("append").saveAsTable(qregs)
+      noteAppend(spark, qregs)
+      true
+    }
+  }
+
+  /** Replay-idempotent exact unlearning under a strictly-negative key. */
+  def unlearnFromQhistIndex(df: DataFrame, grpCol: String,
+      valueCol: String, table: String, batchKey: Long): Boolean = {
+    require(batchKey < 0 && batchKey != QhFoldedBk,
+      s"unlearn batchKey must be negative (out-of-band), got $batchKey")
+    val spark = df.sparkSession
+    val qregs = s"${table}_qregs"
+    requireParams(spark, qregs, qhParams(grpCol, valueCol), "unlearn")
+    val low = lmWaterMark(spark, qregs, QhBkNegLowWaterParam, 0L)
+    if (batchKey >= low) false
+    else {
+      val nb = numBucketsOf(spark, qregs)
+      bucketRouted(qhRegs(df, grpCol, valueCol, batchKey)
+          .withColumn("cnt", -col("cnt")), "bucket", nb)
+        .write.bucketBy(nb, "bucket").mode("append").saveAsTable(qregs)
+      noteAppend(spark, qregs)
+      true
+    }
+  }
+
+  /** Folded per-group histograms from the store. */
+  def qhistRegistersFromIndex(spark: SparkSession, table: String)
+      : DataFrame = {
+    spark.catalog.refreshTable(s"${table}_qregs")
+    Qhist.fold(
+      spark.table(s"${table}_qregs")
+        .dropDuplicates("grp", "bucket", "bk"),
+      Seq("grp"))
+  }
+
+  /** Percentile cutoffs served from the store — O(registers), zero
+    * corpus read, any permille list, any time. */
+  def qhistCutoffsFromIndex(spark: SparkSession, table: String,
+      ps: Seq[Int]): DataFrame =
+    Qhist.cutoffs(qhistRegistersFromIndex(spark, table), ps, Seq("grp"))
+
+  /** Compacts under the CMS water-mark discipline. */
+  def compactQhistIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val qregs = s"${table}_qregs"
+    val marks = spark.table(qregs).where(col("bk") =!= QhFoldedBk)
+      .agg(max(when(col("bk") >= 0, col("bk"))).as("hi"),
+        min(when(col("bk") < 0, col("bk"))).as("lo")).head()
+    if (!marks.isNullAt(0))
+      setLmWaterMark(spark, qregs, QhBkHighWaterParam,
+        math.max(marks.getLong(0),
+          lmWaterMark(spark, qregs, QhBkHighWaterParam, -1L)))
+    if (!marks.isNullAt(1))
+      setLmWaterMark(spark, qregs, QhBkNegLowWaterParam,
+        math.min(marks.getLong(1),
+          lmWaterMark(spark, qregs, QhBkNegLowWaterParam, 0L)))
+    rewriteInPlace(spark, qregs, bucketColOf(spark, qregs),
+      s"$newPathBase/${qregs}_c", numBucketsOf(spark, qregs))(
+      _.dropDuplicates("grp", "bucket", "bk")
+        .groupBy("grp", "bucket").agg(sum(col("cnt")).as("cnt"))
+        .where(col("cnt") =!= 0L)
+        .withColumn("bk", lit(QhFoldedBk)))
+  }
+
+  /** Vacuums the histogram table's retired directories. */
+  def vacuumQhistIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_qregs")
+
   // ---- append accounting + auto-compaction --------------------------
   // Every bucketed append leaves one new file set per bucket, so a
   // long-lived index's scan cost grows linearly with appends until
@@ -2894,9 +3016,10 @@ object IndexStore {
       case "hll"     => (s"${table}_hregs",  compactHllIndex(spark, table, _))
       case "cms"     => (s"${table}_cregs",  compactCmsIndex(spark, table, _))
       case "lms"     => (s"${table}_slices", compactLmSliceIndex(spark, table, _))
+      case "qh"      => (s"${table}_qregs",  compactQhistIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/lms/dsir/span/pq/hll/cms)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/lms/dsir/span/pq/hll/cms/qh)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }
@@ -2919,7 +3042,8 @@ object IndexStore {
       "ivf" -> "_lists", "lm" -> "_counts", "lmk" -> "_counts",
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
       "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs",
-      "cms" -> "_cregs", "lms" -> "_slices", "distill" -> "_lw")
+      "cms" -> "_cregs", "lms" -> "_slices", "qh" -> "_qregs",
+      "distill" -> "_lw")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))

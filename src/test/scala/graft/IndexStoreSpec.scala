@@ -2105,6 +2105,49 @@ class IndexStoreSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("persisted qhist: keyed replays cancel; unlearn equals rebuild; cutoffs serve") {
+    import graft.operators.Qhist
+    import graft.functions.TextAnalysis
+    val tbl = "graft_spec_qh"
+    dropTable(s"${tbl}_qregs")
+    val m = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      .localCheckpoint()
+    val a = m.where(col("doc_id") % 2 === 0)
+    val b = m.where(col("doc_id") % 2 =!= 0)
+    def served() = IndexStore.qhistRegistersFromIndex(spark, tbl)
+      .orderBy("grp", "bucket").collect().toSeq
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      Qhist.registers(df, "v", Seq("source"))
+        .withColumnRenamed("source", "grp")
+        .orderBy("grp", "bucket").collect().toSeq
+    IndexStore.buildQhistIndex(a, "source", "v", tbl,
+      s"$idxPath/$tbl", batchKey = 0L)
+    assert(IndexStore.appendQhistIndex(b, "source", "v", tbl, 1L))
+    val once = served()
+    assert(once == direct(m))
+    // pre-compaction replay: rows written, row-identity dedup cancels
+    assert(IndexStore.appendQhistIndex(b, "source", "v", tbl, 1L))
+    assert(served() == once, "pre-compaction replay double-counted")
+    IndexStore.compactQhistIndex(spark, tbl, s"$idxPath/${tbl}_c1")
+    assert(served() == once)
+    assert(!IndexStore.appendQhistIndex(b, "source", "v", tbl, 1L))
+    // exact unlearn equals a rebuild without the slice
+    assert(IndexStore.unlearnFromQhistIndex(
+      m.where(col("source") === "src0"), "source", "v", tbl, -1L))
+    assert(served() == direct(m.where(col("source") =!= "src0")))
+    // serving: per-group medians cover at least half of each group
+    val meds = IndexStore.qhistCutoffsFromIndex(spark, tbl, Seq(500))
+      .select("grp", "cutoff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    meds.foreach { case (g, c) =>
+      val vs = m.where(col("source") === g).select("v")
+        .collect().map(_.getLong(0))
+      assert(vs.count(_ <= c) * 2 >= vs.length, s"median uncovers $g")
+    }
+  }
+
   test("persisted CMS: keyed replays cancel; unlearn equals rebuild; estimates serve") {
     import graft.operators.{CountMin, Dedup}
     val tbl = "graft_spec_cms"
