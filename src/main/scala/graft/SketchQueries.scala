@@ -659,5 +659,90 @@ object SketchQueries {
           s"/tmp/graft_index/${tbl}_c")
         IndexStore.qhistCutoffsFromIndex(s, tbl, Seq(500))
           .select("grp", "cutoff").orderBy("grp")
+      }),
+
+    // The three sketch families COMPOSED into the per-source datacard
+    // a 100 TB operator actually reads: docs, token-length p50/p90
+    // (quantile histogram), distinct-shingle vocabulary estimate
+    // (HLL), and boilerplate exposure — shingle occurrences whose
+    // global Count-Min estimate clears the mass-relative threshold.
+    // Every column after the corpus scans reads a bounded register
+    // table; the whole report is one hash-checked query.
+    QueryDef("ext_sketch_datacard",
+      Some(shingleItemsSql +
+        s"""m AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+           |      x -> x <> '')) AS BIGINT) AS v
+           |  FROM documents),
+           |qregs AS (${Qhist.registersSql("m", "v",
+             Seq("source" -> "grp"))}),
+           |qcum AS (
+           |  SELECT grp, bucket,
+           |         sum(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+           |           AS cum,
+           |         sum(cnt) OVER (PARTITION BY grp) AS total
+           |  FROM qregs),
+           |q50 AS (SELECT grp, min(bucket) AS b FROM qcum
+           |        WHERE cum * 1000 >= 500 * total GROUP BY 1),
+           |q90 AS (SELECT grp, min(bucket) AS b FROM qcum
+           |        WHERE cum * 1000 >= 900 * total GROUP BY 1),
+           |hregs AS (${Hll.registersSql("items", "item",
+             Seq("source" -> "grp"))}),
+           |hest AS (${Hll.estimateSql("hregs", Seq("grp"))}),
+           |regs AS (${CountMin.registersSql("items", "item")}),
+           |thr AS (SELECT greatest(2, count(*) // 10000) AS t
+           |        FROM items),
+           |le AS (${CountMin.withEstimateSql("items", "item", "source")}),
+           |exposure AS (
+           |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS hot_shingles
+           |  FROM le CROSS JOIN thr WHERE le.est >= thr.t GROUP BY 1),
+           |dn AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+           |       FROM documents GROUP BY 1)
+           |SELECT dn.grp AS source, dn.n_docs,
+           |  ${Qhist.bucketUpperSql("q50.b")} AS tok_p50,
+           |  ${Qhist.bucketUpperSql("q90.b")} AS tok_p90,
+           |  hest.est AS distinct_shingles_est,
+           |  coalesce(exposure.hot_shingles, 0) AS hot_shingles
+           |FROM dn
+           |JOIN q50 ON dn.grp = q50.grp
+           |JOIN q90 ON dn.grp = q90.grp
+           |JOIN hest ON dn.grp = hest.grp
+           |LEFT JOIN exposure ON dn.grp = exposure.grp
+           |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        val m = tokenMetric(s, dir)
+        val q = Qhist.cutoffs(
+            Qhist.fold(Qhist.registers(m, "v", Seq("source")),
+              Seq("source")),
+            Seq(500, 900), Seq("source"))
+          .groupBy("source").pivot("p_permille", Seq(500, 900))
+          .agg(first(col("cutoff")))
+          .select(col("source").as("grp"), col("500").as("tok_p50"),
+            col("900").as("tok_p90"))
+        val h = Hll.estimate(
+            Hll.registers(items, "item", Seq("source")), Seq("source"))
+          .select(col("source").as("grp"),
+            col("est").as("distinct_shingles_est"))
+        val regs = CountMin.registers(items, "item")
+        val thr = items.agg(greatest(lit(2L),
+          floor(count(lit(1)) / lit(10000)).cast("long")).as("t"))
+        val exposure = CountMin.withEstimate(items, "item", regs)
+          .crossJoin(broadcast(thr))
+          .where(col("est") >= col("t"))
+          .groupBy(col("source").as("grp"))
+          .agg(count(lit(1)).cast("long").as("hot_shingles"))
+        val dn = load(s, dir, "documents")
+          .groupBy(col("source").as("grp"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        dn.join(q, "grp").join(h, "grp")
+          .join(exposure, Seq("grp"), "left")
+          .select(col("grp").as("source"), col("n_docs"),
+            col("tok_p50"), col("tok_p90"),
+            col("distinct_shingles_est"),
+            coalesce(col("hot_shingles"), lit(0L)).as("hot_shingles"))
+          .orderBy("source")
       }))
 }
