@@ -505,6 +505,29 @@ object ScaleRehearsal {
       println(f"""{"q":"cms_lifecycle","scale":$scale,""" +
         f""""hot_candidates":$hitsCm,"sec":$secCm%.2f}""")
 
+      // Quantile-histogram lifecycle: token metric → per-group
+      // registers (≤976 rows/group), persisted build, three permille
+      // cutoffs served from the store. Bounded table again — the
+      // slope is the one metric scan; the replicas multiply counts
+      // but not values, so cutoffs stay put while totals scale.
+      val tqh = System.nanoTime()
+      val mQh = corpus.select(
+        (col("doc_id") % 4).cast("string").as("grp"),
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("v"))
+      val tblQh = s"graft_rh_qh_s$scale"
+      spark.sql(s"DROP TABLE IF EXISTS ${tblQh}_qregs")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_rehearsal/$tblQh"))
+      IndexStore.buildQhistIndex(mQh, "grp", "v", tblQh,
+        s"/tmp/graft_rehearsal/$tblQh")
+      val cutsQh = IndexStore.qhistCutoffsFromIndex(spark, tblQh,
+          Seq(500, 900, 990))
+        .agg(sum(col("cutoff"))).head().getLong(0)
+      val secQh = (System.nanoTime() - tqh) / 1e9
+      println(f"""{"q":"qhist_lifecycle","scale":$scale,""" +
+        f""""cut_sum":$cutsQh,"sec":$secQh%.2f}""")
+
       // Distill lifecycle: labeled-feature projection (teacher verdict
       // + hashed presence buckets in one scan, pinned) → 4 full-batch
       // GD steps (each one corpus scan partial-aggregated to ≤257
