@@ -774,4 +774,33 @@ object StreamingIndexIngest {
       () => IndexStore.cmsRegistersFromIndex(spark, table)
         .orderBy("grp", "row_j", "idx"))
   }
+
+  /** Quantile-histogram store instance: per-source token-length
+    * histograms summed per micro-batch under the keyed replay
+    * discipline ([[runCmsIngest]]'s argument verbatim), the finished
+    * store serving permille cutoffs with zero corpus reads. The
+    * oracle is the direct one-shot per-source histogram of the whole
+    * corpus — batch-slicing invariance by the additive algebra. */
+  def runQhistIngest(spark: SparkSession, sfDir: String, workDir: String,
+      table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    def metricOf(d: DataFrame): DataFrame = d.select(col("source"),
+      graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("v"))
+    ingestFrames(spark, docs, workDir, Seq(s"${table}_qregs"), idxPath,
+      (batch, first, batchId) =>
+        if (first) IndexStore.buildQhistIndex(metricOf(batch), "source",
+          "v", table, idxPath, batchKey = batchId)
+        else {
+          IndexStore.appendQhistIndex(metricOf(batch), "source", "v",
+            table, batchId)
+          IndexStore.autoCompact(spark, "qh", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.qhistRegistersFromIndex(spark, table)
+        .orderBy("grp", "bucket"))
+  }
 }
