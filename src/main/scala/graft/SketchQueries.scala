@@ -121,6 +121,16 @@ object SketchQueries {
       graft.functions.TextAnalysis.tokenCount(col("text"))
         .cast("long").as("v"))
 
+  /** Direct per-source token-length histogram of the full corpus —
+    * shared with the streaming maintainer (`sr36`): batch-sliced sums
+    * land exactly here by the additive algebra. */
+  private[graft] val sourceQhistRegistersOracleSql: String =
+    tokenMetricSql +
+      s"""regs AS (${Qhist.registersSql("m", "v",
+           Seq("source" -> "grp"))})
+         |SELECT grp, bucket, cnt FROM regs
+         |ORDER BY grp, bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // The corpus-wide register table itself, oracle-checked value by

@@ -433,6 +433,20 @@ object StreamingQueries {
           s"/tmp/graft_cmsingest/$tag/idx")
       }),
 
+    // The histogram store maintained as a stream: per-source
+    // token-length registers summed per micro-batch under the keyed
+    // replay discipline (sr34's argument verbatim), cutoffs then
+    // servable from the bounded table at any time with zero corpus
+    // reads. Oracle: the direct one-shot per-source histogram.
+    QueryDef("sr36_streaming_qhist",
+      Some(SketchQueries.sourceQhistRegistersOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runQhistIngest(s, dir,
+          s"/tmp/graft_qhingest/$tag", s"graft_sqh_$tag",
+          s"/tmp/graft_qhingest/$tag/idx")
+      }),
+
     // The sketch composed into a streamed CLEANER: boilerplate-line
     // removal per micro-batch against the FROZEN persisted Count-Min
     // store (nightly-sketch stance — register table and threshold
