@@ -69,6 +69,24 @@ class CmsSpec extends SparkSpec {
     assert(subtracted == rebuilt)
   }
 
+  test("per-occurrence withEstimate agrees with the candidate-list estimate") {
+    val items = shingleItems(Tables.load(spark, sf0001, "documents"))
+      .localCheckpoint()
+    val regs = CountMin.registers(items, "item").localCheckpoint()
+    val viaRows = CountMin.withEstimate(items, "item", regs)
+      .select("item", "est").distinct()
+      .as[(String, Long)].collect().toMap
+    val viaCands = CountMin.estimate(regs, items.select("item").distinct())
+      .as[(String, Long)].collect().toMap
+    assert(viaRows == viaCands,
+      "the zero-shuffle projection and the candidate join must serve identical estimates")
+    // and the projection never adds an exchange on the corpus side
+    val plan = CountMin.withEstimate(items, "item", regs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"withEstimate degraded to a shuffle join:\n$plan")
+  }
+
   test("grouped registers roll up: summing per-source sketches gives the global one") {
     val items = shingleItems(Tables.load(spark, sf0001, "documents"))
       .localCheckpoint()
