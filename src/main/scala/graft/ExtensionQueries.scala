@@ -2340,6 +2340,72 @@ object ExtensionQueries {
           .orderBy("keeper_id")
       }),
 
+    // LEAKAGE-PROOF train/test split: the split decision hashes the
+    // near-dup CLUSTER representative, not the document — so a doc and
+    // its near-copies can never straddle train and test (the eval-
+    // contamination mode a per-doc hash split cannot prevent; Lee
+    // et al. 2022 measure exactly this leak). Components ride the
+    // existing one-exchange-per-iteration propagation; docs in no pair
+    // are their own singleton cluster; the split is then a pure
+    // projection on the label. Same bounded planted fixture as
+    // ext_dedup_clusters so the clustering itself stays DuckDB-
+    // verifiable through the recursive min-label CTE.
+    QueryDef("ext_cluster_split",
+      Some("""WITH RECURSIVE
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
+             |  WHERE doc_id < 50 AND doc_id % 5 = 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |        >= 0.6),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT src AS id, src AS label FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+             |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+             |lab AS (
+             |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+             |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id)
+             |SELECT doc_id, component,
+             |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'c'
+             |       THEN 'train' ELSE 'test' END AS split
+             |FROM lab ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir, maxId = Some(50L))
+        val sh = corpus.select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
+        val pairs = sh.alias("a")
+          .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+          .where(Dedup.jaccard(col("a.shingles"), col("b.shingles")) >= 0.6)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val comp = graft.operators.Components.connectedComponents(pairs)
+        corpus.select("doc_id")
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .select(col("doc_id"), col("component"),
+            when(substring(md5(col("component").cast("string")
+                .cast("binary")), 1, 1) <= "c", "train")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      }),
+
     // The production composition of the same step: MinHash+LSH pairs
     // (not SQL-expressible → rows-only) clustered into keeper groups.
     QueryDef("ext_neardup_dedup_e2e", None,

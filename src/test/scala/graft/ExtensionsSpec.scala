@@ -44,4 +44,15 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
   }
+
+  test("cluster split: near-dup copies never straddle the split boundary") {
+    val rows = SparkEntry.queries("ext_cluster_split")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val planted = rows.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty, "fixture planted no near-dups")
+    planted.foreach(p => assert(rows(p) == rows(p - 100000L),
+      s"near-dup pair ${p - 100000L}/$p split across train/test"))
+    // the split is a real partition, not a degenerate one
+    assert(rows.values.toSet == Set("train", "test"))
+  }
 }
