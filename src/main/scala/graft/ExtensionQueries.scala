@@ -2406,6 +2406,29 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // The production form of the leakage-proof split: MinHash+LSH
+    // pairs at corpus scale (not SQL-expressible → rows-only),
+    // components, split by the hash of the label. The co-assignment
+    // invariant is spec-asserted (ExtensionsSpec); the bounded oracle
+    // twin above proves the split rule itself.
+    QueryDef("ext_cluster_split_e2e", None,
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir)
+        val comp = graft.operators.Components.connectedComponents(
+          Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+            threshold = 0.8))
+        corpus.select("doc_id")
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .select(col("doc_id"), col("component"),
+            when(substring(md5(col("component").cast("string")
+                .cast("binary")), 1, 1) <= "c", "train")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      }),
+
     // The production composition of the same step: MinHash+LSH pairs
     // (not SQL-expressible → rows-only) clustered into keeper groups.
     QueryDef("ext_neardup_dedup_e2e", None,

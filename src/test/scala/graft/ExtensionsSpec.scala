@@ -54,5 +54,12 @@ class ExtensionsSpec extends SparkSpec {
       s"near-dup pair ${p - 100000L}/$p split across train/test"))
     // the split is a real partition, not a degenerate one
     assert(rows.values.toSet == Set("train", "test"))
+    // the production (MinHash) form obeys the same co-assignment law
+    val e2e = SparkEntry.queries("ext_cluster_split_e2e")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val plantedE2e = e2e.keys.filter(_ >= 100000L)
+    assert(plantedE2e.nonEmpty)
+    plantedE2e.foreach(p => assert(e2e(p) == e2e(p - 100000L),
+      s"minhash-form near-dup pair ${p - 100000L}/$p split across"))
   }
 }
