@@ -938,7 +938,7 @@ object ExtensionQueries {
   /** Sliced-ablation oracle — shared with the persisted-slice serving
     * form (`ext_source_ablation_persisted`): both must land on exactly
     * the answer the one-pass count-table derivation produces. */
-  private val sourceAblationSlicedOracleSql: String =
+  private def sourceAblationOracleSqlFor(panelSql: String): String =
     s"""WITH tokt AS (
               |  SELECT source,
               |    list_prepend('<s>',
@@ -956,9 +956,7 @@ object ExtensionQueries {
               |  FROM bigt GROUP BY 1, 2),
               |tot AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
               |        FROM sbc GROUP BY 1),
-              |panel AS (
-              |  SELECT unnest(['none','src0','src1','src2','src3','src4'])
-              |    AS held_out),
+              |panel AS ($panelSql),
               |abl AS (
               |  SELECT p.held_out, t.bg, t.cb - coalesce(s.cb, 0) AS cb
               |  FROM panel p CROSS JOIN tot t
@@ -1002,6 +1000,18 @@ object ExtensionQueries {
               |  CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
               |    AS h_milli_tok
               |FROM sce GROUP BY 1 ORDER BY held_out""".stripMargin
+
+  private val sourceAblationSlicedOracleSql: String =
+    sourceAblationOracleSqlFor(
+      "SELECT unnest(['none','src0','src1','src2','src3','src4']) " +
+        "AS held_out")
+
+  /** Full-panel oracle: every source in the corpus held out once —
+    * the panel is DERIVED, not enumerated. */
+  private val sourceAblationFullOracleSql: String =
+    sourceAblationOracleSqlFor(
+      "SELECT 'none' AS held_out UNION ALL " +
+        "SELECT DISTINCT source FROM documents WHERE doc_id % 97 <> 0")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -3596,6 +3606,35 @@ object ExtensionQueries {
           NgramLm.keyedBigramCounts(train0, "source"))
         val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
         val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+        val abl = graft.operators.Ops.checkpointKeepPartitioning(
+          NgramLm.panelAblatedCounts(tot, slices, "source", panel))
+        NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
+          .groupBy("held_out")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
+              + lit(0.5)).cast("long").as("h_milli_tok"))
+          .orderBy("held_out")
+      }),
+
+    // The FULL panel — every source held out once, the panel DERIVED
+    // from the data rather than enumerated. This is the claim of the
+    // one-dataflow form made concrete: going from 6 panel members to
+    // 21 adds rows to three bounded broadcast tables and nothing else
+    // — the corpus is still tokenized exactly once, the eval stream
+    // still crossed once.
+    QueryDef("ext_source_ablation_full",
+      Some(sourceAblationFullOracleSql),
+      (s, dir) => {
+        import s.implicits._
+        val docs = load(s, dir, "documents")
+        val evals = docs.where(col("doc_id") % 97 === 0)
+          .select("doc_id", "text").localCheckpoint()
+        val train0 = docs.where(col("doc_id") % 97 =!= 0)
+        val slices = graft.operators.Ops.checkpointKeepPartitioning(
+          NgramLm.keyedBigramCounts(train0, "source"))
+        val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
+        val panel = "none" +: train0.select("source").distinct()
+          .as[String].collect().sorted.toSeq
         val abl = graft.operators.Ops.checkpointKeepPartitioning(
           NgramLm.panelAblatedCounts(tot, slices, "source", panel))
         NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
