@@ -528,6 +528,32 @@ object ScaleRehearsal {
       println(f"""{"q":"qhist_lifecycle","scale":$scale,""" +
         f""""cut_sum":$cutsQh,"sec":$secQh%.2f}""")
 
+      // Ablation-panel lifecycle: keyed bigram slices (one corpus
+      // tokenize+count), all-source panel models by subtraction, the
+      // one-dataflow keyed scorer over a fixed eval slice. The panel
+      // width is data-derived (grp = doc_id % 4 replicas keep it at
+      // 4 + none), so the slope isolates the corpus pass — the panel
+      // work is bounded-table joins.
+      val tab = System.nanoTime()
+      val trainAb = corpus.where(col("doc_id") % 97 =!= 0)
+        .select((col("doc_id") % 4).cast("string").as("source"),
+          col("text"))
+      val evalAb = corpus.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val slicesAb = Ops.checkpointKeepPartitioning(
+        graft.operators.NgramLm.keyedBigramCounts(trainAb, "source"))
+      val totAb = slicesAb.groupBy("bg").agg(sum(col("cb")).as("cb"))
+      val panelAb = "none" +: (0 to 3).map(_.toString)
+      val ablAb = Ops.checkpointKeepPartitioning(
+        graft.operators.NgramLm.panelAblatedCounts(
+          totAb, slicesAb, "source", panelAb))
+      val hSum = graft.operators.NgramLm
+        .scoreKeyedBigramMillis(ablAb, "held_out", evalAb)
+        .agg(sum(col("h_milli"))).head().getLong(0)
+      val secAb = (System.nanoTime() - tab) / 1e9
+      println(f"""{"q":"ablation_lifecycle","scale":$scale,""" +
+        f""""h_sum":$hSum,"sec":$secAb%.2f}""")
+
       // Distill lifecycle: labeled-feature projection (teacher verdict
       // + hashed presence buckets in one scan, pinned) → 4 full-batch
       // GD steps (each one corpus scan partial-aggregated to ≤257
