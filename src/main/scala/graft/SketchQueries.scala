@@ -363,10 +363,14 @@ object SketchQueries {
         val items = graft.operators.Ops.checkpointKeepPartitioning(
           shingleItems(s, dir))
         val regs = CountMin.registers(items, "item")
-        val cands = items.where(col("doc_id") % 199 === 0)
-          .select("item").distinct()
-        val exact = items.groupBy("item")
-          .agg(count(lit(1)).cast("long").as("exact"))
+        val cands = graft.operators.Ops.checkpointKeepPartitioning(
+          items.where(col("doc_id") % 199 === 0)
+            .select("item").distinct())
+        // exact counts ONLY for the bounded candidate set — a
+        // broadcast restriction before the groupBy, never a
+        // corpus-wide distinct-item aggregation
+        val exact = items.join(broadcast(cands), Seq("item"))
+          .groupBy("item").agg(count(lit(1)).cast("long").as("exact"))
         CountMin.estimate(regs, cands)
           .join(exact, "item")
           .select(col("item"), col("est"), col("exact"),
