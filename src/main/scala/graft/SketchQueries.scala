@@ -6,15 +6,25 @@ import graft.operators.{CountMin, Dedup, Hll, IndexStore, Qhist}
 
 /** Capability registry, batch 8: mergeable SKETCHES — bounded-state
   * summaries a 100 TB corpus can afford to keep per source, per
-  * release, and per stream, answering cardinality questions without
-  * re-shuffling the corpus. First family: HyperLogLog distinct counts
-  * over word shingles (the n-gram space dedup and contamination
-  * already key on). The register computation is integer-exact and
-  * engine-portable ([[graft.operators.Hll]]), so even the SKETCH
-  * CONTENT — not just row counts — is DuckDB-oracle-checked, and the
-  * merge theorem (register-wise max of per-source sketches = sketch of
-  * the union) is proven by hash equality against an oracle that only
-  * ever computes the direct form.
+  * release, and per stream. Three families, each with its register
+  * computation integer-exact and engine-portable so the SKETCH CONTENT
+  * — not just row counts — is DuckDB-oracle-checked:
+  *
+  *   - [[graft.operators.Hll]] — distinct counts; merge by
+  *     register-wise max (union theorem hash-proven against an oracle
+  *     that only computes the direct form), no unlearn by design;
+  *   - [[graft.operators.CountMin]] — frequencies; ADDITIVE registers
+  *     buy exact merge and exact unlearn, the est ≥ exact guarantee
+  *     sits inside the oracle hash, and the per-row estimate
+  *     projection turns "is this line boilerplate-hot" into a scan
+  *     predicate;
+  *   - [[graft.operators.Qhist]] — quantiles; percentile cutoffs from
+  *     a bounded table with a proved coverage guarantee, amortizing
+  *     the per-question 3-pass corpus rank away.
+  *
+  * The families compose ([[SketchQueries]] `ext_sketch_datacard`,
+  * `ext_boilerplate_cms`, `ext_cms_heavy_hitters`, `ext_qhist_gate`)
+  * and persist (index kinds 12/14/15, streams sr31/sr34/sr35/sr36).
   */
 object SketchQueries {
   import Tables.load
