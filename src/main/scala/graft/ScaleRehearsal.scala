@@ -115,6 +115,21 @@ object ScaleRehearsal {
       graft.operators.CountMin.estimate(
         graft.operators.CountMin.registers(wi, "item"),
         wi.select("item").distinct()).collect()
+      // the histogram bucketing/cutoff exprs and the keyed panel
+      // scorer JIT separately from the count kernels
+      val wm = w.select(col("doc_id").cast("string").as("source"),
+        col("text"),
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("v"))
+      graft.operators.Qhist.cutoffs(graft.operators.Qhist.fold(
+        graft.operators.Qhist.registers(wm, "v")), Seq(500)).collect()
+      val wsl = graft.operators.NgramLm.keyedBigramCounts(wm, "source")
+        .localCheckpoint()
+      graft.operators.NgramLm.scoreKeyedBigramMillis(
+        graft.operators.NgramLm.panelAblatedCounts(
+          wsl.groupBy("bg").agg(sum(col("cb")).as("cb")), wsl,
+          "source", Seq("none")),
+        "held_out", w.select("doc_id", "text")).collect()
       val wl = w.select(col("doc_id"),
         graft.operators.Distill.featureBuckets(col("text")).as("buckets"),
         graft.operators.QualityRules.gopherPassColumn(col("text"))
