@@ -117,13 +117,13 @@ object ScaleRehearsal {
         wi.select("item").distinct()).collect()
       // the histogram bucketing/cutoff exprs and the keyed panel
       // scorer JIT separately from the count kernels
-      val wm = w.select(col("doc_id").cast("string").as("source"),
+      val wqm = w.select(col("doc_id").cast("string").as("source"),
         col("text"),
         graft.functions.TextAnalysis.tokenCount(col("text"))
           .cast("long").as("v"))
       graft.operators.Qhist.cutoffs(graft.operators.Qhist.fold(
-        graft.operators.Qhist.registers(wm, "v")), Seq(500)).collect()
-      val wsl = graft.operators.NgramLm.keyedBigramCounts(wm, "source")
+        graft.operators.Qhist.registers(wqm, "v")), Seq(500)).collect()
+      val wsl = graft.operators.NgramLm.keyedBigramCounts(wqm, "source")
         .localCheckpoint()
       graft.operators.NgramLm.scoreKeyedBigramMillis(
         graft.operators.NgramLm.panelAblatedCounts(
