@@ -62,20 +62,29 @@ object StreamingBoilerplate {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CountMin.withEstimate(linesOf(batch), "k", regs)
-          .where(col("k") === "" || col("est") < lit(thr))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_kept"),
-            concat_ws("\n", transform(
-              array_sort(collect_list(struct(col("para_idx"), col("para")))),
-              x => x.getField("para"))).as("clean_text"))
-          .write.mode("append").parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the BatchManifest replay protocol: a replayed COMMITTED
+        // batch is a no-op; an uncommitted one re-derives its clean
+        // byte-identically (the sketch is frozen) and overwrites its
+        // own directory wholesale — append-duplication is impossible
+        if (!BatchManifest.committedIds(sinkDir).contains(batchId)) {
+          CountMin.withEstimate(linesOf(batch), "k", regs)
+            .where(col("k") === "" || col("est") < lit(thr))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).cast("long").as("n_kept"),
+              concat_ws("\n", transform(
+                array_sort(collect_list(struct(col("para_idx"), col("para")))),
+                x => x.getField("para"))).as("clean_text"))
+            .write.mode("overwrite").parquet(s"$sinkDir/b$batchId")
+          BatchManifest.commit(sinkDir, batchId)
+        }
         (): Unit
       }
       .option("checkpointLocation", s"$workDir/ckpt_${System.nanoTime()}")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sinkDir).orderBy("doc_id")
+    BatchManifest.readCommitted(spark, sinkDir)(
+        spark.emptyDataFrame)
+      .orderBy("doc_id")
   }
 }

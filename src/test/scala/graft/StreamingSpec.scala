@@ -1346,4 +1346,29 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch prototype divergence: ${streamed.size} vs ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("streamed boilerplate clean: committed-batch sink, no duplicate docs, batch parity") {
+    val out = SparkEntry.queries("sr35_streaming_boilerplate")(spark, sf0001)
+      .collect()
+    val ids = out.map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(ids.distinct.length == ids.length,
+      "a replayed or torn batch duplicated cleaned docs in the sink")
+    // the sink exposes only committed batch directories
+    val sinkDir = new java.io.File(
+      s"/tmp/graft_boiler/${sf0001.replaceAll("[^a-zA-Z0-9]", "_")}/sink")
+    val bDirs = sinkDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getName.drop(1).toLong).toSet
+    val committed = new java.io.File(sinkDir, "_manifest").listFiles()
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .map(_.getName.toLong).toSet
+    assert(bDirs == committed,
+      s"sink dirs $bDirs diverge from manifest $committed")
+    // equals the batch clean row-for-row (the frozen-sketch argument)
+    val batch = SparkEntry.queries("ext_boilerplate_cms")(spark, sf0001)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq)
+  }
 }
