@@ -318,6 +318,61 @@ object SketchQueries {
           .orderBy("src_a", "src_b")
       }),
 
+    // TIME-WINDOWED sketches — the canonical production use: per-day
+    // register tables over the event stream, so "distinct active
+    // (user, type) pairs over ANY span" is answered by folding the
+    // span's bounded buckets, never by re-scanning events. The span
+    // row is hash-proven equal to the direct sketch of the span (the
+    // merge theorem over time buckets); the exact twin rides along
+    // per row. Honesty note: this fixture's per-day cardinality sits
+    // far below the raw-HLL small-range knee (~2.5·m), so est is
+    // biased low — the VALUE here is the bucket-merge algebra, and
+    // est is deterministic in both engines either way.
+    QueryDef("ext_hll_daily_users",
+      Some(s"""WITH items AS (
+              |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+              |    CAST(user_id AS VARCHAR) || ':' || event_type AS item
+              |  FROM events),
+              |regs AS (${Hll.registersSql("items", "item",
+                 Seq("day" -> "day"))}),
+              |e AS (${Hll.estimateSql("regs", Seq("day"))}),
+              |x AS (SELECT day, CAST(count(DISTINCT item) AS BIGINT)
+              |        AS exact
+              |      FROM items GROUP BY 1),
+              |daily AS (
+              |  SELECT e.day, e.est, x.exact
+              |  FROM e JOIN x USING (day)),
+              |spanregs AS (
+              |  SELECT idx, max(r) AS r FROM regs
+              |  WHERE day <= '2024-01-03' GROUP BY 1),
+              |se AS (${Hll.estimateSql("spanregs")}),
+              |sx AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS exact
+              |       FROM items WHERE day <= '2024-01-03')
+              |SELECT day, est, exact FROM daily
+              |UNION ALL
+              |SELECT 'span..01-03' AS day, se.est, sx.exact
+              |FROM se CROSS JOIN sx
+              |ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          load(s, dir, "events").select(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            concat(col("user_id").cast("string"), lit(":"),
+              col("event_type")).as("item")))
+        val regs = graft.operators.Ops.checkpointKeepPartitioning(
+          Hll.registers(items, "item", Seq("day")))
+        val daily = Hll.estimate(regs, Seq("day"))
+          .join(items.groupBy("day").agg(
+            count_distinct(col("item")).cast("long").as("exact")), "day")
+          .select("day", "est", "exact")
+        val span = Hll.estimate(Hll.fold(
+            regs.where(col("day") <= "2024-01-03").select("idx", "r")))
+          .crossJoin(items.where(col("day") <= "2024-01-03")
+            .agg(count_distinct(col("item")).cast("long").as("exact")))
+          .select(lit("span..01-03").as("day"), col("est"), col("exact"))
+        daily.unionByName(span).orderBy("day")
+      }),
+
     // Persisted sketch store (12th index kind): build on the even-id
     // half, append the odd half, serve per-lang registers from the
     // table — equal to the one-shot direct sketch by the max algebra
