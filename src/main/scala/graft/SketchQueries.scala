@@ -318,6 +318,37 @@ object SketchQueries {
           .orderBy("src_a", "src_b")
       }),
 
+    // Per-doc NOVELTY from the sketch — how much of a document is
+    // text the corpus has never seen elsewhere. The key fact: est ≥
+    // exact always, and every occurring shingle has exact ≥ 1, so
+    // est == 1 PROVES exact == 1 — the sketch answers "globally
+    // unique" one-sidedly but EXACTLY, per row, inside the scan
+    // (collisions can only hide uniqueness, never invent it, so
+    // uniq_lb is a certified lower bound). The per-doc rollup is the
+    // cheap novelty gate that needs no distinct-shingle state.
+    QueryDef("ext_doc_novelty",
+      Some(shingleItemsSql +
+        s"""regs AS (${CountMin.registersSql("items", "item")}),
+           |le AS (${CountMin.withEstimateSql("items", "item",
+             "doc_id")})
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(count(*) FILTER (WHERE est = 1) AS BIGINT) AS uniq_lb,
+           |  CAST(floor(count(*) FILTER (WHERE est = 1) * 1000.0
+           |       / count(*)) AS BIGINT) AS novelty_milli
+           |FROM le GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val items = graft.operators.Ops.checkpointKeepPartitioning(
+          shingleItems(s, dir))
+        val regs = CountMin.registers(items, "item")
+        CountMin.withEstimate(items, "item", regs)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            count(when(col("est") === 1L, 1)).cast("long").as("uniq_lb"),
+            floor(count(when(col("est") === 1L, 1)) * lit(1000.0) /
+              count(lit(1))).cast("long").as("novelty_milli"))
+          .orderBy("doc_id")
+      }),
+
     // TIME-WINDOWED sketches — the canonical production use: per-day
     // register tables over the event stream, so "distinct active
     // (user, type) pairs over ANY span" is answered by folding the

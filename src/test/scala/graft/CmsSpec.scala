@@ -87,6 +87,23 @@ class CmsSpec extends SparkSpec {
       s"withEstimate degraded to a shuffle join:\n$plan")
   }
 
+  test("est == 1 certifies global uniqueness (the novelty lower bound)") {
+    val items = shingleItems(Tables.load(spark, sf0001, "documents"))
+      .localCheckpoint()
+    val regs = CountMin.registers(items, "item").localCheckpoint()
+    val exact = items.groupBy("item").agg(count(lit(1)).as("x"))
+      .as[(String, Long)].collect().toMap
+    val claimed = CountMin.withEstimate(items, "item", regs)
+      .where(col("est") === 1L).select("item").distinct()
+      .as[String].collect()
+    assert(claimed.nonEmpty)
+    claimed.foreach(i => assert(exact(i) == 1L,
+      s"sketch certified '$i' unique but exact=${exact(i)}"))
+    // and the bound is a LOWER bound: some unique items may hide
+    // behind collisions, but the claimed set never exceeds the truth
+    assert(claimed.length <= exact.count(_._2 == 1L))
+  }
+
   test("grouped registers roll up: summing per-source sketches gives the global one") {
     val items = shingleItems(Tables.load(spark, sf0001, "documents"))
       .localCheckpoint()
