@@ -318,33 +318,55 @@ object SketchQueries {
           .orderBy("src_a", "src_b")
       }),
 
-    // Per-doc NOVELTY from the sketch — how much of a document is
-    // text the corpus has never seen elsewhere. The key fact: est ≥
-    // exact always, and every occurring shingle has exact ≥ 1, so
-    // est == 1 PROVES exact == 1 — the sketch answers "globally
-    // unique" one-sidedly but EXACTLY, per row, inside the scan
-    // (collisions can only hide uniqueness, never invent it, so
-    // uniq_lb is a certified lower bound). The per-doc rollup is the
-    // cheap novelty gate that needs no distinct-shingle state.
+    // Per-doc NOVELTY — how much of a document is text the corpus
+    // holds nowhere else: the fraction of its distinct word-8-grams
+    // with corpus document-frequency 1, served from the persisted
+    // shingle-DF table (the 9th index kind — state the span-dedup
+    // pipeline already pays for, co-located on the shingle key).
+    // Deliberately NOT a Count-Min question: est == 1 would certify
+    // uniqueness exactly (overestimates can only hide it), but once
+    // the stream is much larger than the register width every
+    // register holds ≥ 2 and the certificate degenerates to zero —
+    // a fixed-size sketch cannot answer "seen exactly once" at
+    // corpus scale, and the exact DF table can (measured and
+    // documented rather than silently shipping a dead metric).
     QueryDef("ext_doc_novelty",
-      Some(shingleItemsSql +
-        s"""regs AS (${CountMin.registersSql("items", "item")}),
-           |le AS (${CountMin.withEstimateSql("items", "item",
-             "doc_id")})
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-           |  CAST(count(*) FILTER (WHERE est = 1) AS BIGINT) AS uniq_lb,
-           |  CAST(floor(count(*) FILTER (WHERE est = 1) * 1000.0
-           |       / count(*)) AS BIGINT) AS novelty_milli
-           |FROM le GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x <> '') AS t
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+             |  FROM tok, unnest(range(1, len(t) - 6)) AS r(i)
+             |  WHERE len(t) >= 8),
+             |sd AS (SELECT DISTINCT doc_id, s FROM st),
+             |df AS (SELECT s, CAST(count(*) AS BIGINT) AS nd
+             |       FROM sd GROUP BY 1)
+             |SELECT sd.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(count(*) FILTER (WHERE df.nd = 1) AS BIGINT) AS uniq,
+             |  CAST(floor(count(*) FILTER (WHERE df.nd = 1) * 1000.0
+             |       / count(*)) AS BIGINT) AS novelty_milli
+             |FROM sd JOIN df USING (s)
+             |GROUP BY 1 ORDER BY sd.doc_id""".stripMargin),
       (s, dir) => {
-        val items = graft.operators.Ops.checkpointKeepPartitioning(
-          shingleItems(s, dir))
-        val regs = CountMin.registers(items, "item")
-        CountMin.withEstimate(items, "item", regs)
+        val tbl = "graft_nov_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_sdf")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_index/$tbl"))
+        val docs = load(s, dir, "documents").select("doc_id", "text")
+        IndexStore.buildSpanIndex(docs, "doc_id", "text", tbl,
+          s"/tmp/graft_index/$tbl")
+        val sd = graft.operators.SpanDedup.shingleStarts(docs, 8)
+          .select("doc_id", "s").distinct()
+        val df = s.table(s"${tbl}_sdf")
+          .groupBy("s").agg(sum(col("nd")).as("nd"))
+          .where(col("nd") > 0)
+        sd.join(df, "s")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_shingles"),
-            count(when(col("est") === 1L, 1)).cast("long").as("uniq_lb"),
-            floor(count(when(col("est") === 1L, 1)) * lit(1000.0) /
+            count(when(col("nd") === 1L, 1)).cast("long").as("uniq"),
+            floor(count(when(col("nd") === 1L, 1)) * lit(1000.0) /
               count(lit(1))).cast("long").as("novelty_milli"))
           .orderBy("doc_id")
       }),
