@@ -2416,6 +2416,83 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // SOFT dedup — downsample instead of drop: each doc survives with
+    // probability 1/cluster_size, so every near-dup cluster
+    // contributes ~one doc in expectation while which copy survives
+    // stays diverse across clusters (hard keep-one always takes the
+    // min-id; soft dedup is what pipelines use when near-dup copies
+    // carry complementary value). Deterministic hash thinning: keep
+    // iff h52(doc_id) · size < 2^52 — integer arithmetic, no RNG, so
+    // the whole decision table is oracle-hashed. Singletons are
+    // always kept (the inequality is strict-by-margin at size 1).
+    // Same bounded exact-Jaccard fixture as ext_dedup_clusters so the
+    // cluster sizes themselves replay through the recursive CTE.
+    QueryDef("ext_soft_dedup",
+      Some("""WITH RECURSIVE
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
+             |  WHERE doc_id < 50 AND doc_id % 5 = 0),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(range(1, len(toks) - 1),
+             |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |        FROM corpus)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             |        >= 0.6),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT src AS id, src AS label FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+             |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+             |lab AS (
+             |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+             |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),
+             |sized AS (
+             |  SELECT doc_id, component,
+             |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+             |      AS cluster_size
+             |  FROM lab)
+             |SELECT doc_id, component, cluster_size,
+             |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             |         AS BIGINT) * cluster_size < 4503599627370496
+             |       AS INT) AS kept
+             |FROM sized ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir, maxId = Some(50L))
+        val sh = corpus.select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("shingles"))
+        val pairs = sh.alias("a")
+          .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+          .where(Dedup.jaccard(col("a.shingles"), col("b.shingles")) >= 0.6)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val comp = graft.operators.Components.connectedComponents(pairs)
+        val sized = corpus.select("doc_id")
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("component")).cast("long"))
+        sized.select(col("doc_id"), col("component"), col("cluster_size"),
+            (conv(substring(md5(col("doc_id").cast("string")
+                .cast("binary")), 1, 13), 16, 10).cast("long")
+              * col("cluster_size") < lit(4503599627370496L))
+              .cast("int").as("kept"))
+          .orderBy("doc_id")
+      }),
+
     // The production form of the leakage-proof split: MinHash+LSH
     // pairs at corpus scale (not SQL-expressible → rows-only),
     // components, split by the hash of the label. The co-assignment
