@@ -2493,6 +2493,33 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }),
 
+    // Soft dedup at corpus scale: MinHash+LSH pairs (rows-only),
+    // components, the same deterministic 1/cluster_size thinning.
+    // The bounded oracle twin above proves the thinning rule; the
+    // expectation property (~one survivor per cluster, singletons
+    // always kept) is spec-asserted on this form.
+    QueryDef("ext_soft_dedup_e2e", None,
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir)
+        val comp = graft.operators.Components.connectedComponents(
+          Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+            threshold = 0.8))
+        corpus.select("doc_id")
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("component")).cast("long"))
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            (conv(substring(md5(col("doc_id").cast("string")
+                .cast("binary")), 1, 13), 16, 10).cast("long")
+              * col("cluster_size") < lit(4503599627370496L))
+              .cast("int").as("kept"))
+          .orderBy("doc_id")
+      }),
+
     // The production form of the leakage-proof split: MinHash+LSH
     // pairs at corpus scale (not SQL-expressible → rows-only),
     // components, split by the hash of the label. The co-assignment

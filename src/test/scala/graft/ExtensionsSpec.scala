@@ -62,4 +62,17 @@ class ExtensionsSpec extends SparkSpec {
     plantedE2e.foreach(p => assert(e2e(p) == e2e(p - 100000L),
       s"minhash-form near-dup pair ${p - 100000L}/$p split across"))
   }
+
+  test("soft dedup: singletons always kept, planted clusters thinned") {
+    val rows = SparkEntry.queries("ext_soft_dedup_e2e")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // size-1 clusters are provably always kept (h52 < 2^52 strictly)
+    rows.filter(_._2 == 1L).foreach { case (id, _, kept) =>
+      assert(kept == 1, s"singleton $id was thinned") }
+    // multi-doc clusters exist and the thinning actually fires
+    val multi = rows.filter(_._2 > 1L)
+    assert(multi.nonEmpty, "fixture planted no near-dup clusters")
+    assert(multi.exists(_._3 == 0), "no doc was ever thinned")
+  }
 }
