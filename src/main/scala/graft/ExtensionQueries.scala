@@ -2422,9 +2422,14 @@ object ExtensionQueries {
     // stays diverse across clusters (hard keep-one always takes the
     // min-id; soft dedup is what pipelines use when near-dup copies
     // carry complementary value). Deterministic hash thinning: keep
-    // iff h52(doc_id) · size < 2^52 — integer arithmetic, no RNG, so
-    // the whole decision table is oracle-hashed. Singletons are
-    // always kept (the inequality is strict-by-margin at size 1).
+    // iff h52(doc_id) < 2^52 div size (Dedup.softDedupKeep — the
+    // floor-division form; h52·size would overflow 63-bit longs past
+    // size 2^11) — integer arithmetic, no RNG, so the whole decision
+    // table is oracle-hashed. Singletons are always kept (h52 < 2^52
+    // is vacuous). cluster_size is an AGGREGATE joined back, not a
+    // component-partitioned window — a boilerplate mega-cluster stays
+    // a map-side linear rollup plus an AQE-skew-splittable join probe
+    // instead of one hot window task (the qualityKeepers doctrine).
     // Same bounded exact-Jaccard fixture as ext_dedup_clusters so the
     // cluster sizes themselves replay through the recursive CTE.
     QueryDef("ext_soft_dedup",
@@ -2458,14 +2463,15 @@ object ExtensionQueries {
              |lab AS (
              |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
              |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),
+             |sizes AS (
+             |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+             |  FROM lab GROUP BY 1),
              |sized AS (
-             |  SELECT doc_id, component,
-             |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
-             |      AS cluster_size
-             |  FROM lab)
+             |  SELECT l.doc_id, l.component, s.cluster_size
+             |  FROM lab l JOIN sizes s USING (component))
              |SELECT doc_id, component, cluster_size,
              |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-             |         AS BIGINT) * cluster_size < 4503599627370496
+             |         AS BIGINT) < 4503599627370496 // cluster_size
              |       AS INT) AS kept
              |FROM sized ORDER BY doc_id""".stripMargin),
       (s, dir) => {
@@ -2477,19 +2483,17 @@ object ExtensionQueries {
           .where(Dedup.jaccard(col("a.shingles"), col("b.shingles")) >= 0.6)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         val comp = graft.operators.Components.connectedComponents(pairs)
-        val sized = corpus.select("doc_id")
+        val lab = corpus.select("doc_id")
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
             "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"))
-          .withColumn("cluster_size",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy("component")).cast("long"))
-        sized.select(col("doc_id"), col("component"), col("cluster_size"),
-            (conv(substring(md5(col("doc_id").cast("string")
-                .cast("binary")), 1, 13), 16, 10).cast("long")
-              * col("cluster_size") < lit(4503599627370496L))
-              .cast("int").as("kept"))
+        val sizes = lab.groupBy("component")
+          .agg(count(lit(1)).cast("long").as("cluster_size"))
+        lab.join(sizes, "component")
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            Dedup.softDedupKeep(col("doc_id"), col("cluster_size"))
+              .as("kept"))
           .orderBy("doc_id")
       }),
 
@@ -2504,19 +2508,17 @@ object ExtensionQueries {
         val comp = graft.operators.Components.connectedComponents(
           Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
             threshold = 0.8))
-        corpus.select("doc_id")
+        val lab = corpus.select("doc_id")
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
             "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"))
-          .withColumn("cluster_size",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy("component")).cast("long"))
+        val sizes = lab.groupBy("component")
+          .agg(count(lit(1)).cast("long").as("cluster_size"))
+        lab.join(sizes, "component")
           .select(col("doc_id"), col("component"), col("cluster_size"),
-            (conv(substring(md5(col("doc_id").cast("string")
-                .cast("binary")), 1, 13), 16, 10).cast("long")
-              * col("cluster_size") < lit(4503599627370496L))
-              .cast("int").as("kept"))
+            Dedup.softDedupKeep(col("doc_id"), col("cluster_size"))
+              .as("kept"))
           .orderBy("doc_id")
       }),
 
@@ -2744,15 +2746,24 @@ object ExtensionQueries {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         val kept = feat.where(col("lang_pred") === "en" &&
           col("quality") >= 0.45 && col("n_ws_tokens").between(5, 1000))
-        // keeper selection via a partition-only window (min per
-        // fingerprint, NO ordering — stays parallel): one shuffle and
-        // the expensive feature projection runs once, where the
-        // groupBy + self-semi-join form scans and scores twice
-        kept
-          .withColumn("keeper_id", min("doc_id").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
-          .where(col("doc_id") === col("keeper_id"))
-          .select("doc_id", "lang_pred", "quality", "n_ws_tokens")
+        // keeper selection via a struct-min AGGREGATE (min doc_id per
+        // fingerprint with map-side partials), not a fingerprint-
+        // partitioned window: a window is parallel across keys but
+        // buffers each key's rows in ONE task, so a boilerplate
+        // fingerprint with millions of copies becomes a straggler —
+        // the aggregate stays a linear rollup. The min-of-struct
+        // carries the keeper's full output row (doc_id leads, so the
+        // comparison never reaches the payload fields), so the
+        // expensive feature projection still runs exactly once and no
+        // join back is needed (the qualityKeepers doctrine, one pass
+        // further).
+        kept.groupBy("fingerprint")
+          .agg(min(struct(col("doc_id"), col("lang_pred"),
+            col("quality"), col("n_ws_tokens"))).as("k"))
+          .select(col("k.doc_id").as("doc_id"),
+            col("k.lang_pred").as("lang_pred"),
+            col("k.quality").as("quality"),
+            col("k.n_ws_tokens").as("n_ws_tokens"))
           .orderBy("doc_id")
       }),
 
@@ -2869,11 +2880,16 @@ object ExtensionQueries {
         val kept = banded.join(feat, "doc_id")
           .where(col("band") =!= "tail" && col("lang_pred") === "en" &&
             col("quality") >= 0.45)
-        kept
-          .withColumn("keeper_id", min("doc_id").over(
-            Window.partitionBy("fingerprint")))
-          .where(col("doc_id") === col("keeper_id"))
-          .select("doc_id", "lang_pred", "quality", "band", "h_milli_tok")
+        // struct-min aggregate keeper, not a fingerprint-partitioned
+        // window — see ext_curation_pipeline for the hot-key rationale
+        kept.groupBy("fingerprint")
+          .agg(min(struct(col("doc_id"), col("lang_pred"),
+            col("quality"), col("band"), col("h_milli_tok"))).as("k"))
+          .select(col("k.doc_id").as("doc_id"),
+            col("k.lang_pred").as("lang_pred"),
+            col("k.quality").as("quality"),
+            col("k.band").as("band"),
+            col("k.h_milli_tok").as("h_milli_tok"))
           .orderBy("doc_id")
       }),
 

@@ -6,7 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine, not a fixed 4: the full dump is ~300
+    // queries (many rebuilding indexes in-query) and a 4-thread run
+    // can exceed a driver-side timeout — an empty correctness artifact
+    // where the repo gate is green (the round-13 anomaly).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -118,6 +118,15 @@ object CountMin {
     * where [[estimate]] answers for a bounded candidate list. */
   def withEstimate(df: DataFrame, itemCol: String, regs: DataFrame,
       outCol: String = "est"): DataFrame = {
+    // contract: UNGROUPED registers only. A grouped table (e.g. raw
+    // cmsRegistersFromIndex output, which carries grp) holds duplicate
+    // idx rows across groups — the broadcast joins would multiply the
+    // corpus rows and silently corrupt every downstream count. Callers
+    // fold/select to one sketch first.
+    require(regs.columns.toSet == Set("row_j", "idx", "c"),
+      "withEstimate expects ungrouped registers with exactly " +
+        s"(row_j, idx, c); got (${regs.columns.mkString(", ")}) — " +
+        "fold or filter a grouped register table to ONE sketch first")
     val joined = (0 until depth).foldLeft(df) { (acc, j) =>
       acc.withColumn(s"__cms_i$j", idxFor(j, col(itemCol)))
         .join(broadcast(regs.where(col("row_j") === j)

@@ -324,6 +324,29 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Soft-dedup keep decision: keep with probability ~1/cluster_size by
+    * deterministic 52-bit hash thinning — kept iff
+    * `h52(id) < 2^52 div size` (integer FLOOR division). Stated as a
+    * division, not the superficially-equivalent `h52·size < 2^52`: the
+    * multiply form overflows 63-bit longs once size > 2^11 and Spark
+    * wraps silently (often negative, so the comparison passes), which
+    * over-retains exactly the boilerplate mega-clusters soft dedup
+    * exists to thin. Here both comparands stay in [0, 2^52] for ANY
+    * cluster size. Singletons are always kept (h52 ≤ 2^52−1 < 2^52).
+    * The decision is a pure function of (id, size) — no RNG — so the
+    * whole keep table replays through a SQL oracle
+    * (`h < 4503599627370496 // cluster_size` in DuckDB). */
+  def softDedupKeep(id: Column, clusterSize: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h52 = conv(substring(md5(id.cast("string").cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val cut = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(lit(4503599627370496L)),
+      ColumnBridge.expression(clusterSize.cast("long"))))
+    (h52 < cut).cast("int")
+  }
+
   /** Source-PRIORITY dedup keeper: within each exact-duplicate group
     * the copy from the highest-priority source survives (the curated
     * copy beats the crawl copy — the cross-source precedence rule of

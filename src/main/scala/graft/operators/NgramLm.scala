@@ -169,10 +169,17 @@ object NgramLm {
     * price of one scoring pass and ZERO per-model jobs (the per-model
     * loop pays a materialization and three aggregations per member;
     * this pays them once for the whole panel). The caller supplies
-    * `keyedCounts` behind a materialization boundary. */
+    * `keyedCounts` behind a materialization boundary.
+    * `broadcastModel=false` is the beyond-broadcast path: the keyed
+    * count and context tables shuffle-join on their (key, bg/prev)
+    * keys instead of broadcasting P× a web-scale vocabulary. The
+    * panel KEY list and the per-key vocab sizes stay broadcast either
+    * way — both are P rows by construction, so they never outgrow a
+    * broadcast no matter how large the corpus or vocabulary. */
   def scoreKeyedBigramMillis(keyedCounts: DataFrame, keyCol: String,
       docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     val keys = keyedCounts.select(keyCol).distinct()
     val cc = keyedCounts
       .groupBy(col(keyCol), substring_index(col("bg"), " ", 1).as("prev"))
@@ -184,8 +191,8 @@ object NgramLm {
       .groupBy(keyCol).agg((countDistinct(col("t")) + 1).as("vsize"))
     bigrams(docs, idCol, textCol)
       .crossJoin(broadcast(keys))
-      .join(broadcast(keyedCounts), Seq(keyCol, "bg"), "left")
-      .join(broadcast(cc), Seq(keyCol, "prev"), "left")
+      .join(side(keyedCounts), Seq(keyCol, "bg"), "left")
+      .join(side(cc), Seq(keyCol, "prev"), "left")
       .join(broadcast(v), Seq(keyCol), "left")
       .select(col(keyCol), col("doc_id"),
         hMilli(col("cb"), col("cctx"), col("vsize")).as("h_milli"))
@@ -294,15 +301,23 @@ object NgramLm {
     * unsupported, correctly: the "frame" would have to be re-read every
     * micro-batch). The count-table joins are stream-static left joins;
     * the caller pins the model frames (localCheckpoint or a persisted
-    * IndexStore table) so the static side isn't recomputed per batch. */
+    * IndexStore table) so the static side isn't recomputed per batch.
+    * `broadcastModel=false` is the beyond-broadcast path (a web-scale
+    * bigram table is tens of billions of rows): the same stream-static
+    * left joins planned as shuffle joins — legal for a stateless
+    * stream-side-preserved join — with the `<s>` hot probe key
+    * AQE-skew-splittable in batch runs (the build side holds one row
+    * per key, so splitting the probe side is always legal). */
   def scoreBigramsWithVocab(docsOrStream: DataFrame, model: Model,
       vocabSize: Long, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     perDoc(bigrams(docsOrStream, idCol, textCol)
-      .join(broadcast(model.bigramCounts), Seq("bg"), "left")
-      .join(broadcast(model.contextCounts), Seq("prev"), "left")
+      .join(side(model.bigramCounts), Seq("bg"), "left")
+      .join(side(model.contextCounts), Seq("prev"), "left")
       .select(col("doc_id"),
         hMilli(col("cb"), col("cctx"), lit(vocabSize)).as("h_milli")))
+  }
 
   /** Exact CCNet-style tercile banding (head = lowest cross-entropy),
     * without the global sort: [[Ops.withGlobalNtile]] computes the
@@ -367,9 +382,14 @@ object NgramLm {
     * spec pins the tolerance. Every source token exists in the corpus
     * by construction, so q > 0 and no smoothing is needed. Exact
     * cross-engine products require counts within 2^53 — at warehouse
-    * scale swap the grand-total factor to a precomputed double. */
+    * scale swap the grand-total factor to a precomputed double.
+    * `broadcastModel=false` is the beyond-broadcast path: the
+    * vocabulary-sized corpus-token count table shuffle-joins on the
+    * token key instead of broadcasting. The per-source totals and the
+    * 1-row grand total stay broadcast either way — bounded by the
+    * source count, not the vocabulary. */
   def sourceTokenKl(docs: DataFrame, srcCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
     val tok = docs.select(col(srcCol).as("source"),
       explode(cleanTokens(col(textCol))).as("token"))
     // boundary: sc feeds the source totals, the corpus counts, AND the
@@ -381,7 +401,7 @@ object NgramLm {
     val ct = sc.groupBy("token").agg(sum(col("cs")).as("c"))
     val n = ct.agg(sum(col("c")).as("n"))
     sc.join(broadcast(sTot), "source")
-      .join(broadcast(ct), "token")
+      .join(if (broadcastModel) broadcast(ct) else ct, "token")
       .crossJoin(broadcast(n))
       .select(col("source"), col("cs"),
         floor((col("cs") / col("ns")) *

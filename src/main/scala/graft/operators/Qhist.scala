@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *     `CAST(pow(2, b-5) AS BIGINT)`: powers of two are exactly
   *     representable in IEEE doubles through 2^62, so the cast is
   *     exact in both engines.
-  * 63-bit longs land in bucket ≤ 16 + 59·16 + 15 = 975 — the table is
-  * bounded at ~976 rows per group whatever the corpus.
+  * A non-negative long has bit length ≤ 63, so the largest bucket is
+  * 16 + (63−5)·16 + 15 = 959 — the table is bounded at ~960 rows per
+  * group whatever the corpus. Negative inputs violate the contract and
+  * fail loudly in [[registers]] (a silent negative bucket id would
+  * corrupt the histogram and its served bounds).
   *
   * Register algebra: counts — the same commutative group as
   * [[CountMin]], so per-slice histograms merge by ADDITION into the
@@ -50,8 +53,8 @@ import org.apache.spark.sql.functions._
 object Qhist {
   /** Sub-buckets per power-of-two decade (top 5 bits kept). */
   val subBuckets = 16
-  /** Upper bound on bucket ids for 63-bit longs. */
-  val maxBuckets = 976
+  /** Bucket-table size bound for 63-bit longs (max bucket id 959). */
+  val maxBuckets = 960
 
   /** The bucketing as a Spark-SQL/DuckDB-shared expression over a
     * column NAME — `div` is integral in both dialects, so no double
@@ -83,6 +86,16 @@ object Qhist {
       groupCols: Seq[String] = Nil): DataFrame =
     df.select(groupCols.map(col) :+
         col(valueCol).cast("long").as("__qh_v"): _*)
+      // contract enforcement, not a filter: a negative metric would
+      // silently emit a negative bucket id with an inconsistent upper
+      // bound, corrupting the histogram — fail the job loudly instead
+      // (CASE evaluates lazily, so the error fires only on violation)
+      .select(groupCols.map(col) :+
+        when(col("__qh_v") < 0, raise_error(concat(
+            lit("Qhist.registers: negative metric value "),
+            col("__qh_v").cast("string"),
+            lit(s" in column $valueCol (non-negative-long contract)"))))
+          .otherwise(col("__qh_v")).as("__qh_v"): _*)
       .select(groupCols.map(col) :+
         bucketOf("__qh_v").as("bucket"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)

@@ -75,4 +75,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(multi.nonEmpty, "fixture planted no near-dup clusters")
     assert(multi.exists(_._3 == 0), "no doc was ever thinned")
   }
+
+  test("softDedupKeep: mega-clusters thin to ~1 survivor (no 64-bit wrap)") {
+    import spark.implicits._
+    // the corpus-scale case the in-repo fixtures (cluster size 2) never
+    // exercise: a boilerplate cluster of 100k identical pages. The
+    // superseded multiply form (h52·size < 2^52) wraps 63-bit longs
+    // here — often negative, so the comparison passes and the cluster
+    // is over-retained instead of thinned; the floor-division form
+    // keeps both comparands inside [0, 2^52] at ANY size.
+    val n = 100000L
+    val mega = spark.range(n).toDF("doc_id")
+      .withColumn("cluster_size", lit(n))
+    val kept = mega.select(graft.operators.Dedup
+        .softDedupKeep(col("doc_id"), col("cluster_size")).as("kept"))
+      .agg(sum($"kept")).as[Long].head()
+    // E[kept] ≈ 1; Binomial(1e5, 1e-5) puts kept > 10 at ~1e-17
+    assert(kept <= 10L,
+      s"mega-cluster over-retained: $kept of $n kept (expected ~1)")
+    // the failure the fix targets really is there: the multiply form
+    // cannot even evaluate at this size — ANSI (Spark 4 default) kills
+    // the whole job on the first wrapping row, and with ANSI off it
+    // would wrap silently and over-retain. Either way, unusable.
+    val thrown = intercept[Exception] {
+      mega.select(
+          ((conv(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 13), 16, 10).cast("long")
+            * col("cluster_size")) < lit(4503599627370496L))
+            .cast("int").as("kept"))
+        .agg(sum($"kept")).as[Long].head()
+    }
+    assert(thrown.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      Option(thrown.getCause)
+        .exists(_.getMessage.contains("ARITHMETIC_OVERFLOW")),
+      s"expected the multiply form to overflow, got: $thrown")
+    // and singletons are still always kept under the division form
+    val singles = spark.range(1000L).toDF("doc_id")
+      .withColumn("cluster_size", lit(1L))
+    val keptS = singles.select(graft.operators.Dedup
+        .softDedupKeep(col("doc_id"), col("cluster_size")).as("kept"))
+      .agg(sum($"kept")).as[Long].head()
+    assert(keptS == 1000L, s"thinned a singleton: $keptS of 1000 kept")
+  }
 }

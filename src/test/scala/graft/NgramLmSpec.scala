@@ -318,4 +318,71 @@ class NgramLmSpec extends SparkSpec {
     assert(keyed(heldOut) == wantHeld)
     assert(keyed("none") == wantFull)
   }
+
+  test("beyond-broadcast flag: vocab/keyed/KL paths agree both ways, plans route") {
+    // a web-corpus bigram table is tens of billions of rows — far past
+    // any broadcast. Every model-table join needs a shuffle form, same
+    // integers (the Tfidf broadcastVocab / Contamination broadcastEval
+    // precedent). Values first, then the plans.
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val train = corpus.where($"doc_id" % 10 < 8)
+    val evals = corpus.where($"doc_id" % 10 >= 8).select("doc_id", "text")
+    val model = NgramLm.train(train)
+    val vsize = model.vocabSize.as[Long].head()
+
+    val v1 = NgramLm.scoreBigramsWithVocab(evals, model, vsize)
+      .orderBy("doc_id").collect().toSeq
+    val slices = graft.operators.Ops.checkpointKeepPartitioning(
+      NgramLm.keyedBigramCounts(train, "source"))
+    val tot = slices.groupBy("bg").agg(sum($"cb").as("cb"))
+    val heldOut = train.select("source").distinct()
+      .as[String].collect().sorted.head
+    val abl = graft.operators.Ops.checkpointKeepPartitioning(
+      NgramLm.panelAblatedCounts(tot, slices, "source",
+        Seq("none", heldOut)))
+    val v2 = NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
+      .orderBy("held_out", "doc_id", "h_milli").collect().toSeq
+    val v3 = NgramLm.sourceTokenKl(corpus).collect().toSeq
+    noBroadcast {
+      assert(NgramLm.scoreBigramsWithVocab(evals, model, vsize,
+          broadcastModel = false)
+        .orderBy("doc_id").collect().toSeq == v1)
+      assert(NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals,
+          broadcastModel = false)
+        .orderBy("held_out", "doc_id", "h_milli").collect().toSeq == v2)
+      assert(NgramLm.sourceTokenKl(corpus, broadcastModel = false)
+        .collect().toSeq == v3)
+      // with broadcasts off (the at-scale stand-in), the vocab scorer
+      // must plan WITHOUT any broadcast join — its only joins are the
+      // two model tables, so no hint may survive to force a 10-TB
+      // build side through the driver
+      val vocabPhys = NgramLm.scoreBigramsWithVocab(evals, model, vsize,
+          broadcastModel = false)
+        .queryExecution.executedPlan.toString
+      assert(!vocabPhys.contains("BroadcastHashJoin"),
+        s"flag=false still broadcasts a model table:\n$vocabPhys")
+      assert(vocabPhys.contains("SortMergeJoin") ||
+        vocabPhys.contains("ShuffledHashJoin"),
+        s"flag=false lost its shuffle join:\n$vocabPhys")
+      // the KL and keyed scorers keep ONLY their bounded broadcasts
+      // (per-source totals / the P-row key list and vocab sizes); the
+      // vocabulary-sized count joins must shuffle
+      Seq(
+        NgramLm.sourceTokenKl(corpus, broadcastModel = false),
+        NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals,
+          broadcastModel = false))
+        .foreach { df =>
+          val phys = df.queryExecution.executedPlan.toString
+          assert(phys.contains("SortMergeJoin") ||
+            phys.contains("ShuffledHashJoin"),
+            s"flag=false lost its shuffle join:\n$phys")
+        }
+    }
+    // and flag=true still forces the broadcast even under tiny inputs
+    val hinted = NgramLm.scoreBigramsWithVocab(evals, model, vsize)
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("BroadcastHashJoin"),
+      s"flag=true lost the broadcast hint:\n$hinted")
+  }
 }

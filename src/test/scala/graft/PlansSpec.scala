@@ -271,6 +271,38 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("soft-dedup and keeper plans carry no hot-key window") {
+    // cluster_size / keeper selection must be an aggregate (+ join),
+    // never a count/min over Window.partitionBy(component|fingerprint):
+    // a partitioned window is parallel ACROSS keys but buffers each
+    // key's rows in ONE task, so a boilerplate mega-cluster becomes a
+    // straggler exactly where soft dedup has the most work. Aggregates
+    // take map-side partials and the join back is AQE-skew-splittable.
+    // These three plans contain no Window node at all.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("ext_soft_dedup", "ext_soft_dedup_e2e",
+        "ext_curation_pipeline")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.isEmpty,
+        s"$name grew a window (hot-key funnel):\n${windows.mkString("\n")}")
+    }
+    // ccnet legitimately keeps the 3-pass banding machinery's windows,
+    // which partition by the INTERNAL bounded bucket key — but no
+    // window may partition by a data key (the old fingerprint keeper)
+    val ccnet = SparkEntry.queries("ext_ccnet_pipeline")(spark, sf0001)
+    ccnet.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"global window in ccnet:\n$w")
+        w.partitionSpec.flatMap(_.references).foreach(a =>
+          assert(a.name.startsWith("__"),
+            s"ccnet window partitioned by data key '${a.name}' " +
+              s"(hot-key funnel):\n$w"))
+      }
+  }
+
   test("curriculum manifest: competence property holds and every window partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = SparkEntry.queries("ext_training_manifest_curriculum")(
