@@ -938,8 +938,16 @@ object ExtensionQueries {
   /** Sliced-ablation oracle — shared with the persisted-slice serving
     * form (`ext_source_ablation_persisted`): both must land on exactly
     * the answer the one-pass count-table derivation produces. */
-  private def sourceAblationOracleSqlFor(panelSql: String): String =
-    s"""WITH tokt AS (
+  /** The sliced-ablation panel as a reusable CTE CHAIN ending at
+    * `abres(held_out, n_bigrams, h_milli_tok)` — `trainFrom` must
+    * provide (source, text) rows, `evalFrom` (doc_id, text) rows; both
+    * are raw FROM-tails so a caller can splice the chain over the
+    * capstone's `corpus`/`evals` CTEs as easily as over `documents`.
+    * Shared by the standalone ablation oracles and the
+    * ablation-budgeted corpus build. */
+  private def sourceAblationCtes(trainFrom: String, evalFrom: String,
+      panelSql: String): String =
+    s"""tokt AS (
               |  SELECT source,
               |    list_prepend('<s>',
               |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
@@ -947,7 +955,7 @@ object ExtensionQueries {
               |           ELSE string_split_regex(
               |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
               |      END) AS toks
-              |  FROM documents WHERE doc_id % 97 <> 0),
+              |  FROM $trainFrom),
               |bigt AS (
               |  SELECT source, toks[i] || ' ' || toks[i+1] AS bg
               |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
@@ -981,7 +989,7 @@ object ExtensionQueries {
               |           ELSE string_split_regex(
               |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
               |      END) AS toks
-              |  FROM documents WHERE doc_id % 97 = 0),
+              |  FROM $evalFrom),
               |bige AS (
               |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
               |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
@@ -995,11 +1003,38 @@ object ExtensionQueries {
               |  LEFT JOIN abl ab ON ab.held_out = p.held_out AND ab.bg = e.bg
               |  LEFT JOIN acc ac ON ac.held_out = p.held_out
               |    AND ac.prev = e.prev
-              |  JOIN av v ON v.held_out = p.held_out)
-              |SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
-              |  CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
-              |    AS h_milli_tok
-              |FROM sce GROUP BY 1 ORDER BY held_out""".stripMargin
+              |  JOIN av v ON v.held_out = p.held_out),
+              |abres AS (
+              |  SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |    CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
+              |      AS h_milli_tok
+              |  FROM sce GROUP BY 1)""".stripMargin
+
+  private def sourceAblationOracleSqlFor(panelSql: String): String =
+    "WITH " + sourceAblationCtes(
+      "documents WHERE doc_id % 97 <> 0",
+      "documents WHERE doc_id % 97 = 0", panelSql) +
+      "\nSELECT held_out, n_bigrams, h_milli_tok FROM abres ORDER BY held_out"
+
+  /** Budget CTEs for the ablation-driven capstone: the panel chain over
+    * the capstone's own `corpus`/`evals`, the delta-vs-full excess
+    * (named `dm_ex2` so the shared EG CTEs consume it unchanged), the
+    * unrolled EG loop, then the pool split. */
+  private def ablationBudgetCtes(pool: Long): String =
+    sourceAblationCtes("corpus", "evals",
+      "SELECT 'none' AS held_out UNION ALL SELECT DISTINCT source FROM corpus") +
+      ",\n" +
+      """ab_full AS (
+        |  SELECT h_milli_tok AS full_milli FROM abres
+        |  WHERE held_out = 'none'),
+        |dm_ex2 AS (
+        |  SELECT r.held_out AS source,
+        |    greatest(CAST(0 AS BIGINT), r.h_milli_tok - f.full_milli)
+        |      AS excess_milli
+        |  FROM abres r CROSS JOIN ab_full f
+        |  WHERE r.held_out <> 'none')""".stripMargin + ",\n" +
+      SelectionQueries.doremiEgCtes(5, 200000L, 100000L) + ",\n" +
+      s"w(source, budget) AS (SELECT source, (w * $pool) // 1000000 AS budget FROM dm_w5)"
 
   private val sourceAblationSlicedOracleSql: String =
     sourceAblationOracleSqlFor(
@@ -3544,6 +3579,38 @@ object ExtensionQueries {
         val budgets = graft.operators.Doremi.budgets(
           graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
           2000L)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+          .attribution.orderBy("doc_id")
+      }),
+
+    // The capstone with ABLATION-learned budgets — the "which source
+    // actually HELPS" composition: the leave-one-source-out panel
+    // (ext_source_ablation_full's one-dataflow machinery) measures each
+    // source's marginal value on the frozen eval set, excess_milli(s) =
+    // max(0, h(without s) − h(full)), and THAT delta drives the same EG
+    // loop and pool split as the DoReMi twin. Where ext_corpus_build_
+    // doremi upweights what a domain-fit model proves LEARNABLE, this
+    // form upweights what the rest of the corpus cannot REPLACE — a
+    // redundant source's clone elsewhere zeroes its delta, and a source
+    // whose removal *improves* the eval clips to 0 like a noise-floor
+    // domain. The oracle chains the ablation CTEs over the capstone's
+    // own corpus/evals into the shared dm_ EG CTEs, so the whole
+    // ablate→learn→budget→build path is one hash-checked query. Same
+    // deliberately tight 2k pool as the DoReMi twins (a budget ledger
+    // that never says 'budget' is vacuous).
+    QueryDef("ext_corpus_build_ablation",
+      Some(corpusBuildCtes(budgetCte = Some(ablationBudgetCtes(2000L))) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, _) = corpusBuildFixture(s, dir)
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.ablationWeights(corpus, evals), 2000L)
         graft.operators.CorpusBuild.build(corpus, evals, budgets)
           .attribution.orderBy("doc_id")
       }),

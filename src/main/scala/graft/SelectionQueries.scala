@@ -589,8 +589,9 @@ object SelectionQueries {
       |  FROM dm_ex)""".stripMargin
 
   /** The EG loop, unrolled one CTE pair per step over whatever
-    * prelude defined `dm_ex2`. */
-  private def doremiEgCtes(steps: Int, etaMicro: Long,
+    * prelude defined `dm_ex2` — package-visible so the
+    * ablation-budgeted capstone splices it over its own excess CTE. */
+  private[graft] def doremiEgCtes(steps: Int, etaMicro: Long,
       smoothMicro: Long): String = {
     val stepCtes = (1 to steps).map { i =>
       s"""dm_u$i AS (

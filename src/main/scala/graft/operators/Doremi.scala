@@ -194,6 +194,58 @@ object Doremi {
       ((col("w_micro") * lit(totalTokens)) / lit(1000000L))
         .cast("long").as("budget"))
 
+  /** Ablation-driven mixture weights — the leave-one-source-out panel
+    * as the EG loop's excess signal: excess_milli(s) = max(0,
+    * h(without s) − h(full)) on a FROZEN eval set, i.e. how much the
+    * corpus-trained model degrades when source s is removed — the
+    * source's MEASURED marginal value, where [[weights]] uses the
+    * own-model learnability floor (a source can be easy to fit yet
+    * contribute nothing the rest of the corpus doesn't already carry;
+    * the ablation delta catches exactly that). Output: (source,
+    * n_bigrams, abl_milli, full_milli, excess_milli, w_micro) ordered
+    * by source, ready for [[budgets]].
+    *
+    * Scale shape — the ablation panel discipline unchanged
+    * ([[NgramLm.panelAblatedCounts]]): ONE corpus count pass builds the
+    * keyed slices, every panel model is a vocabulary-sized join of the
+    * totals against its slice, the eval stream crosses the bounded
+    * panel once, and the EG loop runs on #sources rows driver-side.
+    * Going from 6 sources to 600 adds rows to bounded tables only. */
+  def ablationWeights(train: DataFrame, evals: DataFrame,
+      cfg: Config = Config(), srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val slices = Ops.checkpointKeepPartitioning(
+      NgramLm.keyedBigramCounts(train, srcCol, textCol))
+    val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
+    val panel = "none" +: train.select(srcCol).distinct()
+      .as[String].collect().sorted.toSeq
+    val abl = Ops.checkpointKeepPartitioning(
+      NgramLm.panelAblatedCounts(tot, slices, srcCol, panel))
+    val perHeld = NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals,
+        textCol = textCol)
+      .groupBy("held_out")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        floor(sum(col("h_milli")) * lit(1.0) / count(lit(1)) + lit(0.5))
+          .cast("long").as("h_milli_tok"))
+      .localCheckpoint() // bounded: one row per panel member
+    val full = perHeld.where(col("held_out") === "none")
+      .select(col("h_milli_tok").as("full_milli"))
+    val sig = perHeld.where(col("held_out") =!= "none")
+      .crossJoin(broadcast(full))
+      .select(col("held_out").as("source"), col("n_bigrams"),
+        col("h_milli_tok").as("abl_milli"), col("full_milli"),
+        greatest(lit(0L), col("h_milli_tok") - col("full_milli"))
+          .as("excess_milli"))
+      .localCheckpoint() // bounded (#sources); feeds collect + join
+    val ex = sig.select("source", "excess_milli").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val w = egWeights(ex, cfg)
+    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+      .orderBy("source")
+  }
+
   /** Per-domain signals from a per-(source, bigram) COUNT table alone
     * — no text, no corpus re-read: (source, n_bigrams, ref_milli,
     * own_milli, excess_milli) with the means per BIGRAM INSTANCE

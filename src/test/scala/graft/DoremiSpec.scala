@@ -112,4 +112,41 @@ class DoremiSpec extends SparkSpec {
       assert(bud(r.getString(0)) == expect)
     }
   }
+
+  test("ablationWeights: irreplaceable source upweighted, clones symmetric") {
+    // 'uniq' owns vocabulary the eval set needs; 'red1'/'red2' are
+    // verbatim clones of each other. Removing a clone leaves its twin's
+    // counts standing (tiny smoothing shift only); removing 'uniq'
+    // drops the eval's qq/rr bigrams to the smoothing floor — the
+    // marginal-value signal the own-model floor (weights) cannot see:
+    // all three sources are equally LEARNABLE.
+    val train = Seq(
+      ("uniq", "qq rr qq rr qq rr qq rr"),
+      ("uniq", "rr qq rr qq rr qq"),
+      ("red1", "aa bb aa bb aa bb aa bb"),
+      ("red2", "aa bb aa bb aa bb aa bb"))
+      .toDF("source", "text")
+    val evals = Seq((1L, "qq rr qq rr qq"), (2L, "aa bb aa bb aa"))
+      .toDF("doc_id", "text")
+    val got = Doremi.ablationWeights(train, evals).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("abl_milli"), r.getAs[Long]("full_milli"),
+          r.getAs[Long]("excess_milli"), r.getAs[Long]("w_micro"))).toMap
+    assert(got.keySet == Set("uniq", "red1", "red2"))
+    // clones are exactly symmetric (identical slices → identical
+    // ablated models → identical integers), and far below 'uniq'
+    assert(got("red1") == got("red2"),
+      s"clone symmetry broke: ${got("red1")} vs ${got("red2")}")
+    assert(got("uniq")._3 > got("red1")._3 * 3L / 2L,
+      s"irreplaceable source's excess must dominate: $got")
+    assert(got("uniq")._4 > got("red1")._4,
+      s"irreplaceable source must be upweighted: $got")
+    // removing 'uniq' strictly hurts the eval vs the full model
+    assert(got("uniq")._1 > got("uniq")._2)
+    // and the whole thing is bit-deterministic
+    val again = Doremi.ablationWeights(train, evals).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+      .toMap
+    got.foreach { case (s, (_, _, _, w)) => assert(again(s) == w) }
+  }
 }
