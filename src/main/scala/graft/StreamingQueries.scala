@@ -447,6 +447,25 @@ object StreamingQueries {
           s"/tmp/graft_qhingest/$tag/idx")
       }),
 
+    // Streaming CLUSTER MAINTENANCE — the clustering family's
+    // forever-sync: each micro-batch probes the growing MinHash index
+    // for cross-batch near-dup edges, collapses labeled endpoints to
+    // their current components, runs connected components on the
+    // batch-bounded touched graph, and lands one labels delta plus a
+    // flat remap snapshot (never a history rewrite). The maintained
+    // labels serve the streamed soft-dedup and cluster-split decisions
+    // (cluster_size as aggregate+join). Rows-only (banded LSH, the
+    // ext_soft_dedup_e2e stance); batch parity — labels after N
+    // batches ≡ one-shot components over the union — and the crash/
+    // replay drill are pinned in StreamingSpec.
+    QueryDef("sr37_streaming_clusters", None,
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.streaming.StreamingClusters.run(s, dir,
+          s"/tmp/graft_sclusters/$tag", s"graft_scl_$tag",
+          s"/tmp/graft_sclusters/$tag/idx")
+      }),
+
     // The sketch composed into a streamed CLEANER: boilerplate-line
     // removal per micro-batch against the FROZEN persisted Count-Min
     // store (nightly-sketch stance — register table and threshold

@@ -851,6 +851,83 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming clusters: labels after N batches equal one-shot components over the union") {
+    import graft.streaming.StreamingClusters
+    val work = s"/tmp/graft_sclusters_spec/${System.nanoTime()}"
+    val tbl = s"graft_scl_spec_${System.nanoTime()}"
+    val got = StreamingClusters.run(spark, sf0001, work, tbl, s"$work/idx")
+      .collect().map(_.toSeq).toSeq
+    // the one-shot reference: components over the union's pair list,
+    // then the same soft-dedup / cluster-split serving (the
+    // ext_soft_dedup_e2e + ext_cluster_split_e2e composition)
+    val corpus = StreamingClusters.plantedCorpus(spark, sf0001)
+    val comp = graft.operators.Components.connectedComponents(
+      graft.operators.Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.8))
+    val lab = corpus.select("doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val sizes = lab.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    val expected = lab.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        graft.operators.Dedup.softDedupKeep(col("doc_id"),
+          col("cluster_size")).as("kept"),
+        when(substring(md5(col("component").cast("string")
+            .cast("binary")), 1, 1) <= "c", "train")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expected, "streamed labels/decisions diverged from the one-shot build")
+    // the parity is value-bearing: a merge genuinely crossed a batch
+    // boundary (the planted twin ids land in a later range batch than
+    // their originals)
+    assert(got.exists(r => r(1).asInstanceOf[Long] < 100000L &&
+      r(0).asInstanceOf[Long] >= 100000L),
+      "no cross-batch merge fired — fixture degenerate")
+  }
+
+  test("streaming clusters: crash before commit is invisible, replay byte-identical, committed replay no-op") {
+    import graft.streaming.StreamingClusters
+    val base = s"/tmp/graft_sclusters_spec/replay_${System.nanoTime()}"
+    val corpus = StreamingClusters.plantedCorpus(spark, sf0001)
+      .localCheckpoint()
+    val b0 = corpus.where(col("doc_id") < 100000)
+    val b1 = corpus.where(col("doc_id") >= 100000)
+    def decisions(state: String) =
+      StreamingClusters.servedDecisions(spark, state)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the clean, never-crashed run is the reference
+    val tblC = s"graft_sclr_c_${System.nanoTime()}"
+    StreamingClusters.processBatch(b0, 0L, tblC, s"$base/clean/idx",
+      s"$base/clean/state")
+    StreamingClusters.processBatch(b1, 1L, tblC, s"$base/clean/idx",
+      s"$base/clean/state")
+    val expected = decisions(s"$base/clean/state")
+    // crashed run: batch 1 runs FULLY (index append + both state
+    // writes) but dies before the manifest commit
+    val tblX = s"graft_sclr_x_${System.nanoTime()}"
+    StreamingClusters.processBatch(b0, 0L, tblX, s"$base/crash/idx",
+      s"$base/crash/state")
+    StreamingClusters.processBatch(b1, 1L, tblX, s"$base/crash/idx",
+      s"$base/crash/state", commit = false)
+    // uncommitted state is invisible to readers — no torn labels
+    assert(decisions(s"$base/crash/state")
+      .forall(r => r(0).asInstanceOf[Long] < 100000L),
+      "uncommitted batch leaked into the served labels")
+    // replay reprocesses against the ALREADY-APPENDED index (duplicate
+    // band rows only duplicate edges — components don't care) and
+    // overwrites the state wholesale
+    StreamingClusters.processBatch(b1, 1L, tblX, s"$base/crash/idx",
+      s"$base/crash/state")
+    assert(decisions(s"$base/crash/state") == expected,
+      "post-crash replay diverged from the never-crashed run")
+    // a replayed COMMITTED batch short-circuits on its manifest entry
+    StreamingClusters.processBatch(b1, 1L, tblX, s"$base/crash/idx",
+      s"$base/crash/state")
+    assert(decisions(s"$base/crash/state") == expected)
+  }
+
   test("streaming venn: uncommitted batches invisible, committed replay a no-op") {
     import graft.streaming.StreamingVenn
     val work = s"/tmp/graft_svenn_spec/${System.nanoTime()}"
