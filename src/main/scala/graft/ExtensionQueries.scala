@@ -125,6 +125,40 @@ object ExtensionQueries {
       |  FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)""".stripMargin +
       (if (moreCtes) ",\n" else "\n") + tail
   }
+  /** CHAR-granularity twin of [[repeatedSpanSql]]: tokens are the
+    * characters of the whitespace-normalized lowercase text
+    * (DuckDB's `string_split(s, '')` ≡ Spark's empty-pattern split
+    * with the trailing-empty filtered), windows of 40 chars winnowed
+    * with guarantee 20 — the [[graft.operators.Dedup
+    * .charWinnowedFingerprints]] defaults, replayed verbatim. */
+  private def charSpanSql(tail: String): String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, ' ' || text || '  ' FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '') AS t
+      |  FROM corpus),
+      |hk AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t) - 38),
+      |      p -> md5(array_to_string(t[p : p + 39], ' ')) || ':' || lpad(CAST(p AS VARCHAR), 10, '0')) AS hk
+      |  FROM toks WHERE len(t) >= 40),
+      |sel AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(1, len(hk) - 19) + 1),
+      |      q -> list_min(hk[q : q + 19])))) AS selkey
+      |  FROM hk),
+      |w AS (
+      |  SELECT doc_id, CAST(substr(selkey, 34, 10) AS BIGINT) AS win_start,
+      |         substr(selkey, 1, 32) AS fp
+      |  FROM sel),
+      |heavy AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS n_docs
+      |  FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+      |""".stripMargin + tail
+
   /** Shared oracle for the one-shot AND incremental probe queries:
     * integer moments are additive, so fold-in + unlearn must equal the
     * one-shot fit bit-for-bit — one SQL checks every composition (the
@@ -1086,6 +1120,23 @@ object ExtensionQueries {
           |FROM w JOIN heavy USING (fp)
           |ORDER BY doc_id, win_start, fp""".stripMargin)),
       (s, dir) => Dedup.repeatedWindowSpans(
+          docsWithExactDups(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "win_start", "fp")),
+
+    // The CHAR-granularity form of the same signal — ExactSubstr for
+    // scripts without whitespace word boundaries and for repeats cut
+    // mid-word: windows slide over the normalized CHAR stream, so any
+    // ≥59-char verbatim repeat shares a selected fingerprint wherever
+    // word boundaries fall (the word form above needs ≥29 whole
+    // tokens). Same winnow kernel, fully oracle-checked; the
+    // word-form-misses/char-form-catches recall gap is pinned in
+    // DedupSpec on planted mid-word and whitespace-free dups.
+    QueryDef("ext_crossdoc_char_spans",
+      Some(charSpanSql(
+        """SELECT w.doc_id, w.win_start, w.fp, heavy.n_docs
+          |FROM w JOIN heavy USING (fp)
+          |ORDER BY doc_id, win_start, fp""".stripMargin)),
+      (s, dir) => Dedup.charRepeatedWindowSpans(
           docsWithExactDups(s, dir), "doc_id", "text")
         .orderBy("doc_id", "win_start", "fp")),
 

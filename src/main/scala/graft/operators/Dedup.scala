@@ -425,6 +425,63 @@ object Dedup {
         expr("substr(selkey, 1, 32)").as("fp"))
   }
 
+  /** CHAR-granularity winnowed fingerprints: (id, win_start, fp) with
+    * windows sliding over the CHARACTERS of the whitespace-normalized
+    * lowercase text (runs of whitespace collapse to one space, so
+    * formatting variants share a char stream) — win_start is a 1-based
+    * CHAR position. This closes the word-k-gram cover's gap for
+    * scripts without whitespace word boundaries (where the word form
+    * sees one giant token and selects nothing) and for repeats whose
+    * boundaries cut words mid-token: any verbatim repeat of
+    * ≥ window+guarantee−1 normalized chars shares a selected
+    * fingerprint REGARDLESS of where word boundaries fall — the
+    * char-granularity approximation of Lee et al.'s suffix-array
+    * ExactSubstr (arXiv:2107.06499), over the SAME native winnow
+    * kernel ([[graft.functions.Winnow.winnowedKeys]]: single-char
+    * tokens make the space-joined window encoding injective, so no new
+    * hashing path). Positions are UTF-16 code units on the Spark side
+    * and code points in the DuckDB twin — identical for the BMP text
+    * the fixtures carry; a surrogate-heavy corpus should normalize
+    * first. Defaults: window=40 chars, guarantee=20 → any ≥59-char
+    * verbatim repeat is guaranteed a shared fingerprint (≈ a 10-word
+    * sentence, the same detection floor as the word form's 29 tokens
+    * scaled to char density). */
+  def charWinnowedFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 40, guarantee: Int = 20): DataFrame = {
+    require(window > 0 && guarantee > 0,
+      s"window=$window guarantee=$guarantee")
+    requireIdColFree(idCol, Seq("t", "selkey", "win_start", "fp"),
+      "charWinnowedFingerprints")
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    docs
+      // split("") leaves a trailing empty element (Java regex split
+      // semantics); the filter drops it so the char array matches
+      // DuckDB's string_split(s, '') exactly
+      .select(col(idCol), filter(split(norm, ""), t => t =!= "").as("t"))
+      .where(size(col("t")) >= window)
+      .select(col(idCol),
+        explode(graft.functions.Winnow.winnowedKeys(col("t"), window,
+          guarantee)).as("selkey"))
+      .select(col(idCol),
+        expr("cast(substr(selkey, 34, 10) as bigint)").as("win_start"),
+        expr("substr(selkey, 1, 32)").as("fp"))
+  }
+
+  /** [[repeatedWindowSpans]] at CHAR granularity — same heavy-
+    * fingerprint aggregation and flag-back join over
+    * [[charWinnowedFingerprints]], same scale shape (one materialized
+    * fingerprint pass, broadcast-or-salted heavy join). */
+  def charRepeatedWindowSpans(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 40, guarantee: Int = 20,
+      minDocs: Int = 2, broadcastHeavy: Boolean = true,
+      nSalts: Int = 8): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    spansFromWins(
+      checkpointKeepPartitioning(charWinnowedFingerprints(
+        docs.repartition(par), idCol, textCol, window, guarantee)),
+      idCol, minDocs, broadcastHeavy, nSalts)
+  }
+
   /** Expression-tree twin of [[graft.functions.Winnow.winnowedKeys]] —
     * parity reference (interpreted HOFs; DedupSpec pins equality).
     * Caller must pre-filter `size(toks) >= window` — Spark's

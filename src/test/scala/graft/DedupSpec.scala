@@ -715,4 +715,43 @@ class DedupSpec extends SparkSpec {
     assert(spans.count() > 0)
   }
 
+  test("char-level winnow catches mid-word and whitespace-free repeats the word form misses") {
+    import spark.implicits._
+    // pair A shares a 67-char run of whole words GLUED MID-WORD into
+    // different contexts (the boundary words fuse with their hosts);
+    // pair B shares a 72-char run with NO whitespace at all. The word
+    // form can't see either: every doc here is under its 20-token
+    // window floor (pair B is literally one token per doc), which is
+    // exactly the non-whitespace-script gap the char form closes.
+    val sharedW = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val sharedC = "thequickbrownfoxjumpsoverthelazydogandkeepsrunningpastthebarnuntilsunset"
+    val docs = Seq(
+      (1L, "xxprefix" + sharedW + "suffixzz"),
+      (2L, "yyother" + sharedW + "tailyy"),
+      (3L, "kkk" + sharedC + "mmm"),
+      (4L, "qqq" + sharedC + "ppp")).toDF("doc_id", "text")
+    val word = graft.operators.Dedup.repeatedWindowSpans(
+      docs, "doc_id", "text")
+    assert(word.isEmpty,
+      "the word form unexpectedly sees the planted dups — gap fixture broken")
+    // both shared runs exceed the 59-char guarantee floor
+    // (window 40 + guarantee 20 − 1), so the char form MUST flag every
+    // planted doc — the recall guarantee, not a probabilistic hope
+    val flagged = graft.operators.Dedup.charRepeatedWindowSpans(
+        docs, "doc_id", "text")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L, 3L, 4L),
+      s"char form missed planted ≥59-char repeats: flagged=$flagged")
+    // and the pairs share actual fingerprint VALUES pairwise (the
+    // cross-doc evidence, not just per-doc activity)
+    val fps = graft.operators.Dedup.charWinnowedFingerprints(
+        docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(3L) intersect fps(4L)).nonEmpty)
+    // disjoint pairs don't cross-link
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
 }
