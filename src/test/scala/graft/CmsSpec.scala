@@ -121,4 +121,21 @@ class CmsSpec extends SparkSpec {
     val rolled = regMap(CountMin.fold(perSrc.drop("source")))
     assert(rolled == global)
   }
+
+  test("withEstimate refuses grouped register tables (schema contract)") {
+    // a grouped table holds duplicate idx rows across groups; the
+    // broadcast joins would multiply the corpus rows and silently
+    // corrupt every downstream count — the require makes it loud
+    val items = shingleItems(Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 20)).localCheckpoint()
+    val grouped = CountMin.registers(items, "item", Seq("source"))
+    val e = intercept[IllegalArgumentException] {
+      CountMin.withEstimate(items, "item", grouped)
+    }
+    assert(e.getMessage.contains("ungrouped registers"))
+    // the documented remedy — fold to ONE sketch — is accepted
+    val folded = CountMin.fold(grouped.drop("source"))
+    assert(CountMin.withEstimate(items, "item", folded).count() ==
+      items.count())
+  }
 }

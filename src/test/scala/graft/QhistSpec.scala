@@ -83,4 +83,22 @@ class QhistSpec extends SparkSpec {
         s"median cutoff for $g uncovers half the group")
     }
   }
+
+  test("negative metric values fail the job loudly, not a corrupt histogram") {
+    import graft.operators.Qhist
+    // the non-negative-long contract used to live only in a comment; a
+    // signed metric would emit negative bucket ids with inconsistent
+    // upper bounds — now the register build raises instead
+    val bad = Seq(5L, -3L, 7L).toDF("v")
+    val e = intercept[Exception] {
+      Qhist.registers(bad, "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative metric value")),
+      s"expected the contract error, got: $e")
+    // and the guard costs nothing on the happy path
+    val ok = Qhist.registers(Seq(5L, 3L, 7L).toDF("v"), "v").collect()
+    assert(ok.map(_.getAs[Long]("cnt")).sum == 3L)
+  }
 }
