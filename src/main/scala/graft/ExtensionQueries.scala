@@ -424,12 +424,12 @@ object ExtensionQueries {
     * (doc_id, start)) of each hot shingle is exempt from flagging. */
   private val crossDocKeepOneCtes: String = crossDocBaseCtes +
     """hotk AS (
-      |  SELECT s, min(doc_id * 1000000 + s0) AS kk
+      |  SELECT s, min(ROW(doc_id, s0)) AS kk
       |  FROM st GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
       |fl AS (
       |  SELECT st.doc_id, st.s0, st.s0 + 7 AS e0
       |  FROM st JOIN hotk ON st.s = hotk.s
-      |  WHERE st.doc_id * 1000000 + st.s0 <> hotk.kk),
+      |  WHERE ROW(st.doc_id, st.s0) <> hotk.kk),
       |""".stripMargin
 
   /** The span-merge tail shared by every crossdoc span oracle (inline,
@@ -500,12 +500,12 @@ object ExtensionQueries {
          |    md5(lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS ph
          |  FROM p),
          |fst AS (
-         |  SELECT ph, min(doc_id * 1000000 + para_idx) AS first_key
+         |  SELECT ph, min(ROW(doc_id, para_idx)) AS first_key
          |  FROM k GROUP BY ph),
          |kept AS (
          |  SELECT k.doc_id, k.para_idx, k.para
          |  FROM k JOIN fst ON k.ph = fst.ph
-         |  WHERE k.doc_id * 1000000 + k.para_idx = fst.first_key)
+         |  WHERE ROW(k.doc_id, k.para_idx) = fst.first_key)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          |  array_to_string(list(para ORDER BY para_idx), chr(10)) AS clean_text
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin

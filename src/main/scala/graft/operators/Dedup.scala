@@ -675,15 +675,19 @@ object Dedup {
     * one task (the hot-fingerprint doctrine). Reassembly groups by the
     * document id, a uniform key; the per-doc sort happens inside
     * `array_sort` over that document's own lines, never as a global
-    * sort. Positions encode as doc_id·10⁶ + line_idx, so documents are
-    * limited to a million lines (far past any real page). */
+    * sort. The first-occurrence key is a STRUCT min over
+    * (doc_id, line_idx) — lexicographic struct ordering, so no
+    * arithmetic encoding and no overflow at any id scale (the
+    * superseded doc_id·10⁶ + line_idx form wraps 63-bit longs once
+    * doc ids pass ~9.2e12 — silent at fixture scale, real for 64-bit
+    * hash ids; the softDedupKeep lesson applied here). */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val paras = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("para_idx", "para")))
     val keyed = paras
       .withColumn("ph", graft.functions.TextAnalysis.fingerprintMd5(col("para")))
-      .withColumn("__pk", col(idCol) * 1000000L + col("para_idx"))
+      .withColumn("__pk", struct(col(idCol), col("para_idx")))
     val fst = keyed.groupBy("ph").agg(min(col("__pk")).as("__first"))
     keyed.join(fst, "ph")
       .where(col("__pk") === col("__first"))

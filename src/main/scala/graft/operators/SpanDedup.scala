@@ -82,10 +82,14 @@ object SpanDedup {
 
   /** The KEEP-ONE form (the paper's stated semantic: "remove all but
     * one occurrence of each duplicated substring"): per hot shingle,
-    * the globally-FIRST occurrence — min (doc_id, start), encoded as
-    * `doc_id·10⁶ + start` exactly as the oracle replays it — is exempt
-    * from flagging, so one copy of every repeated run survives where
-    * [[removalSpans]] cuts them all. Exemption is shingle-granular: a
+    * the globally-FIRST occurrence — the STRUCT min of
+    * (doc_id, start), lexicographic ordering, replayed in the oracle
+    * as `min(ROW(doc_id, s0))` — is exempt from flagging, so one copy
+    * of every repeated run survives where [[removalSpans]] cuts them
+    * all. The struct form replaces the arithmetic `doc_id·10⁶ + start`
+    * encoding, which wraps 63-bit longs once doc ids pass ~9.2e12
+    * (real for 64-bit hash ids; silent at fixture scale — the
+    * softDedupKeep overflow class). Exemption is shingle-granular: a
     * keeper occurrence can still lose FLANKING tokens to overlapping
     * hot shingles whose own keepers live elsewhere — inherent to the
     * k-gram cover (the suffix-array tool has the same edge at run
@@ -96,11 +100,11 @@ object SpanDedup {
       shingleStarts(docs, k))
     val hot = starts.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("__nd"),
-        min(col("doc_id") * 1000000L + col("start")).as("__kk"))
+        min(struct(col("doc_id"), col("start"))).as("__kk"))
       .where(col("__nd") >= minDocs)
       .select("s", "__kk")
     mergeExtents(starts.join(hot, "s")
-      .where(col("doc_id") * 1000000L + col("start") =!= col("__kk"))
+      .where(struct(col("doc_id"), col("start")) =!= col("__kk"))
       .select(col("doc_id"), col("start"),
         (col("start") + (k - 1)).as("end")))
   }

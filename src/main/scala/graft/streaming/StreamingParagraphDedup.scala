@@ -47,9 +47,11 @@ object StreamingParagraphDedup {
           lit("\nSubscribe to our newsletter today!" +
             "\nAll rights reserved worldwide.")))
         .otherwise(col("text")).as("text"))
-    // empty pre-seed on the LINE key space
+    // empty pre-seed on the LINE key space (string-typed: see the
+    // fixed-width pid encoding in dedupBatch)
     IndexStore.buildExactIndex(
-      corpus.where(lit(false)).select(col("doc_id").as("pid"),
+      corpus.where(lit(false)).select(
+        col("doc_id").cast("string").as("pid"),
         col("text").as("para")),
       "pid", "para", table, idxPath)
     val srcDir = s"$workDir/src"
@@ -89,9 +91,16 @@ object StreamingParagraphDedup {
       sinkDir: String): Unit = {
     val spark = batch.sparkSession // session coherence (StreamingCuration)
     if (BatchManifest.committedIds(sinkDir).contains(batchId)) return
+    // the line key: fixed-width "doc:line" so LEXICOGRAPHIC order on
+    // the scalar key equals numeric (doc_id, para_idx) order — the
+    // index needs a scalar id and the arithmetic doc_id·10⁶ + para_idx
+    // encoding wraps 63-bit longs past doc ids ~9.2e12 (real for
+    // 64-bit hash ids). Non-negative ids and < 10⁷ lines per doc are
+    // the width contract (matching the batch struct-min semantics).
     val paras = batch.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("para_idx", "para")))
-      .withColumn("pid", col("doc_id") * 1000000L + col("para_idx"))
+      .withColumn("pid",
+        format_string("%019d:%07d", col("doc_id"), col("para_idx")))
       .withColumn("ph",
         graft.functions.TextAnalysis.fingerprintMd5(col("para")))
       .localCheckpoint()
