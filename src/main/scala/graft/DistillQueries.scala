@@ -210,17 +210,25 @@ object DistillQueries {
         val live = c.unionByName(c.where(col("doc_id") >= 300000)
           .select((col("doc_id") + 600000).as("doc_id"),
             concat(lit(" "), col("text"), lit("  ")).as("text")))
-        val scored = Distill.score(
-          live.select(col("doc_id"),
-            Distill.featureBuckets(col("text")).as("buckets"),
-            graft.functions.TextAnalysis.fingerprintMd5(col("text"))
-              .as("fp")),
-          "buckets", w)
-        // keeper via a partition-only window over the gate's survivors
-        // — one fingerprint exchange, paid only by passing docs
-        val keeper = min(when(col("student_pass") === 1, col("doc_id")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))
-        scored.withColumn("keeper_id", keeper)
+        // boundary: scored feeds the keeper aggregate AND the join back
+        // — unpinned, Catalyst would inline the feature projection +
+        // weight join into both consumers (the rawFeats doctrine)
+        val scored = graft.operators.Ops.checkpointKeepPartitioning(
+          Distill.score(
+            live.select(col("doc_id"),
+              Distill.featureBuckets(col("text")).as("buckets"),
+              graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+                .as("fp")),
+            "buckets", w))
+        // keeper via an AGGREGATE over the gate's survivors joined
+        // back, not a fingerprint-partitioned window — a boilerplate
+        // fingerprint with millions of passing copies stays a map-side
+        // rollup plus an AQE-skew-splittable join probe instead of one
+        // hot window task (the r14 hot-key-window doctrine; the left
+        // join keeps failing docs attributable to 'distill')
+        val keepers = scored.where(col("student_pass") === 1)
+          .groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+        scored.join(keepers, Seq("fp"), "left")
           .select(col("doc_id"),
             when(col("student_pass") === 0, "distill")
               .when(col("doc_id") =!= col("keeper_id"), "dup")

@@ -281,7 +281,7 @@ class PlansSpec extends SparkSpec {
     // These three plans contain no Window node at all.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("ext_soft_dedup", "ext_soft_dedup_e2e",
-        "ext_curation_pipeline")) {
+        "ext_curation_pipeline", "ext_distill_pipeline")) {
       val df = SparkEntry.queries(name)(spark, sf0001)
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: LWindow => w
