@@ -137,6 +137,22 @@ object ScaleRehearsal {
       graft.operators.Distill.score(wl, "buckets",
         graft.operators.Distill.fit(wl, "buckets", "y",
           graft.operators.Distill.Config(iters = 1))).collect()
+      // the incremental cluster-maintenance path (probe + touched-
+      // component merge + remap compose + labels read-back) JITs
+      // separately from the inline pair kernels
+      Seq("graft_rh_warmcl_bands", "graft_rh_warmcl_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/tmp/graft_rehearsal/warm_cl"))
+      Seq(w.where(col("doc_id") < 100),
+          w.where(col("doc_id") >= 100))
+        .zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.StreamingClusters.processBatch(b, i.toLong,
+            "graft_rh_warmcl", "/tmp/graft_rehearsal/warm_cl/idx",
+            "/tmp/graft_rehearsal/warm_cl/state")
+        }
+      graft.streaming.StreamingClusters.currentLabels(spark,
+        "/tmp/graft_rehearsal/warm_cl/state").collect()
       (): Unit
     }
     def time(name: String, scale: Int, df: => DataFrame): Unit = {
@@ -269,6 +285,43 @@ object ScaleRehearsal {
       val secPp = (System.nanoTime() - tpp) / 1e9
       println(f"""{"q":"prototype_prune_lifecycle","scale":$scale,""" +
         f""""kept":$nKeptPp,"k":$kClusters,"sec":$secPp%.2f}""")
+
+      // incremental cluster-maintenance lifecycle (sr37's kernel):
+      // three id-range batches each probe/append the MinHash index and
+      // merge labels through the touched-component graph — per-batch
+      // work is batch-bounded (only the batch's band keys move, CC runs
+      // on touched components, the remap snapshot is merge-bounded), so
+      // the three-batch lifecycle should slope ~linearly with the
+      // corpus. Planted twins (+9e8 ids) land in the LAST range batch,
+      // so cross-batch merges fire at every scale.
+      val clTbl = s"graft_rh_cl_s$scale"
+      Seq(s"${clTbl}_bands", s"${clTbl}_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_rehearsal/cl_s$scale"))
+      val clCorpus = corpus.unionByName(
+          corpus.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(col("text"), lit(" rtail")).as("text")))
+        .localCheckpoint()
+      val clQs = clCorpus.stat.approxQuantile("doc_id",
+        Array(1.0 / 3, 2.0 / 3), 0.0)
+      val clState = s"/tmp/graft_rehearsal/cl_s$scale/state"
+      val tcl = System.nanoTime()
+      Seq(clCorpus.where(col("doc_id") <= clQs(0)),
+          clCorpus.where(col("doc_id") > clQs(0) &&
+            col("doc_id") <= clQs(1)),
+          clCorpus.where(col("doc_id") > clQs(1)))
+        .zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.StreamingClusters.processBatch(b, i.toLong,
+            clTbl, s"/tmp/graft_rehearsal/cl_s$scale/idx", clState)
+        }
+      val nComp = graft.streaming.StreamingClusters
+        .currentLabels(spark, clState)
+        .select("component").distinct().count()
+      val secCl = (System.nanoTime() - tcl) / 1e9
+      println(f"""{"q":"cluster_maintenance_lifecycle","scale":$scale,""" +
+        f""""components":$nComp,"sec":$secCl%.2f}""")
 
       // BPE training (4 merges). Disjoint-vocabulary replication
       // multiplies the VOCABULARY itself ~linearly — the worst case
