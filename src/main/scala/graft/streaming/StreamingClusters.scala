@@ -140,7 +140,16 @@ object StreamingClusters {
       .parquet(s"$stateDir/b$batchId/labels")
     composed.write.mode("overwrite")
       .parquet(s"$stateDir/b$batchId/remap")
-    if (commit) BatchManifest.commit(stateDir, batchId)
+    // no-silent-growth: the manifest entry carries the batch's label
+    // delta and the remap snapshot size (read back from the written
+    // files — exact, O(batch)+O(merges)), so an operator watching the
+    // ledger sees the merge-bounded remap claim hold — or not —
+    // without ever scanning the sink
+    if (commit) {
+      val nl = spark.read.parquet(s"$stateDir/b$batchId/labels").count()
+      val nr = spark.read.parquet(s"$stateDir/b$batchId/remap").count()
+      BatchManifest.commit(stateDir, batchId, s"labels=$nl remap=$nr")
+    }
   }
 
   /** Current (id, component) over everything committed: the

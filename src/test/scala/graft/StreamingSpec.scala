@@ -885,6 +885,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(r => r(1).asInstanceOf[Long] < 100000L &&
       r(0).asInstanceOf[Long] >= 100000L),
       "no cross-batch merge fired — fixture degenerate")
+    // the final remap snapshot is FLAT (one join serves any label: no
+    // superseded component is also a target) and merge-bounded (fewer
+    // rows than labels — it holds superseded comps, not docs)
+    val lastId = new java.io.File(s"$work/state/_manifest").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    val rm = spark.read.parquet(s"$work/state/b$lastId/remap")
+      .as[(Long, Long)].collect()
+    assert(rm.nonEmpty, "cross-batch merges must populate the remap")
+    assert(rm.map(_._1).toSet.intersect(rm.map(_._2).toSet).isEmpty,
+      "remap snapshot is not flat — serving would need a chain walk")
+    assert(rm.length < got.length,
+      "remap outgrew the corpus — merge-boundedness broke")
+    // and the manifest ledger carries the state sizes (no-silent-growth)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/state/_manifest/$lastId")))
+    assert(manifest.matches("labels=\\d+ remap=\\d+"),
+      s"manifest ledger malformed: '$manifest'")
   }
 
   test("streaming clusters: crash before commit is invisible, replay byte-identical, committed replay no-op") {
