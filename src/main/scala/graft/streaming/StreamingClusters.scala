@@ -161,7 +161,12 @@ object StreamingClusters {
     val labels0 = spark.read.parquet(
       ids.map(i => s"$stateDir/b$i/labels"): _*)
     val remap = lastRemap(spark, stateDir)
-    labels0.join(broadcast(remap),
+    // no broadcast HINT: the snapshot is merge-bounded (ledger-observed)
+    // and AQE broadcasts it whenever it is small — but a pathological
+    // chain-merged corpus can grow it toward O(#docs), where a forced
+    // broadcast would be exactly the hot-hint mistake; the shuffle join
+    // on comp0 is always legal
+    labels0.join(remap,
         labels0("comp0") === remap("old_c"), "left")
       .select(col("id"), coalesce(col("new_c"), col("comp0")).as("component"))
   }

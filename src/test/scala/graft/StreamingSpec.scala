@@ -887,12 +887,15 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch merge fired — fixture degenerate")
     // the final remap snapshot is FLAT (one join serves any label: no
     // superseded component is also a target) and merge-bounded (fewer
-    // rows than labels — it holds superseded comps, not docs)
+    // rows than labels). It may legitimately be EMPTY here: the file
+    // source orders batches by mtime, and when originals happen to
+    // arrive before their (larger-id) twins no cluster ever RELABELS —
+    // the deterministic twins-first relabeling case lives in the
+    // replay drill below.
     val lastId = new java.io.File(s"$work/state/_manifest").listFiles()
       .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
     val rm = spark.read.parquet(s"$work/state/b$lastId/remap")
       .as[(Long, Long)].collect()
-    assert(rm.nonEmpty, "cross-batch merges must populate the remap")
     assert(rm.map(_._1).toSet.intersect(rm.map(_._2).toSet).isEmpty,
       "remap snapshot is not flat — serving would need a chain walk")
     assert(rm.length < got.length,
@@ -909,8 +912,12 @@ class StreamingSpec extends SparkSpec {
     val base = s"/tmp/graft_sclusters_spec/replay_${System.nanoTime()}"
     val corpus = StreamingClusters.plantedCorpus(spark, sf0001)
       .localCheckpoint()
-    val b0 = corpus.where(col("doc_id") < 100000)
-    val b1 = corpus.where(col("doc_id") >= 100000)
+    // twins FIRST (deterministic order, unlike the file source): each
+    // twin seeds its own singleton component, and batch 1's smaller
+    // original ids force every twin cluster to RELABEL — the remap
+    // compose path this drill replays is genuinely populated
+    val b0 = corpus.where(col("doc_id") >= 100000)
+    val b1 = corpus.where(col("doc_id") < 100000)
     def decisions(state: String) =
       StreamingClusters.servedDecisions(spark, state)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
@@ -930,7 +937,7 @@ class StreamingSpec extends SparkSpec {
       s"$base/crash/state", commit = false)
     // uncommitted state is invisible to readers — no torn labels
     assert(decisions(s"$base/crash/state")
-      .forall(r => r(0).asInstanceOf[Long] < 100000L),
+      .forall(r => r(0).asInstanceOf[Long] >= 100000L),
       "uncommitted batch leaked into the served labels")
     // replay reprocesses against the ALREADY-APPENDED index (duplicate
     // band rows only duplicate edges — components don't care) and
@@ -939,6 +946,13 @@ class StreamingSpec extends SparkSpec {
       s"$base/crash/state")
     assert(decisions(s"$base/crash/state") == expected,
       "post-crash replay diverged from the never-crashed run")
+    // twins-first order forces relabels, so the replayed remap is
+    // genuinely populated AND flat
+    val rm = spark.read.parquet(s"$base/crash/state/b1/remap")
+      .as[(Long, Long)].collect()
+    assert(rm.nonEmpty, "twins-first merge produced no relabels")
+    assert(rm.map(_._1).toSet.intersect(rm.map(_._2).toSet).isEmpty,
+      "replayed remap snapshot is not flat")
     // a replayed COMMITTED batch short-circuits on its manifest entry
     StreamingClusters.processBatch(b1, 1L, tblX, s"$base/crash/idx",
       s"$base/crash/state")
