@@ -722,6 +722,49 @@ object ScaleRehearsal {
         f""""first":${times.head}%.2f,"median":${sorted(times.length / 2)}%.2f,""" +
         f""""last":${times.last}%.2f,"compactedAtBatch":$compactedAt,""" +
         f""""appendsSinceCompact":${IndexStore.appendsSinceCompact(spark, s"${gx}_fps")}}""")
+
+      // 25-batch cluster-maintenance loop: constant batch size while
+      // labels, remap, and the MinHash index grow 25× — the
+      // per-batch-O(batch) claim probed against HISTORY growth rather
+      // than corpus scale. Each batch carries novel rewrites plus twins
+      // of batch 0's docs, so every batch probe-merges into old
+      // clusters. The honest caveat this measures: the
+      // current-component lookup and the band probe SCAN their stores
+      // (only the batch moves, but scan cost tracks history) — the
+      // curve below is the evidence for or against that mattering.
+      val clLoopTbl = "graft_rh_cl_loop"
+      Seq(s"${clLoopTbl}_bands", s"${clLoopTbl}_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/tmp/graft_rehearsal/cl_loop"))
+      val clLoopState = "/tmp/graft_rehearsal/cl_loop/state"
+      val seed = docs.where(col("doc_id") % 20 === 0)
+      val toksCl = split(trim(lower(col("text"))), "\\s+")
+      val tCl = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (i <- 0 until 25) {
+        val off = 3300000000L + i.toLong * 1000000L
+        val batch =
+          if (i == 0) seed.select((col("doc_id") + off).as("doc_id"),
+            col("text"))
+          else seed.select((col("doc_id") + off).as("doc_id"),
+              concat_ws(" ", transform(toksCl, t =>
+                concat(lit(s"c${i}x"), t))).as("text"))
+            .unionByName(seed.where(col("doc_id") % 40 === 0)
+              .select((col("doc_id") + off + 500000L).as("doc_id"),
+                concat(col("text"), lit(" rtail")).as("text")))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingClusters.processBatch(batch, i.toLong,
+          clLoopTbl, "/tmp/graft_rehearsal/cl_loop/idx", clLoopState)
+        tCl += (System.nanoTime() - t0) / 1e9
+      }
+      val sCl = tCl.sorted
+      val finalLabels = graft.streaming.StreamingClusters
+        .currentLabels(spark, clLoopState)
+      val nLab = finalLabels.count()
+      val nCl = finalLabels.select("component").distinct().count()
+      println(f"""{"q":"cluster25_loop","batches":${tCl.length},""" +
+        f""""first":${tCl.head}%.2f,"median":${sCl(tCl.length / 2)}%.2f,""" +
+        f""""last":${tCl.last}%.2f,"labels":$nLab,"components":$nCl}""")
     }
     spark.stop()
   }

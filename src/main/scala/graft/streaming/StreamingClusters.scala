@@ -135,7 +135,13 @@ object StreamingClusters {
     // writes are wholesale per-batch overwrites, then the atomic commit
     if (first)
       IndexStore.buildMinhashIndex(docs, "doc_id", "text", table, idxPath)
-    else IndexStore.appendMinhashIndex(docs, "doc_id", "text", table)
+    else {
+      IndexStore.appendMinhashIndex(docs, "doc_id", "text", table)
+      // the long-running-stream knob (StreamingIndexIngest's stance):
+      // per-batch appends grow the index's file count without bound;
+      // the counter-driven policy folds them back — content-neutral
+      IndexStore.autoCompact(spark, "minhash", table)
+    }
     newLabels.write.mode("overwrite")
       .parquet(s"$stateDir/b$batchId/labels")
     composed.write.mode("overwrite")
