@@ -158,14 +158,89 @@ object StreamingClusters {
     }
   }
 
-  /** Current (id, component) over everything committed: the
-    * append-only labels deltas read through the latest flat remap. */
+  /** Folds the committed per-batch label deltas into ONE id-bucketed
+    * catalog table — the compaction-cadence maintenance that pins the
+    * per-batch labels-store read (otherwise the read unions one more
+    * directory per batch forever; measured as the `cluster25_loop`
+    * drift term). Folding preserves the INSERT-TIME components (raw
+    * comp0), exactly what the per-batch dirs hold: the composed remap
+    * keeps every historically-superseded component as a key, so
+    * serving stays `folded ∪ newer-dirs ⨝ remap` unchanged — the fold
+    * moves bytes, never meaning.
+    * Crash-safe by the generation protocol: CTAS the new generation,
+    * then an ATOMIC-rename marker (its content names the table), then
+    * reap older generations — a crash before the marker leaves readers
+    * on the previous fold + dirs (correct), and a re-fold overwrites
+    * the orphan generation wholesale. Value-neutrality and the
+    * mid-fold-crash window are drilled in StreamingSpec. */
+  def foldLabels(spark: SparkSession, stateDir: String, table: String,
+      path: String, nBuckets: Int = 8): Unit = {
+    val ids = BatchManifest.committedIds(stateDir)
+    if (ids.isEmpty) return
+    val upTo = ids.last
+    val (already, prevTbl) = foldedState(spark, stateDir)
+    if (already >= upTo) return
+    val newTbl = s"${table}_labels_$upTo"
+    val newer = ids.filter(_ > already)
+      .map(i => spark.read.parquet(s"$stateDir/b$i/labels"))
+      .reduce(_ unionAll _)
+    val all = prevTbl.fold(newer)(t => spark.table(t).unionAll(newer))
+    spark.sql(s"DROP TABLE IF EXISTS $newTbl")
+    all.repartition(nBuckets, col("id"))
+      .write.bucketBy(nBuckets, "id")
+      .option("path", s"$path/$newTbl").mode("overwrite")
+      .saveAsTable(newTbl)
+    // marker AFTER the CTAS (atomic rename, the BatchManifest stance)
+    val dir = new File(s"$stateDir/_folded")
+    dir.mkdirs()
+    val tmp = java.nio.file.Paths.get(s"$stateDir/_folded/.tmp-$upTo")
+    java.nio.file.Files.write(tmp,
+      newTbl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$stateDir/_folded/$upTo"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // superseded generations are dead state now
+    prevTbl.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong < upTo)
+      .foreach(_.delete())
+  }
+
+  /** (folded-up-to batch id, generation table name) — (-1, None) when
+    * never folded. The marker is the commit point; an orphan CTAS
+    * without one is invisible. */
+  private def foldedState(spark: SparkSession, stateDir: String)
+      : (Long, Option[String]) = {
+    val dir = new File(s"$stateDir/_folded")
+    val ms = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+    ms.lastOption match {
+      case None => (-1L, None)
+      case Some(f) =>
+        val tbl = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        // a marker whose table is gone (external takedown) must not
+        // hide the pre-fold dirs — they were never deleted, so fall
+        // back to reading everything
+        if (spark.catalog.tableExists(tbl)) (f.getName.toLong, Some(tbl))
+        else (-1L, None)
+    }
+  }
+
+  /** Current (id, component) over everything committed: the folded
+    * generation (when one exists) plus the newer append-only label
+    * deltas, read through the latest flat remap. */
   def currentLabels(spark: SparkSession, stateDir: String): DataFrame = {
     val ids = BatchManifest.committedIds(stateDir)
     if (ids.isEmpty)
       return spark.range(0).select(col("id"), col("id").as("component"))
-    val labels0 = spark.read.parquet(
-      ids.map(i => s"$stateDir/b$i/labels"): _*)
+    val (already, prevTbl) = foldedState(spark, stateDir)
+    val newerIds = ids.filter(_ > already)
+    val newer = newerIds
+      .map(i => spark.read.parquet(s"$stateDir/b$i/labels"))
+    val labels0 = (prevTbl.map(spark.table).toSeq ++ newer)
+      .reduce(_ unionAll _)
     val remap = lastRemap(spark, stateDir)
     // no broadcast HINT: the snapshot is merge-bounded (ledger-observed)
     // and AQE broadcasts it whenever it is small — but a pathological

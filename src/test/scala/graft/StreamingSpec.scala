@@ -959,6 +959,54 @@ class StreamingSpec extends SparkSpec {
     assert(decisions(s"$base/crash/state") == expected)
   }
 
+  test("streaming clusters: label fold is value-neutral; a crashed fold is invisible") {
+    import graft.streaming.StreamingClusters
+    val base = s"/tmp/graft_sclusters_spec/fold_${System.nanoTime()}"
+    val corpus = StreamingClusters.plantedCorpus(spark, sf0001)
+      .localCheckpoint()
+    // twins first so the post-fold batches RELABEL folded components —
+    // the fold must compose with future remap deltas, not just replay
+    val b0 = corpus.where(col("doc_id") >= 100000)
+    val b1 = corpus.where(col("doc_id") < 100000 && col("doc_id") % 2 === 0)
+    val b2 = corpus.where(col("doc_id") < 100000 && col("doc_id") % 2 =!= 0)
+    def runAll(tag: String, foldAfterB1: Boolean) = {
+      val tbl = s"graft_sclf_${tag}_${System.nanoTime()}"
+      val state = s"$base/$tag/state"
+      StreamingClusters.processBatch(b0, 0L, tbl, s"$base/$tag/idx", state)
+      StreamingClusters.processBatch(b1, 1L, tbl, s"$base/$tag/idx", state)
+      if (foldAfterB1)
+        StreamingClusters.foldLabels(spark, state, tbl, s"$base/$tag/fold")
+      StreamingClusters.processBatch(b2, 2L, tbl, s"$base/$tag/idx", state)
+      (tbl, state)
+    }
+    def decisions(state: String) =
+      StreamingClusters.servedDecisions(spark, state)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (_, plainState) = runAll("plain", foldAfterB1 = false)
+    val expected = decisions(plainState)
+    val (tblF, foldState) = runAll("folded", foldAfterB1 = true)
+    assert(decisions(foldState) == expected,
+      "a mid-stream label fold moved the served decisions")
+    // fold again at the head — idempotent, still value-neutral, and
+    // exactly one generation remains
+    StreamingClusters.foldLabels(spark, foldState, tblF,
+      s"$base/folded/fold")
+    assert(decisions(foldState) == expected)
+    assert(spark.catalog.listTables().collect()
+      .count(_.name.startsWith(s"${tblF}_labels_".toLowerCase)) == 1,
+      "superseded fold generations must be reaped")
+    // crashed fold: the marker is the commit point — without it the
+    // generation table is invisible and readers fall back to the dirs
+    new java.io.File(s"$foldState/_folded").listFiles()
+      .filter(_.getName.forall(_.isDigit)).foreach(_.delete())
+    assert(decisions(foldState) == expected,
+      "a fold without its marker leaked into serving")
+    // and re-folding after the 'crash' re-commits cleanly
+    StreamingClusters.foldLabels(spark, foldState, tblF,
+      s"$base/folded/fold")
+    assert(decisions(foldState) == expected)
+  }
+
   test("streaming venn: uncommitted batches invisible, committed replay a no-op") {
     import graft.streaming.StreamingVenn
     val work = s"/tmp/graft_svenn_spec/${System.nanoTime()}"
