@@ -9,7 +9,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] = {
     val ds = CoreQueries.defs ++ InventoryQueries.defs ++ ExtensionQueries.defs ++
       StreamingQueries.defs ++ Case311Queries.defs ++ AnalyticsQueries.defs ++
-      SelectionQueries.defs ++ SketchQueries.defs ++ DistillQueries.defs
+      SelectionQueries.defs ++ SketchQueries.defs ++ DistillQueries.defs ++
+      GraphQueries.defs ++ ValuationQueries.defs
     // toMap would silently keep only the LAST def of a duplicated name —
     // a query (and its oracle) could vanish from the gate without error
     val dups = ds.groupBy(_.name).filter(_._2.sizeIs > 1).keys

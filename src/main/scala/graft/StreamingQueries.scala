@@ -466,6 +466,21 @@ object StreamingQueries {
           s"/tmp/graft_sclusters/$tag/idx")
       }),
 
+    // The authority store maintained as a stream: per-batch
+    // (source, shingle) distinct-doc counts appended under the keyed
+    // replay discipline, fixed-point PageRank source ranks then served
+    // from the bounded folded edge list at any time with zero corpus
+    // reads. VALUE-oracle'd: the integer ranks make even the streamed
+    // graph family hash-checkable against the one-shot SQL.
+    QueryDef("sr38_streaming_authority",
+      Some(GraphQueries.authorityOracleSql),
+      (s, dir) => withStreamingConf(s) {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        StreamingIndexIngest.runAuthorityIngest(s, dir,
+          s"/tmp/graft_authingest/$tag", s"graft_sauth_$tag",
+          s"/tmp/graft_authingest/$tag/idx")
+      }),
+
     // The sketch composed into a streamed CLEANER: boilerplate-line
     // removal per micro-batch against the FROZEN persisted Count-Min
     // store (nightly-sketch stance — register table and threshold

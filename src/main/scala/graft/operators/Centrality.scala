@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality over an edge list — the authority signal corpus
+  * curation reads off the link/derived-similarity graph: Common Crawl
+  * publishes host-level PageRank/harmonic ranks that downstream corpus
+  * builders (C4/CCNet descendants) consume as crawl-priority and
+  * quality-weight inputs, and within a near-dup cluster the
+  * highest-centrality copy is the natural canonical document (the
+  * min-id keeper is arbitrary; the most-linked-to copy is not).
+  *
+  * Everything here is FIXED-POINT INTEGER arithmetic (ranks are longs
+  * summing to ~[[Scale]]): floating-point PageRank sums in
+  * partition-arrival order and no two engines (or two runs) agree on
+  * the last ulp, so the whole result table would fall out of the
+  * value-hash oracle gate. Integer mass is order-independent and
+  * exactly replayable in DuckDB with `//` division (both engines
+  * truncate non-negative quotients identically). The floor divisions
+  * leak ≤ 1 unit per node per term per iteration — bounded, one-sided
+  * (mass only shrinks), and asserted in CentralitySpec.
+  *
+  * Iteration budget mirrors [[Components]] (same reasoning, proven by
+  * the same plan-walk style): edges are repartitioned by src ONCE and
+  * cached; rank state is checkpointed id-partitioned each iteration
+  * (plan-depth stays constant — the state is referenced three times
+  * per step); the contribution aggregation by dst is the ONE real
+  * exchange per iteration; the dangling-mass term is a 1-row aggregate
+  * broadcast back via crossJoin. No windows, no driver-side loops over
+  * rows — the only driver scalars are the node count and the
+  * edge-count partition sizing (both single-row aggregates, the
+  * watermark idiom).
+  */
+object Centrality {
+
+  /** Total rank mass: 1e12 fixed-point units. Large enough that the
+    * per-iteration floor loss (≤ nodes·2 units) is invisible at any
+    * realistic node count, small enough that 100·rank and
+    * 1e6·rank stay far under 2^63 (ANSI mode would abort on wrap). */
+  val Scale: Long = 1000000000000L
+
+  /** Weighted contributions quantize each edge's share of its source's
+    * out-weight to parts-per-million once, up front — so the
+    * per-iteration multiply r·share_ppm is bounded by Scale·1e6 = 1e18
+    * < 2^63 regardless of raw weight magnitude. */
+  val SharePpm: Long = 1000000L
+
+  private val RowsPerIterationPartition = 250000L
+
+  /** Integer division on non-negative longs — Spark's `div`
+    * (IntegralDivide) and DuckDB's `//` agree exactly there. Never use
+    * floor(a/b) here: the double quotient of two big longs can round
+    * across the integer boundary. */
+  private def ldiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  private def truncated(df: DataFrame, reliable: Boolean,
+      nPart: Int): DataFrame =
+    Ops.checkpointKeepPartitioning(df, eager = true, reliable = reliable,
+      numShufflePartitions = Some(nPart))
+
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  /** One rank-propagation step — exposed for CentralitySpec's plan
+    * assertions, the [[Components.step]] convention. `edgesP` must be
+    * src-partitioned (carrying `share_ppm` when weighted, `out_deg`
+    * when not), `state` (id, dangling, r) id-partitioned from its
+    * checkpoint. Exactly TWO exchanges: the dst contribution
+    * aggregation (the real one, O(edges)) and the 1-row dangling-mass
+    * rollup (map-side partial to a singleton — O(partitions) rows on
+    * the wire). The join back to `state` moves nothing: contributions
+    * land dst-hash-distributed, which is the state's id layout. */
+  private[graft] def step(edgesP: DataFrame, state: DataFrame,
+      baseShare: Long, nNodes: Long, dampingPct: Int,
+      weighted: Boolean): DataFrame = {
+    val contribExpr =
+      if (weighted) ldiv(col("r") * col("share_ppm"), lit(SharePpm))
+      else ldiv(col("r"), col("out_deg"))
+    val contrib = edgesP
+      .join(state.select(col("id").as("src"), col("r")), "src")
+      .select(col("dst").as("id"), contribExpr.as("c"))
+      .groupBy("id").agg(sum(col("c")).as("c"))
+    val danglingMass = state.where(col("dangling"))
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+    state.join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(danglingMass))
+      .select(col("id"), col("dangling"),
+        ldiv(lit(100L - dampingPct) * lit(baseShare)
+            + lit(dampingPct.toLong)
+              * (coalesce(col("c"), lit(0L))
+                 + ldiv(col("dmass"), lit(nNodes))),
+          lit(100L)).as("r"))
+  }
+
+  /** PageRank with damping `dampingPct`/100 over `iters` FIXED
+    * iterations (fixed, not converged: the oracle unrolls the same
+    * count, and rank CONSUMERS — keeper choice, quality weights — want
+    * a deterministic artifact, not an ε-chase). Returns
+    * (idCol, rank_fp) — fixed-point longs, Σ ≈ [[Scale]].
+    *
+    * `nodes` declares the vertex set (one id column named `idCol`);
+    * nodes absent from `edges.srcCol` are DANGLING and their mass is
+    * redistributed uniformly each iteration, the standard correction —
+    * without it a sink-heavy graph bleeds mass to nothing. Callers who
+    * only care about vertices with edges pass the edge endpoints as
+    * `nodes`. Duplicate edges count twice (multigraph semantics) —
+    * dedupe upstream if that is not the intent.
+    *
+    * With `weightCol` set, each edge contributes
+    * r·(w·1e6 div out_w) div 1e6 (share quantized to ppm once);
+    * unweighted edges contribute r div out_deg directly (no ppm loss).
+    *
+    * Update rule, all integer:
+    *   r' = ((100−d)·(Scale div N) + d·(contrib + dangling div N)) div 100
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      dampingPct: Int = 85, idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst", weightCol: Option[String] = None,
+      reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    if (reliable)
+      require(nodes.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable = true needs sparkContext.setCheckpointDir on shared storage")
+    val confPart = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+
+    val rawEdges = weightCol match {
+      case Some(w) => edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), col(w).cast("long").as("w"))
+      case None => edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), lit(1L).as("w"))
+    }
+    // layout investment, paid once (Components doctrine): explicit
+    // partition count so an AQE-coalesced cache can't mismatch the
+    // checkpoints' width and re-shuffle the state every iteration.
+    val base = rawEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = base.count()
+      val nPart = math.max(1L, math.min(confPart.toLong,
+        nEdges / RowsPerIterationPartition + 1)).toInt
+      val outW = base.groupBy("src").agg(sum(col("w")).as("out_w"))
+      // per-edge contribution coefficient, computed ONCE: weighted
+      // edges carry share_ppm; unweighted carry out_deg (exact split).
+      val edgesPrepped = weightCol match {
+        case Some(_) => base.join(outW, "src")
+          .select(col("src"), col("dst"),
+            ldiv(col("w") * lit(SharePpm), col("out_w")).as("share_ppm"))
+        case None => base.join(outW, "src")
+          .select(col("src"), col("dst"), col("out_w").as("out_deg"))
+      }
+      val edgesP = edgesPrepped.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        edgesP.count() // materialize the layout; base is droppable now
+        val hasOut = edgesP.select(col("src").as("id")).distinct()
+        // state: (id, dangling) checkpointed id-partitioned; the rank
+        // column is added AFTER the boundary (a checkpoint of the
+        // joined projection would pin partitioning on nothing useful).
+        val ids = truncated(
+          nodes.select(col(idCol).as("id")).distinct()
+            .repartition(nPart, col("id")), reliable, nPart)
+        val nNodes = ids.count()
+        require(nNodes > 0, "pageRank over an empty node set")
+        val baseShare = Scale / nNodes // driver-exact: both longs
+        val danglingIds = ids.join(hasOut, Seq("id"), "left_anti")
+        var state = truncated(
+          ids.join(danglingIds.withColumn("dangling", lit(true)),
+              Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("dangling"), lit(false)).as("dangling"))
+            .repartition(nPart, col("id")), reliable, nPart)
+          .withColumn("r", lit(baseShare))
+        for (_ <- 1 to iters) {
+          val next = truncated(
+            step(edgesP, state, baseShare, nNodes, dampingPct,
+              weighted = weightCol.isDefined),
+            reliable, nPart)
+          freeBlocks(state)
+          state = next
+        }
+        state.select(col("id").as(idCol), col("r").as("rank_fp"))
+      } finally edgesP.unpersist()
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** (source, ph): the DISTINCT word-`k`-gram md5 fingerprints each
+    * source contains — the shared-content source graph's vertex-side
+    * table (one row per source × distinct shingle, never per
+    * occurrence). Tokenization is [[SpanDedup.toks]], the cross-doc
+    * kernel, so the graph and span-dedup families see one shingle
+    * space. */
+  def sourceShingles(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text", k: Int = 8): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        SpanDedup.toks(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("__t")) - (k - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("s"))
+      .select(col("source"), md5(col("s").cast("binary")).as("ph"))
+      .distinct()
+
+  /** Source→source edges from a (source, ph) table: weight = #distinct
+    * shared fingerprints. The DISTINCT input bounds the join fan-out at
+    * #sources² rows per fingerprint — a boilerplate shingle shared by
+    * every source costs #sources², never corpus². */
+  def sharedShingleEdges(sourceShingles: DataFrame): DataFrame =
+    sourceShingles.alias("a")
+      .join(sourceShingles.alias("b"),
+        col("a.ph") === col("b.ph") &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Generates the DuckDB oracle's iteration CTE chain for
+    * [[pageRank]] — the SQL twin of the loop above, unrolled. The
+    * caller supplies `nodesCte`/`edgesCte` names: nodes(id),
+    * edges(src, dst, w). Emits CTEs `pr_nn`, `pr_deg`, `pr_st`,
+    * `pr_r0..pr_r{iters}`; the final ranks are
+    * `SELECT id, r FROM pr_r{iters}`. Lives next to the operator so
+    * query registrations can't drift from the update rule. */
+  def oracleCtes(nodesCte: String, edgesCte: String, iters: Int,
+      dampingPct: Int = 85, weighted: Boolean = false): String = {
+    val coefCol =
+      if (weighted) s"($SharePpm * e.w) // t.out_w AS share_ppm"
+      else "t.out_w AS out_deg"
+    val contribExpr =
+      if (weighted) s"(r.r * e.share_ppm) // $SharePpm"
+      else "r.r // e.out_deg"
+    val header =
+      s"""pr_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $nodesCte),
+         |pr_outw AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+         |  FROM $edgesCte GROUP BY 1),
+         |pr_e AS (
+         |  SELECT e.src, e.dst, $coefCol
+         |  FROM $edgesCte e JOIN pr_outw t ON e.src = t.src),
+         |pr_st AS (
+         |  SELECT n.id, (t.src IS NULL) AS dangling
+         |  FROM $nodesCte n LEFT JOIN (SELECT DISTINCT src FROM $edgesCte) t
+         |    ON n.id = t.src),
+         |pr_r0 AS (
+         |  SELECT s.id, s.dangling, CAST($Scale // nn.n AS BIGINT) AS r
+         |  FROM pr_st s, pr_nn nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pr_c$k AS (
+         |  SELECT e.dst AS id, CAST(sum($contribExpr) AS BIGINT) AS c
+         |  FROM pr_e e JOIN pr_r${k - 1} r ON e.src = r.id GROUP BY 1),
+         |pr_d$k AS (
+         |  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dmass
+         |  FROM pr_r${k - 1} WHERE dangling),
+         |pr_r$k AS (
+         |  SELECT s.id, s.dangling,
+         |    CAST((${100 - dampingPct} * ($Scale // nn.n)
+         |          + $dampingPct * (coalesce(c.c, 0) + d.dmass // nn.n)) // 100
+         |      AS BIGINT) AS r
+         |  FROM pr_r${k - 1} s
+         |  LEFT JOIN pr_c$k c ON s.id = c.id, pr_d$k d, pr_nn nn)""".stripMargin
+    }
+    (header +: steps).mkString(",\n")
+  }
+}

@@ -2923,6 +2923,182 @@ object IndexStore {
   def vacuumQhistIndex(spark: SparkSession, table: String): Seq[String] =
     vacuumIndexTable(spark, s"${table}_qregs")
 
+  // ---- source-authority shingle table --------------------------------
+  // The sixteenth persisted kind: `(source, ph, nd, bk)` — per-source
+  // distinct-DOCUMENT counts of word-8-gram fingerprints, the
+  // sufficient statistic behind [[Centrality]]'s shared-content source
+  // graph (GraphQueries' authority family). Each document contributes
+  // +1 to every distinct shingle it contains, so the rows form the
+  // span-DF commutative group over document sets: append ≡ one-shot
+  // rebuild and unlearn (negated rows) ≡ never-indexed, bit-for-bit.
+  // PageRank itself is NOT persisted — it is derived on read from the
+  // folded edge list (a pure function of the table, bounded work:
+  // #sources² edges, fixed iterations), so unlike the distill kind
+  // there is no refit artifact to swap. Keyed under the CMS replay
+  // discipline verbatim: (source, ph, bk) is a row's identity
+  // (per-batch counts are deterministic aggregates), appends at or
+  // below the high-water mark are skipped, unlearns use strictly
+  // decreasing negative keys, compaction folds to the sentinel.
+  // Bucketed by ph so the edge derivation's self-join reads co-located.
+
+  private val AuthBkHighWaterParam = "authBkHighWater"
+  private val AuthBkNegLowWaterParam = "authBkNegLowWater"
+  private val AuthFoldedBk = Long.MinValue
+
+  private def authParams(srcCol: String, idCol: String,
+      k: Int): Map[String, String] =
+    Map("payload" -> "auth", "srcCol" -> srcCol, "idCol" -> idCol,
+      "k" -> k.toString, "keyed" -> "true")
+
+  private def authCounts(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, k: Int, batchKey: Long): DataFrame =
+    docs.select(col(srcCol).as("source"), col(idCol).as("__id"),
+        SpanDedup.toks(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("source"), col("__id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - (k - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("s"))
+      .select(col("source"), col("__id"),
+        md5(col("s").cast("binary")).as("ph"))
+      .distinct()
+      .groupBy("source", "ph").agg(count(lit(1)).as("nd"))
+      .withColumn("bk", lit(batchKey))
+
+  /** Builds the persisted authority table: `(source, ph, nd, bk)`
+    * bucketed by ph. `batchKey` becomes the initial high-water mark
+    * (crash-replay of the building batch falls through to the append
+    * path and is skipped, the CMS argument). */
+  def buildAuthorityIndex(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, table: String, path: String, k: Int = 8,
+      batchKey: Long = 0L, nBuckets: Int = 4): Unit = {
+    require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
+    val spark = docs.sparkSession
+    bucketRouted(authCounts(docs, srcCol, idCol, textCol, k, batchKey),
+        "ph", nBuckets)
+      .write.bucketBy(nBuckets, "ph")
+      .option("path", s"$path/${table}_aph").mode("overwrite")
+      .saveAsTable(s"${table}_aph")
+    setParams(spark, s"${table}_aph",
+      authParams(srcCol, idCol, k) +
+        (AuthBkHighWaterParam -> batchKey.toString))
+  }
+
+  private def authK(spark: SparkSession, table: String, srcCol: String,
+      idCol: String, op: String): Int = {
+    val k = getParams(spark, s"${table}_aph").getOrElse("k",
+      sys.error(s"$op: ${table}_aph has no k param")).toInt
+    requireParams(spark, s"${table}_aph", authParams(srcCol, idCol, k), op)
+    k
+  }
+
+  /** Replay-idempotent append of a delta corpus's counts. Returns
+    * whether the batch was APPLIED (false = at/below the high-water
+    * mark — a replay of an already-folded batch). */
+  def appendAuthorityIndex(delta: DataFrame, srcCol: String, idCol: String,
+      textCol: String, table: String, batchKey: Long): Boolean = {
+    require(batchKey >= 0 && batchKey != AuthFoldedBk,
+      s"append batchKey must be in-band (>= 0), got $batchKey")
+    val spark = delta.sparkSession
+    val aph = s"${table}_aph"
+    val k = authK(spark, table, srcCol, idCol, "append")
+    if (batchKey <= lmWaterMark(spark, aph, AuthBkHighWaterParam, -1L))
+      false
+    else {
+      val nb = numBucketsOf(spark, aph)
+      bucketRouted(authCounts(delta, srcCol, idCol, textCol, k, batchKey),
+          "ph", nb)
+        .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
+      noteAppend(spark, aph)
+      true
+    }
+  }
+
+  /** Replay-idempotent exact unlearning: the slice's counts negated
+    * under a strictly-negative key below every key previously used. */
+  def unlearnFromAuthorityIndex(slice: DataFrame, srcCol: String,
+      idCol: String, textCol: String, table: String,
+      batchKey: Long): Boolean = {
+    require(batchKey < 0 && batchKey != AuthFoldedBk,
+      s"unlearn batchKey must be negative (out-of-band), got $batchKey")
+    val spark = slice.sparkSession
+    val aph = s"${table}_aph"
+    val k = authK(spark, table, srcCol, idCol, "unlearn")
+    val low = lmWaterMark(spark, aph, AuthBkNegLowWaterParam, 0L)
+    if (batchKey >= low) false
+    else {
+      val nb = numBucketsOf(spark, aph)
+      bucketRouted(
+          authCounts(slice, srcCol, idCol, textCol, k, batchKey)
+            .withColumn("nd", -col("nd")), "ph", nb)
+        .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
+      noteAppend(spark, aph)
+      true
+    }
+  }
+
+  /** The folded live (source, ph) membership: row-identity dedup (which
+    * cancels pre-compaction replay duplicates), additive fold, zero
+    * rows for exactly-cancelled counts. O(table), zero corpus read. */
+  def authorityShinglesFromIndex(spark: SparkSession, table: String)
+      : DataFrame = {
+    spark.catalog.refreshTable(s"${table}_aph")
+    spark.table(s"${table}_aph")
+      .dropDuplicates("source", "ph", "bk")
+      .groupBy("source", "ph").agg(sum(col("nd")).as("nd"))
+      .where(col("nd") > 0)
+      .select("source", "ph")
+  }
+
+  /** Source→source shared-shingle edges served from the store —
+    * the self-join reads the ph-bucketed table co-located. */
+  def authorityEdgesFromIndex(spark: SparkSession, table: String)
+      : DataFrame =
+    Centrality.sharedShingleEdges(
+      authorityShinglesFromIndex(spark, table))
+
+  /** Fixed-point source ranks served from the store: (source, rank_fp).
+    * Node set = sources live in the table (a fully-unlearned source
+    * drops out, exactly as if never indexed). Pure function of the
+    * table — nothing rank-shaped is persisted or needs refitting. */
+  def authorityFromIndex(spark: SparkSession, table: String,
+      iters: Int = 4, dampingPct: Int = 85): DataFrame = {
+    val live = Ops.checkpointKeepPartitioning(
+      authorityShinglesFromIndex(spark, table))
+    Centrality.pageRank(
+        live.select(col("source").as("id")).distinct(),
+        Centrality.sharedShingleEdges(live),
+        iters, dampingPct, weightCol = Some("w"))
+      .select(col("id").as("source"), col("rank_fp"))
+  }
+
+  /** Compacts under the CMS water-mark discipline (marks move FIRST,
+    * then the atomic fold-and-swap). */
+  def compactAuthorityIndex(spark: SparkSession, table: String,
+      newPathBase: String): Unit = {
+    val aph = s"${table}_aph"
+    val marks = spark.table(aph).where(col("bk") =!= AuthFoldedBk)
+      .agg(max(when(col("bk") >= 0, col("bk"))).as("hi"),
+        min(when(col("bk") < 0, col("bk"))).as("lo")).head()
+    if (!marks.isNullAt(0))
+      setLmWaterMark(spark, aph, AuthBkHighWaterParam,
+        math.max(marks.getLong(0),
+          lmWaterMark(spark, aph, AuthBkHighWaterParam, -1L)))
+    if (!marks.isNullAt(1))
+      setLmWaterMark(spark, aph, AuthBkNegLowWaterParam,
+        math.min(marks.getLong(1),
+          lmWaterMark(spark, aph, AuthBkNegLowWaterParam, 0L)))
+    rewriteInPlace(spark, aph, bucketColOf(spark, aph),
+      s"$newPathBase/${aph}_c", numBucketsOf(spark, aph))(
+      _.dropDuplicates("source", "ph", "bk")
+        .groupBy("source", "ph").agg(sum(col("nd")).as("nd"))
+        .where(col("nd") =!= 0L)
+        .withColumn("bk", lit(AuthFoldedBk)))
+  }
+
+  /** Vacuums the authority table's retired directories. */
+  def vacuumAuthorityIndex(spark: SparkSession, table: String): Seq[String] =
+    vacuumIndexTable(spark, s"${table}_aph")
+
   // ---- append accounting + auto-compaction --------------------------
   // Every bucketed append leaves one new file set per bucket, so a
   // long-lived index's scan cost grows linearly with appends until
@@ -3017,9 +3193,10 @@ object IndexStore {
       case "cms"     => (s"${table}_cregs",  compactCmsIndex(spark, table, _))
       case "lms"     => (s"${table}_slices", compactLmSliceIndex(spark, table, _))
       case "qh"      => (s"${table}_qregs",  compactQhistIndex(spark, table, _))
+      case "auth"    => (s"${table}_aph",    compactAuthorityIndex(spark, table, _))
       case other => throw new IllegalArgumentException(
         s"unknown index kind '$other' " +
-          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/lms/dsir/span/pq/hll/cms/qh)")
+          "(expected exact/minhash/simhash/srp/winnow/ivf/lm/lmk/lms/dsir/span/pq/hll/cms/qh/auth)")
     }
     maybeAutoCompact(spark, primary, every)(compact)
   }
@@ -3043,7 +3220,7 @@ object IndexStore {
       "dsir" -> "_counts", "doremi" -> "_dmc", "doremik" -> "_dmc",
       "span" -> "_sdf", "pq" -> "_codes", "hll" -> "_hregs",
       "cms" -> "_cregs", "lms" -> "_slices", "qh" -> "_qregs",
-      "distill" -> "_lw")
+      "distill" -> "_lw", "auth" -> "_aph")
     val rows = indexes.map { case (kind, table) =>
       val primary = table + suffix.getOrElse(kind,
         throw new IllegalArgumentException(s"unknown index kind '$kind'"))

@@ -42,8 +42,10 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Filtered token array (DuckDB-parity: `list_filter(string_split_
-    * regex(trim(lower(text)), '\s+'), x -> x <> '')`). */
-  private def toks(text: Column): Column =
+    * regex(trim(lower(text)), '\s+'), x -> x <> '')`). Shared with
+    * GraphQueries' shared-shingle source graph so the two families
+    * tokenize identically. */
+  private[graft] def toks(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
   /** (doc_id, start, s): every k-gram shingle with its 1-based start

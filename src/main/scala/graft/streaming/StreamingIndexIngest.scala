@@ -803,4 +803,32 @@ object StreamingIndexIngest {
       () => IndexStore.qhistRegistersFromIndex(spark, table)
         .orderBy("grp", "bucket"))
   }
+
+  /** Source-authority store instance: per-batch (source, shingle)
+    * distinct-document counts appended under the keyed replay
+    * discipline ([[runCmsIngest]]'s argument verbatim — per-batch
+    * counts are deterministic aggregates, so replays cancel row-wise),
+    * the finished store serving fixed-point PageRank source ranks with
+    * zero corpus reads. The oracle is the direct one-shot authority
+    * SQL over the whole corpus — batch-slicing invariance by the
+    * counts' commutative group over document sets. */
+  def runAuthorityIngest(spark: SparkSession, sfDir: String,
+      workDir: String, table: String, idxPath: String,
+      autoCompactAppends: Int = IndexStore.DefaultAutoCompactAppends)
+      : DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    ingestFrames(spark, docs, workDir, Seq(s"${table}_aph"), idxPath,
+      (batch, first, batchId) =>
+        if (first) IndexStore.buildAuthorityIndex(batch, "source",
+          "doc_id", "text", table, idxPath, batchKey = batchId)
+        else {
+          IndexStore.appendAuthorityIndex(batch, "source", "doc_id",
+            "text", table, batchId)
+          IndexStore.autoCompact(spark, "auth", table, autoCompactAppends)
+          (): Unit
+        },
+      () => IndexStore.authorityFromIndex(spark, table)
+        .orderBy("source"))
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Centrality
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Centrality.Scale
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Centrality.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("one unweighted iteration matches the hand-computed update rule exactly") {
+    // nodes {1,2,3}, edges 2->1, 3->1; node 1 dangling.
+    // base = S/3; contrib(1) = 2*base; dmass = base (node 1's rank);
+    // r'(v) = (15*base + 85*(c + dmass/3)) / 100 — all integer floor.
+    val base = S / 3
+    val dShare = base / 3
+    val exp1 = (15L * base + 85L * (2L * base + dShare)) / 100L
+    val expOther = (15L * base + 85L * dShare) / 100L
+    val got = ranks(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 1L)), iters = 1)
+    assert(got == Map(1L -> exp1, 2L -> expOther, 3L -> expOther))
+    // the hub holds the mass, and nothing was silently lost to the sink
+    assert(got(1L) > 2L * got(2L))
+    assert(got.values.sum <= S && got.values.sum >= S - 10L)
+  }
+
+  test("one weighted iteration splits contributions by ppm-quantized share") {
+    // 1->2 w=3, 1->3 w=1: shares 750000/250000 ppm of r(1)=S/3.
+    val base = S / 3
+    val c2 = base * 750000L / 1000000L
+    val c3 = base * 250000L / 1000000L
+    val dShare = (2L * base) / 3 // nodes 2 and 3 are dangling
+    val exp = Map(
+      1L -> (15L * base + 85L * dShare) / 100L,
+      2L -> (15L * base + 85L * (c2 + dShare)) / 100L,
+      3L -> (15L * base + 85L * (c3 + dShare)) / 100L)
+    val got = Centrality.pageRank(
+        Seq(1L, 2L, 3L).toDF("id"),
+        Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+        iters = 1, weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp)
+  }
+
+  test("mass is conserved up to floor loss across many iterations") {
+    // ring + chords + a dangling tail: mixed in/out degrees, dangling
+    // mass in play every iteration. Floor loss is bounded by a few
+    // units per node per iteration and only ever shrinks the total.
+    val n = 40L
+    val edges = (0L until n).map(i => (i, (i + 1) % n)) ++
+      (0L until n by 4).map(i => (i, (i * 7 + 3) % n)) ++
+      Seq((n, 0L) /* node n+1 below dangles */ )
+    val got = ranks((0L to n + 1).toSeq, edges, iters = 8)
+    val total = got.values.sum
+    assert(total <= S, s"mass grew: $total > $S")
+    assert(total >= S - 2000L, s"floor loss too large: ${S - total}")
+    assert(got.size == n.toInt + 2)
+  }
+
+  test("ranks are deterministic across runs (integer arithmetic, no ulp drift)") {
+    val nodes = (0L until 30L).toSeq
+    val edges = nodes.flatMap(i => Seq((i, (i * 3 + 1) % 30), (i, (i + 11) % 30)))
+    val a = ranks(nodes, edges, iters = 6)
+    val b = ranks(nodes, edges, iters = 6)
+    assert(a == b)
+  }
+
+  test("uniform out-degree symmetric graph converges to uniform ranks") {
+    // 4-cycle, symmetrized: perfectly regular, so ranks stay at S/N
+    // (up to the floor) every iteration — catches any accidental
+    // direction or double-count bug in the contribution join.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (1L, 0L), (2L, 1L), (3L, 2L), (0L, 3L))
+    val got = ranks(Seq(0L, 1L, 2L, 3L), edges, iters = 5)
+    val base = S / 4
+    assert(got.values.forall(r => (r - base).abs <= 5L),
+      s"regular graph drifted from uniform: $got")
+  }
+
+  test("step runs with exactly two exchanges: dst aggregation + 1-row dangling rollup") {
+    // same construction as the real loop: prepped edges cached with
+    // their src-partitioning materialized, state checkpointed WITH its
+    // id-partitioning captured, rank column added after the boundary.
+    // Broadcast disabled — at scale neither side broadcasts and the
+    // claim is about co-partitioned reuse (the Components doctrine).
+    noBroadcast {
+      val edges = Seq((1L, 2L, 10L), (2L, 3L, 7L), (3L, 1L, 1L))
+        .toDF("src", "dst", "w")
+      val outW = edges.groupBy("src").agg(sum($"w").as("out_w"))
+      val edgesP = edges.join(outW, "src")
+        .select($"src", $"dst",
+          (($"w" * lit(Centrality.SharePpm)) / $"out_w").cast("long")
+            .as("share_ppm"))
+        .repartition(4, $"src").cache()
+      edgesP.count()
+      val state = graft.operators.Ops.checkpointKeepPartitioning(
+        Seq((1L, false), (2L, false), (3L, false), (4L, true))
+          .toDF("id", "dangling").repartition(4, $"id"),
+        eager = true, numShufflePartitions = Some(4))
+        .withColumn("r", lit(S / 4))
+      def free(df: org.apache.spark.sql.DataFrame): Unit =
+        df.queryExecution.optimizedPlan.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+      try {
+        val next = Centrality.step(edgesP, state, S / 4, 4L, 85,
+          weighted = true)
+        assert(shuffleCount(next) == 2,
+          "contrib-by-dst and the singleton dangling rollup are the only " +
+            "exchanges; the state join-back must reuse its id layout")
+        // and the step's output is still exactly mass-preserving-ish
+        val total = next.agg(sum($"r")).as[Long].head()
+        assert(total <= S && total > S - 100L)
+        // the budget must hold ACROSS iterations: the checkpointed step
+        // output is the next iteration's state — if the id-partitioning
+        // capture degraded there, every later iteration would re-shuffle
+        // the state (invisible to a single-step assertion). The select
+        // forces a FRESH Dataset: `next` was just executed above under
+        // AQE, and a checkpoint of an already-finalized adaptive plan
+        // captures UnknownPartitioning — the loop itself always
+        // checkpoints never-executed step output.
+        val state2 = graft.operators.Ops.checkpointKeepPartitioning(
+          next.select("id", "dangling", "r"),
+          eager = true, numShufflePartitions = Some(4))
+        try {
+          assert(shuffleCount(Centrality.step(edgesP, state2, S / 4, 4L, 85,
+            weighted = true)) == 2,
+            "iteration 2 must reuse the checkpointed step output's " +
+              "id-partitioning")
+        } finally free(state2)
+      } finally {
+        edgesP.unpersist()
+        free(state)
+      }
+    }
+  }
+
+  test("dangling-free graphs skip the correction (dmass = 0) without breakage") {
+    val got = ranks(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(got(1L) == got(2L))
+    assert(got.values.sum >= S - 10L)
+  }
+
+  test("input validation fails loud") {
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(Seq(1L).toDF("id"),
+        Seq((1L, 1L)).toDF("src", "dst"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(Seq(1L).toDF("id"),
+        Seq((1L, 1L)).toDF("src", "dst"), iters = 1, dampingPct = 101)
+    }
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(spark.emptyDataFrame.select(lit(1L).as("id")).limit(0),
+        Seq((1L, 2L)).toDF("src", "dst"), iters = 1).collect()
+    }
+  }
+}
