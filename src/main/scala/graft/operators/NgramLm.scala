@@ -222,7 +222,8 @@ object NgramLm {
   /** Per-bigram integer milli-bits: `floor(-log2(p)*1000 + 0.5)` with
     * p = (cb+1)/(cctx+V) — the quantization that makes the per-doc sum
     * order-independent. */
-  private def hMilli(cb: Column, cctx: Column, vsize: Column): Column =
+  private[operators] def hMilli(cb: Column, cctx: Column,
+      vsize: Column): Column =
     floor(-log2((coalesce(cb, lit(0L)) + lit(1.0)) /
         (coalesce(cctx, lit(0L)) + vsize))
       * lit(1000.0) + lit(0.5))

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact Shapley valuation of source GROUPS (Data Shapley, Ghorbani &
+  * Zou 2019, arXiv:1904.02868) over the bigram-LM eval loss — the step
+  * past leave-one-source-out ablation: ablation measures each source's
+  * marginal value against the FULL remainder only, so two redundant
+  * sources both score ~0 (either alone suffices); the Shapley value
+  * averages the marginal over EVERY coalition and splits their shared
+  * credit instead of erasing it. The game's players are source GROUPS
+  * (a deterministic bounded partition of the sources), because exact
+  * Shapley enumerates 2^P coalitions: P stays small by construction
+  * and the machinery is one corpus pass regardless of P — per-group
+  * count slices (the [[NgramLm.keyedBigramCounts]] sliced-ablation
+  * trick), coalition models as membership-joined slice SUMS (counts
+  * are a commutative group, so a coalition's counts ARE the sum of its
+  * groups' slices — no retraining), and ONE scoring pass of the frozen
+  * eval set under all 2^P models.
+  *
+  * Everything after the per-bigram milli-bit quantization is integer:
+  * coalition losses are exact BIGINT sums, Shapley numerators are
+  * Σ |S|!·(P−1−|S|)!·(v(S)−v(S∪{p})) in longs (factorial weights
+  * bounded by the P ≤ 12 guard), and the final scale-down divides by
+  * P! with truncation — Spark `div`, DuckDB `//` and Scala `/` all
+  * truncate toward zero, so the whole result table value-hashes in
+  * the oracle even when a value is negative (a group that HURTS).
+  *
+  * One deliberate modeling choice, stated for the oracle: every
+  * coalition model scores with the FULL training vocabulary size
+  * (fixed event space), not its own — coalition losses must be
+  * comparable across coalitions including the empty one (whose
+  * add-one model is otherwise degenerate). */
+object Shapley {
+
+  /** Deterministic source→player grouping: "g" + (numeric suffix of
+    * the source id, mod nGroups). Contract: sources carry a numeric
+    * suffix (src0…src19); production callers pass their own bounded
+    * grouping column to [[sourceShapley]] instead. */
+  def sourceGroup(source: Column, nGroups: Int): Column =
+    concat(lit("g"),
+      pmod(regexp_extract(source, "[0-9]+", 0).cast("long"),
+        lit(nGroups.toLong)))
+
+  /** Exact Shapley numerators from the 2^P coalition losses, driver
+    * side — the bounded-state loop the EG/BPE/IVF steps also use
+    * (2^P ≤ 4096 rows, never data). `losses(S)` = v_milli of coalition
+    * bitmask S; returns (playerIdx → (phiNumer, phiMilli)) with
+    * phiNumer = Σ_{S ∌ p} |S|!·(P−1−|S|)!·(v(S) − v(S∪{p})) — positive
+    * = adding the group LOWERS eval loss — and phiMilli its P!-scaled
+    * truncation. Efficiency property (spec-asserted): Σ_p phiNumer_p =
+    * P!·(v(∅) − v(full)). */
+  def shapleyFromLosses(losses: Map[Long, Long], nPlayers: Int)
+      : Seq[(Int, Long, Long)] = {
+    require(nPlayers >= 1 && nPlayers <= 12,
+      s"exact Shapley enumerates 2^P coalitions and P!·Δ must fit a " +
+        s"long: P must be in [1, 12], got $nPlayers")
+    val full = (1L << nPlayers) - 1
+    (0L to full).foreach(s => require(losses.contains(s),
+      s"missing coalition loss for bitmask $s"))
+    val fact = (0 to nPlayers)
+      .map(i => (1 to i).foldLeft(1L)(_ * _)).toArray
+    (0 until nPlayers).map { p =>
+      val bit = 1L << p
+      var numer = 0L
+      var s = 0L
+      while (s <= full) {
+        if ((s & bit) == 0L) {
+          val k = java.lang.Long.bitCount(s)
+          numer = Math.addExact(numer,
+            Math.multiplyExact(fact(k) * fact(nPlayers - 1 - k),
+              Math.subtractExact(losses(s), losses(s | bit))))
+        }
+        s += 1
+      }
+      (p, numer, numer / fact(nPlayers))
+    }
+  }
+
+  /** The whole game over a document corpus: frozen eval split
+    * (doc_id % evalMod = 0), per-group slices from ONE corpus pass,
+    * 2^P coalition models as slice sums, one eval-scoring pass, exact
+    * Shapley. Output (player, phi_numer, phi_milli) sorted by player.
+    * `broadcastModel=false` is the beyond-broadcast path for the
+    * coalition count tables (≤ 2^P × vocabulary rows — the panel
+    * argument times the coalition count; the exponential factor is
+    * why P is a GROUP count, never the raw source count). */
+  def sourceShapley(docs: DataFrame, nGroups: Int = 5,
+      evalMod: Long = 97L, idCol: String = "doc_id",
+      srcCol: String = "source", textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+
+    val evals = docs.where(col(idCol) % evalMod === 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val train = docs.where(col(idCol) % evalMod =!= 0)
+      .withColumn("player", sourceGroup(col(srcCol), nGroups))
+    // one corpus pass; every coalition model below is bounded-table work
+    val slices = Ops.checkpointKeepPartitioning(
+      NgramLm.keyedBigramCounts(train, "player", textCol), eager = true)
+
+    val nSubsets = 1L << nGroups
+    val membership = (0L until nSubsets)
+      .flatMap(s => (0 until nGroups).collect {
+        case p if ((s >> p) & 1L) == 1L => (s, s"g$p")
+      }).toDF("subset_id", "player")
+    // membership is 2^P × P rows — always broadcast; the coalition
+    // models are slice SUMS, never retrains
+    val subCounts = Ops.checkpointKeepPartitioning(
+      slices.join(broadcast(membership), "player")
+        .groupBy("subset_id", "bg").agg(sum(col("cb")).as("cb")),
+      eager = true)
+    val cc = subCounts
+      .groupBy(col("subset_id"),
+        substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("cb")).as("cctx"))
+    // FIXED event space: the full training vocabulary (both bigram
+    // endpoints), shared by every coalition including the empty one
+    val vFull = slices
+      .select(substring_index(col("bg"), " ", 1).as("t"))
+      .union(slices.select(substring_index(col("bg"), " ", -1).as("t")))
+      .agg((countDistinct(col("t")) + 1).as("vsize"))
+
+    val scored = NgramLm.bigrams(evals)
+      .crossJoin(broadcast((0L until nSubsets).toDF("subset_id")))
+      .join(side(subCounts), Seq("subset_id", "bg"), "left")
+      .join(side(cc), Seq("subset_id", "prev"), "left")
+      .crossJoin(broadcast(vFull))
+      .select(col("subset_id"),
+        NgramLm.hMilli(col("cb"), col("cctx"), col("vsize"))
+          .cast("long").as("h_milli"))
+    val losses = scored.groupBy("subset_id")
+      .agg(sum(col("h_milli")).as("v_milli"))
+      .as[(Long, Long)].collect().toMap // bounded: 2^P rows
+    val phi = shapleyFromLosses(losses, nGroups)
+      .map { case (p, numer, milli) => (s"g$p", numer, milli) }
+    phi.toDF("player", "phi_numer", "phi_milli").orderBy("player")
+  }
+
+  /** DuckDB oracle CTE chain for [[sourceShapley]] — generated next to
+    * the operator so the two cannot drift. Expects CTEs `trainpl`
+    * (doc_id, player, text) and `evald` (doc_id, text) upstream; emits
+    * the final SELECT (player, phi_numer, phi_milli). Factorial
+    * weights are inlined as literals from the same guard-bounded P. */
+  def oracleSql(nGroups: Int): String = {
+    require(nGroups >= 1 && nGroups <= 12)
+    val fact = (0 to nGroups).map(i => (1 to i).foldLeft(1L)(_ * _))
+    val nSubsets = 1L << nGroups
+    val wCases = (0 until nGroups)
+      .map(k => s"WHEN ${k} THEN ${fact(k) * fact(nGroups - 1 - k)}")
+      .mkString(" ")
+    def toksOf(rel: String, cols: String, name: String) =
+      s"""$name AS (
+         |  SELECT $cols,
+         |    list_prepend('<s>',
+         |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
+         |           THEN CAST([] AS VARCHAR[])
+         |           ELSE string_split_regex(
+         |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
+         |      END) AS toks
+         |  FROM $rel)""".stripMargin
+    s"""${toksOf("trainpl", "player", "ttok")},
+       |tbig AS (
+       |  SELECT player, toks[i] || ' ' || toks[i+1] AS bg
+       |  FROM ttok, unnest(range(1, len(toks))) AS r(i)),
+       |slices AS (
+       |  SELECT player, bg, CAST(count(*) AS BIGINT) AS cb
+       |  FROM tbig GROUP BY 1, 2),
+       |mem AS (
+       |  SELECT CAST(s.range AS BIGINT) AS subset_id,
+       |    'g' || CAST(p.range AS VARCHAR) AS player
+       |  FROM range(0, $nSubsets) s, range(0, $nGroups) p
+       |  WHERE (s.range >> p.range) & 1 = 1),
+       |subc AS (
+       |  SELECT m.subset_id, sl.bg, CAST(sum(sl.cb) AS BIGINT) AS cb
+       |  FROM mem m JOIN slices sl ON m.player = sl.player
+       |  GROUP BY 1, 2),
+       |subcc AS (
+       |  SELECT subset_id, string_split(bg, ' ')[1] AS prev,
+       |    CAST(sum(cb) AS BIGINT) AS cctx
+       |  FROM subc GROUP BY 1, 2),
+       |vfull AS (
+       |  SELECT count(DISTINCT t) + 1 AS vsize FROM (
+       |    SELECT string_split(bg, ' ')[1] AS t FROM slices
+       |    UNION
+       |    SELECT string_split(bg, ' ')[-1] AS t FROM slices)),
+       |${toksOf("evald", "doc_id", "etok")},
+       |ebig AS (
+       |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
+       |  FROM etok, unnest(range(1, len(toks))) AS r(i)),
+       |escore AS (
+       |  SELECT s.range AS subset_id,
+       |    CAST(floor(-log2((coalesce(c.cb, 0) + 1.0) /
+       |                     (coalesce(x.cctx, 0) + v.vsize))
+       |               * 1000.0 + 0.5) AS BIGINT) AS h_milli
+       |  FROM ebig e
+       |  CROSS JOIN range(0, $nSubsets) s
+       |  LEFT JOIN subc c ON c.subset_id = s.range AND c.bg = e.bg
+       |  LEFT JOIN subcc x ON x.subset_id = s.range AND x.prev = e.prev
+       |  CROSS JOIN vfull v),
+       |v AS (
+       |  SELECT subset_id, CAST(sum(h_milli) AS BIGINT) AS v_milli
+       |  FROM escore GROUP BY 1),
+       |sizes AS (
+       |  SELECT CAST(s.range AS BIGINT) AS subset_id,
+       |    CAST(count(p.range) AS INT) AS k
+       |  FROM range(0, $nSubsets) s
+       |  LEFT JOIN range(0, $nGroups) p ON (s.range >> p.range) & 1 = 1
+       |  GROUP BY 1),
+       |pl AS (
+       |  SELECT CAST(range AS INT) AS idx,
+       |    'g' || CAST(range AS VARCHAR) AS player
+       |  FROM range(0, $nGroups)),
+       |contrib AS (
+       |  SELECT pl.player,
+       |    (CASE z.k $wCases END)
+       |      * (vs.v_milli - vu.v_milli) AS term
+       |  FROM pl
+       |  JOIN sizes z ON (z.subset_id >> pl.idx) & 1 = 0
+       |  JOIN v vs ON vs.subset_id = z.subset_id
+       |  JOIN v vu ON vu.subset_id = z.subset_id + (CAST(1 AS BIGINT) << pl.idx))
+       |SELECT player, CAST(sum(term) AS BIGINT) AS phi_numer,
+       |  CAST(sum(term) // ${fact(nGroups)} AS BIGINT) AS phi_milli
+       |FROM contrib GROUP BY 1 ORDER BY player""".stripMargin
+  }
+}
