@@ -210,6 +210,42 @@ object GraphQueries {
           .orderBy("component")
       }),
 
+    // Curated-seed EXPANSION via personalized PageRank: the restart
+    // distribution concentrates on a trusted seed set, so ranks
+    // measure proximity-to-seeds over the near-dup graph (the CCNet
+    // seed-expansion shape) — and a doc with NO path from the seeds
+    // holds exactly zero, an integer reachability statement the
+    // oracle hashes rather than an epsilon cutoff. Output: the
+    // seed-reachable docs with their proximity ranks.
+    QueryDef("ext_graph_seed_expand",
+      Some(s"""WITH $pairCtes,
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |        UNION SELECT id_b, id_a FROM pairs),
+              |edgesw AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+              |seeds AS (
+              |  SELECT doc_id AS id FROM corpus
+              |  WHERE doc_id < 50 AND doc_id % 10 = 0),
+              |${Centrality.seededOracleCtes("nodes", "edgesw", "seeds",
+                 iters = 5)}
+              |SELECT id AS doc_id, r AS rank_fp
+              |FROM pp_r5 WHERE r > 0 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val pairs = nearDupPairs(corpus)
+        val sym = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs
+            .select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = corpus
+          .where(col("doc_id") < 50 && col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"))
+        Centrality.personalizedPageRank(
+            corpus.select(col("doc_id").as("id")), sym, seeds, iters = 5)
+          .where(col("rank_fp") > 0)
+          .select(col("id").as("doc_id"), col("rank_fp"))
+          .orderBy("doc_id")
+      }),
+
     // Authority served from the PERSISTED source-shingle table (16th
     // index kind): build on half the corpus, append the other half —
     // the counts form a commutative group over document sets, so

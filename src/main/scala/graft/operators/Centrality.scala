@@ -99,6 +99,113 @@ object Centrality {
           lit(100L)).as("r"))
   }
 
+  /** One personalized-rank step — [[step]] with the teleport vector
+    * concentrated on the SEED set: the (1−d) restart term and the
+    * dangling-mass redistribution both land on seeds only
+    * (seedShare = Scale div nSeeds each, scaled by the row's seed
+    * flag), so mass keeps flowing FROM the seeds and nodes unreachable
+    * from them stay at exactly zero. State carries (id, dangling,
+    * seed, r); the exchange budget is identical to [[step]]'s. */
+  private[graft] def pprStep(edgesP: DataFrame, state: DataFrame,
+      seedShare: Long, nSeeds: Long, dampingPct: Int,
+      weighted: Boolean): DataFrame = {
+    val contribExpr =
+      if (weighted) ldiv(col("r") * col("share_ppm"), lit(SharePpm))
+      else ldiv(col("r"), col("out_deg"))
+    val contrib = edgesP
+      .join(state.select(col("id").as("src"), col("r")), "src")
+      .select(col("dst").as("id"), contribExpr.as("c"))
+      .groupBy("id").agg(sum(col("c")).as("c"))
+    val danglingMass = state.where(col("dangling"))
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+    val seedFlag = col("seed").cast("long")
+    state.join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(danglingMass))
+      .select(col("id"), col("dangling"), col("seed"),
+        ldiv(lit(100L - dampingPct) * lit(seedShare) * seedFlag
+            + lit(dampingPct.toLong)
+              * (coalesce(col("c"), lit(0L))
+                 + ldiv(col("dmass"), lit(nSeeds)) * seedFlag),
+          lit(100L)).as("r"))
+  }
+
+  /** PERSONALIZED PageRank: the restart distribution is uniform over
+    * `seeds` instead of all nodes — the curated-seed expansion signal
+    * (CCNet-style: rank the crawl by proximity to a trusted seed set
+    * over the shared-content/near-dup graph). Same fixed-point integer
+    * contract as [[pageRank]]; ranks start AS the seed vector
+    * (seedShare on seeds, zero elsewhere), so a node with no path from
+    * the seeds holds EXACTLY zero forever — a crisp, hashable
+    * reachability statement, not an epsilon. Seeds not present in
+    * `nodes` are ignored (inner-join semantics); nSeeds counts the
+    * retained ones. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, dampingPct: Int = 85,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None, reliable: Boolean = false)
+      : DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val confPart = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val rawEdges = weightCol match {
+      case Some(w) => edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), col(w).cast("long").as("w"))
+      case None => edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), lit(1L).as("w"))
+    }
+    val base = rawEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = base.count()
+      val nPart = math.max(1L, math.min(confPart.toLong,
+        nEdges / RowsPerIterationPartition + 1)).toInt
+      val outW = base.groupBy("src").agg(sum(col("w")).as("out_w"))
+      val edgesPrepped = weightCol match {
+        case Some(_) => base.join(outW, "src")
+          .select(col("src"), col("dst"),
+            ldiv(col("w") * lit(SharePpm), col("out_w")).as("share_ppm"))
+        case None => base.join(outW, "src")
+          .select(col("src"), col("dst"), col("out_w").as("out_deg"))
+      }
+      val edgesP = edgesPrepped.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        edgesP.count()
+        val hasOut = edgesP.select(col("src").as("id")).distinct()
+        val ids = truncated(
+          nodes.select(col(idCol).as("id")).distinct()
+            .repartition(nPart, col("id")), reliable, nPart)
+        val seedIds = ids.join(
+          seeds.select(col(idCol).as("id")).distinct(), Seq("id"))
+        val nSeeds = seedIds.count()
+        require(nSeeds > 0, "personalizedPageRank needs >= 1 seed in nodes")
+        val seedShare = Scale / nSeeds
+        val danglingIds = ids.join(hasOut, Seq("id"), "left_anti")
+        var state = truncated(
+          ids
+            .join(danglingIds.withColumn("dangling", lit(true)),
+              Seq("id"), "left")
+            .join(seedIds.withColumn("seed", lit(true)), Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("dangling"), lit(false)).as("dangling"),
+              coalesce(col("seed"), lit(false)).as("seed"))
+            .repartition(nPart, col("id")), reliable, nPart)
+          .withColumn("r",
+            when(col("seed"), lit(seedShare)).otherwise(lit(0L)))
+        for (_ <- 1 to iters) {
+          val next = truncated(
+            pprStep(edgesP, state, seedShare, nSeeds, dampingPct,
+              weighted = weightCol.isDefined),
+            reliable, nPart)
+          freeBlocks(state)
+          state = next
+        }
+        state.select(col("id").as(idCol), col("r").as("rank_fp"))
+      } finally edgesP.unpersist()
+    } finally base.unpersist(blocking = false)
+  }
+
   /** PageRank with damping `dampingPct`/100 over `iters` FIXED
     * iterations (fixed, not converged: the oracle unrolls the same
     * count, and rank CONSUMERS — keeper choice, quality weights — want
@@ -265,6 +372,63 @@ object Centrality {
          |      AS BIGINT) AS r
          |  FROM pr_r${k - 1} s
          |  LEFT JOIN pr_c$k c ON s.id = c.id, pr_d$k d, pr_nn nn)""".stripMargin
+    }
+    (header +: steps).mkString(",\n")
+  }
+
+  /** [[oracleCtes]]' seeded twin for [[personalizedPageRank]] —
+    * prefix `pp_`, teleport and dangling mass land on seeds only,
+    * ranks start as the seed vector. Caller supplies
+    * `seedsCte` (one `id` column) alongside nodes/edges; final ranks
+    * in `pp_r{iters}`. */
+  def seededOracleCtes(nodesCte: String, edgesCte: String,
+      seedsCte: String, iters: Int, dampingPct: Int = 85,
+      weighted: Boolean = false): String = {
+    val coefCol =
+      if (weighted) s"($SharePpm * e.w) // t.out_w AS share_ppm"
+      else "t.out_w AS out_deg"
+    val contribExpr =
+      if (weighted) s"(r.r * e.share_ppm) // $SharePpm"
+      else "r.r // e.out_deg"
+    val header =
+      s"""pp_ns AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS ns FROM (
+         |    SELECT DISTINCT n.id FROM $nodesCte n
+         |    JOIN $seedsCte sd ON n.id = sd.id)),
+         |pp_outw AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+         |  FROM $edgesCte GROUP BY 1),
+         |pp_e AS (
+         |  SELECT e.src, e.dst, $coefCol
+         |  FROM $edgesCte e JOIN pp_outw t ON e.src = t.src),
+         |pp_st AS (
+         |  SELECT n.id, (t.src IS NULL) AS dangling,
+         |    (sd.id IS NOT NULL) AS seed
+         |  FROM $nodesCte n
+         |  LEFT JOIN (SELECT DISTINCT src FROM $edgesCte) t ON n.id = t.src
+         |  LEFT JOIN (SELECT DISTINCT id FROM $seedsCte) sd ON n.id = sd.id),
+         |pp_r0 AS (
+         |  SELECT s.id, s.dangling, s.seed,
+         |    CAST(CASE WHEN s.seed THEN $Scale // ns.ns ELSE 0 END
+         |      AS BIGINT) AS r
+         |  FROM pp_st s, pp_ns ns)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pp_c$k AS (
+         |  SELECT e.dst AS id, CAST(sum($contribExpr) AS BIGINT) AS c
+         |  FROM pp_e e JOIN pp_r${k - 1} r ON e.src = r.id GROUP BY 1),
+         |pp_d$k AS (
+         |  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dmass
+         |  FROM pp_r${k - 1} WHERE dangling),
+         |pp_r$k AS (
+         |  SELECT s.id, s.dangling, s.seed,
+         |    CAST((${100 - dampingPct} * ($Scale // ns.ns)
+         |            * (CASE WHEN s.seed THEN 1 ELSE 0 END)
+         |          + $dampingPct * (coalesce(c.c, 0)
+         |            + (d.dmass // ns.ns)
+         |              * (CASE WHEN s.seed THEN 1 ELSE 0 END))) // 100
+         |      AS BIGINT) AS r
+         |  FROM pp_r${k - 1} s
+         |  LEFT JOIN pp_c$k c ON s.id = c.id, pp_d$k d, pp_ns ns)""".stripMargin
     }
     (header +: steps).mkString(",\n")
   }

@@ -149,6 +149,41 @@ class CentralitySpec extends SparkSpec {
     assert(got.values.sum >= S - 10L)
   }
 
+  test("personalized PageRank: one seeded iteration matches the update rule; unreachable nodes stay exactly zero") {
+    // line 1→2→3 plus isolated node 4; seed {1}. seedShare = S.
+    // r0 = (S, 0, 0, 0). Iteration 1: contrib(2) = r(1)/1 = S; node 3
+    // dangles? no — 3 has no out-edge, so it IS dangling, but r(3)=0 so
+    // dmass=0 (4 dangles too, r=0). r'(1) = 15·S/100; r'(2) = 85·S/100;
+    // r'(3) = r'(4) = 0.
+    val got = Centrality.personalizedPageRank(
+        Seq(1L, 2L, 3L, 4L).toDF("id"),
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        Seq(1L).toDF("id"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 15L * S / 100L, 2L -> 85L * S / 100L,
+      3L -> 0L, 4L -> 0L))
+    // after more iterations, reachable node 3 gains mass; isolated
+    // node 4 stays EXACTLY zero (integer reachability, not epsilon)
+    val deep = Centrality.personalizedPageRank(
+        Seq(1L, 2L, 3L, 4L).toDF("id"),
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        Seq(1L).toDF("id"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(deep(3L) > 0L)
+    assert(deep(4L) == 0L)
+    assert(deep.values.sum <= S && deep.values.sum >= S - 100L,
+      "teleport + dangling-to-seeds conserve mass up to floor loss")
+  }
+
+  test("personalized PageRank validation: empty seed intersection fails loud") {
+    intercept[IllegalArgumentException] {
+      Centrality.personalizedPageRank(
+        Seq(1L, 2L).toDF("id"),
+        Seq((1L, 2L)).toDF("src", "dst"),
+        Seq(99L).toDF("id"), iters = 1).collect()
+    }
+  }
+
   test("input validation fails loud") {
     intercept[IllegalArgumentException] {
       Centrality.pageRank(Seq(1L).toDF("id"),
