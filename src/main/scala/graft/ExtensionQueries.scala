@@ -1070,6 +1070,29 @@ object ExtensionQueries {
       SelectionQueries.doremiEgCtes(5, 200000L, 100000L) + ",\n" +
       s"w(source, budget) AS (SELECT source, (w * $pool) // 1000000 AS budget FROM dm_w5)"
 
+  /** Shapley-driven budget CTEs: the group Shapley chain over the
+    * build's own corpus/evals, each source's clamped group value as
+    * the EG excess signal, then the shared dm_ loop and the pool
+    * split — [[ablationBudgetCtes]] with the LOO delta swapped for
+    * the coalition-averaged one. */
+  private def shapleyBudgetCtes(pool: Long): String =
+    s"""trainpl AS (
+       |  SELECT 'g' || CAST(CAST(regexp_extract(source, '[0-9]+', 0)
+       |      AS BIGINT) % 5 AS VARCHAR) AS player, text
+       |  FROM corpus),
+       |evald AS (SELECT doc_id, text FROM evals),
+       |${graft.operators.Shapley.oracleCtes(5)},
+       |dm_ex2 AS (
+       |  SELECT c.source,
+       |    greatest(CAST(0 AS BIGINT), s.phi_milli) AS excess_milli
+       |  FROM (SELECT DISTINCT source FROM corpus) c
+       |  JOIN shv s ON s.player = 'g' ||
+       |    CAST(CAST(regexp_extract(c.source, '[0-9]+', 0) AS BIGINT) % 5
+       |      AS VARCHAR)),
+       |""".stripMargin +
+      SelectionQueries.doremiEgCtes(5, 200000L, 100000L) + ",\n" +
+      s"w(source, budget) AS (SELECT source, (w * $pool) // 1000000 AS budget FROM dm_w5)"
+
   private val sourceAblationSlicedOracleSql: String =
     sourceAblationOracleSqlFor(
       "SELECT unnest(['none','src0','src1','src2','src3','src4']) " +
@@ -3662,6 +3685,30 @@ object ExtensionQueries {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
         val budgets = graft.operators.Doremi.budgets(
           graft.operators.Doremi.ablationWeights(corpus, evals), 2000L)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+          .attribution.orderBy("doc_id")
+      }),
+
+    // The VALUATION capstone: exact group-Shapley values over the
+    // build's own corpus/evals drive the token budgets through the
+    // same EG loop — where the LOO-ablation build starves two
+    // redundant feeds (either covers for the other, both deltas ~0),
+    // the Shapley build splits their shared credit and budgets
+    // follow. Whole value→learn→budget→build path one hash-checked
+    // query; same 2k pool as the sibling capstones.
+    QueryDef("ext_corpus_build_shapley",
+      Some(corpusBuildCtes(budgetCte = Some(shapleyBudgetCtes(2000L))) +
+        "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, _) = corpusBuildFixture(s, dir)
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.shapleyWeights(corpus, evals), 2000L)
         graft.operators.CorpusBuild.build(corpus, evals, budgets)
           .attribution.orderBy("doc_id")
       }),

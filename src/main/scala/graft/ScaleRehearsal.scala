@@ -323,6 +323,38 @@ object ScaleRehearsal {
       println(f"""{"q":"cluster_maintenance_lifecycle","scale":$scale,""" +
         f""""components":$nComp,"sec":$secCl%.2f}""")
 
+      // authority lifecycle (16th kind): build the (source, shingle)
+      // count table over the corpus, then serve fixed-point source
+      // ranks from it. Replicas keep their base doc's source, so the
+      // count table slopes with the corpus while the GRAPH stays
+      // #sources²-bounded — build should slope ~linearly and serve
+      // should stay near-FLAT; a serve slope tracking the corpus is
+      // the red flag (the rank stage leaking corpus-scale work).
+      val auTbl = s"graft_rh_auth_s$scale"
+      spark.sql(s"DROP TABLE IF EXISTS ${auTbl}_aph")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_rehearsal/auth_s$scale"))
+      val srcDocs = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val srcToks = split(trim(lower(col("text"))), "\\s+")
+      val srcCorpus = (1 until scale).foldLeft(srcDocs) { (acc, k) =>
+        acc.unionByName(srcDocs.select(
+          (col("doc_id") + k * 10000000L).as("doc_id"), col("source"),
+          concat_ws(" ", transform(srcToks,
+            t => concat(lit(s"r${k}x"), t))).as("text")))
+      }.localCheckpoint()
+      val tAuB = System.nanoTime()
+      IndexStore.buildAuthorityIndex(srcCorpus, "source", "doc_id",
+        "text", auTbl, s"/tmp/graft_rehearsal/auth_s$scale")
+      val secAuB = (System.nanoTime() - tAuB) / 1e9
+      val tAuS = System.nanoTime()
+      val nRanked = IndexStore.authorityFromIndex(spark, auTbl)
+        .collect().length
+      val secAuS = (System.nanoTime() - tAuS) / 1e9
+      println(f"""{"q":"authority_lifecycle","scale":$scale,""" +
+        f""""sources":$nRanked,"build_sec":$secAuB%.2f,""" +
+        f""""serve_sec":$secAuS%.2f}""")
+
       // BPE training (4 merges). Disjoint-vocabulary replication
       // multiplies the VOCABULARY itself ~linearly — the worst case
       // for BPE's vocabulary-collapse stage (a same-vocabulary 10×

@@ -246,6 +246,39 @@ object Doremi {
       .orderBy("source")
   }
 
+  /** Shapley-driven mixture weights — [[ablationWeights]] with the
+    * leave-one-out delta replaced by the source's GROUP Shapley value
+    * ([[Shapley.groupShapley]]): where LOO hands two redundant feeds
+    * each a ~0 signal (either covers for the other, so the EG loop
+    * starves BOTH), the Shapley value splits their shared credit, and
+    * the budget follows it. Clamped at 0 (a group that hurts gets the
+    * smoothing floor, like a zero-excess domain), uniform within a
+    * group by construction. Output (source, player, phi_milli,
+    * excess_milli, w_micro) ordered by source, ready for [[budgets]].
+    * Scale shape: the Shapley pass is one corpus count pass plus
+    * 2^P-bounded table work; the EG loop stays #sources driver rows. */
+  def shapleyWeights(train: DataFrame, evals: DataFrame,
+      nGroups: Int = 5, cfg: Config = Config(),
+      srcCol: String = "source", textCol: String = "text",
+      broadcastModels: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    val phi = Shapley.groupShapley(
+      train.withColumn("player", Shapley.sourceGroup(col(srcCol), nGroups)),
+      evals, nGroups, textCol, broadcastModels)
+    val sig = train.select(col(srcCol).as("source")).distinct()
+      .withColumn("player", Shapley.sourceGroup(col("source"), nGroups))
+      .join(broadcast(phi), "player")
+      .select(col("source"), col("player"), col("phi_milli"),
+        greatest(lit(0L), col("phi_milli")).as("excess_milli"))
+      .localCheckpoint() // bounded (#sources); feeds collect + join
+    val ex = sig.select("source", "excess_milli").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val w = egWeights(ex, cfg)
+    import spark.implicits._
+    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+      .orderBy("source")
+  }
+
   /** Per-domain signals from a per-(source, bigram) COUNT table alone
     * — no text, no corpus re-read: (source, n_bigrams, ref_milli,
     * own_milli, excess_milli) with the means per BIGRAM INSTANCE

@@ -89,15 +89,26 @@ object Shapley {
   def sourceShapley(docs: DataFrame, nGroups: Int = 5,
       evalMod: Long = 97L, idCol: String = "doc_id",
       srcCol: String = "source", textCol: String = "text",
-      broadcastModel: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
+      broadcastModel: Boolean = true): DataFrame =
+    groupShapley(
+      docs.where(col(idCol) % evalMod =!= 0)
+        .withColumn("player", sourceGroup(col(srcCol), nGroups)),
+      docs.where(col(idCol) % evalMod === 0)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      nGroups, textCol, broadcastModel)
+
+  /** The game itself over explicit frames: `train` carries a `player`
+    * column (any bounded deterministic grouping), `evals` is the
+    * frozen eval set. This is the composition surface —
+    * [[Doremi.shapleyWeights]] feeds the values into the mixture
+    * budget loop. */
+  def groupShapley(train: DataFrame, evals: DataFrame, nGroups: Int,
+      textCol: String = "text", broadcastModel: Boolean = true)
+      : DataFrame = {
+    val spark = train.sparkSession
     import spark.implicits._
     def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
 
-    val evals = docs.where(col(idCol) % evalMod === 0)
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val train = docs.where(col(idCol) % evalMod =!= 0)
-      .withColumn("player", sourceGroup(col(srcCol), nGroups))
     // one corpus pass; every coalition model below is bounded-table work
     val slices = Ops.checkpointKeepPartitioning(
       NgramLm.keyedBigramCounts(train, "player", textCol), eager = true)
@@ -140,12 +151,13 @@ object Shapley {
     phi.toDF("player", "phi_numer", "phi_milli").orderBy("player")
   }
 
-  /** DuckDB oracle CTE chain for [[sourceShapley]] — generated next to
+  /** DuckDB oracle CTE chain for [[groupShapley]] — generated next to
     * the operator so the two cannot drift. Expects CTEs `trainpl`
-    * (doc_id, player, text) and `evald` (doc_id, text) upstream; emits
-    * the final SELECT (player, phi_numer, phi_milli). Factorial
+    * (player, text) and `evald` (doc_id, text) upstream; ends with
+    * `shv(player, phi_numer, phi_milli)` so compositions (the
+    * Shapley-driven budget build) can keep chaining. Factorial
     * weights are inlined as literals from the same guard-bounded P. */
-  def oracleSql(nGroups: Int): String = {
+  def oracleCtes(nGroups: Int): String = {
     require(nGroups >= 1 && nGroups <= 12)
     val fact = (0 to nGroups).map(i => (1 to i).foldLeft(1L)(_ * _))
     val nSubsets = 1L << nGroups
@@ -221,9 +233,16 @@ object Shapley {
        |  FROM pl
        |  JOIN sizes z ON (z.subset_id >> pl.idx) & 1 = 0
        |  JOIN v vs ON vs.subset_id = z.subset_id
-       |  JOIN v vu ON vu.subset_id = z.subset_id + (CAST(1 AS BIGINT) << pl.idx))
-       |SELECT player, CAST(sum(term) AS BIGINT) AS phi_numer,
-       |  CAST(sum(term) // ${fact(nGroups)} AS BIGINT) AS phi_milli
-       |FROM contrib GROUP BY 1 ORDER BY player""".stripMargin
+       |  JOIN v vu ON vu.subset_id = z.subset_id + (CAST(1 AS BIGINT) << pl.idx)),
+       |shv AS (
+       |  SELECT player, CAST(sum(term) AS BIGINT) AS phi_numer,
+       |    CAST(sum(term) // ${fact(nGroups)} AS BIGINT) AS phi_milli
+       |  FROM contrib GROUP BY 1)""".stripMargin
   }
+
+  /** [[oracleCtes]] closed with the value-table SELECT — the
+    * standalone ext_source_shapley oracle tail. */
+  def oracleSql(nGroups: Int): String =
+    oracleCtes(nGroups) +
+      "\nSELECT player, phi_numer, phi_milli FROM shv ORDER BY player"
 }

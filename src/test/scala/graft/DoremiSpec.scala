@@ -149,4 +149,53 @@ class DoremiSpec extends SparkSpec {
       .toMap
     got.foreach { case (s, (_, _, _, w)) => assert(again(s) == w) }
   }
+
+  test("shapleyWeights: clone sources split the credit leave-one-out erases") {
+    // src1 and src2 (distinct Shapley GROUPS g1/g2) carry identical
+    // content; src0 is irreplaceable. LOO ablation hands both clones
+    // excess 0 — either covers for the other — so the EG loop starves
+    // BOTH; the Shapley value averages over coalitions where neither
+    // clone is present and splits their shared credit equally.
+    val shared = "aa bb aa bb aa bb aa bb"
+    val train = Seq(
+      ("src0", "qq rr qq rr qq rr qq rr"),
+      ("src1", shared), ("src1", "aa bb aa bb aa bb"),
+      ("src2", shared), ("src2", "aa bb aa bb aa bb"))
+      .toDF("source", "text")
+    val evals = Seq((1L, "qq rr qq rr qq"), (2L, "aa bb aa bb aa"))
+      .toDF("doc_id", "text")
+    val sh = Doremi.shapleyWeights(train, evals, nGroups = 3).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("phi_milli"), r.getAs[Long]("w_micro"))).toMap
+    val ab = Doremi.ablationWeights(train, evals).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("excess_milli"), r.getAs[Long]("w_micro"))).toMap
+    assert(sh.keySet == Set("src0", "src1", "src2"))
+    // LOO: a clone's marginal is heavily discounted (the other clone
+    // covers for it — only the count-halving residual survives)
+    assert(ab("src1")._1 * 2 < ab("src0")._1,
+      s"LOO must discount clones for this fixture to bite: $ab")
+    // Shapley: the clones' shared value survives, split equally
+    assert(sh("src1") == sh("src2"), s"clone symmetry broke: $sh")
+    assert(sh("src1")._1 > 0L, s"shared credit must survive: $sh")
+    // the credit SHARE moves: the clones hold a strictly larger
+    // fraction of the total signal under Shapley than under LOO —
+    // coalitions where neither clone is present restore their value
+    val shTot = sh.values.map(v => math.max(v._1, 0L)).sum.toDouble
+    val abTot = ab.values.map(_._1).sum.toDouble
+    assert(sh("src1")._1 / shTot > ab("src1")._1 / abTot,
+      s"Shapley must restore clone credit share: sh=$sh ab=$ab")
+    // and the budget holds the clones well above the smoothing floor
+    // (absolute w_micro is NOT comparable across the two methods —
+    // EG exponentiates the signal, and Shapley's signal scale is
+    // milli-bits of coalition loss, not LOO's count-halving residual)
+    assert(sh("src1")._2 == sh("src2")._2)
+    assert(sh("src1")._2 > 100000L / 3L * 2L,
+      s"clones must sit well above the smoothing floor: $sh")
+    // bit-determinism, the family contract
+    val again = Doremi.shapleyWeights(train, evals, nGroups = 3).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+      .toMap
+    sh.foreach { case (s, (_, w)) => assert(again(s) == w) }
+  }
 }
