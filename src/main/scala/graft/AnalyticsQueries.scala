@@ -14,7 +14,27 @@ import graft.plans.InListToSemiJoin
 object AnalyticsQueries {
   import Tables.load
 
-  val defs: Seq[QueryDef] = Seq(
+  /** The tableExists-guarded build-once/probe-warm queries of this
+    * module: rep 1 of a bench may pay the one-time index build, so the
+    * bench must keep running the warm reps (see QueryDef.WarmServe).
+    * Tagged via a post-pass (validated against the registry below) so
+    * the policy is auditable in one place. */
+  private val warmServeNames: Set[String] = Set(
+    "ext_ivf_persisted", "ext_ivf_quantized", "ext_ivf_neardup_quant",
+    "ext_ivf_incremental", "ext_minhash_persisted",
+    "ext_minhash_incremental", "ext_simhash_persisted",
+    "ext_srp_persisted", "ext_srp_quantized", "ext_srp_neardup",
+    "ext_srp_neardup_quant", "ext_srp_incremental")
+
+  val defs: Seq[QueryDef] = {
+    val tagged = defs0.map(d =>
+      if (warmServeNames(d.name)) d.copy(timing = QueryDef.WarmServe) else d)
+    val missing = warmServeNames -- defs0.map(_.name).toSet
+    require(missing.isEmpty, s"warmServeNames not in registry: $missing")
+    tagged
+  }
+
+  private def defs0: Seq[QueryDef] = Seq(
 
     // Sessionization: 30-minute-gap sessions per user via lag + running
     // sum — the standard event-log → session-table transform of a

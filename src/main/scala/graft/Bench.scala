@@ -20,6 +20,21 @@ object Bench {
     // numbers are therefore not comparable with rounds ≤ 7, which timed
     // warm appends.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Expensive-query cutoff (seconds): a Standard-timing query whose
+    // FIRST rep runs at least this long is not re-run — that one
+    // measurement stands. Rationale: the registry is ~300 queries and
+    // the end-of-round bench must fit a fixed driver budget (rounds 13
+    // and 14 both overran it, blanking the round's hard artifacts); the
+    // multi-second queries are lifecycle drills (index rebuilds, stream
+    // drains) where (a) per-rep machine noise is small RELATIVE to the
+    // measurement and (b) each extra rep re-runs a whole build for a
+    // digit the median would not change. Sub-cutoff queries — the vast
+    // majority — keep the median-of-reps noise absorption unchanged.
+    // WarmServe queries (tableExists-guarded build-once indexes) are
+    // exempt: their rep 1 pays a one-time build and the warm median IS
+    // their number, so they always run full reps.
+    val cutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_CUTOFF", "3.0").toDouble
+    val timings = SparkEntry.timings
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,8 +63,10 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var lastElapsed = 0.0
+      val warm = timings.get(name).contains(QueryDef.WarmServe)
       var i = 0
-      while (i < reps && err.isEmpty) {
+      while (i < reps && err.isEmpty &&
+          (i == 0 || warm || times.head < cutoff)) {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>

@@ -755,13 +755,22 @@ object ExtensionQueries {
        |  JOIN qg ON f.doc_id = qg.doc_id)""".stripMargin
   }
 
+  /** @param crossSourcePlants mirror of corpusBuildFixture's
+    *   cross-source +700000 plants
+    * @param authorityKeeper replace the min-id dedup keeper with the
+    *   rank-aware struct-min form: keeper = max authority rank of the
+    *   copy's SOURCE (pr_r4 from [[GraphQueries.authorityRankCtes]],
+    *   spliced ahead of the capstone chain), min-id tiebreak — the
+    *   oracle twin of CorpusBuild.build(keeperPriorities = ...) */
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
       withDsir: Boolean = false,
       withD4: Boolean = false,
       withSpanClean: Boolean = false,
       budgetDiv: Int = 1,
-      budgetCte: Option[String] = None): String = {
+      budgetCte: Option[String] = None,
+      crossSourcePlants: Boolean = false,
+      authorityKeeper: Boolean = false): String = {
     require(!(withD4 && withSpanClean),
       "the oracle chains spanclean XOR the D4 stages") // Scala composes both
     val selSrc = if (withD4) "d4surv"
@@ -781,7 +790,17 @@ object ExtensionQueries {
         |    'this short line mentions javascript libraries.' || chr(10) ||
         |    'Trailing thought...' || chr(10) ||
         |    'Another proper sentence ends with five words.'""".stripMargin
-    s"""WITH evals AS (
+    val xplantUnion = if (!crossSourcePlants) ""
+      else
+        """
+          |  UNION ALL
+          |  SELECT doc_id + 700000, stext,
+          |    'src' || CAST((CAST(regexp_extract(source, '[0-9]+', 0)
+          |      AS BIGINT) + 7) % 20 AS VARCHAR)
+          |  FROM splants""".stripMargin
+    val authorityCtes = if (!authorityKeeper) ""
+      else GraphQueries.authorityRankCtes + ",\n"
+    s"""WITH ${authorityCtes}evals AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
        |base AS (
        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0),
@@ -798,7 +817,7 @@ object ExtensionQueries {
        |  UNION ALL
        |  SELECT doc_id + 500000, ' ' || stext || '  ', source FROM splants
        |  UNION ALL
-       |  SELECT doc_id, stext, source FROM eplants),
+       |  SELECT doc_id, stext, source FROM eplants$xplantUnion),
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
@@ -839,9 +858,24 @@ object ExtensionQueries {
        |         WHEN g.gopher_pass = 0 THEN 'gopher'
        |         ELSE 'survivor' END AS stage
        |  FROM feat f JOIN g ON f.doc_id = g.doc_id),
-       |keepers AS (
-       |  SELECT fingerprint, min(doc_id) AS keeper_id
-       |  FROM staged WHERE stage = 'survivor' GROUP BY 1),
+       |${if (!authorityKeeper)
+            """keepers AS (
+              |  SELECT fingerprint, min(doc_id) AS keeper_id
+              |  FROM staged WHERE stage = 'survivor' GROUP BY 1),"""
+              .stripMargin
+          else
+            """kscore AS (
+              |  SELECT s.doc_id, s.fingerprint, coalesce(pr.r, 0) AS kpri
+              |  FROM staged s JOIN corpus c ON s.doc_id = c.doc_id
+              |  LEFT JOIN pr_r4 pr ON c.source = pr.id
+              |  WHERE s.stage = 'survivor'),
+              |kbest AS (
+              |  SELECT fingerprint, min(ROW(-kpri, doc_id)) AS mk
+              |  FROM kscore GROUP BY 1),
+              |keepers AS (
+              |  SELECT k.fingerprint, k.doc_id AS keeper_id
+              |  FROM kscore k JOIN kbest b ON k.fingerprint = b.fingerprint
+              |    AND ROW(-k.kpri, k.doc_id) = b.mk),""".stripMargin}
        |attributed AS (
        |  SELECT s.doc_id,
        |    CASE WHEN s.stage <> 'survivor' THEN s.stage
@@ -902,7 +936,15 @@ object ExtensionQueries {
     * invariant specs in CorpusBuildSpec. */
   /** The capstone's fixture frames: (corpus, evals, budgets) — shared
     * by the batch build, the streaming twin (sr12) and their specs. */
-  private[graft] def corpusBuildFixture(s: SparkSession, dir: String)
+  /** @param withCrossSourcePlants adds a THIRD copy of each structured
+    *   plant (+700000) under a rotated source (srcN → src((N+7)%20)) —
+    *   the fixture class for the rank-aware keeper: its dup group then
+    *   spans two sources of (generically) different authority, so
+    *   keeper choice visibly depends on the rank term, not just min-id
+    *   (same-source copies tie on priority and fall back to min-id,
+    *   which would leave the rank term vacuous in the hash). */
+  private[graft] def corpusBuildFixture(s: SparkSession, dir: String,
+      withCrossSourcePlants: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val d = load(s, dir, "documents").select("doc_id", "text", "source")
@@ -911,7 +953,7 @@ object ExtensionQueries {
     val splants = base.where(col("doc_id") % 11 === 0)
       .select(col("doc_id"), structuredVariant(col("text")).as("stext"),
         col("source"))
-    val corpus = base
+    val corpus0 = base
       .unionByName(splants.select((col("doc_id") + 300000).as("doc_id"),
         col("stext").as("text"), col("source")))
       .unionByName(splants.select((col("doc_id") + 500000).as("doc_id"),
@@ -919,6 +961,14 @@ object ExtensionQueries {
       .unionByName(d.where(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 600000).as("doc_id"),
           structuredVariant(col("text")).as("text"), col("source")))
+    val corpus =
+      if (!withCrossSourcePlants) corpus0
+      else corpus0.unionByName(splants
+        .select((col("doc_id") + 700000).as("doc_id"),
+          col("stext").as("text"),
+          concat(lit("src"),
+            ((regexp_extract(col("source"), "[0-9]+", 0).cast("long") + 7)
+              % 20).cast("string")).as("source")))
     (corpus, evals, sourceTokenBudgets.toDF("source", "budget"))
   }
 
@@ -1105,7 +1155,21 @@ object ExtensionQueries {
       "SELECT 'none' AS held_out UNION ALL " +
         "SELECT DISTINCT source FROM documents WHERE doc_id % 97 <> 0")
 
-  val defs: Seq[QueryDef] = Seq(
+  /** tableExists-guarded build-once/serve-warm queries (see
+    * QueryDef.WarmServe and the matching set in AnalyticsQueries). */
+  private val warmServeNames: Set[String] = Set(
+    "ext_winnow_persisted", "ext_boilerplate_persisted",
+    "ext_exact_persisted")
+
+  val defs: Seq[QueryDef] = {
+    val tagged = defs0.map(d =>
+      if (warmServeNames(d.name)) d.copy(timing = QueryDef.WarmServe) else d)
+    val missing = warmServeNames -- defs0.map(_.name).toSet
+    require(missing.isEmpty, s"warmServeNames not in registry: $missing")
+    tagged
+  }
+
+  private def defs0: Seq[QueryDef] = Seq(
 
     // ── Deduplication ────────────────────────────────────────────────
 
@@ -3591,6 +3655,35 @@ object ExtensionQueries {
           |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => corpusBuildResult(s, dir).attribution.orderBy("doc_id")),
+
+    // The capstone with the AUTHORITY-RANKED keeper: the fixture plants
+    // a third copy of each structured plant under a rotated source
+    // (+700000), so every dup group spans two sources of different
+    // shared-content authority — the keeper is now the highest-rank
+    // source's copy (min-id tiebreak), i.e. the rank-aware canonical
+    // choice ext_graph_rank_keeper demonstrates standalone, threaded
+    // into CorpusBuild.build as keeperPriorities. The oracle splices
+    // the SAME pr_r4 rank chain the ext_source_authority oracle uses
+    // ahead of the capstone CTEs and replays the struct-min keeper —
+    // so the whole composition (ranks → keeper → budgets) value-hashes.
+    QueryDef("ext_corpus_build_authority",
+      Some(corpusBuildCtes(crossSourcePlants = true,
+          authorityKeeper = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) =
+          corpusBuildFixture(s, dir, withCrossSourcePlants = true)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets,
+            keeperPriorities = Some(GraphQueries
+              .sourceAuthorityRanks(s, dir)
+              .select(col("source"), col("rank_fp").as("priority"))))
+          .attribution.orderBy("doc_id")
+      }),
 
     // The capstone with LEARNED budgets: DoReMi domain reweighting
     // (operators.Doremi, arXiv:2305.10429) fits mixture weights on the

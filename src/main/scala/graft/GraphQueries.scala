@@ -89,8 +89,13 @@ object GraphQueries {
     * whenever the indexed corpus IS the documents table, and the
     * unlearn form's junk slice cancels exactly (the commutative-group
     * argument), so ONE SQL checks all four. */
-  private[graft] val authorityOracleSql: String =
-    s"""WITH tok AS (
+  /** The authority rank derivation as a reusable CTE-chain body
+    * (ranks land in `pr_r4(id, r)`) — shared by [[authorityOracleSql]]
+    * and the rank-aware corpus-build keeper oracle
+    * (ext_corpus_build_authority), so the two queries provably price
+    * the same ranks. */
+  private[graft] val authorityRankCtes: String =
+    s"""tok AS (
        |  SELECT source,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      x -> x <> '') AS t
@@ -99,16 +104,34 @@ object GraphQueries {
        |  SELECT DISTINCT source, md5(array_to_string(t[i:i+7], ' ')) AS ph
        |  FROM tok, unnest(range(1, len(t) - 6)) AS r(i)
        |  WHERE len(t) >= 8),
+       |${Centrality.cappedShinglesCte("sg", "sgk")},
        |nodes AS (SELECT DISTINCT source AS id FROM documents),
        |edges AS (
        |  SELECT a.source AS src, b.source AS dst,
        |    CAST(count(*) AS BIGINT) AS w
-       |  FROM sg a JOIN sg b ON a.ph = b.ph AND a.source <> b.source
+       |  FROM sgk a JOIN sgk b ON a.ph = b.ph AND a.source <> b.source
        |  GROUP BY 1, 2),
        |${Centrality.oracleCtes("nodes", "edges", iters = 4,
-          weighted = true)}
+          weighted = true)}""".stripMargin
+
+  private[graft] val authorityOracleSql: String =
+    s"""WITH $authorityRankCtes
        |SELECT id AS source, r AS rank_fp
        |FROM pr_r4 ORDER BY source""".stripMargin
+
+  /** Inline source-authority ranks (source, rank_fp) — the
+    * ext_source_authority computation, reusable as keeper priorities
+    * (ext_corpus_build_authority feeds it into
+    * [[graft.operators.CorpusBuild.build]]). */
+  private[graft] def sourceAuthorityRanks(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(s, dir, "documents").select("source", "text")
+    Centrality.pageRank(
+        docs.select(col("source").as("id")).distinct(),
+        Centrality.sharedShingleEdges(Centrality.sourceShingles(docs)),
+        iters = 4, weightCol = Some("w"))
+      .select(col("id").as("source"), col("rank_fp"))
+  }
 
   private[graft] val defs: Seq[QueryDef] = Seq(
 
@@ -145,16 +168,7 @@ object GraphQueries {
     // pipeline reads as a per-source quality weight.
     QueryDef("ext_source_authority",
       Some(authorityOracleSql),
-      (s, dir) => {
-        val docs = load(s, dir, "documents").select("source", "text")
-        val edges = Centrality.sharedShingleEdges(
-          Centrality.sourceShingles(docs))
-        Centrality.pageRank(
-            docs.select(col("source").as("id")).distinct(),
-            edges, iters = 4, weightCol = Some("w"))
-          .select(col("id").as("source"), col("rank_fp"))
-          .orderBy("source")
-      }),
+      (s, dir) => sourceAuthorityRanks(s, dir).orderBy("source")),
 
     // Rank-aware keeper selection — the composition the scaladoc
     // promises: connected components pick the cluster, PageRank picks

@@ -29,4 +29,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = QueryDef.toOracles(allDefs)
+
+  /** Bench repetition policy per query (see QueryDef.Timing). */
+  def timings: Map[String, QueryDef.Timing] = QueryDef.toTimings(allDefs)
 }

@@ -12,6 +12,11 @@ object ValuationQueries {
 
   private val Groups = 5
 
+  /** One player per fixture source (src0..src19) — the granularity the
+    * exact game cannot reach. */
+  private val SampledGroups = 20
+  private val SampledPerms = 24
+
   private[graft] val defs: Seq[QueryDef] = Seq(
 
     // Exact Shapley value of 5 source GROUPS over the frozen-eval
@@ -32,6 +37,29 @@ object ValuationQueries {
               |${Shapley.oracleSql(Groups)}""".stripMargin),
       (s, dir) => Shapley.sourceShapley(
         load(s, dir, "documents").select("doc_id", "source", "text"),
-        nGroups = Groups))
+        nGroups = Groups)),
+
+    // SAMPLED Shapley at PER-SOURCE granularity (P = 20 players — past
+    // the exact enumerator's P ≤ 12 guard): 24 deterministic
+    // hash-derived permutations visit ≤ 2·24·20 distinct prefix
+    // coalitions where exact would need 2^20 models. Fully
+    // VALUE-oracle'd — the permutations are a pure function of
+    // (seed, m, player) md5 keys, so DuckDB re-derives the identical
+    // walk and the integer milli-bit algebra hashes exactly
+    // (ShapleySpec separately proves the estimator equals the exact
+    // fold bit-for-bit when given all P! permutations).
+    QueryDef("ext_source_shapley_sampled",
+      Some(s"""WITH evald AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+              |trainpl AS (
+              |  SELECT 'g' || CAST(CAST(regexp_extract(source, '[0-9]+', 0)
+              |      AS BIGINT) % $SampledGroups AS VARCHAR) AS player,
+              |    text
+              |  FROM documents WHERE doc_id % 97 <> 0),
+              |${Shapley.sampledOracleSql(SampledGroups, SampledPerms)}"""
+        .stripMargin),
+      (s, dir) => Shapley.sampledSourceShapley(
+        load(s, dir, "documents").select("doc_id", "source", "text"),
+        nGroups = SampledGroups, nPerms = SampledPerms))
   )
 }

@@ -44,7 +44,25 @@ object Centrality {
   /** Weighted contributions quantize each edge's share of its source's
     * out-weight to parts-per-million once, up front — so the
     * per-iteration multiply r·share_ppm is bounded by Scale·1e6 = 1e18
-    * < 2^63 regardless of raw weight magnitude. */
+    * < 2^63 regardless of raw weight magnitude.
+    *
+    * Faithfulness bound, stated precisely: an edge whose true share is
+    * under 1 ppm (w/out_w < 1e-6) floors to share_ppm = 0 and
+    * contributes NOTHING, every iteration; more generally a source
+    * loses up to out_deg ppm of its forwarded mass per iteration to
+    * the floors. The quantization is therefore faithful only while
+    * out-degrees (more exactly, out_w/min-edge-w ratios) stay well
+    * under 1e6 — true for source-level graphs (#sources bounds
+    * out-degree; the df-cap bounds it further), NOT for
+    * Common-Crawl-scale host graphs with ~1e6+ distinct neighbors,
+    * where the result silently diverges from true weighted PageRank.
+    * The scale can't simply be raised: Scale·1e9 ppb shares would
+    * overflow 2^63. At that degree regime, pre-aggregate the edge list
+    * (merge parallel edges, drop sub-ppm tails explicitly) or lower
+    * [[Scale]] in tandem — both change the oracle constants, which is
+    * why the bound is documented rather than silently absorbed. The
+    * unweighted path (r div out_deg, no ppm) loses ≤ 1 unit per node
+    * per term and has no such degree bound. */
   val SharePpm: Long = 1000000L
 
   private val RowsPerIterationPartition = 250000L
@@ -62,11 +80,7 @@ object Centrality {
       numShufflePartitions = Some(nPart))
 
   private def freeBlocks(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ =>
-    }
+    Ops.freeLogicalRddBlocks(df)
 
   /** One rank-propagation step — exposed for CentralitySpec's plan
     * assertions, the [[Components.step]] convention. `edgesP` must be
@@ -316,17 +330,67 @@ object Centrality {
       .select(col("source"), md5(col("s").cast("binary")).as("ph"))
       .distinct()
 
+  /** Hot-fingerprint document-frequency cap for [[sharedShingleEdges]]:
+    * a fingerprint present in more than this many DISTINCT sources is
+    * dropped before the pair join. Two reasons, one semantic and one
+    * structural. Semantic: this is an IDF cut — a shingle shared by
+    * (nearly) every source (a copyright footer, a cookie banner)
+    * carries no authority DISCRIMINATION; edges should reflect content
+    * two sources distinctively share. Structural: the self-join costs
+    * Σ_ph S_ph² where S_ph = #sources holding fingerprint ph; at
+    * Common-Crawl host granularity (#sources in the millions) ONE
+    * ubiquitous boilerplate shingle alone would be ~10¹² join rows.
+    * With the cap, each surviving fingerprint costs ≤ K² pairs — the
+    * same bounded-bucket discipline every other self-join in this repo
+    * applies (IndexStore.capHotBuckets, Dedup's star-link guards). The
+    * cap's activity is OBSERVED (no silent truncation) via
+    * [[IndexStore.observeCap]]. */
+  val DefaultMaxSourcesPerFingerprint: Int = 256
+
   /** Source→source edges from a (source, ph) table: weight = #distinct
-    * shared fingerprints. The DISTINCT input bounds the join fan-out at
-    * #sources² rows per fingerprint — a boilerplate shingle shared by
-    * every source costs #sources², never corpus². */
-  def sharedShingleEdges(sourceShingles: DataFrame): DataFrame =
-    sourceShingles.alias("a")
-      .join(sourceShingles.alias("b"),
+    * shared fingerprints with source document-frequency ≤
+    * `maxSourcesPerFingerprint` (see
+    * [[DefaultMaxSourcesPerFingerprint]]). The DISTINCT input bounds
+    * the join fan-out per fingerprint at (#sources sharing it)²; the
+    * df-cap bounds that factor at K² regardless of how ubiquitous a
+    * boilerplate shingle is. Both the cap and the join hash on `ph`, so
+    * the df aggregate rides the exchange the pair join needs anyway.
+    * Oracle twin: [[cappedShinglesCte]] — query SQL must splice it so
+    * engine and oracle apply the identical cut. */
+  def sharedShingleEdges(sourceShingles: DataFrame,
+      maxSourcesPerFingerprint: Int = DefaultMaxSourcesPerFingerprint)
+      : DataFrame = {
+    require(maxSourcesPerFingerprint >= 2,
+      s"a fingerprint needs >= 2 sources to form an edge; cap of " +
+        s"$maxSourcesPerFingerprint would drop everything")
+    val dfByPh = sourceShingles.groupBy("ph")
+      .agg(count(lit(1)).as("__df"))
+    val kept = sourceShingles.join(dfByPh, "ph")
+      .transform(IndexStore.observeCap(_,
+        col("__df") > maxSourcesPerFingerprint,
+        col("__df") > maxSourcesPerFingerprint, col("__df")))
+      .where(col("__df") <= maxSourcesPerFingerprint)
+      .select("source", "ph")
+    kept.alias("a")
+      .join(kept.alias("b"),
         col("a.ph") === col("b.ph") &&
           col("a.source") =!= col("b.source"))
       .select(col("a.source").as("src"), col("b.source").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** DuckDB CTE applying [[sharedShingleEdges]]' df-cap to a
+    * (source, ph) CTE — emitted next to the operator so the oracle's
+    * cut can't drift from the engine's. `SELECT source, ph FROM
+    * <out>` is the capped table. */
+  def cappedShinglesCte(shinglesCte: String, out: String,
+      maxSourcesPerFingerprint: Int = DefaultMaxSourcesPerFingerprint)
+      : String =
+    s"""$out AS (
+       |  SELECT s.source, s.ph FROM $shinglesCte s
+       |  JOIN (SELECT ph FROM $shinglesCte GROUP BY ph
+       |        HAVING count(*) <= $maxSourcesPerFingerprint) k
+       |    ON s.ph = k.ph)""".stripMargin
 
   /** Generates the DuckDB oracle's iteration CTE chain for
     * [[pageRank]] — the SQL twin of the loop above, unrolled. The

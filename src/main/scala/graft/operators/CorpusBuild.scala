@@ -92,16 +92,24 @@ object CorpusBuild {
     *                 the release packs — reads the CLEANED canonical
     *                 (lowercased, whitespace-normalized) text
     */
+  /** @param keeperPriorities when set — (source, priority), e.g. the
+    *   persisted authority ranks — the curation stage's exact-dedup
+    *   keeper prefers the highest-priority source's copy over the
+    *   min-id default (see [[QualityRules.fineWebPipeline]]): the
+    *   rank-aware canonical-copy choice `ext_graph_rank_keeper`
+    *   demonstrates standalone, threaded into the capstone. */
   def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
       contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
       packTokens: Int = 512, packsPerShard: Int = 4,
       dsirTarget: Option[String] = None,
       embedStages: Option[EmbeddingStages] = None,
-      spanCleanK: Option[Int] = None): Result = {
+      spanCleanK: Option[Int] = None,
+      keeperPriorities: Option[DataFrame] = None): Result = {
     require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
 
     // ── curation + exact dedup (first-cut attribution inside) ──────
-    val staged = QualityRules.fineWebPipeline(corpus) // (doc_id, cut_stage)
+    val staged = QualityRules.fineWebPipeline(corpus,
+      keeperPriorities = keeperPriorities) // (doc_id, cut_stage)
     val curated = corpus.join(
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")
 

@@ -232,15 +232,27 @@ object Doremi {
       .localCheckpoint() // bounded: one row per panel member
     val full = perHeld.where(col("held_out") === "none")
       .select(col("h_milli_tok").as("full_milli"))
-    val sig = perHeld.where(col("held_out") =!= "none")
+    // the signal table is bounded (#sources rows): land it DRIVER-side
+    // once, free every distributed intermediate, and hand back a plan
+    // over local rows — a checkpointed sig would keep executor blocks
+    // alive for as long as the caller holds the result, accumulating
+    // storage across repeated weight calls in a long-lived session
+    val sigRows = perHeld.where(col("held_out") =!= "none")
       .crossJoin(broadcast(full))
       .select(col("held_out").as("source"), col("n_bigrams"),
         col("h_milli_tok").as("abl_milli"), col("full_milli"),
         greatest(lit(0L), col("h_milli_tok") - col("full_milli"))
           .as("excess_milli"))
-      .localCheckpoint() // bounded (#sources); feeds collect + join
-    val ex = sig.select("source", "excess_milli").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect()
+    Ops.freeLogicalRddBlocks(perHeld)
+    Ops.freeLogicalRddBlocks(abl)
+    Ops.freeLogicalRddBlocks(slices)
+    val sig = sigRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("source", "n_bigrams", "abl_milli", "full_milli",
+        "excess_milli")
+    val ex = sigRows.map(r => (r.getString(0), r.getLong(4))).toSeq
     val w = egWeights(ex, cfg)
     sig.join(broadcast(w.toDF("source", "w_micro")), "source")
       .orderBy("source")
@@ -265,16 +277,22 @@ object Doremi {
     val phi = Shapley.groupShapley(
       train.withColumn("player", Shapley.sourceGroup(col(srcCol), nGroups)),
       evals, nGroups, textCol, broadcastModels)
-    val sig = train.select(col(srcCol).as("source")).distinct()
+    // bounded (#sources) signal rows land driver-side (see
+    // ablationWeights — no lingering checkpoint blocks; phi is already
+    // a literal frame, groupShapley frees its own intermediates)
+    val sigRows = train.select(col(srcCol).as("source")).distinct()
       .withColumn("player", Shapley.sourceGroup(col("source"), nGroups))
       .join(broadcast(phi), "player")
       .select(col("source"), col("player"), col("phi_milli"),
         greatest(lit(0L), col("phi_milli")).as("excess_milli"))
-      .localCheckpoint() // bounded (#sources); feeds collect + join
-    val ex = sig.select("source", "excess_milli").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val w = egWeights(ex, cfg)
+      .collect()
     import spark.implicits._
+    val sig = sigRows.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("source", "player", "phi_milli", "excess_milli")
+    val ex = sigRows.map(r => (r.getString(0), r.getLong(3))).toSeq
+    val w = egWeights(ex, cfg)
     sig.join(broadcast(w.toDF("source", "w_micro")), "source")
       .orderBy("source")
   }

@@ -2964,6 +2964,32 @@ object IndexStore {
       .groupBy("source", "ph").agg(count(lit(1)).as("nd"))
       .withColumn("bk", lit(batchKey))
 
+  /** Serving-node-set invariant, asserted at every authority write:
+    * [[authorityFromIndex]] derives its vertex set from sources LIVE in
+    * the shingle table, while the family's shared oracle (and the
+    * inline `ext_source_authority` form) declares nodes as ALL distinct
+    * sources of the corpus. The two agree only when every written
+    * source has ≥ 1 doc of ≥ k tokens — a source whose docs are all
+    * shorter never enters the table, silently changing nNodes and
+    * therefore EVERY rank (baseShare = Scale div nNodes). Fail loudly
+    * at the write (the cause) instead. Cost: one column-pruned scan of
+    * the batch's source column against the just-written bounded table. */
+  private def requireAuthSourcesIndexable(batch: DataFrame,
+      srcCol: String, table: String, k: Int, op: String): Unit = {
+    val spark = batch.sparkSession
+    val missing = batch.select(col(srcCol).as("source")).distinct()
+      .join(spark.table(s"${table}_aph").select("source").distinct(),
+        Seq("source"), "left_anti")
+      .limit(6).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"$op($table): source(s) ${missing.mkString(", ")} have no doc " +
+        s"with >= $k tokens, so they are absent from the shingle table " +
+        "— the served node set would diverge from the declared corpus " +
+        "node set and shift every rank (see authorityFromIndex). Route " +
+        "sub-k-token sources around the authority index or pad/merge " +
+        "their docs upstream.")
+  }
+
   /** Builds the persisted authority table: `(source, ph, nd, bk)`
     * bucketed by ph. `batchKey` becomes the initial high-water mark
     * (crash-replay of the building batch falls through to the append
@@ -2981,6 +3007,7 @@ object IndexStore {
     setParams(spark, s"${table}_aph",
       authParams(srcCol, idCol, k) +
         (AuthBkHighWaterParam -> batchKey.toString))
+    requireAuthSourcesIndexable(docs, srcCol, table, k, "buildAuthorityIndex")
   }
 
   private def authK(spark: SparkSession, table: String, srcCol: String,
@@ -3009,6 +3036,8 @@ object IndexStore {
           "ph", nb)
         .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
       noteAppend(spark, aph)
+      requireAuthSourcesIndexable(delta, srcCol, table, k,
+        "appendAuthorityIndex")
       true
     }
   }
@@ -3058,17 +3087,26 @@ object IndexStore {
 
   /** Fixed-point source ranks served from the store: (source, rank_fp).
     * Node set = sources live in the table (a fully-unlearned source
-    * drops out, exactly as if never indexed). Pure function of the
-    * table — nothing rank-shaped is persisted or needs refitting. */
+    * drops out, exactly as if never indexed; every INDEXED source is
+    * present by the write-time invariant
+    * [[requireAuthSourcesIndexable]], so this set equals the corpus's
+    * declared node set). Pure function of the table — nothing
+    * rank-shaped is persisted or needs refitting. The live checkpoint
+    * is freed before returning: pageRank consumes nodes/edges eagerly
+    * (its per-iteration checkpoints), so the returned ranks frame no
+    * longer references it — repeated serves must not accumulate
+    * executor block storage (the Centrality freeBlocks discipline). */
   def authorityFromIndex(spark: SparkSession, table: String,
       iters: Int = 4, dampingPct: Int = 85): DataFrame = {
     val live = Ops.checkpointKeepPartitioning(
       authorityShinglesFromIndex(spark, table))
-    Centrality.pageRank(
+    val ranks = Centrality.pageRank(
         live.select(col("source").as("id")).distinct(),
         Centrality.sharedShingleEdges(live),
         iters, dampingPct, weightCol = Some("w"))
       .select(col("id").as("source"), col("rank_fp"))
+    Ops.freeLogicalRddBlocks(live)
+    ranks
   }
 
   /** Compacts under the CMS water-mark discipline (marks move FIRST,

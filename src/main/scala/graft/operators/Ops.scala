@@ -521,4 +521,19 @@ object Ops {
     val row = kthOrderedValueFrame(df, valueCol, tieCol, k, nBuckets).head()
     if (row.isNullAt(0)) None else Some(row.getAs[T](0))
   }
+
+  /** Unpersists the checkpoint blocks behind `df`'s LogicalRDD leaves —
+    * the Centrality per-iteration discipline, shared so long-lived
+    * sessions making repeated serve/weight calls don't accumulate
+    * executor block storage. Only safe once EVERY consumer of those
+    * blocks has materialized: typically the checkpointed frame fed an
+    * eager loop (pageRank iterations) or a bounded collect, and what
+    * the caller returns references later checkpoints or driver-local
+    * rows, never these blocks. */
+  def freeLogicalRddBlocks(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

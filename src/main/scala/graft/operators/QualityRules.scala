@@ -174,27 +174,56 @@ object QualityRules {
       .when(!gopherPassExpr(gopherSignalCols(t).toMap), "gopher")
       .otherwise("survivor")
 
+  /** @param keeperPriorities when set — a bounded (source, priority)
+    *   table, e.g. the persisted authority ranks
+    *   ([[IndexStore.authorityFromIndex]]) — the exact-dedup keeper
+    *   within each fingerprint group is the copy from the
+    *   HIGHEST-priority source (min-id tiebreak; unlisted sources rank
+    *   0) instead of the arbitrary min id: the most-authoritative copy
+    *   is the natural canonical document. Same hot-fingerprint-safe
+    *   struct-max aggregate as [[Dedup.priorityKeepers]] — never a
+    *   window over the fingerprint group. */
   def fineWebPipeline(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      keeperPriorities: Option[DataFrame] = None,
+      srcCol: String = "source"): DataFrame = {
     val t = col(textCol)
-    // Pin the 3-column decision frame (eager localCheckpoint): three
-    // consumers read it — the cut branch, the survivor branch, and the
-    // keeper aggregate — and without the pin each re-evaluates the full
+    // Pin the decision frame (eager localCheckpoint): three consumers
+    // read it — the cut branch, the survivor branch, and the keeper
+    // aggregate — and without the pin each re-evaluates the full
     // signal tree over the corpus (measured 3× the query cost). The
-    // pinned frame is (id, fingerprint, stage), NOT the text — tiny at
-    // any corpus size. Same boundary doctrine as the ingest gates:
-    // executor-local blocks; see Dedup.ReliableBoundaryConf for the
-    // durable variant under dynamic allocation.
-    val staged = Ops.checkpointKeepPartitioning(
-      docs.select(col(idCol),
-        TextAnalysis.fingerprintMd5(t).as("fingerprint"),
-        fineWebStageExpr(t).as("stage")),
-      eager = true)
+    // pinned frame is (id, fingerprint, stage[, priority]), NOT the
+    // text — tiny at any corpus size. Same boundary doctrine as the
+    // ingest gates: executor-local blocks; see
+    // Dedup.ReliableBoundaryConf for the durable variant under dynamic
+    // allocation.
+    val decision = keeperPriorities match {
+      case None =>
+        docs.select(col(idCol),
+          TextAnalysis.fingerprintMd5(t).as("fingerprint"),
+          fineWebStageExpr(t).as("stage"))
+      case Some(pri) =>
+        docs.select(col(idCol),
+            TextAnalysis.fingerprintMd5(t).as("fingerprint"),
+            fineWebStageExpr(t).as("stage"), col(srcCol).as("__ksrc"))
+          .join(broadcast(pri.select(col("source").as("__ksrc"),
+            col("priority").as("__kpri"))), Seq("__ksrc"), "left")
+          .select(col(idCol), col("fingerprint"), col("stage"),
+            coalesce(col("__kpri"), lit(0L)).as("__kpri"))
+    }
+    val staged = Ops.checkpointKeepPartitioning(decision, eager = true)
     val cut = staged.where(col("stage") =!= "survivor")
       .select(col(idCol), col("stage").as("cut_stage"))
     val survivors = staged.where(col("stage") === "survivor")
-    val keepers = survivors.groupBy("fingerprint")
-      .agg(min(col(idCol)).as("keeper_id"))
+    val keepers =
+      if (keeperPriorities.isEmpty)
+        survivors.groupBy("fingerprint")
+          .agg(min(col(idCol)).as("keeper_id"))
+      else
+        survivors.groupBy("fingerprint")
+          .agg(max(struct(col("__kpri"), (-col(idCol)).as("neg_id")))
+            .as("best"))
+          .select(col("fingerprint"), (-col("best.neg_id")).as("keeper_id"))
     val attributed = survivors.join(keepers, "fingerprint")
       .select(col(idCol),
         when(col(idCol) === col("keeper_id"), "kept")

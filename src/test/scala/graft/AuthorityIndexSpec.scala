@@ -134,4 +134,32 @@ class AuthorityIndexSpec extends SparkSpec {
         "text", tbl, batchKey = -1L)
     }
   }
+
+  test("node-set invariant: a source with no ≥k-token doc fails the " +
+      "write loudly instead of silently shrinking the vertex set") {
+    // "ghost" never enters the shingle table (6 tokens < k = 8), so the
+    // served node count — and with it EVERY rank (baseShare =
+    // Scale div nNodes) — would silently diverge from the corpus's
+    // declared node set. The write is where the cause is visible.
+    val withGhost = docs.unionByName(Seq(
+      (9L, "ghost", "only six tokens live here")
+    ).toDF("doc_id", "source", "text"))
+    val (tbl, path) = freshTable("ghostb")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.buildAuthorityIndex(withGhost, "source", "doc_id",
+        "text", tbl, path)
+    }
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+
+    val (tbl2, path2) = freshTable("ghosta")
+    IndexStore.buildAuthorityIndex(docs, "source", "doc_id", "text",
+      tbl2, path2)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.appendAuthorityIndex(Seq(
+          (10L, "ghost2", "five tokens in here")
+        ).toDF("doc_id", "source", "text"),
+        "source", "doc_id", "text", tbl2, batchKey = 1L)
+    }
+    assert(e2.getMessage.contains("ghost2"), e2.getMessage)
+  }
 }

@@ -198,4 +198,44 @@ class CentralitySpec extends SparkSpec {
         Seq((1L, 2L)).toDF("src", "dst"), iters = 1).collect()
     }
   }
+
+  test("sharedShingleEdges df-cap: a planted ubiquitous fingerprint is " +
+      "cut, pair growth stays bounded, and the cap is observable") {
+    // 6 sources all share fingerprint U (the copyright-footer shape);
+    // s0/s1 additionally share the discriminating fingerprint D.
+    // Uncapped, U alone contributes 6·5 = 30 directed pairs; capped at
+    // 4, U is dropped and only D's 2 edges survive — Σ S_ph² growth
+    // from a ubiquitous shingle is cut to zero, the scale killer the
+    // cap exists for (at host granularity S_U ~ 1e6 ⇒ ~1e12 rows).
+    val sh = Seq("s0", "s1", "s2", "s3", "s4", "s5").map((_, "U"))
+      .++(Seq(("s0", "D"), ("s1", "D"))).toDF("source", "ph")
+
+    val capped = Centrality.sharedShingleEdges(sh,
+      maxSourcesPerFingerprint = 4)
+    // collect the observed frame ITSELF (a derived .as[...] frame would
+    // record the metrics on its own execution — the capActivity contract)
+    val gotCapped = capped.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotCapped == Set(("s0", "s1", 1L), ("s1", "s0", 1L)),
+      s"only D edges survive the cap: $gotCapped")
+    // observable, never silent: the guard reports the suppressed rows
+    // (6 sources × U, counted once per self-join side) and the hot df
+    val act = graft.operators.IndexStore.capActivity(capped)
+    assert(act.exists(_.maxBucketN == 6L), s"cap activity: $act")
+    assert(act.exists(_.rowsSuppressed >= 6L), s"cap activity: $act")
+
+    // under the cap nothing changes: same fixture, cap ≥ every df —
+    // identical to the historical uncapped semantics (U contributes
+    // w=2 on the s0↔s1 edges, w=1 elsewhere)
+    val uncapped = Centrality.sharedShingleEdges(sh,
+        maxSourcesPerFingerprint = 6)
+      .as[(String, String, Long)].collect().toSet
+    assert(uncapped.size == 30)
+    assert(uncapped.contains(("s0", "s1", 2L)))
+    assert(uncapped.contains(("s2", "s3", 1L)))
+
+    intercept[IllegalArgumentException] {
+      Centrality.sharedShingleEdges(sh, maxSourcesPerFingerprint = 1)
+    }
+  }
 }

@@ -64,4 +64,80 @@ class ShapleySpec extends SparkSpec {
     assert(a == b)
     assert(a.size == 3)
   }
+
+  test("stray players outside g0..g{P-1} fail loud, not silently drop") {
+    val train = Seq(("g0", "alpha beta gamma"), ("weird", "beta gamma"))
+      .toDF("player", "text")
+    val evals = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Shapley.groupShapley(train, evals, nGroups = 2)
+    }
+    assert(e.getMessage.contains("weird"), e.getMessage)
+  }
+
+  test("an empty eval split fails with its cause named") {
+    val train = Seq(("g0", "alpha beta gamma")).toDF("player", "text")
+    val evals = Seq((0L, "   ")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Shapley.groupShapley(train, evals, nGroups = 1)
+    }
+    assert(e.getMessage.contains("zero bigrams"), e.getMessage)
+  }
+
+  // ── sampled estimator ──────────────────────────────────────────────
+
+  test("sampled fold over ALL P! permutations equals the exact Shapley " +
+      "fold bit-for-bit (convergence anchor)") {
+    // each coalition S appears as p's prefix in exactly
+    // |S|!·(P−1−|S|)! of the P! permutations, so the permutation sum
+    // IS the exact factorial-weighted numerator — integer-exactly,
+    // and phi_milli scales by nPerms = P! = the exact fold's P!.
+    val n = 4
+    val losses = (0L until (1L << n)).map(s =>
+      s -> (1000L - 37L * java.lang.Long.bitCount(s) -
+        (s * 13L) % 11L)).toMap
+    val allPerms = (0 until n).permutations.toSeq
+    val pre = Shapley.prefixMasksOf(allPerms)
+    val sampled = Shapley.sampledFromLosses(losses, n, pre, allPerms.size)
+    val exact = Shapley.shapleyFromLosses(losses, n)
+    assert(sampled == exact, s"sampled=$sampled exact=$exact")
+  }
+
+  test("hash-derived permutations: deterministic, and the estimate " +
+      "approaches the exact values as permutations accumulate") {
+    val n = 4
+    val losses = (0L until (1L << n)).map(s =>
+      s -> (1000L - 37L * java.lang.Long.bitCount(s) -
+        (s * 13L) % 11L)).toMap
+    val exact = Shapley.shapleyFromLosses(losses, n)
+      .map { case (p, _, milli) => p -> milli }.toMap
+    def estErr(nPerms: Int): Long = {
+      val pre = Shapley.permPrefixMasks(n, nPerms, "graft")
+      Shapley.sampledFromLosses(losses, n, pre, nPerms)
+        .map { case (p, _, milli) => math.abs(milli - exact(p)) }.max
+    }
+    // same seed ⇒ same permutations ⇒ same estimate (pure function)
+    assert(Shapley.permPrefixMasks(n, 7, "graft") ==
+      Shapley.permPrefixMasks(n, 7, "graft"))
+    val errSmall = estErr(8)
+    val errBig = estErr(480)
+    assert(errBig <= errSmall,
+      s"error must not grow with permutations: 8→$errSmall 480→$errBig")
+    // at 480 draws of 24 possible orders the estimate is near-exact on
+    // this fixture's scale (|phi_milli| ~ 15–40)
+    assert(errBig <= 3L, s"480-perm estimate still off by $errBig")
+  }
+
+  test("sampledSourceShapley runs past the exact P ≤ 12 guard and is " +
+      "deterministic") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val a = Shapley.sampledSourceShapley(docs, nGroups = 20, nPerms = 6)
+      .as[(String, Long, Long)].collect().toSeq
+    val b = Shapley.sampledSourceShapley(docs, nGroups = 20, nPerms = 6)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 20)
+    assert(a.map(_._1).toSet == (0 until 20).map(p => s"g$p").toSet)
+  }
 }
