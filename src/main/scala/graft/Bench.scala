@@ -19,7 +19,14 @@ object Bench {
     // measure a different (and ever-changing) workload each time. Their
     // numbers are therefore not comparable with rounds ≤ 7, which timed
     // warm appends.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Default 2 as of round 15 (was 3): the reported figure is the
+    // LOWER median, which for two reps is the min — still absorbing
+    // the one upward machine-state spike per query that motivated
+    // multi-rep timing (noise here is one-sided: spikes, never
+    // phantom speed). The third rep bought sub-5% precision on
+    // sub-second queries at the cost of ~2.5 min of wall the driver's
+    // budget no longer affords.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // Expensive-query cutoff (seconds): a Standard-timing query whose
     // FIRST rep runs at least this long is not re-run — that one
     // measurement stands. Rationale: the registry is ~300 queries and

@@ -260,6 +260,34 @@ object GraphQueries {
           .orderBy("doc_id")
       }),
 
+    // HARMONIC centrality beside PageRank over the same near-dup graph
+    // — the other rank Common Crawl ships (Boldi & Vigna 2014):
+    // H_fp(v) = Σ_u HarmonicScale div d(u,v) within a 4-hop horizon,
+    // exact BFS over the symmetrized pair graph (bounded fixture — the
+    // all-pairs reach state is the deliberate bounded-vertex-set scope;
+    // see the operator scaladoc). Integer distances and divisions, so
+    // the whole rank table value-hashes; isolated docs hold exactly 0.
+    QueryDef("ext_graph_harmonic",
+      Some(s"""WITH $pairCtes,
+              |hsym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |         UNION SELECT id_b, id_a FROM pairs),
+              |${Centrality.harmonicOracleCtes("nodes", "hsym",
+                 maxDist = 4)}
+              |SELECT id AS doc_id, harmonic_fp
+              |FROM hc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val pairs = nearDupPairs(corpus)
+        val sym = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs
+            .select(col("id_b").as("src"), col("id_a").as("dst")))
+        Centrality.harmonicCentrality(
+            corpus.select(col("doc_id").as("id")), sym, maxDist = 4)
+          .select(col("id").as("doc_id"), col("harmonic_fp"))
+          .orderBy("doc_id")
+      }),
+
     // Authority served from the PERSISTED source-shingle table (16th
     // index kind): build on half the corpus, append the other half —
     // the counts form a commutative group over document sets, so

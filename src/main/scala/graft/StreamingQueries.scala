@@ -11,6 +11,19 @@ import graft.streaming.{StreamingBoilerplate, StreamingDedup, StreamingDistill, 
   */
 object StreamingQueries {
 
+  /** The streamed capstones' budget-ledger ARRIVAL order, mirroring
+    * [[graft.streaming.StreamingCorpusBuild.run]]'s default staging:
+    * two staged files ([0, 500000) = base + structured plants, then
+    * [500000, ∞) = whitespace twins + eval rewrites), so arrival tier
+    * is a single ≥ 500000 split. Two files exercise every cross-batch
+    * path the four-file staging did (later-batch twins dedup against
+    * the index the earlier batch built; stream start + checkpoint
+    * resume per file) — the extra files were one more full stream
+    * start + gate pass each, across SEVEN registered capstone streams,
+    * with no new semantics (round-15 gate-budget work). */
+  private val arrivalTierOrder =
+    "(CASE WHEN doc_id >= 500000 THEN 1 ELSE 0 END), hx, doc_id"
+
   /** Stateful streaming pays a fixed per-micro-batch cost per shuffle
     * partition (a state-store task with its checkpoint delta file,
     * whether or not any rows hash there), so streaming state width is
@@ -296,8 +309,7 @@ object StreamingQueries {
     // replayable in SQL. Replay and resume drills in StreamingSpec.
     QueryDef("sr12_streaming_corpus",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id") + "\n" +
+          arrivalTierOrder) + "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
           |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
@@ -321,8 +333,7 @@ object StreamingQueries {
     // the budget window in ARRIVAL order.
     QueryDef("sr26_streaming_corpus_doremi",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          arrivalTierOrder,
           budgetCte = Some(
             SelectionQueries.doremiWeightCtes(5, 200000L, 100000L,
               docsRel = "corpus") + ",\n" +
@@ -504,8 +515,7 @@ object StreamingQueries {
     // ext_corpus_build_dsir, with the budget window in ARRIVAL order.
     QueryDef("sr17_streaming_corpus_dsir",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          arrivalTierOrder,
           withDsir = true) + "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
@@ -534,8 +544,7 @@ object StreamingQueries {
     // bit-identical — the ARCHITECTURE claim, now hash-proven.
     QueryDef("sr20_streaming_corpus_dsir_idx",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          arrivalTierOrder,
           withDsir = true) + "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
@@ -569,8 +578,7 @@ object StreamingQueries {
     // ledger then pays the index-served budgets out in arrival order.
     QueryDef("sr28_streaming_corpus_doremi_idx",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          arrivalTierOrder,
           budgetCte = Some(
             SelectionQueries.doremiTokenWeightCtes(5, 200000L, 100000L,
               docsRel = "corpus") + ",\n" +
@@ -743,8 +751,7 @@ object StreamingQueries {
     // budget window in ARRIVAL order.
     QueryDef("sr23_streaming_corpus_spanclean",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id",
+          arrivalTierOrder,
           withSpanClean = true, budgetDiv = 4) + "\n" +
         """SELECT a.doc_id,
           |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
@@ -783,8 +790,7 @@ object StreamingQueries {
     // StreamingSpec.
     QueryDef("sr21_streaming_corpus_pack",
       Some(ExtensionQueries.corpusBuildCtes(budgetOrder =
-          "(CASE WHEN doc_id >= 600000 THEN 3 WHEN doc_id >= 500000 THEN 2 " +
-          "WHEN doc_id >= 300000 THEN 1 ELSE 0 END), hx, doc_id") + "\n" +
+          arrivalTierOrder) + "\n" +
         """SELECT bc.doc_id, bc.n AS n_tokens
           |FROM bc JOIN w ON bc.source = w.source
           |WHERE bc.cum <= w.budget

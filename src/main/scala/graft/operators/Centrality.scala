@@ -313,6 +313,126 @@ object Centrality {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Per-term scale of [[harmonicCentrality]]: H_fp(v) =
+    * Σ_u HarmonicScale div d(u,v). 1e9 (not [[Scale]]): the sum has up
+    * to n−1 terms, so totals stay under 2^63 for n < 9.2e9 vertices —
+    * far past the bounded-graph regime this exact form is for. */
+  val HarmonicScale: Long = 1000000000L
+
+  /** HARMONIC centrality over `edges` within a fixed BFS horizon —
+    * the second rank Common Crawl publishes beside PageRank (Boldi &
+    * Vigna, "Axioms for Centrality", 2014): H(v) = Σ_{u≠v} 1/d(u,v),
+    * here fixed-point integer H_fp(v) = Σ (HarmonicScale div d) over
+    * pairs with d(u,v) ≤ maxDist — pairs beyond the horizon contribute
+    * exactly 0 (the fixed-iteration stance of [[pageRank]]: a
+    * deterministic, oracle-replayable artifact, not an ε-chase; on
+    * graphs of diameter ≤ maxDist it IS exact harmonic centrality).
+    *
+    * Exact-BFS state is the REACHED pair set (src, dst, d) — O(n²)
+    * worst case, which is the deliberate scope: this form is for
+    * BOUNDED vertex sets (the source-level authority graph, a
+    * cluster-fixture doc graph), where all-pairs state is a bounded
+    * table. Web-scale vertex sets need a sketched traversal
+    * (HyperBall's HLL frontier) that trades the value-oracle away —
+    * out of scope here by design.
+    *
+    * Iteration budget, [[Components]] doctrine: edges repartitioned by
+    * src once and cached; per level exactly two real exchanges (the
+    * frontier⋈edges expansion and the reached anti-join); reached
+    * state checkpointed (src,dst)-partitioned at constant plan depth.
+    * No windows, no driver loops over rows. */
+  def harmonicCentrality(nodes: DataFrame, edges: DataFrame,
+      maxDist: Int, idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst", reliable: Boolean = false): DataFrame = {
+    require(maxDist >= 1, s"need a horizon of >= 1 hop, got $maxDist")
+    val confPart = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .where(col("esrc") =!= col("edst")).distinct()
+    val base = e0.repartition(col("esrc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = base.count()
+      val nPart = math.max(1L, math.min(confPart.toLong,
+        nEdges / RowsPerIterationPartition + 1)).toInt
+      // reached: (src, dst, d) with d = BFS distance, grown level by
+      // level; frontier = the pairs discovered at the previous level
+      var reached = truncated(
+        base.select(col("esrc").as("src"), col("edst").as("dst"),
+            lit(1).as("d"))
+          .repartition(nPart, col("src"), col("dst")), reliable, nPart)
+      var level = 1
+      while (level < maxDist) {
+        val frontier = reached.where(col("d") === level)
+        val expanded = frontier
+          .join(base, frontier("dst") === base("esrc"))
+          .select(frontier("src"), col("edst").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+        val novel = expanded.join(reached.select("src", "dst"),
+            Seq("src", "dst"), "left_anti")
+          .select(col("src"), col("dst"), lit(level + 1).as("d"))
+        val next = truncated(
+          reached.unionAll(novel)
+            .repartition(nPart, col("src"), col("dst")), reliable, nPart)
+        freeBlocks(reached)
+        reached = next
+        level += 1
+      }
+      val h = reached
+        .groupBy(col("dst").as(idCol))
+        .agg(sum(ldiv(lit(HarmonicScale), col("d"))).as("harmonic_fp"))
+      nodes.select(col(idCol)).distinct()
+        .join(h, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle CTE chain for [[harmonicCentrality]] — unrolled
+    * reach-sets per level (`hc_r1..hc_r{maxDist}`), distances via the
+    * first level containing the pair, H in `hc(id, harmonic_fp)`.
+    * `nodesCte`: nodes(id); `edgesCte`: edges(src, dst) (weights
+    * ignored — harmonic is a distance rank). */
+  def harmonicOracleCtes(nodesCte: String, edgesCte: String,
+      maxDist: Int): String = {
+    require(maxDist >= 1)
+    val header =
+      s"""hc_r1 AS (
+         |  SELECT DISTINCT src, dst FROM $edgesCte WHERE src <> dst)"""
+        .stripMargin
+    val levels = (2 to maxDist).map { k =>
+      s"""hc_r$k AS (
+         |  SELECT src, dst FROM hc_r${k - 1}
+         |  UNION
+         |  SELECT a.src, e.dst
+         |  FROM hc_r${k - 1} a JOIN $edgesCte e ON a.dst = e.src
+         |  WHERE a.src <> e.dst)""".stripMargin
+    }
+    // distance = first level whose reach set contains the pair; spelled
+    // as chained left joins (IN-per-row is not join-plannable)
+    val dj = (1 to (maxDist - 1)).map(k =>
+      s"LEFT JOIN hc_r$k j$k ON r.src = j$k.src AND r.dst = j$k.dst")
+      .mkString("\n  ")
+    val dcase = (1 to (maxDist - 1))
+      .map(k => s"WHEN j$k.src IS NOT NULL THEN $k")
+      .mkString(" ")
+    val dist =
+      s"""hc_d AS (
+         |  SELECT r.src, r.dst,
+         |    CASE $dcase ELSE $maxDist END AS d
+         |  FROM hc_r$maxDist r
+         |  $dj)""".stripMargin
+    val agg =
+      s"""hc AS (
+         |  SELECT n.id,
+         |    CAST(coalesce(sum($HarmonicScale // d.d), 0) AS BIGINT)
+         |      AS harmonic_fp
+         |  FROM $nodesCte n LEFT JOIN hc_d d ON n.id = d.dst
+         |  GROUP BY n.id)""".stripMargin
+    (Seq(header) ++ levels ++ Seq(dist, agg)).mkString(",\n")
+  }
+
   /** (source, ph): the DISTINCT word-`k`-gram md5 fingerprints each
     * source contains — the shared-content source graph's vertex-side
     * table (one row per source × distinct shingle, never per

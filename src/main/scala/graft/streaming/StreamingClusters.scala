@@ -279,10 +279,15 @@ object StreamingClusters {
   }
 
   /** Stages the near-dup-planted corpus (every 5th doc gains a
-    * "graft tail" twin — the ext_soft_dedup_e2e fixture) as THREE
-    * range-ordered micro-batches, so the planted twins arrive in a
-    * LATER batch than their originals and the cross-batch merge path
-    * carries the parity, then drains and serves the decisions. */
+    * "graft tail" twin — the ext_soft_dedup_e2e fixture) as TWO
+    * range-ordered micro-batches: the twins' +100000 ids land them in
+    * the upper range, i.e. a LATER batch than every original, so the
+    * cross-batch merge path carries the parity exactly as the earlier
+    * three-batch staging did — the third batch added one more full
+    * probe+CC+append round with no new code path (round-15 gate-budget
+    * work; the ≥3-round choreography incl. crash-replay stays drilled
+    * with explicit processBatch calls in StreamingSpec). Drains, then
+    * serves the decisions. */
   def run(spark: SparkSession, sfDir: String, workDir: String,
       table: String, idxPath: String): DataFrame = {
     Seq("src", "state", "ckpt").foreach(d =>
@@ -295,7 +300,7 @@ object StreamingClusters {
     val srcDir = s"$workDir/src"
     val stateDir = s"$workDir/state"
     plantedCorpus(spark, sfDir)
-      .repartitionByRange(3, col("doc_id"))
+      .repartitionByRange(2, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)

@@ -117,7 +117,17 @@ object StreamingCorpusBuild {
     * range is unbounded). */
   def run(spark: SparkSession, corpus: DataFrame, evalDocs: DataFrame,
       budgets: DataFrame, workDir: String, table: String, idxPath: String,
-      splits: Seq[Long] = Seq(300000L, 500000L, 600000L),
+      // two staged files by default (round-15 gate-budget work): the
+      // [0, 500000) file carries base + structured plants, the
+      // [500000, ∞) file their whitespace twins + the eval rewrites —
+      // every cross-batch path (dedup against the earlier batch's
+      // index, decon, stream start + checkpoint resume per file) is
+      // still exercised, while each EXTRA file cost one more full
+      // stream start + gate pass in all seven registered capstone
+      // streams. The oracle's arrival-tier order
+      // (StreamingQueries.arrivalTierOrder) mirrors this split; change
+      // the two together. Specs needing finer staging pass their own.
+      splits: Seq[Long] = Seq(500000L),
       contamThreshold: Int = 10,
       dsir: Option[PinnedDsir] = None,
       packBinSize: Option[Long] = None,

@@ -199,6 +199,31 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("harmonic centrality matches hand-computed distances, respects " +
+      "the horizon, and holds exact zero for unreachable nodes") {
+    val S = Centrality.HarmonicScale
+    // directed path 1→2→3, node 4 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Centrality.harmonicCentrality(nodes, edges, maxDist = 3)
+      .as[(Long, Long)].collect().toMap
+    // H(2) = S/1 (from 1); H(3) = S/1 (from 2) + S/2 (from 1);
+    // H(1) = H(4) = 0 — nobody reaches them, an exact-integer zero
+    assert(got == Map(1L -> 0L, 2L -> S, 3L -> (S + S / 2), 4L -> 0L),
+      got.toString)
+    // horizon: at maxDist = 1 the 2-hop pair (1,3) contributes nothing
+    val h1 = Centrality.harmonicCentrality(nodes, edges, maxDist = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(h1(3L) == S && h1(2L) == S && h1(1L) == 0L, h1.toString)
+    // symmetric triangle: every node sees the other two at distance 1
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L)).toDF("src", "dst")
+    val ht = Centrality.harmonicCentrality(Seq(1L, 2L, 3L).toDF("id"),
+        tri, maxDist = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ht.values.toSet == Set(2 * S), ht.toString)
+  }
+
   test("sharedShingleEdges df-cap: a planted ubiquitous fingerprint is " +
       "cut, pair growth stays bounded, and the cap is observable") {
     // 6 sources all share fingerprint U (the copyright-footer shape);
