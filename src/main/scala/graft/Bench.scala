@@ -4,21 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Per-query repetitions, median reported. A single-shot bench is at
-    // the mercy of machine-state noise (JIT, page cache, a co-tenant
-    // burning cores): round 6's driver run showed phantom 4-10× jumps
-    // on untouched queries that an immediate re-run disproved. The
-    // median of 3 absorbs one arbitrary spike per query. Two timing
-    // regimes by design: build-once index queries (ext_*_persisted /
-    // _topk / _quantized) build on the first rep and probe on the rest,
-    // so their median reflects warm serving cost; the ingest-loop
-    // queries (ext_srp_ingest, ext_winnow_ingest) instead rebuild their
-    // index UNCONDITIONALLY each rep — their median deliberately times
-    // the full build+probe+append lifecycle, because a rep appending
-    // onto the previous rep's grown, duplicate-accumulating index would
-    // measure a different (and ever-changing) workload each time. Their
-    // numbers are therefore not comparable with rounds ≤ 7, which timed
-    // warm appends.
+    // Per-query repetitions, LOWER median reported. A single-shot bench
+    // is at the mercy of machine-state noise (JIT, page cache, a
+    // co-tenant burning cores): round 6's driver run showed phantom
+    // 4-10× jumps on untouched queries that an immediate re-run
+    // disproved — repetition absorbs the one upward spike. Three
+    // timing regimes by design (see QueryDef.Timing): WarmServe
+    // queries (build-once indexes, the memoized capstone's report
+    // consumers) build on the first rep and serve on the rest, so
+    // their figure is warm serving cost; Standard queries above the
+    // expensive-query cutoff run ONCE (lifecycle drills — stream
+    // drains, in-query rebuilds — whose runtime swamps per-rep noise
+    // and whose reps re-run whole builds); everything else repeats.
+    // The ingest-loop queries (ext_srp_ingest, ext_winnow_ingest)
+    // rebuild their index UNCONDITIONALLY per invocation, so a rep
+    // never appends onto the previous rep's grown index.
     // Default 2 as of round 15 (was 3): the reported figure is the
     // LOWER median, which for two reps is the min — still absorbing
     // the one upward machine-state spike per query that motivated

@@ -41,7 +41,7 @@ object ExtensionQueries {
        |big AS (
        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
        |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
-       |bc AS (
+       |bc AS MATERIALIZED (
        |  SELECT bg, count(*) AS cb FROM big WHERE $trainPred GROUP BY 1),
        |cc AS (
        |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
@@ -199,7 +199,7 @@ object ExtensionQueries {
              |           THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
              |           ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep
              |  FROM sh),
-             |feat AS (
+             |feat AS MATERIALIZED (
              |  SELECT CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS x1,
              |         CAST(q.n_toks AS BIGINT) AS x2,
              |         CAST(floor(r.rep * 10000.0 + 0.5) AS BIGINT) AS y
@@ -711,7 +711,7 @@ object ExtensionQueries {
        |      OR len(regexp_extract_all(text, '[^\\x09\\x0A\\x0D\\x20-\\x7E]')) * 5 > length(text)
        |    THEN 1 ELSE 0 END AS quarantine
        |  FROM $corpusRel),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
        |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
@@ -736,7 +736,7 @@ object ExtensionQueries {
        |      AND n_stop >= 2
        |    THEN 1 ELSE 0 END AS gopher_pass
        |  FROM m),
-       |feat AS (
+       |feat AS MATERIALIZED (
        |  SELECT doc_id,
        |    $hits,
        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
@@ -744,7 +744,7 @@ object ExtensionQueries {
        |  FROM (SELECT doc_id, text,
        |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
        |        FROM $corpusRel)),
-       |staged AS (
+       |staged AS MATERIALIZED (
        |  SELECT f.doc_id, f.fingerprint,
        |    CASE WHEN qg.quarantine = 1 THEN 'charset'
        |         WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
@@ -810,7 +810,7 @@ object ExtensionQueries {
        |eplants AS (
        |  SELECT doc_id + 600000 AS doc_id, $structured AS stext, source
        |  FROM documents WHERE doc_id % 97 = 0),
-       |corpus AS (
+       |corpus AS MATERIALIZED (
        |  SELECT doc_id, text, source FROM base
        |  UNION ALL
        |  SELECT doc_id + 300000, stext, source FROM splants
@@ -818,7 +818,7 @@ object ExtensionQueries {
        |  SELECT doc_id + 500000, ' ' || stext || '  ', source FROM splants
        |  UNION ALL
        |  SELECT doc_id, stext, source FROM eplants$xplantUnion),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
        |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
@@ -843,7 +843,7 @@ object ExtensionQueries {
        |      AND n_stop >= 2
        |    THEN 1 ELSE 0 END AS gopher_pass
        |  FROM m),
-       |feat AS (
+       |feat AS MATERIALIZED (
        |  SELECT doc_id,
        |    $hits,
        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
@@ -851,7 +851,7 @@ object ExtensionQueries {
        |  FROM (SELECT doc_id, text,
        |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
        |        FROM corpus)),
-       |staged AS (
+       |staged AS MATERIALIZED (
        |  SELECT f.doc_id, f.fingerprint,
        |    CASE WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
        |         WHEN f.c4_drop THEN 'c4_page'
@@ -864,7 +864,7 @@ object ExtensionQueries {
               |  FROM staged WHERE stage = 'survivor' GROUP BY 1),"""
               .stripMargin
           else
-            """kscore AS (
+            """kscore AS MATERIALIZED (
               |  SELECT s.doc_id, s.fingerprint, coalesce(pr.r, 0) AS kpri
               |  FROM staged s JOIN corpus c ON s.doc_id = c.doc_id
               |  LEFT JOIN pr_r4 pr ON c.source = pr.id
@@ -876,14 +876,14 @@ object ExtensionQueries {
               |  SELECT k.fingerprint, k.doc_id AS keeper_id
               |  FROM kscore k JOIN kbest b ON k.fingerprint = b.fingerprint
               |    AND ROW(-k.kpri, k.doc_id) = b.mk),""".stripMargin}
-       |attributed AS (
+       |attributed AS MATERIALIZED (
        |  SELECT s.doc_id,
        |    CASE WHEN s.stage <> 'survivor' THEN s.stage
        |         WHEN s.doc_id = k.keeper_id THEN 'kept'
        |         ELSE 'dedup' END AS cut_stage
        |  FROM staged s LEFT JOIN keepers k ON s.fingerprint = k.fingerprint),
        |cur AS (SELECT doc_id FROM attributed WHERE cut_stage = 'kept'),
-       |csh AS (
+       |csh AS MATERIALIZED (
        |  SELECT doc_id, unnest(shingles) AS s
        |  FROM (SELECT t.doc_id,
        |          list_distinct(CASE WHEN len(toks) >= 3
@@ -893,7 +893,7 @@ object ExtensionQueries {
        |        FROM (SELECT c.doc_id,
        |                string_split_regex(trim(lower(c.text)), '\\s+') AS toks
        |              FROM corpus c JOIN cur u ON c.doc_id = u.doc_id) t)),
-       |esh AS (
+       |esh AS MATERIALIZED (
        |  SELECT DISTINCT unnest(shingles) AS s
        |  FROM (SELECT list_distinct(CASE WHEN len(toks) >= 3
        |            THEN list_transform(range(1, len(toks) - 1),
@@ -901,11 +901,11 @@ object ExtensionQueries {
        |            ELSE [array_to_string(toks, ' ')] END) AS shingles
        |        FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
        |              FROM evals) t)),
-       |contam AS (
+       |contam AS MATERIALIZED (
        |  SELECT c.doc_id FROM csh c JOIN esh b ON c.s = b.s
        |  GROUP BY c.doc_id HAVING count(*) >= 10),
        |${budgetCte.getOrElse(s"w(source, budget) AS (VALUES $values)")},
-       |surv AS (
+       |surv AS MATERIALIZED (
        |  SELECT c.doc_id, c.source, c.text
        |  FROM corpus c JOIN cur u ON c.doc_id = u.doc_id
        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
@@ -913,18 +913,18 @@ object ExtensionQueries {
           if (withD4) d4StageCtes + "\n" else ""}${
           if (withDsir) dsirStageCtes(selSrc)
           else s"mixin AS (SELECT doc_id, source, text FROM $selSrc),"}
-       |bt AS (
+       |bt AS MATERIALIZED (
        |  SELECT doc_id, source,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      x -> x <> '')) AS BIGINT) AS n,
        |    md5(CAST(doc_id AS VARCHAR)) AS hx
        |  FROM mixin),
-       |bc AS (
+       |bc AS MATERIALIZED (
        |  SELECT doc_id, source, n,
        |    sum(n) OVER (PARTITION BY source ORDER BY $budgetOrder
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM bt),
-       |final AS (
+       |final AS MATERIALIZED (
        |  SELECT bc.doc_id,
        |    CASE WHEN bc.cum <= w.budget THEN 'kept' ELSE 'budget' END AS cut_stage
        |  FROM bc JOIN w ON bc.source = w.source)
@@ -1054,7 +1054,7 @@ object ExtensionQueries {
     * ablation-budgeted corpus build. */
   private def sourceAblationCtes(trainFrom: String, evalFrom: String,
       panelSql: String): String =
-    s"""tokt AS (
+    s"""tokt AS MATERIALIZED (
               |  SELECT source,
               |    list_prepend('<s>',
               |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
@@ -1063,32 +1063,32 @@ object ExtensionQueries {
               |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
               |      END) AS toks
               |  FROM $trainFrom),
-              |bigt AS (
+              |bigt AS MATERIALIZED (
               |  SELECT source, toks[i] || ' ' || toks[i+1] AS bg
               |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
-              |sbc AS (
+              |sbc AS MATERIALIZED (
               |  SELECT source AS src, bg, CAST(count(*) AS BIGINT) AS cb
               |  FROM bigt GROUP BY 1, 2),
-              |tot AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
+              |tot AS MATERIALIZED (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb
               |        FROM sbc GROUP BY 1),
               |panel AS ($panelSql),
-              |abl AS (
+              |abl AS MATERIALIZED (
               |  SELECT p.held_out, t.bg, t.cb - coalesce(s.cb, 0) AS cb
               |  FROM panel p CROSS JOIN tot t
               |  LEFT JOIN sbc s ON s.src = p.held_out AND s.bg = t.bg
               |  WHERE t.cb - coalesce(s.cb, 0) > 0),
-              |acc AS (
+              |acc AS MATERIALIZED (
               |  SELECT held_out, string_split(bg, ' ')[1] AS prev,
               |    CAST(sum(cb) AS BIGINT) AS cctx
               |  FROM abl GROUP BY 1, 2),
-              |av AS (
+              |av AS MATERIALIZED (
               |  SELECT held_out, count(DISTINCT t) + 1 AS vsize
               |  FROM (SELECT held_out,
               |          unnest([string_split(bg, ' ')[1],
               |                  string_split(bg, ' ')[2]]) AS t
               |        FROM abl)
               |  GROUP BY 1),
-              |toke AS (
+              |toke AS MATERIALIZED (
               |  SELECT doc_id,
               |    list_prepend('<s>',
               |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
@@ -1097,7 +1097,7 @@ object ExtensionQueries {
               |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
               |      END) AS toks
               |  FROM $evalFrom),
-              |bige AS (
+              |bige AS MATERIALIZED (
               |  SELECT toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
               |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
               |sce AS (
@@ -1111,7 +1111,7 @@ object ExtensionQueries {
               |  LEFT JOIN acc ac ON ac.held_out = p.held_out
               |    AND ac.prev = e.prev
               |  JOIN av v ON v.held_out = p.held_out),
-              |abres AS (
+              |abres AS MATERIALIZED (
               |  SELECT held_out, CAST(count(*) AS BIGINT) AS n_bigrams,
               |    CAST(floor(sum(h_milli) * 1.0 / count(*) + 0.5) AS BIGINT)
               |      AS h_milli_tok
@@ -1264,7 +1264,7 @@ object ExtensionQueries {
         """rep AS (
           |  SELECT w.doc_id, count(*) AS n_repeated
           |  FROM w JOIN heavy USING (fp) GROUP BY w.doc_id),
-          |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+          |tot AS MATERIALIZED (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
           |SELECT tot.doc_id, tot.n_windows, rep.n_repeated,
           |       round(CAST(rep.n_repeated AS DOUBLE) / tot.n_windows, 6) AS repeat_frac
           |FROM tot JOIN rep USING (doc_id)
@@ -1305,7 +1305,7 @@ object ExtensionQueries {
         """rep AS (
           |  SELECT w.doc_id, count(*) AS n_repeated
           |  FROM w JOIN heavy USING (fp) GROUP BY w.doc_id),
-          |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+          |tot AS MATERIALIZED (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
           |SELECT tot.doc_id, tot.n_windows, rep.n_repeated,
           |       round(CAST(rep.n_repeated AS DOUBLE) / tot.n_windows, 6) AS repeat_frac
           |FROM tot JOIN rep USING (doc_id)
@@ -1997,7 +1997,7 @@ object ExtensionQueries {
              |           i -> t[i] || ' ' || t[i+1])
              |    ELSE [array_to_string(t, ' ')] END) AS g
              |  FROM toks),
-             |bc AS (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2),
+             |bc AS MATERIALIZED (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2),
              |br AS (
              |  SELECT doc_id, g, cnt,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rk,
@@ -2057,7 +2057,7 @@ object ExtensionQueries {
              |  SELECT doc_id + 400000,
              |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
              |  FROM documents WHERE doc_id % 13 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT doc_id,
              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
              |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
@@ -2164,7 +2164,7 @@ object ExtensionQueries {
              |  SELECT doc_id + 400000,
              |    text || ' lorem ipsum dolor { 1234 ### ### ### ### ### ### ### ### ### ### ### ...'
              |  FROM documents WHERE doc_id % 13 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT doc_id,
              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS DOUBLE) AS n_w,
              |    greatest(1.0, CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE)) AS n_s,
@@ -2202,7 +2202,7 @@ object ExtensionQueries {
              |  UNION ALL
              |  SELECT doc_id + 720000, repeat(chr(955) || chr(960), 30) || ' tiny ascii'
              |  FROM documents WHERE doc_id % 23 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
              |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
@@ -2250,7 +2250,7 @@ object ExtensionQueries {
              |  UNION ALL
              |  SELECT doc_id + 710000, source, 'good text then ' || chr(65533) || ' tail'
              |  FROM documents WHERE doc_id % 19 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT source,
              |    CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
              |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_repl,
@@ -2320,7 +2320,7 @@ object ExtensionQueries {
              |  UNION ALL
              |  SELECT doc_id + 100000, ' ' || regexp_replace(text, ' ', '   ', 'g') || '  '
              |  FROM documents WHERE doc_id % 5 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT doc_id,
              |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
              |    floor((least(1.0, CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -2369,7 +2369,7 @@ object ExtensionQueries {
              |  SELECT doc_id + 100000, ' ' || regexp_replace(text, ' ', '   ', 'g') || '  ',
              |         'src0'
              |  FROM documents WHERE doc_id % 5 = 0),
-             |m AS (
+             |m AS MATERIALIZED (
              |  SELECT doc_id, source,
              |    100 - CAST(substr(source, 4, 10) AS INT) AS priority,
              |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
@@ -2512,7 +2512,7 @@ object ExtensionQueries {
     // the clustering itself via a recursive min-label CTE.
     QueryDef("ext_dedup_clusters",
       Some("""WITH RECURSIVE
-             |corpus AS (
+             |corpus AS MATERIALIZED (
              |  SELECT doc_id, text FROM documents WHERE doc_id < 50
              |  UNION ALL
              |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
@@ -2564,7 +2564,7 @@ object ExtensionQueries {
     // verifiable through the recursive min-label CTE.
     QueryDef("ext_cluster_split",
       Some("""WITH RECURSIVE
-             |corpus AS (
+             |corpus AS MATERIALIZED (
              |  SELECT doc_id, text FROM documents WHERE doc_id < 50
              |  UNION ALL
              |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
@@ -2636,7 +2636,7 @@ object ExtensionQueries {
     // cluster sizes themselves replay through the recursive CTE.
     QueryDef("ext_soft_dedup",
       Some("""WITH RECURSIVE
-             |corpus AS (
+             |corpus AS MATERIALIZED (
              |  SELECT doc_id, text FROM documents WHERE doc_id < 50
              |  UNION ALL
              |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
@@ -2919,7 +2919,7 @@ object ExtensionQueries {
               |      AS n_stop,
               |    $hits
               |  FROM t),
-              |feat AS (
+              |feat AS MATERIALIZED (
               |  SELECT doc_id,
               |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
               |    floor((least(1.0, n_toks / 100.0) * 0.5
@@ -3003,7 +3003,7 @@ object ExtensionQueries {
               |big AS (
               |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
               |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
-              |bc AS (
+              |bc AS MATERIALIZED (
               |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
               |cc AS (
               |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx
@@ -3046,7 +3046,7 @@ object ExtensionQueries {
               |    $hits,
               |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
               |  FROM t2),
-              |feat AS (
+              |feat AS MATERIALIZED (
               |  SELECT doc_id,
               |    CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
               |    floor((least(1.0, n_toks / 100.0) * 0.5
@@ -3123,7 +3123,7 @@ object ExtensionQueries {
               |    'Trailing thought...' || chr(10) ||
               |    'Another proper sentence ends with five words.' AS stext
               |  FROM documents WHERE doc_id % 11 = 0),
-              |corpus AS (
+              |corpus AS MATERIALIZED (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL
               |  SELECT doc_id + 300000, stext FROM splants
@@ -3133,7 +3133,7 @@ object ExtensionQueries {
               |  FROM documents WHERE doc_id % 13 = 0
               |  UNION ALL
               |  SELECT doc_id + 500000, ' ' || stext || '  ' FROM splants),
-              |m AS (
+              |m AS MATERIALIZED (
               |  SELECT doc_id,
               |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
               |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
@@ -3158,7 +3158,7 @@ object ExtensionQueries {
               |      AND n_stop >= 2
               |    THEN 1 ELSE 0 END AS gopher_pass
               |  FROM m),
-              |feat AS (
+              |feat AS MATERIALIZED (
               |  SELECT doc_id,
               |    $hits,
               |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS c4_drop,
@@ -3166,7 +3166,7 @@ object ExtensionQueries {
               |  FROM (SELECT doc_id, text,
               |          string_split_regex(trim(lower(text)), '\\s+') AS toks2
               |        FROM corpus)),
-              |staged AS (
+              |staged AS MATERIALIZED (
               |  SELECT f.doc_id, f.fingerprint,
               |    CASE WHEN (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) <> 'en' THEN 'lang'
               |         WHEN f.c4_drop THEN 'c4_page'
@@ -3211,7 +3211,7 @@ object ExtensionQueries {
               |    'Trailing thought...' || chr(10) ||
               |    'Another proper sentence ends with five words.' AS stext
               |  FROM documents WHERE doc_id % 11 = 0),
-              |corpus AS (
+              |corpus AS MATERIALIZED (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL
               |  SELECT doc_id + 300000, stext FROM splants
@@ -3604,7 +3604,7 @@ object ExtensionQueries {
               |  SELECT doc_id, source, text,
               |    string_split_regex(trim(lower(text)), '\\s+') AS toks
               |  FROM documents),
-              |m AS (
+              |m AS MATERIALIZED (
               |  SELECT doc_id, source,
               |    CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS n_toks,
               |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
@@ -3848,7 +3848,7 @@ object ExtensionQueries {
           |  JOIN bc ON c.doc_id = bc.doc_id
           |  JOIN w ON bc.source = w.source
           |  WHERE bc.cum <= w.budget),
-          |tokt AS (
+          |tokt AS MATERIALIZED (
           |  SELECT doc_id,
           |    list_prepend('<s>',
           |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
@@ -3857,7 +3857,7 @@ object ExtensionQueries {
           |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
           |      END) AS toks
           |  FROM keptc),
-          |bigt AS (
+          |bigt AS MATERIALIZED (
           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
           |  FROM tokt, unnest(range(1, len(toks))) AS r(i)),
           |bctr AS (SELECT bg, count(*) AS cb FROM bigt GROUP BY 1),
@@ -3867,7 +3867,7 @@ object ExtensionQueries {
           |vtr AS (
           |  SELECT count(DISTINCT t) + 1 AS vsize
           |  FROM (SELECT unnest(toks) AS t FROM tokt)),
-          |toke AS (
+          |toke AS MATERIALIZED (
           |  SELECT doc_id,
           |    list_prepend('<s>',
           |      CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
@@ -3876,7 +3876,7 @@ object ExtensionQueries {
           |                  regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')
           |      END) AS toks
           |  FROM evals),
-          |bige AS (
+          |bige AS MATERIALIZED (
           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
           |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
           |sce AS (
@@ -3963,7 +3963,7 @@ object ExtensionQueries {
               |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
               |      END) AS toks
               |  FROM documents WHERE doc_id % 97 = 0),
-              |bige AS (
+              |bige AS MATERIALIZED (
               |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
               |  FROM toke, unnest(range(1, len(toks))) AS r(i)),
               |${blocks.mkString(",\n")}
@@ -4594,7 +4594,7 @@ object ExtensionQueries {
              |           THEN (len(shingles) - len(list_distinct(shingles))) / CAST(len(shingles) AS DOUBLE)
              |           ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep
              |  FROM sh),
-             |feat AS (
+             |feat AS MATERIALIZED (
              |  SELECT q.doc_id,
              |         CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS x1,
              |         CAST(q.n_toks AS BIGINT) AS x2,
@@ -5247,7 +5247,7 @@ object ExtensionQueries {
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |    CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS isq
              |  FROM corpus GROUP BY 1),
-             |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS t FROM per)
+             |tot AS MATERIALIZED (SELECT CAST(sum(isq) AS BIGINT) AS t FROM per)
              |SELECT per.source, per.n_docs,
              |  floor(CAST(per.isq AS DOUBLE) / CAST(tot.t AS DOUBLE)
              |        * 1000000.0 + 0.5) / 1000000.0 AS weight,
@@ -5563,7 +5563,7 @@ object ExtensionQueries {
               |big AS (
               |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
               |  FROM tok, unnest(range(1, len(toks))) AS r(i)),
-              |bc AS (
+              |bc AS MATERIALIZED (
               |  SELECT bg, count(*) AS cb FROM big WHERE doc_id % 10 < 8 GROUP BY 1),
               |cc AS (
               |  SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(cb) AS BIGINT) AS cctx

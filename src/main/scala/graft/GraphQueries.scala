@@ -57,7 +57,7 @@ object GraphQueries {
   /** corpus/sh/pairs CTE text — identical to the ext_dedup_clusters
     * oracle so the two families stay verifiably on one fixture. */
   private val pairCtes: String =
-    """corpus AS (
+    """corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 50
       |  UNION ALL
       |  SELECT doc_id + 100000, text || ' graft tail' FROM documents
@@ -65,7 +65,7 @@ object GraphQueries {
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' graft tail two' FROM documents
       |  WHERE doc_id < 50 AND doc_id % 10 = 0),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) >= 3
       |      THEN list_transform(range(1, len(toks) - 1),
@@ -73,14 +73,14 @@ object GraphQueries {
       |      ELSE [array_to_string(toks, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
       |        FROM corpus)),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
       |        >= 0.6),
       |nodes AS (SELECT doc_id AS id FROM corpus),
-      |edges AS (SELECT id_a AS src, id_b AS dst, CAST(1 AS BIGINT) AS w
+      |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, CAST(1 AS BIGINT) AS w
       |          FROM pairs)""".stripMargin
 
   /** Shared oracle for the batch (ext_source_authority), persisted
@@ -95,18 +95,18 @@ object GraphQueries {
     * (ext_corpus_build_authority), so the two queries provably price
     * the same ranks. */
   private[graft] val authorityRankCtes: String =
-    s"""tok AS (
+    s"""tok AS MATERIALIZED (
        |  SELECT source,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      x -> x <> '') AS t
        |  FROM documents),
-       |sg AS (
+       |sg AS MATERIALIZED (
        |  SELECT DISTINCT source, md5(array_to_string(t[i:i+7], ' ')) AS ph
        |  FROM tok, unnest(range(1, len(t) - 6)) AS r(i)
        |  WHERE len(t) >= 8),
        |${Centrality.cappedShinglesCte("sg", "sgk")},
        |nodes AS (SELECT DISTINCT source AS id FROM documents),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a.source AS src, b.source AS dst,
        |    CAST(count(*) AS BIGINT) AS w
        |  FROM sgk a JOIN sgk b ON a.ph = b.ph AND a.source <> b.source

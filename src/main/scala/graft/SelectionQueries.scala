@@ -491,7 +491,7 @@ object SelectionQueries {
   /** The shared corpus-side CTEs: tokenize, bigrams, the per-(source,
     * bigram) count table and its rollups (both LM families). */
   private def doremiCorpusCtes(docsRel: String): String =
-    s"""dm_tok AS (
+    s"""dm_tok AS MATERIALIZED (
        |  SELECT doc_id, source,
        |    list_prepend('<s>',
        |      CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g') = ''
@@ -500,26 +500,26 @@ object SelectionQueries {
        |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
        |      END) AS toks
        |  FROM $docsRel),
-       |dm_big AS (
+       |dm_big AS MATERIALIZED (
        |  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS prev
        |  FROM dm_tok, unnest(range(1, len(toks))) AS r(i)),
-       |dm_sbc AS (SELECT source, bg, count(*) AS cb FROM dm_big GROUP BY 1, 2),
-       |dm_scc AS (
+       |dm_sbc AS MATERIALIZED (SELECT source, bg, count(*) AS cb FROM dm_big GROUP BY 1, 2),
+       |dm_scc AS MATERIALIZED (
        |  SELECT source, string_split(bg, ' ')[1] AS prev,
        |         CAST(sum(cb) AS BIGINT) AS cctx_own
        |  FROM dm_sbc GROUP BY 1, 2),
-       |dm_sv AS (
+       |dm_sv AS MATERIALIZED (
        |  SELECT source, count(DISTINCT t) + 1 AS vsize_own
        |  FROM (SELECT source, string_split(bg, ' ')[1] AS t FROM dm_sbc
        |        UNION ALL
        |        SELECT source, string_split(bg, ' ')[2] AS t FROM dm_sbc) u
        |  GROUP BY 1),
-       |dm_bc AS (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb_ref FROM dm_sbc GROUP BY 1),
-       |dm_cc AS (
+       |dm_bc AS MATERIALIZED (SELECT bg, CAST(sum(cb) AS BIGINT) AS cb_ref FROM dm_sbc GROUP BY 1),
+       |dm_cc AS MATERIALIZED (
        |  SELECT string_split(bg, ' ')[1] AS prev,
        |         CAST(sum(cb_ref) AS BIGINT) AS cctx_ref
        |  FROM dm_bc GROUP BY 1),
-       |dm_v AS (
+       |dm_v AS MATERIALIZED (
        |  SELECT count(DISTINCT t) + 1 AS vsize_ref
        |  FROM (SELECT string_split(bg, ' ')[1] AS t FROM dm_bc
        |        UNION ALL
@@ -529,7 +529,7 @@ object SelectionQueries {
     * doc-mean milli-bits, then the domain mean of doc means. Ends at
     * `dm_ex2` (source, n_docs, ref_milli, own_milli, excess_milli). */
   private def doremiDocExcessCtes: String =
-    """dm_scored AS (
+    """dm_scored AS MATERIALIZED (
       |  SELECT e.doc_id, e.source,
       |    CAST(floor(-log2((coalesce(bc.cb_ref, 0) + 1.0) /
       |                     (coalesce(cc.cctx_ref, 0) + v.vsize_ref))
@@ -544,17 +544,17 @@ object SelectionQueries {
       |  LEFT JOIN dm_scc scc ON e.source = scc.source AND e.prev = scc.prev
       |  JOIN dm_sv sv ON e.source = sv.source
       |  CROSS JOIN dm_v v),
-      |dm_pd AS (
+      |dm_pd AS MATERIALIZED (
       |  SELECT doc_id, source,
       |    CAST(floor(CAST(sum(h_ref) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_tok,
       |    CAST(floor(CAST(sum(h_own) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_tok
       |  FROM dm_scored GROUP BY 1, 2),
-      |dm_ex AS (
+      |dm_ex AS MATERIALIZED (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(floor(CAST(sum(ref_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS ref_milli,
       |    CAST(floor(CAST(sum(own_tok) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT) AS own_milli
       |  FROM dm_pd GROUP BY 1),
-      |dm_ex2 AS (
+      |dm_ex2 AS MATERIALIZED (
       |  SELECT source, n_docs, ref_milli, own_milli,
       |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
       |  FROM dm_ex)""".stripMargin
@@ -578,12 +578,12 @@ object SelectionQueries {
       |    AND string_split(s.bg, ' ')[1] = scc.prev
       |  JOIN dm_sv sv ON s.source = sv.source
       |  CROSS JOIN dm_v v),
-      |dm_ex AS (
+      |dm_ex AS MATERIALIZED (
       |  SELECT source, CAST(sum(cb) AS BIGINT) AS n_bigrams,
       |    CAST(floor(CAST(sum(whr) AS BIGINT) * 1.0 / CAST(sum(cb) AS BIGINT) + 0.5) AS BIGINT) AS ref_milli,
       |    CAST(floor(CAST(sum(who) AS BIGINT) * 1.0 / CAST(sum(cb) AS BIGINT) + 0.5) AS BIGINT) AS own_milli
       |  FROM dm_wsum GROUP BY 1),
-      |dm_ex2 AS (
+      |dm_ex2 AS MATERIALIZED (
       |  SELECT source, n_bigrams, ref_milli, own_milli,
       |         greatest(CAST(0 AS BIGINT), ref_milli - own_milli) AS excess_milli
       |  FROM dm_ex)""".stripMargin

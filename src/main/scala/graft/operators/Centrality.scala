@@ -398,11 +398,11 @@ object Centrality {
       maxDist: Int): String = {
     require(maxDist >= 1)
     val header =
-      s"""hc_r1 AS (
+      s"""hc_r1 AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM $edgesCte WHERE src <> dst)"""
         .stripMargin
     val levels = (2 to maxDist).map { k =>
-      s"""hc_r$k AS (
+      s"""hc_r$k AS MATERIALIZED (
          |  SELECT src, dst FROM hc_r${k - 1}
          |  UNION
          |  SELECT a.src, e.dst
@@ -418,7 +418,7 @@ object Centrality {
       .map(k => s"WHEN j$k.src IS NOT NULL THEN $k")
       .mkString(" ")
     val dist =
-      s"""hc_d AS (
+      s"""hc_d AS MATERIALIZED (
          |  SELECT r.src, r.dst,
          |    CASE $dcase ELSE $maxDist END AS d
          |  FROM hc_r$maxDist r
@@ -506,7 +506,7 @@ object Centrality {
   def cappedShinglesCte(shinglesCte: String, out: String,
       maxSourcesPerFingerprint: Int = DefaultMaxSourcesPerFingerprint)
       : String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
        |  SELECT s.source, s.ph FROM $shinglesCte s
        |  JOIN (SELECT ph FROM $shinglesCte GROUP BY ph
        |        HAVING count(*) <= $maxSourcesPerFingerprint) k
@@ -528,28 +528,28 @@ object Centrality {
       if (weighted) s"(r.r * e.share_ppm) // $SharePpm"
       else "r.r // e.out_deg"
     val header =
-      s"""pr_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $nodesCte),
-         |pr_outw AS (
+      s"""pr_nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM $nodesCte),
+         |pr_outw AS MATERIALIZED (
          |  SELECT src, CAST(sum(w) AS BIGINT) AS out_w
          |  FROM $edgesCte GROUP BY 1),
-         |pr_e AS (
+         |pr_e AS MATERIALIZED (
          |  SELECT e.src, e.dst, $coefCol
          |  FROM $edgesCte e JOIN pr_outw t ON e.src = t.src),
-         |pr_st AS (
+         |pr_st AS MATERIALIZED (
          |  SELECT n.id, (t.src IS NULL) AS dangling
          |  FROM $nodesCte n LEFT JOIN (SELECT DISTINCT src FROM $edgesCte) t
          |    ON n.id = t.src),
-         |pr_r0 AS (
+         |pr_r0 AS MATERIALIZED (
          |  SELECT s.id, s.dangling, CAST($Scale // nn.n AS BIGINT) AS r
          |  FROM pr_st s, pr_nn nn)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""pr_c$k AS (
+      s"""pr_c$k AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(sum($contribExpr) AS BIGINT) AS c
          |  FROM pr_e e JOIN pr_r${k - 1} r ON e.src = r.id GROUP BY 1),
-         |pr_d$k AS (
+         |pr_d$k AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dmass
          |  FROM pr_r${k - 1} WHERE dangling),
-         |pr_r$k AS (
+         |pr_r$k AS MATERIALIZED (
          |  SELECT s.id, s.dangling,
          |    CAST((${100 - dampingPct} * ($Scale // nn.n)
          |          + $dampingPct * (coalesce(c.c, 0) + d.dmass // nn.n)) // 100
@@ -575,35 +575,35 @@ object Centrality {
       if (weighted) s"(r.r * e.share_ppm) // $SharePpm"
       else "r.r // e.out_deg"
     val header =
-      s"""pp_ns AS (
+      s"""pp_ns AS MATERIALIZED (
          |  SELECT CAST(count(*) AS BIGINT) AS ns FROM (
          |    SELECT DISTINCT n.id FROM $nodesCte n
          |    JOIN $seedsCte sd ON n.id = sd.id)),
-         |pp_outw AS (
+         |pp_outw AS MATERIALIZED (
          |  SELECT src, CAST(sum(w) AS BIGINT) AS out_w
          |  FROM $edgesCte GROUP BY 1),
-         |pp_e AS (
+         |pp_e AS MATERIALIZED (
          |  SELECT e.src, e.dst, $coefCol
          |  FROM $edgesCte e JOIN pp_outw t ON e.src = t.src),
-         |pp_st AS (
+         |pp_st AS MATERIALIZED (
          |  SELECT n.id, (t.src IS NULL) AS dangling,
          |    (sd.id IS NOT NULL) AS seed
          |  FROM $nodesCte n
          |  LEFT JOIN (SELECT DISTINCT src FROM $edgesCte) t ON n.id = t.src
          |  LEFT JOIN (SELECT DISTINCT id FROM $seedsCte) sd ON n.id = sd.id),
-         |pp_r0 AS (
+         |pp_r0 AS MATERIALIZED (
          |  SELECT s.id, s.dangling, s.seed,
          |    CAST(CASE WHEN s.seed THEN $Scale // ns.ns ELSE 0 END
          |      AS BIGINT) AS r
          |  FROM pp_st s, pp_ns ns)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""pp_c$k AS (
+      s"""pp_c$k AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(sum($contribExpr) AS BIGINT) AS c
          |  FROM pp_e e JOIN pp_r${k - 1} r ON e.src = r.id GROUP BY 1),
-         |pp_d$k AS (
+         |pp_d$k AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dmass
          |  FROM pp_r${k - 1} WHERE dangling),
-         |pp_r$k AS (
+         |pp_r$k AS MATERIALIZED (
          |  SELECT s.id, s.dangling, s.seed,
          |    CAST((${100 - dampingPct} * ($Scale // ns.ns)
          |            * (CASE WHEN s.seed THEN 1 ELSE 0 END)

@@ -336,23 +336,23 @@ object Shapley {
        |tbig AS (
        |  SELECT player, toks[i] || ' ' || toks[i+1] AS bg
        |  FROM ttok, unnest(range(1, len(toks))) AS r(i)),
-       |slices AS (
+       |slices AS MATERIALIZED (
        |  SELECT player, bg, CAST(count(*) AS BIGINT) AS cb
        |  FROM tbig GROUP BY 1, 2),
-       |mem AS (
+       |mem AS MATERIALIZED (
        |  SELECT CAST(s.range AS BIGINT) AS subset_id,
        |    'g' || CAST(p.range AS VARCHAR) AS player
        |  FROM range(0, $nSubsets) s, range(0, $nGroups) p
        |  WHERE (s.range >> p.range) & 1 = 1),
-       |subc AS (
+       |subc AS MATERIALIZED (
        |  SELECT m.subset_id, sl.bg, CAST(sum(sl.cb) AS BIGINT) AS cb
        |  FROM mem m JOIN slices sl ON m.player = sl.player
        |  GROUP BY 1, 2),
-       |subcc AS (
+       |subcc AS MATERIALIZED (
        |  SELECT subset_id, string_split(bg, ' ')[1] AS prev,
        |    CAST(sum(cb) AS BIGINT) AS cctx
        |  FROM subc GROUP BY 1, 2),
-       |vfull AS (
+       |vfull AS MATERIALIZED (
        |  SELECT count(DISTINCT t) + 1 AS vsize FROM (
        |    SELECT string_split(bg, ' ')[1] AS t FROM slices
        |    UNION
@@ -371,10 +371,10 @@ object Shapley {
        |  LEFT JOIN subc c ON c.subset_id = s.range AND c.bg = e.bg
        |  LEFT JOIN subcc x ON x.subset_id = s.range AND x.prev = e.prev
        |  CROSS JOIN vfull v),
-       |v AS (
+       |v AS MATERIALIZED (
        |  SELECT subset_id, CAST(sum(h_milli) AS BIGINT) AS v_milli
        |  FROM escore GROUP BY 1),
-       |sizes AS (
+       |sizes AS MATERIALIZED (
        |  SELECT CAST(s.range AS BIGINT) AS subset_id,
        |    CAST(count(p.range) AS INT) AS k
        |  FROM range(0, $nSubsets) s
@@ -425,20 +425,20 @@ object Shapley {
          |                  regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')
          |      END) AS toks
          |  FROM $rel)""".stripMargin
-    s"""sp_rk AS (
+    s"""sp_rk AS MATERIALIZED (
        |  SELECT CAST(m.range AS BIGINT) AS m, CAST(p.range AS INT) AS p,
        |    row_number() OVER (PARTITION BY m.range
        |      ORDER BY md5(concat('$seed:', CAST(m.range AS VARCHAR),
        |                          ':g', CAST(p.range AS VARCHAR))),
        |               p.range) AS rk
        |  FROM range(0, $nPerms) m, range(0, $nGroups) p),
-       |sp_pref AS (
+       |sp_pref AS MATERIALIZED (
        |  SELECT a.m, a.p,
        |    CAST(coalesce(sum(CAST(1 AS BIGINT) << b.p), 0) AS BIGINT)
        |      AS mask_excl
        |  FROM sp_rk a LEFT JOIN sp_rk b ON b.m = a.m AND b.rk < a.rk
        |  GROUP BY a.m, a.p),
-       |sp_dmask AS (
+       |sp_dmask AS MATERIALIZED (
        |  SELECT DISTINCT mask_excl AS subset_id FROM sp_pref
        |  UNION
        |  SELECT DISTINCT mask_excl + (CAST(1 AS BIGINT) << p)
@@ -447,22 +447,22 @@ object Shapley {
        |sp_tbig AS (
        |  SELECT player, toks[i] || ' ' || toks[i+1] AS bg
        |  FROM sp_ttok, unnest(range(1, len(toks))) AS r(i)),
-       |sp_slices AS (
+       |sp_slices AS MATERIALIZED (
        |  SELECT player, bg, CAST(count(*) AS BIGINT) AS cb
        |  FROM sp_tbig GROUP BY 1, 2),
-       |sp_mem AS (
+       |sp_mem AS MATERIALIZED (
        |  SELECT d.subset_id, 'g' || CAST(p.range AS VARCHAR) AS player
        |  FROM sp_dmask d, range(0, $nGroups) p
        |  WHERE (d.subset_id >> p.range) & 1 = 1),
-       |sp_subc AS (
+       |sp_subc AS MATERIALIZED (
        |  SELECT m.subset_id, sl.bg, CAST(sum(sl.cb) AS BIGINT) AS cb
        |  FROM sp_mem m JOIN sp_slices sl ON m.player = sl.player
        |  GROUP BY 1, 2),
-       |sp_subcc AS (
+       |sp_subcc AS MATERIALIZED (
        |  SELECT subset_id, string_split(bg, ' ')[1] AS prev,
        |    CAST(sum(cb) AS BIGINT) AS cctx
        |  FROM sp_subc GROUP BY 1, 2),
-       |sp_vfull AS (
+       |sp_vfull AS MATERIALIZED (
        |  SELECT count(DISTINCT t) + 1 AS vsize FROM (
        |    SELECT string_split(bg, ' ')[1] AS t FROM sp_slices
        |    UNION
@@ -481,7 +481,7 @@ object Shapley {
        |  LEFT JOIN sp_subc c ON c.subset_id = s.subset_id AND c.bg = e.bg
        |  LEFT JOIN sp_subcc x ON x.subset_id = s.subset_id AND x.prev = e.prev
        |  CROSS JOIN sp_vfull v),
-       |sp_v AS (
+       |sp_v AS MATERIALIZED (
        |  SELECT subset_id, CAST(sum(h_milli) AS BIGINT) AS v_milli
        |  FROM sp_escore GROUP BY 1),
        |sp_contrib AS (
