@@ -1166,6 +1166,28 @@ object ExtensionQueries {
       SelectionQueries.doremiEgCtes(5, 200000L, 100000L) + ",\n" +
       s"w(source, budget) AS (SELECT source, (w * $pool) // 1000000 AS budget FROM dm_w5)"
 
+  /** [[shapleyBudgetCtes]]' sampled twin: per-SOURCE players (P = 20,
+    * past the exact enumerator's guard), values from the deterministic
+    * 24-permutation estimator (sp_ chain), same clamp + EG + pool
+    * split. */
+  private def sampledShapleyBudgetCtes(pool: Long): String =
+    s"""trainpl AS (
+       |  SELECT 'g' || CAST(CAST(regexp_extract(source, '[0-9]+', 0)
+       |      AS BIGINT) % 20 AS VARCHAR) AS player, text
+       |  FROM corpus),
+       |evald AS (SELECT doc_id, text FROM evals),
+       |${graft.operators.Shapley.sampledOracleCtes(20, 24)},
+       |dm_ex2 AS (
+       |  SELECT c.source,
+       |    greatest(CAST(0 AS BIGINT), s.phi_milli) AS excess_milli
+       |  FROM (SELECT DISTINCT source FROM corpus) c
+       |  JOIN sp_shv s ON s.player = 'g' ||
+       |    CAST(CAST(regexp_extract(c.source, '[0-9]+', 0) AS BIGINT) % 20
+       |      AS VARCHAR)),
+       |""".stripMargin +
+      SelectionQueries.doremiEgCtes(5, 200000L, 100000L) + ",\n" +
+      s"w(source, budget) AS (SELECT source, (w * $pool) // 1000000 AS budget FROM dm_w5)"
+
   private val sourceAblationSlicedOracleSql: String =
     sourceAblationOracleSqlFor(
       "SELECT unnest(['none','src0','src1','src2','src3','src4']) " +
@@ -3831,6 +3853,31 @@ object ExtensionQueries {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
         val budgets = graft.operators.Doremi.budgets(
           graft.operators.Doremi.shapleyWeights(corpus, evals), 2000L)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+          .attribution.orderBy("doc_id")
+      }),
+
+    // The Shapley-budgeted capstone at PER-SOURCE granularity: the
+    // SAMPLED estimator (24 deterministic permutations, P = 20 —
+    // 2^20 exact models would be unpayable) values every individual
+    // source, the clamped values feed the same EG loop and pool split,
+    // and the build spends them. Whole sample→value→learn→budget→build
+    // path one hash — the sp_ permutation chain re-derives inside the
+    // oracle.
+    QueryDef("ext_corpus_build_shapley_sampled",
+      Some(corpusBuildCtes(budgetCte =
+          Some(sampledShapleyBudgetCtes(2000L))) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, _) = corpusBuildFixture(s, dir)
+        val budgets = graft.operators.Doremi.budgets(
+          graft.operators.Doremi.sampledShapleyWeights(corpus, evals),
+          2000L)
         graft.operators.CorpusBuild.build(corpus, evals, budgets)
           .attribution.orderBy("doc_id")
       }),

@@ -94,7 +94,9 @@ object GraphQueries {
     * and the rank-aware corpus-build keeper oracle
     * (ext_corpus_build_authority), so the two queries provably price
     * the same ranks. */
-  private[graft] val authorityRankCtes: String =
+  /** Just the capped shared-shingle EDGE derivation (nodes/edges) —
+    * the graph both rank families (PageRank authority, harmonic) read. */
+  private[graft] val authorityEdgeCtes: String =
     s"""tok AS MATERIALIZED (
        |  SELECT source,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -110,7 +112,10 @@ object GraphQueries {
        |  SELECT a.source AS src, b.source AS dst,
        |    CAST(count(*) AS BIGINT) AS w
        |  FROM sgk a JOIN sgk b ON a.ph = b.ph AND a.source <> b.source
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private[graft] val authorityRankCtes: String =
+    s"""$authorityEdgeCtes,
        |${Centrality.oracleCtes("nodes", "edges", iters = 4,
           weighted = true)}""".stripMargin
 
@@ -286,6 +291,31 @@ object GraphQueries {
             corpus.select(col("doc_id").as("id")), sym, maxDist = 4)
           .select(col("id").as("doc_id"), col("harmonic_fp"))
           .orderBy("doc_id")
+      }),
+
+    // HARMONIC centrality at SOURCE level over the same capped
+    // shared-shingle graph the authority rank reads — Common Crawl
+    // publishes both ranks over one host graph, and they disagree
+    // usefully: PageRank weights by who links, harmonic by how CLOSE
+    // everyone is (distance, weights ignored). #sources is bounded, so
+    // the exact all-pairs BFS is the right tool here (the operator's
+    // declared scope); 3-hop horizon covers the fixture graph's
+    // diameter. Organically dangling sources score 0 exactly.
+    QueryDef("ext_source_harmonic",
+      Some(s"""WITH $authorityEdgeCtes,
+              |${Centrality.harmonicOracleCtes("nodes", "edges",
+                 maxDist = 3)}
+              |SELECT id AS source, harmonic_fp
+              |FROM hc ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select("source", "text")
+        Centrality.harmonicCentrality(
+            docs.select(col("source").as("id")).distinct(),
+            Centrality.sharedShingleEdges(
+              Centrality.sourceShingles(docs)),
+            maxDist = 3)
+          .select(col("id").as("source"), col("harmonic_fp"))
+          .orderBy("source")
       }),
 
     // Authority served from the PERSISTED source-shingle table (16th

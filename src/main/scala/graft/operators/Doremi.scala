@@ -297,6 +297,38 @@ object Doremi {
       .orderBy("source")
   }
 
+  /** [[shapleyWeights]] with the SAMPLED estimator
+    * ([[Shapley.sampledGroupShapley]]) supplying the values — the
+    * composition at PER-SOURCE granularity (or any P past the exact
+    * enumerator's 12), where the exact game would need 2^P models.
+    * Same clamp-at-0 + EG budget semantics; phi_milli is the
+    * per-permutation mean marginal, on the exact game's scale. */
+  def sampledShapleyWeights(train: DataFrame, evals: DataFrame,
+      nGroups: Int = 20, nPerms: Int = 24, seed: String = "graft",
+      cfg: Config = Config(), srcCol: String = "source",
+      textCol: String = "text", broadcastModels: Boolean = true)
+      : DataFrame = {
+    val spark = train.sparkSession
+    val phi = Shapley.sampledGroupShapley(
+      train.withColumn("player", Shapley.sourceGroup(col(srcCol), nGroups)),
+      evals, nGroups, nPerms, seed, textCol, broadcastModels)
+    val sigRows = train.select(col(srcCol).as("source")).distinct()
+      .withColumn("player", Shapley.sourceGroup(col("source"), nGroups))
+      .join(broadcast(phi), "player")
+      .select(col("source"), col("player"), col("phi_milli"),
+        greatest(lit(0L), col("phi_milli")).as("excess_milli"))
+      .collect()
+    import spark.implicits._
+    val sig = sigRows.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .toDF("source", "player", "phi_milli", "excess_milli")
+    val ex = sigRows.map(r => (r.getString(0), r.getLong(3))).toSeq
+    val w = egWeights(ex, cfg)
+    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+      .orderBy("source")
+  }
+
   /** Per-domain signals from a per-(source, bigram) COUNT table alone
     * — no text, no corpus re-read: (source, n_bigrams, ref_milli,
     * own_milli, excess_milli) with the means per BIGRAM INSTANCE

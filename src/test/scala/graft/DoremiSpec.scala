@@ -198,4 +198,28 @@ class DoremiSpec extends SparkSpec {
       .toMap
     sh.foreach { case (s, (_, w)) => assert(again(s) == w) }
   }
+
+  test("sampledShapleyWeights: per-source granularity, deterministic, " +
+      "weights ~1e6 total, one row per source") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val evals = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val w = Doremi.sampledShapleyWeights(train, evals,
+      nGroups = 20, nPerms = 6)
+    val rows = w.collect()
+    val nSrc = train.select("source").distinct().count()
+    assert(rows.length == nSrc)
+    // EG weights are a distribution in micro units (floor loss only)
+    val tot = rows.map(_.getAs[Long]("w_micro")).sum
+    assert(tot >= 999000L && tot <= 1000000L, s"total $tot")
+    // same hash-derived permutations ⇒ bit-identical weights
+    val again = Doremi.sampledShapleyWeights(train, evals,
+        nGroups = 20, nPerms = 6).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro"))
+      .toMap
+    rows.foreach(r => assert(
+      again(r.getAs[String]("source")) == r.getAs[Long]("w_micro")))
+  }
 }
