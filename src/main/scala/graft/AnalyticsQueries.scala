@@ -26,13 +26,7 @@ object AnalyticsQueries {
     "ext_srp_persisted", "ext_srp_quantized", "ext_srp_neardup",
     "ext_srp_neardup_quant", "ext_srp_incremental")
 
-  val defs: Seq[QueryDef] = {
-    val tagged = defs0.map(d =>
-      if (warmServeNames(d.name)) d.copy(timing = QueryDef.WarmServe) else d)
-    val missing = warmServeNames -- defs0.map(_.name).toSet
-    require(missing.isEmpty, s"warmServeNames not in registry: $missing")
-    tagged
-  }
+  val defs: Seq[QueryDef] = QueryDef.tagWarmServe(defs0, warmServeNames)
 
   private def defs0: Seq[QueryDef] = Seq(
 

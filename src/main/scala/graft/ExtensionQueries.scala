@@ -973,10 +973,10 @@ object ExtensionQueries {
   }
 
   /** The plain capstone build, MEMOIZED per (JVM, sfDir) with its
-    * outputs pinned: ~8 registered queries derive different reports
-    * (attribution, funnel, manifest, shards, release, packstats, eval,
-    * datacard, fingerprint) from this one Result, and production does
-    * exactly that — build once, publish many artifacts. Re-running the
+    * outputs pinned: seven registered queries derive different reports
+    * (ext_corpus_build's attribution, funnel, shards, release,
+    * packstats, release_fingerprint, eval) from this one Result, and
+    * production does exactly that — build once, publish many artifacts. Re-running the
     * full gate chain per consumer (and per bench rep) timed the same
     * build ~10×; now the first consumer pays it and every later one
     * reads the pinned boundary (the tableExists build-once convention,
@@ -991,13 +991,22 @@ object ExtensionQueries {
 
   private[graft] def corpusBuildResult(s: SparkSession, dir: String)
       : graft.operators.CorpusBuild.Result = {
-    cbMemo.computeIfAbsent(dir, _ => {
-      val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
-      val r = graft.operators.CorpusBuild.build(corpus, evals, budgets)
-      graft.operators.CorpusBuild.Result(
-        r.attribution.localCheckpoint(),
-        r.manifest.localCheckpoint(),
-        r.survivors) // already checkpointKeepPartitioning-pinned
+    // compute(), not computeIfAbsent(): a memo hit must be VALIDATED —
+    // the pinned frames hold localCheckpoint blocks bound to the
+    // creating SparkContext, and a same-JVM session restart (the memo
+    // is JVM-global) would otherwise serve frames over a dead context,
+    // failing far from the cause. A stale entry rebuilds in place.
+    cbMemo.compute(dir, (_, old) => {
+      if (old != null &&
+          !old.survivors.sparkSession.sparkContext.isStopped) old
+      else {
+        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
+        val r = graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        graft.operators.CorpusBuild.Result(
+          r.attribution.localCheckpoint(),
+          r.manifest.localCheckpoint(),
+          r.survivors) // already checkpointKeepPartitioning-pinned
+      }
     })
   }
 
@@ -1210,15 +1219,9 @@ object ExtensionQueries {
     "ext_exact_persisted",
     "ext_corpus_build", "ext_corpus_funnel", "ext_corpus_shards",
     "ext_corpus_release", "ext_corpus_packstats",
-    "ext_release_fingerprint")
+    "ext_release_fingerprint", "ext_corpus_eval")
 
-  val defs: Seq[QueryDef] = {
-    val tagged = defs0.map(d =>
-      if (warmServeNames(d.name)) d.copy(timing = QueryDef.WarmServe) else d)
-    val missing = warmServeNames -- defs0.map(_.name).toSet
-    require(missing.isEmpty, s"warmServeNames not in registry: $missing")
-    tagged
-  }
+  val defs: Seq[QueryDef] = QueryDef.tagWarmServe(defs0, warmServeNames)
 
   private def defs0: Seq[QueryDef] = Seq(
 
@@ -3942,8 +3945,11 @@ object ExtensionQueries {
           |  CAST(floor(h_total * 1.0 / n_bigrams + 0.5) AS BIGINT) AS h_milli_tok
           |FROM age ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val (corpus, evals, budgets) = corpusBuildFixture(s, dir)
-        val res = graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        val (_, evals, _) = corpusBuildFixture(s, dir)
+        // survivors from the MEMOIZED shared build (same default
+        // params) — the eval harness trains on the release, it doesn't
+        // need to rebuild it
+        val res = corpusBuildResult(s, dir)
         graft.operators.NgramLm.scoreMicroBits(
             graft.operators.NgramLm.train(
               res.survivors.select("doc_id", "text")),

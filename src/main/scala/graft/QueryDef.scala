@@ -33,6 +33,16 @@ object QueryDef {
     * number — no matter how long rep 1 took. */
   case object WarmServe extends Timing
 
+  /** Applies a WarmServe tag set to a registry — shared by the module
+    * post-passes so the tag-and-validate pattern lives once. Unknown
+    * names fail loudly (a typo would silently leave a build-once query
+    * on the cutoff path, mis-measuring its build as its number). */
+  def tagWarmServe(defs: Seq[QueryDef], names: Set[String]): Seq[QueryDef] = {
+    val missing = names -- defs.map(_.name).toSet
+    require(missing.isEmpty, s"warmServeNames not in registry: $missing")
+    defs.map(d => if (names(d.name)) d.copy(timing = WarmServe) else d)
+  }
+
   def toQueries(defs: Seq[QueryDef]): Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
   def toOracles(defs: Seq[QueryDef]): Map[String, String] =

@@ -106,6 +106,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure visibility WITHOUT failing the process: the driver's
+    // compare detects missing query dirs itself, and a non-zero exit
+    // here could abort its pipeline and zero the whole artifact — the
+    // exact round-13 failure mode. One summary line keeps a partial
+    // dump diagnosable from the log alone.
+    if (failed.get() > 0)
+      System.err.println(s"[verify] ${failed.get()} quer" +
+        s"${if (failed.get() == 1) "y" else "ies"} failed — " +
+        "their dirs are missing from the dump")
     spark.stop()
   }
 }

@@ -410,19 +410,26 @@ object Centrality {
          |  WHERE a.src <> e.dst)""".stripMargin
     }
     // distance = first level whose reach set contains the pair; spelled
-    // as chained left joins (IN-per-row is not join-plannable)
-    val dj = (1 to (maxDist - 1)).map(k =>
-      s"LEFT JOIN hc_r$k j$k ON r.src = j$k.src AND r.dst = j$k.dst")
-      .mkString("\n  ")
-    val dcase = (1 to (maxDist - 1))
-      .map(k => s"WHEN j$k.src IS NOT NULL THEN $k")
-      .mkString(" ")
+    // as chained left joins (IN-per-row is not join-plannable). At
+    // maxDist = 1 there is no earlier level and a WHEN-less CASE is a
+    // parse error — every reached pair is simply at distance 1.
     val dist =
-      s"""hc_d AS MATERIALIZED (
-         |  SELECT r.src, r.dst,
-         |    CASE $dcase ELSE $maxDist END AS d
-         |  FROM hc_r$maxDist r
-         |  $dj)""".stripMargin
+      if (maxDist == 1)
+        """hc_d AS MATERIALIZED (
+          |  SELECT src, dst, 1 AS d FROM hc_r1)""".stripMargin
+      else {
+        val dj = (1 to (maxDist - 1)).map(k =>
+          s"LEFT JOIN hc_r$k j$k ON r.src = j$k.src AND r.dst = j$k.dst")
+          .mkString("\n  ")
+        val dcase = (1 to (maxDist - 1))
+          .map(k => s"WHEN j$k.src IS NOT NULL THEN $k")
+          .mkString(" ")
+        s"""hc_d AS MATERIALIZED (
+           |  SELECT r.src, r.dst,
+           |    CASE $dcase ELSE $maxDist END AS d
+           |  FROM hc_r$maxDist r
+           |  $dj)""".stripMargin
+      }
     val agg =
       s"""hc AS (
          |  SELECT n.id,

@@ -2964,7 +2964,10 @@ object IndexStore {
       .groupBy("source", "ph").agg(count(lit(1)).as("nd"))
       .withColumn("bk", lit(batchKey))
 
-  /** Serving-node-set invariant, asserted at every authority write:
+  /** Serving-node-set invariant, asserted at every authority write —
+    * BEFORE anything lands on disk, so a rejected batch leaves the
+    * table untouched (a post-write check would report the divergence
+    * while the half-applied rows stayed permanently folded in):
     * [[authorityFromIndex]] derives its vertex set from sources LIVE in
     * the shingle table, while the family's shared oracle (and the
     * inline `ext_source_authority` form) declares nodes as ALL distinct
@@ -2972,22 +2975,29 @@ object IndexStore {
     * source has ≥ 1 doc of ≥ k tokens — a source whose docs are all
     * shorter never enters the table, silently changing nNodes and
     * therefore EVERY rank (baseShare = Scale div nNodes). Fail loudly
-    * at the write (the cause) instead. Cost: one column-pruned scan of
-    * the batch's source column against the just-written bounded table. */
+    * at the write (the cause) instead. The invariant is CUMULATIVE:
+    * `alreadyLive` (append path) carries the sources live in the
+    * existing table, so a later batch may add short docs for a source
+    * an earlier batch made indexable — only a source the serve-time
+    * node set would MISS rejects. Cost: the batch's own counts frame
+    * (computed for the write anyway) plus a bounded source-column
+    * anti-join. */
   private def requireAuthSourcesIndexable(batch: DataFrame,
-      srcCol: String, table: String, k: Int, op: String): Unit = {
-    val spark = batch.sparkSession
+      batchCounts: DataFrame, srcCol: String, k: Int, op: String,
+      alreadyLive: Option[DataFrame] = None): Unit = {
+    val indexable = batchCounts.select("source").distinct()
+    val covered = alreadyLive.fold(indexable)(live =>
+      indexable.unionByName(live.select("source").distinct()))
     val missing = batch.select(col(srcCol).as("source")).distinct()
-      .join(spark.table(s"${table}_aph").select("source").distinct(),
-        Seq("source"), "left_anti")
+      .join(covered, Seq("source"), "left_anti")
       .limit(6).collect().map(_.getString(0))
     require(missing.isEmpty,
-      s"$op($table): source(s) ${missing.mkString(", ")} have no doc " +
-        s"with >= $k tokens, so they are absent from the shingle table " +
-        "— the served node set would diverge from the declared corpus " +
+      s"$op: source(s) ${missing.mkString(", ")} have no doc " +
+        s"with >= $k tokens (and are not already live in the table), " +
+        "so the served node set would diverge from the declared corpus " +
         "node set and shift every rank (see authorityFromIndex). Route " +
         "sub-k-token sources around the authority index or pad/merge " +
-        "their docs upstream.")
+        "their docs upstream. Nothing was written.")
   }
 
   /** Builds the persisted authority table: `(source, ph, nd, bk)`
@@ -2999,15 +3009,16 @@ object IndexStore {
       batchKey: Long = 0L, nBuckets: Int = 4): Unit = {
     require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
     val spark = docs.sparkSession
-    bucketRouted(authCounts(docs, srcCol, idCol, textCol, k, batchKey),
-        "ph", nBuckets)
+    val counts = authCounts(docs, srcCol, idCol, textCol, k, batchKey)
+    requireAuthSourcesIndexable(docs, counts, srcCol, k,
+      s"buildAuthorityIndex($table)")
+    bucketRouted(counts, "ph", nBuckets)
       .write.bucketBy(nBuckets, "ph")
       .option("path", s"$path/${table}_aph").mode("overwrite")
       .saveAsTable(s"${table}_aph")
     setParams(spark, s"${table}_aph",
       authParams(srcCol, idCol, k) +
         (AuthBkHighWaterParam -> batchKey.toString))
-    requireAuthSourcesIndexable(docs, srcCol, table, k, "buildAuthorityIndex")
   }
 
   private def authK(spark: SparkSession, table: String, srcCol: String,
@@ -3032,12 +3043,13 @@ object IndexStore {
       false
     else {
       val nb = numBucketsOf(spark, aph)
-      bucketRouted(authCounts(delta, srcCol, idCol, textCol, k, batchKey),
-          "ph", nb)
+      val counts = authCounts(delta, srcCol, idCol, textCol, k, batchKey)
+      requireAuthSourcesIndexable(delta, counts, srcCol, k,
+        s"appendAuthorityIndex($table)",
+        alreadyLive = Some(authorityShinglesFromIndex(spark, table)))
+      bucketRouted(counts, "ph", nb)
         .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
       noteAppend(spark, aph)
-      requireAuthSourcesIndexable(delta, srcCol, table, k,
-        "appendAuthorityIndex")
       true
     }
   }

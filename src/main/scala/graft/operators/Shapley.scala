@@ -138,10 +138,14 @@ object Shapley {
     // every coalition (including the full one) and skew all values with
     // no error. Fail loud on strays instead — the observed domain is
     // bounded (it's a grouping), so this is a bounded-table check.
+    // NULL is a stray too (isin returns NULL for NULL, which a bare
+    // negation filter would silently drop — the exact failure mode
+    // this guard exists for)
     val stray = slices.select("player").distinct()
-      .where(!col("player")
+      .where(col("player").isNull || !col("player")
         .isin((0 until nGroups).map(p => s"g$p"): _*))
-      .limit(6).collect().map(_.getString(0))
+      .limit(6).collect()
+      .map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
     require(stray.isEmpty,
       s"$op: player value(s) ${stray.mkString(", ")} are " +
         s"outside the coalition domain g0..g${nGroups - 1} — every " +

@@ -280,14 +280,18 @@ object StreamingClusters {
 
   /** Stages the near-dup-planted corpus (every 5th doc gains a
     * "graft tail" twin — the ext_soft_dedup_e2e fixture) as TWO
-    * range-ordered micro-batches: the twins' +100000 ids land them in
-    * the upper range, i.e. a LATER batch than every original, so the
-    * cross-batch merge path carries the parity exactly as the earlier
-    * three-batch staging did — the third batch added one more full
-    * probe+CC+append round with no new code path (round-15 gate-budget
-    * work; the ≥3-round choreography incl. crash-replay stays drilled
-    * with explicit processBatch calls in StreamingSpec). Drains, then
-    * serves the decisions. */
+    * micro-batches split EXPLICITLY at the twin boundary (id 100000):
+    * file 1 carries every original, file 2 every twin, so each twin
+    * provably arrives a batch after its original and the cross-batch
+    * merge path carries the parity. (An earlier range-repartition
+    * staging only APPROXIMATED this — its sampled boundary fell inside
+    * the originals, so upper-range originals shared a batch with their
+    * twins; the explicit split makes the staging match the stated
+    * contract. The dropped third batch added one more full
+    * probe+CC+append round with no new code path — round-15
+    * gate-budget work; the ≥3-round choreography incl. crash-replay
+    * stays drilled with explicit processBatch calls in StreamingSpec.)
+    * Drains, then serves the decisions. */
   def run(spark: SparkSession, sfDir: String, workDir: String,
       table: String, idxPath: String): DataFrame = {
     Seq("src", "state", "ckpt").foreach(d =>
@@ -299,9 +303,13 @@ object StreamingClusters {
 
     val srcDir = s"$workDir/src"
     val stateDir = s"$workDir/state"
-    plantedCorpus(spark, sfDir)
-      .repartitionByRange(2, col("doc_id"))
-      .write.mode("overwrite").parquet(srcDir)
+    val pc = plantedCorpus(spark, sfDir)
+    // two writes → two mtime-ordered files → two micro-batches under
+    // maxFilesPerTrigger=1 (the StreamingCorpusBuild staging idiom)
+    pc.where(col("doc_id") < 100000)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    pc.where(col("doc_id") >= 100000)
+      .coalesce(1).write.mode("append").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
