@@ -84,5 +84,38 @@ for name in names:
 missing = set(oracles) - set(names)
 if missing:
     print("MISSING query dirs for oracles:", sorted(missing)); fails += 1
+
+# Partial-dump marker written by Verify itself (failures.json): an
+# absent file means an OLD dump (pre-round-16) — warn; a non-empty one
+# lists per-query errors the missing-dirs check above will also see.
+fj = f"{out}/failures.json"
+if os.path.exists(fj):
+    vf = json.load(open(fj))
+    for k, v in sorted(vf.items()):
+        print(f"VERIFY-FAIL {k}: {v[:160]}")
+    if vf and not missing:
+        fails += len(vf)
+else:
+    print("WARN    no failures.json in dump (old Verify build?)")
+
+# Registry-growth gate (ARCHITECTURE.md 'Gate-budget doctrine'): the
+# r13/r14 blank-artifact failure mode was GROWTH-driven — the gate
+# outgrew the driver's clock one query at a time, invisibly. Warn
+# loudly (not fatally: correctness is unaffected) when the registry
+# exceeds the last MEASURED watermark by 5%, prompting a re-measured
+# quiet-machine gate wall + ledger update before the driver finds out.
+ledger_path = os.path.join(os.path.dirname(__file__), "gate_budget.json")
+try:
+    ledger = json.load(open(ledger_path))
+    wm = ledger["n_queries_watermark"]
+    if len(names) > wm * 1.05:
+        print(f"GATE-BUDGET: registry grew {len(names)} > 5% past the "
+              f"round-{ledger['measured_round']} watermark {wm} — "
+              f"re-measure the full gate wall on a quiet machine and "
+              f"update scripts/gate_budget.json (see ARCHITECTURE.md "
+              f"'Gate-budget doctrine')")
+except FileNotFoundError:
+    print("WARN    scripts/gate_budget.json missing — growth unchecked")
+
 print(f"\n{len(names)} queries, {fails} failures")
 sys.exit(1 if fails else 0)

@@ -761,7 +761,14 @@ object ExtensionQueries {
     *   rank-aware struct-min form: keeper = max authority rank of the
     *   copy's SOURCE (pr_r4 from [[GraphQueries.authorityRankCtes]],
     *   spliced ahead of the capstone chain), min-id tiebreak — the
-    *   oracle twin of CorpusBuild.build(keeperPriorities = ...) */
+    *   oracle twin of CorpusBuild.build(keeperPriorities = ...)
+    * @param harmonicKeeper same struct-min keeper with the SECOND rank
+    *   Common Crawl publishes: source-level harmonic centrality
+    *   (hc from [[graft.operators.Centrality.harmonicOracleCtes]] over
+    *   the same capped shared-shingle graph, 3-hop like
+    *   ext_source_harmonic) — PageRank weights by who links, harmonic
+    *   by distance, and the two pick different keepers on the fixture
+    *   (asserted in CorpusBuildSpec) */
   private[graft] def corpusBuildCtes(
       budgetOrder: String = "hx, doc_id",
       withDsir: Boolean = false,
@@ -770,7 +777,10 @@ object ExtensionQueries {
       budgetDiv: Int = 1,
       budgetCte: Option[String] = None,
       crossSourcePlants: Boolean = false,
-      authorityKeeper: Boolean = false): String = {
+      authorityKeeper: Boolean = false,
+      harmonicKeeper: Boolean = false): String = {
+    require(!(authorityKeeper && harmonicKeeper),
+      "one keeper rank at a time")
     require(!(withD4 && withSpanClean),
       "the oracle chains spanclean XOR the D4 stages") // Scala composes both
     val selSrc = if (withD4) "d4surv"
@@ -798,8 +808,19 @@ object ExtensionQueries {
           |    'src' || CAST((CAST(regexp_extract(source, '[0-9]+', 0)
           |      AS BIGINT) + 7) % 20 AS VARCHAR)
           |  FROM splants""".stripMargin
-    val authorityCtes = if (!authorityKeeper) ""
-      else GraphQueries.authorityRankCtes + ",\n"
+    val authorityCtes =
+      if (authorityKeeper) GraphQueries.authorityRankCtes + ",\n"
+      else if (harmonicKeeper)
+        GraphQueries.authorityEdgeCtes + ",\n" +
+          graft.operators.Centrality.harmonicOracleCtes("nodes", "edges",
+            maxDist = 3) + ",\n"
+      else ""
+    // the rank relation + column the struct-min keeper prices, when a
+    // rank-aware keeper is requested
+    val keeperRank =
+      if (authorityKeeper) Some(("pr_r4", "r"))
+      else if (harmonicKeeper) Some(("hc", "harmonic_fp"))
+      else None
     s"""WITH ${authorityCtes}evals AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
        |base AS (
@@ -858,16 +879,17 @@ object ExtensionQueries {
        |         WHEN g.gopher_pass = 0 THEN 'gopher'
        |         ELSE 'survivor' END AS stage
        |  FROM feat f JOIN g ON f.doc_id = g.doc_id),
-       |${if (!authorityKeeper)
+       |${keeperRank match {
+          case None =>
             """keepers AS (
               |  SELECT fingerprint, min(doc_id) AS keeper_id
               |  FROM staged WHERE stage = 'survivor' GROUP BY 1),"""
               .stripMargin
-          else
-            """kscore AS MATERIALIZED (
-              |  SELECT s.doc_id, s.fingerprint, coalesce(pr.r, 0) AS kpri
+          case Some((rel, rcol)) =>
+            s"""kscore AS MATERIALIZED (
+              |  SELECT s.doc_id, s.fingerprint, coalesce(pr.$rcol, 0) AS kpri
               |  FROM staged s JOIN corpus c ON s.doc_id = c.doc_id
-              |  LEFT JOIN pr_r4 pr ON c.source = pr.id
+              |  LEFT JOIN $rel pr ON c.source = pr.id
               |  WHERE s.stage = 'survivor'),
               |kbest AS (
               |  SELECT fingerprint, min(ROW(-kpri, doc_id)) AS mk
@@ -875,7 +897,7 @@ object ExtensionQueries {
               |keepers AS (
               |  SELECT k.fingerprint, k.doc_id AS keeper_id
               |  FROM kscore k JOIN kbest b ON k.fingerprint = b.fingerprint
-              |    AND ROW(-k.kpri, k.doc_id) = b.mk),""".stripMargin}
+              |    AND ROW(-k.kpri, k.doc_id) = b.mk),""".stripMargin}}
        |attributed AS MATERIALIZED (
        |  SELECT s.doc_id,
        |    CASE WHEN s.stage <> 'survivor' THEN s.stage
@@ -3736,6 +3758,35 @@ object ExtensionQueries {
             keeperPriorities = Some(GraphQueries
               .sourceAuthorityRanks(s, dir)
               .select(col("source"), col("rank_fp").as("priority"))))
+          .attribution.orderBy("doc_id")
+      }),
+
+    // The capstone with the HARMONIC-ranked keeper — the SECOND rank
+    // Common Crawl publishes threaded through the same keeperPriorities
+    // seam: harmonic prices a source by how CLOSE every other source
+    // is (3-hop distance over the capped shared-shingle graph, weights
+    // ignored), where the authority rank prices who links with what
+    // weight — the two disagree on hub-vs-proximity and pick different
+    // keepers for some cross-source dup groups (asserted in
+    // CorpusBuildSpec, which is what makes this a second signal rather
+    // than a renamed rerun). The oracle splices the SAME hc chain the
+    // ext_source_harmonic oracle uses ahead of the capstone CTEs.
+    QueryDef("ext_corpus_build_harmonic",
+      Some(corpusBuildCtes(crossSourcePlants = true,
+          harmonicKeeper = true) + "\n" +
+        """SELECT a.doc_id,
+          |  CASE WHEN a.cut_stage <> 'kept' THEN a.cut_stage
+          |       WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'decon'
+          |       ELSE fn.cut_stage END AS cut_stage
+          |FROM attributed a LEFT JOIN final fn ON a.doc_id = fn.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+      (s, dir) => {
+        val (corpus, evals, budgets) =
+          corpusBuildFixture(s, dir, withCrossSourcePlants = true)
+        graft.operators.CorpusBuild.build(corpus, evals, budgets,
+            keeperPriorities = Some(GraphQueries
+              .sourceHarmonicRanks(s, dir)
+              .select(col("source"), col("harmonic_fp").as("priority"))))
           .attribution.orderBy("doc_id")
       }),
 

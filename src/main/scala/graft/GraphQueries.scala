@@ -138,6 +138,22 @@ object GraphQueries {
       .select(col("id").as("source"), col("rank_fp"))
   }
 
+  /** Inline source-harmonic ranks (source, harmonic_fp) — the
+    * ext_source_harmonic computation (3-hop exact form over the same
+    * capped shared-shingle graph), reusable as the SECOND keeper
+    * priority signal (ext_corpus_build_harmonic): Common Crawl
+    * publishes both ranks because they disagree usefully — PageRank
+    * weights by who links, harmonic by how close everyone is. */
+  private[graft] def sourceHarmonicRanks(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(s, dir, "documents").select("source", "text")
+    Centrality.harmonicCentrality(
+        docs.select(col("source").as("id")).distinct(),
+        Centrality.sharedShingleEdges(Centrality.sourceShingles(docs)),
+        maxDist = 3)
+      .select(col("id").as("source"), col("harmonic_fp"))
+  }
+
   private[graft] val defs: Seq[QueryDef] = Seq(
 
     // Fixed-point PageRank over the directed near-dup graph: most
@@ -288,6 +304,38 @@ object GraphQueries {
           .unionAll(pairs
             .select(col("id_b").as("src"), col("id_a").as("dst")))
         Centrality.harmonicCentrality(
+            corpus.select(col("doc_id").as("id")), sym, maxDist = 4)
+          .select(col("id").as("doc_id"), col("harmonic_fp"))
+          .orderBy("doc_id")
+      }),
+
+    // The SKETCHED form beside the exact one: HyperBall (Boldi & Vigna
+    // 2013) over the same symmetrized near-dup graph and horizon —
+    // per-node HLL in-ball counters max-merged along edges, O(n·512)
+    // register state where the exact form's reached table is O(n²).
+    // The whole sketch VALUE-hashes: md5 registers, integer raw
+    // estimate, and the linear-counting correction via the integer
+    // LcTable spliced into both engines from one Scala array — the
+    // oracle replays every level bit-for-bit (no agreement band needed
+    // HERE; the band vs the exact rank is asserted in CentralitySpec,
+    // where approximation quality — not engine correctness — is the
+    // question).
+    QueryDef("ext_graph_harmonic_hyperball",
+      Some(s"""WITH $pairCtes,
+              |hsym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |         UNION SELECT id_b, id_a FROM pairs),
+              |${Centrality.hyperBallOracleCtes("nodes", "hsym",
+                 maxDist = 4)}
+              |SELECT id AS doc_id, harmonic_fp
+              |FROM hb ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val pairs = nearDupPairs(corpus)
+        val sym = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs
+            .select(col("id_b").as("src"), col("id_a").as("dst")))
+        Centrality.harmonicHyperBall(
             corpus.select(col("doc_id").as("id")), sym, maxDist = 4)
           .select(col("id").as("doc_id"), col("harmonic_fp"))
           .orderBy("doc_id")

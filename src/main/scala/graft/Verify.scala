@@ -69,6 +69,8 @@ object Verify {
     val queue = new java.util.concurrent.ConcurrentLinkedQueue(
       scala.jdk.CollectionConverters.SeqHasAsJava(lanes).asJava)
     val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     val pool = (1 to workers.min(lanes.size).max(1)).map { _ =>
       val t = new Thread(() => {
         val sess = spark.newSession()
@@ -80,6 +82,8 @@ object Verify {
               .parquet(s"$outDir/$name")
             catch { case e: Throwable =>
               failed.incrementAndGet()
+              failures.put(name, s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(500))
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
           }
@@ -106,6 +110,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-detectable partial-dump marker: failures.json (query →
+    // error) sits next to oracle_sql.json, ALWAYS written — an empty
+    // object is the positive "dump complete" statement, so a consumer
+    // never has to distinguish "no failures" from "file never written"
+    // or parse stderr.
+    val fjson = {
+      import scala.jdk.CollectionConverters._
+      failures.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
     // Failure visibility WITHOUT failing the process: the driver's
     // compare detects missing query dirs itself, and a non-zero exit
     // here could abort its pipeline and zero the whole artifact — the

@@ -82,6 +82,30 @@ object Centrality {
   private def freeBlocks(df: DataFrame): Unit =
     Ops.freeLogicalRddBlocks(df)
 
+  /** ENFORCED form of the [[SharePpm]] faithfulness bound: no weighted
+    * edge may quantize to a zero share. An edge with
+    * w·1e6 div out_w = 0 (its true share under 1 ppm) contributes
+    * NOTHING every iteration — the result silently diverges from true
+    * weighted PageRank, which is exactly the regime the scaladoc above
+    * documents for ~1e6+ out-weight ratios. The doc used to be the
+    * whole contract; a caller pointing the weighted path at a
+    * host-scale fan-out graph got a wrong-but-plausible rank table.
+    * One `min` aggregate over the already-cached edge layout makes the
+    * boundary loud at the cause. Unweighted ranks have no such bound
+    * (r div out_deg loses ≤ 1 unit) and skip the check. */
+  private def requireSharesAboveFloor(edgesP: DataFrame, op: String): Unit = {
+    val row = edgesP.agg(min(col("share_ppm"))).head()
+    val minShare = if (row.isNullAt(0)) SharePpm else row.getLong(0)
+    require(minShare >= 1L,
+      s"$op: at least one weighted edge has w * $SharePpm div out_w = 0" +
+        " — its source's out-weight exceeds 1e6x the edge weight, so the" +
+        " ppm quantization floors the edge's share to zero and it would" +
+        " contribute no mass on ANY iteration (silent divergence from" +
+        " true weighted PageRank; see the SharePpm scaladoc). Merge" +
+        " parallel edges, drop sub-ppm tails explicitly, or rescale the" +
+        " weight column so every edge's share is >= 1 ppm.")
+  }
+
   /** One rank-propagation step — exposed for CentralitySpec's plan
     * assertions, the [[Components.step]] convention. `edgesP` must be
     * src-partitioned (carrying `share_ppm` when weighted, `out_deg`
@@ -186,6 +210,8 @@ object Centrality {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         edgesP.count()
+        if (weightCol.isDefined)
+          requireSharesAboveFloor(edgesP, "personalizedPageRank")
         val hasOut = edgesP.select(col("src").as("id")).distinct()
         val ids = truncated(
           nodes.select(col(idCol).as("id")).distinct()
@@ -282,6 +308,8 @@ object Centrality {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         edgesP.count() // materialize the layout; base is droppable now
+        if (weightCol.isDefined)
+          requireSharesAboveFloor(edgesP, "pageRank")
         val hasOut = edgesP.select(col("src").as("id")).distinct()
         // state: (id, dangling) checkpointed id-partitioned; the rank
         // column is added AFTER the boundary (a checkpoint of the
@@ -319,6 +347,15 @@ object Centrality {
     * far past the bounded-graph regime this exact form is for. */
   val HarmonicScale: Long = 1000000000L
 
+  /** Default vertex-set bound for the exact (all-pairs-state)
+    * [[harmonicCentrality]]: 100k vertices cap the reached table at
+    * 1e10 (src, dst, d) rows WORST case — large but a bounded,
+    * spillable shuffle on a real cluster; typical horizons keep it at
+    * n·(mean ball size), far less. Past this, the quadratic state is
+    * a scale decision the caller must make explicitly (or switch to
+    * [[harmonicHyperBall]]). */
+  val DefaultMaxExactHarmonicNodes: Long = 100000L
+
   /** HARMONIC centrality over `edges` within a fixed BFS horizon —
     * the second rank Common Crawl publishes beside PageRank (Boldi &
     * Vigna, "Axioms for Centrality", 2014): H(v) = Σ_{u≠v} 1/d(u,v),
@@ -332,9 +369,15 @@ object Centrality {
     * worst case, which is the deliberate scope: this form is for
     * BOUNDED vertex sets (the source-level authority graph, a
     * cluster-fixture doc graph), where all-pairs state is a bounded
-    * table. Web-scale vertex sets need a sketched traversal
-    * (HyperBall's HLL frontier) that trades the value-oracle away —
-    * out of scope here by design.
+    * table. The scope is ENFORCED, not just documented: `maxNodes`
+    * (default [[DefaultMaxExactHarmonicNodes]]) bounds the vertex set
+    * with a loud require — a caller pointing the exact form at an
+    * unbounded id column gets the boundary named at the cause instead
+    * of an O(n²) shuffle discovered in production. Web-scale vertex
+    * sets take [[harmonicHyperBall]] (HLL frontier per node, Boldi &
+    * Vigna 2013) whose state is O(n·512) registers — linear, not
+    * quadratic — at the cost of estimated ball sizes (agreement-band
+    * spec'd against this exact form on bounded fixtures).
     *
     * Iteration budget, [[Components]] doctrine: edges repartitioned by
     * src once and cached; per level exactly two real exchanges (the
@@ -343,8 +386,18 @@ object Centrality {
     * No windows, no driver loops over rows. */
   def harmonicCentrality(nodes: DataFrame, edges: DataFrame,
       maxDist: Int, idCol: String = "id", srcCol: String = "src",
-      dstCol: String = "dst", reliable: Boolean = false): DataFrame = {
+      dstCol: String = "dst", reliable: Boolean = false,
+      maxNodes: Long = DefaultMaxExactHarmonicNodes): DataFrame = {
     require(maxDist >= 1, s"need a horizon of >= 1 hop, got $maxDist")
+    val nNodes = nodes.select(col(idCol)).distinct().count()
+    require(nNodes <= maxNodes,
+      s"harmonicCentrality: $nNodes vertices exceed the exact form's " +
+        s"maxNodes = $maxNodes — its reached-pair BFS state is O(n^2) " +
+        "rows worst case, which is only a bounded table on bounded " +
+        "vertex sets (the declared scope). For web-scale vertex sets " +
+        "use harmonicHyperBall (O(n) register state, estimated ball " +
+        "sizes); to accept the quadratic state knowingly, raise " +
+        "maxNodes explicitly.")
     val confPart = nodes.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
@@ -387,6 +440,191 @@ object Centrality {
         .select(col(idCol),
           coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
     } finally base.unpersist(blocking = false)
+  }
+
+  /** Linear-counting threshold for [[harmonicHyperBall]]'s estimator:
+    * raw HLL below 2.5·m = 1280 is known-biased (the [[Hll]] scaladoc
+    * documents the trade for the sketch family, where small counts are
+    * cheap to get exactly) — but HyperBall's whole OUTPUT is built from
+    * small-ball estimates at every BFS level, so the bias would land in
+    * every harmonic term. Below the threshold the estimate switches to
+    * linear counting, m·ln(m/V) with V = zero registers. */
+  val LcThreshold: Long = 5L * Hll.m / 2
+
+  /** Integer linear-counting table: entry V-1 (1-based V) =
+    * round(m·ln(m/V)) for V = 1..m zero registers. ln is not pinned
+    * across engines (libm rounding), so the VALUES are computed ONCE
+    * here and spliced verbatim into BOTH the Spark literal and the
+    * generated DuckDB oracle SQL — the two engines share the table by
+    * construction, keeping the whole sketched rank value-hashable
+    * (the fixed-point oracle doctrine applied to a float-born
+    * constant). */
+  private[graft] val LcTable: IndexedSeq[Long] =
+    (1 to Hll.m).map(v =>
+      Math.round(Hll.m.toDouble * Math.log(Hll.m.toDouble / v)))
+
+  /** Hybrid ball-size estimate per node from a folded (id, idx, r)
+    * register table: linear counting when the raw estimate is under
+    * [[LcThreshold]] and some register is still zero, raw HLL
+    * otherwise. Every node holds its own item, so n_regs >= 1. */
+  private def hyperBallEst(regs: DataFrame): DataFrame = {
+    val lcLit = typedlit(LcTable)
+    Hll.estimate(regs, Seq("id"))
+      .select(col("id"),
+        when(col("n_regs") < Hll.m && col("est") <= LcThreshold,
+          element_at(lcLit,
+            greatest(lit(1), (lit(Hll.m) - col("n_regs")).cast("int"))))
+          .otherwise(col("est")).as("est"))
+  }
+
+  /** HYPERBALL-sketched harmonic centrality (Boldi & Vigna, "In-Core
+    * Computation of Geometric Centralities with HyperBall", 2013) —
+    * the web-scale form of [[harmonicCentrality]]: instead of the
+    * exact all-pairs reached table (O(n²) rows worst case), each node
+    * carries ONE HyperLogLog counter of its in-ball
+    * B(v,t) = {u : d(u,v) ≤ t}, grown per level by max-merging the
+    * counters of in-neighbors — state is a FIXED n·512 register rows,
+    * linear in the vertex set, and each level is one bounded
+    * merge-fold exchange (O((n+E)·512) rows on the wire). The
+    * harmonic value is assembled from the ball-size increments:
+    * H_fp(v) = Σ_t max(0, |B(v,t)|−|B(v,t−1)|) · ([[HarmonicScale]]
+    * div t) — estimated ball sizes, so the rank is approximate where
+    * the exact form is exact (agreement-band spec'd against it on the
+    * bounded fixtures in CentralitySpec).
+    *
+    * STILL fully value-oracle'd, despite being a sketch: the register
+    * computation is [[Hll]]'s engine-portable md5 kernel, the raw
+    * estimate is integer floor-division arithmetic, and the
+    * linear-counting correction (needed because HyperBall sums
+    * SMALL-ball estimates at every level, where raw HLL is biased)
+    * reads the integer [[LcTable]] spliced into both engines from one
+    * Scala array — [[hyperBallOracleCtes]] replays every level
+    * bit-for-bit in DuckDB. The increments are clamped at 0 per level
+    * (the estimator is monotone within a regime; the clamp pins the
+    * raw↔LC crossover so both engines agree by expression, and keeps
+    * the `div` truncation on non-negative ground).
+    *
+    * Faithfulness bound: a level increment multiplies
+    * [[HarmonicScale]] div t, so estimated ball sizes must stay under
+    * ~9.2e9 (ANSI aborts loudly past it) — the same n < 9.2e9 regime
+    * the exact form's term scale is sized for. Vertex set = `nodes` ∪
+    * edge endpoints (matching the exact form, where any edge source
+    * contributes to its target's rank); output rows are `nodes` only.
+    * Self-loops are stripped (a node's own counter already holds
+    * itself — d(v,v) = 0 is not a harmonic term). */
+  def harmonicHyperBall(nodes: DataFrame, edges: DataFrame,
+      maxDist: Int, idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst", reliable: Boolean = false): DataFrame = {
+    require(maxDist >= 1, s"need a horizon of >= 1 hop, got $maxDist")
+    val confPart = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .where(col("esrc") =!= col("edst")).distinct()
+    val base = e0.repartition(col("esrc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = base.count()
+      val nPart = math.max(1L, math.min(confPart.toLong,
+        nEdges / RowsPerIterationPartition + 1)).toInt
+      val verts = nodes.select(col(idCol).as("id"))
+        .unionByName(base.select(col("esrc").as("id")))
+        .unionByName(base.select(col("edst").as("id")))
+        .distinct()
+      // level-0 counters: each node sketches the singleton {v}; kept
+      // id-partitioned so the expansion join (id = esrc) and the
+      // per-node estimate aggregate both ride the captured layout
+      var regs = truncated(
+        Hll.registers(
+            verts.select(col("id"), col("id").cast("string").as("__it")),
+            "__it", Seq("id"))
+          .repartition(nPart, col("id")), reliable, nPart)
+      // accumulator (id, e_prev, h): previous-level ball estimate and
+      // the running harmonic sum — checkpointed per level like the
+      // pageRank state, constant plan depth
+      var acc = truncated(
+        hyperBallEst(regs)
+          .select(col("id"), col("est").as("e_prev"), lit(0L).as("h"))
+          .repartition(nPart, col("id")), reliable, nPart)
+      var level = 1
+      while (level <= maxDist) {
+        val expanded = base.join(regs, base("esrc") === regs("id"))
+          .select(base("edst").as("id"), regs("idx"), regs("r"))
+        val nextRegs = truncated(
+          Hll.fold(regs.unionAll(expanded), Seq("id"))
+            .repartition(nPart, col("id")), reliable, nPart)
+        val coef = HarmonicScale / level // both positive: exact in Scala
+        val nextAcc = truncated(
+          acc.join(hyperBallEst(nextRegs), "id")
+            .select(col("id"), col("est").as("e_prev"),
+              (col("h") + greatest(lit(0L), col("est") - col("e_prev"))
+                * lit(coef)).as("h"))
+            .repartition(nPart, col("id")), reliable, nPart)
+        freeBlocks(regs)
+        freeBlocks(acc)
+        regs = nextRegs
+        acc = nextAcc
+        level += 1
+      }
+      val out = nodes.select(col(idCol)).distinct()
+        .join(acc.select(col("id").as(idCol), col("h").as("harmonic_fp")),
+          Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+      out
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle CTE chain for [[harmonicHyperBall]] — the sketch
+    * replayed level by level: `hb_lc` (the spliced [[LcTable]]),
+    * `hb_r0..hb_r{maxDist}` (register tables, [[Hll.registersSql]]
+    * kernel + max-merge along edges), `hb_e0..` (hybrid estimates),
+    * final values in `hb(id, harmonic_fp)`. `nodesCte`: nodes(id);
+    * `edgesCte`: edges(src, dst). */
+  def hyperBallOracleCtes(nodesCte: String, edgesCte: String,
+      maxDist: Int): String = {
+    require(maxDist >= 1)
+    def estCte(k: Int): String =
+      s"""hb_e$k AS MATERIALIZED (
+         |  SELECT q.id, CASE WHEN q.n_regs < ${Hll.m}
+         |                     AND q.est <= $LcThreshold
+         |               THEN lc.lest ELSE q.est END AS est
+         |  FROM (${Hll.estimateSql(s"hb_r$k", Seq("id"))}) q
+         |  LEFT JOIN hb_lc lc ON lc.v = ${Hll.m} - q.n_regs)""".stripMargin
+    val lcValues = LcTable.zipWithIndex
+      .map { case (e, i) => s"(${i + 1},$e)" }.mkString(",")
+    val header =
+      s"""hb_lc(v, lest) AS (VALUES $lcValues),
+         |hb_n AS MATERIALIZED (
+         |  SELECT id FROM $nodesCte
+         |  UNION SELECT src FROM $edgesCte
+         |  UNION SELECT dst FROM $edgesCte),
+         |hb_r0 AS MATERIALIZED (
+         |${Hll.registersSql("hb_n", "CAST(id AS VARCHAR)",
+             Seq(("id", "id")))}),
+         |${estCte(0)}""".stripMargin
+    val levels = (1 to maxDist).map { k =>
+      s"""hb_r$k AS MATERIALIZED (
+         |  SELECT id, idx, max(r) AS r FROM (
+         |    SELECT id, idx, r FROM hb_r${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, s.idx, s.r
+         |    FROM $edgesCte e JOIN hb_r${k - 1} s ON s.id = e.src
+         |    WHERE e.src <> e.dst)
+         |  GROUP BY 1, 2),
+         |${estCte(k)}""".stripMargin
+    }
+    val terms = (1 to maxDist)
+      .map(k => s"greatest(0, e$k.est - e${k - 1}.est) " +
+        s"* ${HarmonicScale / k}")
+      .mkString("\n    + ")
+    val joins = (0 to maxDist)
+      .map(k => s"JOIN hb_e$k e$k ON n.id = e$k.id").mkString("\n  ")
+    val agg =
+      s"""hb AS (
+         |  SELECT n.id, CAST($terms AS BIGINT) AS harmonic_fp
+         |  FROM $nodesCte n
+         |  $joins)""".stripMargin
+    (Seq(header) ++ levels ++ Seq(agg)).mkString(",\n")
   }
 
   /** DuckDB oracle CTE chain for [[harmonicCentrality]] — unrolled

@@ -176,13 +176,28 @@ object Doremi {
       srcCol: String = "source", textCol: String = "text",
       broadcastModels: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
-    val sig = domainSignals(docs, srcCol, textCol, broadcastModels)
-      .localCheckpoint() // bounded (#domains); feeds collect + result join
-    val ex = sig.select("source", "excess_milli").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val w = egWeights(ex, cfg)
+    // the signal table is bounded (#domains rows): land it DRIVER-side
+    // once, free every distributed intermediate (the eager checkpoint
+    // severs the corpus-sized bgs/sbc pins inside domainSignals, which
+    // are then freed through the pre-checkpoint plan), and hand back a
+    // plan over local rows — a checkpointed sig kept in the result
+    // join would hold executor blocks alive for as long as the caller
+    // held the result, accumulating storage across repeated weight
+    // calls in a long-lived session (the ablationWeights idiom;
+    // DoremiSpec asserts the stability)
+    val sig0 = domainSignals(docs, srcCol, textCol, broadcastModels)
+    val sig = sig0.localCheckpoint()
+    Ops.freeLogicalRddBlocks(sig0)
+    val sigRows = sig.collect()
+    Ops.freeLogicalRddBlocks(sig)
     import spark.implicits._
-    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+    val local = sigRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("source", "n_docs", "ref_milli", "own_milli", "excess_milli")
+    val ex = sigRows.map(r => (r.getString(0), r.getLong(4))).toSeq
+    val w = egWeights(ex, cfg)
+    local.join(broadcast(w.toDF("source", "w_micro")), "source")
       .orderBy("source")
   }
 
@@ -400,12 +415,24 @@ object Doremi {
   def tokenWeightsFromCounts(sbc: DataFrame, cfg: Config = Config())
       : DataFrame = {
     val spark = sbc.sparkSession
-    val sig = tokenSignalsFromCounts(sbc).localCheckpoint()
-    val ex = sig.select("source", "excess_milli").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val w = egWeights(ex, cfg)
+    // same driver-side landing as [[weights]]: the bounded signal rows
+    // are collected once, the vocab-sized pinned intermediates freed,
+    // and the result built over local rows — repeated re-weighting
+    // against a long-lived serving session must not accumulate blocks
+    val sig0 = tokenSignalsFromCounts(sbc)
+    val sig = sig0.localCheckpoint()
+    Ops.freeLogicalRddBlocks(sig0)
+    val sigRows = sig.collect()
+    Ops.freeLogicalRddBlocks(sig)
     import spark.implicits._
-    sig.join(broadcast(w.toDF("source", "w_micro")), "source")
+    val local = sigRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("source", "n_bigrams", "ref_milli", "own_milli",
+        "excess_milli")
+    val ex = sigRows.map(r => (r.getString(0), r.getLong(4))).toSeq
+    val w = egWeights(ex, cfg)
+    local.join(broadcast(w.toDF("source", "w_micro")), "source")
       .orderBy("source")
   }
 }

@@ -2979,20 +2979,39 @@ object IndexStore {
     * `alreadyLive` (append path) carries the sources live in the
     * existing table, so a later batch may add short docs for a source
     * an earlier batch made indexable — only a source the serve-time
-    * node set would MISS rejects. Cost: the batch's own counts frame
-    * (computed for the write anyway) plus a bounded source-column
-    * anti-join. */
+    * node set would MISS rejects.
+    *
+    * Cost, and why the liveness probe is LAZY: the common case — every
+    * batch source has a ≥ k-token doc — is decided from the batch's
+    * own counts frame alone (O(batch), computed for the write anyway).
+    * Only sources whose batch docs are ALL short consult the persisted
+    * table, and then only ITS SLICE for exactly those sources (the
+    * source predicate pushes through the liveness fold to the bucketed
+    * scan). An eager `alreadyLive` frame here used to fold the ENTIRE
+    * table on every append — turning the hot streaming-maintenance
+    * path (sr38) from O(batch) to O(table) per batch for a guard whose
+    * answer is almost always derivable from the batch. The short-only
+    * source list is collected driver-side — bounded, it's a grouping
+    * (the coalitionLosses stray-check argument). */
   private def requireAuthSourcesIndexable(batch: DataFrame,
       batchCounts: DataFrame, srcCol: String, k: Int, op: String,
-      alreadyLive: Option[DataFrame] = None): Unit = {
+      liveFor: Option[Seq[String] => DataFrame] = None): Unit = {
     val indexable = batchCounts.select("source").distinct()
-    val covered = alreadyLive.fold(indexable)(live =>
-      indexable.unionByName(live.select("source").distinct()))
-    val missing = batch.select(col(srcCol).as("source")).distinct()
-      .join(covered, Seq("source"), "left_anti")
-      .limit(6).collect().map(_.getString(0))
+    val shortOnly = batch.select(col(srcCol).as("source")).distinct()
+      .join(indexable, Seq("source"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val missing = (liveFor, shortOnly) match {
+      case (_, Seq()) => shortOnly
+      case (None, m) => m
+      case (Some(f), m) =>
+        val live = f(m).select("source").distinct()
+          .collect().map(_.getString(0)).toSet
+        m.filterNot(live)
+    }
     require(missing.isEmpty,
-      s"$op: source(s) ${missing.mkString(", ")} have no doc " +
+      s"$op: source(s) ${missing.take(6).mkString(", ")}" +
+        s"${if (missing.size > 6) s" (+${missing.size - 6} more)" else ""}" +
+        s" have no doc " +
         s"with >= $k tokens (and are not already live in the table), " +
         "so the served node set would diverge from the declared corpus " +
         "node set and shift every rank (see authorityFromIndex). Route " +
@@ -3046,7 +3065,9 @@ object IndexStore {
       val counts = authCounts(delta, srcCol, idCol, textCol, k, batchKey)
       requireAuthSourcesIndexable(delta, counts, srcCol, k,
         s"appendAuthorityIndex($table)",
-        alreadyLive = Some(authorityShinglesFromIndex(spark, table)))
+        liveFor = Some(srcs =>
+          authorityShinglesFromIndex(spark, table)
+            .where(col("source").isin(srcs: _*))))
       bucketRouted(counts, "ph", nb)
         .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
       noteAppend(spark, aph)

@@ -304,22 +304,30 @@ object StreamingClusters {
     val srcDir = s"$workDir/src"
     val stateDir = s"$workDir/state"
     val pc = plantedCorpus(spark, sfDir)
-    // two writes → two mtime-ordered files → two micro-batches under
-    // maxFilesPerTrigger=1 (the StreamingCorpusBuild staging idiom)
-    pc.where(col("doc_id") < 100000)
-      .coalesce(1).write.mode("overwrite").parquet(srcDir)
-    pc.where(col("doc_id") >= 100000)
-      .coalesce(1).write.mode("append").parquet(srcDir)
-    val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, table, idxPath, stateDir)
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // One stream start-and-drain PER staged file, all on the shared
+    // checkpoint (the StreamingCorpusBuild.run idiom, now literally):
+    // batch separation is guaranteed by the checkpoint having
+    // COMMITTED file 1 before file 2 exists — not by file mtime
+    // ordering, where a same-millisecond tie under maxFilesPerTrigger=1
+    // lets FileStreamSource pick an arbitrary order and twins could
+    // share a batch with their originals (output would stay correct —
+    // the merge is order-independent — but the 'each twin provably
+    // arrives a batch after its original' contract would be silently
+    // void). The restart also exercises the resume path structurally
+    // on every run.
+    Seq(col("doc_id") < 100000, col("doc_id") >= 100000).foreach { pred =>
+      pc.where(pred).coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, table, idxPath, stateDir)
+        }
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     servedDecisions(spark, stateDir).orderBy("doc_id")
   }
 

@@ -224,6 +224,86 @@ class CentralitySpec extends SparkSpec {
     assert(ht.values.toSet == Set(2 * S), ht.toString)
   }
 
+  test("weighted share-floor guard: an edge quantized to 0 ppm fails " +
+      "loud instead of silently contributing nothing forever") {
+    // src 1's out-weight is 2000001; the w=1 edge's share is
+    // 1e6/2000001 = 0 ppm — the documented silent-divergence regime,
+    // now an enforced boundary (both rank entry points).
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L, 2000000L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Centrality.pageRank(nodes, edges, iters = 1, weightCol = Some("w"))
+    }
+    assert(e1.getMessage.contains("floors the edge's share to zero"))
+    val e2 = intercept[IllegalArgumentException] {
+      Centrality.personalizedPageRank(nodes, edges, Seq(1L).toDF("id"),
+        iters = 1, weightCol = Some("w"))
+    }
+    assert(e2.getMessage.contains("floors the edge's share to zero"))
+    // the same shape UNWEIGHTED is fine (r div out_deg has no ppm floor)
+    Centrality.pageRank(nodes, edges.select("src", "dst"), iters = 1)
+      .collect()
+  }
+
+  test("exact harmonic maxNodes bound: an oversized vertex set fails " +
+      "loud, naming the sketched form") {
+    val nodes = (1L to 12L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Centrality.harmonicCentrality(nodes, edges, maxDist = 2,
+        maxNodes = 10L)
+    }
+    assert(e.getMessage.contains("harmonicHyperBall"))
+    assert(e.getMessage.contains("O(n^2)"))
+    // raising the bound explicitly accepts the quadratic state
+    Centrality.harmonicCentrality(nodes, edges, maxDist = 2,
+      maxNodes = 12L).collect()
+  }
+
+  test("HyperBall-sketched harmonic: exact agreement on small balls " +
+      "(linear counting), exact zeros, and a band vs the exact form " +
+      "on a denser graph") {
+    val S = Centrality.HarmonicScale
+    // directed path 1→2→3 plus isolated 4 — ball sizes 1..3 are in the
+    // linear-counting regime where the estimate is exact absent a
+    // register collision among 3 hashes (none for these ids)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sk = Centrality.harmonicHyperBall(nodes, edges, maxDist = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(sk == Map(1L -> 0L, 2L -> S, 3L -> (S + S / 2), 4L -> 0L),
+      s"sketched path ranks: $sk")
+    // nodes the graph never reaches hold EXACTLY zero (their counter
+    // never merges anything — the increment is identically 0), the
+    // same crisp statement the exact form makes
+    assert(sk(1L) == 0L && sk(4L) == 0L)
+
+    // denser graph: 60-node ring with chords — balls grow to ~60, so
+    // collisions and LC rounding are in play; assert the band that
+    // makes the sketch USABLE as a rank (per-node relative agreement),
+    // not bit equality (that's the oracle's job, which replays the
+    // sketch itself)
+    val n = 60L
+    val ringEdges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i),
+        (i, (i * 7 + 3) % n), ((i * 7 + 3) % n, i)))
+      .filter { case (a, b) => a != b }
+    val nodes60 = (0L until n).toDF("id")
+    val e60 = ringEdges.toDF("src", "dst")
+    val exact = Centrality.harmonicCentrality(nodes60, e60, maxDist = 4)
+      .as[(Long, Long)].collect().toMap
+    val sketch = Centrality.harmonicHyperBall(nodes60, e60, maxDist = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(sketch.keySet == exact.keySet)
+    exact.foreach { case (id, hEx) =>
+      val hSk = sketch(id)
+      assert(math.abs(hSk - hEx) <= math.max(hEx * 15L / 100L, 2L * S),
+        s"node $id: sketch $hSk vs exact $hEx outside the 15% + 2-term " +
+          "band")
+    }
+  }
+
   test("sharedShingleEdges df-cap: a planted ubiquitous fingerprint is " +
       "cut, pair growth stays bounded, and the cap is observable") {
     // 6 sources all share fingerprint U (the copyright-footer shape);

@@ -428,4 +428,40 @@ class CorpusBuildSpec extends SparkSpec {
     }
   }
 
+  test("authority vs harmonic keeper: the two published ranks pick " +
+      "DIFFERENT keepers for some cross-source dup group") {
+    // Common Crawl ships both ranks over one host graph because they
+    // disagree on hub-vs-proximity; if the fixture's dup groups never
+    // exposed that disagreement, ext_corpus_build_harmonic would be a
+    // renamed rerun of the authority build — this pins the second
+    // signal as load-bearing. Compared at the curation stage (where
+    // keepers live); the full compositions are value-oracle'd.
+    val (corpus, _, _) =
+      ExtensionQueries.corpusBuildFixture(spark, sf0001,
+        withCrossSourcePlants = true)
+    val auth = GraphQueries.sourceAuthorityRanks(spark, sf0001)
+      .select($"source", $"rank_fp".as("priority"))
+    val harm = GraphQueries.sourceHarmonicRanks(spark, sf0001)
+      .select($"source", $"harmonic_fp".as("priority"))
+    def keepers(pri: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      graft.operators.QualityRules
+        .fineWebPipeline(corpus, keeperPriorities = Some(pri))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ka = keepers(auth)
+    val kh = keepers(harm)
+    assert(ka.keySet == kh.keySet)
+    val swapped = ka.keys.filter(id =>
+      Set(ka(id), kh(id)) == Set("kept", "dedup"))
+    assert(swapped.nonEmpty,
+      "expected at least one dup group whose keeper differs between " +
+        "the authority and harmonic ranks — the fixture no longer " +
+        "exercises the second rank signal")
+    // sanity: the two source orderings genuinely differ somewhere
+    val ra = auth.orderBy(desc("priority"), asc("source"))
+      .select("source").as[String].collect().toSeq
+    val rh = harm.orderBy(desc("priority"), asc("source"))
+      .select("source").as[String].collect().toSeq
+    assert(ra != rh, "rank orderings identical — signals degenerate")
+  }
+
 }

@@ -113,6 +113,37 @@ class DoremiSpec extends SparkSpec {
     }
   }
 
+  test("repeated weight fits leave executor block storage stable " +
+      "(freeBlocks discipline on the signal checkpoints)") {
+    // a long-lived serving session re-fitting mixture weights must not
+    // accumulate localCheckpoint blocks: weights() and
+    // tokenWeightsFromCounts() land their bounded signal rows
+    // driver-side and free every distributed intermediate before
+    // returning — holding the RESULT frame must pin nothing
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sc = spark.sparkContext
+    val sbc = graft.operators.NgramLm
+      .keyedBigramCounts(docs, "source", "text").localCheckpoint()
+    // warm one call of each so one-time session state is off the books
+    Doremi.weights(docs).collect()
+    Doremi.tokenWeightsFromCounts(sbc).collect()
+    val before = sc.getPersistentRDDs.keySet
+    val held = (1 to 3).map { _ =>
+      (Doremi.weights(docs), Doremi.tokenWeightsFromCounts(sbc))
+    }
+    held.foreach { case (a, b) => a.collect(); b.collect() }
+    val leaked = (sc.getPersistentRDDs.keySet -- before)
+      .filter(sc.getPersistentRDDs.contains)
+    assert(leaked.isEmpty,
+      s"repeated valuation calls leaked ${leaked.size} persistent RDDs " +
+        "while their results are still held")
+    sbc.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+  }
+
   test("ablationWeights: irreplaceable source upweighted, clones symmetric") {
     // 'uniq' owns vocabulary the eval set needs; 'red1'/'red2' are
     // verbatim clones of each other. Removing a clone leaves its twin's

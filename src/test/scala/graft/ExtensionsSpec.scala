@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   * a shared-context test can't exercise.) */
 class ExtensionsSpec extends SparkSpec {
 
+  test("bench control queries exist in the registry and stay cheap-regime") {
+    // Bench emits control_cpu/control_io sums in the tail of its JSON
+    // line so rounds compare control-calibrated; a renamed or retired
+    // control would silently zero its term and skew every cross-round
+    // ratio. Fail in the suite, not the driver's run. The controls
+    // must also not be WarmServe (their number would then be a warm
+    // serving cost whose first-rep build the calibration shouldn't
+    // carry).
+    val reg = SparkEntry.queries.keySet
+    val controls = graft.Bench.ControlCpu ++ graft.Bench.ControlIo
+    val missing = controls.filterNot(reg)
+    assert(missing.isEmpty, s"bench controls not in registry: $missing")
+    val timings = SparkEntry.timings
+    controls.foreach(c =>
+      assert(timings(c) == QueryDef.Standard,
+        s"control $c must be Standard-timing"))
+  }
+
   test("GraftExtensions installs InListToSemiJoin for extension-built sessions") {
     val base = spark // force the shared context into existence first
     val prevDefault = SparkSession.getDefaultSession
