@@ -712,6 +712,13 @@ object Centrality {
     * [[IndexStore.observeCap]]. */
   val DefaultMaxSourcesPerFingerprint: Int = 256
 
+  /** Fingerprints hotter than this (source-df > HotDfForSalting) route
+    * through the salted pair enumeration when `saltPairTasks` > 1 in
+    * [[sharedShingleEdges]]: below it, a fingerprint's S² pair block is
+    * at most 64² = 4 096 rows — single-task fine — and salting it would
+    * only replicate rows for nothing. */
+  val HotDfForSalting: Int = 64
+
   /** Source→source edges from a (source, ph) table: weight = #distinct
     * shared fingerprints with source document-frequency ≤
     * `maxSourcesPerFingerprint` (see
@@ -721,27 +728,65 @@ object Centrality {
     * boilerplate shingle is. Both the cap and the join hash on `ph`, so
     * the df aggregate rides the exchange the pair join needs anyway.
     * Oracle twin: [[cappedShinglesCte]] — query SQL must splice it so
-    * engine and oracle apply the identical cut. */
+    * engine and oracle apply the identical cut.
+    *
+    * `saltPairTasks` removes the LAST per-key funnel: under the cap a
+    * single fingerprint still emits its ≤ K² pair rows from ONE task
+    * (all rows of a ph land in one join partition). With
+    * saltPairTasks = S > 1, a HOT fingerprint (df > [[HotDfForSalting]])
+    * joins on (ph, salt): the left side takes
+    * salt = hash(source) mod S and the right side is EXPLODED over all
+    * S salts — K² work split across S tasks for K·(S−1) extra
+    * replicated rows, per hot fingerprint only. Cold fingerprints take
+    * salt 0 on both sides — one copy, exactly today's work — so the
+    * fan-out happens only where a hot key exists, decided row-locally
+    * from the df the cap computed anyway. Values are identical for any
+    * S (each ordered pair appears exactly once per shared fingerprint;
+    * the CentralitySpec salt test asserts it) — the oracle never
+    * changes. Default
+    * OFF (S = 1, a plain ph join): the persisted serving path reads a
+    * ph-BUCKETED table whose scan-level co-location the single-key
+    * join rides, and at ≤ 64-df fixtures the funnel doesn't exist;
+    * turn it on for corpora where capped-but-hot fingerprints dominate
+    * the edge build. */
   def sharedShingleEdges(sourceShingles: DataFrame,
-      maxSourcesPerFingerprint: Int = DefaultMaxSourcesPerFingerprint)
-      : DataFrame = {
+      maxSourcesPerFingerprint: Int = DefaultMaxSourcesPerFingerprint,
+      saltPairTasks: Int = 1): DataFrame = {
     require(maxSourcesPerFingerprint >= 2,
       s"a fingerprint needs >= 2 sources to form an edge; cap of " +
         s"$maxSourcesPerFingerprint would drop everything")
+    require(saltPairTasks >= 1, s"saltPairTasks must be >= 1")
     val dfByPh = sourceShingles.groupBy("ph")
       .agg(count(lit(1)).as("__df"))
-    val kept = sourceShingles.join(dfByPh, "ph")
+    val kept0 = sourceShingles.join(dfByPh, "ph")
       .transform(IndexStore.observeCap(_,
         col("__df") > maxSourcesPerFingerprint,
         col("__df") > maxSourcesPerFingerprint, col("__df")))
       .where(col("__df") <= maxSourcesPerFingerprint)
-      .select("source", "ph")
-    kept.alias("a")
-      .join(kept.alias("b"),
-        col("a.ph") === col("b.ph") &&
-          col("a.source") =!= col("b.source"))
-      .select(col("a.source").as("src"), col("b.source").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val pairs =
+      if (saltPairTasks <= 1) {
+        val kept = kept0.select("source", "ph")
+        kept.alias("a")
+          .join(kept.alias("b"),
+            col("a.ph") === col("b.ph") &&
+              col("a.source") =!= col("b.source"))
+          .select(col("a.source").as("src"), col("b.source").as("dst"))
+      } else {
+        val hot = col("__df") > HotDfForSalting
+        val a = kept0.select(col("source"), col("ph"),
+          when(hot, pmod(xxhash64(col("source")), lit(saltPairTasks))
+            .cast("int")).otherwise(lit(0)).as("salt"))
+        val b = kept0.select(col("source"), col("ph"),
+            explode(when(hot, sequence(lit(0), lit(saltPairTasks - 1)))
+              .otherwise(array(lit(0)))).as("salt"))
+        a.alias("a")
+          .join(b.alias("b"),
+            col("a.ph") === col("b.ph") &&
+              col("a.salt") === col("b.salt") &&
+              col("a.source") =!= col("b.source"))
+          .select(col("a.source").as("src"), col("b.source").as("dst"))
+      }
+    pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
   /** DuckDB CTE applying [[sharedShingleEdges]]' df-cap to a

@@ -304,6 +304,42 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("salted pair enumeration: bit-identical edges at any salt " +
+      "count, salt key only in the salted plan") {
+    // hot fingerprint H: 70 sources (> HotDfForSalting = 64, under the
+    // cap) — the per-key funnel case the salt splits; D is a cold
+    // discriminating fingerprint that must ride salt 0 untouched.
+    val rows = (0 until 70).map(i => (f"s$i%02d", "H")) ++
+      Seq(("s00", "D"), ("s01", "D"))
+    val sh = rows.toDF("source", "ph")
+    def edges(saltTasks: Int): Set[(String, String, Long)] =
+      Centrality.sharedShingleEdges(sh, maxSourcesPerFingerprint = 128,
+          saltPairTasks = saltTasks)
+        .as[(String, String, Long)].collect().toSet
+    val plain = edges(1)
+    val salted = edges(8)
+    // every ordered pair appears exactly once per shared fingerprint,
+    // whatever the salt fan-out — the oracle never has to know
+    assert(plain == salted,
+      "salted pair enumeration changed edge values")
+    assert(plain.size == 70 * 69)
+    assert(plain.contains(("s00", "s01", 2L))) // H and D both shared
+    assert(plain.contains(("s02", "s03", 1L)))
+    // cold-only corpus: salting is value-inert there too
+    val cold = Seq(("a", "X"), ("b", "X"), ("c", "Y")).toDF("source", "ph")
+    assert(Centrality.sharedShingleEdges(cold, 128, saltPairTasks = 8)
+        .as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 1L), ("b", "a", 1L)))
+    // the salt key exists only in the salted plan (the plain default
+    // keeps the single-key ph join the bucketed serving path rides)
+    val planSalted = Centrality.sharedShingleEdges(sh, 128,
+      saltPairTasks = 8).queryExecution.optimizedPlan.toString
+    val planPlain = Centrality.sharedShingleEdges(sh, 128)
+      .queryExecution.optimizedPlan.toString
+    assert(planSalted.contains("salt"))
+    assert(!planPlain.contains("salt"))
+  }
+
   test("sharedShingleEdges df-cap: a planted ubiquitous fingerprint is " +
       "cut, pair growth stays bounded, and the cap is observable") {
     // 6 sources all share fingerprint U (the copyright-footer shape);
