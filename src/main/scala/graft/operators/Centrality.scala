@@ -463,11 +463,28 @@ object Centrality {
     (1 to Hll.m).map(v =>
       Math.round(Hll.m.toDouble * Math.log(Hll.m.toDouble / v)))
 
+  /** One HyperBall counter-merge step — exposed for CentralitySpec's
+    * plan assertions (the [[step]] convention). `edgesP` must be
+    * src-partitioned at the iteration width, `regs` (id, idx, r)
+    * id-partitioned from its checkpoint. Exactly TWO exchanges: the
+    * union-fold (the union erases partitioning, so the (id, idx) max
+    * aggregate re-hashes once — the real O((n+E)·512) move) and the
+    * repartition back to the id layout the next join/estimate ride.
+    * The expansion join itself moves NOTHING: both sides are already
+    * hash-distributed on their join key at the same width. */
+  private[graft] def hyperBallStep(edgesP: DataFrame, regs: DataFrame,
+      nPart: Int): DataFrame = {
+    val expanded = edgesP.join(regs, edgesP("esrc") === regs("id"))
+      .select(edgesP("edst").as("id"), regs("idx"), regs("r"))
+    Hll.fold(regs.unionAll(expanded), Seq("id"))
+      .repartition(nPart, col("id"))
+  }
+
   /** Hybrid ball-size estimate per node from a folded (id, idx, r)
     * register table: linear counting when the raw estimate is under
     * [[LcThreshold]] and some register is still zero, raw HLL
     * otherwise. Every node holds its own item, so n_regs >= 1. */
-  private def hyperBallEst(regs: DataFrame): DataFrame = {
+  private[graft] def hyperBallEst(regs: DataFrame): DataFrame = {
     val lcLit = typedlit(LcTable)
     Hll.estimate(regs, Seq("id"))
       .select(col("id"),
@@ -520,57 +537,63 @@ object Centrality {
       .get("spark.sql.shuffle.partitions").toInt
     val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
       .where(col("esrc") =!= col("edst")).distinct()
-    val base = e0.repartition(col("esrc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = e0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nEdges = base.count()
       val nPart = math.max(1L, math.min(confPart.toLong,
         nEdges / RowsPerIterationPartition + 1)).toInt
-      val verts = nodes.select(col(idCol).as("id"))
-        .unionByName(base.select(col("esrc").as("id")))
-        .unionByName(base.select(col("edst").as("id")))
-        .distinct()
-      // level-0 counters: each node sketches the singleton {v}; kept
-      // id-partitioned so the expansion join (id = esrc) and the
-      // per-node estimate aggregate both ride the captured layout
-      var regs = truncated(
-        Hll.registers(
-            verts.select(col("id"), col("id").cast("string").as("__it")),
-            "__it", Seq("id"))
-          .repartition(nPart, col("id")), reliable, nPart)
-      // accumulator (id, e_prev, h): previous-level ball estimate and
-      // the running harmonic sum — checkpointed per level like the
-      // pageRank state, constant plan depth
-      var acc = truncated(
-        hyperBallEst(regs)
-          .select(col("id"), col("est").as("e_prev"), lit(0L).as("h"))
-          .repartition(nPart, col("id")), reliable, nPart)
-      var level = 1
-      while (level <= maxDist) {
-        val expanded = base.join(regs, base("esrc") === regs("id"))
-          .select(base("edst").as("id"), regs("idx"), regs("r"))
-        val nextRegs = truncated(
-          Hll.fold(regs.unionAll(expanded), Seq("id"))
+      // layout investment, paid once (the pageRank doctrine): edges
+      // re-hashed by src AT THE ITERATION WIDTH, so every level's
+      // expansion join against the id-partitioned counters moves
+      // nothing — without this, each of maxDist levels would exchange
+      // the O(n·512) register side against a conf-width edge cache
+      val edgesP = base.repartition(nPart, col("esrc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        edgesP.count()
+        val verts = nodes.select(col(idCol).as("id"))
+          .unionByName(base.select(col("esrc").as("id")))
+          .unionByName(base.select(col("edst").as("id")))
+          .distinct()
+        // level-0 counters: each node sketches the singleton {v}; kept
+        // id-partitioned so the expansion join (id = esrc) and the
+        // per-node estimate aggregate both ride the captured layout
+        var regs = truncated(
+          Hll.registers(
+              verts.select(col("id"), col("id").cast("string").as("__it")),
+              "__it", Seq("id"))
             .repartition(nPart, col("id")), reliable, nPart)
-        val coef = HarmonicScale / level // both positive: exact in Scala
-        val nextAcc = truncated(
-          acc.join(hyperBallEst(nextRegs), "id")
-            .select(col("id"), col("est").as("e_prev"),
-              (col("h") + greatest(lit(0L), col("est") - col("e_prev"))
-                * lit(coef)).as("h"))
+        // accumulator (id, e_prev, h): previous-level ball estimate and
+        // the running harmonic sum — checkpointed per level like the
+        // pageRank state, constant plan depth
+        var acc = truncated(
+          hyperBallEst(regs)
+            .select(col("id"), col("est").as("e_prev"), lit(0L).as("h"))
             .repartition(nPart, col("id")), reliable, nPart)
-        freeBlocks(regs)
-        freeBlocks(acc)
-        regs = nextRegs
-        acc = nextAcc
-        level += 1
-      }
-      val out = nodes.select(col(idCol)).distinct()
-        .join(acc.select(col("id").as(idCol), col("h").as("harmonic_fp")),
-          Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
-      out
+        var level = 1
+        while (level <= maxDist) {
+          val nextRegs = truncated(
+            hyperBallStep(edgesP, regs, nPart), reliable, nPart)
+          val coef = HarmonicScale / level // both positive: exact in Scala
+          val nextAcc = truncated(
+            acc.join(hyperBallEst(nextRegs), "id")
+              .select(col("id"), col("est").as("e_prev"),
+                (col("h") + greatest(lit(0L), col("est") - col("e_prev"))
+                  * lit(coef)).as("h"))
+              .repartition(nPart, col("id")), reliable, nPart)
+          freeBlocks(regs)
+          freeBlocks(acc)
+          regs = nextRegs
+          acc = nextAcc
+          level += 1
+        }
+        val out = nodes.select(col(idCol)).distinct()
+          .join(acc.select(col("id").as(idCol), col("h").as("harmonic_fp")),
+            Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+        out
+      } finally edgesP.unpersist()
     } finally base.unpersist(blocking = false)
   }
 

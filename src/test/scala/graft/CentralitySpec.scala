@@ -304,6 +304,43 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("hyperBall step runs with exactly two exchanges: the union-fold " +
+      "and the id re-layout; the expansion join moves nothing") {
+    // same construction as the real loop: edges cached src-partitioned
+    // AT the iteration width, counters checkpointed id-partitioned —
+    // the pageRank step-plan convention, broadcast disabled so the
+    // co-partitioned-reuse claim is what's measured.
+    noBroadcast {
+      val edgesP = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("esrc", "edst")
+        .repartition(4, $"esrc").cache()
+      edgesP.count()
+      val regs = graft.operators.Ops.checkpointKeepPartitioning(
+        Seq((1L, 0, 1), (2L, 3, 2), (3L, 7, 1)).toDF("id", "idx", "r")
+          .repartition(4, $"id"),
+        eager = true, numShufflePartitions = Some(4))
+      def free(df: org.apache.spark.sql.DataFrame): Unit =
+        df.queryExecution.optimizedPlan.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ =>
+        }
+      try {
+        val next = Centrality.hyperBallStep(edgesP, regs, 4)
+        assert(shuffleCount(next) == 2,
+          "the union-fold and the id re-layout are the only exchanges; " +
+            "the expansion join must reuse both cached layouts")
+        // and the merge is the right merge: each node's counter absorbs
+        // its in-neighbor's registers (3→1, 1→2, 2→3), max-folded
+        val got = next.as[(Long, Int, Int)].collect().toSet
+        assert(got == Set((1L, 0, 1), (1L, 7, 1), (2L, 3, 2), (2L, 0, 1),
+          (3L, 7, 1), (3L, 3, 2)), got.toString)
+      } finally {
+        edgesP.unpersist()
+        free(regs)
+      }
+    }
+  }
+
   test("salted pair enumeration: bit-identical edges at any salt " +
       "count, salt key only in the salted plan") {
     // hot fingerprint H: 70 sources (> HotDfForSalting = 64, under the
