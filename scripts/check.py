@@ -21,10 +21,11 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d))
 fails = 0
+failed_names = set()  # per-query failures already counted in the loop
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
-        print(f"EMPTY   {name} (no parquet written)"); fails += 1; continue
+        print(f"EMPTY   {name} (no parquet written)"); fails += 1; failed_names.add(name); continue
     got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
     nrows = len(got)
     if name not in oracles:
@@ -33,13 +34,13 @@ for name in names:
     try:
         exp = con.sql(oracles[name]).df()
     except Exception as e:
-        print(f"ORACLE-ERR {name}: {str(e)[:200]}"); fails += 1; continue
+        print(f"ORACLE-ERR {name}: {str(e)[:200]}"); fails += 1; failed_names.add(name); continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
-        print(f"SCHEMA  {name}: spark={gcols} oracle={ecols}"); fails += 1; continue
+        print(f"SCHEMA  {name}: spark={gcols} oracle={ecols}"); fails += 1; failed_names.add(name); continue
     g, e = got[gcols].reset_index(drop=True), exp[gcols].reset_index(drop=True)
     if len(g) != len(e):
-        print(f"ROWS    {name}: spark={len(g)} oracle={len(e)}"); fails += 1; continue
+        print(f"ROWS    {name}: spark={len(g)} oracle={len(e)}"); fails += 1; failed_names.add(name); continue
     # Dtype guard: the driver's hash tolerates width differences
     # (int32 vs int64) but NOT an oracle aggregate DuckDB widens past
     # 64 bits — sum(BIGINT) -> HUGEINT arrives as pandas object dtype
@@ -53,6 +54,7 @@ for name in names:
               f"oracle={[str(e[c].dtype) for c in dt_bad]}"
               f" (HUGEINT? wrap the oracle aggregate in CAST(... AS BIGINT))")
         fails += 1
+        failed_names.add(name)
         continue
     try:
         ok = g.equals(e)
@@ -77,24 +79,27 @@ for name in names:
                     print("   spark:", g[c][m].head(3).tolist())
                     print("   duck :", e[c][m].head(3).tolist())
                 fails += 1
+                failed_names.add(name)
                 continue
         print(f"OK      {name}: rows={nrows}")
     except Exception as ex:
-        print(f"CMP-ERR {name}: {str(ex)[:200]}"); fails += 1
+        print(f"CMP-ERR {name}: {str(ex)[:200]}"); fails += 1; failed_names.add(name)
 missing = set(oracles) - set(names)
 if missing:
     print("MISSING query dirs for oracles:", sorted(missing)); fails += 1
 
 # Partial-dump marker written by Verify itself (failures.json): an
-# absent file means an OLD dump (pre-round-16) — warn; a non-empty one
-# lists per-query errors the missing-dirs check above will also see.
+# absent file means an OLD dump (pre-round-16) — warn. Count only the
+# entries nothing above already counted: an oracle'd write failure
+# usually surfaces as a MISSING dir (or an EMPTY one), but a ROWS-ONLY
+# query that failed leaves no dir AND no oracle — this is its only
+# signal.
 fj = f"{out}/failures.json"
 if os.path.exists(fj):
     vf = json.load(open(fj))
     for k, v in sorted(vf.items()):
         print(f"VERIFY-FAIL {k}: {v[:160]}")
-    if vf and not missing:
-        fails += len(vf)
+    fails += len(set(vf) - missing - failed_names)
 else:
     print("WARN    no failures.json in dump (old Verify build?)")
 

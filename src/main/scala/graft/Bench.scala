@@ -150,7 +150,10 @@ object Bench {
     val byName = results.map(r => r._1 -> r).toMap
     def controlSum(names: Seq[String]): Double =
       names.flatMap(byName.get).map(_._2).sum
-    val nSingle = results.count(_._4 == 1)
+    // errored queries are carried in `errors`, not here — counting a
+    // rep-1 failure as "single-rep" would make breakage read as a
+    // cutoff-regime shift, the exact confusion this field prevents
+    val nSingle = results.count(r => r._3.isEmpty && r._4 == 1)
     val tail = f""""errors":$errs,"reps":$reps,"cutoff":$cutoff%.1f,""" +
       f""""n_single_rep":$nSingle,""" +
       f""""control_cpu":${controlSum(ControlCpu)}%.3f,""" +

@@ -370,10 +370,12 @@ object Centrality {
     * BOUNDED vertex sets (the source-level authority graph, a
     * cluster-fixture doc graph), where all-pairs state is a bounded
     * table. The scope is ENFORCED, not just documented: `maxNodes`
-    * (default [[DefaultMaxExactHarmonicNodes]]) bounds the vertex set
-    * with a loud require — a caller pointing the exact form at an
-    * unbounded id column gets the boundary named at the cause instead
-    * of an O(n²) shuffle discovered in production. Web-scale vertex
+    * (default [[DefaultMaxExactHarmonicNodes]]) bounds the
+    * EDGE-ENDPOINT vertex set — the set the BFS state is actually
+    * built from; `nodes` only shapes the output join — with a loud
+    * require, so a caller pointing the exact form at an unbounded
+    * edge list gets the boundary named at the cause instead of an
+    * O(n²) shuffle discovered in production. Web-scale vertex
     * sets take [[harmonicHyperBall]] (HLL frontier per node, Boldi &
     * Vigna 2013) whose state is O(n·512) registers — linear, not
     * quadratic — at the cost of estimated ball sizes (agreement-band
@@ -389,15 +391,6 @@ object Centrality {
       dstCol: String = "dst", reliable: Boolean = false,
       maxNodes: Long = DefaultMaxExactHarmonicNodes): DataFrame = {
     require(maxDist >= 1, s"need a horizon of >= 1 hop, got $maxDist")
-    val nNodes = nodes.select(col(idCol)).distinct().count()
-    require(nNodes <= maxNodes,
-      s"harmonicCentrality: $nNodes vertices exceed the exact form's " +
-        s"maxNodes = $maxNodes — its reached-pair BFS state is O(n^2) " +
-        "rows worst case, which is only a bounded table on bounded " +
-        "vertex sets (the declared scope). For web-scale vertex sets " +
-        "use harmonicHyperBall (O(n) register state, estimated ball " +
-        "sizes); to accept the quadratic state knowingly, raise " +
-        "maxNodes explicitly.")
     val confPart = nodes.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val e0 = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
@@ -406,6 +399,23 @@ object Centrality {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nEdges = base.count()
+      // the O(n^2) reached state is built from EDGE ENDPOINTS — `nodes`
+      // only shapes the output join and never constrains the BFS — so
+      // the bound must count the endpoint set (over the cache the loop
+      // needs anyway, not an extra pass over the nodes lineage): a
+      // 100-row nodes frame over a 10M-endpoint edge list is exactly
+      // the blow-up this guard exists for, and a huge nodes table over
+      // two edges is fine
+      val nVerts = base.select(col("esrc").as("v"))
+        .unionAll(base.select(col("edst").as("v"))).distinct().count()
+      require(nVerts <= maxNodes,
+        s"harmonicCentrality: $nVerts edge-endpoint vertices exceed " +
+          s"the exact form's maxNodes = $maxNodes — its reached-pair " +
+          "BFS state is O(n^2) rows worst case, which is only a " +
+          "bounded table on bounded vertex sets (the declared scope). " +
+          "For web-scale vertex sets use harmonicHyperBall (O(n) " +
+          "register state, estimated ball sizes); to accept the " +
+          "quadratic state knowingly, raise maxNodes explicitly.")
       val nPart = math.max(1L, math.min(confPart.toLong,
         nEdges / RowsPerIterationPartition + 1)).toInt
       // reached: (src, dst, d) with d = BFS distance, grown level by
@@ -587,6 +597,11 @@ object Centrality {
           acc = nextAcc
           level += 1
         }
+        // the final level's registers feed nothing downstream (only
+        // `acc` reaches the output) — free the largest structure in
+        // the algorithm instead of leaking one n·512-row checkpoint
+        // per call in a long-lived session
+        freeBlocks(regs)
         val out = nodes.select(col(idCol)).distinct()
           .join(acc.select(col("id").as(idCol), col("h").as("harmonic_fp")),
             Seq(idCol), "left")

@@ -188,7 +188,11 @@ object Doremi {
     val sig0 = domainSignals(docs, srcCol, textCol, broadcastModels)
     val sig = sig0.localCheckpoint()
     Ops.freeLogicalRddBlocks(sig0)
-    val sigRows = sig.collect()
+    // explicit column order BEFORE the positional reads: a reordered
+    // producer select would otherwise silently bind the wrong signal
+    // (ref/own/excess are all longs — no exception, wrong weights)
+    val sigRows = sig.select("source", "n_docs", "ref_milli",
+      "own_milli", "excess_milli").collect()
     Ops.freeLogicalRddBlocks(sig)
     import spark.implicits._
     val local = sigRows.toSeq
@@ -422,7 +426,9 @@ object Doremi {
     val sig0 = tokenSignalsFromCounts(sbc)
     val sig = sig0.localCheckpoint()
     Ops.freeLogicalRddBlocks(sig0)
-    val sigRows = sig.collect()
+    // explicit column order before positional reads (see weights)
+    val sigRows = sig.select("source", "n_bigrams", "ref_milli",
+      "own_milli", "excess_milli").collect()
     Ops.freeLogicalRddBlocks(sig)
     import spark.implicits._
     val local = sigRows.toSeq

@@ -246,16 +246,28 @@ class CentralitySpec extends SparkSpec {
       .collect()
   }
 
-  test("exact harmonic maxNodes bound: an oversized vertex set fails " +
-      "loud, naming the sketched form") {
+  test("exact harmonic maxNodes bound: an oversized EDGE-ENDPOINT set " +
+      "fails loud, naming the sketched form; the nodes frame never " +
+      "trips it") {
+    // the O(n^2) reached state is built from edge endpoints — the
+    // guard must count THAT set, in both directions: a 12-endpoint
+    // edge list trips a bound of 10 whatever `nodes` holds...
     val nodes = (1L to 12L).toDF("id")
-    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val edges = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {
       Centrality.harmonicCentrality(nodes, edges, maxDist = 2,
         maxNodes = 10L)
     }
     assert(e.getMessage.contains("harmonicHyperBall"))
     assert(e.getMessage.contains("O(n^2)"))
+    assert(e.getMessage.contains("edge-endpoint"))
+    // ...while a huge nodes table over two endpoints is FINE (the
+    // state is endpoint-bounded; nodes only shapes the output join)
+    val wide = Centrality.harmonicCentrality(
+        (1L to 50L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"),
+        maxDist = 2, maxNodes = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(wide(2L) == Centrality.HarmonicScale && wide(50L) == 0L)
     // raising the bound explicitly accepts the quadratic state
     Centrality.harmonicCentrality(nodes, edges, maxDist = 2,
       maxNodes = 12L).collect()
