@@ -341,6 +341,35 @@ object GraphQueries {
           .orderBy("doc_id")
       }),
 
+    // The HyperANF neighbourhood report off the SAME counter cascade
+    // (Boldi & Vigna 2011): per node, the estimated in-ball size at
+    // the horizon (reach — isolated docs report exactly 1, themselves)
+    // and the estimated sum of in-distances (total_dist — the
+    // closeness denominator). One dataflow serves this and the
+    // harmonic rank (two selections of hyperBallState); the oracle's
+    // hbr CTE replays both columns off the identical register chain.
+    QueryDef("ext_graph_reach_hyperball",
+      Some(s"""WITH $pairCtes,
+              |hsym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |         UNION SELECT id_b, id_a FROM pairs),
+              |${Centrality.hyperBallOracleCtes("nodes", "hsym",
+                 maxDist = 4)}
+              |SELECT id AS doc_id, reach, total_dist
+              |FROM hbr ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val pairs = nearDupPairs(corpus)
+        val sym = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs
+            .select(col("id_b").as("src"), col("id_a").as("dst")))
+        Centrality.hyperBallReport(
+            corpus.select(col("doc_id").as("id")), sym, maxDist = 4)
+          .select(col("id").as("doc_id"), col("reach"),
+            col("total_dist"))
+          .orderBy("doc_id")
+      }),
+
     // HARMONIC centrality at SOURCE level over the same capped
     // shared-shingle graph the authority rank reads — Common Crawl
     // publishes both ranks over one host graph, and they disagree

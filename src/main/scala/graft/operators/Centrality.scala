@@ -541,7 +541,39 @@ object Centrality {
     * itself — d(v,v) = 0 is not a harmonic term). */
   def harmonicHyperBall(nodes: DataFrame, edges: DataFrame,
       maxDist: Int, idCol: String = "id", srcCol: String = "src",
-      dstCol: String = "dst", reliable: Boolean = false): DataFrame = {
+      dstCol: String = "dst", reliable: Boolean = false): DataFrame =
+    hyperBallState(nodes, edges, maxDist, idCol, srcCol, dstCol,
+      reliable)
+      .select(col(idCol), col("harmonic_fp"))
+
+  /** HyperANF-style per-node NEIGHBOURHOOD report (Boldi & Vigna,
+    * "HyperANF: Approximating the Neighbourhood Function of Very
+    * Large Graphs", 2011) from the SAME counter cascade as
+    * [[harmonicHyperBall]]: `reach` = estimated |B(v, maxDist)| —
+    * how many nodes reach v within the horizon, v itself included
+    * (the ball is seeded with {v}; isolated nodes report exactly 1) —
+    * and `total_dist` = Σ_t t·max(0, Δ|B(v,t)|), the estimated sum of
+    * in-distances (the closeness denominator; callers wanting
+    * closeness divide at their chosen scale). The standard web-graph
+    * connectivity report: effective-diameter and
+    * distance-distribution questions read off exactly these columns.
+    * Same integer/value-oracle contract as the harmonic form — the
+    * `hbr` CTE of [[hyperBallOracleCtes]] replays both columns. */
+  def hyperBallReport(nodes: DataFrame, edges: DataFrame,
+      maxDist: Int, idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst", reliable: Boolean = false): DataFrame =
+    hyperBallState(nodes, edges, maxDist, idCol, srcCol, dstCol,
+      reliable)
+      .select(col(idCol), col("reach"), col("total_dist"))
+
+  /** The shared HyperBall cascade: one counter-merge loop whose
+    * accumulator carries the previous-level estimate (→ `reach` at
+    * the horizon), the harmonic sum, and the distance sum — so the
+    * harmonic rank and the neighbourhood report are two selections of
+    * one dataflow, never two traversals. */
+  private def hyperBallState(nodes: DataFrame, edges: DataFrame,
+      maxDist: Int, idCol: String, srcCol: String,
+      dstCol: String, reliable: Boolean): DataFrame = {
     require(maxDist >= 1, s"need a horizon of >= 1 hop, got $maxDist")
     val confPart = nodes.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
@@ -578,18 +610,20 @@ object Centrality {
         // pageRank state, constant plan depth
         var acc = truncated(
           hyperBallEst(regs)
-            .select(col("id"), col("est").as("e_prev"), lit(0L).as("h"))
+            .select(col("id"), col("est").as("e_prev"), lit(0L).as("h"),
+              lit(0L).as("td"))
             .repartition(nPart, col("id")), reliable, nPart)
         var level = 1
         while (level <= maxDist) {
           val nextRegs = truncated(
             hyperBallStep(edgesP, regs, nPart), reliable, nPart)
           val coef = HarmonicScale / level // both positive: exact in Scala
+          val grow = greatest(lit(0L), col("est") - col("e_prev"))
           val nextAcc = truncated(
             acc.join(hyperBallEst(nextRegs), "id")
               .select(col("id"), col("est").as("e_prev"),
-                (col("h") + greatest(lit(0L), col("est") - col("e_prev"))
-                  * lit(coef)).as("h"))
+                (col("h") + grow * lit(coef)).as("h"),
+                (col("td") + grow * lit(level.toLong)).as("td"))
               .repartition(nPart, col("id")), reliable, nPart)
           freeBlocks(regs)
           freeBlocks(acc)
@@ -603,9 +637,13 @@ object Centrality {
         // per call in a long-lived session
         freeBlocks(regs)
         val out = nodes.select(col(idCol)).distinct()
-          .join(acc.select(col("id").as(idCol), col("h").as("harmonic_fp")),
+          .join(acc.select(col("id").as(idCol),
+              col("e_prev").as("reach"), col("td").as("total_dist"),
+              col("h").as("harmonic_fp")),
             Seq(idCol), "left")
           .select(col(idCol),
+            coalesce(col("reach"), lit(1L)).as("reach"),
+            coalesce(col("total_dist"), lit(0L)).as("total_dist"),
             coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
         out
       } finally edgesP.unpersist()
@@ -616,8 +654,10 @@ object Centrality {
     * replayed level by level: `hb_lc` (the spliced [[LcTable]]),
     * `hb_r0..hb_r{maxDist}` (register tables, [[Hll.registersSql]]
     * kernel + max-merge along edges), `hb_e0..` (hybrid estimates),
-    * final values in `hb(id, harmonic_fp)`. `nodesCte`: nodes(id);
-    * `edgesCte`: edges(src, dst). */
+    * final values in `hb(id, harmonic_fp)` and the neighbourhood
+    * report in `hbr(id, reach, total_dist)` — one chain serves both
+    * query families, mirroring [[hyperBallState]]. `nodesCte`:
+    * nodes(id); `edgesCte`: edges(src, dst). */
   def hyperBallOracleCtes(nodesCte: String, edgesCte: String,
       maxDist: Int): String = {
     require(maxDist >= 1)
@@ -655,6 +695,9 @@ object Centrality {
       .map(k => s"greatest(0, e$k.est - e${k - 1}.est) " +
         s"* ${HarmonicScale / k}")
       .mkString("\n    + ")
+    val distTerms = (1 to maxDist)
+      .map(k => s"greatest(0, e$k.est - e${k - 1}.est) * $k")
+      .mkString("\n    + ")
     val joins = (0 to maxDist)
       .map(k => s"JOIN hb_e$k e$k ON n.id = e$k.id").mkString("\n  ")
     val agg =
@@ -662,7 +705,15 @@ object Centrality {
          |  SELECT n.id, CAST($terms AS BIGINT) AS harmonic_fp
          |  FROM $nodesCte n
          |  $joins)""".stripMargin
-    (Seq(header) ++ levels ++ Seq(agg)).mkString(",\n")
+    // the HyperANF neighbourhood report off the same estimate chain —
+    // not MATERIALIZED, so a query selecting only `hb` never pays it
+    val rep =
+      s"""hbr AS (
+         |  SELECT n.id, e$maxDist.est AS reach,
+         |    CAST($distTerms AS BIGINT) AS total_dist
+         |  FROM $nodesCte n
+         |  $joins)""".stripMargin
+    (Seq(header) ++ levels ++ Seq(agg, rep)).mkString(",\n")
   }
 
   /** DuckDB oracle CTE chain for [[harmonicCentrality]] — unrolled

@@ -291,6 +291,15 @@ class CentralitySpec extends SparkSpec {
     // same crisp statement the exact form makes
     assert(sk(1L) == 0L && sk(4L) == 0L)
 
+    // the HyperANF report off the same cascade: reach counts the
+    // in-ball INCLUDING self (isolated ⇒ exactly 1), total_dist sums
+    // in-distances — node 3 is reached by 2 at d=1 and 1 at d=2
+    val rep = Centrality.hyperBallReport(nodes, edges, maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep == Map(1L -> (1L, 0L), 2L -> (2L, 1L),
+      3L -> (3L, 3L), 4L -> (1L, 0L)), rep.toString)
+
     // denser graph: 60-node ring with chords — balls grow to ~60, so
     // collisions and LC rounding are in play; assert the band that
     // makes the sketch USABLE as a rank (per-node relative agreement),
