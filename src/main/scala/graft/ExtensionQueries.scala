@@ -1422,14 +1422,11 @@ object ExtensionQueries {
         val docs = load(s, dir, "documents").select("doc_id", "text")
           .where(col("doc_id") < 500)
         // unconditional rebuild — the ingest-query stance: the loop's
-        // appends must not compound across invocations/reps
-        IndexStore.buildExactIndex(docs, "doc_id", "text",
-          s"graft_gx_$sfx", s"/tmp/graft_index/graft_gx_$sfx")
-        IndexStore.buildWinnowIndex(docs, "doc_id", "text",
-          s"graft_gw_$sfx", s"/tmp/graft_index/graft_gw_$sfx",
-          window = 40, guarantee = 10)
-        IndexStore.buildMinhashIndex(docs, "doc_id", "text",
-          s"graft_gm_$sfx", s"/tmp/graft_index/graft_gm_$sfx")
+        // appends must not compound across invocations/reps. The three
+        // builds are independent (three tables) and overlap
+        IndexStore.buildGateIndexes(docs, "doc_id", "text",
+          s"graft_gx_$sfx", s"graft_gw_$sfx", s"graft_gm_$sfx",
+          "/tmp/graft_index", window = 40, guarantee = 10)
         val every10 = docs.where(col("doc_id") % 10 === 0)
         val toks = split(trim(lower(col("text"))), "\\s+")
         val perturbed = concat_ws(" ", transform(toks,
@@ -1540,13 +1537,11 @@ object ExtensionQueries {
         val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val docs = load(s, dir, "documents").select("doc_id", "text")
           .where(col("doc_id") < 500)
-        // unconditional rebuild — the ingest-query stance
-        IndexStore.buildExactIndex(docs, "doc_id", "text",
-          s"graft_ox_$sfx", s"/tmp/graft_index/graft_ox_$sfx")
-        IndexStore.buildWinnowIndex(docs, "doc_id", "text",
-          s"graft_ow_$sfx", s"/tmp/graft_index/graft_ow_$sfx")
-        IndexStore.buildMinhashIndex(docs, "doc_id", "text",
-          s"graft_om_$sfx", s"/tmp/graft_index/graft_om_$sfx")
+        // unconditional rebuild — the ingest-query stance; the three
+        // independent builds overlap
+        IndexStore.buildGateIndexes(docs, "doc_id", "text",
+          s"graft_ox_$sfx", s"graft_ow_$sfx", s"graft_om_$sfx",
+          "/tmp/graft_index")
         val every10 = docs.where(col("doc_id") % 10 === 0)
         val novel = regexp_replace(col("text"), "\\s+", " q")
         val batch = every10
@@ -1582,11 +1577,13 @@ object ExtensionQueries {
           .select(col("vec_id"),
             Similarity.toDoubleArray(col("embedding")).as("vec"))
           .where(col("vec_id") < 500)
-        // unconditional rebuild — the ingest-query stance
-        IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
-          s"graft_gvx_$sfx", s"/tmp/graft_index/graft_gvx_$sfx")
-        IndexStore.buildSrpIndex(vecs, s"graft_gvs_$sfx",
-          s"/tmp/graft_index/graft_gvs_$sfx")
+        // unconditional rebuild — the ingest-query stance; the two
+        // independent builds overlap
+        graft.operators.Ops.concurrently(
+          () => IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
+            s"graft_gvx_$sfx", s"/tmp/graft_index/graft_gvx_$sfx"),
+          () => IndexStore.buildSrpIndex(vecs, s"graft_gvs_$sfx",
+            s"/tmp/graft_index/graft_gvs_$sfx"))
         val every10 = vecs.where(col("vec_id") % 10 === 0)
         val batch = every10
           .select((col("vec_id") + 800000).as("vec_id"), col("vec"))
@@ -1621,14 +1618,17 @@ object ExtensionQueries {
           .select(col("vec_id"),
             Similarity.toDoubleArray(col("embedding")).as("vec"))
           .where(col("vec_id") < 500)
-        // unconditional rebuild — the ingest-query stance
-        IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
-          s"graft_g3x_$sfx", s"/tmp/graft_index/graft_g3x_$sfx")
-        IndexStore.buildSrpIndex(vecs, s"graft_g3s_$sfx",
-          s"/tmp/graft_index/graft_g3s_$sfx")
-        IndexStore.buildIvfIndex(vecs,
-          IvfIndex.trainCentroids(vecs, k = 8, iters = 2),
-          s"graft_g3i_$sfx", s"/tmp/graft_index/graft_g3i_$sfx")
+        // unconditional rebuild — the ingest-query stance; the three
+        // independent builds overlap (IVF trains its centroids inside
+        // its own lane)
+        graft.operators.Ops.concurrently(
+          () => IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
+            s"graft_g3x_$sfx", s"/tmp/graft_index/graft_g3x_$sfx"),
+          () => IndexStore.buildSrpIndex(vecs, s"graft_g3s_$sfx",
+            s"/tmp/graft_index/graft_g3s_$sfx"),
+          () => IndexStore.buildIvfIndex(vecs,
+            IvfIndex.trainCentroids(vecs, k = 8, iters = 2),
+            s"graft_g3i_$sfx", s"/tmp/graft_index/graft_g3i_$sfx"))
         val every10 = vecs.where(col("vec_id") % 10 === 0)
         val batch = every10
           .select((col("vec_id") + 800000).as("vec_id"), col("vec"))

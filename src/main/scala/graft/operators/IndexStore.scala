@@ -124,23 +124,29 @@ object IndexStore {
       bands: Int = 16, nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
     val params = minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol)
-    val par = spark.sparkContext.defaultParallelism
-    val shingled = shingleOf(docs.repartition(par), idCol, textCol, shingleN)
+    val shingled = shingleOf(Ops.spreadForHash(docs), idCol, textCol, shingleN)
     withPersisted(shingled) {
       // params land immediately after each table materializes: the
       // CTAS→ALTER pair is still not atomic, but the crash window is one
       // statement, and a build is an idempotent overwrite — rebuild any
-      // index whose creation crashed rather than appending to it
-      bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
-          "band_key", nBuckets)
-        .write.bucketBy(nBuckets, "band_key")
-        .option("path", s"$path/${table}_bands").mode("overwrite")
-        .saveAsTable(s"${table}_bands")
-      setParams(spark, s"${table}_bands", params)
-      bucketRouted(shingled, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
-        .option("path", s"$path/${table}_shingles").mode("overwrite")
-        .saveAsTable(s"${table}_shingles")
-      setParams(spark, s"${table}_shingles", params)
+      // index whose creation crashed rather than appending to it.
+      // The two tables are independent consumers of the one persisted
+      // staging frame, so their CTAS statements overlap (Ops.concurrently)
+      Ops.concurrently(
+        () => {
+          bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
+              "band_key", nBuckets)
+            .write.bucketBy(nBuckets, "band_key")
+            .option("path", s"$path/${table}_bands").mode("overwrite")
+            .saveAsTable(s"${table}_bands")
+          setParams(spark, s"${table}_bands", params)
+        },
+        () => {
+          bucketRouted(shingled, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+            .option("path", s"$path/${table}_shingles").mode("overwrite")
+            .saveAsTable(s"${table}_shingles")
+          setParams(spark, s"${table}_shingles", params)
+        })
     }
   }
 
@@ -159,28 +165,30 @@ object IndexStore {
     * rows of a band key stay co-located); probes immediately see both
     * old and new documents. This completes the incremental-ingest dedup
     * shape: accept a batch, near-dup-check it against the index, append
-    * the accepted rows. The repartition spreads the hash-heavy signature
-    * work across all cores even when the delta arrives as one split (at
-    * real scale the scan yields enough splits and it is noise). Compact
-    * the table periodically if tiny appended files accumulate. */
+    * the accepted rows. [[Ops.spreadForHash]] spreads the hash-heavy
+    * signature work across all cores when the delta arrives as one raw
+    * scan split, and skips the exchange for already-materialized gate
+    * batches. Compact the table periodically if tiny appended files
+    * accumulate. */
   def appendMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       table: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
     val spark = delta.sparkSession
     requireParams(spark, s"${table}_bands",
       minhashParams(shingleN, numHashes, bands) + ("idCol" -> idCol), "append")
-    val par = spark.sparkContext.defaultParallelism
-    val shingled = shingleOf(delta.repartition(par), idCol, textCol, shingleN)
-    withPersisted(shingled) { // feeds both writes
+    val shingled = shingleOf(Ops.spreadForHash(delta), idCol, textCol, shingleN)
+    withPersisted(shingled) { // feeds both writes, overlapped
       // bucket counts come from the catalog — an append can never silently
       // (or loudly, via Spark's raw bucketing-mismatch error) re-bucket
       val nbB = numBucketsOf(spark, s"${table}_bands")
-      bucketRouted(bandsOf(shingled, idCol, numHashes, bands), "band_key", nbB)
-        .write.bucketBy(nbB, "band_key")
-        .mode("append").saveAsTable(s"${table}_bands")
       val nbS = numBucketsOf(spark, s"${table}_shingles")
-      bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
-        .mode("append").saveAsTable(s"${table}_shingles")
+      Ops.concurrently(
+        () => bucketRouted(bandsOf(shingled, idCol, numHashes, bands),
+            "band_key", nbB)
+          .write.bucketBy(nbB, "band_key")
+          .mode("append").saveAsTable(s"${table}_bands"),
+        () => bucketRouted(shingled, idCol, nbS).write.bucketBy(nbS, idCol)
+          .mode("append").saveAsTable(s"${table}_shingles"))
     }
     Seq(s"${table}_bands", s"${table}_shingles")
       .foreach(noteAppend(spark, _))
@@ -299,11 +307,11 @@ object IndexStore {
     // so its shingles are recomputed per consumer instead of cached:
     // repeated probes in a long-lived session accumulate no persisted
     // RDDs (asserted in IndexStoreSpec). Callers probing with a
-    // corpus-sized query set should persist upstream themselves. The
-    // repartition spreads signature hashing across cores when the batch
-    // arrives as a single split.
-    val par = queries.sparkSession.sparkContext.defaultParallelism
-    val qsh = queries.repartition(par)
+    // corpus-sized query set should persist upstream themselves.
+    // spreadForHash spreads signature hashing across cores when the
+    // batch arrives as a single raw split (and skips the exchange for
+    // pinned gate batches).
+    val qsh = Ops.spreadForHash(queries)
       .select(col(idCol).as("query_id"),
         array_distinct(Dedup.wordShingles(col(textCol), shingleN))
           .as("q_shingles"))
@@ -434,6 +442,29 @@ object IndexStore {
     (accepted, matches)
   }
 
+  /** Pins an arbitrary caller batch expression ONCE so the gate
+    * machinery's several consumers replay a materialized leaf instead
+    * of re-deriving it. A gate stage evaluates its batch at least three
+    * times (probe fingerprinting, the anti-join's left side, the inner
+    * pairs pass), and the composed gates re-reference the ORIGINAL
+    * batch again for cut attribution — with a non-trivial batch
+    * expression (a union of projections, a join) Catalyst additionally
+    * pushes the anti-joins below the union, so each checkpoint's plan
+    * re-ran the whole derivation once per branch (measured on the
+    * composed text gate: a 294-node plan with ~30 exchanges for a
+    * 150-doc batch; pinned, the same stage plans ~40 nodes). At scale
+    * the same holds: a batch is bounded by the ingest contract, and
+    * materializing it once beats re-deriving it 3–6× per gate. Leaf
+    * inputs (an already-checkpointed frame — every chained gate's
+    * accepted set — or a micro-batch source) are already cheap to
+    * replay and pass through unpinned, so chained stages never
+    * double-checkpoint. */
+  private def pinBatch(batch: DataFrame): DataFrame =
+    batch.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => batch
+      case _ => batch.localCheckpoint()
+    }
+
   /** The CHECK half of [[dedupIngest]] — probe rejection, then
     * batch-internal keeper selection, both results pinned pre-append —
     * factored out so [[dedupIngestGate]] can chain several gates and
@@ -441,8 +472,9 @@ object IndexStore {
   private def gateStage(batch: DataFrame, idCol: String,
       probe: DataFrame => DataFrame,
       innerPairs: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val matches = probe(batch).localCheckpoint()
-    val vsIndex = batch.join(
+    val b = pinBatch(batch)
+    val matches = probe(b).localCheckpoint()
+    val vsIndex = b.join(
       matches.select(col("query_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
     val innerDups = innerPairs(vsIndex)
@@ -469,8 +501,7 @@ object IndexStore {
 
   private def simhashChunks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    Ops.spreadForHash(docs)
       .select(col(idCol), Dedup.simhashSignature(col(textCol)).as("sim"))
       .select(col(idCol), col("sim"),
         explode(chunkKeys(col("sim"))).as("chunk_key"))
@@ -573,8 +604,7 @@ object IndexStore {
       table: String, path: String, window: Int = 20, guarantee: Int = 10,
       nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    bucketRouted(Dedup.winnowedFingerprints(docs.repartition(par), idCol,
+    bucketRouted(Dedup.winnowedFingerprints(Ops.spreadForHash(docs), idCol,
         textCol, window, guarantee), "fp", nBuckets)
       .write.bucketBy(nBuckets, "fp")
       .option("path", s"$path/${table}_wins").mode("overwrite")
@@ -591,9 +621,8 @@ object IndexStore {
     val spark = delta.sparkSession
     requireParams(spark, s"${table}_wins",
       winnowParams(window, guarantee, idCol), "append")
-    val par = spark.sparkContext.defaultParallelism
     val nb = numBucketsOf(spark, s"${table}_wins")
-    bucketRouted(Dedup.winnowedFingerprints(delta.repartition(par), idCol,
+    bucketRouted(Dedup.winnowedFingerprints(Ops.spreadForHash(delta), idCol,
         textCol, window, guarantee), "fp", nb)
       .write.bucketBy(nb, "fp")
       .mode("append").saveAsTable(s"${table}_wins")
@@ -637,8 +666,7 @@ object IndexStore {
     requireParams(spark, s"${table}_wins",
       winnowParams(window, guarantee, idCol), "probe")
     val storedId = winnowIdCol(spark, table)
-    val par = queries.sparkSession.sparkContext.defaultParallelism
-    val qWins = Dedup.winnowedFingerprints(queries.repartition(par), idCol,
+    val qWins = Dedup.winnowedFingerprints(Ops.spreadForHash(queries), idCol,
         textCol, window, guarantee)
       .select(col(idCol).as("query_id"), col("fp"))
     capHotBuckets(spark.table(s"${table}_wins"), "fp", storedId,
@@ -717,8 +745,7 @@ object IndexStore {
 
   private def exactFps(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    Ops.spreadForHash(docs)
       .select(col(idCol), exactFingerprint(col(textCol)).as("fp"))
   }
 
@@ -975,8 +1002,7 @@ object IndexStore {
 
   private def vecFps(vecs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val par = vecs.sparkSession.sparkContext.defaultParallelism
-    vecs.repartition(par)
+    Ops.spreadForHash(vecs)
       .select(col(idCol), vecFingerprint(col(vecCol)).as("fp"))
   }
 
@@ -1067,6 +1093,23 @@ object IndexStore {
     * (the [[dedupIngest]] stance, for the same non-monotone-cap
     * reason). Consecutive-batch stability is spec'd alongside the
     * parity. */
+  /** Builds the composed text gate's three indexes — three independent
+    * tables over one corpus frame — CONCURRENTLY (Ops.concurrently):
+    * the pre-seed of every gate lifecycle paid three statement walls
+    * back to back for writes with no ordering between them. Parameter
+    * defaults mirror the per-kind builders. */
+  def buildGateIndexes(docs: DataFrame, idCol: String, textCol: String,
+      exactTable: String, winnowTable: String, minhashTable: String,
+      pathBase: String, window: Int = 20, guarantee: Int = 10,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    Ops.concurrently(
+      () => buildExactIndex(docs, idCol, textCol, exactTable,
+        s"$pathBase/$exactTable"),
+      () => buildWinnowIndex(docs, idCol, textCol, winnowTable,
+        s"$pathBase/$winnowTable", window, guarantee),
+      () => buildMinhashIndex(docs, idCol, textCol, minhashTable,
+        s"$pathBase/$minhashTable", shingleN, numHashes, bands))
+
   def dedupIngestGate(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, exactTable: String, winnowTable: String,
       minhashTable: String, window: Int = 20, guarantee: Int = 10,
@@ -1097,7 +1140,11 @@ object IndexStore {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       hotBandThreshold: Int = Dedup.DefaultHotBandThreshold)
       : (DataFrame, DataFrame) = {
-    val (a1, _) = gateStage(batch, idCol,
+    // pinned HERE (not just inside the first gateStage) because the cut
+    // attribution below re-references the original batch — unpinned,
+    // that anti-join re-derives the caller's batch expression once more
+    val batch0 = pinBatch(batch)
+    val (a1, _) = gateStage(batch0, idCol,
       probe = b => probeExact(spark, b, idCol, textCol, exactTable,
         hotBandThreshold),
       innerPairs = b => exactInnerPairs(b, idCol, textCol))
@@ -1115,7 +1162,7 @@ object IndexStore {
     // each stage's output is pinned (gateStage), so these anti joins
     // replay materialized rows rather than re-probing the grown indexes
     val cutAt = gateCut(idCol) _
-    val decisions = cutAt(batch, a1, "exact")
+    val decisions = cutAt(batch0, a1, "exact")
       .unionByName(cutAt(a1, a2, "winnow"))
       .unionByName(cutAt(a2, a3, "minhash"))
     (a3, decisions)
@@ -1129,11 +1176,18 @@ object IndexStore {
       guarantee: Int = 10, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16,
       autoCompactAppends: Int = DefaultAutoCompactAppends): Unit = {
-    appendExactIndex(accepted, idCol, textCol, exactTable)
-    appendWinnowIndex(accepted, idCol, textCol, winnowTable, window,
-      guarantee)
-    appendMinhashIndex(accepted, idCol, textCol, minhashTable, shingleN,
-      numHashes, bands)
+    // three independent tables, one pinned source frame: the appends
+    // overlap (Ops.concurrently) instead of paying three statement
+    // walls back to back; a partial failure leaves exactly the state
+    // the gate's idempotent-replay contract already absorbs (see
+    // StreamingIndexIngest.runGateStream). Compaction checks stay
+    // sequential — rare, and each rewrites its own table.
+    Ops.concurrently(
+      () => appendExactIndex(accepted, idCol, textCol, exactTable),
+      () => appendWinnowIndex(accepted, idCol, textCol, winnowTable,
+        window, guarantee),
+      () => appendMinhashIndex(accepted, idCol, textCol, minhashTable,
+        shingleN, numHashes, bands))
     autoCompact(spark, "exact", exactTable, autoCompactAppends)
     autoCompact(spark, "winnow", winnowTable, autoCompactAppends)
     autoCompact(spark, "minhash", minhashTable, autoCompactAppends)
@@ -1199,7 +1253,9 @@ object IndexStore {
       ivfTable: Option[String] = None, ivfThreshold: Double = 0.999,
       ivfNprobe: Int = 3)
       : (DataFrame, DataFrame) = {
-    val (a1, _) = gateStage(batch, idCol,
+    // pinned for the cut attribution's re-reference, as in the text gate
+    val batch0 = pinBatch(batch)
+    val (a1, _) = gateStage(batch0, idCol,
       probe = b => probeExactVec(spark, b, idCol, vecCol, exactTable,
         hotBandThreshold),
       innerPairs = b => vecInnerPairs(b, idCol, vecCol))
@@ -1215,7 +1271,7 @@ object IndexStore {
         innerPairs = b => Similarity.blockedNearDupPairs(b, ivfThreshold,
           idCol, vecCol, blockDims))._1)
     val cutAt = gateCut(idCol) _
-    val decisions = cutAt(batch, a1, "exact")
+    val decisions = cutAt(batch0, a1, "exact")
       .unionByName(cutAt(a1, a2, "srp"))
       .unionByName(cutAt(a2, a3, "ivf"))
     (a3, decisions)
@@ -1228,9 +1284,16 @@ object IndexStore {
       nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
       autoCompactAppends: Int = DefaultAutoCompactAppends,
       ivfTable: Option[String] = None): Unit = {
-    appendExactVecIndex(accepted, idCol, vecCol, exactTable)
-    appendSrpIndex(accepted, srpTable, idCol, vecCol, nPlanes, bands, dim)
-    ivfTable.foreach(t => appendIvfIndex(spark, accepted, t, idCol, vecCol))
+    // independent tables, one pinned source — overlapped like the text
+    // gate's appends (no replay ordering here: this path's callers
+    // rebuild fresh per invocation; the streaming path orders its own)
+    Ops.concurrently(
+      (Seq(
+        () => appendExactVecIndex(accepted, idCol, vecCol, exactTable),
+        () => appendSrpIndex(accepted, srpTable, idCol, vecCol, nPlanes,
+          bands, dim)) ++
+        ivfTable.map(t =>
+          () => appendIvfIndex(spark, accepted, t, idCol, vecCol))): _*)
     autoCompact(spark, "exact", exactTable, autoCompactAppends)
     autoCompact(spark, "srp", srpTable, autoCompactAppends)
     ivfTable.foreach(t => autoCompact(spark, "ivf", t, autoCompactAppends))
@@ -1339,19 +1402,25 @@ object IndexStore {
     // validation instead of on a missing column mid-plan
     val params = srpParams(nPlanes, bands, dim, idCol, vecCol) +
       ("quantized" -> "none")
-    val par = spark.sparkContext.defaultParallelism
-    val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
+    val vecs = Ops.spreadForHash(corpus.select(col(idCol), col(vecCol)))
     withPersisted(vecs) {
-      bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
-          "band_key", nBuckets)
-        .write.bucketBy(nBuckets, "band_key")
-        .option("path", s"$path/${table}_bands").mode("overwrite")
-        .saveAsTable(s"${table}_bands")
-      setParams(spark, s"${table}_bands", params)
-      bucketRouted(vecs, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
-        .option("path", s"$path/${table}_vecs").mode("overwrite")
-        .saveAsTable(s"${table}_vecs")
-      setParams(spark, s"${table}_vecs", params)
+      // two independent tables off one persisted staging frame —
+      // overlapped, like buildMinhashIndex
+      Ops.concurrently(
+        () => {
+          bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
+              "band_key", nBuckets)
+            .write.bucketBy(nBuckets, "band_key")
+            .option("path", s"$path/${table}_bands").mode("overwrite")
+            .saveAsTable(s"${table}_bands")
+          setParams(spark, s"${table}_bands", params)
+        },
+        () => {
+          bucketRouted(vecs, idCol, nBuckets).write.bucketBy(nBuckets, idCol)
+            .option("path", s"$path/${table}_vecs").mode("overwrite")
+            .saveAsTable(s"${table}_vecs")
+          setParams(spark, s"${table}_vecs", params)
+        })
     }
   }
 
@@ -1365,17 +1434,17 @@ object IndexStore {
     requireParams(spark, s"${table}_bands",
       srpParams(nPlanes, bands, dim, idCol, vecCol)
         + ("quantized" -> "none"), "append")
-    val par = spark.sparkContext.defaultParallelism
-    val vecs = delta.select(col(idCol), col(vecCol)).repartition(par)
-    withPersisted(vecs) {
+    val vecs = Ops.spreadForHash(delta.select(col(idCol), col(vecCol)))
+    withPersisted(vecs) { // feeds both writes, overlapped
       val nbB = numBucketsOf(spark, s"${table}_bands")
-      bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
-          "band_key", nbB)
-        .write.bucketBy(nbB, "band_key")
-        .mode("append").saveAsTable(s"${table}_bands")
       val nbV = numBucketsOf(spark, s"${table}_vecs")
-      bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
-        .mode("append").saveAsTable(s"${table}_vecs")
+      Ops.concurrently(
+        () => bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes,
+            bands, dim), "band_key", nbB)
+          .write.bucketBy(nbB, "band_key")
+          .mode("append").saveAsTable(s"${table}_bands"),
+        () => bucketRouted(vecs, idCol, nbV).write.bucketBy(nbV, idCol)
+          .mode("append").saveAsTable(s"${table}_vecs"))
     }
     Seq(s"${table}_bands", s"${table}_vecs").foreach(noteAppend(spark, _))
   }
@@ -1394,8 +1463,7 @@ object IndexStore {
     val spark = corpus.sparkSession
     val params = srpParams(nPlanes, bands, dim, idCol, vecCol) +
       ("quantized" -> "int8")
-    val par = spark.sparkContext.defaultParallelism
-    val vecs = corpus.select(col(idCol), col(vecCol)).repartition(par)
+    val vecs = Ops.spreadForHash(corpus.select(col(idCol), col(vecCol)))
     withPersisted(vecs) {
       bucketRouted(srpBandRows(vecs, idCol, vecCol, nPlanes, bands, dim),
           "band_key", nBuckets)
@@ -3066,8 +3134,7 @@ object IndexStore {
       requireAuthSourcesIndexable(delta, counts, srcCol, k,
         s"appendAuthorityIndex($table)",
         liveFor = Some(srcs =>
-          authorityShinglesFromIndex(spark, table)
-            .where(col("source").isin(srcs: _*))))
+          authorityShinglesFromIndex(spark, table, forSources = Some(srcs))))
       bucketRouted(counts, "ph", nb)
         .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
       noteAppend(spark, aph)
@@ -3100,11 +3167,18 @@ object IndexStore {
 
   /** The folded live (source, ph) membership: row-identity dedup (which
     * cancels pre-compaction replay duplicates), additive fold, zero
-    * rows for exactly-cancelled counts. O(table), zero corpus read. */
-  def authorityShinglesFromIndex(spark: SparkSession, table: String)
-      : DataFrame = {
+    * rows for exactly-cancelled counts. O(table) when unscoped, zero
+    * corpus read. `forSources` scopes the fold to the named sources
+    * BELOW the dedup/groupBy — the filter is on a group key, so it
+    * commutes with the fold and reaches the parquet scan as a pushed
+    * `In` predicate: the append guard's is-it-already-live check
+    * (see [[appendAuthorityIndex]]) costs O(those sources' rows), not
+    * a full-table fold per batch (the round-15 ADVICE finding). */
+  def authorityShinglesFromIndex(spark: SparkSession, table: String,
+      forSources: Option[Seq[String]] = None): DataFrame = {
     spark.catalog.refreshTable(s"${table}_aph")
-    spark.table(s"${table}_aph")
+    val base = spark.table(s"${table}_aph")
+    forSources.fold(base)(s => base.where(col("source").isin(s: _*)))
       .dropDuplicates("source", "ph", "bk")
       .groupBy("source", "ph").agg(sum(col("nd")).as("nd"))
       .where(col("nd") > 0)

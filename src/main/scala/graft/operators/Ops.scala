@@ -243,6 +243,67 @@ object Ops {
     }
   }
 
+  /** Runs independent Spark statements (writes to DIFFERENT tables,
+    * independent builds) concurrently from a bounded pool and waits for
+    * all of them — the guide's overlap-independent-jobs idiom (§2.6):
+    * Spark's scheduler happily runs several jobs at once inside one
+    * application, and statements serialized only by driver code leave
+    * the cluster idle through each statement's tail (and, on a
+    * many-statement lifecycle, pay the driver's per-statement latency
+    * serially). Callers must guarantee independence: no ordering
+    * between the bodies, no shared table, no session-conf scope (the
+    * Ops scoped-conf registry fails loudly if two bodies race one).
+    * Failure semantics match the protocols these writers already run
+    * under: every body is awaited (no orphaned half-running write), the
+    * first failure is rethrown, and a body that committed while a
+    * sibling failed is exactly the partial-append state the manifest /
+    * idempotent-replay contracts are designed to absorb. */
+  def concurrently(bodies: (() => Unit)*): Unit = {
+    if (bodies.sizeIs <= 1) { bodies.foreach(b => b()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(bodies.size, 4))
+    try {
+      val futures = bodies.map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = b()
+      }))
+      var firstFailure: Option[Throwable] = None
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally pool.shutdownNow()
+  }
+
+  /** Round-robin fan-out for hash-heavy projections (signatures,
+    * fingerprints) — skipped ONLY when the input is an
+    * already-materialized leaf (a localCheckpoint'd gate batch) that is
+    * ALREADY at least defaultParallelism wide. The blind
+    * `repartition(defaultParallelism)` these call sites carry exists
+    * because signature/fingerprint hashing is genuinely expensive per
+    * row (measured this round: letting a 1-partition checkpointed
+    * batch flow into winnow fingerprinting un-spread cost ~2× on the
+    * whole gate query — per-row hash work dominates the exchange it
+    * saves), so a NARROW leaf still gets the spread. Only a leaf that
+    * is already wide skips the exchange: re-routing rows that are
+    * already spread across the cluster buys nothing and costs a full
+    * pass of the batch over the wire (guide §2.4: remove shuffles
+    * outright — and at 100 TB the exchange carries the text payload).
+    * Non-leaf inputs (raw scans, derived frames) always keep the
+    * spread: their split count is the storage layout's accident, not a
+    * sizing decision, and inspecting their RDD width would force AQE
+    * stage materialization. */
+  def spreadForHash(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getNumPartitions >= par => df
+      case _ => df.repartition(par)
+    }
+  }
+
   /** Skew-mitigated equi-join: the left (large, skewed) side gets a
     * deterministic salt in [0, nSalts); the right side is replicated
     * once per salt value. A hot key's rows then spread over nSalts

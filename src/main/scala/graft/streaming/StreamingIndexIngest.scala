@@ -309,13 +309,10 @@ object StreamingIndexIngest {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
-    // pre-seed: the gate resumes against a persisted corpus index
-    IndexStore.buildExactIndex(docs, "doc_id", "text", exactTable,
-      s"$idxPath/$exactTable")
-    IndexStore.buildWinnowIndex(docs, "doc_id", "text", winnowTable,
-      s"$idxPath/$winnowTable", window = 40, guarantee = 10)
-    IndexStore.buildMinhashIndex(docs, "doc_id", "text", minhashTable,
-      s"$idxPath/$minhashTable")
+    // pre-seed: the gate resumes against a persisted corpus index —
+    // the three independent builds overlap (Ops.concurrently)
+    IndexStore.buildGateIndexes(docs, "doc_id", "text", exactTable,
+      winnowTable, minhashTable, idxPath, window = 40, guarantee = 10)
     val (b1, b2) = gateBatches(docs)
     val srcDir = s"$workDir/src"
     stageBatchFile(b1, workDir, srcDir, "b1")
@@ -442,10 +439,14 @@ object StreamingIndexIngest {
           val toAppend = acceptedP
             .join(alreadyIndexed, Seq("doc_id"), "left_anti")
             .localCheckpoint() // three consumers below
-          IndexStore.appendWinnowIndex(toAppend, "doc_id", "text",
-            winnowTable, window = 40, guarantee = 10)
-          IndexStore.appendMinhashIndex(toAppend, "doc_id", "text",
-            minhashTable)
+          // winnow+minhash overlap (independent tables, one pinned
+          // source — Ops.concurrently); exact stays LAST alone, because
+          // "in the exact index" must keep meaning ALL kinds completed
+          graft.operators.Ops.concurrently(
+            () => IndexStore.appendWinnowIndex(toAppend, "doc_id", "text",
+              winnowTable, window = 40, guarantee = 10),
+            () => IndexStore.appendMinhashIndex(toAppend, "doc_id", "text",
+              minhashTable))
           IndexStore.appendExactIndex(toAppend, "doc_id", "text",
             exactTable)
           IndexStore.autoCompact(bs, "winnow", winnowTable,
@@ -529,12 +530,14 @@ object StreamingIndexIngest {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
-    IndexStore.buildExactVecIndex(vecs, "vec_id", "vec", exactTable,
-      s"$idxPath/$exactTable")
-    IndexStore.buildSrpIndex(vecs, srpTable, s"$idxPath/$srpTable")
-    IndexStore.buildIvfIndex(vecs,
-      IvfIndex.trainCentroids(vecs, k = 8, iters = 2), ivfTable,
-      s"$idxPath/$ivfTable")
+    // three independent pre-seed builds, overlapped (Ops.concurrently)
+    graft.operators.Ops.concurrently(
+      () => IndexStore.buildExactVecIndex(vecs, "vec_id", "vec",
+        exactTable, s"$idxPath/$exactTable"),
+      () => IndexStore.buildSrpIndex(vecs, srpTable, s"$idxPath/$srpTable"),
+      () => IndexStore.buildIvfIndex(vecs,
+        IvfIndex.trainCentroids(vecs, k = 8, iters = 2), ivfTable,
+        s"$idxPath/$ivfTable"))
     val (b1, b2) = gateVecBatches(vecs)
     val srcDir = s"$workDir/src"
     stageBatchFile(b1, workDir, srcDir, "b1")
@@ -639,8 +642,11 @@ object StreamingIndexIngest {
           val toAppend = acceptedP
             .join(alreadyIndexed, Seq("vec_id"), "left_anti")
             .localCheckpoint() // three consumers below
-          IndexStore.appendSrpIndex(toAppend, srpTable)
-          IndexStore.appendIvfIndex(bs, toAppend, ivfTable)
+          // srp+ivf overlap; exact-vec stays LAST (same contract as the
+          // text gate: its self-probe guard marks the batch complete)
+          graft.operators.Ops.concurrently(
+            () => IndexStore.appendSrpIndex(toAppend, srpTable),
+            () => IndexStore.appendIvfIndex(bs, toAppend, ivfTable))
           IndexStore.appendExactVecIndex(toAppend, "vec_id", "vec",
             exactTable)
           IndexStore.autoCompact(bs, "srp", srpTable, autoCompactAppends)
