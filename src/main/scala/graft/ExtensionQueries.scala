@@ -2926,7 +2926,8 @@ object ExtensionQueries {
         graft.operators.Ops.withGroupedRunningSum(keyed, col("epoch"),
             Seq(col("__ex"), col("doc_id")),
             expr("conv(substr(__ex, 1, 13), 16, 10)").cast("double"),
-            lit(1).cast("int"), outCol = "__rn")
+            lit(1).cast("int"), outCol = "__rn",
+            leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
           .withColumn("shard_id",
             floor((col("__rn") - 1) / lit(128.0)).cast("long"))
           .groupBy("epoch", "shard_id")
@@ -5411,7 +5412,8 @@ object ExtensionQueries {
         graft.operators.Ops.withGroupedRunningSum(t, col("source"),
             Seq(col("hx"), col("doc_id")),
             expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
-            col("n"), "cum")
+            col("n"), "cum",
+            leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
           .join(broadcast(budgets), "source")
           .where(col("cum") <= col("budget"))
           .select("doc_id", "source")
@@ -5469,7 +5471,8 @@ object ExtensionQueries {
         graft.operators.Ops.withGroupedRunningSum(t, col("source"),
             Seq(col("hx"), col("doc_id")),
             expr("conv(substr(hx, 1, 13), 16, 10)").cast("double"),
-            col("n"), "cum")
+            col("n"), "cum",
+            leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
           .join(broadcast(budgets), "source")
           .join(broadcast(mass), "source")
           .select(col("doc_id"), col("source"),
@@ -5554,7 +5557,7 @@ object ExtensionQueries {
               .cast("binary")))
           val inst = graft.operators.Ops.withGroupedRunningSum(t,
               col("source"), Seq(col("hx"), col("doc_id")), hxNum,
-              col("n"), "cum")
+              col("n"), "cum", leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .join(broadcast(budgets), "source")
             .join(broadcast(mass), "source")
             .select(col("doc_id"),
@@ -5568,7 +5571,8 @@ object ExtensionQueries {
               md5(concat(lit(s"$e:"), col("rep").cast("string"), lit(":"),
                 col("doc_id").cast("string")).cast("binary")))
           graft.operators.Ops.withGlobalRowNumber(inst,
-              Seq(col("hx2"), col("doc_id"), col("rep")), hx2Num, "step")
+              Seq(col("hx2"), col("doc_id"), col("rep")), hx2Num, "step",
+              leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .select(lit(e.toLong).as("epoch"), col("step"),
               col("doc_id"), col("rep"))
         }.reduce(_ unionByName _).orderBy("epoch", "step")
@@ -5627,12 +5631,13 @@ object ExtensionQueries {
               .cast("binary")))
           val sel = graft.operators.Ops.withGroupedRunningSum(t,
               col("source"), Seq(col("hx"), col("doc_id")), hxNum,
-              col("n"), "cum")
+              col("n"), "cum", leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .join(broadcast(budgets), "source")
             .where(col("cum") <= col("budget"))
             .select("doc_id", "hx")
           graft.operators.Ops.withGlobalRowNumber(sel,
-              Seq(col("hx"), col("doc_id")), hxNum, "step")
+              Seq(col("hx"), col("doc_id")), hxNum, "step",
+              leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .select(lit(e.toLong).as("epoch"), col("step"), col("doc_id"))
         }.reduce(_ unionByName _).orderBy("epoch", "step")
       }),
@@ -5744,12 +5749,13 @@ object ExtensionQueries {
                 .cast("binary")))
           val sel = graft.operators.Ops.withGroupedRunningSum(t,
               col("source"), Seq(col("hx"), col("doc_id")), hxNum,
-              col("n"), "cum")
+              col("n"), "cum", leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .join(broadcast(budgets), "source")
             .where(col("cum") <= col("budget"))
             .select("doc_id", "band_ord", "hx")
           graft.operators.Ops.withGlobalRowNumber(sel,
-              Seq(col("hx"), col("doc_id")), hxNum, "step")
+              Seq(col("hx"), col("doc_id")), hxNum, "step",
+              leadingBounds = Some(graft.operators.Ops.md5PrefixBounds()))
             .select(lit(e.toLong).as("epoch"), col("step"),
               col("doc_id"), col("band_ord"))
         }.reduce(_ unionByName _).orderBy("epoch", "step")

@@ -229,7 +229,8 @@ object CorpusBuild {
     val withCum = Ops.withGroupedRunningSum(toks, col("source"),
       Seq(col("__hx"), col("doc_id")),
       expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
-      col("__n"), "__cum")
+      col("__n"), "__cum",
+      leadingBounds = Some(Ops.md5PrefixBounds()))
     // pinned: two consumers (kept / over-budget) would otherwise each
     // re-run the full three-pass prefix
     val budgeted = withCum.join(broadcast(budgets), "source")
@@ -412,7 +413,8 @@ object CorpusBuild {
     val withCum = Ops.withGroupedRunningSum(toks, col("source"),
       Seq(col("__hx"), col("doc_id")),
       expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
-      col("__n"), "__cum")
+      col("__n"), "__cum",
+      leadingBounds = Some(Ops.md5PrefixBounds()))
     def verdict(b: Column): Column =
       when(col("__cum") <= b, "kept").otherwise("budget")
     withCum

@@ -360,9 +360,10 @@ object Ops {
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
       leadingNumeric: Column, outCol: String = "rn",
-      nBuckets: Int = 32): DataFrame =
+      nBuckets: Int = 32,
+      leadingBounds: Option[Seq[Double]] = None): DataFrame =
     bucketedPrefix(df, orderCols, leadingNumeric, nBuckets,
-      perRow = lit(1L), outCol = outCol)
+      perRow = lit(1L), outCol = outCol, leadingBounds = leadingBounds)
 
   /** Exact `ntile(k) OVER (ORDER BY orderCols)` without the global
     * sort. The windowed ntile is a pure function of (global rank, n):
@@ -427,6 +428,21 @@ object Ops {
       perRow = coalesce(valueCol.cast("long"), lit(0L)), outCol = outCol)
   }
 
+  /** Closed-form equal-width bucket bounds for a leading key that is
+    * the 52-bit numeric value of a 13-hex-digit md5 prefix
+    * (`conv(substr(<md5>, 1, 13), 16, 10)` — the deterministic-shuffle
+    * key every hash-ordered caller uses). md5 prefixes are uniform on
+    * [0, 16^13), so equal-width bounds balance buckets as well as
+    * sampled quantiles — and bucket bounds affect only load balance,
+    * never values (ties of the leading key still land in one bucket).
+    * Substituting these for `approxQuantile` removes one of the prefix
+    * kernel's three full passes over the input: at 100 TB, one fewer
+    * pass over the corpus-sized stream per mixer/shard/rank call. */
+  def md5PrefixBounds(nBuckets: Int = 32): Seq[Double] = {
+    val span = math.pow(16.0, 13)
+    (1 until nBuckets).map(i => span * i.toDouble / nBuckets)
+  }
+
   /** Shared three-pass prefix machinery: quantile-bucket on the leading
     * key, windowed prefix inside each bucket (parallel partitions),
     * broadcast each bucket's exclusive offset back. `perRow` is the
@@ -440,7 +456,8 @@ object Ops {
     * rows. Persist upstream first in that case. */
   private def bucketedPrefix(df: DataFrame, orderCols: Seq[Column],
       leadingNumeric: Column, nBuckets: Int, perRow: Column,
-      outCol: String): DataFrame = {
+      outCol: String,
+      leadingBounds: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Seq("__gk", "__v", "__bkt", "__off").foreach(c =>
       require(!df.columns.contains(c),
@@ -448,9 +465,13 @@ object Ops {
     val spark = df.sparkSession
     val keyed = df.withColumn("__gk", leadingNumeric.cast("double"))
       .withColumn("__v", perRow)
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = keyed.stat.approxQuantile("__gk", probes, 0.001)
-      .distinct.sorted
+    // caller-supplied bounds (a provably-uniform hash key) skip the
+    // quantile pass outright — bounds shift only load balance, never
+    // values, so the two forms are result-identical
+    val bounds = leadingBounds.map(_.toArray.distinct.sorted).getOrElse {
+      val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      keyed.stat.approxQuantile("__gk", probes, 0.001).distinct.sorted
+    }
     val bucketOf = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__gk") > lit(b), 1).otherwise(0)
     }
@@ -484,7 +505,8 @@ object Ops {
     * global form: the passes re-evaluate `df`'s lineage. */
   def withGroupedRunningSum(df: DataFrame, groupCol: Column,
       orderCols: Seq[Column], leadingNumeric: Column, valueCol: Column,
-      outCol: String = "cumsum", nBuckets: Int = 32): DataFrame = {
+      outCol: String = "cumsum", nBuckets: Int = 32,
+      leadingBounds: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.select(valueCol).schema.head.dataType
@@ -496,9 +518,10 @@ object Ops {
     val keyed = df.withColumn("__grp", groupCol)
       .withColumn("__gk", leadingNumeric.cast("double"))
       .withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = keyed.stat.approxQuantile("__gk", probes, 0.001)
-      .distinct.sorted
+    val bounds = leadingBounds.map(_.toArray.distinct.sorted).getOrElse {
+      val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      keyed.stat.approxQuantile("__gk", probes, 0.001).distinct.sorted
+    }
     val bucketOf = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__gk") > lit(b), 1).otherwise(0)
     }
@@ -538,7 +561,7 @@ object Ops {
       md5(keyCol.cast("string").cast("binary")))
     withGlobalRowNumber(keyed, Seq(col("__shx"), keyCol),
         expr("conv(substr(__shx, 1, 13), 16, 10)").cast("double"),
-        "__shrn", nBuckets)
+        "__shrn", nBuckets, leadingBounds = Some(md5PrefixBounds(nBuckets)))
       .withColumn("shard_id",
         floor((col("__shrn") - 1) / lit(shardSize.toDouble)).cast("long"))
       .drop("__shx", "__shrn")

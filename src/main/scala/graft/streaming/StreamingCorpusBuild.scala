@@ -334,7 +334,8 @@ object StreamingCorpusBuild {
     val withCum = Ops.withGroupedRunningSum(toks, col("source"),
       Seq(col("__hx"), col("doc_id")),
       expr("conv(substr(__hx, 1, 13), 16, 10)").cast("double"),
-      col("n"), "__cum")
+      col("n"), "__cum",
+      leadingBounds = Some(Ops.md5PrefixBounds()))
     // the carried spend is the PREFIX total — kept AND budget-cut
     // tokens — because the batch form's rule is "keep while the
     // running total fits", not a knapsack: once a source's cum passes

@@ -123,7 +123,8 @@ object StreamingShards {
         fresh.withColumn("__shx",
           md5(col("doc_id").cast("string").cast("binary"))),
         Seq(col("__shx"), col("doc_id")),
-        expr("conv(substr(__shx, 1, 13), 16, 10)").cast("double"), "__shrn")
+        expr("conv(substr(__shx, 1, 13), 16, 10)").cast("double"), "__shrn",
+        leadingBounds = Some(Ops.md5PrefixBounds()))
       .withColumn("shard_id",
         floor((col("__shrn") - lit(1) + lit(offset)) / lit(shardSize.toDouble))
           .cast("long"))
