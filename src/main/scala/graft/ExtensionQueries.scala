@@ -991,7 +991,19 @@ object ExtensionQueries {
           concat(lit("src"),
             ((regexp_extract(col("source"), "[0-9]+", 0).cast("long") + 7)
               % 20).cast("string")).as("source")))
-    (corpus, evals, sourceTokenBudgets.toDF("source", "budget"))
+    // Pin the fixture ONCE per invocation (eager): the capstone chain
+    // plus the weight learners evaluate `corpus` in 5-10 separate
+    // statements, and each re-ran this 4-way union of regex-variant
+    // projections over the parquet scan — pure fixture-construction
+    // cost repeated per statement (measured in the r16 profile as part
+    // of every build statement's job time). A production caller's
+    // corpus IS a materialized table, so the pin models the real input
+    // shape rather than hiding work; results are unchanged (the oracle
+    // replays the same rows from its `corpus` CTE). Fixture-scale pin:
+    // the text fits executor memory by construction here; never pin a
+    // text-bearing frame in operator code (the toks/no-text doctrine).
+    (graft.operators.Ops.checkpointKeepPartitioning(corpus, eager = true),
+      evals, sourceTokenBudgets.toDF("source", "budget"))
   }
 
   /** The plain capstone build, MEMOIZED per (JVM, sfDir) with its
@@ -3818,9 +3830,13 @@ object ExtensionQueries {
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.weights(corpus), 2000L)
-        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        // weight fit ∥ curation chain (guide §2.6): the learned budget
+        // table is only consumed at the mixing stage, several
+        // statements into the build
+        val budgets = graft.operators.Ops.deferred(
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.weights(corpus), 2000L))
+        graft.operators.CorpusBuild.build(corpus, evals, budgets())
           .attribution.orderBy("doc_id")
       }),
 
@@ -3847,12 +3863,16 @@ object ExtensionQueries {
         val tbl = "graft_cbdmx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
-        graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
-          "source", "text", tbl, s"/tmp/graft_index/$tbl")
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
-          2000L)
-        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        // index build + re-weighting ∥ curation chain (§2.6): the
+        // budget table is only consumed at the mixing stage
+        val budgets = graft.operators.Ops.deferred {
+          graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
+            "source", "text", tbl, s"/tmp/graft_index/$tbl")
+          graft.operators.Doremi.budgets(
+            graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
+            2000L)
+        }
+        graft.operators.CorpusBuild.build(corpus, evals, budgets())
           .attribution.orderBy("doc_id")
       }),
 
@@ -3882,9 +3902,10 @@ object ExtensionQueries {
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.ablationWeights(corpus, evals), 2000L)
-        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        val budgets = graft.operators.Ops.deferred( // fit ∥ curation
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.ablationWeights(corpus, evals), 2000L))
+        graft.operators.CorpusBuild.build(corpus, evals, budgets())
           .attribution.orderBy("doc_id")
       }),
 
@@ -3906,9 +3927,10 @@ object ExtensionQueries {
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.shapleyWeights(corpus, evals), 2000L)
-        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        val budgets = graft.operators.Ops.deferred( // value ∥ curation
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.shapleyWeights(corpus, evals), 2000L))
+        graft.operators.CorpusBuild.build(corpus, evals, budgets())
           .attribution.orderBy("doc_id")
       }),
 
@@ -3930,10 +3952,11 @@ object ExtensionQueries {
           |ORDER BY a.doc_id""".stripMargin),
       (s, dir) => {
         val (corpus, evals, _) = corpusBuildFixture(s, dir)
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.sampledShapleyWeights(corpus, evals),
-          2000L)
-        graft.operators.CorpusBuild.build(corpus, evals, budgets)
+        val budgets = graft.operators.Ops.deferred( // value ∥ curation
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.sampledShapleyWeights(corpus, evals),
+            2000L))
+        graft.operators.CorpusBuild.build(corpus, evals, budgets())
           .attribution.orderBy("doc_id")
       }),
 
@@ -4115,11 +4138,12 @@ object ExtensionQueries {
           .select("doc_id", "text").localCheckpoint()
         val train0 = docs.where(col("doc_id") % 97 =!= 0)
         val slices = graft.operators.Ops.checkpointKeepPartitioning(
-          NgramLm.keyedBigramCounts(train0, "source"))
+          NgramLm.keyedBigramCounts(train0, "source"), eager = true)
         val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
         val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
         val abl = graft.operators.Ops.checkpointKeepPartitioning(
-          NgramLm.panelAblatedCounts(tot, slices, "source", panel))
+          NgramLm.panelAblatedCounts(tot, slices, "source", panel),
+          eager = true) // scoring's 4 broadcasts force it concurrently
         NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
           .groupBy("held_out")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -4143,12 +4167,13 @@ object ExtensionQueries {
           .select("doc_id", "text").localCheckpoint()
         val train0 = docs.where(col("doc_id") % 97 =!= 0)
         val slices = graft.operators.Ops.checkpointKeepPartitioning(
-          NgramLm.keyedBigramCounts(train0, "source"))
+          NgramLm.keyedBigramCounts(train0, "source"), eager = true)
         val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
         val panel = "none" +: train0.select("source").distinct()
           .as[String].collect().sorted.toSeq
         val abl = graft.operators.Ops.checkpointKeepPartitioning(
-          NgramLm.panelAblatedCounts(tot, slices, "source", panel))
+          NgramLm.panelAblatedCounts(tot, slices, "source", panel),
+          eager = true) // scoring's 4 broadcasts force it concurrently
         NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
           .groupBy("held_out")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -4187,7 +4212,8 @@ object ExtensionQueries {
           .where(col("cb") =!= 0L)
         val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
         val abl = graft.operators.Ops.checkpointKeepPartitioning(
-          NgramLm.panelAblatedCounts(tot, slices, "grp", panel))
+          NgramLm.panelAblatedCounts(tot, slices, "grp", panel),
+          eager = true) // scoring's 4 broadcasts force it concurrently
         NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals)
           .groupBy("held_out")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -4222,10 +4248,11 @@ object ExtensionQueries {
     },
       (s, dir) => {
         val (corpus, evals, fixed) = corpusBuildFixture(s, dir)
-        val learned = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.weights(corpus), 2000L)
+        val learned = graft.operators.Ops.deferred( // fit ∥ pins
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.weights(corpus), 2000L))
         graft.operators.CorpusBuild.mixerDiff(corpus, evals, fixed,
-            learned)
+            learned())
           .orderBy("doc_id")
       }),
 

@@ -72,7 +72,8 @@ object SelectionQueries {
     val docs = load(s, dir, "documents")
     val raw = docs.where(col("source") =!= "src0")
     val rawFeats = Ops.checkpointKeepPartitioning(
-      Dsir.bucketedFeatures(raw, hexChars = 2))
+      Dsir.bucketedFeatures(raw, hexChars = 2),
+      eager = true) // ratios+unseen broadcasts force it concurrently
     val model = Dsir.fitBucketed(
       Dsir.bucketedFeatures(docs.where(col("source") === "src0"), hexChars = 2),
       rawFeats, hexChars = 2)
@@ -345,7 +346,8 @@ object SelectionQueries {
         val docs = load(s, dir, "documents")
         val raw = docs.where(col("source") =!= "src0")
         val rawFeats = Ops.checkpointKeepPartitioning(
-          Dsir.bucketedFeatures(raw, hexChars = 2))
+          Dsir.bucketedFeatures(raw, hexChars = 2),
+          eager = true) // ratios+unseen broadcasts force it concurrently
         val tgtFeats = Dsir.bucketedFeatures(
           docs.where(col("source") === "src0"), hexChars = 2)
         val model = Dsir.fitBucketed(tgtFeats, rawFeats, 2)

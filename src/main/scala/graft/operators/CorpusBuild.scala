@@ -98,13 +98,21 @@ object CorpusBuild {
     *   min-id default (see [[QualityRules.fineWebPipeline]]): the
     *   rank-aware canonical-copy choice `ext_graph_rank_keeper`
     *   demonstrates standalone, threaded into the capstone. */
-  def build(corpus: DataFrame, evalDocs: DataFrame, budgets: DataFrame,
+  def build(corpus: DataFrame, evalDocs: DataFrame, budgets: => DataFrame,
       contamThreshold: Int = 10, chunkSize: Int = 32, overlap: Int = 4,
       packTokens: Int = 512, packsPerShard: Int = 4,
       dsirTarget: Option[String] = None,
       embedStages: Option[EmbeddingStages] = None,
       spanCleanK: Option[Int] = None,
       keeperPriorities: Option[DataFrame] = None): Result = {
+    // `budgets` is BY-NAME and read exactly once, at the mixing stage:
+    // a budget table that is itself the product of an eager learning
+    // pass (DoReMi / ablation / Shapley weights — seconds of
+    // statements, independent of the curation chain) can be computed
+    // on a caller thread CONCURRENTLY with the curation/decon/toks
+    // statements (guide §2.6, overlap independent jobs) and handed in
+    // as a future-blocking thunk ([[Ops.deferred]]); eager callers
+    // pass a plain frame and nothing changes.
     require(contamThreshold >= 1 && packTokens > 0 && packsPerShard > 0)
 
     // ── curation + exact dedup (first-cut attribution inside) ──────
@@ -203,7 +211,8 @@ object CorpusBuild {
         val rawDocs = cleanD4.where(col("source") =!= t)
         val rawFeats = Ops.checkpointKeepPartitioning(
           Dsir.bucketedFeatures(rawDocs.select("doc_id", "text"),
-            hexChars = 2))
+            hexChars = 2), eager = true) // ratios+unseen broadcasts
+            // both force it concurrently when lazy (the convoy)
         val model = Dsir.fitBucketed(
           Dsir.bucketedFeatures(target, hexChars = 2), rawFeats, 2)
         val cut = Dsir.scoreWeightsBucketed(model, rawFeats,
@@ -394,8 +403,11 @@ object CorpusBuild {
     * attributions. The text never rides past the token count: the
     * diff'd frame is (id, source, n, hash), tiny at any corpus size. */
   def mixerDiff(corpus: DataFrame, evalDocs: DataFrame,
-      budgetsA: DataFrame, budgetsB: DataFrame,
+      budgetsA: => DataFrame, budgetsB: => DataFrame,
       contamThreshold: Int = 10): DataFrame = {
+    // budget tables by-name, each read once at the final joins — a
+    // LEARNED table (DoReMi weights) can be computed concurrently with
+    // the curation+toks statements via [[Ops.deferred]] (guide §2.6)
     val staged = QualityRules.fineWebPipeline(corpus)
     val curated = corpus.join(
       staged.where(col("cut_stage") === "kept").select("doc_id"), "doc_id")

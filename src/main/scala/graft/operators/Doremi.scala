@@ -81,9 +81,16 @@ object Doremi {
         .join(docs.select(col("doc_id"), col(srcCol).as("source")),
           "doc_id"))
     // primary aggregate: per-(source, bigram) counts; everything else
-    // is a rollup of this table, so the corpus is never re-read
+    // is a rollup of this table, so the corpus is never re-read.
+    // EAGER: six broadcast model subplans below all read this table —
+    // left lazy, their concurrent first-forcing convoys on the
+    // unmaterialized checkpoint's per-partition block locks (measured:
+    // 7 concurrent ~12.5 s jobs for a ~1 s chain). One sequential
+    // materialization (which also forces the bgs pin, single-threaded)
+    // lets every broadcast read blocks.
     val sbc = Ops.checkpointKeepPartitioning(
-      bgs.groupBy("source", "bg").agg(count(lit(1)).as("cb")))
+      bgs.groupBy("source", "bg").agg(count(lit(1)).as("cb")),
+      eager = true)
     val scc = sbc.groupBy(col("source"),
         substring_index(col("bg"), " ", 1).as("prev"))
       .agg(sum(col("cb")).as("cctx_own"))
@@ -235,13 +242,19 @@ object Doremi {
       textCol: String = "text"): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
+    // both pins EAGER: the scoring pass's four concurrent broadcast
+    // subplans (keys/counts/cc/v) otherwise first-force the lazy abl
+    // chain in parallel and convoy on its block locks, and abl's own
+    // totals+join branches double-force slices (the domainSignals
+    // measurement — see that site's comment)
     val slices = Ops.checkpointKeepPartitioning(
-      NgramLm.keyedBigramCounts(train, srcCol, textCol))
+      NgramLm.keyedBigramCounts(train, srcCol, textCol), eager = true)
     val tot = slices.groupBy("bg").agg(sum(col("cb")).as("cb"))
     val panel = "none" +: train.select(srcCol).distinct()
       .as[String].collect().sorted.toSeq
     val abl = Ops.checkpointKeepPartitioning(
-      NgramLm.panelAblatedCounts(tot, slices, srcCol, panel))
+      NgramLm.panelAblatedCounts(tot, slices, srcCol, panel),
+      eager = true)
     val perHeld = NgramLm.scoreKeyedBigramMillis(abl, "held_out", evals,
         textCol = textCol)
       .groupBy("held_out")
@@ -364,7 +377,10 @@ object Doremi {
     * — beyond that swap the sum to decimal, the sourceTokenKl
     * caveat). */
   def tokenSignalsFromCounts(sbc: DataFrame): DataFrame = {
-    val pinned = Ops.checkpointKeepPartitioning(sbc)
+    // eager: five model rollups below (scc/sv/bc→cc/v) force this pin
+    // concurrently when left lazy (auto-broadcast builds) — the
+    // domainSignals convoy; one sequential materialization instead
+    val pinned = Ops.checkpointKeepPartitioning(sbc, eager = true)
     val scc = pinned.groupBy(col("source"),
         substring_index(col("bg"), " ", 1).as("prev"))
       .agg(sum(col("cb")).as("cctx_own"))

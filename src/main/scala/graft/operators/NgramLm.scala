@@ -92,8 +92,14 @@ object NgramLm {
     * the winnow and TF-IDF frames. */
   def train(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model =
+    // eager: a scoring statement broadcasts all three model tables at
+    // once, and their concurrent subplans would first-force a LAZY
+    // count pin in parallel — convoying on the unmaterialized blocks'
+    // per-partition locks (measured ~6× on the Doremi twin of this
+    // boundary). One sequential count materializes the corpus pass
+    // once; every broadcast then reads blocks.
     modelFromCounts(Ops.checkpointKeepPartitioning(
-      bigramCounts(docs, idCol, textCol)))
+      bigramCounts(docs, idCol, textCol), eager = true))
 
   /** Raw additive count rows for `docs` — the model's persistable
     * state. Counts form a commutative group (merge = sum, unlearn =
@@ -397,7 +403,8 @@ object NgramLm {
     // scoring join — unpinned, each consumer would re-run the corpus
     // tokenize+explode+aggregate pass (the train()/winnow/TF-IDF trap)
     val sc = Ops.checkpointKeepPartitioning(
-      tok.groupBy("source", "token").agg(count(lit(1)).as("cs")))
+      tok.groupBy("source", "token").agg(count(lit(1)).as("cs")),
+      eager = true) // three concurrent broadcasts force it otherwise
     val sTot = sc.groupBy("source").agg(sum(col("cs")).as("ns"))
     val ct = sc.groupBy("token").agg(sum(col("cs")).as("c"))
     val n = ct.agg(sum(col("c")).as("n"))

@@ -277,6 +277,24 @@ object Ops {
     } finally pool.shutdownNow()
   }
 
+  /** Starts `compute` on a background thread IMMEDIATELY and returns a
+    * memoizing thunk that blocks for its result — the §2.6
+    * overlap-independent-jobs idiom for an eagerly-computed input that
+    * a downstream stage consumes later (e.g. a learned budget table the
+    * capstone's mixing stage joins several statements after the
+    * curation chain starts: the weight fit's statements and the
+    * curation statements then share the cluster instead of running
+    * back-to-back). The body must be independent of the caller's
+    * intervening statements (the [[concurrently]] contract); failures
+    * surface at the consumption point, unwrapped. */
+  def deferred[A](compute: => A): () => A = {
+    val f = java.util.concurrent.CompletableFuture.supplyAsync(
+      new java.util.function.Supplier[A] { override def get(): A = compute })
+    () => try f.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      throw e.getCause }
+  }
+
   /** Round-robin fan-out for hash-heavy projections (signatures,
     * fingerprints) — skipped ONLY when the input is an
     * already-materialized leaf (a localCheckpoint'd gate batch) that is
