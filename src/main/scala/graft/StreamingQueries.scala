@@ -350,11 +350,13 @@ object StreamingQueries {
         val (corpus, evals, _) =
           ExtensionQueries.corpusBuildFixture(s, dir)
         // tight 2k pool — see ext_corpus_build_doremi: the ledger must
-        // actually cut for the arrival-order spend to be value-checked
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.Doremi.weights(corpus), 2000L)
+        // actually cut for the arrival-order spend to be value-checked.
+        // The fit is passed BY-NAME: run() resolves it on a background
+        // thread while the stream scaffolding sets up (§2.6).
         graft.streaming.StreamingCorpusBuild.run(s, corpus, evals,
-          budgets, s"/tmp/graft_scorpus_dm/$tag", s"graft_scbdm_$tag",
+          graft.operators.Doremi.budgets(
+            graft.operators.Doremi.weights(corpus), 2000L),
+          s"/tmp/graft_scorpus_dm/$tag", s"graft_scbdm_$tag",
           s"/tmp/graft_scorpus_dm/$tag/idx")
       }),
 
@@ -528,11 +530,13 @@ object StreamingQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val (corpus, evals, budgets) =
           ExtensionQueries.corpusBuildFixture(s, dir)
-        val pinned = graft.streaming.StreamingCorpusBuild
-          .pinnedDsirFromCorpus(corpus, evals, 10, "src0")
+        // fit expression passed BY-NAME: run() resolves it on a
+        // background thread while the stream scaffolding sets up (§2.6)
         graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
           s"/tmp/graft_scorpusd/$tag", s"graft_scbd_$tag",
-          s"/tmp/graft_scorpusd/$tag/idx", dsir = Some(pinned))
+          s"/tmp/graft_scorpusd/$tag/idx",
+          dsir = Some(graft.streaming.StreamingCorpusBuild
+            .pinnedDsirFromCorpus(corpus, evals, 10, "src0")))
       }),
 
     // sr17's PRODUCTION hydration path: the pinned DSIR model comes
@@ -557,17 +561,23 @@ object StreamingQueries {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val (corpus, evals, budgets) =
           ExtensionQueries.corpusBuildFixture(s, dir)
-        val (target, raw) = graft.streaming.StreamingCorpusBuild
-          .postDeconSplit(corpus, evals, 10, "src0")
-        s.sql(s"DROP TABLE IF EXISTS graft_scbdx_${tag}_counts")
-        graft.operators.IndexStore.buildDsirIndex(target, raw,
-          "doc_id", "text", s"graft_scbdx_$tag",
-          s"/tmp/graft_scorpusdx/$tag/dsiridx")
-        val pinned = graft.streaming.StreamingCorpusBuild
-          .pinnedDsirFromIndex(s, s"graft_scbdx_$tag", "src0")
+        // index build + hydration passed BY-NAME: run() resolves the
+        // whole chain on a background thread while the stream
+        // scaffolding sets up (§2.6); its tables (_counts) are disjoint
+        // from run's (_fps), so the DDL never races
         graft.streaming.StreamingCorpusBuild.run(s, corpus, evals, budgets,
           s"/tmp/graft_scorpusdx/$tag", s"graft_scbdx_$tag",
-          s"/tmp/graft_scorpusdx/$tag/idx", dsir = Some(pinned))
+          s"/tmp/graft_scorpusdx/$tag/idx",
+          dsir = {
+            val (target, raw) = graft.streaming.StreamingCorpusBuild
+              .postDeconSplit(corpus, evals, 10, "src0")
+            s.sql(s"DROP TABLE IF EXISTS graft_scbdx_${tag}_counts")
+            graft.operators.IndexStore.buildDsirIndex(target, raw,
+              "doc_id", "text", s"graft_scbdx_$tag",
+              s"/tmp/graft_scorpusdx/$tag/dsiridx")
+            Some(graft.streaming.StreamingCorpusBuild
+              .pinnedDsirFromIndex(s, s"graft_scbdx_$tag", "src0"))
+          })
       }),
 
     // sr26's PRODUCTION hydration path: the frozen mixture comes from
@@ -595,14 +605,18 @@ object StreamingQueries {
         val (corpus, evals, _) =
           ExtensionQueries.corpusBuildFixture(s, dir)
         val tbl = s"graft_scbdmx_$tag"
-        s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
-        graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
-          "source", "text", tbl, s"/tmp/graft_scorpus_dmx/$tag/dmidx")
-        val budgets = graft.operators.Doremi.budgets(
-          graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
-          2000L)
+        // index build + re-weighting passed BY-NAME: run() resolves the
+        // chain on a background thread while the stream scaffolding
+        // sets up (§2.6); the _dmc table is disjoint from run's _fps
         graft.streaming.StreamingCorpusBuild.run(s, corpus, evals,
-          budgets, s"/tmp/graft_scorpus_dmx/$tag", tbl,
+          {
+            s.sql(s"DROP TABLE IF EXISTS ${tbl}_dmc")
+            graft.operators.IndexStore.buildDoremiIndex(corpus, "doc_id",
+              "source", "text", tbl, s"/tmp/graft_scorpus_dmx/$tag/dmidx")
+            graft.operators.Doremi.budgets(
+              graft.operators.IndexStore.doremiWeightsFromIndex(s, tbl),
+              2000L)
+          }, s"/tmp/graft_scorpus_dmx/$tag", tbl,
           s"/tmp/graft_scorpus_dmx/$tag/idx")
       }),
 

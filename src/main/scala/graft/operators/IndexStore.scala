@@ -3096,13 +3096,19 @@ object IndexStore {
       batchKey: Long = 0L, nBuckets: Int = 4): Unit = {
     require(batchKey >= 0, s"build batchKey must be in-band, got $batchKey")
     val spark = docs.sparkSession
-    val counts = authCounts(docs, srcCol, idCol, textCol, k, batchKey)
+    // pinned EAGER: the indexability guard's source-distinct collect and
+    // the bucketed CTAS below both consume the counts — unpinned, the
+    // corpus-sized shingle+md5 pass ran TWICE per build (measured: the
+    // guard's collect was the single biggest job of the build)
+    val counts = Ops.checkpointKeepPartitioning(
+      authCounts(docs, srcCol, idCol, textCol, k, batchKey), eager = true)
     requireAuthSourcesIndexable(docs, counts, srcCol, k,
       s"buildAuthorityIndex($table)")
     bucketRouted(counts, "ph", nBuckets)
       .write.bucketBy(nBuckets, "ph")
       .option("path", s"$path/${table}_aph").mode("overwrite")
       .saveAsTable(s"${table}_aph")
+    Ops.freeLogicalRddBlocks(counts)
     setParams(spark, s"${table}_aph",
       authParams(srcCol, idCol, k) +
         (AuthBkHighWaterParam -> batchKey.toString))
@@ -3130,13 +3136,18 @@ object IndexStore {
       false
     else {
       val nb = numBucketsOf(spark, aph)
-      val counts = authCounts(delta, srcCol, idCol, textCol, k, batchKey)
+      // pinned eager: guard collect + append write both consume the
+      // batch counts (the buildAuthorityIndex doubled-pass fix)
+      val counts = Ops.checkpointKeepPartitioning(
+        authCounts(delta, srcCol, idCol, textCol, k, batchKey),
+        eager = true)
       requireAuthSourcesIndexable(delta, counts, srcCol, k,
         s"appendAuthorityIndex($table)",
         liveFor = Some(srcs =>
           authorityShinglesFromIndex(spark, table, forSources = Some(srcs))))
       bucketRouted(counts, "ph", nb)
         .write.bucketBy(nb, "ph").mode("append").saveAsTable(aph)
+      Ops.freeLogicalRddBlocks(counts)
       noteAppend(spark, aph)
       true
     }
