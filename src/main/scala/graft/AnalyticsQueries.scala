@@ -878,7 +878,8 @@ object AnalyticsQueries {
              |FROM o ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = load(s, dir, "documents")
-        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
+          eagerCounts = true) // scored immediately below (convoy fix)
         NgramLm.withBands(
             NgramLm.scoreMicroBits(model, docs.where(col("doc_id") % 10 >= 8)))
           .orderBy("doc_id")
@@ -935,7 +936,8 @@ object AnalyticsQueries {
              |FROM agg ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = load(s, dir, "documents")
-        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
+          eagerCounts = true) // scored immediately below (convoy fix)
         NgramLm.scoreInterpolated(model, docs.where(col("doc_id") % 10 >= 8))
           .orderBy("doc_id")
       }),
@@ -1000,7 +1002,8 @@ object AnalyticsQueries {
              |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
              |  count(*) AS n_types, CAST(sum(term_micro) AS BIGINT) AS kl_micro
              |FROM terms GROUP BY source ORDER BY source""".stripMargin),
-      (s, dir) => NgramLm.sourceTokenKl(load(s, dir, "documents"))),
+      (s, dir) => NgramLm.sourceTokenKl(load(s, dir, "documents"),
+        eagerCounts = true)), // consumed immediately (convoy fix)
 
     // Quality-vs-perplexity CALIBRATION matrix: the held-out slice
     // banded into terciles by BOTH quality models — the heuristic
@@ -1071,7 +1074,8 @@ object AnalyticsQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
         val docs = load(s, dir, "documents")
-        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
+          eagerCounts = true) // scored immediately below (convoy fix)
         val held = docs.where(col("doc_id") % 10 >= 8)
         // both terciles via the exact distributed ntile (Ops
         // .withGlobalNtile) — no partitionBy-less window anywhere;

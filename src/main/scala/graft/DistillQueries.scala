@@ -212,14 +212,17 @@ object DistillQueries {
             concat(lit(" "), col("text"), lit("  ")).as("text")))
         // boundary: scored feeds the keeper aggregate AND the join back
         // — unpinned, Catalyst would inline the feature projection +
-        // weight join into both consumers (the rawFeats doctrine)
+        // weight join into both consumers (the rawFeats doctrine).
+        // EAGER: the two consumers are parallel stages of ONE final
+        // statement, so a lazy pin gets first-forced by both
+        // concurrently (the convoy) — materialize once instead.
         val scored = graft.operators.Ops.checkpointKeepPartitioning(
           Distill.score(
             live.select(col("doc_id"),
               Distill.featureBuckets(col("text")).as("buckets"),
               graft.functions.TextAnalysis.fingerprintMd5(col("text"))
                 .as("fp")),
-            "buckets", w))
+            "buckets", w), eager = true)
         // keeper via an AGGREGATE over the gate's survivors joined
         // back, not a fingerprint-partitioned window — a boilerplate
         // fingerprint with millions of passing copies stays a map-side

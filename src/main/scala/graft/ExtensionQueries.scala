@@ -3132,7 +3132,8 @@ object ExtensionQueries {
         val corpus = d.unionAll(d.where(col("doc_id") % 10 === 8)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(lit(" "), col("text"), lit("  ")).as("text")))
-        val model = NgramLm.train(corpus.where(col("doc_id") % 10 < 8))
+        val model = NgramLm.train(corpus.where(col("doc_id") % 10 < 8),
+          eagerCounts = true) // scored immediately below (convoy fix)
         val banded = NgramLm.withBands(
           NgramLm.scoreMicroBits(model, corpus.where(col("doc_id") % 10 >= 8)))
         val feat = corpus.select(col("doc_id"),
@@ -4027,7 +4028,8 @@ object ExtensionQueries {
         val res = corpusBuildResult(s, dir)
         graft.operators.NgramLm.scoreMicroBits(
             graft.operators.NgramLm.train(
-              res.survivors.select("doc_id", "text")),
+              res.survivors.select("doc_id", "text"),
+              eagerCounts = true), // scored immediately (convoy fix)
             evals)
           .orderBy("doc_id")
       }),
@@ -4109,7 +4111,8 @@ object ExtensionQueries {
         panel.map { src =>
           val tr = if (src == "none") train0
             else train0.where(col("source") =!= src)
-          NgramLm.scoreBigramMillis(NgramLm.train(tr), evals)
+          NgramLm.scoreBigramMillis(
+            NgramLm.train(tr, eagerCounts = true), evals)
             .agg(count(lit(1)).cast("long").as("n_bigrams"),
               floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
                 + lit(0.5)).cast("long").as("h_milli_tok"))
@@ -5753,7 +5756,8 @@ object ExtensionQueries {
         import s.implicits._
         val budgets = sourceTokenBudgets.toDF("source", "budget")
         val docs = load(s, dir, "documents")
-        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+        val model = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
+          eagerCounts = true) // scored immediately below (convoy fix)
         val banded = NgramLm.withBands(
             NgramLm.scoreMicroBits(model, docs))
           .select(col("doc_id"),

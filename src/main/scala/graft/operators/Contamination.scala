@@ -85,9 +85,14 @@ object Contamination {
     // pinned: TWO consumers (the exploded join and the per-doc size
     // projection) — unpinned, the corpus-sized tokenize+shingle pass
     // would run twice (the rawFeats doctrine from the DSIR path)
+    // eager: the exploded-join branch and the per-doc size branch are
+    // parallel stages of one statement — a lazy pin gets first-forced
+    // by both concurrently (the convoy); materialize the corpus-sized
+    // shingle pass once instead
     val withSh = Ops.checkpointKeepPartitioning(
       corpus.select(col("doc_id"),
-        array_distinct(Dedup.wordShingles(col("text"), n)).as("sh")))
+        array_distinct(Dedup.wordShingles(col("text"), n)).as("sh")),
+      eager = true)
     val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val joined =
       if (broadcastEval) exploded.join(broadcast(ev), "s")

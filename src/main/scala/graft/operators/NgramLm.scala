@@ -91,15 +91,19 @@ object NgramLm {
     * pass once per consumer — the same trap ARCHITECTURE.md records for
     * the winnow and TF-IDF frames. */
   def train(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Model =
-    // eager: a scoring statement broadcasts all three model tables at
-    // once, and their concurrent subplans would first-force a LAZY
-    // count pin in parallel — convoying on the unmaterialized blocks'
-    // per-partition locks (measured ~6× on the Doremi twin of this
-    // boundary). One sequential count materializes the corpus pass
-    // once; every broadcast then reads blocks.
+      textCol: String = "text", eagerCounts: Boolean = false): Model =
+    // `eagerCounts = true` materializes the count pin at train() time:
+    // a scoring statement broadcasts all three model tables at once,
+    // and their concurrent subplans first-force a LAZY count pin in
+    // parallel — convoying on the unmaterialized blocks' per-partition
+    // locks (measured ~6× on the Doremi twin of this boundary). A
+    // caller that scores immediately should pass true (one sequential
+    // count; every broadcast then reads blocks). The DEFAULT stays
+    // lazy: constructing a model launches no jobs (the Model contract,
+    // pinned in DedupSpec) — a model built for later/streamed serving
+    // pays nothing until first use.
     modelFromCounts(Ops.checkpointKeepPartitioning(
-      bigramCounts(docs, idCol, textCol), eager = true))
+      bigramCounts(docs, idCol, textCol), eager = eagerCounts))
 
   /** Raw additive count rows for `docs` — the model's persistable
     * state. Counts form a commutative group (merge = sum, unlearn =
@@ -396,15 +400,18 @@ object NgramLm {
     * 1-row grand total stay broadcast either way — bounded by the
     * source count, not the vocabulary. */
   def sourceTokenKl(docs: DataFrame, srcCol: String = "source",
-      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+      textCol: String = "text", broadcastModel: Boolean = true,
+      eagerCounts: Boolean = false): DataFrame = {
     val tok = docs.select(col(srcCol).as("source"),
       explode(cleanTokens(col(textCol))).as("token"))
     // boundary: sc feeds the source totals, the corpus counts, AND the
     // scoring join — unpinned, each consumer would re-run the corpus
     // tokenize+explode+aggregate pass (the train()/winnow/TF-IDF trap)
+    // eagerCounts = true: three concurrent broadcasts first-force a
+    // lazy pin (the train() convoy); default stays construction-lazy
     val sc = Ops.checkpointKeepPartitioning(
       tok.groupBy("source", "token").agg(count(lit(1)).as("cs")),
-      eager = true) // three concurrent broadcasts force it otherwise
+      eager = eagerCounts)
     val sTot = sc.groupBy("source").agg(sum(col("cs")).as("ns"))
     val ct = sc.groupBy("token").agg(sum(col("cs")).as("c"))
     val n = ct.agg(sum(col("c")).as("n"))

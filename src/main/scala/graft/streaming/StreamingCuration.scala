@@ -48,7 +48,7 @@ object StreamingCuration {
     // model, vocab literal, and the frozen perplexity cutoff — all
     // batch-side, pinned so the per-batch stream-static joins don't
     // re-run training (see StreamingLmScore for the boundary story)
-    val raw = NgramLm.train(train)
+    val raw = NgramLm.train(train, eagerCounts = true) // scored next line
     val model = raw.copy(
       contextCounts = Ops.checkpointKeepPartitioning(raw.contextCounts))
     val trainScores = NgramLm.scoreMicroBits(model, train)

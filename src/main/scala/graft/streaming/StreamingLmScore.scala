@@ -31,7 +31,8 @@ object StreamingLmScore {
   def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    val raw = NgramLm.train(docs.where(col("doc_id") % 10 < 8))
+    val raw = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
+      eagerCounts = true) // batch-side materialization, not at batch 1
     // bigramCounts is already behind train()'s lazy boundary (filled at
     // the first micro-batch, reused by the rest); only the context
     // rollup derived from it needs its own pin here
