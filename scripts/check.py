@@ -8,6 +8,63 @@ and diffs values column-by-column (columns sorted by name).
 NOT part of the shipped Scala library — local tooling only.
 """
 import sys, json, glob, os
+
+
+def bench_compare(old_path, new_path, factor=1.3, floor=1.0):
+    """Control-calibrated bench comparison over two SPARK_GRAFT_BENCH_OUT
+    dump files (r16 VERDICT item 6): this machine drifts 2-3x in
+    stretches, so a raw per-query ratio between two one-shot runs mostly
+    measures machine state. The bench's fixed control queries (3
+    CPU-bound + 3 IO-bound, always full-rep — Bench.ControlCpu/ControlIo)
+    ride every run; a query is flagged REGRESSED only when its new/old
+    ratio exceeds `factor` x the CONTROL ratio (and the query is above
+    `floor` seconds in either run — sub-second queries are scheduling
+    noise). Exits non-zero iff calibrated regressions exist."""
+    old = json.load(open(old_path)); new = json.load(open(new_path))
+
+    def ctl(d):
+        # max of the two control sums' ratios is the conservative
+        # calibration: a run degraded on EITHER axis legitimately slows
+        # queries bound by that axis
+        return d.get("control_cpu", 0.0), d.get("control_io", 0.0)
+
+    (ocpu, oio), (ncpu, nio) = ctl(old), ctl(new)
+    ctl_ratio = max(ncpu / ocpu if ocpu > 0 else 1.0,
+                    nio / oio if oio > 0 else 1.0, 1.0)
+    oq = {k: v["sec"] for k, v in old.get("queries", {}).items()}
+    nq = {k: v["sec"] for k, v in new.get("queries", {}).items()}
+    common = sorted(set(oq) & set(nq))
+    regressed, improved = [], []
+    for k in common:
+        a, b = oq[k], nq[k]
+        if max(a, b) < floor or a <= 0:
+            continue
+        ratio = b / a
+        if ratio > factor * ctl_ratio:
+            regressed.append((k, a, b, ratio))
+        elif ratio < 1 / factor:
+            improved.append((k, a, b, ratio))
+    for k, a, b, r in sorted(regressed, key=lambda t: -t[3]):
+        print(f"REGRESSED {k}: {a:.2f}s -> {b:.2f}s (x{r:.2f}, "
+              f"control x{ctl_ratio:.2f})")
+    for k, a, b, r in sorted(improved, key=lambda t: t[3]):
+        print(f"IMPROVED  {k}: {a:.2f}s -> {b:.2f}s (x{r:.2f})")
+    tot_o = sum(oq[k] for k in common); tot_n = sum(nq[k] for k in common)
+    print(json.dumps({
+        "n_common": len(common), "control_ratio": round(ctl_ratio, 3),
+        "control_cpu": [ocpu, ncpu], "control_io": [oio, nio],
+        "total_old": round(tot_o, 1), "total_new": round(tot_n, 1),
+        "n_regressed_calibrated": len(regressed),
+        "n_improved": len(improved),
+        "only_old": sorted(set(oq) - set(nq)),
+        "only_new": sorted(set(nq) - set(oq))}))
+    return 1 if regressed else 0
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--bench-compare":
+    sys.exit(bench_compare(*sys.argv[2:4],
+                           *[float(x) for x in sys.argv[4:6]]))
+
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

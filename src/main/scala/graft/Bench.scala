@@ -154,12 +154,26 @@ object Bench {
     // rep-1 failure as "single-rep" would make breakage read as a
     // cutoff-regime shift, the exact confusion this field prevents
     val nSingle = results.count(r => r._3.isEmpty && r._4 == 1)
+    // "stat" names the per-query statistic truthfully: index (n-1)/2 of
+    // the sorted reps is the LOWER median — the min when reps=2 (the
+    // default), the true median for odd reps. Echoed so a regime change
+    // (reps knob) is never mistaken for a speedup; the timing semantics
+    // themselves are unchanged (round-over-round comparability).
     val tail = f""""errors":$errs,"reps":$reps,"cutoff":$cutoff%.1f,""" +
-      f""""n_single_rep":$nSingle,""" +
+      f""""n_single_rep":$nSingle,"stat":"lower_median",""" +
       f""""control_cpu":${controlSum(ControlCpu)}%.3f,""" +
       f""""control_io":${controlSum(ControlIo)}%.3f,""" +
       f""""n_queries":${results.length},"unit":"sec","value":$total%.3f"""
     println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir",$tail}""")
+    // COMPACT summary as the very LAST stdout line: the full line above
+    // (the original one-line contract, kept verbatim — per-query map and
+    // all) is ~12 KB at 314 queries, and the archiving harness keeps
+    // only a ~2000-char TAIL of the run's output, so in 16 rounds it has
+    // never parsed it (BENCH_r*.json parsed: null). This line carries
+    // every summary field but no per-query map (~400 bytes — it survives
+    // any truncation window and parses standalone); the per-query map
+    // lives in the full line and in the SPARK_GRAFT_BENCH_OUT dump.
+    println(s"""{"metric":"total","sf":"$sfDir",$tail}""")
     outPath.foreach { p =>
       val perQuery = results.map { case (k, v, e, n) =>
         jstr(k) + ":{" + f""""sec":$v%.3f,"reps":$n""" +

@@ -991,20 +991,34 @@ object ExtensionQueries {
           concat(lit("src"),
             ((regexp_extract(col("source"), "[0-9]+", 0).cast("long") + 7)
               % 20).cast("string")).as("source")))
-    // Pin the fixture ONCE per invocation (eager): the capstone chain
-    // plus the weight learners evaluate `corpus` in 5-10 separate
-    // statements, and each re-ran this 4-way union of regex-variant
-    // projections over the parquet scan — pure fixture-construction
-    // cost repeated per statement (measured in the r16 profile as part
-    // of every build statement's job time). A production caller's
-    // corpus IS a materialized table, so the pin models the real input
-    // shape rather than hiding work; results are unchanged (the oracle
-    // replays the same rows from its `corpus` CTE). Fixture-scale pin:
-    // the text fits executor memory by construction here; never pin a
-    // text-bearing frame in operator code (the toks/no-text doctrine).
-    (graft.operators.Ops.checkpointKeepPartitioning(corpus, eager = true),
-      evals, sourceTokenBudgets.toDF("source", "budget"))
+    // Pin the fixture ONCE per (JVM, sfDir, variant) — eager, MEMOIZED
+    // (r16 pinned per invocation; r17 closes the r16 ADVICE leak): the
+    // capstone chain plus the weight learners evaluate `corpus` in 5-10
+    // separate statements, and each re-ran this 4-way union of
+    // regex-variant projections over the parquet scan — pure
+    // fixture-construction cost repeated per statement. Un-memoized,
+    // the ~15 capstone/streaming consumers (and the parallel Verify
+    // workers) each pinned a FRESH text-bearing copy with no explicit
+    // free, accumulating executor block memory for the session's life.
+    // A production caller's corpus IS one materialized table shared by
+    // every derived build, so the memo models the real input shape
+    // rather than hiding work; results are unchanged (the oracle
+    // replays the same rows from its `corpus` CTE), and the same
+    // stale-context validation as cbMemo rebuilds after a session
+    // restart. Fixture-scale pin: the text fits executor memory by
+    // construction here; never pin a text-bearing frame in operator
+    // code (the toks/no-text doctrine).
+    val pinned = fixtureMemo.compute(s"$dir|$withCrossSourcePlants",
+      (_, old) => {
+        if (old != null && !old.sparkSession.sparkContext.isStopped) old
+        else graft.operators.Ops.checkpointKeepPartitioning(corpus,
+          eager = true)
+      })
+    (pinned, evals, sourceTokenBudgets.toDF("source", "budget"))
   }
+
+  private val fixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The plain capstone build, MEMOIZED per (JVM, sfDir) with its
     * outputs pinned: seven registered queries derive different reports

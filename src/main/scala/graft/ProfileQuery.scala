@@ -19,8 +19,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * Usage: runMain graft.ProfileQuery [sfDir] queryName
   */
 object ProfileQuery {
-  private final case class JobSpan(id: Int, start: Long, var end: Long,
-      desc: String, group: String)
+  // `end` is written by the listener thread and read by main — volatile
+  // for the happens-before (r16 ADVICE: the CHM put alone orders only
+  // the put itself, a plain var could read stale 0 and drop the span)
+  private final class JobSpan(val id: Int, val start: Long,
+      @volatile var end: Long, val desc: String, val group: String)
+
+  // full JSON escaping for job descriptions (they embed arbitrary SQL
+  // text — quotes, backslashes, control chars)
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -43,7 +56,7 @@ object ProfileQuery {
         val g = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
           .map("sql-" + _).getOrElse("rdd")
-        jobs.put(e.jobId, JobSpan(e.jobId, System.nanoTime(), 0L,
+        jobs.put(e.jobId, new JobSpan(e.jobId, System.nanoTime(), 0L,
           d.takeWhile(_ != '\n').take(100), g))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
@@ -56,7 +69,18 @@ object ProfileQuery {
     val t0 = System.nanoTime()
     run(SparkEntry.queries(name)(spark, sfDir))
     val t1 = System.nanoTime()
-    Thread.sleep(500) // let listener events drain
+    // drain the listener deterministically instead of one fixed sleep
+    // (r16 ADVICE: a bare 500 ms sleep can silently drop late job-end
+    // events): every started job HAS ended (the action returned), so
+    // poll until every recorded span carries its end, bounded at 10 s
+    // (listenerBus.waitUntilEmpty is private[spark])
+    locally {
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.values.asScala.exists(_.end == 0L) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
     val spans = {
       import scala.jdk.CollectionConverters._
       jobs.values.asScala.toSeq.filter(_.end > 0).sortBy(_.start)
@@ -64,7 +88,7 @@ object ProfileQuery {
     spans.foreach { s =>
       println(f"""{"job":${s.id},"t0":${(s.start - t0) / 1e9}%.3f,""" +
         f""""sec":${(s.end - s.start) / 1e9}%.3f,"grp":"${s.group}",""" +
-        s""""desc":"${s.desc.replace("\"", "'")}"}""")
+        s""""desc":${jstr(s.desc)}}""")
     }
     // per-execution rollup (wall span of each group, overlap-aware: the
     // union of its job intervals)

@@ -288,8 +288,22 @@ object Ops {
     * intervening statements (the [[concurrently]] contract); failures
     * surface at the consumption point, unwrapped. */
   def deferred[A](compute: => A): () => A = {
+    // Dedicated single daemon thread per call, not the common ForkJoin
+    // pool (r16 ADVICE): long blocking Spark actions would starve the
+    // shared pool, and a daemon thread never blocks JVM exit. The
+    // executor shuts down when the body finishes, so nothing leaks.
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      r => { val t = new Thread(r, "graft-deferred"); t.setDaemon(true); t })
     val f = java.util.concurrent.CompletableFuture.supplyAsync(
-      new java.util.function.Supplier[A] { override def get(): A = compute })
+      new java.util.function.Supplier[A] { override def get(): A = compute },
+      exec)
+    exec.shutdown()
+    // a failure in a thunk the caller never consumes (its chain threw
+    // first) must not vanish silently — background jobs that died are
+    // exactly what skews the next measurement
+    f.whenComplete((_, err) => if (err != null)
+      System.err.println(s"[Ops.deferred] background compute failed " +
+        s"(surfaces at consumption if consumed): ${err.getCause}"))
     () => try f.get()
     catch { case e: java.util.concurrent.ExecutionException =>
       throw e.getCause }

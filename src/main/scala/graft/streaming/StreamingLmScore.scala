@@ -33,9 +33,9 @@ object StreamingLmScore {
       .select("doc_id", "text")
     val raw = NgramLm.train(docs.where(col("doc_id") % 10 < 8),
       eagerCounts = true) // batch-side materialization, not at batch 1
-    // bigramCounts is already behind train()'s lazy boundary (filled at
-    // the first micro-batch, reused by the rest); only the context
-    // rollup derived from it needs its own pin here
+    // bigramCounts is materialized at setup by eagerCounts above (every
+    // micro-batch then reads blocks); the context rollup derived from it
+    // needs its own pin here
     val model = raw.copy(
       contextCounts = graft.operators.Ops.checkpointKeepPartitioning(
         raw.contextCounts))
