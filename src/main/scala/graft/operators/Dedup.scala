@@ -45,8 +45,9 @@ object Dedup {
     * see [[Ops.checkpointKeepPartitioning]] for the AQE subtlety — or a
     * reliable checkpoint when [[ReliableBoundaryConf]] elects
     * durability over speed (executor-loss trade documented there). */
-  private def checkpointKeepPartitioning(frame: DataFrame): DataFrame =
-    Ops.checkpointKeepPartitioning(frame,
+  private def checkpointKeepPartitioning(frame: DataFrame,
+      eager: Boolean = false): DataFrame =
+    Ops.checkpointKeepPartitioning(frame, eager = eager,
       reliable = frame.sparkSession.conf
         .getOption(ReliableBoundaryConf).contains("true"))
 
@@ -143,9 +144,16 @@ object Dedup {
     // fully enumerated. CollectMetrics passes partitioning through, so
     // the single-exchange plan pin holds; read with
     // IndexStore.capActivity on the pairs frame after an action.
+    // eager (the sharedShingleFractions convoy stance, applied to the
+    // dedup kernels in r17): the three consumers below are parallel
+    // subplans of ONE statement, so a lazy pin is first-forced by all
+    // of them concurrently — each re-running the banding+window chain
+    // against the unmaterialized blocks' locks (profiled in sr37 as 6
+    // concurrent 2-3.4 s jobs inside one execution). One count job
+    // materializes it once; every consumer then reads blocks.
     val sized = IndexStore.observeCap(checkpointKeepPartitioning(banded
         .withColumn("band_n", count(lit(1)).over(w))
-        .withColumn("band_rep", min(col(idCol)).over(w))),
+        .withColumn("band_rep", min(col(idCol)).over(w)), eager = true),
       col("band_n") > hotBandThreshold && col(idCol) =!= col("band_rep"),
       col("band_n") > hotBandThreshold, col("band_n"))
     val small = sized.where(col("band_n") <= hotBandThreshold)
@@ -200,9 +208,13 @@ object Dedup {
     requireIdColFree(idCol, Seq("shingles", "sig", "sh_a", "sh_b", "jaccard"),
       "minhashNearDupPairs")
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // eager for the same convoy reason as lshCandidatePairs' `sized`:
+    // the signature chain and the two verification-join sides force
+    // this pin concurrently within one statement
     val shingled = checkpointKeepPartitioning(docs.repartition(par, col(idCol))
       .select(col(idCol),
-        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles")))
+        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles")),
+      eager = true)
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     val pairs = lshCandidatePairs(sigs, idCol, "sig", bands, numHashes / bands,
@@ -269,9 +281,11 @@ object Dedup {
     val w = Window.partitionBy("chunk_id", "chunk")
     // same boundary + partitioning-capture + cap-observability rationale
     // as lshCandidatePairs' `sized`
+    // eager: same multi-consumer convoy stance as lshCandidatePairs
     val sized = IndexStore.observeCap(checkpointKeepPartitioning(chunked
         .withColumn("chunk_n", count(lit(1)).over(w))
-        .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w))),
+        .withColumn("rep", min(struct(col(idCol), col("sim"))).over(w)),
+        eager = true),
       col("chunk_n") > hotBandThreshold && col(idCol) =!= col("rep")(idCol),
       col("chunk_n") > hotBandThreshold, col("chunk_n"))
     val small = sized.where(col("chunk_n") <= hotBandThreshold)
@@ -478,7 +492,8 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     spansFromWins(
       checkpointKeepPartitioning(charWinnowedFingerprints(
-        docs.repartition(par), idCol, textCol, window, guarantee)),
+        docs.repartition(par), idCol, textCol, window, guarantee),
+        eager = true), // convoy stance: heavy agg + flag-back join
       idCol, minDocs, broadcastHeavy, nSalts)
   }
 
@@ -550,7 +565,8 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     checkpointKeepPartitioning(
       winnowedFingerprints(docs.repartition(par), idCol, textCol, window,
-        guarantee))
+        guarantee),
+      eager = true) // convoy stance: heavy agg + flag-back join
   }
 
   /** [[repeatedWindowSpans]] over an already-materialized fingerprint
@@ -619,9 +635,10 @@ object Dedup {
       .select(col(idCol), col("fp")).distinct()
     val w = Window.partitionBy("fp")
     // same cap-observability stance as lshCandidatePairs' `sized`
+    // eager: same multi-consumer convoy stance as lshCandidatePairs
     val sized = IndexStore.observeCap(checkpointKeepPartitioning(wins
         .withColumn("fp_n", count(lit(1)).over(w))
-        .withColumn("fp_rep", min(col(idCol)).over(w))),
+        .withColumn("fp_rep", min(col(idCol)).over(w)), eager = true),
       col("fp_n") > hotFpThreshold && col(idCol) =!= col("fp_rep"),
       col("fp_n") > hotFpThreshold, col("fp_n"))
     val small = sized.where(col("fp_n") <= hotFpThreshold)

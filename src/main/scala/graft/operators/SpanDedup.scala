@@ -70,9 +70,11 @@ object SpanDedup {
       minDocs: Int = 2): DataFrame = {
     // pinned: the starts feed both the hot-shingle aggregation and the
     // flag join — unpinned, the corpus-sized tokenize+shingle explode
-    // would run twice (the rawFeats doctrine)
+    // would run twice (the rawFeats doctrine). Eager: both consumers
+    // are parallel subplans of one statement, so a lazy pin convoys
+    // (the sharedShingleFractions stance)
     val starts = Ops.checkpointKeepPartitioning(
-      shingleStarts(docs, k))
+      shingleStarts(docs, k), eager = true)
     val hot = starts.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .where(col("__nd") >= minDocs)
@@ -98,8 +100,9 @@ object SpanDedup {
     * boundaries). */
   def removalSpansKeepFirst(docs: DataFrame, k: Int = 8,
       minDocs: Int = 2): DataFrame = {
+    // eager: same convoy stance as removalSpans
     val starts = Ops.checkpointKeepPartitioning(
-      shingleStarts(docs, k))
+      shingleStarts(docs, k), eager = true)
     val hot = starts.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("__nd"),
         min(struct(col("doc_id"), col("start"))).as("__kk"))

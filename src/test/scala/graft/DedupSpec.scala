@@ -457,14 +457,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("boundary construction launches no Spark jobs") {
+  test("boundary construction: lazy model pins job-free, eager kernel " +
+      "pins exactly once") {
     // a lazy localCheckpoint planned under AQE is not lazy — the
     // adaptive plan materializes its shuffle stages at plan-capture
     // time, so CONSTRUCTING the frame runs corpus-sized jobs. Every
     // inline boundary routes through checkpointKeepPartitioning, whose
-    // AQE-off scope keeps construction job-free; this pins the
-    // property across the lazy-boundary operators (the dedup-ingest
-    // pins are eager BY CONTRACT and excluded).
+    // AQE-off scope keeps construction job-free; the LAZY model
+    // boundaries (Tfidf/NgramLm) pin that property below. The dedup
+    // KERNEL pins became EAGER in r17 (the sharedShingleFractions
+    // convoy stance: their multi-consumer boundaries are first-forced
+    // by parallel subplans of one statement, duplicating the kernel's
+    // heaviest pass under load — profiled in sr37 as 6 concurrent
+    // 2-3.4 s jobs, under-load A/B −28..−45%), so their construction
+    // runs EXACTLY the boundary-materialization count jobs: bounded by
+    // the documented pin inventory, never the consumer fan-out. A
+    // count above the bound means a pin re-materialized per consumer
+    // (the convoy is back) or a boundary is planned under AQE again.
     // resolve the fixtures first — the parquet source runs a one-time
     // footer-read job at first analysis, which is not what this pins
     docs.columns; planted.columns
@@ -478,21 +487,48 @@ class DedupSpec extends SparkSpec {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try {
-      Dedup.minhashNearDupPairs(planted, "doc_id", "text")
-      Dedup.simhashNearDupPairs(planted, "doc_id", "text")
-      Dedup.winnowNearDupPairs(docs, "doc_id", "text")
-      Dedup.repeatedWindowSpans(docs, "doc_id", "text")
-      Dedup.boilerplateDocs(docs, "doc_id", "text")
-      graft.operators.Tfidf.topTerms(docs)
-      graft.operators.NgramLm.train(docs)
-      graft.operators.NgramLm.sourceTokenKl(full)
+    def jobsDuring(body: => Any): Int = {
+      org.apache.spark.graft.TestBridge.drainListeners(spark.sparkContext)
+      val before = counter.get
+      body
       // listener delivery is async; drain the bus before reading the
       // counter (deterministic, unlike a fixed sleep)
       org.apache.spark.graft.TestBridge.drainListeners(spark.sparkContext)
-      assert(counter.get == 0,
-        s"${counter.get} job(s) ran during pure construction — a " +
-          "boundary is being planned under AQE again")
+      counter.get - before
+    }
+    try {
+      // eager kernels: (pins) = minhash 2 (shingled + banded sized),
+      // simhash 1 (chunked sized), winnow 1 (fp sized), spans 1
+      // (inlineWins), boilerplate 1 (inlineWins); each pin's count may
+      // split into ≤2 jobs, so bound = 2 × pins
+      Seq[(String, Int, () => Any)](
+        ("minhashNearDupPairs", 2,
+          () => Dedup.minhashNearDupPairs(planted, "doc_id", "text")),
+        ("simhashNearDupPairs", 1,
+          () => Dedup.simhashNearDupPairs(planted, "doc_id", "text")),
+        ("winnowNearDupPairs", 1,
+          () => Dedup.winnowNearDupPairs(docs, "doc_id", "text")),
+        ("repeatedWindowSpans", 1,
+          () => Dedup.repeatedWindowSpans(docs, "doc_id", "text")),
+        ("boilerplateDocs", 1,
+          () => Dedup.boilerplateDocs(docs, "doc_id", "text"))
+      ).foreach { case (name, pins, build) =>
+        val n = jobsDuring(build())
+        assert(n >= pins && n <= 2 * pins,
+          s"$name construction ran $n job(s) for $pins eager pin(s) — " +
+            "fewer means a pin silently went lazy (the convoy returns " +
+            "under load), more means a boundary re-materialized per " +
+            "consumer or is planned under AQE again")
+      }
+      // lazy model boundaries stay job-free at construction
+      val lazyJobs = jobsDuring {
+        graft.operators.Tfidf.topTerms(docs)
+        graft.operators.NgramLm.train(docs)
+        graft.operators.NgramLm.sourceTokenKl(full)
+      }
+      assert(lazyJobs == 0,
+        s"$lazyJobs job(s) ran during pure construction of the lazy " +
+          "model boundaries — a boundary is being planned under AQE again")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
