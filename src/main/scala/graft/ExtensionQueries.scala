@@ -4122,11 +4122,25 @@ object ExtensionQueries {
           .select("doc_id", "text").localCheckpoint()
         val train0 = docs.where(col("doc_id") % 97 =!= 0)
         val panel = Seq("none") ++ (0 to 4).map(i => s"src$i")
+        // the six retrains are INDEPENDENT (§2.6): their eager count
+        // pins ran serially (6 corpus passes back-to-back, each under
+        // one statement's tail) — start them concurrently and let the
+        // scheduler back-fill. Each model's context rollup is pinned
+        // eagerly too: the final union statement broadcasts all six
+        // models' (counts, contexts, vocab) sides at once, and the 12
+        // lazy rollup subplans otherwise re-aggregate concurrently
+        // inside that one statement (profiled as 9 concurrent 2-2.9 s
+        // jobs in sql-14). Per-member retrain semantics unchanged.
         panel.map { src =>
           val tr = if (src == "none") train0
             else train0.where(col("source") =!= src)
-          NgramLm.scoreBigramMillis(
-            NgramLm.train(tr, eagerCounts = true), evals)
+          (src, graft.operators.Ops.deferred {
+            val m = NgramLm.train(tr, eagerCounts = true)
+            m.copy(contextCounts = graft.operators.Ops
+              .checkpointKeepPartitioning(m.contextCounts, eager = true))
+          })
+        }.map { case (src, model) =>
+          NgramLm.scoreBigramMillis(model(), evals)
             .agg(count(lit(1)).cast("long").as("n_bigrams"),
               floor(sum(col("h_milli")) * lit(1.0) / count(lit(1))
                 + lit(0.5)).cast("long").as("h_milli_tok"))

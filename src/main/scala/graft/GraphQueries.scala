@@ -131,11 +131,23 @@ object GraphQueries {
   private[graft] def sourceAuthorityRanks(s: SparkSession, dir: String)
       : DataFrame = {
     val docs = load(s, dir, "documents").select("source", "text")
-    Centrality.pageRank(
+    // pin the (source, ph) count table: the edge aggregation and the
+    // node distinct both consume it, and the bounded serve's two
+    // limit-probes would otherwise re-run the corpus shingle pass
+    val shingles = graft.operators.Ops.checkpointKeepPartitioning(
+      Centrality.sourceShingles(docs), eager = true)
+    // bounded-graph serve (r17, the authorityFromIndex stance):
+    // driver-exact fixed point when the source graph fits the gates.
+    // NODES stay the corpus's distinct sources (not the shingle
+    // table's): a source whose docs shingle to nothing is still a
+    // vertex — dropping it would shift every rank's baseShare.
+    val ranks = Centrality.pageRankBoundedWeighted(
         docs.select(col("source").as("id")).distinct(),
-        Centrality.sharedShingleEdges(Centrality.sourceShingles(docs)),
-        iters = 4, weightCol = Some("w"))
+        Centrality.sharedShingleEdges(shingles),
+        iters = 4)
       .select(col("id").as("source"), col("rank_fp"))
+    graft.operators.Ops.freeLogicalRddBlocks(shingles)
+    ranks
   }
 
   /** Inline source-harmonic ranks (source, harmonic_fp) — the

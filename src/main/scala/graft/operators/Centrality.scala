@@ -67,6 +67,18 @@ object Centrality {
 
   private val RowsPerIterationPartition = 250000L
 
+  /** Size gates for the bounded-graph driver serve
+    * ([[pageRankBoundedWeighted]]): a SOURCE-level graph — the only
+    * place the fast path is wired — is #sources² edges by
+    * construction, and the curated-feed regime those queries model is
+    * tens of sources. The gates keep the collected state trivially
+    * driver-sized (≤ maxEdges 24-byte tuples ≈ 6 MB) while a
+    * host-scale caller (1e6 "sources") falls back to the distributed
+    * fixed point automatically — the limit-probe costs two bounded
+    * statements, never a driver funnel. */
+  val DefaultMaxDriverRankNodes: Int = 512
+  val DefaultMaxDriverRankEdges: Int = 262144
+
   /** Integer division on non-negative longs — Spark's `div`
     * (IntegralDivide) and DuckDB's `//` agree exactly there. Never use
     * floor(a/b) here: the double quotient of two big longs can round
@@ -339,6 +351,91 @@ object Centrality {
         state.select(col("id").as(idCol), col("r").as("rank_fp"))
       } finally edgesP.unpersist()
     } finally base.unpersist(blocking = false)
+  }
+
+  /** BOUNDED-graph serving form of the weighted [[pageRank]]: when the
+    * vertex set fits [[DefaultMaxDriverRankNodes]] (probed with a
+    * limit-collect, never an unbounded pull), the fixed point runs as
+    * a driver loop over the collected edge list instead of
+    * `iters` × (checkpoint + two exchanges) distributed statements —
+    * the [[IvfIndex.collectCentroids]] / Distill-weights stance:
+    * bounded MODEL state may live driver-side; at fixture scale the
+    * distributed form's ~12 statements are pure per-statement floor
+    * under 20-node graphs, and at production scale a curated-feed
+    * authority graph is still tens of sources. VALUE-IDENTICAL by
+    * construction, not approximately: every operation in the update
+    * rule is non-negative integer arithmetic (share_ppm quantization,
+    * per-edge contribution r·share div 1e6, exact long sums — order-
+    * independent — and the damped integer-div update), replicated
+    * term for term from [[step]]; the sub-ppm share floor fails
+    * loudly with the same contract. Oversized graphs (either gate)
+    * fall back to the distributed fixed point with the original
+    * frames — the probes cost two bounded statements.
+    * `edges` must carry (srcCol, dstCol, wCol ≥ 1) rows — the
+    * [[sharedShingleEdges]] shape. */
+  def pageRankBoundedWeighted(nodes: DataFrame, edges: DataFrame,
+      iters: Int, dampingPct: Int = 85, idCol: String = "id",
+      srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
+      maxNodes: Int = DefaultMaxDriverRankNodes,
+      maxEdges: Int = DefaultMaxDriverRankEdges): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val spark = nodes.sparkSession
+    val nodeRows = nodes.select(col(idCol)).distinct()
+      .limit(maxNodes + 1).collect()
+    lazy val edgeRows = edges
+      .select(col(srcCol), col(dstCol), col(wCol).cast("long"))
+      .limit(maxEdges + 1).collect()
+    if (nodeRows.length > maxNodes || edgeRows.length > maxEdges)
+      return pageRank(nodes, edges, iters, dampingPct, idCol,
+        srcCol, dstCol, weightCol = Some(wCol))
+    val ids: Array[Any] = nodeRows.map(_.get(0))
+    val nNodes = ids.length.toLong
+    require(nNodes > 0, "pageRank over an empty node set")
+    val raw = edgeRows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    // share_ppm per edge, quantized once (the distributed prep, term
+    // for term; out_w over ALL edges, matching base's groupBy)
+    val outW = raw.groupBy(_._1).map { case (s, es) =>
+      s -> es.iterator.map(_._3).sum }
+    val prepped = raw.map { case (s, d, w) =>
+      (s, d, w * SharePpm / outW(s)) }
+    require(prepped.forall(_._3 >= 1L),
+      "pageRank: at least one weighted edge has w * " + SharePpm +
+        " div out_w = 0 — its source's out-weight exceeds 1e6x the " +
+        "edge weight, so the ppm quantization floors the edge's share " +
+        "to zero and it would contribute no mass on ANY iteration " +
+        "(silent divergence from true weighted PageRank; see the " +
+        "SharePpm scaladoc). Merge parallel edges, drop sub-ppm tails " +
+        "explicitly, or rescale the weight column so every edge's " +
+        "share is >= 1 ppm.")
+    val baseShare = Scale / nNodes
+    val hasOut = raw.iterator.map(_._1).toSet
+    var r: Map[Any, Long] = ids.iterator.map(_ -> baseShare).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Any, Long]
+      prepped.foreach { case (s, d, sp) =>
+        // inner-join semantics: only sources IN the vertex set carry
+        // rank; contributions to non-vertices are dropped at the
+        // update (the distributed left join's behavior)
+        r.get(s).foreach { rs =>
+          contrib(d) = contrib.getOrElse(d, 0L) + rs * sp / SharePpm }
+      }
+      val dmass = ids.iterator.filterNot(hasOut).map(r).sum
+      r = ids.iterator.map { id =>
+        id -> ((100L - dampingPct) * baseShare +
+          dampingPct.toLong *
+            (contrib.getOrElse(id, 0L) + dmass / nNodes)) / 100L
+      }.toMap
+    }
+    val idField = nodes.select(col(idCol)).schema.head.copy(name = idCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(idField,
+      org.apache.spark.sql.types.StructField("rank_fp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = ids.map(id =>
+      org.apache.spark.sql.Row(id, r(id))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** Per-term scale of [[harmonicCentrality]]: H_fp(v) =

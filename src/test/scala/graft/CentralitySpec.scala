@@ -48,6 +48,41 @@ class CentralitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bounded driver serve is bit-identical to the distributed " +
+      "weighted fixed point, and oversized graphs fall back") {
+    // mixed graph: weighted multi-out, dangling nodes, a node with no
+    // in-edges, a source outside the vertex set contributing nothing,
+    // and weights that exercise the ppm quantization's floors
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 7L),
+      (3L, 1L, 2L), (3L, 4L, 5L), (9L, 2L, 4L) /* 9 not a vertex */)
+      .toDF("src", "dst", "w")
+    for (iters <- Seq(1, 4, 7)) {
+      val dist = Centrality.pageRank(nodes, edges, iters,
+          weightCol = Some("w"))
+        .as[(Long, Long)].collect().toMap
+      val drv = Centrality.pageRankBoundedWeighted(nodes, edges, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(drv == dist, s"driver serve diverged at iters=$iters")
+    }
+    // fallback: gates below the graph size must route to the
+    // distributed loop and still produce the identical ranks
+    val viaFallback = Centrality.pageRankBoundedWeighted(nodes, edges,
+        iters = 4, maxNodes = 2)
+      .as[(Long, Long)].collect().toMap
+    val direct = Centrality.pageRank(nodes, edges, 4,
+        weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaFallback == direct)
+    // the sub-ppm share floor fails as loudly as the distributed form
+    val bad = Seq((1L, 2L, 1L), (1L, 3L, 3000000L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Centrality.pageRankBoundedWeighted(Seq(1L, 2L, 3L).toDF("id"),
+        bad, iters = 1)
+    }
+    assert(e.getMessage.contains("ppm"))
+  }
+
   test("mass is conserved up to floor loss across many iterations") {
     // ring + chords + a dangling tail: mixed in/out degrees, dangling
     // mass in play every iteration. Floor loss is bounded by a few
